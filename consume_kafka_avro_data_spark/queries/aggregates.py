@@ -1,0 +1,171 @@
+"""Aggregation queries (SURVEY §2.4, A2–A7).
+
+The reference's only aggregate is a running error counter
+(``src/main.cpp:243-251``); everything here is the EXT relational closure
+— Tungsten hash aggregation with automatic map-side partial aggregation,
+which is exactly the shape that scales: partials shrink the shuffle to
+|groups| × |partitions| regardless of input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from consume_kafka_avro_data_spark.functions.parity import (
+    davg,
+    dsum,
+    dsum_mul,
+    o_davg,
+    o_dsum,
+    o_dsum_mul,
+)
+from consume_kafka_avro_data_spark.registry import query
+from consume_kafka_avro_data_spark.tables import load_table
+
+
+@query(
+    "q_groupby_agg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {o_dsum("l_quantity")}      AS sum_qty,
+           {o_dsum("l_extendedprice")} AS sum_base_price,
+           {o_dsum_mul("l_extendedprice", "(1.0 - l_discount)")} AS sum_disc_price,
+           {o_davg("l_quantity")}      AS avg_qty,
+           min(l_quantity)             AS min_qty,
+           max(l_quantity)             AS max_qty,
+           CAST(count(*) AS BIGINT)    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("A2",),
+)
+def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary (A2): the flagship aggregate.
+    sum/avg use exact decimal partials (see functions/parity.py) so the
+    result is independent of partitioning — a correctness *and* a
+    reproducibility property at cluster scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum_mul("l_extendedprice", F.lit(1.0) - F.col("l_discount")).alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(count(*) AS BIGINT)                  AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("A3",),
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (A3).  Spark expands count-distinct into a
+    two-phase aggregate (partial distinct then merge) automatically."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "q_approx_distinct",
+    oracle=None,  # approximate sketch — rows-only check by design
+    tags=("A4",),
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (A4).  The sketch value is
+    implementation-defined, so there is no SQL oracle (rows-only); the
+    unit test asserts the estimate is within rsd of the exact count.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )
+
+
+@query(
+    "q_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           {o_dsum("l_quantity")}   AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("A5",),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (A5): subtotals + grand total in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+@query(
+    "q_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5)  AS p50,
+           quantile_cont(o_totalprice, 0.9)  AS p90
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("A6",),
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (A6): Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the linear-interpolation definition.  (The
+    scalable variant is ``percentile_approx`` — see q_approx_distinct for
+    why sketches are rows-only.)
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.9).alias("p90"),
+    )
+
+
+@query(
+    "q_collect_adjacency",
+    oracle="""
+    SELECT n_name,
+           array_to_string(list_sort(list(s_name)), ',') AS suppliers,
+           CAST(count(*) AS BIGINT)                      AS n_suppliers
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("A7",),
+)
+def q_collect_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacency-list materialization (A7): collect_list per group —
+    the graph form of the reference's relationships table.  The list is
+    sorted then joined to a string so the hash is order-insensitive.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("s_name")), ",").alias("suppliers"),
+            F.count("*").alias("n_suppliers"),
+        )
+    )

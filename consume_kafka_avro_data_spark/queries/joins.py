@@ -1,0 +1,157 @@
+"""Join queries (SURVEY §2.3, J1–J6).
+
+The reference's single physical join is a per-row keyed lookup into
+Postgres (``src/Database.cpp:26-39``, exemplar
+``src/KafkaConsumerCallback.cpp:103-105``).  Here every lookup becomes a
+set-oriented join and Catalyst/AQE picks the strategy; small dimension
+sides are explicitly broadcast so at 100 TB the fact-side scan never
+shuffles for them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import broadcast
+
+from consume_kafka_avro_data_spark.functions.parity import dsum_mul, o_dsum_mul
+from consume_kafka_avro_data_spark.registry import query
+from consume_kafka_avro_data_spark.tables import load_table
+
+
+@query(
+    "q_fk_lookup_join",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 150000.0
+    """,
+    tags=("J1",),
+)
+def q_fk_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed FK lookup (J1): the reference resolves object_name→id one
+    row at a time (Database.cpp:26-39); set-oriented it is a broadcast
+    hash join — the customer dimension ships to every executor and the
+    orders scan stays shuffle-free.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.where(F.col("o_totalprice") > 150000.0)
+        .join(broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+    )
+
+
+@query(
+    "q_edge_join",
+    oracle=f"""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           {o_dsum_mul("l_extendedprice", "(1.0 - l_discount)")} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("J2", "J3", "A2"),
+)
+def q_edge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge construction / multi-table equi-join (J2/J3): the flagship
+    fact⋈fact⋈dim chain.  lineitem⋈orders co-shuffles on the order key
+    (sort-merge at scale, AQE may demote to broadcast); customer is
+    broadcast.  Revenue uses the exact-decimal parity sum.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            dsum_mul("l_extendedprice", F.lit(1.0) - F.col("l_discount")).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_semi_anti",
+    oracle="""
+    SELECT c_custkey, c_name,
+           (o.o_custkey IS NOT NULL) AS has_order
+    FROM customer c
+    LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+           ON c.c_custkey = o.o_custkey
+    """,
+    tags=("J4",),
+)
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti-join semantics (J4) in one result: customers flagged by
+    order existence.  This is exactly the reference's dedup-insert test
+    ("already present?" — Database.h:23-25) expressed relationally.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    return c.join(broadcast(o), c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey",
+        "c_name",
+        F.col("o_custkey").isNotNull().alias("has_order"),
+    )
+
+
+@query(
+    "q_two_hop",
+    oracle="""
+    SELECT r_name, a.n_name AS nation_a, b.n_name AS nation_b
+    FROM nation a
+    JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    JOIN region  ON a.n_regionkey = r_regionkey
+    """,
+    tags=("J5",),
+)
+def q_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join traversal (J5): 2-hop neighbors through a shared hub —
+    the pattern for querying the reference's ``relationships`` edge table
+    (Database.h:29-31) once materialized.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+            & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+        )
+        .join(broadcast(r), F.col("a.n_regionkey") == F.col("r_regionkey"))
+        .select("r_name", F.col("a.n_name").alias("nation_a"), F.col("b.n_name").alias("nation_b"))
+    )
+
+
+@query(
+    "q_range_join",
+    oracle="""
+    SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_poorer_customers
+    FROM supplier
+    JOIN customer ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+    GROUP BY s_suppkey, s_name
+    """,
+    tags=("J6",),
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join (J6): equi on nation + range on balance.  The
+    equi conjunct keeps it a hash join (the range predicate is a
+    post-join filter); a pure theta join would degrade to
+    broadcast-nested-loop — worth avoiding by construction at scale.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        s.join(
+            c,
+            (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal),
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_poorer_customers"))
+    )

@@ -1,0 +1,83 @@
+"""Temporal / windowed-stream analogue queries (SURVEY §2.6, T6 batch
+forms).  The true streaming operators (watermarks, session_window,
+dropDuplicatesWithinWatermark) live in streaming/; these are their
+deterministic batch twins that the DuckDB oracle can check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from consume_kafka_avro_data_spark.functions.parity import dsum, o_dsum
+from consume_kafka_avro_data_spark.registry import query
+from consume_kafka_avro_data_spark.tables import load_table
+
+
+@query(
+    "q_tumbling_window",
+    oracle=f"""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {o_dsum("value")}        AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("T6",),
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate (T6, batch analogue): 1-hour buckets ×
+    event type.  In streaming this is ``F.window(ts, '1 hour')`` +
+    watermark (streaming/windows.py); the bucket math is identical.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        F.col("event_type"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
+
+
+@query(
+    "q_session_like",
+    oracle="""
+    SELECT user_id,
+           CAST(1 + SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                 OVER (PARTITION BY user_id ORDER BY event_id) AS gap_us
+      FROM events
+    )
+    GROUP BY user_id
+    """,
+    tags=("T6", "W2"),
+)
+def q_session_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session detection via gap analysis (T6/W2): a new session starts
+    after a >30-minute silence.  Batch twin of ``F.session_window``;
+    epoch math in integer microseconds on both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    # unix_micros needs TIMESTAMP_LTZ; the NTZ→LTZ cast is the identity
+    # because the session timezone is pinned to UTC (session.py)
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gapped = e.select(
+        "user_id",
+        (epoch_us - F.lag(epoch_us).over(w)).alias("gap_us"),
+    )
+    return gapped.groupBy("user_id").agg(
+        (
+            F.lit(1)
+            + F.sum(F.when(F.col("gap_us") > 1_800_000_000, 1).otherwise(0))
+        )
+        .cast("long")
+        .alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )

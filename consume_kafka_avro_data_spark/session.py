@@ -1,0 +1,75 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode mirrors the test/bench environment (``local[$SPARK_GRAFT_CPUS]``)
+but every setting here is chosen to also hold on a large multi-executor
+cluster:
+
+* AQE on — runtime shuffle-partition coalescing, skew-join splitting and
+  broadcast-join demotion are exactly the knobs a 100 TB run needs.
+* ``spark.sql.shuffle.partitions`` defaults to 2× cores locally; on a real
+  cluster AQE's coalescing makes a high initial value safe.
+* Arrow transfer on — every pandas-UDF operator in this repo is
+  Arrow-batched, never row-at-a-time.
+* Session timezone pinned to UTC so epoch extraction is byte-identical to
+  the DuckDB correctness oracle regardless of host timezone.
+* ``spark.sql.legacy.parquet.nanosAsLong`` — the driver testdata's
+  ``events.ts`` column is parquet TIMESTAMP(NANOS), which Spark's reader
+  refuses by default; we read it as raw nanos and convert (see tables.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _cpus() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return int(env)
+    return os.cpu_count() or 4
+
+
+def tune_for_parity(spark: SparkSession) -> SparkSession:
+    """Runtime-settable confs required for oracle-exact results.
+
+    Applied defensively inside every loader/query because the verify
+    driver constructs its own SparkSession that did not go through
+    :func:`get_session`.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def get_session(
+    app_name: str = "consume-kafka-avro-data-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cores = cpus or _cpus()
+    shuffle = shuffle_partitions or max(2 * cores, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config(
+            "spark.driver.memory",
+            driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return tune_for_parity(spark)

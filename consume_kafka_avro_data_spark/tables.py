@@ -1,0 +1,56 @@
+"""Loaders for the driver-generated parquet testdata (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file per table under
+``/root/testdata/sf{0.001,0.01,0.1}/``.
+
+The only normalization applied is on ``events.ts``: the file stores
+parquet TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+([PARQUET_TYPE_ILLEGAL]).  We read it as a raw int64 via the
+``spark.sql.legacy.parquet.nanosAsLong`` conf and truncate to
+microseconds with integer arithmetic (``ts div 1000`` — never float
+division, whose 2^53 mantissa cannot hold an epoch-nanos value).  The
+DuckDB oracle applies the same truncation via ``CAST(ts AS TIMESTAMP)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from consume_kafka_avro_data_spark.session import tune_for_parity
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table, normalizing types for engine use."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    tune_for_parity(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # raw nanos (long) -> microsecond timestamp, integer truncation.
+        # timestamp_micros yields TIMESTAMP_LTZ; cast to NTZ (session tz is
+        # pinned UTC) so events.ts matches the other tables' parquet
+        # timestamps, which Spark 4 reads as TIMESTAMP_NTZ.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
