@@ -1,0 +1,114 @@
+"""Config-system tests (SURVEY §5: rename/cast config handling with a
+golden StructType for the reference's SPO_2_kafka.yaml shape)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from consume_kafka_avro_data_spark.config import ConfigError, parse_config
+
+# exact shape of the reference's configs/SPO_2_kafka.yaml (FIXTURES.md A5)
+SPO_DOC = {
+    "kafka": {
+        "bootstrap.servers": "localhost:9092",
+        "schema.registry.url": "http://localhost:8081",
+        "client.id": "spo2kafka_client",
+    },
+    "input_type": "csv",
+    "column_type_transforms": {"Source": "string", "Relationship": "string", "Target": "string"},
+    "type_map": {
+        "spo": {
+            "key_column": "subject",
+            "columns": ["Source", "Relationship", "Target"],
+        }
+    },
+    "column_map": {"Source": "subject", "Relationship": "predicate", "Target": "object"},
+}
+
+
+def test_golden_spo_struct_type():
+    cfg = parse_config(SPO_DOC)
+    sc = cfg.schema_for("spo")
+    assert sc.to_struct_type() == StructType(
+        [
+            StructField("subject", StringType(), True),
+            StructField("predicate", StringType(), True),
+            StructField("object", StringType(), True),
+        ]
+    )
+    assert sc.key_column == "subject"
+    assert cfg.bootstrap_servers == "localhost:9092"
+    assert cfg.schema_registry_url == "http://localhost:8081"
+
+
+def test_avro_schema_json():
+    import json
+
+    sc = parse_config(SPO_DOC).schema_for("spo")
+    avro = json.loads(sc.to_avro_schema_json())
+    assert avro["type"] == "record"
+    assert avro["name"] == "spo"
+    assert [f["name"] for f in avro["fields"]] == ["subject", "predicate", "object"]
+    assert all(f["type"] == "string" for f in avro["fields"])
+
+
+def test_type_transforms_and_default_string():
+    doc = {
+        "type_map": {"t": {"key_column": "a", "columns": ["a", "b", "c", "d", "e"]}},
+        "column_type_transforms": {"b": "int", "c": "long", "d": "float", "e": "double"},
+    }
+    st = parse_config(doc).schema_for("t").to_struct_type()
+    assert [type(f.dataType) for f in st.fields] == [
+        StringType,  # default when no transform (ConfigParser.cpp:149-152)
+        IntegerType,
+        LongType,
+        type(st.fields[3].dataType),  # FloatType
+        DoubleType,
+    ]
+
+
+def test_projection_applies_subset_rename_cast(spark):
+    df = spark.createDataFrame(
+        [("s1", "p1", "42", "ignored")], ["Source", "Relationship", "Target", "Extra"]
+    )
+    doc = dict(SPO_DOC)
+    doc["column_type_transforms"] = {"Target": "long"}
+    out = parse_config(doc).schema_for("spo").apply(df)
+    assert out.columns == ["subject", "predicate", "object"]
+    row = out.collect()[0]
+    assert (row.subject, row.predicate, row.object) == ("s1", "p1", 42)
+
+
+@pytest.mark.parametrize(
+    "mutate, match",
+    [
+        (lambda d: d.pop("type_map"), "type_map"),
+        (lambda d: d["type_map"]["spo"].pop("key_column"), "key_column"),
+        (lambda d: d["type_map"]["spo"].update(columns=[]), "no columns"),
+        (
+            lambda d: d.update(column_type_transforms={"Source": "uuid"}),
+            "unsupported type",
+        ),
+        (
+            lambda d: d.update(column_map={"Source": "same", "Relationship": "same"}),
+            "duplicate|key_column",
+        ),
+    ],
+)
+def test_config_errors_raise_not_kill(mutate, match):
+    """The reference kills the process on bad config
+    (ConfigParser.cpp:33,58,133); we raise ConfigError instead."""
+    import copy
+
+    doc = copy.deepcopy(SPO_DOC)
+    mutate(doc)
+    with pytest.raises(ConfigError, match=match):
+        parse_config(doc)
