@@ -1,0 +1,263 @@
+"""Avro binary codec + Confluent wire framing, Spark-distributed.
+
+The reference consumes Confluent-framed Avro ("CP1": magic byte 0x00 +
+4-byte big-endian schema id + Avro binary body — framing configured at
+``src/SchemaRegistry.cpp:24``, decode at
+``src/KafkaConsumerCallback.cpp:69-83``) and re-encodes records to JSON
+(``:42-67``).  Its schemas are flat records over exactly five primitive
+types (``src/config/ConfigParser.cpp:154-164``): string, int, long,
+float, double.
+
+The PySpark distribution in this environment ships the core Avro jars
+but NOT the ``spark-avro`` SQL datasource, so ``from_avro``/``to_avro``
+are unavailable JVM-side.  For this flat-record universe the Avro binary
+encoding is small and fully specified (zigzag varints, little-endian
+IEEE floats, length-prefixed UTF-8), so we implement it in Python and
+distribute it as Arrow-batched pandas UDFs — the sanctioned slow-path
+shape (vectorized transfer, per-batch Python dispatch), never
+row-at-a-time Python UDFs.  If a deployment has spark-avro on the
+classpath, ``native_avro_available`` lets callers switch to the JVM
+implementation; semantics are identical.
+
+Error handling mirrors the reference's observed failure mode: a frame
+whose first byte is not 0x00 (e.g. raw JSON ``{`` = 0x7B) is routed, not
+fatal — decode returns a null record plus an ``_error`` string
+(``Invalid CP1 magic byte 123`` appears 4× in the reference's
+2024-12-21 log; counter at ``src/main.cpp:249-252``).
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from consume_kafka_avro_data_spark.config import SchemaConfig, _AVRO_TO_SPARK
+
+MAGIC = b"\x00"
+
+# ---------------------------------------------------------------------------
+# plain-Python codec (unit-testable; the pandas UDFs below call into it)
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_encode(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _zigzag_decode(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _write_long(out: bytearray, n: int) -> None:
+    z = _zigzag_encode(n) & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError("truncated varint")
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _zigzag_decode(acc), pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint too long")
+
+
+def encode_record(fields: list[tuple[str, str]], values: dict) -> bytes:
+    """Encode one record body (no framing) per the Avro binary spec."""
+    out = bytearray()
+    for name, typ in fields:
+        v = values[name]
+        if typ in ("int", "long"):
+            _write_long(out, int(v))
+        elif typ == "float":
+            out += _struct.pack("<f", float(v))
+        elif typ == "double":
+            out += _struct.pack("<d", float(v))
+        elif typ == "string":
+            raw = str(v).encode("utf-8")
+            _write_long(out, len(raw))
+            out += raw
+        else:  # pragma: no cover - SchemaConfig validates types upfront
+            raise ValueError(f"unsupported avro type {typ!r}")
+    return bytes(out)
+
+
+def decode_record(fields: list[tuple[str, str]], buf: bytes) -> dict:
+    """Decode one record body; raises ValueError on malformed input."""
+    pos = 0
+    out: dict = {}
+    for name, typ in fields:
+        if typ in ("int", "long"):
+            out[name], pos = _read_long(buf, pos)
+            if typ == "int" and not -(2**31) <= out[name] < 2**31:
+                raise ValueError(f"int field {name} out of range")
+        elif typ == "float":
+            if pos + 4 > len(buf):
+                raise ValueError("truncated float")
+            (out[name],) = _struct.unpack_from("<f", buf, pos)
+            pos += 4
+        elif typ == "double":
+            if pos + 8 > len(buf):
+                raise ValueError("truncated double")
+            (out[name],) = _struct.unpack_from("<d", buf, pos)
+            pos += 8
+        elif typ == "string":
+            n, pos = _read_long(buf, pos)
+            if n < 0 or pos + n > len(buf):
+                raise ValueError("truncated string")
+            out[name] = buf[pos : pos + n].decode("utf-8")
+            pos += n
+        else:  # pragma: no cover
+            raise ValueError(f"unsupported avro type {typ!r}")
+    if pos != len(buf):
+        raise ValueError(f"{len(buf) - pos} trailing bytes after record")
+    return out
+
+
+def frame_confluent(body: bytes, schema_id: int) -> bytes:
+    """Wrap an Avro body in the Confluent wire format (CP1)."""
+    return MAGIC + _struct.pack(">I", schema_id) + body
+
+
+def unframe_confluent(msg: bytes) -> tuple[int, bytes]:
+    """Strip the CP1 header; raises ValueError with the reference's
+    message shape on a bad magic byte."""
+    if len(msg) < 5:
+        raise ValueError(f"frame too short ({len(msg)} bytes)")
+    if msg[0:1] != MAGIC:
+        raise ValueError(f"Invalid CP1 magic byte {msg[0]}, expected 0")
+    (schema_id,) = _struct.unpack_from(">I", msg, 1)
+    return schema_id, msg[5:]
+
+
+# ---------------------------------------------------------------------------
+# Spark-distributed codec (Arrow-batched pandas UDFs)
+# ---------------------------------------------------------------------------
+
+
+def _schema_fields(sc: SchemaConfig) -> list[tuple[str, str]]:
+    return [(sc.field_name(c), sc.field_type(c)) for c in sc.columns]
+
+
+def native_avro_available(spark) -> bool:
+    """True if the spark-avro SQL datasource is on the JVM classpath."""
+    try:
+        jvm = spark._jvm  # noqa: SLF001
+        jvm.java.lang.Class.forName("org.apache.spark.sql.avro.AvroDataToCatalyst")
+        return True
+    except Exception:
+        return False
+
+
+def to_confluent_avro(
+    df: DataFrame, schema_config: SchemaConfig, schema_id: int, value_col: str = "value"
+) -> DataFrame:
+    """Project per config, then encode each row to a Confluent-framed
+    Avro ``value`` (binary) + the configured key column — the writer
+    path the reference's producer side implies (SchemaRegistry.cpp:144-161
+    registers, KafkaPoller delivers)."""
+    fields = _schema_fields(schema_config)
+    sid = schema_id
+
+    @F.pandas_udf("binary")
+    def enc(batch: pd.DataFrame) -> pd.Series:
+        names = [n for n, _ in fields]
+        return pd.Series(
+            [
+                frame_confluent(
+                    encode_record(fields, dict(zip(names, row))), sid
+                )
+                for row in zip(*[batch[n] for n in names])
+            ],
+            dtype=object,
+        )
+
+    shaped = schema_config.apply(df)
+    struct_col = F.struct(*[F.col(n) for n, _ in fields])
+    return shaped.select(
+        F.col(schema_config.key_column).cast("string").alias("key"),
+        enc(struct_col).alias(value_col),
+    )
+
+
+def from_confluent_avro(
+    df: DataFrame,
+    schema_config: SchemaConfig,
+    expected_schema_id: int | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Decode a Confluent-framed Avro ``value`` column into the
+    configured fields, PERMISSIVE-style: malformed frames yield null
+    fields and a non-null ``_error`` (DLQ routing, P7).
+
+    Set ``expected_schema_id`` to also reject frames whose embedded id
+    differs (multi-schema topics should instead split by id and decode
+    each subset with its own schema).
+    """
+    fields = _schema_fields(schema_config)
+    out_type = StructType(
+        [StructField(n, _AVRO_TO_SPARK[t], True) for n, t in fields]
+        + [
+            StructField("_schema_id", _AVRO_TO_SPARK["int"], True),
+            StructField("_error", StringType(), True),
+        ]
+    )
+    expected = expected_schema_id
+
+    @F.pandas_udf(out_type)
+    def dec(vals: pd.Series) -> pd.DataFrame:
+        rows = []
+        nulls = {n: None for n, _ in fields}
+        for v in vals:
+            try:
+                sid, body = unframe_confluent(bytes(v))
+                if expected is not None and sid != expected:
+                    raise ValueError(
+                        f"schema id {sid} != expected {expected}"
+                    )
+                rec = decode_record(fields, body)
+                rec["_schema_id"] = sid
+                rec["_error"] = None
+                rows.append(rec)
+            except (ValueError, UnicodeDecodeError) as e:
+                rows.append({**nulls, "_schema_id": None, "_error": str(e)})
+        return pd.DataFrame(rows, columns=[f.name for f in out_type.fields])
+
+    decoded = df.withColumn("_rec", dec(F.col(value_col)))
+    return decoded.select(
+        *[c for c in df.columns if c != value_col],
+        F.col("_rec._error").alias("_error"),
+        F.col("_rec._schema_id").alias("_schema_id"),
+        *[F.col(f"_rec.{n}").alias(n) for n, _ in fields],
+    )
+
+
+def transcode_json(df: DataFrame, schema_config: SchemaConfig) -> Column:
+    """Avro→JSON transcode (S3; KafkaConsumerCallback.cpp:42-67) as a
+    single JVM expression over already-decoded fields."""
+    names = [schema_config.field_name(c) for c in schema_config.columns]
+    return F.to_json(F.struct(*[F.col(n) for n in names]))
+
+
+# ship this module by value inside UDF closures (see _serde.py)
+from consume_kafka_avro_data_spark._serde import self_contained as _self_contained  # noqa: E402
+
+_self_contained(__name__)

@@ -1,0 +1,116 @@
+"""Kafka source configuration (S1) with a file-backed stand-in for tests.
+
+The reference consumes one topic/partition from ``OFFSET_BEGINNING`` with
+a 1 s poll timeout and partition-EOF detection (``src/main.cpp:221-256``,
+``src/KafkaConsumerCallback.cpp:13-38``).  The Spark equivalents:
+
+* replay-from-earliest  → ``startingOffsets=earliest``
+* poll loop             → micro-batch trigger (``processingTime``)
+* partition-EOF / bounded replay → ``trigger(availableNow=True)``
+* backpressure (the reference has none — its SafeQueue grows without
+  bound, src/SafeQueue.h:55) → ``maxOffsetsPerTrigger``
+
+The ``spark-sql-kafka`` connector jar is not bundled in this
+environment and no broker exists, so ``kafka_reader`` raises a clear
+error when the datasource is missing, and ``FileStreamStandIn`` provides
+the same (key, value, topic, partition, offset) shape from a directory
+of parquet files — the streaming tests run the full decode/ingest
+pipeline through it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from consume_kafka_avro_data_spark.config import JobConfig
+
+# the kafka datasource's fixed output schema (subset we model)
+KAFKA_SHAPE = StructType(
+    [
+        StructField("key", BinaryType(), True),
+        StructField("value", BinaryType(), True),
+        StructField("topic", StringType(), True),
+        StructField("partition", LongType(), True),
+        StructField("offset", LongType(), True),
+    ]
+)
+
+
+def kafka_source_available(spark: SparkSession) -> bool:
+    try:
+        jvm = spark._jvm  # noqa: SLF001
+        jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def kafka_reader(
+    spark: SparkSession,
+    config: JobConfig,
+    topic: str,
+    streaming: bool = True,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+):
+    """Configured Kafka reader (stream or batch replay).
+
+    ``startingOffsets=earliest`` is the reference's OFFSET_BEGINNING
+    (src/main.cpp:229-230); ``maxOffsetsPerTrigger`` adds the
+    backpressure bound the reference lacks.
+    """
+    if not kafka_source_available(spark):
+        raise RuntimeError(
+            "spark-sql-kafka datasource not on the classpath; add the "
+            "org.apache.spark:spark-sql-kafka-0-10 package, or use "
+            "FileStreamStandIn for offline runs"
+        )
+    reader = spark.readStream if streaming else spark.read
+    reader = (
+        reader.format("kafka")
+        .option("kafka.bootstrap.servers", config.bootstrap_servers or "")
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return reader.load()
+
+
+class FileStreamStandIn:
+    """Directory-of-parquet stand-in exposing the Kafka shape.
+
+    Writers append parquet files of (key, value, topic, partition,
+    offset); readers get either a batch DataFrame or a file stream with
+    the same schema, so the whole decode→ingest pipeline is exercised
+    without a broker (SURVEY §5: "a file-based source stands in for the
+    topic").
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def write_batch(self, df: DataFrame) -> None:
+        df.select(
+            *[c.name for c in KAFKA_SHAPE.fields]
+        ).write.mode("append").parquet(self.path)
+
+    def read_batch(self) -> DataFrame:
+        return self.spark.read.schema(KAFKA_SHAPE).parquet(self.path)
+
+    def read_stream(self, max_files_per_trigger: int = 1) -> DataFrame:
+        return (
+            self.spark.readStream.schema(KAFKA_SHAPE)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(self.path)
+        )

@@ -1,0 +1,147 @@
+"""Avro codec tests: roundtrip identity over the reference's 5-type
+universe (SURVEY §5 property-based strategy), Confluent framing, DLQ
+routing for malformed frames, and the distributed encode/decode path."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from consume_kafka_avro_data_spark.config import parse_config
+from consume_kafka_avro_data_spark.sources.avro_codec import (
+    decode_record,
+    encode_record,
+    frame_confluent,
+    from_confluent_avro,
+    to_confluent_avro,
+    unframe_confluent,
+)
+from consume_kafka_avro_data_spark.sources.schema_registry import (
+    SchemaRegistryClient,
+    SchemaRegistryError,
+)
+
+FIELDS = [
+    ("s", "string"),
+    ("i", "int"),
+    ("l", "long"),
+    ("f", "float"),
+    ("d", "double"),
+]
+
+
+@given(
+    s=st.text(max_size=200),
+    i=st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    l=st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    f=st.floats(width=32, allow_nan=False),
+    d=st.floats(allow_nan=False),
+)
+@settings(max_examples=300, deadline=None)
+def test_roundtrip_property(s, i, l, f, d):
+    vals = {"s": s, "i": i, "l": l, "f": f, "d": d}
+    out = decode_record(FIELDS, encode_record(FIELDS, vals))
+    assert out["s"] == s and out["i"] == i and out["l"] == l
+    assert out["f"] == f and out["d"] == d
+
+
+def test_known_encoding_bytes():
+    # zigzag varint: 1 -> 0x02; -1 -> 0x01; "ab" -> len 2 + bytes
+    assert encode_record([("x", "long")], {"x": 1}) == b"\x02"
+    assert encode_record([("x", "long")], {"x": -1}) == b"\x01"
+    assert encode_record([("x", "long")], {"x": 64}) == b"\x80\x01"
+    assert encode_record([("x", "string")], {"x": "ab"}) == b"\x04ab"
+
+
+def test_confluent_framing_roundtrip():
+    body = encode_record(FIELDS, {"s": "x", "i": 1, "l": 2, "f": 0.5, "d": 0.25})
+    framed = frame_confluent(body, 2)
+    assert framed[0] == 0 and framed[1:5] == b"\x00\x00\x00\x02"
+    sid, out = unframe_confluent(framed)
+    assert sid == 2 and out == body
+
+
+def test_bad_magic_byte_message_matches_reference_logs():
+    # raw JSON on an Avro topic: first byte '{' = 0x7B = 123
+    with pytest.raises(ValueError, match=r"Invalid CP1 magic byte 123, expected 0"):
+        unframe_confluent(b'{"subject": "Don Vito"}')
+
+
+def test_malformed_body_raises():
+    with pytest.raises(ValueError):
+        decode_record([("x", "string")], b"\xff")  # truncated varint/string
+    with pytest.raises(ValueError):
+        decode_record([("x", "double")], b"\x01\x02")  # truncated double
+    with pytest.raises(ValueError, match="trailing"):
+        decode_record([("x", "long")], b"\x02\x02")
+
+
+SPO_DOC = {
+    "kafka": {},
+    "type_map": {"spo": {"key_column": "subject", "columns": ["S", "P", "O"]}},
+    "column_map": {"S": "subject", "P": "predicate", "O": "object"},
+}
+
+
+def test_spark_encode_decode_dlq(spark):
+    """Distributed path: encode, corrupt some frames, decode, route."""
+    from pyspark.sql import functions as F
+
+    sc = parse_config(SPO_DOC).schema_for("spo")
+    df = spark.createDataFrame(
+        [("Don Vito", "Email", "donvito@example.com"), ("A", "Captain", "B")],
+        ["S", "P", "O"],
+    )
+    framed = to_confluent_avro(df, sc, schema_id=2)
+    assert framed.columns == ["key", "value"]
+    keys = {r.key for r in framed.collect()}
+    assert keys == {"Don Vito", "A"}  # key_column routing
+
+    # inject the reference's observed failure: unframed JSON on the topic
+    bad = spark.createDataFrame(
+        [("junk", bytearray(b'{"not": "avro"}'))], ["key", "value"]
+    )
+    decoded = from_confluent_avro(framed.unionByName(bad), sc, expected_schema_id=2)
+    ok = decoded.where(F.col("_error").isNull())
+    dlq = decoded.where(F.col("_error").isNotNull())
+    assert ok.count() == 2 and dlq.count() == 1
+    assert "Invalid CP1 magic byte 123" in dlq.collect()[0]._error
+    got = {(r.subject, r.predicate, r.object) for r in ok.collect()}
+    assert got == {("Don Vito", "Email", "donvito@example.com"), ("A", "Captain", "B")}
+    assert {r._schema_id for r in ok.collect()} == {2}
+
+
+def test_schema_id_mismatch_routed(spark):
+    from pyspark.sql import functions as F
+
+    sc = parse_config(SPO_DOC).schema_for("spo")
+    df = spark.createDataFrame([("a", "b", "c")], ["S", "P", "O"])
+    framed = to_confluent_avro(df, sc, schema_id=7)
+    decoded = from_confluent_avro(framed, sc, expected_schema_id=2)
+    [row] = decoded.collect()
+    assert row._error is not None and "schema id 7" in row._error
+
+
+def test_registry_offline_cache_and_register():
+    reg = SchemaRegistryClient(url=None, seed={"spo-value": (2, '{"type":"record"}')})
+    assert reg.fetch_value_schema("spo") == (2, '{"type":"record"}')
+    assert reg.fetch_by_id(2) == '{"type":"record"}'
+    sid = reg.register_value_schema("other", '{"x":1}')
+    assert sid == 3  # next free id offline
+    assert reg.fetch_value_schema("other") == (3, '{"x":1}')
+    with pytest.raises(SchemaRegistryError):
+        reg.fetch_value_schema("missing")  # no URL, not cached
+
+
+def test_registry_subject_naming():
+    assert SchemaRegistryClient.value_subject("spo") == "spo-value"
+
+
+def test_nan_float_roundtrip():
+    out = decode_record(
+        [("f", "float"), ("d", "double")],
+        encode_record([("f", "float"), ("d", "double")], {"f": float("nan"), "d": float("nan")}),
+    )
+    assert math.isnan(out["f"]) and math.isnan(out["d"])
