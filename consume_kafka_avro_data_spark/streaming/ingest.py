@@ -1,0 +1,148 @@
+"""The streaming ingest pipeline — the reference's whole job, lifted.
+
+Reference flow (``src/main.cpp:221-256`` + ``src/KafkaConsumerCallback
+.cpp:69-115``): consume from earliest → deserialize Confluent-Avro →
+count/log failures, keep going → (target path) stamp created_at, upsert
+vertices, resolve ids, upsert edges — one row, one transaction at a time.
+
+Spark lift, same semantics batch-amortized:
+
+  source (kafka | file stand-in) → from_confluent_avro (PERMISSIVE)
+    → valid rows:  triples → GraphStore.ingest_triples (dedup-merge)
+    → error rows:  DLQ parquet sink + running counter
+
+* ``trigger(availableNow=True)`` = the reference's partition-EOF bounded
+  replay (``exit_eof``, KafkaConsumerCallback.cpp:21-26) — consume to
+  end, then stop (T2).
+* checkpointing + idempotent merge = its OFFSET_BEGINNING replay over an
+  ON-CONFLICT sink (T5): at-least-once delivery, effectively-once state.
+* ``stop_and_drain`` = the SIGINT channel + queue drain
+  (``src/main.cpp:26-89``, ``src/logging/LogProcessor.cpp:71-81``): stop
+  the trigger, let the in-flight batch finish (T3).
+* the DLQ row count is the reference's ``errors`` counter
+  (``src/main.cpp:243-251``), queryable instead of logged.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from consume_kafka_avro_data_spark.config import SchemaConfig
+from consume_kafka_avro_data_spark.operators.graph import GraphStore, triples_from
+from consume_kafka_avro_data_spark.sources.avro_codec import from_confluent_avro
+
+
+@dataclass
+class IngestMetrics:
+    """Per-run counters (the reference's `errors` counter, plus writes)."""
+
+    batches: int = 0
+    valid_rows: int = 0
+    error_rows: int = 0
+    new_vertices: int = 0
+    new_edges: int = 0
+    errors_by_reason: dict[str, int] = field(default_factory=dict)
+
+
+def decode_stream(
+    stream: DataFrame, schema_config: SchemaConfig, expected_schema_id: int | None = None
+) -> DataFrame:
+    """Wire frames → decoded fields + ``_error`` (null ⇒ valid)."""
+    return from_confluent_avro(stream, schema_config, expected_schema_id)
+
+
+class StreamingGraphIngest:
+    """readStream → decode → foreachBatch{DLQ, graph merge}, checkpointed."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: GraphStore,
+        schema_config: SchemaConfig,
+        checkpoint_dir: str,
+        dlq_dir: str | None = None,
+        expected_schema_id: int | None = None,
+        created_at: str | None = None,
+    ):
+        self.spark = spark
+        self.store = store
+        self.schema_config = schema_config
+        self.checkpoint_dir = checkpoint_dir
+        self.dlq_dir = dlq_dir
+        self.expected_schema_id = expected_schema_id
+        self.created_at = created_at
+        self.metrics = IngestMetrics()
+
+    # -- the per-micro-batch body (the reference's hot loop, set-oriented) --
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        decoded = decode_stream(
+            batch, self.schema_config, self.expected_schema_id
+        ).cache()
+        try:
+            errors = decoded.where(F.col("_error").isNotNull())
+            n_err = errors.count()
+            if n_err:
+                if self.dlq_dir:
+                    errors.select("key", "_error").write.mode("append").parquet(
+                        self.dlq_dir
+                    )
+                for r in (
+                    errors.groupBy("_error").count().collect()
+                ):  # small: distinct reasons only
+                    self.metrics.errors_by_reason[r["_error"]] = (
+                        self.metrics.errors_by_reason.get(r["_error"], 0) + r["count"]
+                    )
+            names = [
+                self.schema_config.field_name(c) for c in self.schema_config.columns
+            ]
+            valid = decoded.where(F.col("_error").isNull())
+            triples = triples_from(valid, *names[:3])
+            nv, ne = self.store.ingest_triples(triples, created_at=self.created_at)
+            self.metrics.batches += 1
+            self.metrics.valid_rows += valid.count()
+            self.metrics.error_rows += n_err
+            self.metrics.new_vertices += nv
+            self.metrics.new_edges += ne
+        finally:
+            decoded.unpersist()
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def start(
+        self,
+        stream: DataFrame,
+        available_now: bool = True,
+        processing_time: str = "1 second",
+    ) -> StreamingQuery:
+        """availableNow=True → bounded replay to EOF then stop (T2);
+        False → continuous micro-batches at ``processing_time`` (T1)."""
+        writer = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", os.path.join(self.checkpoint_dir, "ingest"))
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+    @staticmethod
+    def stop_and_drain(query: StreamingQuery, timeout: float = 60.0) -> None:
+        """Graceful shutdown (T3): mirrors the reference's signal channel
+        + drain — no new batches, in-flight work completes."""
+        query.processAllAvailable()
+        query.stop()
+        query.awaitTermination(timeout)
+
+    def run_to_completion(self, stream: DataFrame, timeout: float = 300.0) -> IngestMetrics:
+        """Bounded replay convenience: start availableNow, await, return
+        metrics — the reference's run-to-partition-EOF mode."""
+        q = self.start(stream, available_now=True)
+        q.awaitTermination(timeout)
+        return self.metrics

@@ -1,0 +1,125 @@
+"""Streaming windowed/stateful closure (SURVEY §2.6, T6–T9).
+
+The reference has no windowing — these are the EXT operators that make
+the stream queryable.  All are watermarked from day one: the reference's
+unbounded ``SafeQueue`` (``src/SafeQueue.h:55``) is the cautionary tale
+for unbounded streaming state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from consume_kafka_avro_data_spark.functions.parity import dsum
+
+
+def _ts(ts_col: str | Column) -> Column:
+    return F.col(ts_col) if isinstance(ts_col, str) else ts_col
+
+
+def tumbling_window_agg(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    keys: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """T6 tumbling + T7 watermark: per-window count and exact sum.
+    State for a window is droppable once the watermark passes its end."""
+    grouped = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(_ts(ts_col), window), *(keys or []))
+    )
+    return grouped.agg(
+        F.count("*").alias("n_events"),
+        dsum(value_col).alias("sum_value"),
+    ).select(
+        F.col("window.start").alias("bucket"),
+        *(keys or []),
+        "n_events",
+        "sum_value",
+    )
+
+
+def sliding_window_agg(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "10 minutes",
+    keys: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """T6 sliding windows (each event lands in window/slide buckets)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(_ts(ts_col), window, slide), *(keys or []))
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(value_col).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("bucket_start"),
+            F.col("window.end").alias("bucket_end"),
+            *(keys or []),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_window_agg(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """T6 session windows: gap-based sessions (the stateful twin of the
+    batch q_session_like)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(_ts(ts_col), gap), *(keys or []))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *(keys or []),
+            "n_events",
+        )
+    )
+
+
+def stateful_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    within_watermark: bool = False,
+) -> DataFrame:
+    """T8 stateful dedup — the streaming form of the reference's
+    ON-CONFLICT unique constraint (src/Database.h:23-31).
+
+    ``within_watermark=True`` uses dropDuplicatesWithinWatermark: state
+    for a key expires once the watermark passes (bounded memory; the
+    right choice when duplicates arrive close together, e.g. producer
+    retries).  False keeps keys forever (exact global dedup; unbounded
+    state — only for keyed streams with bounded key cardinality).
+    """
+    wm = stream.withWatermark(ts_col, watermark)
+    if within_watermark:
+        return wm.dropDuplicatesWithinWatermark(keys)
+    return wm.dropDuplicates(keys)
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str] | Column,
+    how: str = "left",
+) -> DataFrame:
+    """T9 stream-static join — the reference's registry/dimension lookup
+    pattern (J1) against a slowly-changing static table.  The static
+    side is re-read per micro-batch; Spark broadcasts it when small."""
+    return stream.join(F.broadcast(dim), on, how)

@@ -1,0 +1,206 @@
+"""Streaming pipeline tests (SURVEY §5 streaming strategy): file-backed
+stand-in source + availableNow triggers — no broker needed, full
+decode→DLQ→graph-merge path exercised, plus the windowed closure."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from consume_kafka_avro_data_spark.config import parse_config
+from consume_kafka_avro_data_spark.operators.graph import GraphStore
+from consume_kafka_avro_data_spark.sources.avro_codec import to_confluent_avro
+from consume_kafka_avro_data_spark.sources.kafka import FileStreamStandIn
+from consume_kafka_avro_data_spark.streaming.ingest import StreamingGraphIngest
+from consume_kafka_avro_data_spark.streaming.windows import (
+    session_window_agg,
+    stateful_dedup,
+    stream_static_enrich,
+    tumbling_window_agg,
+)
+
+SPO_DOC = {
+    "kafka": {},
+    "type_map": {"spo": {"key_column": "subject", "columns": ["S", "P", "O"]}},
+    "column_map": {"S": "subject", "P": "predicate", "O": "object"},
+}
+
+TRIPLES = [
+    ("Don Vito", "Email", "donvito@example.com"),
+    ("Underboss Marco", "Captain", "Capo Salvatore"),
+    ("Soldier Nico", "Illegal Arms Deal", "1990"),
+    ("Don Vito", "Underboss", "Underboss Marco"),
+]
+
+
+def _framed_topic(spark, tmp_path, with_corrupt=True):
+    """Write a stand-in 'topic' of Confluent-framed messages (+ the
+    reference's observed corruption: raw JSON, first byte 0x7B)."""
+    sc = parse_config(SPO_DOC).schema_for("spo")
+    df = spark.createDataFrame(TRIPLES, ["S", "P", "O"])
+    framed = to_confluent_avro(df, sc, schema_id=2).withColumns(
+        {
+            "topic": F.lit("spo"),
+            "partition": F.lit(0).cast("long"),
+            "offset": F.monotonically_increasing_id(),
+        }
+    ).select(F.col("key").cast("binary"), "value", "topic", "partition", "offset")
+    topic = FileStreamStandIn(spark, str(tmp_path / "topic"))
+    topic.write_batch(framed)
+    if with_corrupt:
+        bad = spark.createDataFrame(
+            [
+                Row(
+                    key=bytearray(b"junk"),
+                    value=bytearray(b'{"subject": "raw json"}'),
+                    topic="spo",
+                    partition=0,
+                    offset=999,
+                )
+            ]
+        )
+        topic.write_batch(bad)
+    return topic, sc
+
+
+def _ingest(spark, tmp_path, topic, sc, tag):
+    store = GraphStore(spark, str(tmp_path / "graph"))
+    ing = StreamingGraphIngest(
+        spark,
+        store,
+        sc,
+        checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+        dlq_dir=str(tmp_path / "dlq"),
+        expected_schema_id=2,
+        created_at="2024-01-01",
+    )
+    metrics = ing.run_to_completion(topic.read_stream(max_files_per_trigger=1))
+    return store, ing, metrics
+
+
+def test_stream_ingest_end_to_end(spark, tmp_path):
+    topic, sc = _framed_topic(spark, tmp_path)
+    store, ing, m = _ingest(spark, tmp_path, topic, sc, "a")
+    assert m.valid_rows == 4 and m.error_rows == 1
+    assert m.new_vertices == 6 and m.new_edges == 4
+    assert any("Invalid CP1 magic byte 123" in k for k in m.errors_by_reason)
+    # DLQ persisted for replay/inspection (the reference only logged)
+    dlq = spark.read.parquet(str(tmp_path / "dlq"))
+    assert dlq.count() == 1
+    assert store.objects().count() == 6
+    assert store.relationships().count() == 4
+
+
+def test_stream_replay_is_idempotent(spark, tmp_path):
+    """T5: re-consuming the whole topic (fresh checkpoint = the
+    reference's OFFSET_BEGINNING restart) leaves the graph unchanged."""
+    topic, sc = _framed_topic(spark, tmp_path)
+    store, _, m1 = _ingest(spark, tmp_path, topic, sc, "a")
+    store2, _, m2 = _ingest(spark, tmp_path, topic, sc, "b")  # same graph dir
+    assert m2.valid_rows == 4  # reprocessed...
+    assert (m2.new_vertices, m2.new_edges) == (0, 0)  # ...but nothing new
+    assert store2.objects().count() == 6
+    assert store2.relationships().count() == 4
+
+
+def test_checkpoint_resume_processes_only_new_data(spark, tmp_path):
+    """T4/T5: with the SAME checkpoint, a restart skips consumed offsets
+    (Spark's bookkeeping replaces the reference's manual replay)."""
+    topic, sc = _framed_topic(spark, tmp_path, with_corrupt=False)
+    store, ing, m1 = _ingest(spark, tmp_path, topic, sc, "a")
+    assert m1.valid_rows == 4
+
+    df2 = spark.createDataFrame([("Don Vito", "Phone", "555-0100")], ["S", "P", "O"])
+    framed2 = to_confluent_avro(df2, sc, schema_id=2).withColumns(
+        {
+            "topic": F.lit("spo"),
+            "partition": F.lit(0).cast("long"),
+            "offset": F.lit(100).cast("long"),
+        }
+    ).select("key", "value", "topic", "partition", "offset")
+    topic.write_batch(framed2)
+
+    ing.metrics.valid_rows = 0  # reset counter; reuse checkpoint 'a'
+    q = ing.start(topic.read_stream(), available_now=True)
+    q.awaitTermination(120)
+    assert ing.metrics.valid_rows == 1  # only the new message
+    assert store.objects().count() == 7
+    assert store.relationships().count() == 5
+
+
+def _event_stream(spark, tmp_path):
+    rows = [
+        # two users; user 1 has a >30min gap → 2 sessions
+        Row(event_id=0, ts="2024-01-01 00:00:00", user_id=1, event_type="view", value=1.0),
+        Row(event_id=1, ts="2024-01-01 00:10:00", user_id=1, event_type="view", value=2.0),
+        Row(event_id=2, ts="2024-01-01 01:00:00", user_id=1, event_type="click", value=3.0),
+        Row(event_id=3, ts="2024-01-01 00:05:00", user_id=2, event_type="view", value=4.0),
+        Row(event_id=4, ts="2024-01-01 00:05:00", user_id=2, event_type="view", value=4.0),  # dup
+    ]
+    path = str(tmp_path / "events_stream")
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(path)
+    return spark.readStream.schema(df.schema).parquet(path)
+
+
+def _run_to_memory(spark, df, name, output_mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_window_stream(spark, tmp_path):
+    out = _run_to_memory(
+        spark,
+        tumbling_window_agg(_event_stream(spark, tmp_path), window="1 hour", keys=["user_id"]),
+        "t_tumble",
+        # complete mode: emit every window even if the watermark hasn't
+        # closed it — append mode would hold back still-open windows at
+        # end-of-stream (correct streaming semantics, wrong for a test)
+        output_mode="complete",
+    )
+    got = {(str(r.bucket), r.user_id): (r.n_events, r.sum_value) for r in out.collect()}
+    assert got[("2024-01-01 00:00:00", 1)] == (2, 3.0)
+    assert got[("2024-01-01 01:00:00", 1)] == (1, 3.0)
+    assert got[("2024-01-01 00:00:00", 2)] == (2, 8.0)
+
+
+def test_session_window_stream(spark, tmp_path):
+    out = _run_to_memory(
+        spark,
+        session_window_agg(_event_stream(spark, tmp_path), gap="30 minutes", keys=["user_id"]),
+        "t_session",
+        output_mode="complete",
+    )
+    sessions = [(r.user_id, r.n_events) for r in out.collect()]
+    assert sorted(sessions) == [(1, 1), (1, 2), (2, 2)]  # user 1 split by the gap
+
+
+def test_stateful_dedup_stream(spark, tmp_path):
+    out = _run_to_memory(
+        spark,
+        stateful_dedup(
+            _event_stream(spark, tmp_path),
+            keys=["user_id", "ts"],
+            within_watermark=True,
+        ),
+        "t_dedup",
+    )
+    assert out.count() == 4  # the duplicated (user 2, 00:05) row collapsed
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    dim = spark.createDataFrame([(1, "gold"), (2, "silver")], ["user_id", "tier"])
+    out = _run_to_memory(
+        spark,
+        stream_static_enrich(_event_stream(spark, tmp_path), dim, on=["user_id"]),
+        "t_enrich",
+    )
+    tiers = {r.user_id: r.tier for r in out.collect()}
+    assert tiers == {1: "gold", 2: "silver"}
