@@ -1,0 +1,253 @@
+"""Deduplication family (charter U4/U5): exact, MinHash-LSH, SimHash,
+n-gram Jaccard — all expressed with JVM-side higher-order functions.
+
+Scale design: every signature here (shingles → minhash bands, simhash
+bits, n-gram sets) is a *map-only* projection — no UDF, no shuffle, full
+whole-stage codegen.  The only shuffles are the candidate-generation
+group-bys (band-hash buckets / shared n-grams), which is the theoretical
+minimum for near-dup detection: at 100 TB the cost is one explode +
+hash-shuffle of (band × doc) pairs, never an O(n²) cross join.
+
+Exact dedup is ``dropDuplicates`` / fingerprint group-by (see
+queries/text.py q_doc_fingerprint); this module covers the near-dup
+methods.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# shingling / signatures (map-only, codegen-able)
+# ---------------------------------------------------------------------------
+
+
+def tokens_col(text: str | Column = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(c), r"\s+")
+
+
+def shingles(tokens: Column, k: int = 3) -> Column:
+    """k-token shingles as strings: transform over a sequence of start
+    offsets — JVM higher-order functions, no explode needed."""
+    n = F.size(tokens)
+    return F.when(n < k, F.array(F.array_join(tokens, " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.array_join(F.slice(tokens, i, k), " "),
+        )
+    )
+
+
+def minhash_signature(sh: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: per seed, the min of seeded xxhash64 over the
+    shingle set.  Seeds are baked into the plan as literals, so the whole
+    signature is one codegen'd projection."""
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def band_hashes(signature: Column, bands: int, rows: int) -> Column:
+    """LSH banding: hash each band (contiguous ``rows``-slice) of the
+    signature; docs sharing any band hash become candidates."""
+    return F.array(
+        *[
+            F.xxhash64(F.lit(b), F.array_join(F.slice(signature, b * rows + 1, rows), ","))
+            for b in range(bands)
+        ]
+    )
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash via aggregate/zip_with: fold each token's hash into
+    64 signed bit-counters, then take the sign bit-majority.
+
+    Entirely JVM expressions — the accumulator is an array<long> of 64
+    counters; no UDF, no shuffle, one pass over the token array.
+    """
+    counters = F.aggregate(
+        F.transform(tokens, lambda t: F.xxhash64(t)),
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            # shift amounts must be Python ints (shiftright takes no
+            # column), so build the 64-bit vote array positionally
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    ).otherwise(F.lit(-1))
+                    for b in range(64)
+                ]
+            ),
+            lambda a, x: a + x.cast("long"),
+        ),
+    )
+    # assemble the 64-bit word: OR of 2^b over positive counters
+    word = F.lit(0).cast("long")
+    for b in range(64):
+        word = word.bitwiseOR(
+            F.when(
+                F.element_at(counters, b + 1) > 0,
+                F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return word
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# near-dup joins (one shuffle each — the candidate group-by)
+# ---------------------------------------------------------------------------
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    bands: int = 8,
+    rows: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH with exact-Jaccard verify.
+
+    Pipeline: shingle → signature (map-only) → explode band hashes →
+    group by (band, hash) bucket ⋈ self → candidate pairs → verify with
+    exact shingle-set Jaccard (array_intersect/union on the original
+    shingle sets).  Banding (b=8, r=4) targets the ~0.5 similarity knee:
+    P(candidate) = 1-(1-s^r)^b.
+    """
+    toks = tokens_col(text_col)
+    sh = F.array_distinct(shingles(toks, shingle_k))
+    sig = minhash_signature(sh, bands * rows)
+    base = df.select(
+        F.col(id_col).alias("_id"), sh.alias("_shingles"), sig.alias("_sig")
+    )
+    banded = base.select(
+        "_id",
+        "_shingles",
+        F.explode(band_hashes(F.col("_sig"), bands, rows)).alias("_band"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._shingles").alias("sh_a"),
+            F.col("b._shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])  # same pair from multiple bands
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    block_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup pairs: candidates share at least one of the
+    64/block_bits signature blocks (pigeonhole: any pair within
+    ``max_hamming`` ≤ blocks-1 bit flips must agree on some block),
+    verified by exact Hamming distance."""
+    n_blocks = 64 // block_bits
+    assert max_hamming < n_blocks, "pigeonhole needs max_hamming < n_blocks"
+    sig = simhash64(tokens_col(text_col))
+    base = df.select(F.col(id_col).alias("_id"), sig.alias("_sim"))
+    mask = (1 << block_bits) - 1
+    blocked = base.select(
+        "_id",
+        "_sim",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{blk}:"),
+                        F.shiftrightunsigned(F.col("_sim"), blk * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("string"),
+                    )
+                    for blk in range(n_blocks)
+                ]
+            )
+        ).alias("_block"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._block") == F.col("b._block")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            hamming64(F.col("a._sim"), F.col("b._sim")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.4,
+    max_ngram_df: int = 200,
+) -> DataFrame:
+    """Exact n-gram Jaccard join via an inverted index: explode n-grams,
+    drop stop-grams with document frequency > ``max_ngram_df`` (they
+    generate quadratic candidates but carry no signal — the classic
+    skew guard for this join at scale), pair docs sharing a surviving
+    n-gram, verify exact Jaccard on the full n-gram sets.
+    """
+    grams = F.array_distinct(shingles(tokens_col(text_col), n))
+    base = df.select(F.col(id_col).alias("_id"), grams.alias("_grams"))
+    posting = base.select("_id", F.explode("_grams").alias("_g"))
+    rare = (
+        posting.groupBy("_g")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") <= max_ngram_df)
+        .select("_g")
+    )
+    posting = posting.join(rare, "_g")
+    a, b = posting.alias("a"), posting.alias("b")
+    cand = (
+        a.join(b, (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ga = base.select(F.col("_id").alias("id_a"), F.col("_grams").alias("_ga"))
+    gb = base.select(F.col("_id").alias("id_b"), F.col("_grams").alias("_gb"))
+    joined = cand.join(ga, "id_a").join(gb, "id_b")
+    inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb")))
+    union = F.size(F.col("_ga")) + F.size(F.col("_gb")) - inter
+    return joined.select(
+        "id_a", "id_b", (inter.cast("double") / union).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)

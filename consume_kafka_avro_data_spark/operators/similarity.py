@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (charter U6/J8).
+
+Two paths, both pure JVM expressions (no UDF in the hot loop):
+
+* **Brute-force top-k** — exact cosine against literal query vectors;
+  the baseline.  Plan shape: map-only score projection + TakeOrdered
+  (per-partition heaps, k-row driver merge) — no global sort, no
+  shuffle of the corpus.  Right answer up to ~10⁷×small-k; at 100 TB it
+  is still the per-bucket verifier.
+
+* **SRP-LSH (signed random projections)** — the scale path: bucket by
+  the sign-bit pattern of ``nbits`` random hyperplane projections,
+  repeated over ``ntables`` independent tables to boost recall
+  (P[same bucket] = (1-θ/π)^nbits per table).  Candidates = bucket
+  collisions only; exact cosine re-ranks.  Equivalent in spirit to
+  MLlib's BucketedRandomProjectionLSH but kept as plain DataFrame ops so
+  the plan stays inspectable and codegen-able end to end.
+
+Dot products accumulate in double (float32 inputs upcast exactly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _lit_vec(v) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (JVM, one pass)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for one query vector (ties broken by id so the
+    result is a deterministic total order)."""
+    q = _lit_vec(query_vec)
+    scored = corpus.select(
+        F.col(id_col),
+        cosine(F.col(vec_col), q).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force k-NN join: broadcast the (small) query side over the
+    corpus, score, keep top-k per query via ranked window."""
+    from pyspark.sql import Window
+
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec)).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, nbits: int, table: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed + 1000 * table)
+    return rng.standard_normal((nbits, dim))
+
+
+def srp_bucket(vec: Column, planes: np.ndarray) -> Column:
+    """Bucket id = sign-bit pattern of the hyperplane projections."""
+    bits = [
+        F.when(dot(vec, _lit_vec(p)) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, p in enumerate(planes)
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out
+
+
+def srp_lsh_topk(
+    corpus: DataFrame,
+    query_vec,
+    k: int = 10,
+    dim: int = 64,
+    nbits: int = 12,
+    ntables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: union of exact-rescored bucket collisions
+    across ``ntables`` SRP tables.  The corpus-side bucket ids are
+    map-only projections; only colliding rows are scored."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    cand = None
+    for t in range(ntables):
+        planes = _hyperplanes(dim, nbits, t, seed)
+        q_bucket = int(sum((1 << i) for i, p in enumerate(planes) if float(np.dot(qv, p)) > 0))
+        hits = corpus.where(srp_bucket(F.col(vec_col), planes) == F.lit(q_bucket))
+        cand = hits if cand is None else cand.unionByName(hits)
+    cand = cand.dropDuplicates([id_col])
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    cosine_threshold: float = 0.95,
+    dim: int = 64,
+    nbits: int = 14,
+    ntables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup (the dedup-family member over vectors):
+    pairs colliding in any SRP table, verified by exact cosine ≥ τ.
+    High-cosine pairs collide with probability (1-θ/π)^nbits per table,
+    so a handful of tables suffices at τ ≥ 0.95."""
+    base = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    pairs = None
+    for t in range(ntables):
+        planes = _hyperplanes(dim, nbits, t, seed)
+        bucketed = base.select("_id", "_v", srp_bucket(F.col("_v"), planes).alias("_b"))
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        p = a.join(
+            b, (F.col("a._b") == F.col("b._b")) & (F.col("a._id") < F.col("b._id"))
+        ).select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._v").alias("_va"),
+            F.col("b._v").alias("_vb"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine"))
+        .where(F.col("cosine") >= cosine_threshold)
+    )

@@ -1,0 +1,124 @@
+"""Text-analysis operators (charter U7): language-ID, quality scoring,
+token counting, document fingerprinting — all JVM expressions.
+
+These are the per-document feature extractors of a training-data
+pipeline.  Every one is a map-only projection (no shuffle, no UDF), so
+at 100 TB they run at parquet-scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Small built-in stopword lists for the language-ID heuristic.  Function
+# words are the standard high-signal/low-cost discriminator; lists are
+# deliberately tiny (top function words only) so they inline as literals.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "en", "que", "por"),
+    "zh": ("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"),
+}
+
+
+def tokens(text: str | Column = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(c), r"\s+")
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    """Per-language stopword-hit ratio (array_intersect with literal
+    lists — the n-gram-free heuristic; swap lists per deployment)."""
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        .cast("double")
+        / F.size(toks)
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_id(toks: Column) -> Column:
+    """Argmax language with deterministic first-wins tie-breaking over
+    the fixed STOPWORDS key order; 'und' (undetermined) when no stopword
+    hits at all."""
+    scores = lang_scores(toks)
+    best_lang = F.lit("und")
+    best_score = F.lit(0.0)
+    for lang in STOPWORDS:  # fixed order ⇒ deterministic ties
+        s = scores[lang]
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best_lang
+
+
+def bpe_ish_tokens(text: str | Column = "text") -> Column:
+    """BPE-ish pre-tokenization: letter runs, digit runs, or single
+    non-space symbols — the GPT-2-style splitter shape, as one regex."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), F.lit(0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the standard quality-filter features: token stats, type-
+    token ratio, alpha/punct ratios, max token repetition share."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    alpha_chars = F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
+    space_chars = F.length(t) - F.length(F.regexp_replace(t, " ", ""))
+    top_tok_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda u: F.size(F.filter(toks, lambda x: x == u)),
+        )
+    )
+    return df.withColumns(
+        {
+            "n_tokens": n_tok.cast("long"),
+            "ttr": F.size(F.array_distinct(toks)).cast("double") / n_tok,
+            "mean_token_len": (n_chars - space_chars).cast("double") / n_tok,
+            "alpha_ratio": alpha_chars.cast("double") / n_chars,
+            "max_token_share": top_tok_cnt.cast("double") / n_tok,
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scalar quality score in [0,1]: penalize extreme length, low
+    lexical diversity, low alpha ratio, heavy repetition.  Weights are
+    heuristic; the point is the shape (bounded, monotone features)."""
+    feats = quality_features(df, text_col)
+    len_ok = F.least(F.col("n_tokens") / F.lit(20.0), F.lit(1.0))
+    score = (
+        F.lit(0.25) * len_ok
+        + F.lit(0.25) * F.least(F.col("ttr") * 2, F.lit(1.0))
+        + F.lit(0.25) * F.col("alpha_ratio")
+        + F.lit(0.25) * (F.lit(1.0) - F.col("max_token_share"))
+    )
+    return feats.withColumn("quality", F.round(score, 6))
+
+
+def winnow_fingerprints(
+    text: str | Column = "text", k: int = 8, window: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer et al.): rolling
+    k-char hashes, then the min of each ``window`` of consecutive hashes,
+    deduplicated.  Near-identical documents share most fingerprints, so
+    a group-by on exploded fingerprints finds overlap clusters.  All
+    higher-order functions — one projection, no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_hashes = F.length(c) - k + 1
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_hashes, F.lit(1))),
+        lambda i: F.xxhash64(c.substr(i, F.lit(k))),
+    )
+    n_windows = F.greatest(F.size(hashes) - window + 1, F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(hashes, i, window)),
+        )
+    )

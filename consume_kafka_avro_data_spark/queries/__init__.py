@@ -8,6 +8,7 @@ from consume_kafka_avro_data_spark.queries import (  # noqa: F401
     graph,
     joins,
     scans,
+    similarity,
     temporal,
     text,
     windows,

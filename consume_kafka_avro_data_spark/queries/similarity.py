@@ -1,0 +1,244 @@
+"""LLM-pipeline queries: dedup family, similarity search, text analysis,
+multimodal plumbing (SURVEY §2.7, charter mandate).
+
+Hash-based operators (MinHash, SimHash, winnowing, SRP-LSH) have no
+DuckDB twin — xxhash64 is Spark-specific — so they register rows-only;
+their semantics are pinned by tests/test_llm_ops.py instead.  The
+language-ID and quality-score heuristics are pure string/list math and
+get full oracle checks (DuckDB list lambdas mirror the Spark
+higher-order functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from consume_kafka_avro_data_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+    simhash64,
+)
+from consume_kafka_avro_data_spark.operators.multimodal import (
+    decode_features,
+    documents_as_media,
+    sample_frames,
+)
+from consume_kafka_avro_data_spark.operators.similarity import (
+    brute_force_topk,
+    knn_join,
+    srp_lsh_topk,
+)
+from consume_kafka_avro_data_spark.operators.text import (
+    STOPWORDS,
+    bpe_ish_tokens,
+    lang_id,
+    quality_score,
+    tokens,
+    winnow_fingerprints,
+)
+from consume_kafka_avro_data_spark.registry import query
+from consume_kafka_avro_data_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@query("q_similarity_topk", oracle=None, tags=("U6", "J8"))
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine k-NN join: 5 query vectors × corpus, top-10
+    each (rows-only: float ordering ties make hashes unstable)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return knn_join(queries, emb, k=10)
+
+
+@query("q_similarity_ann", oracle=None, tags=("U6", "J8"))
+def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-k for one query — the 100 TB path:
+    bucket-collision candidates only, exact cosine re-rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return srp_lsh_topk(emb, qv, k=10)
+
+
+@query("q_embedding_norms", oracle=None, tags=("U6",))
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-k against a fixed basis vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [1.0] + [0.0] * 63
+    return brute_force_topk(emb, qv, k=25)
+
+
+# ---------------------------------------------------------------------------
+# near-dup dedup family
+# ---------------------------------------------------------------------------
+
+
+@query("q_minhash_neardup", oracle=None, tags=("U5",))
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs over documents (exact-Jaccard
+    verified ≥ 0.5)."""
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query("q_simhash_neardup", oracle=None, tags=("U5",))
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3 over 64-bit signatures)."""
+    return simhash_neardup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query("q_simhash_signatures", oracle=None, tags=("U5",))
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 64-bit SimHash (deterministic; rows-only because
+    DuckDB lacks xxhash64)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash64(tokens("text")).alias("simhash"))
+
+
+@query("q_ngram_jaccard", oracle=None, tags=("U5",))
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs ≥ 0.4 via inverted-index join with a
+    stop-gram document-frequency guard."""
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query("q_winnow_fingerprints", oracle=None, tags=("U5", "U7"))
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint sets per document (k=8 char-grams, w=4)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(winnow_fingerprints("text")).cast("long").alias("n_fingerprints"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis (oracle-checked: pure string/list math)
+# ---------------------------------------------------------------------------
+
+
+def _o_lang_id() -> str:
+    toks = "string_split(lower(text), ' ')"
+    score_cols = ",\n           ".join(
+        f"len(list_intersect({toks}, {list(words)}))::DOUBLE / len({toks}) AS s_{lang}"
+        for lang, words in STOPWORDS.items()
+    )
+    langs = list(STOPWORDS)
+    smax = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    first_wins = "\n           ".join(
+        f"WHEN s_{lang} = {smax} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+    SELECT doc_id, lang AS lang_label,
+           CASE WHEN {smax} <= 0 THEN 'und'
+           {first_wins}
+           END AS lang_pred
+    FROM (SELECT doc_id, lang, {score_cols} FROM documents)
+    """
+
+
+@query("q_lang_id", oracle=_o_lang_id(), tags=("U7",))
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID with deterministic first-wins argmax
+    (the DuckDB twin replicates the tie-breaking exactly)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        lang_id(tokens("text")).alias("lang_pred"),
+    )
+
+
+_O_QUALITY = """
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           len(list_distinct(toks))::DOUBLE / len(toks) AS ttr,
+           (length(text) - (length(text) - length(replace(text, ' ', ''))))::DOUBLE
+             / len(toks) AS mean_token_len,
+           length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+             / length(text) AS alpha_ratio,
+           list_max(list_transform(list_distinct(toks),
+                    u -> len(list_filter(toks, x -> x = u))))::DOUBLE
+             / len(toks) AS max_token_share
+    FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents)
+"""
+
+
+@query("q_quality_features", oracle=_O_QUALITY, tags=("U7",))
+def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality-filter features (token stats, TTR, alpha
+    ratio, repetition share) — map-only, fully oracle-checked."""
+    from consume_kafka_avro_data_spark.operators.text import quality_features
+
+    d = load_table(spark, sf_dir, "documents")
+    return quality_features(d).select(
+        "doc_id", "n_tokens", "ttr", "mean_token_len", "alpha_ratio", "max_token_share"
+    )
+
+
+@query(
+    "q_bpe_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT)
+               AS n_bpe_tokens,
+           array_to_string(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')[1:5], ' ')
+               AS head_tokens
+    FROM documents
+    """,
+    tags=("U7",),
+)
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization (letter runs | digit runs | symbols):
+    count + first tokens, identical regex in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = bpe_ish_tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("head_tokens"),
+    )
+
+
+@query("q_quality_score", oracle=None, tags=("U7",))
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score in [0,1] (rows-only: weighted-sum float
+    rounding; the underlying features are oracle-checked above)."""
+    d = load_table(spark, sf_dir, "documents")
+    return quality_score(d).select("doc_id", "quality")
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query("q_multimodal_features", oracle=None, tags=("U8",))
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → stub decode → feature vectors via
+    mapInPandas (rows-only; decode is the documented fake codec)."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    feats = decode_features(media, codec="fake")
+    return feats.select(
+        "asset_id",
+        "modality",
+        "n_bytes",
+        F.size("features").alias("dim"),
+        F.element_at("features", 1).cast("double").alias("f0"),
+    )
+
+
+@query("q_frame_sample", oracle=None, tags=("U8",))
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out (1 asset → 4 byte-slices) inside Arrow
+    batches; returns per-asset frame counts and sizes."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(media, n_frames=4)
+    return frames.groupBy("asset_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(F.length("frame")).alias("total_frame_bytes"),
+    )
