@@ -1,0 +1,112 @@
+"""As-of join (SURVEY §2.3 J7): for each left row, the nearest-earlier
+(or nearest-later) right row per key — the canonical stream-enrichment
+lookup ("state of X as of time t").
+
+The reference's only join is an exact keyed lookup
+(``src/Database.cpp:26-39``); an as-of join is its temporal
+generalization and a required member of the relational closure.
+
+Implementation is the **union + running-last trick**, not a range join:
+
+1. tag right rows 0 / left rows 1 and union them on
+   ``(keys…, _ts, _side, payloads)``;
+2. one window ``partitionBy(keys).orderBy(_ts, _side)`` with
+   ``rowsBetween(unboundedPreceding, currentRow)`` computes
+   ``last(right_payload, ignorenulls=True)`` — a running value that the
+   window operator maintains incrementally, O(1) per row;
+3. keep the left rows and unpack both payload structs.
+
+Why this shape at 100 TB: exactly ONE shuffle (hash by key, sort by time
+within partition) regardless of how many right rows precede each left
+row.  A range-join formulation (``r.ts <= l.ts`` + rank) explodes to the
+full candidate set per left row before pruning; broadcast-nested-loop is
+quadratic.  The union plan's cost is the sort — the same sort any
+correct implementation needs.  Equal-timestamp semantics are encoded in
+the ``_side`` sort key (right-before-left ⇒ inclusive match, matching
+DuckDB/pandas ``ASOF JOIN`` / ``merge_asof`` defaults).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str] | None = None,
+    prefix: str = "asof_",
+    direction: str = "backward",
+    strict: bool = False,
+) -> DataFrame:
+    """Left as-of join: every left row, plus the matched right row's
+    ``right_cols`` (renamed ``{prefix}{col}``), NULL when no match.
+
+    direction='backward'  → match greatest right_ts <= left_ts;
+    direction='forward'   → match least   right_ts >= left_ts;
+    strict=True           → exclude equal timestamps.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    right_cols = list(
+        right_cols
+        if right_cols is not None
+        else [c for c in right.columns if c not in keys and c != right_ts]
+    )
+
+    left_payload = [c for c in left.columns if c not in keys and c != left_ts]
+    if not left_payload:
+        left = left.withColumn("_noop", F.lit(True))
+        left_payload = ["_noop"]
+    r_struct = F.struct(
+        F.col(right_ts).alias(f"{prefix}{right_ts}"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+    )
+
+    # Inclusive match ⇒ an equal-ts right row must already be inside the
+    # running frame when the left row is evaluated ⇒ right sorts first.
+    r_side, l_side = (1, 0) if strict else (0, 1)
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(r_side).alias("_side"),
+        F.lit(None).cast(
+            left.select(F.struct(*left_payload).alias("s")).schema["s"].dataType
+        ).alias("_l"),
+        r_struct.alias("_r"),
+    )
+    l = left.select(
+        *keys,
+        F.col(left_ts).alias("_ts"),
+        F.lit(l_side).alias("_side"),
+        F.struct(*left_payload).alias("_l"),
+        F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
+    )
+
+    ts_order = [F.col("_ts").asc(), F.col("_side").asc()]
+    if direction == "forward":
+        ts_order = [F.col("_ts").desc(), F.col("_side").asc()]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*ts_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    unioned = r.unionByName(l)
+    matched = unioned.withColumn("_m", F.last("_r", ignorenulls=True).over(w)).where(
+        F.col("_side") == l_side
+    )
+    out_cols = (
+        [F.col(k) for k in keys]
+        + [F.col("_ts").alias(left_ts)]
+        + [F.col(f"_l.{c}").alias(c) for c in left_payload if c != "_noop"]
+        + [F.col(f"_m.{prefix}{right_ts}").alias(f"{prefix}{right_ts}")]
+        + [F.col(f"_m.{prefix}{c}").alias(f"{prefix}{c}") for c in right_cols]
+    )
+    return matched.select(*out_cols)

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import broadcast
 
 from consume_kafka_avro_data_spark.functions.parity import dsum_mul, o_dsum_mul
+from consume_kafka_avro_data_spark.operators.asof import asof_join
 from consume_kafka_avro_data_spark.registry import query
 from consume_kafka_avro_data_spark.tables import load_table
 
@@ -154,4 +155,45 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("s_suppkey", "s_name")
         .agg(F.count("*").alias("n_poorer_customers"))
+    )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts, l.value,
+           r.ts AS asof_ts, r.value AS asof_value,
+           date_diff('microsecond', r.ts, l.ts) AS micros_since_error
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN
+         (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events WHERE event_type = 'error') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    tags=("J7",),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J7): each click enriched with the user's most recent
+    earlier-or-equal error event.  Union + running-last plan: one shuffle
+    on user_id, no per-row candidate explosion (operators/asof.py)."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    errors = e.where(F.col("event_type") == "error").select("user_id", "ts", "value")
+    joined = asof_join(
+        clicks, errors, on="user_id", left_ts="ts", right_ts="ts", right_cols=["value"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "asof_ts",
+        "asof_value",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("asof_ts").cast("timestamp"))
+        ).alias("micros_since_error"),
     )

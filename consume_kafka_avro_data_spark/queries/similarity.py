@@ -26,6 +26,7 @@ from consume_kafka_avro_data_spark.operators.multimodal import (
 )
 from consume_kafka_avro_data_spark.operators.similarity import (
     brute_force_topk,
+    cosine,
     knn_join,
     srp_lsh_topk,
 )
@@ -104,6 +105,39 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard pairs ≥ 0.4 via inverted-index join with a
     stop-gram document-frequency guard."""
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 4) AS cosine
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) a
+    JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) b
+      ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+    """,
+    tags=("U5", "U6"),
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, exact baseline: all (a<b) pairs with
+    cosine ≥ τ, oracle-checked against DuckDB's sequential
+    list_dot_product (same left-fold order as our F.aggregate, so the
+    doubles match bit-for-bit).  The LSH-blocked scale path is
+    operators/similarity.embedding_neardup_pairs; this exact variant is
+    its recall oracle and the correctness contract."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    cos = cosine(F.col("_va"), F.col("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(cos >= 0.35)
+        .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+    )
 
 
 @query("q_winnow_fingerprints", oracle=None, tags=("U5", "U7"))

@@ -1,0 +1,105 @@
+"""As-of join (J7) semantics: direction, strictness, equal-ts ties,
+no-match NULLs — pinned against hand-computed expectations and, for the
+backward-inclusive default, against pandas.merge_asof.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from consume_kafka_avro_data_spark.operators.asof import asof_join
+
+LEFT = [
+    # key, ts, lv
+    ("a", 10, "L1"),
+    ("a", 20, "L2"),
+    ("a", 30, "L3"),
+    ("b", 15, "L4"),
+    ("c", 5, "L5"),  # key with no right rows at all
+]
+RIGHT = [
+    # key, ts, rv
+    ("a", 5, "R1"),
+    ("a", 20, "R2"),  # equal-ts with L2
+    ("a", 25, "R3"),
+    ("b", 99, "R4"),  # only later than L4
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(LEFT, "k string, ts long, lv string")
+    right = spark.createDataFrame(RIGHT, "k string, ts long, rv string")
+    return left, right
+
+
+def rows(df):
+    return {
+        (r["k"], r["ts"]): (r["asof_ts"], r["asof_rv"]) for r in df.collect()
+    }
+
+
+def test_backward_inclusive(frames):
+    left, right = frames
+    got = rows(asof_join(left, right, "k", "ts", "ts", ["rv"]))
+    assert got == {
+        ("a", 10): (5, "R1"),
+        ("a", 20): (20, "R2"),  # inclusive: equal ts matches
+        ("a", 30): (25, "R3"),
+        ("b", 15): (None, None),
+        ("c", 5): (None, None),
+    }
+
+
+def test_backward_strict(frames):
+    left, right = frames
+    got = rows(asof_join(left, right, "k", "ts", "ts", ["rv"], strict=True))
+    assert got[("a", 20)] == (5, "R1")  # strict: equal ts excluded
+    assert got[("a", 30)] == (25, "R3")
+
+
+def test_forward_inclusive(frames):
+    left, right = frames
+    got = rows(asof_join(left, right, "k", "ts", "ts", ["rv"], direction="forward"))
+    assert got == {
+        ("a", 10): (20, "R2"),
+        ("a", 20): (20, "R2"),
+        ("a", 30): (None, None),
+        ("b", 15): (99, "R4"),
+        ("c", 5): (None, None),
+    }
+
+
+def test_forward_strict(frames):
+    left, right = frames
+    got = rows(
+        asof_join(left, right, "k", "ts", "ts", ["rv"], direction="forward", strict=True)
+    )
+    assert got[("a", 20)] == (25, "R3")
+
+
+def test_matches_pandas_merge_asof(frames):
+    left, right = frames
+    got = rows(asof_join(left, right, "k", "ts", "ts", ["rv"]))
+    lp = pd.DataFrame(LEFT, columns=["k", "ts", "lv"]).sort_values("ts")
+    rp = pd.DataFrame(RIGHT, columns=["k", "ts", "rv"]).sort_values("ts")
+    want = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    for rec in want.to_dict("records"):
+        rv = None if pd.isna(rec["rv"]) else rec["rv"]
+        assert got[(rec["k"], rec["ts"])][1] == rv
+
+
+def test_left_columns_and_count_preserved(frames):
+    left, right = frames
+    out = asof_join(left, right, "k", "ts", "ts", ["rv"])
+    assert out.count() == len(LEFT)
+    assert set(out.columns) == {"k", "ts", "lv", "asof_ts", "asof_rv"}
+
+
+def test_single_shuffle_plan(frames):
+    """The 100 TB contract: exactly one exchange (hash by key), however
+    many right rows precede each left row."""
+    left, right = frames
+    plan = asof_join(left, right, "k", "ts", "ts", ["rv"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1

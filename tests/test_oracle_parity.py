@@ -24,7 +24,7 @@ def canon(v) -> str:
     """Engine-independent canonical string for a cell value."""
     if isinstance(v, np.generic):
         v = v.item()
-    if v is None:
+    if v is None or v is pd.NaT:
         return "∅"
     if isinstance(v, float):
         return "∅" if math.isnan(v) else repr(v)
