@@ -1,0 +1,99 @@
+"""Plan-shape regression tests: the 100 TB performance contract.
+
+Correctness says each query returns the right rows; these tests say each
+query compiles to the PHYSICAL PLAN we'd accept on a 1000-executor
+cluster — filters pushed into the scan, scans column-pruned, dimensions
+broadcast (fact side never shuffles for them), aggregates map-side
+partial, global top-k as per-partition heaps.  A refactor that silently
+introduces an extra shuffle or un-pushes a filter fails here, not in a
+profiler three rounds later.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from consume_kafka_avro_data_spark.plans import inspect as I
+from consume_kafka_avro_data_spark.registry import all_queries
+
+QS = all_queries()
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def run(name):
+        return QS[name].fn(spark, sf_dir)
+
+    return run
+
+
+def test_scan_project_prunes_columns(q):
+    """A projection query must read only its columns from parquet."""
+    df = q("q_scan_project")
+    cols = I.read_schema_columns(df, "lineitem")
+    assert cols, "no lineitem scan found in plan"
+    assert len(cols) <= 4, f"scan reads too many columns: {cols}"
+
+
+def test_filter_reaches_parquet_scan(q):
+    df = q("q_filter_predicates")
+    pushed = I.pushed_filters(df)
+    assert pushed, "no PushedFilters on any scan — predicate pushdown lost"
+
+
+def test_fk_lookup_is_broadcast_no_fact_shuffle(q):
+    """J1: dimension broadcast; the orders (fact) side must not shuffle."""
+    df = q("q_fk_lookup_join")
+    assert I.broadcast_join_count(df) >= 1
+    assert I.exchange_count(df) == 0, "fact side shuffled for a dimension lookup"
+    assert "GreaterThan(o_totalprice" in ",".join(I.pushed_filters(df, "orders"))
+
+
+def test_edge_join_single_shuffle_for_agg(q):
+    """J2/J3 flagship: joins resolve via broadcast (AQE or hint); the
+    only exchange is the groupBy — 1 shuffle total."""
+    df = q("q_edge_join")
+    assert I.broadcast_join_count(df) >= 1
+    assert I.exchange_count(df) <= 2  # ≤ join co-shuffle + agg; AQE→1 locally
+
+
+def test_groupby_agg_is_partial_final(q):
+    """A2: map-side combine — two HashAggregates around one exchange."""
+    df = q("q_groupby_agg")
+    plan = I.simple_plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert I.exchange_count(df) == 1
+
+
+def test_topk_global_is_heap_not_sort(q):
+    """W4/W5: sort+limit must compile to TakeOrdered (per-partition
+    heaps + k-row driver merge), never a global Sort+Exchange."""
+    plan = I.simple_plan(q("q_topk_global"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_window_rank_single_shuffle(q):
+    df = q("q_window_rank")
+    assert I.exchange_count(df) == 1
+
+
+def test_dedup_exact_single_shuffle(q):
+    df = q("q_dedup_exact")
+    assert I.exchange_count(df) <= 1
+
+
+def test_semi_anti_broadcast(q):
+    df = q("q_semi_anti")
+    assert I.exchange_count(df) <= 1
+
+
+def test_doc_fingerprint_partial_agg(q):
+    plan = I.simple_plan(q("q_doc_fingerprint"))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_codegen_covers_scan_queries(q):
+    """Narrow map-only queries must stay inside whole-stage codegen."""
+    for name in ("q_scan_project", "q_rename_cast", "q_math_case"):
+        assert I.whole_stage_codegen_spans(q(name)) >= 1, name
