@@ -27,6 +27,7 @@ from consume_kafka_avro_data_spark.operators.multimodal import (
 from consume_kafka_avro_data_spark.operators.similarity import (
     brute_force_topk,
     cosine,
+    ivf_topk,
     knn_join,
     srp_lsh_topk,
 )
@@ -64,6 +65,16 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
     return srp_lsh_topk(emb, qv, k=10)
+
+
+@query("q_similarity_ivf", oracle=None, tags=("U6", "J8"))
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: deterministic k-means coarse quantizer, probe the
+    4 nearest of 16 cells, exact cosine re-rank — the partition-pruned
+    scale path (cell id becomes a partition column at 100 TB)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return ivf_topk(emb, qv, k=10, n_centroids=16, nprobe=4)
 
 
 @query("q_embedding_norms", oracle=None, tags=("U6",))

@@ -220,3 +220,33 @@ def test_frame_sampling_fanout(spark, docs):
 def test_resize_stub_sets_meta(spark, docs):
     out = resize_stub(documents_as_media(docs), 224, 224).select("meta.width", "meta.height")
     assert {(r.width, r.height) for r in out.collect()} == {(224, 224)}
+
+
+def test_ivf_topk_recall_and_self_match(spark, sf_dir):
+    """IVF ANN: self must be found (its cell is always probed — the
+    query IS a member), and probing 4/16 cells keeps high recall vs the
+    exact top-10 on clustered testdata."""
+    from consume_kafka_avro_data_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    exact = {r.vec_id for r in brute_force_topk(emb, q, k=10).collect()}
+    got = [r.vec_id for r in ivf_topk(emb, q, k=10, n_centroids=16, nprobe=4).collect()]
+    assert got[0] == 0  # self-match
+    assert len(set(got) & exact) >= 5  # recall ≥ 0.5 at nprobe/ncells = 1/4
+
+
+def test_ivf_assignment_is_deterministic(spark, sf_dir):
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = kmeans_centroids(emb, k=8, seed=7)
+    cent2 = kmeans_centroids(emb, k=8, seed=7)
+    assert np.allclose(cent, cent2)
+    a1 = {r.vec_id: r._ivf_cell for r in ivf_assign(emb, cent).collect()}
+    a2 = {r.vec_id: r._ivf_cell for r in ivf_assign(emb, cent).collect()}
+    assert a1 == a2
+    assert set(a1.values()) <= set(range(1, 9))

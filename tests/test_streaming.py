@@ -204,3 +204,37 @@ def test_stream_static_enrich(spark, tmp_path):
     )
     tiers = {r.user_id: r.tier for r in out.collect()}
     assert tiers == {1: "gold", 2: "silver"}
+
+
+def test_custom_stateful_running_stats(spark, tmp_path):
+    """applyInPandasWithState: per-key running {count, sum, last-seen}
+    survives across micro-batches (maxFilesPerTrigger forces several)."""
+    from consume_kafka_avro_data_spark.streaming.stateful import running_stats
+
+    rows = [
+        Row(event_id=0, ts="2024-01-01 00:00:00", user_id=1, value=1.0),
+        Row(event_id=1, ts="2024-01-01 00:10:00", user_id=1, value=2.0),
+        Row(event_id=2, ts="2024-01-01 01:00:00", user_id=1, value=3.0),
+        Row(event_id=3, ts="2024-01-01 00:05:00", user_id=2, value=4.0),
+        Row(event_id=4, ts="2024-01-01 00:06:00", user_id=2, value=4.5),
+    ]
+    path = str(tmp_path / "stateful_events")
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    # several files -> several micro-batches under maxFilesPerTrigger=1
+    df.repartition(3).write.mode("overwrite").parquet(path)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = _run_to_memory(spark, running_stats(stream), "t_stateful", "update")
+    # update mode emits one row per key per batch; the LAST update per key
+    # must hold the full running totals
+    import pandas as pd
+
+    pdf = out.toPandas()
+    final = pdf.sort_values("n_events").groupby("user_id").last()
+    assert final.loc[1, "n_events"] == 3 and final.loc[1, "total_value"] == 6.0
+    assert final.loc[2, "n_events"] == 2 and final.loc[2, "total_value"] == 8.5
+    # last-seen is the max event ts per key, in epoch micros
+    assert final.loc[1, "last_micros"] == int(pd.Timestamp("2024-01-01 01:00:00").value // 1000)
