@@ -122,3 +122,70 @@ def winnow_fingerprints(
             lambda i: F.array_min(F.slice(hashes, i, window)),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# tf-idf + sentiment lexicon (SURVEY §2.7 U7)
+# ---------------------------------------------------------------------------
+
+# Tiny illustrative lexicon chosen to intersect the testdata vocabulary;
+# swap per deployment.  Kept as literal arrays so scoring is a pure
+# map-side expression — no lexicon join, no UDF.
+POSITIVE_WORDS: tuple[str, ...] = (
+    "good", "great", "excellent", "fast", "best", "love", "win", "nice",
+)
+NEGATIVE_WORDS: tuple[str, ...] = (
+    "bad", "slow", "terrible", "worst", "hate", "fail", "poor", "wrong",
+)
+
+
+def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
+    lex = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda x: F.array_contains(lex, x)))
+
+
+def sentiment_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Lexicon sentiment: (pos-hits − neg-hits) / n_tokens, duplicates
+    counted (filter, not intersect).  Map-only, codegen-friendly."""
+    toks = tokens(F.col(text_col))
+    n_pos, n_neg = _count_in(toks, POSITIVE_WORDS), _count_in(toks, NEGATIVE_WORDS)
+    return df.withColumns(
+        {
+            "n_pos": n_pos.cast("long"),
+            "n_neg": n_neg.cast("long"),
+            "sentiment": (n_pos - n_neg).cast("double") / F.size(toks),
+        }
+    )
+
+
+def tf_idf(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-(doc, term) tf-idf with sklearn-style smoothing:
+    ``idf = ln((N+1)/(df+1)) + 1``.
+
+    Plan: explode → per-(doc,term) count [shuffle on (doc,term)] →
+    per-term document frequency [shuffle on term] → idf joined back
+    BROADCAST (document-frequency table is vocabulary-sized, tiny next
+    to the corpus) — so the big tf side shuffles exactly once at 100 TB.
+    """
+    terms = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            (
+                F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                + F.lit(1.0)
+            ).alias("idf"),
+        )
+    )
+    return tf.join(F.broadcast(dfreq), "term").select(
+        id_col, "term", "tf", (F.col("tf") * F.col("idf")).alias("tfidf")
+    )

@@ -169,3 +169,47 @@ def q_collect_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_suppliers"),
         )
     )
+
+
+@query(
+    "q_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           {o_dsum("l_quantity")}   AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("A5",),
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube (A5): all 2^k grouping combinations in one pass —
+    Spark expands the sets map-side, still a single shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           {o_dsum("l_quantity")}   AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("A5",),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets (A5): the general form rollup/cube
+    specialize; one shuffle for all three groupings."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.count("*").alias("n"),
+        dsum("l_quantity").alias("sum_qty"),
+    )

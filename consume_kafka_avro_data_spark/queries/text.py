@@ -123,3 +123,72 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length(F.col("text")) == F.col("n_chars")).alias("chars_consistent"),
         F.contains(F.col("text"), F.lit("spark")).alias("mentions_spark"),
     )
+
+
+_POS_SQL = "['good','great','excellent','fast','best','love','win','nice']"
+_NEG_SQL = "['bad','slow','terrible','worst','hate','fail','poor','wrong']"
+
+
+@query(
+    "q_sentiment",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> list_contains({_POS_SQL}, x))) AS BIGINT) AS n_pos,
+           CAST(len(list_filter(toks, x -> list_contains({_NEG_SQL}, x))) AS BIGINT) AS n_neg,
+           (len(list_filter(toks, x -> list_contains({_POS_SQL}, x)))
+            - len(list_filter(toks, x -> list_contains({_NEG_SQL}, x))))::DOUBLE
+             / len(toks) AS sentiment
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+    """,
+    tags=("U7",),
+)
+def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon sentiment score (U7): duplicate-counting lexicon hits as
+    a pure map-side filter expression — no join, no UDF."""
+    from consume_kafka_avro_data_spark.operators.text import sentiment_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return sentiment_score(d).select("doc_id", "n_pos", "n_neg", "sentiment")
+
+
+@query(
+    "q_tfidf_topterms",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, ROUND(tfidf, 4) AS tfidf, CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0) AS tfidf,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0) DESC,
+                        tf.term
+             ) AS rnk
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+    )
+    WHERE rnk <= 3
+    """,
+    tags=("U7",),
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf (U7): sklearn-smoothed idf, top-3 terms per document with
+    deterministic (score desc, term asc) tie-breaking.  The corpus-side
+    tf table shuffles once; the vocabulary-sized idf table broadcasts."""
+    from pyspark.sql import Window
+
+    from consume_kafka_avro_data_spark.operators.text import tf_idf
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = tf_idf(d)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", F.round("tfidf", 4).alias("tfidf"), "rank")
+    )
