@@ -47,10 +47,32 @@ from consume_kafka_avro_data_spark.tables import load_table
 # ---------------------------------------------------------------------------
 
 
-@query("q_similarity_topk", oracle=None, tags=("U6", "J8"))
+@query(
+    "q_similarity_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         scored AS (
+           SELECT q.q_id, c.vec_id,
+                  list_dot_product(cv, qv)
+                  / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)))
+                      AS score
+           FROM c CROSS JOIN q
+         )
+    SELECT q_id, vec_id, score,
+           CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id)
+                AS INT) AS "rank"
+    FROM scored
+    QUALIFY "rank" <= 10
+    """,
+    tags=("U6", "J8"),
+)
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine k-NN join: 5 query vectors × corpus, top-10
-    each (rows-only: float ordering ties make hashes unstable)."""
+    each.  Deterministic (ties broken by vec_id) and oracle-checked:
+    both engines left-fold the dot product in doubles, so the scores —
+    and therefore the top-k cut — match bit-for-bit."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
@@ -77,9 +99,26 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, qv, k=10, n_centroids=16, nprobe=4)
 
 
-@query("q_embedding_norms", oracle=None, tags=("U6",))
+_BASIS_64 = "[" + ", ".join(["1.0"] + ["0.0"] * 63) + "]::DOUBLE[]"
+
+
+@query(
+    "q_embedding_norms",
+    oracle=f"""
+    SELECT vec_id,
+           list_dot_product(v, {_BASIS_64})
+           / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product({_BASIS_64}, {_BASIS_64})))
+               AS score
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    ORDER BY score DESC, vec_id
+    LIMIT 25
+    """,
+    tags=("U6",),
+)
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force top-k against a fixed basis vector."""
+    """Exact brute-force top-k against a fixed basis vector — fully
+    oracle-checked: the deterministic (score, id) tie-break plus
+    bit-identical double folds make the 25-row cut reproducible."""
     emb = load_table(spark, sf_dir, "embeddings")
     qv = [1.0] + [0.0] * 63
     return brute_force_topk(emb, qv, k=25)
@@ -249,10 +288,25 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_quality_score", oracle=None, tags=("U7",))
+@query(
+    "q_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           round(
+               CAST(0.25 AS DOUBLE) * least(n_tokens / CAST(20.0 AS DOUBLE),
+                                            CAST(1.0 AS DOUBLE))
+             + CAST(0.25 AS DOUBLE) * least(ttr * 2, CAST(1.0 AS DOUBLE))
+             + CAST(0.25 AS DOUBLE) * alpha_ratio
+             + CAST(0.25 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - max_token_share),
+             6) AS quality
+    FROM ({_O_QUALITY})
+    """,
+    tags=("U7",),
+)
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality score in [0,1] (rows-only: weighted-sum float
-    rounding; the underlying features are oracle-checked above)."""
+    """Composite quality score in [0,1]: the same left-to-right weighted
+    sum over the oracle-checked features, replicated term-by-term in the
+    DuckDB twin (identical association order ⇒ identical doubles)."""
     d = load_table(spark, sf_dir, "documents")
     return quality_score(d).select("doc_id", "quality")
 
@@ -277,10 +331,25 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_frame_sample", oracle=None, tags=("U8",))
+@query(
+    "q_frame_sample",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(4 AS BIGINT) AS n_frames,
+           CAST(CASE WHEN nb >= 4 THEN 4 * (nb // 4) ELSE nb END AS BIGINT)
+               AS total_frame_bytes
+    FROM (SELECT doc_id, octet_length(encode(text)) AS nb
+          FROM documents WHERE text IS NOT NULL)
+    """,
+    tags=("U8",),
+)
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling fan-out (1 asset → 4 byte-slices) inside Arrow
-    batches; returns per-asset frame counts and sizes."""
+    batches; returns per-asset frame counts and sizes.  Oracle-checked:
+    evenly-spaced slicing with step=max(len//4,1) yields exactly 4
+    frames totalling 4*(len//4) bytes (or len when len<4), which DuckDB
+    reproduces from octet_length alone — verifying the fan-out count and
+    byte accounting of the mapInPandas plumbing."""
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     frames = sample_frames(media, n_frames=4)
     return frames.groupBy("asset_id").agg(
