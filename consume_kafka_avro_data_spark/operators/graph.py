@@ -126,6 +126,66 @@ def edges_from_triples(triples: DataFrame) -> DataFrame:
     ).dropDuplicates(["source_id", "target_id", "relationship_name"])
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "source_id",
+    dst: str = "target_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by iterative hash-min label propagation:
+    every node repeatedly adopts the minimum label among itself and its
+    neighbors until a fixpoint — the classic MapReduce CC recipe
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"
+    simplify further with large-star/small-star; hash-min is their
+    baseline and converges in O(diameter) rounds, which for dedup
+    clusters — small, dense near-clique components — is 2-3 rounds).
+
+    Scale shape per round: one shuffle join (messages = edges ⋈ labels
+    on the neighbor key) + one shuffle min-aggregate, both on the node
+    id, so AQE reuses the hash partitioning between them.  Lineage is
+    cut with ``localCheckpoint`` each round — without it the plan
+    doubles per iteration and the driver, not the data, becomes the
+    bottleneck.  The fixpoint test piggybacks on the aggregate (count
+    of label changes), one cheap job per round.
+
+    Use case (charter U5): near-dup *pairs* from MinHash/SimHash/cosine
+    blocking are only half the dedup story — keep-one-per-group needs
+    the transitive closure, i.e. these components.
+
+    Returns (node, comp) with comp = min node id of the component; only
+    nodes incident to at least one edge appear.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    e = e.localCheckpoint(eager=True)
+
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            e.join(labels, e.b == labels.node)
+            .select(F.col("a").alias("node"), "comp")
+            .unionAll(labels)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        new_labels = neighbor_min.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 class GraphStore:
     """Parquet-backed objects/relationships tables with idempotent
     dedup-merge writes (the engine's stand-in for the reference's

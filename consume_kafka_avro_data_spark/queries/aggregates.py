@@ -120,6 +120,32 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           NULLIF(CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT), 0) AS "O",
+           NULLIF(CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT), 0) AS "F",
+           NULLIF(CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT), 0) AS "P"
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("A2", "A5"),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (cross-tab) aggregation: order counts by priority ×
+    status.  Values are listed explicitly — at scale an implicit pivot
+    needs a distinct-value collection job first, and unpinned columns
+    break schema stability.  Spark leaves absent cells NULL (not 0),
+    which the oracle mirrors with NULLIF."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+
+
+@query(
     "q_percentile",
     oracle="""
     SELECT o_orderpriority,

@@ -158,6 +158,32 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCALAR_SUBQUERY_SQL = """
+    SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice
+    FROM {orders} o
+    WHERE o.o_totalprice >
+          (SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                  / COUNT(i.o_totalprice)
+           FROM {orders} i
+           WHERE i.o_orderpriority = o.o_orderpriority)
+"""
+
+
+@query(
+    "q_scalar_subquery",
+    oracle=_SCALAR_SUBQUERY_SQL.format(orders="orders"),
+    tags=("J3", "A2"),
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders priced above their priority
+    class's average.  Catalyst decorrelates this into an aggregate +
+    join (SURVEY §4) — verified by the plan, no hand rewrite.  The
+    identical SQL text runs on DuckDB; the average uses the exact
+    decimal-sum parity form so the > cut is engine-independent."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(_SCALAR_SUBQUERY_SQL.format(orders="orders_v"))
+
+
 @query(
     "q_asof_join",
     oracle="""

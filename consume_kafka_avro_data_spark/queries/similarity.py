@@ -190,6 +190,53 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE
+      p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) a
+        JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) b
+          ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+              >= 0.35
+      ),
+      e AS (SELECT id_a AS a, id_b AS b FROM p
+            UNION SELECT id_b, id_a FROM p),
+      reach(node, comp) AS (
+        SELECT a, a FROM e
+        UNION
+        SELECT e.a, r.comp FROM e JOIN reach r ON e.b = r.node
+      )
+    SELECT node AS vec_id, MIN(comp) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+    tags=("U5", "J5"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: the transitive closure over
+    embedding near-dup pairs (cosine ≥ 0.35) via iterative hash-min
+    connected components — the keep-one-per-group half of dedup that
+    pairwise queries alone can't answer.  Oracle: DuckDB recursive-CTE
+    reachability with the same min-id labeling."""
+    from consume_kafka_avro_data_spark.operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(cosine(F.col("_va"), F.col("_vb")) >= 0.35)
+        .select("id_a", "id_b")
+    )
+    comps = connected_components(pairs, "id_a", "id_b")
+    return comps.select(
+        F.col("node").alias("vec_id"), F.col("comp").alias("cluster_id")
+    )
+
+
 @query("q_winnow_fingerprints", oracle=None, tags=("U5", "U7"))
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint sets per document (k=8 char-grams, w=4)."""

@@ -110,3 +110,32 @@ def test_keyed_lookup(spark, triples, tmp_path):
         spark.range(1).select(F.xxhash64(F.lit("Don Vito")).alias("h")).collect()
     )
     assert don == expected.h
+
+
+def test_connected_components_chain_and_clique(spark):
+    from consume_kafka_avro_data_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4 (diameter > 1 exercises multiple rounds),
+    # triangle 10-11-12, isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21)],
+        ["source_id", "target_id"],
+    )
+    got = {
+        (r["node"], r["comp"])
+        for r in connected_components(edges).collect()
+    }
+    want = {(1, 1), (2, 1), (3, 1), (4, 1),
+            (10, 10), (11, 10), (12, 10),
+            (20, 20), (21, 20)}
+    assert got == want
+
+
+def test_connected_components_idempotent_on_duplicate_edges(spark):
+    from consume_kafka_avro_data_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (2, 3)], ["source_id", "target_id"]
+    )
+    got = {(r["node"], r["comp"]) for r in connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1)}
