@@ -125,6 +125,75 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK, _STRIDE = 32, 24  # token window + stride (8-token overlap)
+
+
+@query(
+    "q_doc_chunks",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((s - 1) // {_STRIDE} AS INT) AS chunk_no,
+           array_to_string(toks[s : s + {_CHUNK - 1}], ' ') AS chunk,
+           CAST(len(toks[s : s + {_CHUNK - 1}]) AS INT) AS n_chunk_tokens
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         unnest(range(1, greatest(len(toks), 1) + 1, {_STRIDE})) AS u(s)
+    """,
+    tags=("U3", "U7"),
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (the context-window prep step
+    of an LLM training pipeline): 32-token chunks at stride 24 via
+    sequence → transform → posexplode — a UDTF-shaped fan-out (U3) as
+    pure codegen.  Map-only: each document expands locally, so at
+    100 TB chunking runs at scan speed with no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(_STRIDE)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.array_join(F.slice(toks, s, _CHUNK), " ").alias("chunk"),
+            F.size(F.slice(toks, s, _CHUNK)).alias("n_chunk_tokens"),
+        ),
+    )
+    return d.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_no", "_c")
+    ).select(
+        "doc_id",
+        "chunk_no",
+        F.col("_c.chunk").alias("chunk"),
+        F.col("_c.n_chunk_tokens").alias("n_chunk_tokens"),
+    )
+
+
+@query(
+    "q_train_split",
+    oracle="""
+    SELECT doc_id,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                THEN 'train' ELSE 'val' END AS split
+    FROM documents
+    """,
+    tags=("U4", "P11"),
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val split (~80/20 at hex 'cd'
+    = 205/256): assignment is a pure function of the stable doc id —
+    reproducible across runs, cluster layouts, and engines, with no
+    shuffle and no RNG state.  The at-scale alternative (rand(seed)) is
+    partitioning-dependent; this is the shape to use at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < "cd", "train").otherwise("val").alias("split"),
+    )
+
+
 _POS_SQL = "['good','great','excellent','fast','best','love','win','nice']"
 _NEG_SQL = "['bad','slow','terrible','worst','hate','fail','poor','wrong']"
 
