@@ -12,7 +12,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -35,7 +37,41 @@ HEADLINE = [
     "q_doc_fingerprint",
     "q_text_tokens",
     "q_filter_predicates",
+    "q_similarity_topk",
+    "q_doc_chunks",
+    "q_train_split",
+    "q_asof_join",
 ]
+
+
+def spo_ingest_throughput(spark, sf_dir: str) -> dict:
+    """End-to-end analogue of the reference's hot path (consume → decode
+    → transform → dedup-upsert into the graph): events → SPO triples →
+    idempotent vertex/edge materialization.  The reference peaks at
+    ~770 msg/s single-threaded (BASELINE.md); this measures our rows/s
+    on the same logical pipeline at bench scale."""
+    from consume_kafka_avro_data_spark.operators.graph import GraphStore, triples_from
+    from consume_kafka_avro_data_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    n_rows = events.count()  # outside the timed region
+    tmp = tempfile.mkdtemp(prefix="spo_bench_")
+    try:
+        t0 = time.perf_counter()
+        triples = triples_from(events, "user_id", "event_type", "props")
+        nv, ne = GraphStore(spark, tmp).ingest_triples(
+            triples, created_at="2024-01-01"
+        )
+        dt = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "rows": n_rows,
+        "sec": round(dt, 4),
+        "rows_per_sec": round(n_rows / dt, 1),
+        "new_vertices": nv,
+        "new_edges": ne,
+    }
 
 
 def main() -> None:
@@ -57,6 +93,8 @@ def main() -> None:
         qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    spo = spo_ingest_throughput(spark, sf_dir)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -66,6 +104,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "spo_ingest": spo,
+                "baseline_reference_msgs_per_sec": 770,
             }
         )
     )
