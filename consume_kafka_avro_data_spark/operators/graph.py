@@ -263,6 +263,40 @@ class GraphStore:
             ["source_id", "target_id", "relationship_name"],
         )
 
+    def compact(self, target_rows_per_file: int = 4_000_000) -> dict[str, int]:
+        """Rewrite each graph table into ~evenly sized files.
+
+        The streaming ingest appends one small file set per micro-batch
+        (the parquet analogue of the reference's per-row INSERTs), so
+        file counts grow linearly with batches — the classic small-file
+        problem that degrades 100 TB scans (footer/open overhead per
+        file, under-filled scan partitions).  Compaction is the standard
+        maintenance job: read, repartition to a size target, atomically
+        swap.  Returns {table: n_files_after}.
+
+        Local-FS swap is rename-based and not concurrent-writer-safe —
+        same single-writer assumption as the append path (module doc).
+        """
+        import shutil
+
+        out: dict[str, int] = {}
+        for path, schema in (
+            (self.objects_path, OBJECTS_SCHEMA),
+            (self.relationships_path, RELATIONSHIPS_SCHEMA),
+        ):
+            if not os.path.isdir(path):
+                continue
+            df = self._read(path, schema)
+            n_files = max(1, -(-df.count() // target_rows_per_file))  # ceil
+            tmp = path + "._compact"
+            df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(path)
+            os.rename(tmp, path)
+            out[os.path.basename(path)] = len(
+                [f for f in os.listdir(path) if f.endswith(".parquet")]
+            )
+        return out
+
     def ingest_triples(
         self,
         triples: DataFrame,

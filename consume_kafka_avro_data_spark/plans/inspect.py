@@ -73,6 +73,17 @@ def read_schema_columns(df: DataFrame, table_hint: str) -> set[str]:
     return set()
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """All PartitionFilters entries across parquet scans — non-empty
+    means partition pruning is happening at planning time (files of
+    non-matching partitions are never opened)."""
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", formatted_plan(df)):
+        if m.group(1).strip():
+            out.extend(s.strip() for s in m.group(1).split(","))
+    return out
+
+
 def whole_stage_codegen_spans(df: DataFrame) -> int:
     """Count of WholeStageCodegen regions — wider/fewer is better.
     ``toString()`` renders a region as ``*(N) Operator``."""

@@ -41,6 +41,44 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sliding_window",
+    oracle=f"""
+    SELECT window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {o_dsum("value")}        AS sum_value
+    FROM (
+      SELECT unnest([time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)),
+                     time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))
+                       - INTERVAL 30 MINUTE]) AS window_start,
+             event_type, value
+      FROM events)
+    GROUP BY 1, 2
+    """,
+    tags=("T6",),
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregate (T6): 1-hour windows every 30 minutes —
+    each event lands in exactly 2 windows.  Spark's ``F.window`` with a
+    slide explodes window membership before aggregating; the oracle
+    reproduces it by unnesting the two 30-minute-aligned starts.  In
+    streaming this is the same expression plus a watermark."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window(F.col("ts"), "1 hour", "30 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
     "q_session_like",
     oracle="""
     SELECT user_id,

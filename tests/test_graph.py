@@ -139,3 +139,42 @@ def test_connected_components_idempotent_on_duplicate_edges(spark):
     )
     got = {(r["node"], r["comp"]) for r in connected_components(edges).collect()}
     assert got == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_compact_preserves_rows_and_reduces_files(spark, triples, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from consume_kafka_avro_data_spark.operators.graph import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "graph"))
+    # three appends → many small files
+    for batch in range(3):
+        more = triples.withColumn(
+            "subject", F.concat(F.col("subject"), F.lit(f"-{batch}"))
+        )
+        store.ingest_triples(more, created_at="2024-01-01")
+    before_objects = store.objects().collect()
+    before_edges = store.relationships().collect()
+    n_files_before = len(
+        [f for f in os.listdir(store.objects_path) if f.endswith(".parquet")]
+    )
+
+    result = store.compact()
+
+    assert result["objects"] == 1
+    assert result["relationships"] == 1
+    assert n_files_before > 1
+    assert sorted(map(tuple, store.objects().collect())) == sorted(
+        map(tuple, before_objects)
+    )
+    assert sorted(map(tuple, store.relationships().collect())) == sorted(
+        map(tuple, before_edges)
+    )
+    # idempotent merge still works after compaction
+    nv, ne = store.ingest_triples(
+        triples.withColumn("subject", F.concat(F.col("subject"), F.lit("-0"))),
+        created_at="2024-01-01",
+    )
+    assert (nv, ne) == (0, 0)

@@ -102,3 +102,23 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_bleft")
         spark.sql("DROP TABLE IF EXISTS t_bright")
+
+
+def test_partitioned_layout_prunes_at_planning_time(spark, sf_dir, tmp_path):
+    """Hive-style partitioning by a low-cardinality column (lang) is the
+    file-layout half of partition pruning: a lang = 'en' filter must
+    appear as a PartitionFilter (planning-time file skip), not a data
+    filter evaluated per row."""
+    from consume_kafka_avro_data_spark.plans.inspect import partition_filters
+    from consume_kafka_avro_data_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    docs.write.partitionBy("lang").parquet(out)
+
+    filtered = spark.read.parquet(out).where(F.col("lang") == "en").select("doc_id")
+    pf = partition_filters(filtered)
+    assert any("lang" in f for f in pf), f"no partition filter on lang: {pf}"
+
+    expected = docs.where(F.col("lang") == "en").count()
+    assert filtered.count() == expected
