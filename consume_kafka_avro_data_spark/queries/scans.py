@@ -265,3 +265,30 @@ def q_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("val", F.col("val").cast("double"))
     )
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+    SELECT event_id,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+           CAST(len(json_keys(props)) AS INT)                AS n_keys,
+           CAST(json_extract_string(props, '$.k') AS INT)    AS k_val
+    FROM events
+    WHERE event_id % 7 = 0
+    """,
+    tags=("P12", "P13"),
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type closure (P12): parse the JSON props into a real
+    ``map<string,int>`` and exercise map_keys / size / element_at —
+    the typed-metadata access pattern of multimodal columns.  Keys are
+    sorted before joining so the hash is order-independent."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,int>")
+    return e.where(F.col("event_id") % 7 == 0).select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "k").alias("k_val"),
+    )

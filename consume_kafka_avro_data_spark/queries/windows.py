@@ -155,3 +155,21 @@ def q_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("k"), F.lit("both_or_cust").alias("src")
     )
     return c.union(s).distinct().exceptAll(o.distinct())
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT c_custkey AS k FROM customer
+    INTERSECT
+    SELECT o_custkey AS k FROM orders
+    """,
+    tags=("W7",),
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) — the remaining set operation (W7):
+    customers that have orders, as a set op rather than a semi-join
+    (Spark plans it as an aggregate + hash join underneath)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return c.intersect(o)
