@@ -112,3 +112,30 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's unique-constraint insert."""
     e = load_table(spark, sf_dir, "events")
     return e.select("user_id", "event_type").distinct()
+
+
+@query(
+    "q_degree_dist",
+    oracle="""
+    SELECT out_degree, CAST(count(*) AS BIGINT) AS n_vertices
+    FROM (
+      SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS out_degree
+      FROM events
+      GROUP BY user_id
+    )
+    GROUP BY out_degree
+    """,
+    tags=("A2", "J5"),
+)
+def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the materialized SPO graph — the first
+    diagnostic query over the reference's relationships table
+    (Database.h:29-31): per-subject distinct-predicate out-degree,
+    histogrammed.  Two cascaded aggregations; the second input is
+    |vertices|-sized, so at 100 TB only the first shuffle sees data
+    at scale."""
+    e = load_table(spark, sf_dir, "events")
+    deg = e.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("out_degree")
+    )
+    return deg.groupBy("out_degree").agg(F.count("*").alias("n_vertices"))

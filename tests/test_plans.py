@@ -97,3 +97,47 @@ def test_codegen_covers_scan_queries(q):
     """Narrow map-only queries must stay inside whole-stage codegen."""
     for name in ("q_scan_project", "q_rename_cast", "q_math_case"):
         assert I.whole_stage_codegen_spans(q(name)) >= 1, name
+
+
+def test_scalar_subquery_is_decorrelated(q):
+    """Catalyst must rewrite the correlated scalar subquery into an
+    aggregate + join — no per-row subquery execution survives."""
+    plan = I.simple_plan(q("q_scalar_subquery"))
+    assert "Join" in plan or "BroadcastHashJoin" in plan
+    # a correlated subquery left in place would appear as a Subquery/
+    # ScalarSubquery node executing per row inside the filter
+    assert "InSubquery" not in plan
+
+
+def test_pivot_is_two_aggregate_passes(q):
+    """Pinned-value pivot compiles to Spark's two-phase plan — a
+    pre-aggregate on (group, pivot) keys, then the pivot aggregate on
+    the group key (2 exchanges total) — never one pass per pivot value."""
+    df = q("q_pivot")
+    df.write.format("noop").mode("overwrite").save()
+    assert I.exchange_count(df) == 2
+
+
+def test_sliding_window_single_shuffle(q):
+    df = q("q_sliding_window")
+    df.write.format("noop").mode("overwrite").save()
+    assert I.exchange_count(df) == 1
+
+
+def test_degree_dist_two_aggs_two_shuffles(q):
+    df = q("q_degree_dist")
+    df.write.format("noop").mode("overwrite").save()
+    # distinct-agg expands to two exchanges; the histogram re-agg adds one
+    assert I.exchange_count(df) <= 3
+
+
+def test_train_split_is_map_only(q):
+    df = q("q_train_split")
+    df.write.format("noop").mode("overwrite").save()
+    assert I.exchange_count(df) == 0
+
+
+def test_doc_chunks_is_map_only(q):
+    df = q("q_doc_chunks")
+    df.write.format("noop").mode("overwrite").save()
+    assert I.exchange_count(df) == 0
