@@ -238,3 +238,30 @@ def test_custom_stateful_running_stats(spark, tmp_path):
     assert final.loc[2, "n_events"] == 2 and final.loc[2, "total_value"] == 8.5
     # last-seen is the max event ts per key, in epoch micros
     assert final.loc[1, "last_micros"] == int(pd.Timestamp("2024-01-01 01:00:00").value // 1000)
+
+
+def test_sliding_window_stream(spark, tmp_path):
+    from consume_kafka_avro_data_spark.streaming.windows import sliding_window_agg
+
+    out = _run_to_memory(
+        spark,
+        sliding_window_agg(
+            _event_stream(spark, tmp_path),
+            window="1 hour",
+            slide="30 minutes",
+            keys=["user_id"],
+        ),
+        "t_slide",
+        output_mode="complete",
+    )
+    got = {
+        (str(r.bucket_start), r.user_id): (r.n_events, r.sum_value)
+        for r in out.collect()
+    }
+    # user 1's 00:00 and 00:10 events land in the [23:30,00:30) and
+    # [00:00,01:00) windows; the 01:00 click in [00:30,01:30) + [01:00,02:00)
+    assert got[("2023-12-31 23:30:00", 1)] == (2, 3.0)
+    assert got[("2024-01-01 00:00:00", 1)] == (2, 3.0)
+    assert got[("2024-01-01 00:30:00", 1)] == (1, 3.0)
+    assert got[("2024-01-01 01:00:00", 1)] == (1, 3.0)
+    assert got[("2024-01-01 00:00:00", 2)] == (2, 8.0)
