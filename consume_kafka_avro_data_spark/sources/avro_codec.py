@@ -250,6 +250,61 @@ def from_confluent_avro(
     )
 
 
+def from_confluent_avro_multi(
+    df: DataFrame,
+    configs: dict[int, SchemaConfig],
+    value_col: str = "value",
+) -> DataFrame:
+    """Decode a MULTI-schema topic (SURVEY §7 hard part): each frame
+    carries its writer-schema id in the CP1 header, so a single topic
+    can interleave record shapes.  One Arrow-batched pass dispatches
+    per row on the embedded id and emits the common interchange form —
+    the JSON transcode (S3), exactly the reference's decode→JSON flow
+    (``src/KafkaConsumerCallback.cpp:69-88``) — plus ``_schema_id`` and
+    the PERMISSIVE ``_error`` column (bad magic, truncated body, or an
+    id absent from ``configs``).
+
+    Single-pass by design: the alternative (filter per id + per-id
+    decode + union) re-reads the source once per schema — wrong shape
+    for a 100 TB topic with many active schema versions.
+    """
+    import json as _json
+
+    fields_by_id = {i: _schema_fields(c) for i, c in configs.items()}
+    out_type = StructType(
+        [
+            StructField("json", StringType(), True),
+            StructField("_schema_id", _AVRO_TO_SPARK["int"], True),
+            StructField("_error", StringType(), True),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def dec(vals: pd.Series) -> pd.DataFrame:
+        rows = []
+        for v in vals:
+            try:
+                sid, body = unframe_confluent(bytes(v))
+                fields = fields_by_id.get(sid)
+                if fields is None:
+                    raise ValueError(f"unknown schema id {sid}")
+                rec = decode_record(fields, body)
+                rows.append(
+                    {"json": _json.dumps(rec), "_schema_id": sid, "_error": None}
+                )
+            except (ValueError, UnicodeDecodeError) as e:
+                rows.append({"json": None, "_schema_id": None, "_error": str(e)})
+        return pd.DataFrame(rows, columns=["json", "_schema_id", "_error"])
+
+    decoded = df.withColumn("_rec", dec(F.col(value_col)))
+    return decoded.select(
+        *[c for c in df.columns if c != value_col],
+        F.col("_rec.json").alias("json"),
+        F.col("_rec._schema_id").alias("_schema_id"),
+        F.col("_rec._error").alias("_error"),
+    )
+
+
 def transcode_json(df: DataFrame, schema_config: SchemaConfig) -> Column:
     """Avro→JSON transcode (S3; KafkaConsumerCallback.cpp:42-67) as a
     single JVM expression over already-decoded fields."""

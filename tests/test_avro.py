@@ -145,3 +145,50 @@ def test_nan_float_roundtrip():
         encode_record([("f", "float"), ("d", "double")], {"f": float("nan"), "d": float("nan")}),
     )
     assert math.isnan(out["f"]) and math.isnan(out["d"])
+
+
+def test_multi_schema_topic_single_pass_decode(spark):
+    """A topic interleaving two schema ids decodes in ONE pass: each
+    frame dispatched to its writer schema, unknown ids and bad magic
+    routed to _error (SURVEY §7 multi-schema hard part)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from consume_kafka_avro_data_spark.sources.avro_codec import (
+        from_confluent_avro_multi,
+    )
+
+    spo = parse_config(SPO_DOC).schema_for("spo")
+    metrics_doc = {
+        "kafka": {},
+        "type_map": {
+            "metrics": {"key_column": "name", "columns": ["name", "val"]}
+        },
+        "column_type_transforms": {"val": "double"},
+    }
+    met = parse_config(metrics_doc).schema_for("metrics")
+
+    f1 = to_confluent_avro(
+        spark.createDataFrame([("s", "p", "o")], ["S", "P", "O"]), spo, schema_id=2
+    )
+    f2 = to_confluent_avro(
+        spark.createDataFrame([("cpu", 0.5)], ["name", "val"]), met, schema_id=9
+    )
+    f3 = to_confluent_avro(  # id 5 not configured
+        spark.createDataFrame([("x", "y", "z")], ["S", "P", "O"]), spo, schema_id=5
+    )
+    bad = spark.createDataFrame(
+        [("junk", bytearray(b'{"not": "avro"}'))], ["key", "value"]
+    )
+    topic = f1.unionByName(f2).unionByName(f3).unionByName(bad)
+
+    out = from_confluent_avro_multi(topic, {2: spo, 9: met}).collect()
+    by_key = {r.key: r for r in out}
+
+    assert json.loads(by_key["s"].json) == {"subject": "s", "predicate": "p", "object": "o"}
+    assert by_key["s"]._schema_id == 2
+    assert json.loads(by_key["cpu"].json) == {"name": "cpu", "val": 0.5}
+    assert by_key["cpu"]._schema_id == 9
+    assert "unknown schema id 5" in by_key["x"]._error
+    assert "Invalid CP1 magic byte 123" in by_key["junk"]._error
