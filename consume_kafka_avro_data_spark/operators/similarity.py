@@ -219,6 +219,69 @@ def ivf_topk(
     return brute_force_topk(cand.drop("_ivf_cell"), query_vec, k, id_col, vec_col)
 
 
+def cell_centroids(
+    assigned: DataFrame,
+    cell_col: str = "_ivf_cell",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell mean unit vector via a GROUPED_AGG pandas UDF — the
+    UDAF surface (SURVEY §2.7 U2).  Each cell's vectors arrive as one
+    Arrow batch; note grouped-agg UDFs ship the WHOLE group to one
+    reducer (no partial combine), so this is right when cells fit a
+    task.  For the partial-aggregating scale path use
+    ``cell_centroids_jvm``, which this is tested equal to."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    # explicit GROUPED_AGG: the type-hint path can't express a
+    # Series → array-scalar aggregate signature
+    @F.pandas_udf(ArrayType(DoubleType()), F.PandasUDFType.GROUPED_AGG)
+    def mean_vec(vecs):
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs]).mean(axis=0)
+        return (m / max(float(np.linalg.norm(m)), 1e-12)).tolist()
+
+    # pandas aggregates cannot mix with JVM aggregates in one agg(),
+    # so the member count is a pandas aggregate too
+    @F.pandas_udf("long", F.PandasUDFType.GROUPED_AGG)
+    def n_vec(vecs):
+        return len(vecs)
+
+    return assigned.groupBy(cell_col).agg(
+        mean_vec(F.col(vec_col)).alias("centroid"),
+        n_vec(F.col(vec_col)).alias("n_members"),
+    )
+
+
+def cell_centroids_jvm(
+    assigned: DataFrame,
+    cell_col: str = "_ivf_cell",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Partial-agg centroid refresh, no Python: per-component avg over
+    the vector column (one ``avg(vec[i])`` per dimension), normalized.
+    Tungsten computes map-side partials, so the shuffle carries only
+    |cells| × dim running sums per partition — the M-step shape a
+    100 TB distributed k-means needs (the E-step is ``ivf_assign``)."""
+    comps = [
+        F.avg(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"_m{i}")
+        for i in range(dim)
+    ]
+    agged = assigned.groupBy(cell_col).agg(*comps, F.count(F.lit(1)).alias("n_members"))
+    mean = F.array(*[F.col(f"_m{i}") for i in range(dim)])
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(mean, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    return agged.select(
+        cell_col,
+        F.transform(mean, lambda x: x / F.greatest(norm, F.lit(1e-12))).alias(
+            "centroid"
+        ),
+        "n_members",
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     cosine_threshold: float = 0.95,

@@ -250,3 +250,35 @@ def test_ivf_assignment_is_deterministic(spark, sf_dir):
     a2 = {r.vec_id: r._ivf_cell for r in ivf_assign(emb, cent).collect()}
     assert a1 == a2
     assert set(a1.values()) <= set(range(1, 9))
+
+
+def test_cell_centroids_udaf_matches_jvm_variant(spark, sf_dir):
+    """U2 UDAF surface: the grouped-agg pandas centroid must equal the
+    partial-aggregating JVM formulation (same mean, same normalization)
+    and both must be unit vectors."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        cell_centroids,
+        cell_centroids_jvm,
+        ivf_assign,
+        kmeans_centroids,
+    )
+    from consume_kafka_avro_data_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb, k=4)
+    assigned = ivf_assign(emb, cent)
+
+    a = {r["_ivf_cell"]: (r["centroid"], r["n_members"])
+         for r in cell_centroids(assigned).collect()}
+    b = {r["_ivf_cell"]: (r["centroid"], r["n_members"])
+         for r in cell_centroids_jvm(assigned).collect()}
+    assert a.keys() == b.keys()
+    for cell in a:
+        va, na = a[cell]
+        vb, nb = b[cell]
+        assert na == nb
+        assert np.allclose(va, vb, atol=1e-9)
+        assert abs(np.linalg.norm(va) - 1.0) < 1e-9
