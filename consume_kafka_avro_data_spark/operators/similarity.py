@@ -282,6 +282,39 @@ def cell_centroids_jvm(
     )
 
 
+def kmeans_distributed(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Full-corpus Lloyd's k-means for the IVF quantizer, distributed:
+    E-step = ``ivf_assign`` (pure JVM map-only projection over every
+    row), M-step = ``cell_centroids_jvm`` (per-component averages with
+    map-side partials).  Only the k×dim centroid matrix round-trips
+    through the driver per iteration — the scale-correct shape when the
+    corpus outgrows ``kmeans_centroids``'s driver-side sample.
+
+    Deterministic: init = the first k rows by id (no RNG over data),
+    iteration order fixed, empty cells keep their previous centroid.
+    """
+    seed_rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    cent = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
+    cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cent, vec_col)
+        got = {
+            r["_ivf_cell"]: r["centroid"]
+            for r in cell_centroids_jvm(assigned, dim=dim).collect()
+        }
+        cent = np.array(
+            [got.get(c + 1, cent[c]) for c in range(len(cent))], dtype=np.float64
+        )
+    return cent
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     cosine_threshold: float = 0.95,

@@ -282,3 +282,45 @@ def test_cell_centroids_udaf_matches_jvm_variant(spark, sf_dir):
         assert na == nb
         assert np.allclose(va, vb, atol=1e-9)
         assert abs(np.linalg.norm(va) - 1.0) < 1e-9
+
+
+def test_kmeans_distributed_deterministic_and_improving(spark, sf_dir):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_distributed,
+    )
+    from consume_kafka_avro_data_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def objective(cent):
+        """Mean max-cosine of each row to its nearest centroid."""
+        assigned = ivf_assign(emb, cent)
+        scores = F.array_max(
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("embedding"),
+                            F.array(*[F.lit(float(x)) for x in c]),
+                            lambda a, b: a.cast("double") * b,
+                        ),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                    for c in cent
+                ]
+            )
+        )
+        return assigned.select(F.avg(scores).alias("o")).collect()[0]["o"]
+
+    c1 = kmeans_distributed(emb, k=4, iters=1)
+    c3 = kmeans_distributed(emb, k=4, iters=3)
+    c3b = kmeans_distributed(emb, k=4, iters=3)
+
+    assert np.allclose(c3, c3b)  # deterministic
+    assert np.allclose(np.linalg.norm(c3, axis=1), 1.0)
+    assert objective(c3) >= objective(c1) - 1e-9  # Lloyd's never regresses

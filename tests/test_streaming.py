@@ -265,3 +265,21 @@ def test_sliding_window_stream(spark, tmp_path):
     assert got[("2024-01-01 00:30:00", 1)] == (1, 3.0)
     assert got[("2024-01-01 01:00:00", 1)] == (1, 3.0)
     assert got[("2024-01-01 00:00:00", 2)] == (2, 8.0)
+
+
+def test_running_count_update_mode(spark, tmp_path):
+    """A1: the reference's only aggregate is a running counter
+    (src/main.cpp:243-251); the streaming analogue is an unwindowed
+    groupBy().count() in update mode — state lives in the aggregation,
+    not the application."""
+    counts = _event_stream(spark, tmp_path).groupBy("event_type").count()
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("t_running_count")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.event_type: r["count"] for r in spark.sql("SELECT * FROM t_running_count").collect()}
+    assert got == {"view": 4, "click": 1}
