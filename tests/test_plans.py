@@ -50,11 +50,13 @@ def test_fk_lookup_is_broadcast_no_fact_shuffle(q):
 
 
 def test_edge_join_single_shuffle_for_agg(q):
-    """J2/J3 flagship: joins resolve via broadcast (AQE or hint); the
-    only exchange is the groupBy — 1 shuffle total."""
+    """J2/J3 flagship: the per-order pre-aggregate shuffles once on the
+    order key, the orders join reuses that partitioning (or broadcasts
+    under AQE locally), customer broadcasts, and the segment rollup's
+    input is orders-sized — ≤2 exchanges end to end."""
     df = q("q_edge_join")
     assert I.broadcast_join_count(df) >= 1
-    assert I.exchange_count(df) <= 2  # ≤ join co-shuffle + agg; AQE→1 locally
+    assert I.exchange_count(df) <= 2
 
 
 def test_groupby_agg_is_partial_final(q):
