@@ -261,3 +261,33 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("doc_id", "term", "tf", F.round("tfidf", 4).alias("tfidf"), "rank")
     )
+
+
+@query(
+    "q_dedup_keep_canonical",
+    oracle="""
+    SELECT doc_id, fingerprint
+    FROM (SELECT doc_id, md5(lower(text)) AS fingerprint,
+                 row_number() OVER (PARTITION BY md5(lower(text))
+                                    ORDER BY doc_id) AS rn
+          FROM documents)
+    WHERE rn = 1
+    """,
+    tags=("U4", "W1"),
+)
+def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-one-per-group half of exact dedup: min-id survivor per
+    content fingerprint via a ranked window — what a training pipeline
+    actually materializes after q_doc_fingerprint's cluster census.
+    One shuffle on the fingerprint; survivors stream out of the window
+    without a second pass."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.col("text")))
+    w = Window.partitionBy(fp).orderBy("doc_id")
+    return (
+        d.select("doc_id", fp.alias("fingerprint"), F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
