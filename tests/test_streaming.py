@@ -283,3 +283,59 @@ def test_running_count_update_mode(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.event_type: r["count"] for r in spark.sql("SELECT * FROM t_running_count").collect()}
     assert got == {"view": 4, "click": 1}
+
+
+def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
+    """T7: a row arriving after the watermark has passed its window's
+    end must be DROPPED from an append-mode windowed aggregate.  Run 1
+    advances the watermark (max ts 03:00 − 10 min delay = 02:50, past
+    the 00:00-01:00 window); run 2 (same checkpoint) delivers a late
+    00:30 row — it must not resurrect the closed window."""
+    from pyspark.sql.types import (
+        DoubleType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from consume_kafka_avro_data_spark.streaming.windows import tumbling_window_agg
+
+    schema = StructType(
+        [StructField("ts", TimestampType()), StructField("value", DoubleType())]
+    )
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    out = str(tmp_path / "late_out")
+
+    def run_batch(rows, batch):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(
+            f"{src}/b{batch}"
+        )
+        stream = spark.readStream.schema(schema).option(
+            "pathGlobFilter", "*.parquet"
+        ).parquet(f"{src}/*")
+        q = (
+            tumbling_window_agg(stream, window="1 hour", watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    import datetime as dt
+
+    t = lambda s: dt.datetime.fromisoformat(f"2024-01-01 {s}")
+    run_batch([(t("00:15:00"), 1.0), (t("03:00:00"), 5.0)], 1)
+    run_batch([(t("00:30:00"), 100.0)], 2)  # late: watermark is 02:50
+    run_batch([(t("05:00:00"), 7.0)], 3)  # closes the 03:00 window
+
+    got = {
+        str(r.bucket): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    # the 00:00 window emitted with ONLY the on-time row; late 00:30 dropped
+    assert got["2024-01-01 00:00:00"] == (1, 1.0)
+    assert got["2024-01-01 03:00:00"] == (1, 5.0)
