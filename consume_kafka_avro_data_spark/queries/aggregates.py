@@ -239,3 +239,21 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         dsum("l_quantity").alias("sum_qty"),
     )
+
+
+@query(
+    "q_approx_percentile",
+    oracle=None,  # sketch output is implementation-defined — rows-only
+    tags=("A6", "A4"),
+)
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (A6 at scale): a mergeable sketch with
+    bounded error replaces the exact sort-based percentile — at 100 TB
+    the exact form needs all values per group; the sketch is fixed-size
+    per partition and combines map-side.  Accuracy vs the exact result
+    is pinned by a unit test (±1% relative error)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90_approx"),
+    )

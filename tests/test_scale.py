@@ -122,3 +122,47 @@ def test_partitioned_layout_prunes_at_planning_time(spark, sf_dir, tmp_path):
 
     expected = docs.where(F.col("lang") == "en").count()
     assert filtered.count() == expected
+
+
+def test_sort_within_partitions_avoids_global_exchange(spark, sf_dir):
+    """W4: partition-local sort (the write-layout / secondary-sort tool)
+    must not range-shuffle; a global orderBy must."""
+    from consume_kafka_avro_data_spark.plans.inspect import simple_plan
+    from consume_kafka_avro_data_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    local = li.sortWithinPartitions("l_shipdate")
+    local.write.format("noop").mode("overwrite").save()
+    assert "rangepartitioning" not in simple_plan(local).lower()
+
+    global_ = li.orderBy("l_shipdate")
+    global_.write.format("noop").mode("overwrite").save()
+    assert "rangepartitioning" in simple_plan(global_).lower()
+
+
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from consume_kafka_avro_data_spark.registry import all_queries
+    from consume_kafka_avro_data_spark.tables import load_table
+
+    approx = {
+        r.o_orderpriority: (r.p50_approx, r.p90_approx)
+        for r in all_queries()["q_approx_percentile"].fn(spark, sf_dir).collect()
+    }
+    # percentile_approx's contract is bounded RANK error (≤ 1/accuracy),
+    # not value error — at tiny group sizes adjacent values can differ by
+    # more than any value tolerance, so verify the rank directly
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    by_group: dict[str, list[float]] = {}
+    for r in rows:
+        by_group.setdefault(r.o_orderpriority, []).append(r.o_totalprice)
+    for k, (a50, a90) in approx.items():
+        vals = sorted(by_group[k])
+        for a, q in ((a50, 0.5), (a90, 0.9)):
+            rank = sum(v <= a for v in vals) / len(vals)
+            assert abs(rank - q) <= 0.01 + 1.0 / len(vals), (k, q, rank)
