@@ -124,6 +124,34 @@ def winnow_fingerprints(
     )
 
 
+def make_chunk_udtf():
+    """A literal Python UDTF (SURVEY §2.7 U3, Spark 3.5+ ``@udtf``):
+    one document row → many overlapping token-window chunk rows.
+
+    The PRODUCTION chunking path is queries/text.py::q_doc_chunks —
+    pure codegen (sequence/transform/posexplode), which this UDTF is
+    unit-tested equal to.  The UDTF form exists because the lateral-
+    function surface is part of the engine's API: it composes in SQL
+    (``SELECT ... FROM docs, chunks(text, 32, 24)``) where an ad-hoc
+    fan-out doesn't justify hand-building the expression tree.  Python
+    UDTFs run row-at-a-time — keep them off the 100 TB hot path.
+
+    Built lazily (a factory) because ``@udtf`` objects don't pickle for
+    reuse across sessions.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_no int, chunk string, n_chunk_tokens int")
+    class ChunkUDTF:
+        def eval(self, text: str, size: int, stride: int):  # noqa: D102
+            toks = (text or "").lower().split()
+            for no, s in enumerate(range(0, max(len(toks), 1), stride)):
+                window = toks[s : s + size]
+                yield no, " ".join(window), len(window)
+
+    return ChunkUDTF
+
+
 # ---------------------------------------------------------------------------
 # tf-idf + sentiment lexicon (SURVEY §2.7 U7)
 # ---------------------------------------------------------------------------

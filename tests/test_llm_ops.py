@@ -324,3 +324,22 @@ def test_kmeans_distributed_deterministic_and_improving(spark, sf_dir):
     assert np.allclose(c3, c3b)  # deterministic
     assert np.allclose(np.linalg.norm(c3, axis=1), 1.0)
     assert objective(c3) >= objective(c1) - 1e-9  # Lloyd's never regresses
+
+
+def test_chunk_udtf_matches_codegen_chunking(spark, sf_dir):
+    """U3: the Python UDTF fan-out must agree row-for-row with the
+    production codegen chunking (q_doc_chunks) on the same corpus."""
+    from consume_kafka_avro_data_spark.operators.text import make_chunk_udtf
+    from consume_kafka_avro_data_spark.registry import all_queries
+    from consume_kafka_avro_data_spark.tables import load_table
+
+    spark.udtf.register("chunks_udtf", make_chunk_udtf())
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_v")
+    via_udtf = spark.sql(
+        "SELECT d.doc_id, c.chunk_no, c.chunk, c.n_chunk_tokens "
+        "FROM docs_v d, LATERAL chunks_udtf(d.text, 32, 24) c"
+    )
+    via_expr = all_queries()["q_doc_chunks"].fn(spark, sf_dir)
+    a = sorted(map(tuple, via_udtf.collect()))
+    b = sorted(map(tuple, via_expr.collect()))
+    assert a == b
