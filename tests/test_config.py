@@ -112,3 +112,40 @@ def test_config_errors_raise_not_kill(mutate, match):
     mutate(doc)
     with pytest.raises(ConfigError, match=match):
         parse_config(doc)
+
+
+def test_load_config_from_yaml_file(tmp_path):
+    """The reference consumes an actual YAML file (-c config.yaml,
+    src/main.cpp:114-140); load_config must parse the same file shape
+    to an identical JobConfig as parse_config on the dict."""
+    from consume_kafka_avro_data_spark.config import load_config
+
+    yaml_text = """\
+kafka:
+  bootstrap.servers: localhost:9092
+  schema.registry.url: http://localhost:8081
+  client.id: spo2kafka_client
+input_type: csv
+column_type_transforms:
+  Source: string
+  Relationship: string
+  Target: string
+type_map:
+  spo:
+    key_column: subject
+    columns: [Source, Relationship, Target]
+column_map:
+  Source: subject
+  Relationship: predicate
+  Target: object
+"""
+    p = tmp_path / "SPO_2_kafka.yaml"
+    p.write_text(yaml_text)
+    from_file = load_config(str(p))
+    from_dict = parse_config(SPO_DOC)
+    assert from_file.bootstrap_servers == from_dict.bootstrap_servers
+    assert from_file.schema_registry_url == from_dict.schema_registry_url
+    sf, sd = from_file.schema_for("spo"), from_dict.schema_for("spo")
+    assert sf.to_struct_type() == sd.to_struct_type()
+    assert sf.key_column == sd.key_column
+    assert sf.to_avro_schema_json() == sd.to_avro_schema_json()
