@@ -101,6 +101,16 @@ def _hyperplanes(dim: int, nbits: int, table: int, seed: int = 42) -> np.ndarray
     return rng.standard_normal((nbits, dim))
 
 
+def _seq_dot(a, b) -> float:
+    """Strict left-to-right float64 dot — the SAME fold order as Spark's
+    F.aggregate and DuckDB's list_dot_product, so sign decisions agree
+    bit-for-bit across all three (numpy's pairwise summation does not)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
 def srp_bucket(vec: Column, planes: np.ndarray) -> Column:
     """Bucket id = sign-bit pattern of the hyperplane projections."""
     bits = [
@@ -127,11 +137,12 @@ def srp_lsh_topk(
     """Approximate top-k: union of exact-rescored bucket collisions
     across ``ntables`` SRP tables.  The corpus-side bucket ids are
     map-only projections; only colliding rows are scored."""
-    qv = np.asarray(query_vec, dtype=np.float64)
     cand = None
     for t in range(ntables):
         planes = _hyperplanes(dim, nbits, t, seed)
-        q_bucket = int(sum((1 << i) for i, p in enumerate(planes) if float(np.dot(qv, p)) > 0))
+        q_bucket = int(
+            sum((1 << i) for i, p in enumerate(planes) if _seq_dot(query_vec, p) > 0)
+        )
         hits = corpus.where(srp_bucket(F.col(vec_col), planes) == F.lit(q_bucket))
         cand = hits if cand is None else cand.unionByName(hits)
     cand = cand.dropDuplicates([id_col])

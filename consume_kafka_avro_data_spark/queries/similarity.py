@@ -80,10 +80,48 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(queries, emb, k=10)
 
 
-@query("q_similarity_ann", oracle=None, tags=("U6", "J8"))
+def _o_srp_ann(k=10, dim=64, nbits=12, ntables=6, seed=42) -> str:
+    """DuckDB twin of srp_lsh_topk: the hyperplanes are seed-fixed
+    literals, every dot product left-folds in float64 in both engines
+    (so sign decisions — the buckets — match bit-for-bit), and the
+    exact re-rank uses the deterministic (score, id) cut."""
+    from consume_kafka_avro_data_spark.operators.similarity import _hyperplanes
+
+    def vec_sql(p) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+
+    bucket_cols = []
+    for t in range(ntables):
+        planes = _hyperplanes(dim, nbits, t, seed)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {vec_sql(p)}) > 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        bucket_cols.append(f"({bits}) AS b{t}")
+    collide = " OR ".join(f"c.b{t} = qb.b{t}" for t in range(ntables))
+    return f"""
+    WITH b AS (
+      SELECT vec_id, v, {", ".join(bucket_cols)}
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    ),
+    qb AS (SELECT * FROM b WHERE vec_id = 0)
+    SELECT c.vec_id,
+           list_dot_product(c.v, qb.v)
+           / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(qb.v, qb.v)))
+               AS score
+    FROM b c, qb
+    WHERE {collide}
+    ORDER BY score DESC, c.vec_id
+    LIMIT {k}
+    """
+
+
+@query("q_similarity_ann", oracle=_o_srp_ann(), tags=("U6", "J8"))
 def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH approximate top-k for one query — the 100 TB path:
-    bucket-collision candidates only, exact cosine re-rank."""
+    bucket-collision candidates only, exact cosine re-rank.  Fully
+    oracle-checked: the DuckDB twin recomputes the same seed-fixed
+    hyperplane buckets from literals (see _o_srp_ann)."""
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
     return srp_lsh_topk(emb, qv, k=10)
