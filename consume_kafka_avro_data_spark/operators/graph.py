@@ -189,7 +189,21 @@ def connected_components(
 class GraphStore:
     """Parquet-backed objects/relationships tables with idempotent
     dedup-merge writes (the engine's stand-in for the reference's
-    Postgres graph)."""
+    Postgres graph).
+
+    **Manifest-commit protocol** (mini transaction log): readers only
+    see files listed in the table's ``_manifest.json``; writers stage
+    new parquet files into the table directory first and then publish
+    them with a single atomic ``os.replace`` of the manifest.  A crash
+    mid-write therefore leaves invisible orphan files, never partial
+    state — the batch-level analogue of the reference's per-row
+    transactions (``src/Database.cpp:44-49``), and the same
+    commit-by-metadata-swap idea Delta/Iceberg use at 100 TB (there the
+    manifest write is a conditional object-store PUT; locally it is an
+    atomic rename).  Single writer per table, matching the reference's
+    single consumer thread."""
+
+    MANIFEST = "_manifest.json"
 
     def __init__(self, spark: SparkSession, base_dir: str):
         self.spark = spark
@@ -197,13 +211,54 @@ class GraphStore:
         self.objects_path = os.path.join(base_dir, "objects")
         self.relationships_path = os.path.join(base_dir, "relationships")
 
+    # -- manifest ------------------------------------------------------------
+
+    def _manifest_files(self, path: str) -> list[str]:
+        import json
+
+        mf = os.path.join(path, self.MANIFEST)
+        if not os.path.isfile(mf):
+            return []
+        with open(mf) as f:
+            return list(json.load(f)["files"])
+
+    def _publish(self, path: str, files: list[str]) -> None:
+        """Atomically replace the manifest (write-temp + rename)."""
+        import json
+
+        os.makedirs(path, exist_ok=True)
+        tmp = os.path.join(path, self.MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({"files": sorted(files)}, f)
+        os.replace(tmp, os.path.join(path, self.MANIFEST))
+
+    def _stage(self, df: DataFrame, path: str, n_files: int | None = None) -> list[str]:
+        """Write df's parquet files into the table dir WITHOUT
+        publishing them; returns the new (unique, uuid-named) files."""
+        import shutil
+
+        stage = os.path.join(path, "_stage")
+        if n_files:
+            df = df.repartition(n_files)
+        df.write.mode("overwrite").parquet(stage)
+        os.makedirs(path, exist_ok=True)
+        moved = []
+        for name in os.listdir(stage):
+            if name.endswith(".parquet"):
+                os.rename(os.path.join(stage, name), os.path.join(path, name))
+                moved.append(name)
+        shutil.rmtree(stage, ignore_errors=True)
+        return moved
+
     # -- reads ---------------------------------------------------------------
 
     def _read(self, path: str, schema: StructType) -> DataFrame:
-        try:
-            return self.spark.read.schema(schema).parquet(path)
-        except Exception:  # first write: table does not exist yet
+        files = self._manifest_files(path)
+        if not files:
             return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(
+            *[os.path.join(path, f) for f in files]
+        )
 
     def objects(self) -> DataFrame:
         return self._read(self.objects_path, OBJECTS_SCHEMA)
@@ -241,9 +296,10 @@ class GraphStore:
         try:
             n = new_rows.count()
             if n:
-                new_rows.select(*[f.name for f in schema.fields]).write.mode(
-                    "append"
-                ).parquet(path)
+                staged = self._stage(
+                    new_rows.select(*[f.name for f in schema.fields]), path
+                )
+                self._publish(path, self._manifest_files(path) + staged)
             return n
         finally:
             new_rows.unpersist()
@@ -274,27 +330,29 @@ class GraphStore:
         maintenance job: read, repartition to a size target, atomically
         swap.  Returns {table: n_files_after}.
 
-        Local-FS swap is rename-based and not concurrent-writer-safe —
-        same single-writer assumption as the append path (module doc).
+        The swap is the manifest publish: new compacted files stage in,
+        one atomic manifest replace makes them the table, and the
+        superseded files are garbage-collected afterwards — readers
+        never observe a mixed state.
         """
-        import shutil
-
         out: dict[str, int] = {}
         for path, schema in (
             (self.objects_path, OBJECTS_SCHEMA),
             (self.relationships_path, RELATIONSHIPS_SCHEMA),
         ):
-            if not os.path.isdir(path):
+            old_files = self._manifest_files(path)
+            if not old_files:
                 continue
             df = self._read(path, schema)
             n_files = max(1, -(-df.count() // target_rows_per_file))  # ceil
-            tmp = path + "._compact"
-            df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(path)
-            os.rename(tmp, path)
-            out[os.path.basename(path)] = len(
-                [f for f in os.listdir(path) if f.endswith(".parquet")]
-            )
+            staged = self._stage(df, path, n_files=n_files)
+            self._publish(path, staged)
+            for name in old_files:  # GC only after the commit point
+                try:
+                    os.remove(os.path.join(path, name))
+                except FileNotFoundError:
+                    pass
+            out[os.path.basename(path)] = len(staged)
         return out
 
     def ingest_triples(

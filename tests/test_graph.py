@@ -178,3 +178,26 @@ def test_compact_preserves_rows_and_reduces_files(spark, triples, tmp_path):
         created_at="2024-01-01",
     )
     assert (nv, ne) == (0, 0)
+
+
+def test_uncommitted_files_are_invisible(spark, triples, tmp_path):
+    """Crash-atomicity: a parquet file present in the table directory
+    but absent from the manifest (a writer died before its commit
+    point) must not be read."""
+    import os
+    import shutil
+
+    from consume_kafka_avro_data_spark.operators.graph import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "graph"))
+    store.ingest_triples(triples, created_at="2024-01-01")
+    before = sorted(map(tuple, store.objects().collect()))
+
+    # simulate a torn write: copy a committed file back in under a new
+    # name without touching the manifest
+    committed = store._manifest_files(store.objects_path)[0]
+    shutil.copy(
+        os.path.join(store.objects_path, committed),
+        os.path.join(store.objects_path, "part-orphan-deadbeef.parquet"),
+    )
+    assert sorted(map(tuple, store.objects().collect())) == before
