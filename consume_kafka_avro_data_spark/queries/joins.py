@@ -84,7 +84,9 @@ def q_edge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.sum("_n").alias("n_lineitems"),
-            F.sum("_rev").cast("double").alias("revenue"),
+            # same final rescale as functions/parity.py: exact decimal →
+            # scale 2 → double is a single identical rounding in both engines
+            F.sum("_rev").cast("decimal(38,2)").cast("double").alias("revenue"),
         )
     )
 
