@@ -188,10 +188,46 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", simhash64(tokens("text")).alias("simhash"))
 
 
-@query("q_ngram_jaccard", oracle=None, tags=("U5",))
+@query(
+    "q_ngram_jaccard",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id AS _id,
+             list_distinct(
+               CASE WHEN len(toks) < 3
+                    THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(range(1, len(toks) - 1),
+                                        i -> array_to_string(toks[i : i + 2], ' '))
+               END) AS grams
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+            FROM documents)
+    ),
+    posting AS (SELECT _id, unnest(grams) AS g FROM base),
+    rare AS (SELECT g FROM posting GROUP BY g HAVING count(*) <= 200),
+    rp AS (SELECT p._id, p.g FROM posting p JOIN rare USING (g)),
+    cand AS (
+      SELECT DISTINCT a._id AS id_a, b._id AS id_b
+      FROM rp a JOIN rp b ON a.g = b.g AND a._id < b._id
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+               / (len(ga.grams) + len(gb.grams)
+                  - len(list_intersect(ga.grams, gb.grams))) AS jaccard
+      FROM cand JOIN base ga ON ga._id = cand.id_a
+                JOIN base gb ON gb._id = cand.id_b
+    )
+    SELECT * FROM scored WHERE jaccard >= 0.4
+    """,
+    tags=("U5",),
+)
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard pairs ≥ 0.4 via inverted-index join with a
-    stop-gram document-frequency guard."""
+    stop-gram document-frequency guard.  Fully oracle-checked: no
+    hashing anywhere — the DuckDB twin rebuilds the same shingle sets
+    (string_split_regex ≡ F.split, inclusive-end list slices ≡ F.slice
+    lengths) and the Jaccard ratio is a single exact-int division in
+    both engines."""
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
