@@ -62,6 +62,43 @@ def band_hashes(signature: Column, bands: int, rows: int) -> Column:
     )
 
 
+def minhash_signature_md5(sh: Column, num_hashes: int = 32) -> Column:
+    """Portable MinHash: per seed, the lexicographic min of the first 16
+    md5 hex chars of ``"seed:shingle"``.  Fixed-width lowercase hex makes
+    string-min ≡ uint64-min, and md5 exists in every engine — this is the
+    cross-engine-verifiable twin of :func:`minhash_signature` (same
+    map-only codegen shape, ~2× the hash cost of xxhash64)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    sh,
+                    lambda s, i=i: F.substring(
+                        F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 16
+                    ),
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def band_hashes_md5(signature: Column, bands: int, rows: int) -> Column:
+    """Portable LSH banding over a string signature (md5 of the joined
+    ``rows``-slice, seed-prefixed per band)."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat(
+                    F.lit(f"{b}:"),
+                    F.array_join(F.slice(signature, b * rows + 1, rows), ","),
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def simhash64(tokens: Column) -> Column:
     """64-bit SimHash via aggregate/zip_with: fold each token's hash into
     64 signed bit-counters, then take the sign bit-majority.
@@ -117,6 +154,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     rows: int = 4,
     jaccard_threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH with exact-Jaccard verify.
 
@@ -125,17 +163,28 @@ def minhash_lsh_pairs(
     exact shingle-set Jaccard (array_intersect/union on the original
     shingle sets).  Banding (b=8, r=4) targets the ~0.5 similarity knee:
     P(candidate) = 1-(1-s^r)^b.
+
+    ``hash_fn``: "xxhash64" (default, fastest JVM hash — the 100 TB
+    path) or "md5" (portable hex-prefix variant whose buckets a DuckDB
+    oracle can reproduce; see queries/similarity.q_minhash_neardup).
+    The verify step is exact Jaccard either way, so the hash choice only
+    moves candidate recall, never the correctness of emitted pairs.
     """
     toks = tokens_col(text_col)
     sh = F.array_distinct(shingles(toks, shingle_k))
-    sig = minhash_signature(sh, bands * rows)
+    if hash_fn == "md5":
+        sig = minhash_signature_md5(sh, bands * rows)
+        bh = band_hashes_md5(F.col("_sig"), bands, rows)
+    else:
+        sig = minhash_signature(sh, bands * rows)
+        bh = band_hashes(F.col("_sig"), bands, rows)
     base = df.select(
         F.col(id_col).alias("_id"), sh.alias("_shingles"), sig.alias("_sig")
     )
     banded = base.select(
         "_id",
         "_shingles",
-        F.explode(band_hashes(F.col("_sig"), bands, rows)).alias("_band"),
+        F.explode(bh).alias("_band"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

@@ -1,9 +1,12 @@
 """LLM-pipeline queries: dedup family, similarity search, text analysis,
 multimodal plumbing (SURVEY §2.7, charter mandate).
 
-Hash-based operators (MinHash, SimHash, winnowing, SRP-LSH) have no
-DuckDB twin — xxhash64 is Spark-specific — so they register rows-only;
-their semantics are pinned by tests/test_llm_ops.py instead.  The
+xxhash64-based operators (SimHash, winnowing) have no DuckDB twin —
+xxhash64 is Spark-specific — so they register rows-only; their
+semantics are pinned by tests/test_llm_ops.py instead.  MinHash and
+n-gram Jaccard graduate to full oracles: MinHash via the portable md5
+hex-prefix hash (string-min ≡ uint64-min on fixed-width hex), n-gram
+Jaccard because it never hashes at all.  The
 language-ID and quality-score heuristics are pure string/list math and
 get full oracle checks (DuckDB list lambdas mirror the Spark
 higher-order functions).
@@ -167,11 +170,58 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q_minhash_neardup", oracle=None, tags=("U5",))
+def _o_minhash(bands: int = 8, rows: int = 4, threshold: float = 0.5) -> str:
+    """DuckDB twin of minhash_lsh_pairs(hash_fn="md5"): rebuilds the same
+    distinct shingle sets, the same per-seed md5 hex-prefix minima
+    (fixed-width lowercase hex → string-min ≡ uint64-min in both
+    engines), the same band hashes, and verifies with the same exact-int
+    Jaccard division — so candidates AND scores match bit-for-bit."""
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> substr(md5('{i}:' || s), 1, 16)))"
+        for i in range(bands * rows)
+    )
+    bexprs = ", ".join(
+        f"md5('{b}:' || array_to_string(sig[{b * rows + 1} : {b * rows + rows}], ','))"
+        for b in range(bands)
+    )
+    return rf"""
+    WITH base AS (
+      SELECT doc_id AS _id,
+             list_distinct(CASE WHEN len(toks) < 3
+                  THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks) - 1),
+                                      i -> array_to_string(toks[i : i + 2], ' '))
+             END) AS sh
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+            FROM documents)
+    ),
+    sigs AS (SELECT _id, sh, [{mins}] AS sig FROM base),
+    banded AS (SELECT _id, unnest([{bexprs}]) AS band FROM sigs),
+    cand AS (
+      SELECT DISTINCT a._id AS id_a, b._id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a._id < b._id
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE)
+               / (len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh)))
+                 AS jaccard
+      FROM cand JOIN base ga ON ga._id = cand.id_a
+                JOIN base gb ON gb._id = cand.id_b
+    )
+    SELECT * FROM scored WHERE jaccard >= {threshold}
+    """
+
+
+@query("q_minhash_neardup", oracle=_o_minhash(), tags=("U5",))
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs over documents (exact-Jaccard
-    verified ≥ 0.5)."""
-    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    verified ≥ 0.5), fully oracle-checked via the portable md5
+    hex-prefix hash (see _o_minhash).  The xxhash64 default of
+    minhash_lsh_pairs stays the 100 TB path; since the verify step is
+    exact Jaccard, hash choice only moves candidate recall, never the
+    correctness of emitted pairs."""
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), hash_fn="md5")
 
 
 @query("q_simhash_neardup", oracle=None, tags=("U5",))
