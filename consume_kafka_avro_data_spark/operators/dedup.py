@@ -141,6 +141,66 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+_HEX = "0123456789abcdef"
+
+
+def _hex_digit(col: Column, p: int) -> Column:
+    """Value of 1-based hex char ``p`` of a lowercase hex string."""
+    return F.conv(F.substring(col, p, 1), 16, 10).cast("int")
+
+
+def simhash_hex(tokens: Column) -> Column:
+    """Portable 64-bit SimHash as a 16-char lowercase hex string.
+
+    Same fold as :func:`simhash64` (64 signed bit-counters, sign
+    majority) but every bit vote comes from an md5 hex digit instead of
+    xxhash64, and the signature is emitted as hex — so any engine with
+    md5 + substring can reproduce it digit-for-digit (DuckDB twin in
+    queries/similarity.py).  Bit layout: hex char p (1-based, MSB first)
+    carries counters (p-1)*4+k for k in 0..3, where k is the bit index
+    inside the digit.
+    """
+
+    def votes(t: Column) -> Column:
+        h = F.substring(F.md5(t), 1, 16)
+        vs = []
+        for p in range(1, 17):
+            d = _hex_digit(h, p)
+            for k in range(4):
+                vs.append(
+                    F.when(
+                        F.shiftright(d, k).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    ).otherwise(F.lit(-1))
+                )
+        return F.array(*vs)
+
+    counters = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, t: F.zip_with(acc, votes(t), lambda a, x: a + x),
+    )
+    chars = F.array(*[F.lit(c) for c in _HEX])
+    digits = []
+    for p in range(1, 17):
+        val = F.lit(0)
+        for k in range(4):
+            val = val + F.when(
+                F.element_at(counters, (p - 1) * 4 + k + 1) > 0, F.lit(1 << k)
+            ).otherwise(F.lit(0))
+        digits.append(F.element_at(chars, val + 1))
+    return F.concat(*digits)
+
+
+def hamming_hex(a: Column, b: Column) -> Column:
+    """Hamming distance between two 16-char hex signatures: per-digit
+    XOR popcount — stays in 4-bit ints, so it is expressible identically
+    in any SQL engine."""
+    out = F.lit(0)
+    for p in range(1, 17):
+        out = out + F.bit_count(_hex_digit(a, p).bitwiseXOR(_hex_digit(b, p)))
+    return out.cast("int")
+
+
 # ---------------------------------------------------------------------------
 # near-dup joins (one shuffle each — the candidate group-by)
 # ---------------------------------------------------------------------------
@@ -256,6 +316,54 @@ def simhash_neardup_pairs(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
             hamming64(F.col("a._sim"), F.col("b._sim")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_hex_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    block_chars: int = 4,
+) -> DataFrame:
+    """Portable-SimHash near-dup pairs over hex signatures: candidates
+    share one of the 16/block_chars hex blocks (pigeonhole over 4·block
+    bits), verified by exact per-digit Hamming distance.  Same plan
+    shape as :func:`simhash_neardup_pairs` (map-only signature, one
+    explode + bucket self-join shuffle); every expression has a 1:1
+    DuckDB translation."""
+    n_blocks = 16 // block_chars
+    assert max_hamming < n_blocks, "pigeonhole needs max_hamming < n_blocks"
+    sig = simhash_hex(tokens_col(text_col))
+    base = df.select(F.col(id_col).alias("_id"), sig.alias("_sim"))
+    blocked = base.select(
+        "_id",
+        "_sim",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{blk}:"),
+                        F.substring("_sim", blk * block_chars + 1, block_chars),
+                    )
+                    for blk in range(n_blocks)
+                ]
+            )
+        ).alias("_block"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._block") == F.col("b._block")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            hamming_hex(F.col("a._sim"), F.col("b._sim")).alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)

@@ -19,8 +19,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from consume_kafka_avro_data_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    simhash_neardup_pairs,
-    simhash64,
+    simhash_hex,
+    simhash_hex_neardup_pairs,
 )
 from consume_kafka_avro_data_spark.operators.multimodal import (
     decode_features,
@@ -224,18 +224,92 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), hash_fn="md5")
 
 
-@query("q_simhash_neardup", oracle=None, tags=("U5",))
+def _o_simhash_sig_cte() -> str:
+    """Shared DuckDB CTE chain rebuilding operators/dedup.simhash_hex:
+    per-token md5 hex digits → 64 signed bit-counter sums → sign
+    majority reassembled into the same 16-char hex signature.  Hex-digit
+    values go through strpos on the digit alphabet, so no engine-specific
+    integer parsing is involved."""
+    hexs = "0123456789abcdef"
+
+    def digit(expr: str, p: int) -> str:
+        return f"(strpos('{hexs}', substr({expr}, {p}, 1)) - 1)"
+
+    sums = ", ".join(
+        f"SUM(CASE WHEN ({digit('hx', p)} >> {k}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f" AS c_{p}_{k}"
+        for p in range(1, 17)
+        for k in range(4)
+    )
+    concat = " || ".join(
+        f"substr('{hexs}', 1 + "
+        + " + ".join(
+            f"(CASE WHEN c_{p}_{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(4)
+        )
+        + ", 1)"
+        for p in range(1, 17)
+    )
+    return rf"""
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+      FROM documents
+    ),
+    h AS (SELECT doc_id, substr(md5(t), 1, 16) AS hx FROM tk),
+    c AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, {concat} AS simhash FROM c)
+    """
+
+
+def _o_simhash_neardup(max_hamming: int = 3, block_chars: int = 4) -> str:
+    hexs = "0123456789abcdef"
+
+    def digit(expr: str, p: int) -> str:
+        return f"(strpos('{hexs}', substr({expr}, {p}, 1)) - 1)"
+
+    blocks = ", ".join(
+        f"'{blk}:' || substr(simhash, {blk * block_chars + 1}, {block_chars})"
+        for blk in range(16 // block_chars)
+    )
+    ham = " + ".join(
+        f"bit_count(xor({digit('sa', p)}, {digit('sb', p)}))" for p in range(1, 17)
+    )
+    return (
+        _o_simhash_sig_cte()
+        + rf""",
+    banded AS (SELECT doc_id, simhash, unnest([{blocks}]) AS blk FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM banded a JOIN banded b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST({ham} AS INT) AS hamming
+    FROM cand WHERE {ham} <= {max_hamming}
+    """
+    )
+
+
+@query("q_simhash_neardup", oracle=_o_simhash_neardup(), tags=("U5",))
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 3 over 64-bit signatures)."""
-    return simhash_neardup_pairs(load_table(spark, sf_dir, "documents"))
+    """SimHash near-dup pairs (Hamming ≤ 3), fully oracle-checked via
+    the portable md5-hex-vote signature: candidates come from pigeonhole
+    blocks of the hex string and the Hamming verify is a per-digit XOR
+    popcount — both reproduced exactly by the DuckDB twin.  The xxhash64
+    simhash64/simhash_neardup_pairs pair stays the scale path (pinned by
+    tests/test_llm_ops.py)."""
+    return simhash_hex_neardup_pairs(load_table(spark, sf_dir, "documents"))
 
 
-@query("q_simhash_signatures", oracle=None, tags=("U5",))
+@query(
+    "q_simhash_signatures",
+    oracle=_o_simhash_sig_cte() + "SELECT doc_id, simhash FROM sig",
+    tags=("U5",),
+)
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 64-bit SimHash (deterministic; rows-only because
-    DuckDB lacks xxhash64)."""
+    """Per-document 64-bit SimHash as a 16-char hex string, checked
+    digit-for-digit against a DuckDB twin that refolds the same md5
+    hex-digit bit votes."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash64(tokens("text")).alias("simhash"))
+    return d.select("doc_id", simhash_hex(tokens("text")).alias("simhash"))
 
 
 @query(
