@@ -124,6 +124,29 @@ def winnow_fingerprints(
     )
 
 
+def winnow_fingerprints_md5(
+    text: str | Column = "text", k: int = 8, window: int = 4
+) -> Column:
+    """Portable winnowing twin of :func:`winnow_fingerprints`: the
+    rolling k-gram hash is the first 16 md5 hex chars, so the per-window
+    lexicographic min (≡ uint64 min on fixed-width hex) is reproducible
+    in any engine with md5/substr — used by the oracle-checked
+    q_winnow_fingerprints query."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_hashes = F.length(c) - k + 1
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_hashes, F.lit(1))),
+        lambda i: F.substring(F.md5(c.substr(i, F.lit(k))), 1, 16),
+    )
+    n_windows = F.greatest(F.size(hashes) - window + 1, F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(hashes, i, window)),
+        )
+    )
+
+
 def make_chunk_udtf():
     """A literal Python UDTF (SURVEY §2.7 U3, Spark 3.5+ ``@udtf``):
     one document row → many overlapping token-window chunk rows.

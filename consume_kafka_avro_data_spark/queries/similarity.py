@@ -1,15 +1,15 @@
 """LLM-pipeline queries: dedup family, similarity search, text analysis,
 multimodal plumbing (SURVEY §2.7, charter mandate).
 
-xxhash64-based operators (SimHash, winnowing) have no DuckDB twin —
-xxhash64 is Spark-specific — so they register rows-only; their
-semantics are pinned by tests/test_llm_ops.py instead.  MinHash and
-n-gram Jaccard graduate to full oracles: MinHash via the portable md5
-hex-prefix hash (string-min ≡ uint64-min on fixed-width hex), n-gram
-Jaccard because it never hashes at all.  The
-language-ID and quality-score heuristics are pure string/list math and
-get full oracle checks (DuckDB list lambdas mirror the Spark
-higher-order functions).
+The whole dedup/fingerprint family is oracle-checked: MinHash, SimHash
+and winnowing run on portable md5-derived hashes (string-min on
+fixed-width lowercase hex ≡ uint64-min; SimHash bit votes come from hex
+digits) whose DuckDB twins reproduce signatures and candidate buckets
+exactly, and n-gram Jaccard never hashes at all.  The xxhash64 variants
+in operators/ stay the 100 TB hot paths — same plan shapes, cheaper
+hash — pinned by tests/test_llm_ops.py.  The language-ID and
+quality-score heuristics are pure string/list math and get full oracle
+checks (DuckDB list lambdas mirror the Spark higher-order functions).
 """
 
 from __future__ import annotations
@@ -40,7 +40,7 @@ from consume_kafka_avro_data_spark.operators.text import (
     lang_id,
     quality_score,
     tokens,
-    winnow_fingerprints,
+    winnow_fingerprints_md5,
 )
 from consume_kafka_avro_data_spark.registry import query
 from consume_kafka_avro_data_spark.tables import load_table
@@ -435,13 +435,33 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_winnow_fingerprints", oracle=None, tags=("U5", "U7"))
+@query(
+    "q_winnow_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_distinct(
+             list_transform(range(1, greatest(len(hashes) - 4 + 1, 1) + 1),
+                            i -> list_min(hashes[i : i + 3]))
+           )) AS BIGINT) AS n_fingerprints
+    FROM (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(text) - 8 + 1, 1) + 1),
+                            i -> substr(md5(substr(text, i, 8)), 1, 16)) AS hashes
+      FROM documents
+    )
+    """,
+    tags=("U5", "U7"),
+)
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprint sets per document (k=8 char-grams, w=4)."""
+    """Winnowing fingerprint counts per document (k=8 char-grams, w=4),
+    oracle-checked via the portable md5 hex-prefix hash: both engines
+    build the same rolling hash list, take the same per-window
+    lexicographic minima, and dedup — so the counts match exactly.  The
+    xxhash64 winnow_fingerprints stays the scale path (unit-tested)."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(winnow_fingerprints("text")).cast("long").alias("n_fingerprints"),
+        F.size(winnow_fingerprints_md5("text")).cast("long").alias("n_fingerprints"),
     )
 
 
