@@ -32,13 +32,32 @@ _SPO_EVENTS_DOC = {
 }
 
 
-@query("q_avro_roundtrip", oracle=None, tags=("S2", "S3"))
+@query(
+    "q_avro_roundtrip",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS subject,
+           event_type AS predicate,
+           props AS object,
+           CAST(json_object('subject', CAST(user_id AS VARCHAR),
+                            'predicate', event_type,
+                            'object', props) AS VARCHAR) AS json
+    FROM events WHERE event_id < 2000
+    """,
+    tags=("S2", "S3"),
+)
 def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → SPO strings → Confluent-framed Avro → decode → JSON
     transcode: the reference's whole per-message path
-    (KafkaConsumerCallback.cpp:69-115) as one distributed plan."""
+    (KafkaConsumerCallback.cpp:69-115) as one distributed plan.
+
+    Oracle-checked as an identity: encode∘decode must return the exact
+    input strings, and the Jackson JSON transcode must match DuckDB's
+    json_object byte-for-byte (same key order, same escaping) — so the
+    DuckDB twin simply projects the source columns.  The slice is the
+    deterministic ``event_id < 2000`` (a LIMIT without ORDER BY is not a
+    stable row set in either engine)."""
     sc = parse_config(_SPO_EVENTS_DOC).schema_for("spo")
-    e = load_table(spark, sf_dir, "events").limit(2000)
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
     framed = to_confluent_avro(e, sc, schema_id=2)  # deployed id 2 (logs 12-28)
     decoded = from_confluent_avro(framed, sc, expected_schema_id=2)
     return decoded.where(F.col("_error").isNull()).select(
