@@ -143,3 +143,21 @@ def test_doc_chunks_is_map_only(q):
     df = q("q_doc_chunks")
     df.write.format("noop").mode("overwrite").save()
     assert I.exchange_count(df) == 0
+
+
+def test_fingerprint_signatures_are_map_only(q):
+    """U5 signatures (SimHash hex, winnowing) are pure projections — a
+    refactor that sneaks a shuffle into signature computation would be a
+    catastrophe at 100 TB (it's the per-document map stage)."""
+    for name in ("q_simhash_signatures", "q_winnow_fingerprints"):
+        assert I.exchange_count(q(name)) == 0, f"{name} grew a shuffle"
+
+
+def test_neardup_joins_single_candidate_shuffle(q):
+    """MinHash/SimHash near-dup pairs: the only shuffle is candidate
+    generation (band/block bucket self-join + pair dedup) — the
+    theoretical minimum.  Exact n-gram Jaccard adds the inverted-index
+    df-filter round-trip (3 total)."""
+    assert I.exchange_count(q("q_minhash_neardup")) <= 2
+    assert I.exchange_count(q("q_simhash_neardup")) <= 2
+    assert I.exchange_count(q("q_ngram_jaccard")) <= 4
