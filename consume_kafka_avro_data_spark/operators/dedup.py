@@ -39,13 +39,22 @@ def shingles(tokens: Column, k: int = 3) -> Column:
     )
 
 
+def _seeded_xxhash(i: int):
+    """Arity-1 lambda factory.  NEVER write ``lambda s, i=i:`` inside
+    F.transform: PySpark sniffs the lambda's parameter count and a
+    2-parameter lambda is called with (element, index) — the index
+    column silently clobbers the bound seed and every signature
+    component collapses onto the same (position-seeded) hash."""
+    return lambda s: F.xxhash64(F.lit(i), s)
+
+
 def minhash_signature(sh: Column, num_hashes: int = 32) -> Column:
     """MinHash signature: per seed, the min of seeded xxhash64 over the
     shingle set.  Seeds are baked into the plan as literals, so the whole
     signature is one codegen'd projection."""
     return F.array(
         *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            F.array_min(F.transform(sh, _seeded_xxhash(i)))
             for i in range(num_hashes)
         ]
     )
@@ -68,18 +77,13 @@ def minhash_signature_md5(sh: Column, num_hashes: int = 32) -> Column:
     string-min ≡ uint64-min, and md5 exists in every engine — this is the
     cross-engine-verifiable twin of :func:`minhash_signature` (same
     map-only codegen shape, ~2× the hash cost of xxhash64)."""
+    def seeded(i: int):
+        # arity-1 factory — see _seeded_xxhash for why `lambda s, i=i:`
+        # is a trap inside F.transform
+        return lambda s: F.substring(F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 16)
+
     return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    sh,
-                    lambda s, i=i: F.substring(
-                        F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 16
-                    ),
-                )
-            )
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(sh, seeded(i))) for i in range(num_hashes)]
     )
 
 
@@ -319,6 +323,66 @@ def simhash_neardup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def minhash_estimate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    bands: int = 8,
+    rows: int = 4,
+    min_matches: int | None = None,
+) -> DataFrame:
+    """Signature-only near-dup scoring — the true 100 TB dedup path.
+
+    Unlike :func:`minhash_lsh_pairs` (which re-reads the full shingle
+    sets to verify candidates with exact Jaccard), this never touches
+    the documents again after the map-only signature pass: similarity is
+    the classic MinHash estimator — the fraction of agreeing signature
+    components, E[matches/n] = J(A,B).  At scale the shingle sets are
+    orders of magnitude bigger than the signatures, so shuffling only
+    (id, signature) pairs through the band join is what makes corpus-
+    wide dedup tractable.  Uses the portable md5 signature, so the whole
+    pipeline is oracle-checkable (queries/similarity.q_minhash_est)."""
+    n = bands * rows
+    if min_matches is None:
+        min_matches = n // 2
+    toks = tokens_col(text_col)
+    sh = F.array_distinct(shingles(toks, shingle_k))
+    sig = minhash_signature_md5(sh, n)
+    base = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    banded = base.select(
+        "_id",
+        "_sig",
+        F.explode(band_hashes_md5(F.col("_sig"), bands, rows)).alias("_band"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sig").alias("_sa"),
+            F.col("b._sig").alias("_sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("_sa"),
+            F.col("_sb"),
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return cand.where(matches >= min_matches).select(
+        "id_a", "id_b", (matches.cast("double") / n).alias("jaccard_est")
     )
 
 

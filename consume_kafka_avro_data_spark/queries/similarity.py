@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from consume_kafka_avro_data_spark.operators.dedup import (
+    minhash_estimate_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_hex,
@@ -211,6 +212,53 @@ def _o_minhash(bands: int = 8, rows: int = 4, threshold: float = 0.5) -> str:
     )
     SELECT * FROM scored WHERE jaccard >= {threshold}
     """
+
+
+def _o_minhash_est(bands: int = 8, rows: int = 4) -> str:
+    """DuckDB twin of minhash_estimate_pairs: same portable signatures
+    and band buckets as _o_minhash, but scored by the signature-agreement
+    estimator instead of exact Jaccard — the shingle sets are never
+    re-read after signature computation, exactly like the Spark plan."""
+    n = bands * rows
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> substr(md5('{i}:' || s), 1, 16)))"
+        for i in range(n)
+    )
+    bexprs = ", ".join(
+        f"md5('{b}:' || array_to_string(sig[{b * rows + 1} : {b * rows + rows}], ','))"
+        for b in range(bands)
+    )
+    matches = f"len(list_filter(range(1, {n} + 1), i -> sa[i] = sb[i]))"
+    return rf"""
+    WITH base AS (
+      SELECT doc_id AS _id,
+             list_distinct(CASE WHEN len(toks) < 3
+                  THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks) - 1),
+                                      i -> array_to_string(toks[i : i + 2], ' '))
+             END) AS sh
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+            FROM documents)
+    ),
+    sigs AS (SELECT _id, [{mins}] AS sig FROM base),
+    banded AS (SELECT _id, sig, unnest([{bexprs}]) AS band FROM sigs),
+    cand AS (
+      SELECT DISTINCT a._id AS id_a, b._id AS id_b, a.sig AS sa, b.sig AS sb
+      FROM banded a JOIN banded b ON a.band = b.band AND a._id < b._id
+    )
+    SELECT id_a, id_b, CAST({matches} AS DOUBLE) / {n} AS jaccard_est
+    FROM cand WHERE {matches} >= {n // 2}
+    """
+
+
+@query("q_minhash_est", oracle=_o_minhash_est(), tags=("U5",))
+def q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-only MinHash similarity estimation (matches/n over the
+    32-component signature, threshold ≥ 0.5): the scale path that never
+    re-reads shingle sets after the map-only signature pass — only
+    (id, signature) pairs flow through the band-bucket shuffle.  Fully
+    oracle-checked via the portable md5 signatures."""
+    return minhash_estimate_pairs(load_table(spark, sf_dir, "documents"))
 
 
 @query("q_minhash_neardup", oracle=_o_minhash(), tags=("U5",))

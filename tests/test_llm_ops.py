@@ -66,6 +66,54 @@ def test_minhash_finds_planted_pairs(docs):
     assert not any(3 in p for p in pairs)  # unrelated doc never pairs
 
 
+def test_minhash_signatures_match_python_reference(spark, docs):
+    """Each signature component must be the min of the PER-SEED hash —
+    regression for the F.transform arity trap, where a 2-parameter
+    ``lambda s, i=i:`` silently receives the array index as ``i`` and
+    every component collapses onto a position-seeded hash."""
+    import hashlib
+
+    from consume_kafka_avro_data_spark.operators.dedup import (
+        minhash_signature_md5,
+        shingles,
+        tokens_col,
+    )
+    from pyspark.sql import functions as F
+
+    sh = F.array_distinct(shingles(tokens_col("text"), 3))
+    got = {
+        r.doc_id: list(r.sig)
+        for r in docs.select("doc_id", minhash_signature_md5(sh, 8).alias("sig")).collect()
+    }
+    for doc_id, text in [(0, BASE), (3, FAR)]:
+        want = [
+            min(
+                hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:16]
+                for s in _py_shingles(text)
+            )
+            for i in range(8)
+        ]
+        assert got[doc_id] == want, f"doc {doc_id} signature wrong"
+    # seeds must actually differ: components of a multi-shingle doc are
+    # a.s. distinct under independent seeds
+    assert len(set(got[0])) > 1, "all components equal — seed clobbered"
+
+
+def test_xxhash_minhash_components_are_seed_distinct(spark, docs):
+    from consume_kafka_avro_data_spark.operators.dedup import (
+        minhash_signature,
+        shingles,
+        tokens_col,
+    )
+    from pyspark.sql import functions as F
+
+    sh = F.array_distinct(shingles(tokens_col("text"), 3))
+    sig = docs.where(F.col("doc_id") == 0).select(
+        minhash_signature(sh, 8).alias("sig")
+    ).collect()[0]["sig"]
+    assert len(set(sig)) > 1, "all components equal — seed clobbered"
+
+
 def test_simhash_identity_and_locality(spark, docs):
     sigs = {
         r.doc_id: r.sig
