@@ -242,6 +242,165 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stats_moments",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(l_quantity) AS BIGINT) AS n,
+             {o_dsum("l_quantity")}            AS sx,
+             {o_dsum_mul("l_quantity", "l_quantity")} AS sxx
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           sx / CAST(n AS DOUBLE)                                   AS mean_qty,
+           (sxx - (sx * sx) / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE))              AS var_qty,
+           sqrt((sxx - (sx * sx) / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE)))             AS stddev_qty
+    FROM s
+    """,
+    tags=("A2", "A6"),
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance / stddev (A2 closure) from exact decimal sums.
+
+    A raw ``stddev_samp(double)`` is association-sensitive (Welford /
+    pairwise merges differ per engine and per partitioning); deriving the
+    moments from order-independent exact decimal sums (Σx, Σx²) with one
+    fixed double expression makes the result bit-identical across engines
+    AND across cluster layouts — the reproducibility property that matters
+    when a 100 TB job re-runs with different partition counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("l_quantity").alias("n"),
+        dsum("l_quantity").alias("sx"),
+        dsum_mul("l_quantity", "l_quantity").alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    var = (F.col("sxx") - (F.col("sx") * F.col("sx")) / n_d) / (n_d - F.lit(1.0))
+    return agg.select(
+        "l_returnflag",
+        "n",
+        (F.col("sx") / n_d).alias("mean_qty"),
+        var.alias("var_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+    )
+
+
+@query(
+    "q_corr_cov",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_linestatus,
+             CAST(count(*) AS BIGINT)                        AS n,
+             {o_dsum("l_quantity")}                          AS sx,
+             {o_dsum("l_discount")}                          AS sy,
+             {o_dsum_mul("l_quantity", "l_quantity")}        AS sxx,
+             {o_dsum_mul("l_discount", "l_discount")}        AS syy,
+             {o_dsum_mul("l_quantity", "l_discount")}        AS sxy
+      FROM lineitem GROUP BY l_linestatus
+    )
+    SELECT l_linestatus, n,
+           (sxy - (sx * sy) / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE))       AS cov_qty_disc,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))   AS corr_qty_disc
+    FROM s
+    """,
+    tags=("A2",),
+)
+def q_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance + Pearson correlation (A2 closure) between
+    quantity and discount, derived from the five exact decimal sums
+    (Σx, Σy, Σx², Σy², Σxy) via one fixed double expression — same
+    engine/partitioning-independence argument as q_stats_moments, and
+    still a single map-side-combining hash aggregate.  (Small 2-dp
+    operands keep every per-row decimal product far below DuckDB's
+    18-digit product cap at any scale factor; the price column would
+    overflow it when squared.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"),
+        dsum("l_quantity").alias("sx"),
+        dsum("l_discount").alias("sy"),
+        dsum_mul("l_quantity", "l_quantity").alias("sxx"),
+        dsum_mul("l_discount", "l_discount").alias("syy"),
+        dsum_mul("l_quantity", "l_discount").alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    cov = (F.col("sxy") - (F.col("sx") * F.col("sy")) / n_d) / (n_d - F.lit(1.0))
+    corr = (n_d * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n_d * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n_d * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        "l_linestatus", "n", cov.alias("cov_qty_disc"), corr.alias("corr_qty_disc")
+    )
+
+
+@query(
+    "q_string_agg",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           string_agg(c_name, ',' ORDER BY c_acctbal, c_custkey) AS names_csv,
+           CAST(count(*) AS BIGINT)                              AS n_customers
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+    tags=("A7",),
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-BY string aggregation (A7 closure): customer names per
+    nation × segment concatenated in (acctbal, custkey) order.  Spark has
+    no ordered listagg, so the deterministic form is sort_array over
+    collect_list(struct(sort keys…, value)) then transform+array_join —
+    struct comparison is field-order lexicographic, which reproduces the
+    SQL ORDER BY exactly and stays a single hash aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    lst = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("c_acctbal").alias("b"),
+                F.col("c_custkey").alias("k"),
+                F.col("c_name").alias("v"),
+            )
+        )
+    )
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.array_join(F.transform(lst, lambda s: s["v"]), ",").alias("names_csv"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+@query(
+    "q_maxby_boolagg",
+    oracle="""
+    SELECT o_orderpriority,
+           max_by(o_orderstatus, o_orderkey)  AS last_status,
+           min_by(o_orderstatus, o_orderkey)  AS first_status,
+           bool_and(o_totalprice > 900.0)     AS all_above_floor,
+           bool_or(o_orderstatus = 'P')       AS any_pending
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("A2", "A7"),
+)
+def q_maxby_boolagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin + boolean aggregates (A2/A7 closure): max_by /
+    min_by keyed on the unique order key (so ties cannot make the result
+    engine-dependent) plus bool_and / bool_or — all partial-aggregable,
+    so the shuffle carries one row per group."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderstatus", "o_orderkey").alias("last_status"),
+        F.min_by("o_orderstatus", "o_orderkey").alias("first_status"),
+        F.bool_and(F.col("o_totalprice") > 900.0).alias("all_above_floor"),
+        F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+    )
+
+
+@query(
     "q_approx_percentile",
     oracle=None,  # sketch output is implementation-defined — rows-only
     tags=("A6", "A4"),

@@ -238,3 +238,33 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.col("asof_ts").cast("timestamp"))
         ).alias("micros_since_error"),
     )
+
+
+_EXISTS_SQL = """
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM {customer} c
+    WHERE EXISTS (SELECT 1 FROM {orders} o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > CAST(200000 AS DOUBLE))
+      AND NOT EXISTS (SELECT 1 FROM {orders} o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+"""
+
+
+@query(
+    "q_exists_subquery",
+    oracle=_EXISTS_SQL.format(customer="customer", orders="orders"),
+    tags=("J4", "J3"),
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS (J4 closure): customers with at
+    least one big-ticket order and no finished orders.  Written as SQL so
+    Catalyst's subquery rewrite does the work — it decorrelates into a
+    left-semi plus a left-anti hash join (one shuffle each, aggregations
+    never materialize the subquery), which is exactly the set-oriented
+    form of the reference's per-row existence probe
+    (src/Database.h:23-25 ON CONFLICT DO NOTHING)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_ex_v")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ex_v")
+    return spark.sql(_EXISTS_SQL.format(customer="customer_ex_v", orders="orders_ex_v"))

@@ -292,3 +292,44 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys(m)).alias("n_keys"),
         F.element_at(m, "k").alias("k_val"),
     )
+
+
+@query(
+    "q_higher_order_arrays",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           list_reduce(
+             list_prepend(CAST(0 AS DOUBLE),
+                          list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+             (a, b) -> a + b)                                    AS l1_norm,
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)[1] AS first_doubled,
+           len(list_filter(embedding,
+                           x -> CAST(x AS DOUBLE) > CAST(0.9 AS DOUBLE))) > 0 AS has_big
+    FROM embeddings
+    """,
+    tags=("P12",),
+)
+def q_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array lambdas (P12 closure) over the embedding
+    column: filter / transform / left-fold aggregate / element access.
+    These compile to Catalyst expressions (NOT Python UDFs) — the lambda
+    runs inside codegen per row, so vector math at 100 TB stays JVM-side
+    and map-only.  The fold is left-to-right in both engines, and every
+    float is widened to double before arithmetic, so sums match
+    bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(arr, lambda x: x > 0)).alias("n_pos"),
+        F.aggregate(
+            arr, F.lit(0.0), lambda acc, x: acc + F.abs(x.cast("double"))
+        ).alias("l1_norm"),
+        F.element_at(
+            F.transform(arr, lambda x: x.cast("double") * F.lit(2)), 1
+        ).alias("first_doubled"),
+        (F.size(F.filter(arr, lambda x: x.cast("double") > F.lit(0.9))) > 0).alias(
+            "has_big"
+        ),
+    )

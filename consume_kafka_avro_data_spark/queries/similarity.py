@@ -669,3 +669,66 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_frames"),
         F.sum(F.length("frame")).alias("total_frame_bytes"),
     )
+
+
+@query(
+    "q_label_centroids",
+    oracle="""
+    WITH per AS (
+      SELECT label,
+             CAST(count(*) AS BIGINT) AS n,
+             list_reduce(
+               list(list_transform(embedding, x -> CAST(x AS DOUBLE))
+                    ORDER BY vec_id),
+               (a, b) -> list_transform(list_zip(a, b), p -> p[1] + p[2])
+             ) AS sum_vec
+      FROM embeddings GROUP BY label
+    )
+    SELECT label, n,
+           CAST(u.i AS INT)                       AS pos,
+           sum_vec[u.i] / CAST(n AS DOUBLE)       AS component
+    FROM per, unnest(range(1, len(sum_vec) + 1)) AS u(i)
+    """,
+    tags=("U6", "A7"),
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (the IVF/k-means centroid-refresh step,
+    U6) with an exact cross-engine result: vectors are folded in vec_id
+    order (sort_array over collect_list, then a zip_with-add left fold),
+    so the double accumulation order is pinned and both engines produce
+    bit-identical centroids — the oracle-checkable twin of the sampled
+    k-means in operators/similarity.py.  Emitted exploded (label, pos,
+    component) so every component is a typed scalar cell.  Scale note:
+    collect_list per label is the same state a mean-vector UDAF carries;
+    for very hot labels the two-level form (salt → partial sum_vec →
+    zip_with-merge) bounds state — here the fold form is chosen because
+    it is the only one whose accumulation order is *provably* identical
+    across engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    lst = F.sort_array(
+        F.collect_list(F.struct(F.col("vec_id").alias("k"), as_double.alias("v")))
+    )
+    per = emb.groupBy("label").agg(
+        F.count("*").alias("n"), lst.alias("lst")
+    )
+    dim = F.size(F.element_at(F.col("lst"), 1)["v"])
+    zero = F.array_repeat(F.lit(0.0), dim)
+    sum_vec = F.aggregate(
+        F.transform(F.col("lst"), lambda s: s["v"]),
+        zero,
+        lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+    )
+    n_d = F.col("n").cast("double")
+    return (
+        per.select(
+            "label",
+            "n",
+            F.posexplode(F.transform(sum_vec, lambda x: x / n_d)).alias(
+                "pos0", "component"
+            ),
+        )
+        .select(
+            "label", "n", (F.col("pos0") + 1).cast("int").alias("pos"), "component"
+        )
+    )

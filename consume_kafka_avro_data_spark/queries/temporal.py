@@ -119,3 +119,52 @@ def q_session_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_sessions"),
         F.count("*").alias("n_events"),
     )
+
+
+@query(
+    "q_calendar_densify",
+    oracle=f"""
+    WITH months AS (
+      SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '2001-12-01',
+                                         INTERVAL 1 MONTH)) AS DATE) AS month
+    ), agg AS (
+      SELECT CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS DATE) AS month,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             {o_dsum("o_totalprice")} AS sum_price
+      FROM orders GROUP BY 1
+    )
+    SELECT m.month,
+           COALESCE(a.n_orders, 0)                  AS n_orders,
+           COALESCE(a.sum_price, CAST(0 AS DOUBLE)) AS sum_price
+    FROM months m LEFT JOIN agg a USING (month)
+    """,
+    tags=("P10", "T6"),
+)
+def q_calendar_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification (P10/T6 closure): a generated month spine
+    left-joined to monthly order aggregates so silent months appear as
+    zeros — the gap-filling step every time-series rollup needs.  The
+    spine is sequence()+explode (a few dozen rows, broadcast to the agg
+    side); the fact-table aggregate is the only shuffle, so the plan is
+    scan → partial/final agg → broadcast join at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    months = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("2001-12-01").cast("date"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("month")
+    )
+    agg = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+    return months.join(F.broadcast(agg), "month", "left").select(
+        "month",
+        F.coalesce(F.col("n_orders"), F.lit(0).cast("long")).alias("n_orders"),
+        F.coalesce(F.col("sum_price"), F.lit(0.0)).alias("sum_price"),
+    )

@@ -291,3 +291,133 @@ def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "q_repetition_stats",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+           unnest(range(1, len(toks))) AS u(i)
+    ), counts AS (
+      SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(c)   AS BIGINT) AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(1 AS DOUBLE)
+             - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_frac,
+           CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)       AS top_frac
+    FROM counts
+    GROUP BY doc_id
+    """,
+    tags=("U7", "U5"),
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition features (U7): per-document duplicate
+    2-gram fraction and most-common-2-gram fraction — the standard
+    boilerplate/degenerate-text signals a training-data quality filter
+    cuts on.  Bigrams are built by a codegen lambda (sequence +
+    element_at), exploded locally, then counted: the only shuffle keys on
+    (doc_id, gram), and the per-doc reduction is a second partial-agg
+    pass on doc_id — both shrink map-side at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + F.lit(1))
+        ),
+    )
+    counts = (
+        d.select("doc_id", F.explode(bigrams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count("*").alias("n_distinct"),
+        (
+            F.lit(1.0)
+            - F.count("*").cast("double") / F.sum("c").cast("double")
+        ).alias("dup_frac"),
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias("top_frac"),
+    )
+
+
+_EMAIL_RE = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+_NUM_RE = r"[0-9]+"
+
+
+@query(
+    "q_pii_scrub",
+    oracle=f"""
+    WITH msgs AS (
+      SELECT event_id,
+             'contact user' || CAST(user_id AS VARCHAR) || ' at user'
+               || CAST(user_id AS VARCHAR) || '@example.com re ' || event_type AS msg
+      FROM events WHERE event_id % 3 = 0
+    )
+    SELECT event_id,
+           regexp_replace(regexp_replace(msg, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_NUM_RE}', '[NUM]', 'g')            AS scrubbed,
+           CAST(len(regexp_extract_all(msg, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(msg, '{_NUM_RE}')) AS INT)   AS n_numbers
+    FROM msgs
+    """,
+    tags=("U7", "P9"),
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (U7): render a message column containing ids and
+    emails, then scrub with regexp_replace and count the redactions with
+    regexp_extract_all — the pre-training scrubbing pass, expressed as
+    pure codegen regex (RE2-compatible patterns, so the identical regex
+    runs on both engines).  Map-only: scales at scan speed."""
+    e = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    msg = F.concat(
+        F.lit("contact user"), uid, F.lit(" at user"), uid,
+        F.lit("@example.com re "), F.col("event_type"),
+    )
+    return e.where(F.col("event_id") % 3 == 0).select(
+        "event_id",
+        F.regexp_replace(
+            F.regexp_replace(msg, _EMAIL_RE, "[EMAIL]"), _NUM_RE, "[NUM]"
+        ).alias("scrubbed"),
+        F.size(F.regexp_extract_all(msg, F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(msg, F.lit(_NUM_RE), 0)).alias("n_numbers"),
+    )
+
+
+@query(
+    "q_token_len_histogram",
+    oracle="""
+    SELECT (len(string_split(text, ' ')) // 8) * 8 AS bucket,
+           CAST(count(*) AS BIGINT)                AS n_docs,
+           CAST(min(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+           CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("U7",),
+)
+def q_token_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (U7): fixed-width (8-token) buckets over
+    document lengths — the length-distribution audit that precedes
+    choosing chunk sizes and length filters for a training corpus.
+    Integer-exact everywhere; single partial-agg shuffle on ~a dozen
+    bucket keys."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    return (
+        d.select(((n_tok / 8).cast("long") * 8).alias("bucket"), n_tok.alias("n"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n").alias("min_tokens"),
+            F.max("n").alias("max_tokens"),
+            F.sum("n").alias("total_tokens"),
+        )
+    )

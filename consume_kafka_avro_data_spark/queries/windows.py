@@ -173,3 +173,33 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
     o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
     return c.intersect(o)
+
+
+@query(
+    "q_ntile_buckets",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           percent_rank() OVER w        AS pct_rank,
+           cume_dist() OVER w           AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("W1",),
+)
+def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranking (W1 closure): ntile / percent_rank /
+    cume_dist per priority class.  The ORDER BY includes the unique
+    order key so every rank is total — percent_rank and cume_dist become
+    exact rationals of row positions, identical across engines.  One
+    shuffle on the partition key; ranks stream within each partition."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

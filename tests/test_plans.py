@@ -161,3 +161,50 @@ def test_neardup_joins_single_candidate_shuffle(q):
     assert I.exchange_count(q("q_minhash_neardup")) <= 2
     assert I.exchange_count(q("q_simhash_neardup")) <= 2
     assert I.exchange_count(q("q_ngram_jaccard")) <= 4
+
+
+def test_exists_subquery_decorrelates_to_semi_anti(q):
+    """EXISTS/NOT EXISTS must become semi + anti hash joins — no
+    per-row subquery execution, no nested-loop fallback."""
+    plan = I.simple_plan(q("q_exists_subquery"))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_calendar_densify_spine_broadcasts(q):
+    """The generated month spine must broadcast-join the aggregated fact
+    side: exactly the one aggregate shuffle, never a sort-merge against
+    an 84-row spine."""
+    df = q("q_calendar_densify")
+    assert I.broadcast_join_count(df) >= 1
+    assert I.exchange_count(df) <= 1
+
+
+def test_stats_moments_single_pass(q):
+    """All five moment sums must come from ONE partial+final aggregate —
+    a second scan of a 100 TB fact table is a plan bug."""
+    df = q("q_stats_moments")
+    plan = I.simple_plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert I.exchange_count(df) == 1
+
+
+def test_higher_order_arrays_is_map_only(q):
+    """Array lambdas are codegen expressions: no exchange, no Python."""
+    df = q("q_higher_order_arrays")
+    assert I.exchange_count(df) == 0
+    assert "BatchEvalPython" not in I.simple_plan(df)
+
+
+def test_repetition_stats_two_aggs(q):
+    """Bigram explode is map-local; then (doc,gram) count + per-doc
+    reduction are two partial-agg shuffles — nothing else."""
+    df = q("q_repetition_stats")
+    assert I.exchange_count(df) == 2
+
+
+def test_pii_scrub_is_map_only(q):
+    df = q("q_pii_scrub")
+    assert I.exchange_count(df) == 0
+    assert I.pushed_filters(df), "event_id % 3 filter not pushed to scan"
