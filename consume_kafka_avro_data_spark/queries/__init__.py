@@ -5,6 +5,7 @@ registers every query into :mod:`consume_kafka_avro_data_spark.registry`.
 from consume_kafka_avro_data_spark.queries import (  # noqa: F401
     aggregates,
     avro_q,
+    curation,
     graph,
     joins,
     scans,

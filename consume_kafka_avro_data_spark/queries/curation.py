@@ -1,0 +1,339 @@
+"""Training-data curation queries (charter EXT surface, SURVEY §2.7/§2.8).
+
+The corpus-statistics + sampling + decontamination closure of an LLM
+data pipeline: deterministic stratified sampling, vocabulary statistics,
+Zipf head, unigram-LM perplexity scoring (the CCNet-style quality
+filter), eval-set n-gram decontamination, and fixed-iteration PageRank
+over the materialized SPO graph (the reference's `objects`/
+`relationships` tables, `src/Database.h:23-31`, queried analytically).
+
+Cross-engine exactness tricks reused from the rest of the catalog:
+fixed-width lowercase md5 hex prefixes compare identically as strings
+and numbers; double folds pinned to an explicit order (sort_array +
+F.aggregate ≡ DuckDB list(ORDER BY) + list_reduce) are bit-identical;
+`ln`/IEEE division match bit-for-bit between the JVM and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from consume_kafka_avro_data_spark.registry import query
+from consume_kafka_avro_data_spark.tables import load_table
+
+
+def _lower_tokens() -> F.Column:
+    return F.split(F.lower(F.col("text")), " ")
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+          CASE lang WHEN 'en' THEN '8000'
+                    WHEN 'zh' THEN 'e666'
+                    ELSE 'cccc' END
+    """,
+    tags=("U4", "curation"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (data-mixing step): keep ~50%
+    of English, ~90% of Chinese, ~80% of everything else, decided by a
+    content-addressed hash bucket — no RNG, so the sample is stable
+    under re-runs, repartitioning, and engine changes.  Pure codegen
+    (md5 + string compare on fixed-width hex); the filter runs at scan
+    time with zero shuffles at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thr = (
+        F.when(F.col("lang") == "en", F.lit("8000"))
+        .when(F.col("lang") == "zh", F.lit("e666"))
+        .otherwise(F.lit("cccc"))
+    )
+    return d.where(bucket < thr).select(
+        "doc_id", "lang", "source", bucket.alias("bucket")
+    )
+
+
+@query(
+    "q_vocab_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    v AS (SELECT tok, count(*) AS freq FROM tok WHERE tok <> '' GROUP BY tok)
+    SELECT CAST(sum(freq) AS BIGINT)                       AS n_tokens,
+           CAST(count(*) AS BIGINT)                        AS n_types,
+           CAST(count(*) FILTER (freq = 1) AS BIGINT)      AS n_hapax,
+           CAST(count(*) AS DOUBLE) / CAST(sum(freq) AS DOUBLE) AS ttr
+    FROM v
+    """,
+    tags=("U7", "A2", "curation"),
+)
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: token count, type count, hapax
+    legomena, type-token ratio.  Two partial+final hash aggregates
+    (token→freq, then one global row); integer sums are exact so no
+    decimal machinery is needed.  The vocab aggregate is the same
+    shuffle any tf-idf / unigram-LM pass performs — at 100 TB it is
+    bounded by vocabulary size, not corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(_lower_tokens()).alias("tok")).where(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    return vocab.agg(
+        F.sum("freq").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("freq") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        (F.count(F.lit(1)).cast("double") / F.sum("freq").cast("double")).alias("ttr"),
+    )
+
+
+@query(
+    "q_zipf_topterms",
+    oracle="""
+    SELECT tok, CAST(freq AS BIGINT) AS freq,
+           CAST(row_number() OVER (ORDER BY freq DESC, tok) AS INT) AS rank
+    FROM (SELECT tok, count(*) AS freq
+          FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+                FROM documents)
+          WHERE tok <> '' GROUP BY tok)
+    ORDER BY freq DESC, tok
+    LIMIT 50
+    """,
+    tags=("U7", "W5", "curation"),
+)
+def q_zipf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf head of the corpus: top-50 tokens by frequency with a
+    deterministic (freq desc, token asc) total order.  Spark compiles
+    the sort+limit to TakeOrdered (per-partition heap + 50-row driver
+    merge) over the vocab-sized aggregate — no global sort of the
+    vocabulary ever materializes."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(_lower_tokens()).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    return (
+        vocab.orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(50)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("tok", F.col("freq").cast("long").alias("freq"), "rank")
+    )
+
+
+@query(
+    "q_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source, array_to_string(t[i : i + 7], ' ') AS g
+      FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+    ),
+    eval_g AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+    train_g AS (SELECT DISTINCT doc_id, g FROM grams WHERE source <> 'src0')
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+    FROM train_g t JOIN eval_g e USING (g)
+    GROUP BY t.doc_id
+    """,
+    tags=("U5", "U7", "curation"),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs (every source but
+    the held-out 'src0' eval slice) that share any word 8-gram with the
+    eval set, with the count of distinct shared 8-grams.  The eval-side
+    distinct-gram set is vocabulary-sized and broadcast; the train side
+    streams through the semi-ish join — the standard at-scale shape
+    (eval sets are tiny next to the corpus).  Docs shorter than 8
+    tokens produce no grams on either engine."""
+    d = load_table(spark, sf_dir, "documents")
+    t = _lower_tokens()
+    grams_expr = F.when(
+        F.size(t) >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 7),
+            lambda i: F.concat_ws(" ", F.slice(t, i, 8)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select("doc_id", "source", F.explode(grams_expr).alias("g"))
+    eval_g = grams.where(F.col("source") == "src0").select("g").distinct()
+    train_g = (
+        grams.where(F.col("source") != "src0").select("doc_id", "g").distinct()
+    )
+    return (
+        train_g.join(F.broadcast(eval_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+@query(
+    "q_perplexity",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id,
+             generate_subscripts(t, 1) AS pos,
+             unnest(t) AS tok
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+    ),
+    tkf AS (SELECT * FROM tk WHERE tok <> ''),
+    uni AS (SELECT tok, count(*) AS cnt FROM tkf GROUP BY tok),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM uni),
+    lp AS (SELECT tok, ln(CAST(cnt AS DOUBLE) / n) AS lp FROM uni, tot),
+    per AS (
+      SELECT doc_id, count(*) AS n_toks,
+             list_reduce(list(lp ORDER BY pos), (a, b) -> a + b) AS s
+      FROM tkf JOIN lp USING (tok)
+      GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_toks AS BIGINT)            AS n_tokens,
+           -s / CAST(n_toks AS DOUBLE)       AS avg_nll
+    FROM per
+    """,
+    tags=("U7", "curation"),
+)
+def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity scoring (the CCNet-style quality filter):
+    fit token log-probs on the corpus itself, then score each document
+    by average negative log-likelihood.  The unigram model is
+    vocabulary-sized and broadcast back onto the token stream; the
+    per-doc sum folds in token-position order (sort_array + aggregate),
+    so the double accumulation is bit-identical to the DuckDB twin.
+    At 100 TB the two passes are both corpus-shuffles bounded by vocab
+    size and doc count — the same shape as tf-idf."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.posexplode(_lower_tokens()).alias("pos", "tok"))
+        .where(F.col("tok") != "")
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = uni.agg(F.sum("cnt").cast("double").alias("n"))
+    lp = uni.crossJoin(F.broadcast(tot)).select(
+        "tok", F.log(F.col("cnt").cast("double") / F.col("n")).alias("lp")
+    )
+    per = (
+        toks.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.aggregate(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("pos"), F.col("lp")))
+                    ),
+                    lambda s: s["lp"],
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ).alias("s"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_toks").cast("long").alias("n_tokens"),
+        (-F.col("s") / F.col("n_toks").cast("double")).alias("avg_nll"),
+    )
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Chained-CTE PageRank twin: per-iteration in-rank sums fold in
+    source-node order via list(... ORDER BY src) + list_reduce, matching
+    the Spark side's sort_array + F.aggregate fold exactly."""
+    ctes = ["""
+    fwd AS (
+      SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+                      't:' || event_type               AS dst
+      FROM events
+    ),
+    edges AS (
+      SELECT src, dst FROM fwd
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM fwd
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+               FROM edges GROUP BY src),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank FROM nodes, nn)"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""
+    r{k} AS (
+      SELECT n.node,
+             CAST('0.15' AS DOUBLE) / nn.n
+               + CAST('0.85' AS DOUBLE) * coalesce(s.s, CAST(0 AS DOUBLE)) AS rank
+      FROM nodes n
+      CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               list_reduce(list(r.rank / d.deg ORDER BY e.src),
+                           (a, b) -> a + b) AS s
+        FROM edges e
+        JOIN r{k - 1} r ON r.node = e.src
+        JOIN outdeg d ON d.src = e.src
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+    )""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"\n    SELECT node, rank AS pagerank FROM r{iters}"
+    )
+
+
+@query("q_pagerank", oracle=_pagerank_oracle(3), tags=("J5", "A2", "graph"))
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (d=0.85, 3 rounds) over the bipartite
+    SPO graph the reference materializes (users ↔ event types; the
+    `objects`/`relationships` closure of src/Database.h:23-31).  Each
+    round is one shuffle keyed on the destination node; in-rank
+    contributions fold in source-node order so the double sums are
+    bit-identical across engines.  At scale the per-node fold state is
+    bounded by in-degree — hot nodes would take the two-level
+    salt+partial-merge form, traded here for provable accumulation
+    order.  N (node count) is a driver-side scalar, as in any
+    iterative driver program."""
+    ev = load_table(spark, sf_dir, "events")
+    fwd = (
+        ev.select(
+            F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+            F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = edges.persist()
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    n = nodes.count()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(outdeg, "src")
+            .select("src", "dst", (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        sums = contrib.groupBy("dst").agg(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct(F.col("src"), F.col("c")))),
+                    lambda s: s["c"],
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ).alias("s")
+        )
+        ranks = nodes.join(sums, nodes.node == sums.dst, "left").select(
+            "node",
+            (
+                F.lit(0.15 / n)
+                + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select("node", F.col("rank").alias("pagerank"))

@@ -208,3 +208,53 @@ def test_pii_scrub_is_map_only(q):
     df = q("q_pii_scrub")
     assert I.exchange_count(df) == 0
     assert I.pushed_filters(df), "event_id % 3 filter not pushed to scan"
+
+
+def test_stratified_sample_is_map_only(q):
+    """Hash-bucket sampling is a scan-time filter: zero shuffles at any
+    scale, no Python."""
+    df = q("q_stratified_sample")
+    assert I.exchange_count(df) == 0
+    assert "BatchEvalPython" not in I.simple_plan(df)
+
+
+def test_vocab_stats_bounded_shuffles(q):
+    """Vocab aggregate shuffles once on token; the global reduction adds
+    at most one single-partition exchange of vocab-sized data."""
+    df = q("q_vocab_stats")
+    assert I.exchange_count(df) <= 2
+    assert I.simple_plan(df).count("HashAggregate") >= 2
+
+
+def test_zipf_topterms_is_heap_not_sort(q):
+    """Top-50 of the vocab aggregate must compile to TakeOrdered, never
+    a global range-partitioned sort of the vocabulary."""
+    plan = I.simple_plan(q("q_zipf_topterms"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_decontaminate_broadcasts_eval_set(q):
+    """The distinct eval-gram set must broadcast onto the train stream —
+    the corpus side never shuffles for the contamination probe itself."""
+    df = q("q_decontaminate")
+    assert I.broadcast_join_count(df) >= 1
+    assert I.exchange_count(df) <= 3
+
+
+def test_perplexity_broadcasts_unigram_model(q):
+    """The vocab-sized log-prob table joins the token stream as a
+    broadcast; only the vocab aggregate and the per-doc reduction
+    shuffle.  No Python anywhere."""
+    df = q("q_perplexity")
+    assert I.broadcast_join_count(df) >= 1
+    assert I.exchange_count(df) <= 3
+    assert "BatchEvalPython" not in I.simple_plan(df)
+
+
+def test_pagerank_stays_jvm_hash_joins(q):
+    """Iterative PageRank must stay on hash joins + partial aggregates —
+    no nested-loop join, no Python in the loop body."""
+    plan = I.simple_plan(q("q_pagerank"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
