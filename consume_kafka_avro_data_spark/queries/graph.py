@@ -139,3 +139,128 @@ def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("out_degree")
     )
     return deg.groupBy("out_degree").agg(F.count("*").alias("n_vertices"))
+
+
+@query(
+    "q_coengagement_pairs",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    deg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS deg FROM ut GROUP BY user_id),
+    pairs AS (
+      SELECT a.user_id AS u1, b.user_id AS u2, CAST(count(*) AS BIGINT) AS shared
+      FROM ut a JOIN ut b
+        ON a.event_type = b.event_type AND a.user_id < b.user_id
+      GROUP BY 1, 2
+    )
+    SELECT u1, u2, shared,
+           CAST(shared AS DOUBLE)
+             / CAST(d1.deg + d2.deg - shared AS DOUBLE) AS jaccard,
+           CAST(row_number() OVER (
+             ORDER BY CAST(shared AS DOUBLE)
+                        / CAST(d1.deg + d2.deg - shared AS DOUBLE) DESC,
+                      u1, u2) AS INT) AS rank
+    FROM pairs
+    JOIN deg d1 ON d1.user_id = u1
+    JOIN deg d2 ON d2.user_id = u2
+    ORDER BY jaccard DESC, u1, u2
+    LIMIT 50
+    """,
+    tags=("J5", "A2", "graph"),
+)
+def q_coengagement_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-engagement similarity (J5): Jaccard over the bipartite SPO
+    graph's subject side — user pairs ranked by |types∩| / |types∪|,
+    the user-user projection of the reference's entity/relationship
+    store (src/Database.h:23-31).  One self-join keyed on the type
+    vertex generates wedges; per-pair intersection counts aggregate in
+    the same shuffle; degrees broadcast back onto the pair stream.  The
+    top-50 compiles to TakeOrdered.  At scale the wedge fan-out of hot
+    type vertices is the butterfly-counting skew problem — the standard
+    mitigation (cap or sample hub vertices) slots in as a degree filter
+    on the join input; correctness here keeps the exact form.  Single
+    IEEE division per pair → bit-identical across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    deg = ut.groupBy("user_id").agg(F.count(F.lit(1)).alias("deg"))
+    a, b = ut.alias("a"), ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("u1"), F.col("b.user_id").alias("u2")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    d1 = deg.select(F.col("user_id").alias("u1"), F.col("deg").alias("deg1"))
+    d2 = deg.select(F.col("user_id").alias("u2"), F.col("deg").alias("deg2"))
+    jac = F.col("shared").cast("double") / (
+        F.col("deg1") + F.col("deg2") - F.col("shared")
+    ).cast("double")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("jaccard"), F.asc("u1"), F.asc("u2"))
+    return (
+        pairs.join(F.broadcast(d1), "u1")
+        .join(F.broadcast(d2), "u2")
+        .select("u1", "u2", "shared", jac.alias("jaccard"))
+        .orderBy(F.desc("jaccard"), F.asc("u1"), F.asc("u2"))
+        .limit(50)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("u1", "u2", "shared", "jaccard", "rank")
+    )
+
+
+@query(
+    "q_butterfly_census",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    tdeg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS d
+             FROM ut GROUP BY event_type),
+    pairs AS (
+      SELECT a.user_id AS u1, b.user_id AS u2, CAST(count(*) AS BIGINT) AS shared
+      FROM ut a JOIN ut b
+        ON a.event_type = b.event_type AND a.user_id < b.user_id
+      GROUP BY 1, 2
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM ut)            AS n_edges,
+           (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM tdeg) AS n_wedges,
+           (SELECT CAST(count(*) AS BIGINT) FROM pairs)          AS n_connected_pairs,
+           (SELECT CAST(sum(shared * (shared - 1) / 2) AS BIGINT) FROM pairs) AS n_butterflies
+    """,
+    tags=("J5", "A2", "graph"),
+)
+def q_butterfly_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite motif census (J5/A2): edges, wedges (2-paths through a
+    type vertex), connected user pairs, and butterflies (4-cycles — the
+    bipartite analogue of triangles, the standard cohesion measure for
+    bipartite graphs, counted per-pair as C(shared,2)).  Wedges come
+    from type degrees alone (no join); butterflies reuse the
+    co-engagement wedge join.  Everything is integer arithmetic —
+    exact at any scale and partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct().persist()
+    tdeg = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("d"))
+    a, b = ut.alias("a"), ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(F.col("a.user_id").alias("u1"), F.col("b.user_id").alias("u2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    n_edges = ut.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_wedges = tdeg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    pair_stats = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_connected_pairs"),
+        F.sum(F.col("shared") * (F.col("shared") - 1) / 2)
+        .cast("long")
+        .alias("n_butterflies"),
+    )
+    return n_edges.crossJoin(n_wedges).crossJoin(pair_stats)

@@ -268,3 +268,81 @@ def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_ex_v")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ex_v")
     return spark.sql(_EXISTS_SQL.format(customer="customer_ex_v", orders="orders_ex_v"))
+
+
+@query(
+    "q_supply_chain_reach",
+    oracle="""
+    WITH h1 AS (
+      SELECT n_nationkey FROM nation
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    ),
+    h2 AS (SELECT DISTINCT c_custkey FROM customer
+           JOIN h1 ON c_nationkey = n_nationkey),
+    h3 AS (SELECT DISTINCT o_orderkey FROM orders
+           JOIN h2 ON o_custkey = c_custkey),
+    h4 AS (SELECT DISTINCT l_suppkey FROM lineitem
+           JOIN h3 ON l_orderkey = o_orderkey),
+    h5 AS (SELECT DISTINCT s_nationkey FROM supplier
+           JOIN h4 ON s_suppkey = l_suppkey)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM h1) AS n_nations,
+           (SELECT CAST(count(*) AS BIGINT) FROM h2) AS n_customers,
+           (SELECT CAST(count(*) AS BIGINT) FROM h3) AS n_orders,
+           (SELECT CAST(count(*) AS BIGINT) FROM h4) AS n_suppliers,
+           (SELECT CAST(count(*) AS BIGINT) FROM h5) AS n_supplier_nations
+    """,
+    tags=("J3", "J5"),
+)
+def q_supply_chain_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop reachability (J5) over the relational graph: starting
+    from one region, the BFS frontier sizes through nations → customers
+    → orders → supplying suppliers → supplier nations.  Each hop is an
+    equi-join against the (distinct) previous frontier; every frontier
+    up to orders is dimension-sized, so Catalyst broadcasts it onto the
+    next fact table and the only real shuffles are the distinct()
+    reductions — the frontier-expansion shape any iterative graph
+    traversal (and q_pagerank's loop) uses.  Counts are integers:
+    exact on both engines."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    h1 = (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .select("n_nationkey")
+    )
+    h2 = (
+        customer.join(F.broadcast(h1), customer.c_nationkey == h1.n_nationkey)
+        .select("c_custkey")
+        .distinct()
+    )
+    h3 = (
+        orders.join(F.broadcast(h2), orders.o_custkey == h2.c_custkey)
+        .select("o_orderkey")
+        .distinct()
+    )
+    h4 = (
+        lineitem.join(F.broadcast(h3), lineitem.l_orderkey == h3.o_orderkey)
+        .select("l_suppkey")
+        .distinct()
+    )
+    h5 = (
+        supplier.join(F.broadcast(h4), supplier.s_suppkey == h4.l_suppkey)
+        .select("s_nationkey")
+        .distinct()
+    )
+    counts = [
+        h1.agg(F.count(F.lit(1)).cast("long").alias("n_nations")),
+        h2.agg(F.count(F.lit(1)).cast("long").alias("n_customers")),
+        h3.agg(F.count(F.lit(1)).cast("long").alias("n_orders")),
+        h4.agg(F.count(F.lit(1)).cast("long").alias("n_suppliers")),
+        h5.agg(F.count(F.lit(1)).cast("long").alias("n_supplier_nations")),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out

@@ -421,3 +421,112 @@ def q_token_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").alias("total_tokens"),
         )
     )
+
+
+@query(
+    "q_bm25_rank",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    tokf AS (SELECT * FROM toks WHERE tok <> ''),
+    dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tokf GROUP BY doc_id),
+    st AS (SELECT CAST(sum(dl) AS DOUBLE) AS total_dl,
+                  CAST(count(*) AS DOUBLE) AS n_docs
+           FROM dl),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+           FROM tokf WHERE tok IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+    dfq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+    sc AS (
+      SELECT t.doc_id, t.tok,
+             (ln((st.n_docs - d.df + CAST('0.5' AS DOUBLE))
+                 / (d.df + CAST('0.5' AS DOUBLE)) + CAST('1' AS DOUBLE))
+              * (t.tf * CAST('2.2' AS DOUBLE)))
+             / (t.tf + CAST('1.2' AS DOUBLE)
+                       * (CAST('0.25' AS DOUBLE)
+                          + CAST('0.75' AS DOUBLE) * (l.dl / (st.total_dl / st.n_docs))))
+             AS score
+      FROM tf t JOIN dfq d USING (tok) JOIN dl l USING (doc_id) CROSS JOIN st
+    ),
+    per AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+             ROUND(list_reduce(list(score ORDER BY tok), (a, b) -> a + b), 6)
+               AS bm25
+      FROM sc GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms, bm25,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+    FROM per
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+    tags=("U7", "W5"),
+)
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking (U7): score every document against a fixed
+    query ('hash join vector') with Okapi BM25 (k1=1.2, b=0.75, the
+    +1-inside-ln idf so scores stay positive) and return the top-20 with
+    a deterministic (score desc, doc_id) order.  The corpus contributes
+    one tf shuffle and one doc-length shuffle; df and the corpus-size
+    scalars are vocabulary-sized broadcasts; the final top-k compiles to
+    TakeOrdered, never a global sort.  Per-doc term scores fold in term
+    order (sort_array + aggregate ≡ list(ORDER BY tok) + list_reduce) so
+    the double accumulation is partition-order independent; the final
+    score is rounded to 6 dp before ranking because the JVM's Math.log
+    and libm's ln differ by 1 ulp for some arguments — the one non-IEEE
+    step in the pipeline."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    st = dl.agg(
+        F.sum("dl").cast("double").alias("total_dl"),
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+    )
+    tf = (
+        toks.where(F.col("tok").isin("hash", "join", "vector"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    score = (idf * (F.col("tf") * F.lit(2.2))) / (
+        F.col("tf")
+        + F.lit(1.2)
+        * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / (F.col("total_dl") / F.col("n_docs"))))
+    )
+    sc = (
+        tf.join(F.broadcast(dfq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", "tok", score.alias("score"))
+    )
+    per = sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("tok"), F.col("score")))
+                    ),
+                    lambda s: s["score"],
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ),
+            6,
+        ).alias("bm25"),
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        per.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )

@@ -258,3 +258,36 @@ def test_pagerank_stays_jvm_hash_joins(q):
     plan = I.simple_plan(q("q_pagerank"))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bm25_broadcasts_model_heap_topk(q):
+    """The df table and corpus scalars broadcast onto the tf stream;
+    the top-20 compiles to TakeOrdered, not a global sort; no Python."""
+    df = q("q_bm25_rank")
+    plan = I.simple_plan(df)
+    assert I.broadcast_join_count(df) >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_coengagement_heap_topk_broadcast_degrees(q):
+    """Degrees broadcast onto the pair stream; top-50 is TakeOrdered."""
+    df = q("q_coengagement_pairs")
+    plan = I.simple_plan(df)
+    assert I.broadcast_join_count(df) >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_butterfly_census_stays_jvm(q):
+    """Motif counts are pure JVM hash joins + partial aggregates."""
+    plan = I.simple_plan(q("q_butterfly_census"))
+    assert "BatchEvalPython" not in plan
+
+
+def test_supply_chain_broadcasts_frontiers(q):
+    """Every BFS frontier is dimension-sized and must broadcast onto the
+    next fact table — the fact scans never shuffle for the hop joins."""
+    df = q("q_supply_chain_reach")
+    assert I.broadcast_join_count(df) >= 4
+    assert "BatchEvalPython" not in I.simple_plan(df)
