@@ -101,3 +101,71 @@ def running_stats(
         .groupBy(key)
         .applyInPandasWithState(update, out_schema, STATE_SCHEMA, "update", timeout)
     )
+
+
+def running_stats_tws(
+    stream: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """The same per-key running {count, sum, last-seen} on the
+    transformWithStateInPandas API (Spark 4's successor to
+    applyInPandasWithState): schema'd ValueState managed by the handle,
+    RocksDB-backed (the query requires
+    ``spark.sql.streaming.stateStore.providerClass`` =
+    RocksDBStateStoreProvider), Arrow-batched per key.  Running the
+    query additionally needs ``google.protobuf`` (the TWS state-server
+    wire protocol); constructing the plan does not.
+
+    Kept semantically identical to :func:`running_stats` so tests can
+    assert the two APIs agree batch-for-batch — the migration-safety
+    property a production pipeline needs before switching state APIs.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    key_field = stream.schema[key]
+    out_schema = _output_schema(key_field)
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", STATE_SCHEMA)
+
+        def handleInputRows(
+            self, key_tuple: tuple[Any, ...], rows: Iterator[pd.DataFrame], timer_values: Any
+        ) -> Iterator[pd.DataFrame]:
+            n, total, last = (
+                self._agg.get() if self._agg.exists() else (0, 0.0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf[value_col].sum())
+                batch_last = pdf[ts_col].max()
+                if pd.notna(batch_last):
+                    last = max(last, int(pd.Timestamp(batch_last).value // 1000))
+            self._agg.update((n, float(total), last))
+            yield pd.DataFrame(
+                {
+                    key: [key_tuple[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "last_micros": [last],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select(key, ts_col, value_col)
+        .groupBy(key)
+        .transformWithStateInPandas(
+            statefulProcessor=RunningStats(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

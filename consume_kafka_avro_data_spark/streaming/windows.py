@@ -123,3 +123,42 @@ def stream_static_enrich(
     pattern (J1) against a slowly-changing static table.  The static
     side is re-read per micro-batch; Spark broadcasts it when small."""
     return stream.join(F.broadcast(dim), on, how)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """T10 stream-stream join (ad-attribution shape): match right-side
+    events to a left-side event with the same key that happened at most
+    ``within`` earlier.
+
+    Both sides are watermarked and the join condition carries the time
+    bound — that pair is what lets Spark expire buffered rows: a left
+    row's state is droppable once the right watermark passes
+    ``left_ts + within``, so state is bounded by (rate × interval), not
+    by stream length.  The reference has no two-stream correlation at
+    all (its one stream is processed row-at-a-time,
+    src/main.cpp:244-256); this is the EXT closure for correlating two
+    live streams without landing either.
+
+    ``how`` may be 'inner', 'left_outer', 'right_outer' or 'full_outer';
+    outer results for unmatched rows emit only once the watermark closes
+    their window (correct streaming semantics — late matches must be
+    impossible before a NULL is emitted).
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, how)
