@@ -4,6 +4,7 @@ registers every query into :mod:`consume_kafka_avro_data_spark.registry`.
 
 from consume_kafka_avro_data_spark.queries import (  # noqa: F401
     aggregates,
+    analytics,
     avro_q,
     curation,
     graph,

@@ -1,0 +1,265 @@
+"""Event-analytics closure: sessionization, funnels, cohort retention,
+and sequence packing (SURVEY §2.5/§2.6 window closure + the charter's
+training-data-pipeline mandate).
+
+These generalize the reference's event stream (the `spo` topic's
+user/action records, `src/main.cpp:221-256`) into the product-analytics
+shapes every event pipeline needs once the graph is materialized.  All
+are pure DataFrame plans: one shuffle per window partition key, no UDFs,
+whole-stage-codegen throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from consume_kafka_avro_data_spark.functions.parity import dsum, o_dsum
+from consume_kafka_avro_data_spark.registry import query
+from consume_kafka_avro_data_spark.tables import load_table
+
+SESSION_GAP_US = 1_800_000_000  # 30 minutes, matches q_session_like
+
+
+@query(
+    "q_sessionize",
+    oracle=f"""
+    WITH gapped AS (
+      SELECT user_id, event_id, value,
+             CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                         OVER (PARTITION BY user_id ORDER BY event_id)
+                      > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), tagged AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM gapped
+    )
+    SELECT user_id, session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           {o_dsum("value")} AS sum_value
+    FROM tagged
+    GROUP BY user_id, session_seq
+    """,
+    tags=("T6", "W2", "W3"),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (T6/W2/W3): materialize one row per user session
+    using the >30-min-gap rule, via lag → running sum of session-start
+    flags → group.  Where ``q_session_like`` only counts sessions, this
+    produces the session table itself (start/end/volume) — the input to
+    retention and funnel work.  One shuffle on user_id serves the lag,
+    the running sum, and the final aggregate (same partition key); the
+    batch twin of ``F.session_window`` (streaming/windows.py).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gapped = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(
+            (epoch_us - F.lag(epoch_us).over(w)) > SESSION_GAP_US, 1
+        ).otherwise(0).alias("is_new"),
+    )
+    tagged = gapped.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("session_seq"),
+    )
+    return tagged.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        dsum("value").alias("sum_value"),
+    )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) >= v.t_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT stage, n_users FROM (
+      SELECT 1 AS ord, 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+      UNION ALL
+      SELECT 2, 'view>click', CAST(count(*) AS BIGINT) FROM c
+      UNION ALL
+      SELECT 3, 'view>click>purchase', CAST(count(*) AS BIGINT) FROM p
+    ) ORDER BY ord
+    """,
+    tags=("W2", "J3", "A2"),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-stage funnel (view → click → purchase): a user counts
+    for a stage only if the stage event occurs at-or-after their first
+    event of the previous stage.  Each stage is a filtered min-aggregate
+    joined to the previous stage's per-user timestamp — per-user frames
+    are one row after stage 1, so the chained joins are cheap shuffle
+    hash joins on user_id and the whole funnel reuses one hash
+    partitioning.  Scale note: stage tables shrink monotonically, so at
+    100 TB the later joins get cheaper, never broader.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(v, "view")
+        .unionByName(stage(c, "view>click"))
+        .unionByName(stage(p, "view>click>purchase"))
+    )
+
+
+@query(
+    "q_retention",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id,
+             CAST(date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS active_day
+      FROM events
+    )
+    SELECT c.cohort_day,
+           CAST(date_diff('day', c.cohort_day, a.active_day) AS INTEGER) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM activity a JOIN cohort c ON a.user_id = c.user_id
+    WHERE date_diff('day', c.cohort_day, a.active_day) <= 14
+    GROUP BY 1, 2
+    """,
+    tags=("A2", "A3", "J3", "P10"),
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (A2/A3/J3/P10): users bucketed by first-
+    activity day, counted on each later active day up to a 14-day
+    horizon.  cohort and activity are both per-user aggregates over the
+    same user_id hash partitioning, so the join adds no extra shuffle;
+    the final aggregate is over ~cohorts×15 cells — tiny at any scale.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    cohort = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("cohort_day")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("active_day")
+    ).distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .withColumn("day_offset", F.datediff("active_day", "cohort_day"))
+        .filter(F.col("day_offset") <= 14)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@query(
+    "q_pack_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE length(string_split_regex(trim(text), '\\s+')) END
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM toks
+    )
+    SELECT lang,
+           CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM cum
+    GROUP BY lang, bin_id
+    """,
+    tags=("U7", "W3", "A2"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches (charter training-data op):
+    docs are packed in doc_id order into ~2048-token bins per language —
+    bin id = floor(preceding cumulative tokens / budget), the contiguous
+    first-fit layout a dataloader uses for sample packing.  Partitioned
+    by lang so the running sum is shard-parallel (the 100 TB layout packs
+    within shards, never globally); token count is a whitespace split
+    (JVM regex, no UDF).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.when(F.trim("text") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = toks.select(
+        "lang",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+    )
+    return (
+        cum.withColumn(
+            "bin_id", F.expr("(cum_tokens - n_tokens) div 2048").cast("long")
+        )
+        .groupBy("lang", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )

@@ -4,13 +4,21 @@ Tables: region nation customer supplier part orders lineitem events
 documents embeddings — one parquet file per table under
 ``/root/testdata/sf{0.001,0.01,0.1}/``.
 
-The only normalization applied is on ``events.ts``: the file stores
-parquet TIMESTAMP(NANOS), which Spark's vectorized reader rejects
-([PARQUET_TYPE_ILLEGAL]).  We read it as a raw int64 via the
-``spark.sql.legacy.parquet.nanosAsLong`` conf and truncate to
-microseconds with integer arithmetic (``ts div 1000`` — never float
-division, whose 2^53 mantissa cannot hold an epoch-nanos value).  The
-DuckDB oracle applies the same truncation via ``CAST(ts AS TIMESTAMP)``.
+The only normalization applied is on ``events.ts``, whose physical
+parquet type has varied across testdata generations:
+
+* TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+  ([PARQUET_TYPE_ILLEGAL]), so we read it as a raw int64 via the
+  ``spark.sql.legacy.parquet.nanosAsLong`` conf and truncate to
+  microseconds with integer arithmetic (``ts div 1000`` — never float
+  division, whose 2^53 mantissa cannot hold an epoch-nanos value).
+* TIMESTAMP(MICROS) without UTC adjustment: Spark 4 reads it directly
+  as TIMESTAMP_NTZ; no conversion needed.
+
+``load_table`` dispatches on the *observed* Spark dtype so both layouts
+normalize to the same TIMESTAMP_NTZ column.  The DuckDB oracle's
+``CAST(ts AS TIMESTAMP)`` is correct for both (nanos truncate, micros
+no-op).
 """
 
 from __future__ import annotations
@@ -40,15 +48,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune_for_parity(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # raw nanos (long) -> microsecond timestamp, integer truncation.
-        # timestamp_micros yields TIMESTAMP_LTZ; cast to NTZ (session tz is
-        # pinned UTC) so events.ts matches the other tables' parquet
-        # timestamps, which Spark 4 reads as TIMESTAMP_NTZ.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
-        df = df.withColumn(
-            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # raw nanos (long) -> microsecond timestamp, integer truncation.
+            # timestamp_micros yields TIMESTAMP_LTZ; cast to NTZ (session tz
+            # is pinned UTC) so events.ts matches the other tables' parquet
+            # timestamps, which Spark 4 reads as TIMESTAMP_NTZ.
+            df = df.withColumn(
+                "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+            )
+        elif not isinstance(ts_type, TimestampNTZType):
+            # TIMESTAMP_LTZ (isAdjustedToUTC layouts): re-pin to NTZ under
+            # the session's UTC timezone for cross-table consistency.
+            df = df.withColumn("ts", F.expr("cast(ts as timestamp_ntz)"))
     return df
 
 

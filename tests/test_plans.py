@@ -21,6 +21,13 @@ QS = all_queries()
 
 @pytest.fixture(scope="module")
 def q(spark, sf_dir):
+    # Plan-shape assertions must see the cold plan.  Queries that persist()
+    # intermediates (connected components, butterfly census) leave cached
+    # relations whose analyzed plans can match OTHER queries' subtrees —
+    # Spark then substitutes an InMemoryRelation whose printed plan still
+    # contains the original exchange, skewing exchange_count.
+    spark.catalog.clearCache()
+
     def run(name):
         return QS[name].fn(spark, sf_dir)
 
