@@ -9,6 +9,7 @@ from consume_kafka_avro_data_spark.queries import (  # noqa: F401
     curation,
     graph,
     joins,
+    relational,
     scans,
     similarity,
     temporal,

@@ -1,0 +1,227 @@
+"""Relational-closure completion: unpivot/melt, full-outer join,
+first/last/nth window analytics, positional explode, and regression
+aggregates (SURVEY §2.3 J3, §2.4 A2, §2.5 W2, §2.2 P12 closure rows).
+
+The reference materializes a graph and leaves querying it to SQL
+(`src/Database.h:23-31`); these fill the remaining ANSI surface a user
+of that graph would reach for that no earlier query exercises.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from consume_kafka_avro_data_spark.functions.parity import (
+    dsum,
+    dsum_mul,
+    o_dsum,
+    o_dsum_mul,
+)
+from consume_kafka_avro_data_spark.registry import query
+from consume_kafka_avro_data_spark.tables import load_table
+
+_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "q_unpivot",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT l_orderkey, l_linenumber, '{m}' AS measure,
+           CAST({m} AS DOUBLE) AS value
+    FROM lineitem WHERE l_orderkey < 500
+    """
+        for m in _MEASURES
+    ),
+    tags=("A5", "P12"),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (wide → long), the inverse of q_pivot: the four
+    lineitem measures become (measure, value) rows.  A pure map-side
+    generate — each input row fans out to 4 rows inside one codegen
+    stage, no shuffle at any scale.  Value columns are unified to
+    DOUBLE (their common type) exactly as the SQL UNION ALL does.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 500)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=list(_MEASURES),
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+@query(
+    "q_full_outer",
+    oracle=f"""
+    WITH rich AS (
+      SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 7000
+    ), act AS (
+      SELECT o_custkey,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             {o_dsum("o_totalprice")} AS sum_price
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+           c_acctbal, n_orders, sum_price,
+           CASE WHEN c_custkey IS NULL THEN 'orders_only'
+                WHEN o_custkey IS NULL THEN 'rich_only'
+                ELSE 'both' END AS side
+    FROM rich FULL OUTER JOIN act ON c_custkey = o_custkey
+    """,
+    tags=("J3",),
+)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join (J3 closure): high-balance customers vs per-
+    customer order activity, keeping unmatched rows from BOTH sides
+    with a provenance tag.  Full-outer cannot broadcast (both sides
+    must see unmatched rows), so this is the one join shape that is
+    *correctly* a shuffle sort-merge join — the plan to expect at
+    100 TB, with AQE skew-splitting on the shared custkey hash.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    rich = c.where(F.col("c_acctbal") > 7000).select("c_custkey", "c_acctbal")
+    act = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+    j = rich.join(act, rich.c_custkey == act.o_custkey, "full_outer")
+    side = (
+        F.when(F.col("c_custkey").isNull(), "orders_only")
+        .when(F.col("o_custkey").isNull(), "rich_only")
+        .otherwise("both")
+    )
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_acctbal",
+        "n_orders",
+        "sum_price",
+        side.alias("side"),
+    )
+
+
+@query(
+    "q_first_last",
+    oracle="""
+    SELECT DISTINCT user_id,
+           first_value(value) OVER w AS first_val,
+           last_value(value)  OVER w AS last_val,
+           nth_value(value, 2) OVER w AS second_val,
+           first_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                       IGNORE NULLS) OVER w AS first_ok
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("W2",),
+)
+def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 completion: first_value / last_value / nth_value over the
+    full partition frame, plus the IGNORE NULLS variant (first non-error
+    value per user).  Full-frame analytics are constant per partition
+    key, so the one-row-per-user result is taken with DISTINCT — one
+    shuffle on user_id shared by the window sort and the dedup.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ok_val = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("value")
+    )
+    return e.select(
+        "user_id",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val"),
+        F.nth_value("value", 2).over(w).alias("second_val"),
+        F.first(ok_val, ignorenulls=True).over(w).alias("first_ok"),
+    ).distinct()
+
+
+@query(
+    "q_posexplode",
+    oracle="""
+    SELECT vec_id,
+           CAST(unnest(range(len(embedding))) AS INT) AS pos,
+           CAST(unnest(embedding) AS DOUBLE)          AS val
+    FROM embeddings
+    WHERE vec_id < 40
+    """,
+    tags=("P12", "U3"),
+)
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (U3/P12): unnest the embedding WITH its
+    0-based ordinal — the fan-out shape every tokenizer/chunker UDTF
+    produces, where downstream order must be reconstructible after a
+    shuffle.  Map-side generate, one codegen stage, no shuffle.  (The
+    oracle zips two parallel unnests, DuckDB's ordinality idiom.)
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.where(F.col("vec_id") < 40)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .withColumn("val", F.col("val").cast("double"))
+    )
+
+
+@query(
+    "q_regr_agg",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT)                 AS n,
+             {o_dsum("l_quantity")}                   AS sx,
+             {o_dsum("l_discount")}                   AS sy,
+             {o_dsum_mul("l_quantity", "l_quantity")} AS sxx,
+             {o_dsum_mul("l_discount", "l_discount")} AS syy,
+             {o_dsum_mul("l_quantity", "l_discount")} AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx)   AS slope,
+           (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+             / CAST(n AS DOUBLE)                     AS intercept,
+           ((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy))
+             / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r2
+    FROM s
+    """,
+    tags=("A2",),
+)
+def q_regr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (A2 closure): OLS slope/intercept/R²
+    of discount on quantity per return flag, from the five exact decimal
+    sums — the regr_slope/regr_intercept/regr_r2 family, but derived
+    through the same order-independent decimal scheme as q_corr_cov so
+    Spark and the oracle agree bit-for-bit under any partitioning.
+    Still one map-side-combining hash aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum("l_quantity").alias("sx"),
+        dsum("l_discount").alias("sy"),
+        dsum_mul("l_quantity", "l_quantity").alias("sxx"),
+        dsum_mul("l_discount", "l_discount").alias("syy"),
+        dsum_mul("l_quantity", "l_discount").alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    num = n_d * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = n_d * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    intercept = (F.col("sy") - slope * F.col("sx")) / n_d
+    r2 = (num * num) / (
+        den * (n_d * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

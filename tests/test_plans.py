@@ -298,3 +298,39 @@ def test_supply_chain_broadcasts_frontiers(q):
     df = q("q_supply_chain_reach")
     assert I.broadcast_join_count(df) >= 4
     assert "BatchEvalPython" not in I.simple_plan(df)
+
+
+def test_unpivot_and_posexplode_are_map_only(q):
+    """Melt and positional explode are row generators inside one codegen
+    stage — any exchange here would shuffle the full fact table at scale."""
+    for name in ("q_unpivot", "q_posexplode"):
+        df = q(name)
+        assert I.exchange_count(df) == 0, f"{name} grew a shuffle"
+        assert "BatchEvalPython" not in I.simple_plan(df)
+
+
+def test_full_outer_is_sort_merge_both_sides(q):
+    """Full-outer keeps unmatched rows from both inputs, so the correct
+    100 TB plan is a shuffle SMJ on the join key — a broadcast variant
+    would drop one side's unmatched rows (Spark would reject it) and a
+    nested loop would be quadratic."""
+    plan = I.simple_plan(q("q_full_outer"))
+    assert "SortMergeJoin" in plan and "FullOuter" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_regr_agg_single_pass(q):
+    """All five regression sums in ONE partial+final aggregate over a
+    single scan — same contract as q_stats_moments."""
+    df = q("q_regr_agg")
+    plan = I.simple_plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert I.exchange_count(df) == 1
+
+
+def test_first_last_single_window_shuffle(q):
+    """Full-frame analytics + DISTINCT share the user_id partitioning:
+    one hash exchange for the window sort, one for the dedup aggregate
+    at most — the dedup input is already user-partitioned, so AQE-era
+    Spark may keep it local."""
+    assert I.exchange_count(q("q_first_last")) <= 2
