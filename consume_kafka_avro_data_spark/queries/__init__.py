@@ -7,6 +7,7 @@ from consume_kafka_avro_data_spark.queries import (  # noqa: F401
     analytics,
     avro_q,
     curation,
+    features,
     graph,
     joins,
     relational,

@@ -1,0 +1,280 @@
+"""Feature-engineering closure: SCD2 interval compaction, Markov
+transition counts, distribution-based feature scaling, and PMI token
+co-occurrence (charter training-data mandate + SURVEY §2.4/§2.5 closure).
+
+The reference's graph sink keeps only the latest state of each entity
+(`src/Database.h:23-31`, ON CONFLICT DO NOTHING); these queries cover
+the history-tracking and featurization shapes an ML pipeline layers on
+top of the same event stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from consume_kafka_avro_data_spark.functions.parity import (
+    dsum,
+    dsum_mul,
+    o_dsum,
+    o_dsum_mul,
+)
+from consume_kafka_avro_data_spark.registry import query
+from consume_kafka_avro_data_spark.tables import load_table
+
+
+@query(
+    "q_scd2",
+    oracle="""
+    WITH chg AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+               AS prev_type
+      FROM events
+    ), versions AS (
+      SELECT user_id, event_id, event_type, ts
+      FROM chg WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to,
+           CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+                IS NULL AS BOOLEAN) AS is_current
+    FROM versions
+    """,
+    tags=("W2", "T8"),
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) compaction: collapse the event
+    stream into per-user state intervals — a row per *change* of
+    event_type, valid from its timestamp until the next change (open
+    ended for the current state).  The reference's graph keeps only
+    latest state; this is the history-preserving upsert every warehouse
+    dimension needs.  Change detection (lag) and interval stitching
+    (lead) share one user_id window partitioning — a single shuffle, and
+    the intermediate filter shrinks data before the second window pass.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    chg = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    versions = chg.where(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    valid_to = F.lead("ts").over(w)
+    return versions.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "q_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+               AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+    FROM pairs
+    """,
+    tags=("W2", "A2"),
+)
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream:
+    (from_type → to_type) counts and row-normalized probabilities.
+    The lead window shuffles on user_id once; the pair aggregate and the
+    normalizing window then operate on ≤|types|² rows — nothing after
+    the first window scales with the data.  p is a single division of
+    exact integers, identical in both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    pairs = (
+        seq.groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    norm = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(norm).cast("double")).alias(
+            "p"
+        ),
+    )
+
+
+@query(
+    "q_feature_scale",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             {o_dsum("value")}        AS sx,
+             {o_dsum_mul("value", "value")} AS sxx,
+             min(value) AS mn,
+             max(value) AS mx
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - sx / CAST(n AS DOUBLE))
+             / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE))) AS zscore,
+           (e.value - mn) / (mx - mn) AS minmax
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE e.event_id % 5 = 0
+    """,
+    tags=("A2", "J1", "U1"),
+)
+def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature scaling (standardize + min-max) against per-group
+    distribution stats — the train-time normalization pass of a feature
+    pipeline.  The stats table is |event_type| rows, so it broadcast-
+    joins back onto the fact stream: the fact table never shuffles, and
+    the same plan holds when `events` is 100 TB (stats aggregate is
+    map-side partial, broadcast is bytes).  Mean/variance come from the
+    exact decimal sums; z-score and min-max are then fixed double
+    expressions identical in both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        dsum("value").alias("sx"),
+        dsum_mul("value", "value").alias("sxx"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    n_d = F.col("n").cast("double")
+    mean = F.col("sx") / n_d
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / n_d) / (n_d - F.lit(1.0))
+    fact = e.where(F.col("event_id") % 5 == 0).select(
+        "event_id", "event_type", "value"
+    )
+    return fact.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        ((F.col("value") - mean) / F.sqrt(var)).alias("zscore"),
+        ((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn"))).alias(
+            "minmax"
+        ),
+    )
+
+
+@query(
+    "q_pmi_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents WHERE doc_id < 200 AND trim(text) <> ''
+    ), n_docs AS (
+      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM toks
+    ), tf AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY tok
+    ), pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS co
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2
+      HAVING count(*) >= 50
+    )
+    SELECT tok_a, tok_b, co, fa.df AS df_a, fb.df AS df_b,
+           CAST(co * nd AS DOUBLE) / (CAST(fa.df AS DOUBLE) * CAST(fb.df AS DOUBLE))
+             AS pmi_ratio
+    FROM pairs
+    JOIN tf fa ON tok_a = fa.tok
+    JOIN tf fb ON tok_b = fb.tok
+    CROSS JOIN n_docs
+    """,
+    tags=("U7", "J5", "A2"),
+)
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information token pairs (U7): document-level
+    co-occurrence vs marginal document frequencies — the collocation /
+    phrase-mining primitive.  The oracle states the semantics as the
+    textbook token self-join on doc_id; the Spark plan refuses that
+    shape (it shuffles the full exploded token table twice).  Instead
+    one aggregate builds the per-doc sorted distinct-token array —
+    persisted, it feeds all three consumers — and pair generation is a
+    *map-side* higher-order-function expansion (indexed transform ×
+    suffix slice), so the only pair-sized shuffle is the final co-count.
+    Per-doc fan-out is quadratic in the doc's distinct vocabulary, which
+    doc length bounds independently of corpus size.  The ratio
+    (co·N)/(df_a·df_b) is reported un-logged: one exact-integer division
+    that both engines round identically, where ln() could differ by an
+    ulp between libms.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.where((F.col("doc_id") < 200) & (F.trim("text") != ""))
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+        )
+    )
+    sets = (
+        toks.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("tok")).alias("ts"))
+        .persist()
+    )
+    nd = sets.agg(F.count("*").alias("nd"))
+    tf = (
+        sets.select(F.explode("ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "ts",
+            lambda x, i: F.transform(
+                F.slice("ts", i + F.lit(2), F.size("ts")),
+                lambda y: F.struct(x.alias("tok_a"), y.alias("tok_b")),
+            ),
+        )
+    )
+    pairs = (
+        sets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b"))
+        .agg(F.count("*").alias("co"))
+        .where(F.col("co") >= 50)
+    )
+    out = (
+        pairs.join(F.broadcast(tf.withColumnRenamed("df", "df_a")), pairs.tok_a == F.col("tok"))
+        .drop("tok")
+        .join(F.broadcast(tf.withColumnRenamed("df", "df_b")), pairs.tok_b == F.col("tok"))
+        .drop("tok")
+        .crossJoin(F.broadcast(nd))
+    )
+    return out.select(
+        "tok_a",
+        "tok_b",
+        "co",
+        "df_a",
+        "df_b",
+        (
+            (F.col("co") * F.col("nd")).cast("double")
+            / (F.col("df_a").cast("double") * F.col("df_b").cast("double"))
+        ).alias("pmi_ratio"),
+    )

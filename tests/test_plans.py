@@ -334,3 +334,35 @@ def test_first_last_single_window_shuffle(q):
     at most — the dedup input is already user-partitioned, so AQE-era
     Spark may keep it local."""
     assert I.exchange_count(q("q_first_last")) <= 2
+
+
+def test_scd2_single_window_shuffle(q):
+    """Change detection (lag) and interval stitching (lead) share the
+    user_id window partitioning: exactly one exchange end to end."""
+    assert I.exchange_count(q("q_scd2")) == 1
+
+
+def test_transition_matrix_post_window_is_tiny(q):
+    """One fact-sized window shuffle; the pair aggregate and row
+    normalization then run on ≤|types|² rows — ≤3 exchanges total."""
+    assert I.exchange_count(q("q_transition_matrix")) <= 3
+
+
+def test_feature_scale_fact_never_shuffles(q):
+    """The stats table broadcast-joins back onto the fact stream: the
+    only exchange is the stats aggregate itself.  A plan that shuffles
+    the fact side for per-group normalization is wrong at any scale."""
+    df = q("q_feature_scale")
+    assert I.broadcast_join_count(df) >= 1
+    assert I.exchange_count(df) == 1
+
+
+def test_pmi_pairs_no_token_self_join(q):
+    """Pair generation must be the map-side HOF expansion over per-doc
+    token arrays — never a doc_id self-join of the exploded token table
+    (two fact-sized shuffles).  df/N lookups broadcast."""
+    df = q("q_pmi_pairs")
+    plan = I.simple_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert I.broadcast_join_count(df) >= 2
+    assert "BatchEvalPython" not in plan
