@@ -41,6 +41,10 @@ HEADLINE = [
     "q_doc_chunks",
     "q_train_split",
     "q_asof_join",
+    "q_sessionize",
+    "q_scd2",
+    "q_feature_scale",
+    "q_minhash_est_fast",
 ]
 
 

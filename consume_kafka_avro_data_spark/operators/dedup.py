@@ -22,6 +22,27 @@ from pyspark.sql import Column, DataFrame, functions as F
 # ---------------------------------------------------------------------------
 
 
+def ensure_min_splits(df: DataFrame) -> DataFrame:
+    """Round-robin repartition IFF the input has fewer partitions than
+    the cluster has scheduling slots.
+
+    The signature passes below are the expensive map stage of corpus
+    dedup; their parallelism is capped by the input split count.  At
+    100 TB splits ≫ cores and this is a no-op (no shuffle is added).
+    Locally — or whenever a small dimension-sized corpus arrives as one
+    parquet file that Spark cannot row-group-split — a single task would
+    otherwise hash the whole corpus serially (observed: 94 s single-task
+    signature pass at sf0.1 vs ~4 s repartitioned).  Shuffling raw text
+    before the fan-out costs one pass over data that is tiny exactly in
+    the case where the repartition triggers.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tokens_col(text: str | Column = "text") -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.split(F.lower(c), r"\s+")
@@ -234,6 +255,7 @@ def minhash_lsh_pairs(
     The verify step is exact Jaccard either way, so the hash choice only
     moves candidate recall, never the correctness of emitted pairs.
     """
+    df = ensure_min_splits(df)
     toks = tokens_col(text_col)
     sh = F.array_distinct(shingles(toks, shingle_k))
     if hash_fn == "md5":
@@ -288,6 +310,7 @@ def simhash_neardup_pairs(
     64/block_bits signature blocks (pigeonhole: any pair within
     ``max_hamming`` ≤ blocks-1 bit flips must agree on some block),
     verified by exact Hamming distance."""
+    df = ensure_min_splits(df)
     n_blocks = 64 // block_bits
     assert max_hamming < n_blocks, "pigeonhole needs max_hamming < n_blocks"
     sig = simhash64(tokens_col(text_col))
@@ -334,6 +357,7 @@ def minhash_estimate_pairs(
     bands: int = 8,
     rows: int = 4,
     min_matches: int | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Signature-only near-dup scoring — the true 100 TB dedup path.
 
@@ -344,33 +368,84 @@ def minhash_estimate_pairs(
     components, E[matches/n] = J(A,B).  At scale the shingle sets are
     orders of magnitude bigger than the signatures, so shuffling only
     (id, signature) pairs through the band join is what makes corpus-
-    wide dedup tractable.  Uses the portable md5 signature, so the whole
-    pipeline is oracle-checkable (queries/similarity.q_minhash_est)."""
+    wide dedup tractable.
+
+    ``hash_fn``: "md5" (default — portable signatures a DuckDB oracle
+    reproduces exactly; queries/similarity.q_minhash_est) or "xxhash64"
+    (one JVM-intrinsic hash per seed×shingle instead of an md5 — ~10×
+    cheaper signatures, the hash to deploy at 100 TB; benchmarked as
+    q_minhash_est_fast)."""
     n = bands * rows
     if min_matches is None:
         min_matches = n // 2
+    df = ensure_min_splits(df)
     toks = tokens_col(text_col)
     sh = F.array_distinct(shingles(toks, shingle_k))
-    sig = minhash_signature_md5(sh, n)
-    base = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    # Signatures via explode + native min-aggregates, NOT the per-seed
+    # array HOFs of minhash_signature[_md5]: lambda-based higher-order
+    # functions are *interpreted* expressions in Spark (no whole-stage
+    # codegen), which makes the 32×|shingles| hash evaluation the
+    # dominant cost (~20 µs/hash observed).  Exploding once and taking
+    # 32 codegen'd min() aggregates computes the identical signature at
+    # native speed; map-side partial aggregation collapses each doc to
+    # its 32-component signature before the shuffle, so the exchange
+    # carries signature-sized data, never shingle-sized.
+    if hash_fn == "md5":
+        def comp(i: int) -> Column:
+            return F.min(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh"))), 1, 16)
+            ).alias(f"_h{i}")
+
+        bh = band_hashes_md5(F.col("_sig"), bands, rows)
+    else:
+        def comp(i: int) -> Column:
+            return F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"_h{i}")
+
+        bh = band_hashes(F.col("_sig"), bands, rows)
+    exploded = df.select(
+        F.col(id_col).alias("_id"), F.explode(sh).alias("_sh")
+    )
+    base = (
+        exploded.groupBy("_id")
+        .agg(*[comp(i) for i in range(n)])
+        .select("_id", F.array(*[f"_h{i}" for i in range(n)]).alias("_sig"))
+    )
     banded = base.select(
         "_id",
         "_sig",
-        F.explode(band_hashes_md5(F.col("_sig"), bands, rows)).alias("_band"),
+        F.explode(bh).alias("_band"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    # Bucket-and-expand instead of a banded self-join: a self-join's two
+    # inputs are the same expensive signature subtree, and AQE
+    # materializes both sides as concurrent stages — the signature pass
+    # runs (and shuffles) twice.  Grouping each band bucket into a
+    # sorted member array computes signatures ONCE, shuffles them once,
+    # and generates the intra-bucket pairs map-side with an indexed
+    # transform × suffix slice (quadratic only in bucket size, which the
+    # banding scheme keeps small).
+    buckets = banded.groupBy("_band").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_id"), F.col("_sig")))
+        ).alias("_members")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "_members",
+            lambda x, i: F.transform(
+                F.slice("_members", i + F.lit(2), F.size("_members")),
+                lambda y: F.struct(
+                    x["_id"].alias("id_a"),
+                    y["_id"].alias("id_b"),
+                    x["_sig"].alias("_sa"),
+                    y["_sig"].alias("_sb"),
+                ),
+            ),
+        )
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a._band") == F.col("b._band")) & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._sig").alias("_sa"),
-            F.col("b._sig").alias("_sb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p._sa", "p._sb")
+        .dropDuplicates(["id_a", "id_b"])  # same pair from multiple bands
     )
     matches = F.aggregate(
         F.zip_with(
@@ -399,6 +474,7 @@ def simhash_hex_neardup_pairs(
     shape as :func:`simhash_neardup_pairs` (map-only signature, one
     explode + bucket self-join shuffle); every expression has a 1:1
     DuckDB translation."""
+    df = ensure_min_splits(df)
     n_blocks = 16 // block_chars
     assert max_hamming < n_blocks, "pigeonhole needs max_hamming < n_blocks"
     sig = simhash_hex(tokens_col(text_col))
@@ -448,6 +524,7 @@ def ngram_jaccard_pairs(
     skew guard for this join at scale), pair docs sharing a surviving
     n-gram, verify exact Jaccard on the full n-gram sets.
     """
+    df = ensure_min_splits(df)
     grams = F.array_distinct(shingles(tokens_col(text_col), n))
     base = df.select(F.col(id_col).alias("_id"), grams.alias("_grams"))
     posting = base.select("_id", F.explode("_grams").alias("_g"))

@@ -261,6 +261,20 @@ def q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_estimate_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@query("q_minhash_est_fast", oracle=None, tags=("U5",))
+def q_minhash_est_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-only MinHash estimation on the xxhash64 scale path —
+    identical plan shape to q_minhash_est but one JVM-intrinsic hash per
+    seed×shingle instead of an md5, ~10× cheaper signatures.  Rows-only
+    (xxhash64 is Spark-specific so no engine-portable oracle exists);
+    the md5 twin carries the full correctness proof for the shared
+    estimator pipeline.  This is the variant to deploy at 100 TB and the
+    one the bench times."""
+    return minhash_estimate_pairs(
+        load_table(spark, sf_dir, "documents"), hash_fn="xxhash64"
+    )
+
+
 @query("q_minhash_neardup", oracle=_o_minhash(), tags=("U5",))
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs over documents (exact-Jaccard
