@@ -1,12 +1,25 @@
 """Deduplication family (charter U4/U5): exact, MinHash-LSH, SimHash,
-n-gram Jaccard — all expressed with JVM-side higher-order functions.
+n-gram Jaccard — all JVM-side expressions, no Python in any hot path.
 
-Scale design: every signature here (shingles → minhash bands, simhash
-bits, n-gram sets) is a *map-only* projection — no UDF, no shuffle, full
-whole-stage codegen.  The only shuffles are the candidate-generation
-group-bys (band-hash buckets / shared n-grams), which is the theoretical
-minimum for near-dup detection: at 100 TB the cost is one explode +
-hash-shuffle of (band × doc) pairs, never an O(n²) cross join.
+Scale design (learned the hard way — see the *_table functions):
+
+* Signatures are computed as **explode + native min()/sum() aggregates**,
+  not array higher-order functions.  Lambda HOFs (transform/aggregate/
+  zip_with) are *interpreted* expressions in Spark — no whole-stage
+  codegen — which made the seed×shingle hash loop cost ~20 µs/hash and
+  dominated every dedup query by 50-100×.  The aggregate form computes
+  identical values at native speed, and map-side partial aggregation
+  collapses each doc before the shuffle, so the one exchange carries
+  signature-sized rows, never token/shingle-sized data.
+* Candidate generation is **bucket-and-expand**, not a bucket self-join:
+  group each band/block bucket into a sorted member array and expand
+  intra-bucket pairs map-side.  A self-join's two inputs are the same
+  expensive signature subtree, and AQE materializes both sides as
+  concurrent stages — the signature pass would run (and shuffle) twice.
+  Quadratic only in bucket size, which the banding scheme bounds.
+* The Column-returning HOF variants (minhash_signature[_md5], simhash64,
+  simhash_hex) are kept as the compositional API — value-identical,
+  unit-tested against the table forms — but they are NOT the hot path.
 
 Exact dedup is ``dropDuplicates`` / fingerprint group-by (see
 queries/text.py q_doc_fingerprint); this module covers the near-dup
@@ -216,6 +229,91 @@ def simhash_hex(tokens: Column) -> Column:
     return F.concat(*digits)
 
 
+def simhash_hex_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document portable SimHash as a table: (_id, _sim hex string).
+
+    Computes the exact signature of :func:`simhash_hex`, but via explode
+    + 64 native sum() aggregates instead of the array fold: lambda-based
+    higher-order functions are interpreted (no codegen), which made the
+    fold the dominant cost of every SimHash query (~35 µs/token
+    observed).  One codegen'd projection computes the token's 16 hex
+    digits; 64 codegen'd conditional sums then tally the bit votes, and
+    map-side partial aggregation collapses each doc to its 64 counters
+    before the shuffle — the exchange carries counter-sized rows, never
+    token-sized data."""
+    df = ensure_min_splits(df)
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens_col(text_col)).alias("_t"),
+    )
+    # project the hash ONCE per token row, then derive the 16 digits
+    # from the materialized column — inlining F.md5 into each digit
+    # expression would hash every token 16 times
+    hashed = ex.select("_id", F.substring(F.md5(F.col("_t")), 1, 16).alias("_h"))
+    proj = hashed.select(
+        "_id",
+        *[_hex_digit(F.col("_h"), p).alias(f"_d{p}") for p in range(1, 17)],
+    )
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col(f"_d{p}"), k).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"_c{(p - 1) * 4 + k}")
+        for p in range(1, 17)
+        for k in range(4)
+    ]
+    counters = proj.groupBy("_id").agg(*aggs)
+    chars = F.array(*[F.lit(c) for c in _HEX])
+    digits = []
+    for p in range(1, 17):
+        val = F.lit(0)
+        for k in range(4):
+            val = val + F.when(
+                F.col(f"_c{(p - 1) * 4 + k}") > 0, F.lit(1 << k)
+            ).otherwise(F.lit(0))
+        digits.append(F.element_at(chars, val + 1))
+    return counters.select("_id", F.concat(*digits).alias("_sim"))
+
+
+def simhash64_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document 64-bit SimHash as a table: (_id, _sim long) — the
+    xxhash64 twin of :func:`simhash_hex_table`, same explode + native
+    sum() design (see there for why this beats the interpreted array
+    fold of :func:`simhash64`)."""
+    df = ensure_min_splits(df)
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens_col(text_col)).alias("_t"),
+    )
+    hashed = ex.select("_id", F.xxhash64(F.col("_t")).alias("_h"))
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+        ).alias(f"_c{b}")
+        for b in range(64)
+    ]
+    counters = hashed.groupBy("_id").agg(*aggs)
+    word = F.lit(0).cast("long")
+    for b in range(64):
+        word = word.bitwiseOR(
+            F.when(
+                F.col(f"_c{b}") > 0,
+                F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return counters.select("_id", word.alias("_sim"))
+
+
 def hamming_hex(a: Column, b: Column) -> Column:
     """Hamming distance between two 16-char hex signatures: per-digit
     XOR popcount — stays in 4-bit ints, so it is expressible identically
@@ -299,6 +397,42 @@ def minhash_lsh_pairs(
     )
 
 
+def _bucket_candidate_pairs(blocked: DataFrame) -> DataFrame:
+    """(_id, _sim, _block) rows → distinct candidate pairs
+    (id_a, id_b, _sa, _sb).
+
+    Groups each block bucket into a sorted member array and expands the
+    intra-bucket pairs map-side (indexed transform × suffix slice): the
+    signature subtree is computed and shuffled ONCE, where the classic
+    bucket self-join materializes it per join side (AQE runs both sides
+    as concurrent stages, so even exchange reuse doesn't save it).  The
+    pair HOF is interpreted, but it runs over bucket-sized member lists,
+    not corpus-sized data; quadratic only in bucket size, which the
+    blocking scheme keeps small."""
+    buckets = blocked.groupBy("_block").agg(
+        F.sort_array(F.collect_list(F.struct("_id", "_sim"))).alias("_members")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "_members",
+            lambda x, i: F.transform(
+                F.slice("_members", i + F.lit(2), F.size("_members")),
+                lambda y: F.struct(
+                    x["_id"].alias("id_a"),
+                    y["_id"].alias("id_b"),
+                    x["_sim"].alias("_sa"),
+                    y["_sim"].alias("_sb"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p._sa", "p._sb")
+        .dropDuplicates(["id_a", "id_b"])  # same pair from multiple blocks
+    )
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -310,11 +444,9 @@ def simhash_neardup_pairs(
     64/block_bits signature blocks (pigeonhole: any pair within
     ``max_hamming`` ≤ blocks-1 bit flips must agree on some block),
     verified by exact Hamming distance."""
-    df = ensure_min_splits(df)
     n_blocks = 64 // block_bits
     assert max_hamming < n_blocks, "pigeonhole needs max_hamming < n_blocks"
-    sig = simhash64(tokens_col(text_col))
-    base = df.select(F.col(id_col).alias("_id"), sig.alias("_sim"))
+    base = simhash64_table(df, id_col, text_col)
     mask = (1 << block_bits) - 1
     blocked = base.select(
         "_id",
@@ -333,18 +465,13 @@ def simhash_neardup_pairs(
             )
         ).alias("_block"),
     )
-    a, b = blocked.alias("a"), blocked.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a._block") == F.col("b._block")) & (F.col("a._id") < F.col("b._id")),
-        )
+        _bucket_candidate_pairs(blocked)
         .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            hamming64(F.col("a._sim"), F.col("b._sim")).alias("hamming"),
+            "id_a",
+            "id_b",
+            hamming64(F.col("_sa"), F.col("_sb")).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
     )
 
@@ -396,57 +523,26 @@ def minhash_estimate_pairs(
                 F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh"))), 1, 16)
             ).alias(f"_h{i}")
 
-        bh = band_hashes_md5(F.col("_sig"), bands, rows)
+        bh = band_hashes_md5(F.col("_sim"), bands, rows)
     else:
         def comp(i: int) -> Column:
             return F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"_h{i}")
 
-        bh = band_hashes(F.col("_sig"), bands, rows)
+        bh = band_hashes(F.col("_sim"), bands, rows)
     exploded = df.select(
         F.col(id_col).alias("_id"), F.explode(sh).alias("_sh")
     )
     base = (
         exploded.groupBy("_id")
         .agg(*[comp(i) for i in range(n)])
-        .select("_id", F.array(*[f"_h{i}" for i in range(n)]).alias("_sig"))
+        .select("_id", F.array(*[f"_h{i}" for i in range(n)]).alias("_sim"))
     )
     banded = base.select(
         "_id",
-        "_sig",
+        "_sim",
         F.explode(bh).alias("_band"),
-    )
-    # Bucket-and-expand instead of a banded self-join: a self-join's two
-    # inputs are the same expensive signature subtree, and AQE
-    # materializes both sides as concurrent stages — the signature pass
-    # runs (and shuffles) twice.  Grouping each band bucket into a
-    # sorted member array computes signatures ONCE, shuffles them once,
-    # and generates the intra-bucket pairs map-side with an indexed
-    # transform × suffix slice (quadratic only in bucket size, which the
-    # banding scheme keeps small).
-    buckets = banded.groupBy("_band").agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col("_id"), F.col("_sig")))
-        ).alias("_members")
-    )
-    pair_arr = F.flatten(
-        F.transform(
-            "_members",
-            lambda x, i: F.transform(
-                F.slice("_members", i + F.lit(2), F.size("_members")),
-                lambda y: F.struct(
-                    x["_id"].alias("id_a"),
-                    y["_id"].alias("id_b"),
-                    x["_sig"].alias("_sa"),
-                    y["_sig"].alias("_sb"),
-                ),
-            ),
-        )
-    )
-    cand = (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .select("p.id_a", "p.id_b", "p._sa", "p._sb")
-        .dropDuplicates(["id_a", "id_b"])  # same pair from multiple bands
-    )
+    ).withColumnRenamed("_band", "_block")
+    cand = _bucket_candidate_pairs(banded)
     matches = F.aggregate(
         F.zip_with(
             F.col("_sa"),
@@ -471,14 +567,12 @@ def simhash_hex_neardup_pairs(
     """Portable-SimHash near-dup pairs over hex signatures: candidates
     share one of the 16/block_chars hex blocks (pigeonhole over 4·block
     bits), verified by exact per-digit Hamming distance.  Same plan
-    shape as :func:`simhash_neardup_pairs` (map-only signature, one
-    explode + bucket self-join shuffle); every expression has a 1:1
-    DuckDB translation."""
-    df = ensure_min_splits(df)
+    shape as :func:`simhash_neardup_pairs` (aggregated signature table,
+    block bucket-and-expand); every expression has a 1:1 DuckDB
+    translation."""
     n_blocks = 16 // block_chars
     assert max_hamming < n_blocks, "pigeonhole needs max_hamming < n_blocks"
-    sig = simhash_hex(tokens_col(text_col))
-    base = df.select(F.col(id_col).alias("_id"), sig.alias("_sim"))
+    base = simhash_hex_table(df, id_col, text_col)
     blocked = base.select(
         "_id",
         "_sim",
@@ -494,18 +588,13 @@ def simhash_hex_neardup_pairs(
             )
         ).alias("_block"),
     )
-    a, b = blocked.alias("a"), blocked.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a._block") == F.col("b._block")) & (F.col("a._id") < F.col("b._id")),
-        )
+        _bucket_candidate_pairs(blocked)
         .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            hamming_hex(F.col("a._sim"), F.col("b._sim")).alias("hamming"),
+            "id_a",
+            "id_b",
+            hamming_hex(F.col("_sa"), F.col("_sb")).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
     )
 

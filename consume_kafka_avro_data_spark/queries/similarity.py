@@ -20,8 +20,8 @@ from consume_kafka_avro_data_spark.operators.dedup import (
     minhash_estimate_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    simhash_hex,
     simhash_hex_neardup_pairs,
+    simhash_hex_table,
 )
 from consume_kafka_avro_data_spark.operators.multimodal import (
     decode_features,
@@ -41,7 +41,7 @@ from consume_kafka_avro_data_spark.operators.text import (
     lang_id,
     quality_score,
     tokens,
-    winnow_fingerprints_md5,
+    winnow_fingerprint_counts,
 )
 from consume_kafka_avro_data_spark.registry import query
 from consume_kafka_avro_data_spark.tables import load_table
@@ -369,9 +369,13 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 64-bit SimHash as a 16-char hex string, checked
     digit-for-digit against a DuckDB twin that refolds the same md5
-    hex-digit bit votes."""
+    hex-digit bit votes.  Computed via the aggregated signature table
+    (explode + 64 native sums) — the interpreted array-fold form
+    (operators/dedup.simhash_hex) is value-identical but ~50× slower."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash_hex(tokens("text")).alias("simhash"))
+    return simhash_hex_table(d).select(
+        F.col("_id").alias("doc_id"), F.col("_sim").alias("simhash")
+    )
 
 
 @query(
@@ -517,13 +521,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint counts per document (k=8 char-grams, w=4),
     oracle-checked via the portable md5 hex-prefix hash: both engines
-    build the same rolling hash list, take the same per-window
-    lexicographic minima, and dedup — so the counts match exactly.  The
-    xxhash64 winnow_fingerprints stays the scale path (unit-tested)."""
+    build the same rolling hashes, take the same per-window
+    lexicographic minima, and dedup — so the counts match exactly.
+    Computed via the exploded-position form (codegen'd rolling hash +
+    native running-min window; see operators/text.py
+    winnow_fingerprint_counts) — the HOF Column variants are
+    value-identical but interpreted, hence ~50× slower."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.size(winnow_fingerprints_md5("text")).cast("long").alias("n_fingerprints"),
+    return winnow_fingerprint_counts(d, hash_fn="md5").select(
+        "doc_id", F.col("n_fingerprints").cast("long").alias("n_fingerprints")
     )
 
 

@@ -391,3 +391,48 @@ def test_chunk_udtf_matches_codegen_chunking(spark, sf_dir):
     a = sorted(map(tuple, via_udtf.collect()))
     b = sorted(map(tuple, via_expr.collect()))
     assert a == b
+
+
+def test_signature_tables_equal_hof_columns(docs):
+    """The aggregated (codegen) signature tables must be value-identical
+    to the compositional HOF Column forms they replaced on the hot path."""
+    from consume_kafka_avro_data_spark.operators.dedup import (
+        simhash_hex,
+        simhash_hex_table,
+        simhash64_table,
+        tokens_col,
+    )
+    from consume_kafka_avro_data_spark.operators.text import (
+        winnow_fingerprint_counts,
+        winnow_fingerprints_md5,
+    )
+
+    hof64 = {
+        r.doc_id: r.sig
+        for r in docs.select(
+            "doc_id", simhash64(tokens_col("text")).alias("sig")
+        ).collect()
+    }
+    tab64 = {r._id: r._sim for r in simhash64_table(docs).collect()}
+    assert hof64 == tab64
+
+    hofhex = {
+        r.doc_id: r.sig
+        for r in docs.select(
+            "doc_id", simhash_hex(tokens_col("text")).alias("sig")
+        ).collect()
+    }
+    tabhex = {r._id: r._sim for r in simhash_hex_table(docs).collect()}
+    assert hofhex == tabhex
+
+    hofw = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(winnow_fingerprints_md5("text")).alias("n")
+        ).collect()
+    }
+    tabw = {
+        r.doc_id: r.n_fingerprints
+        for r in winnow_fingerprint_counts(docs).collect()
+    }
+    assert hofw == tabw

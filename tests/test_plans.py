@@ -152,22 +152,32 @@ def test_doc_chunks_is_map_only(q):
     assert I.exchange_count(df) == 0
 
 
-def test_fingerprint_signatures_are_map_only(q):
-    """U5 signatures (SimHash hex, winnowing) are pure projections — a
-    refactor that sneaks a shuffle into signature computation would be a
-    catastrophe at 100 TB (it's the per-document map stage)."""
+def test_fingerprint_signatures_aggregate_not_interpreted(q):
+    """U5 signatures (SimHash hex, winnowing) compile to explode +
+    native aggregates: exactly one doc-keyed exchange whose rows are
+    signature-sized (map-side partial agg), and NO lambda HOFs in the
+    hot path — Spark interprets those (no codegen), which made the
+    original map-only formulation ~50× slower than this shape.  No
+    Python anywhere."""
     for name in ("q_simhash_signatures", "q_winnow_fingerprints"):
-        assert I.exchange_count(q(name)) == 0, f"{name} grew a shuffle"
+        df = q(name)
+        plan = I.simple_plan(df)
+        assert I.exchange_count(df) <= 1, f"{name} shuffles more than the signature agg"
+        assert "BatchEvalPython" not in plan, name
+        # the interpreted-HOF markers must not appear in these plans
+        assert "lambdafunction" not in plan.lower(), f"{name} kept an interpreted fold"
 
 
 def test_neardup_joins_single_candidate_shuffle(q):
-    """MinHash/SimHash near-dup pairs: the only shuffle is candidate
-    generation (band/block bucket self-join + pair dedup) — the
-    theoretical minimum.  Exact n-gram Jaccard adds the inverted-index
-    df-filter round-trip (3 total)."""
+    """Near-dup pairs: signature aggregate + block bucket-and-expand +
+    pair dedup — three signature-sized exchanges, never a corpus-sized
+    self-join (minhash LSH keeps its verify self-join form: ≤2 counted
+    exchanges there since the band join reuses one exchange).  Exact
+    n-gram Jaccard adds the inverted-index df-filter round-trip."""
     assert I.exchange_count(q("q_minhash_neardup")) <= 2
-    assert I.exchange_count(q("q_simhash_neardup")) <= 2
+    assert I.exchange_count(q("q_simhash_neardup")) <= 3
     assert I.exchange_count(q("q_ngram_jaccard")) <= 4
+    assert "SortMergeJoin" not in I.simple_plan(q("q_simhash_neardup"))
 
 
 def test_exists_subquery_decorrelates_to_semi_anti(q):
