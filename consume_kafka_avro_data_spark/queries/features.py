@@ -185,6 +185,97 @@ def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_temperature_resample",
+    oracle="""
+    WITH s AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_l
+      FROM documents GROUP BY lang
+    ), t AS (
+      SELECT SUM(CAST(round(sqrt(n_l), 4) AS DECIMAL(18,4))) AS w_tot,
+             CAST(SUM(n_l) AS BIGINT) AS n_tot
+      FROM s
+    ), p AS (
+      SELECT lang, n_l,
+             CAST(floor(
+               (CAST(CAST(round(sqrt(n_l), 4) AS DECIMAL(18,4)) AS DOUBLE)
+                / CAST(w_tot AS DOUBLE)) * CAST(n_tot AS DOUBLE)
+             ) AS BIGINT) AS target
+      FROM s CROSS JOIN t
+    ), r AS (
+      SELECT d.doc_id, d.lang,
+             p.target // p.n_l AS base,
+             p.target % p.n_l AS rem,
+             row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS rn
+      FROM documents d JOIN p USING (lang)
+    ), c AS (
+      SELECT doc_id, lang,
+             base + CASE WHEN rn <= rem THEN 1 ELSE 0 END AS copies
+      FROM r
+    )
+    SELECT doc_id, lang, CAST(unnest(range(1, copies + 1)) AS INT) AS copy_id
+    FROM c WHERE copies >= 1
+    """,
+    tags=("U4", "A2", "W1"),
+)
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature resampling for data mixing (α=0.5, the multilingual-
+    LM rebalancing scheme): per-language target counts ∝ √n_l, rare
+    languages up-sampled via integer repeat counts, the remainder
+    assigned to the md5-lowest docs so the output hits each target
+    EXACTLY and deterministically.  Engine-parity hinges on three
+    choices: sqrt is IEEE correctly-rounded in both engines, the 4-dp
+    rounded weights sum exactly as DECIMAL (order-independent), and the
+    remainder rank uses the portable md5 order.  At scale the per-lang
+    stats broadcast back onto the corpus and the repeat fan-out is a
+    map-side explode; the only data-sized shuffle is the remainder rank
+    (one window per lang) — and only the `rem < n_l` remainder docs
+    depend on it, so a relaxed variant can hash-threshold instead.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    stats = d.groupBy("lang").agg(F.count("*").alias("n_l"))
+    w = F.round(F.sqrt(F.col("n_l")), 4).cast("decimal(18,4)")
+    tot = stats.agg(
+        F.sum(w).alias("w_tot"), F.sum("n_l").cast("long").alias("n_tot")
+    )
+    p = (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_l",
+            F.floor(
+                (w.cast("double") / F.col("w_tot").cast("double"))
+                * F.col("n_tot").cast("double")
+            )
+            .cast("long")
+            .alias("target"),
+        )
+    )
+    joined = d.join(F.broadcast(p), "lang")
+    rank_w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    c = joined.select(
+        "doc_id",
+        "lang",
+        (F.expr("target div n_l") + F.when(
+            F.row_number().over(rank_w) <= F.col("target") % F.col("n_l"), 1
+        ).otherwise(0)).alias("copies"),
+    )
+    return (
+        c.where(F.col("copies") >= 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1).cast("long"), "copies")).alias("copy_id"),
+        )
+        .withColumn("copy_id", F.col("copy_id").cast("int"))
+    )
+
+
+@query(
     "q_pmi_pairs",
     oracle="""
     WITH toks AS (

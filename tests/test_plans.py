@@ -376,3 +376,13 @@ def test_pmi_pairs_no_token_self_join(q):
     assert "SortMergeJoin" not in plan
     assert I.broadcast_join_count(df) >= 2
     assert "BatchEvalPython" not in plan
+
+
+def test_temperature_resample_broadcasts_rates(q):
+    """The per-lang target table must broadcast onto the corpus; the
+    repeat fan-out is a map-side explode.  Only the remainder-rank
+    window shuffles corpus-sized data."""
+    df = q("q_temperature_resample")
+    assert I.broadcast_join_count(df) >= 1
+    assert "SortMergeJoin" not in I.simple_plan(df)
+    assert I.exchange_count(df) <= 3

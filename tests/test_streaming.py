@@ -445,3 +445,43 @@ def test_transform_with_state_plan_builds(spark, tmp_path):
         "user_id", "n_events", "total_value", "last_micros",
     ]
     assert "TransformWithStateInPySpark" in out._jdf.queryExecution().analyzed().toString()
+
+
+def test_counters_listener_tracks_progress(spark, tmp_path):
+    """T3/A1 observability: the StreamingQueryListener port of the
+    reference's runtime counters (src/main.cpp:243-253) must see query
+    start, every micro-batch's row count, and clean termination."""
+    import time
+
+    from consume_kafka_avro_data_spark.streaming.metrics import (
+        attach_counters,
+        detach_counters,
+    )
+
+    listener = attach_counters(spark)
+    try:
+        topic, sc = _framed_topic(spark, tmp_path, with_corrupt=False)
+        stream = topic.read_stream(max_files_per_trigger=1)
+        q = (
+            stream.writeStream.format("noop")
+            .queryName("counter_probe")
+            .option("checkpointLocation", str(tmp_path / "ckpt_listener"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener bus delivery is async; poll briefly for the terminal event
+        for _ in range(50):
+            snap = listener.snapshot()
+            if snap.terminated >= 1 and snap.input_rows >= len(TRIPLES):
+                break
+            time.sleep(0.2)
+        snap = listener.snapshot()
+        assert snap.started >= 1
+        assert snap.terminated >= 1
+        assert snap.failed == 0
+        assert snap.batches >= 1
+        assert snap.input_rows == len(TRIPLES)
+        assert snap.rows_by_query.get("counter_probe") == len(TRIPLES)
+    finally:
+        detach_counters(spark, listener)
