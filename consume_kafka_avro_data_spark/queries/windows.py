@@ -203,3 +203,100 @@ def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@query(
+    "q_range_frame",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+             value
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE)
+             AS sum_last_hour
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("W3",),
+)
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (W3 completion): per-user trailing-hour
+    event count and value sum, ordered by event time with the frame
+    bound in VALUE space (epoch-µs range), not row counts — the frame a
+    rate limiter or rolling-exposure metric needs, and the one shape
+    ``rowsBetween`` cannot express when event spacing is irregular.
+    The sum goes through the exact decimal cast so the variable-size
+    frame total is independent of intra-frame addition order.  One
+    shuffle on user_id; frames stream within each partition.
+
+    Note the orderBy column must be numeric for a Spark range frame, so
+    the timestamp is projected to epoch-µs first (session tz pinned
+    UTC; identical to DuckDB's epoch_us).
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast(DEC))
+        .over(w)
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("sum_last_hour"),
+    )
+
+
+@query(
+    "q_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med_value
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           any_value(m.med_value) AS med_value,
+           quantile_cont(abs(e.value - m.med_value), 0.5) AS mad
+    FROM events e JOIN med m ON e.event_type = m.event_type
+    GROUP BY e.event_type
+    """,
+    tags=("A6", "J1"),
+)
+def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group (A6 closure) — the robust
+    outlier scale the z-score of q_feature_scale lacks.  Two percentile
+    passes: the per-group median table is |groups| rows, so it
+    broadcast-joins back onto the fact stream (no fact shuffle for the
+    enrichment) and the second percentile reuses the same group
+    partitioning.  Both engines share the linear-interpolation quantile
+    definition and the |x−median| arithmetic, so results match exactly.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med_value")
+    )
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med_value").alias("med_value"),
+            F.percentile(F.abs(F.col("value") - F.col("med_value")), 0.5).alias(
+                "mad"
+            ),
+        )
+    )

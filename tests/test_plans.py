@@ -386,3 +386,15 @@ def test_temperature_resample_broadcasts_rates(q):
     assert I.broadcast_join_count(df) >= 1
     assert "SortMergeJoin" not in I.simple_plan(df)
     assert I.exchange_count(df) <= 3
+
+
+def test_range_frame_single_window_shuffle(q):
+    assert I.exchange_count(q("q_range_frame")) == 1
+
+
+def test_mad_broadcasts_median_table(q):
+    """The |groups|-row median table must broadcast onto the fact
+    stream; only the two grouped percentile aggregates shuffle."""
+    df = q("q_mad")
+    assert I.broadcast_join_count(df) >= 1
+    assert I.exchange_count(df) <= 2
