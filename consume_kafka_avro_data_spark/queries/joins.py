@@ -346,3 +346,59 @@ def q_supply_chain_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.crossJoin(c)
     return out
+
+
+@query(
+    "q_interval_count_binned",
+    oracle="""
+    SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_shipped
+    FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od
+          FROM orders WHERE o_totalprice > 450000) o
+    JOIN (SELECT CAST(l_shipdate AS DATE) AS sd FROM lineitem) l
+      ON l.sd >= o.od AND l.sd < o.od + INTERVAL 7 DAY
+    GROUP BY o_orderkey
+    """,
+    tags=("J6",),
+)
+def q_interval_count_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE interval join (J6 hard case): per high-value order, count
+    ALL lineitems shipped in the 7 days from its order date — no shared
+    key, so naive execution is a broadcast-nested-loop over the full
+    cross product.  The scale plan bins both sides into 7-day epochs:
+    every 7-day query window overlaps at most 2 bins, so the query side
+    fans out ×2, the join becomes an EQUI join on bin, and the exact
+    range predicate runs as a post-join filter on bin-local pairs.
+    Cost drops from O(|orders|·|lineitem|) to O(pairs sharing a bin) —
+    the same rewrite Databricks' range-join hints apply.  The oracle
+    states the declarative range-join form; results are identical.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    q = o.where(F.col("o_totalprice") > 450000).select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    # day numbers (integer) and 7-day bins
+    q = q.withColumn("od_day", F.unix_date(F.col("od")))
+    probe = li.select(
+        F.unix_date(F.col("l_shipdate").cast("date")).alias("sd_day")
+    ).withColumn("bin", F.expr("sd_day div 7"))
+    build = q.select(
+        "o_orderkey",
+        "od_day",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr("od_day div 7"), F.expr("(od_day + 6) div 7")
+                )
+            )
+        ).alias("bin"),
+    )
+    return (
+        probe.join(build, "bin")
+        .where(
+            (F.col("sd_day") >= F.col("od_day"))
+            & (F.col("sd_day") < F.col("od_day") + 7)
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_shipped"))
+    )

@@ -752,3 +752,62 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label", "n", (F.col("pos0") + 1).cast("int").alias("pos"), "component"
         )
     )
+
+
+@query(
+    "q_sq_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             unnest(CAST(embedding AS DOUBLE[]))        AS val,
+             CAST(unnest(range(len(embedding))) AS INT) AS pos
+      FROM embeddings
+    ), s AS (
+      SELECT pos, min(val) AS mn, max(val) AS mx FROM v GROUP BY pos
+    )
+    SELECT vec_id, pos, code,
+           abs(val - (mn + (CAST(code AS DOUBLE) + 0.5) * (mx - mn) / 256))
+             AS err
+    FROM (
+      SELECT vec_id, v.pos, val, mn, mx,
+             CAST(least(255, floor((val - mn) / (mx - mn) * 256)) AS INT)
+               AS code
+      FROM v JOIN s ON v.pos = s.pos
+    ) WHERE vec_id < 20
+    """,
+    tags=("U6", "U8"),
+)
+def q_sq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8) quantization of embeddings — the compression pass a
+    100 TB vector corpus runs before ANN so candidates fit in memory:
+    per-dimension min/max over the corpus, each value encoded to a
+    256-level code, plus the reconstruction error of the dequantized
+    midpoint.  The per-dim stats table is |dims| rows and broadcast-joins
+    back onto the exploded values (the corpus never shuffles); floor —
+    not round — keeps the code free of decimal-tie sensitivity, so both
+    engines bucket identically.  Output limited to 20 vectors for the
+    oracle; the codes themselves are corpus-wide.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+    s = v.groupBy("pos").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+    coded = (
+        v.where(F.col("vec_id") < 20)
+        .join(F.broadcast(s), "pos")
+        .withColumn(
+            "code",
+            F.least(
+                F.lit(255),
+                F.floor((F.col("val") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 256),
+            ).cast("int"),
+        )
+    )
+    recon = F.col("mn") + (F.col("code").cast("double") + 0.5) * (
+        F.col("mx") - F.col("mn")
+    ) / 256
+    return coded.select(
+        "vec_id", "pos", "code", F.abs(F.col("val") - recon).alias("err")
+    )

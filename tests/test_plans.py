@@ -398,3 +398,20 @@ def test_mad_broadcasts_median_table(q):
     df = q("q_mad")
     assert I.broadcast_join_count(df) >= 1
     assert I.exchange_count(df) <= 2
+
+
+def test_interval_join_is_binned_equi_not_nested_loop(q):
+    """The pure interval join must compile to an equi hash/merge join on
+    the 7-day bin with the range predicate as a post-join filter — a
+    BroadcastNestedLoopJoin here is the O(n·m) cross product."""
+    plan = I.simple_plan(q("q_interval_count_binned"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_sq_quantize_broadcasts_dim_stats(q):
+    """Per-dim min/max (|dims| rows) broadcasts back onto the exploded
+    values; only the stats aggregate shuffles."""
+    df = q("q_sq_quantize")
+    assert I.broadcast_join_count(df) >= 1
+    assert I.exchange_count(df) <= 1
