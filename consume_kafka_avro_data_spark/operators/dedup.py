@@ -341,10 +341,12 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH with exact-Jaccard verify.
 
-    Pipeline: shingle → signature (map-only) → explode band hashes →
-    group by (band, hash) bucket ⋈ self → candidate pairs → verify with
-    exact shingle-set Jaccard (array_intersect/union on the original
-    shingle sets).  Banding (b=8, r=4) targets the ~0.5 similarity knee:
+    Pipeline: one explode + aggregate pass builds BOTH the signature
+    (native min() components — see module docstring for why not HOFs)
+    and the distinct shingle set per doc → explode band hashes →
+    bucket-and-expand candidate pairs carrying the shingle sets →
+    verify with exact Jaccard (array_intersect/union, native collection
+    expressions).  Banding (b=8, r=4) targets the ~0.5 similarity knee:
     P(candidate) = 1-(1-s^r)^b.
 
     ``hash_fn``: "xxhash64" (default, fastest JVM hash — the 100 TB
@@ -353,40 +355,45 @@ def minhash_lsh_pairs(
     The verify step is exact Jaccard either way, so the hash choice only
     moves candidate recall, never the correctness of emitted pairs.
     """
+    n = bands * rows
     df = ensure_min_splits(df)
     toks = tokens_col(text_col)
     sh = F.array_distinct(shingles(toks, shingle_k))
     if hash_fn == "md5":
-        sig = minhash_signature_md5(sh, bands * rows)
+        def comp(i: int) -> Column:
+            return F.min(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh"))), 1, 16)
+            ).alias(f"_h{i}")
+
         bh = band_hashes_md5(F.col("_sig"), bands, rows)
     else:
-        sig = minhash_signature(sh, bands * rows)
+        def comp(i: int) -> Column:
+            return F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"_h{i}")
+
         bh = band_hashes(F.col("_sig"), bands, rows)
-    base = df.select(
-        F.col(id_col).alias("_id"), sh.alias("_shingles"), sig.alias("_sig")
+    exploded = df.select(F.col(id_col).alias("_id"), F.explode(sh).alias("_sh"))
+    base = (
+        exploded.groupBy("_id")
+        .agg(
+            *[comp(i) for i in range(n)],
+            F.collect_set("_sh").alias("_shingles"),
+        )
+        .select(
+            "_id",
+            "_shingles",
+            F.array(*[f"_h{i}" for i in range(n)]).alias("_sig"),
+        )
     )
     banded = base.select(
         "_id",
-        "_shingles",
-        F.explode(bh).alias("_band"),
+        # the pair payload (_sim) is the shingle set: the verify step
+        # needs sets, not signatures, once the bands are computed
+        F.col("_shingles").alias("_sim"),
+        F.explode(bh).alias("_block"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a._band") == F.col("b._band"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._shingles").alias("sh_a"),
-            F.col("b._shingles").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])  # same pair from multiple bands
-    )
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    cand = _bucket_candidate_pairs(banded)
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    union = F.size(F.col("_sa")) + F.size(F.col("_sb")) - inter
     return (
         cand.select(
             "id_a",

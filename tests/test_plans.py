@@ -170,14 +170,15 @@ def test_fingerprint_signatures_aggregate_not_interpreted(q):
 
 def test_neardup_joins_single_candidate_shuffle(q):
     """Near-dup pairs: signature aggregate + block bucket-and-expand +
-    pair dedup — three signature-sized exchanges, never a corpus-sized
-    self-join (minhash LSH keeps its verify self-join form: ≤2 counted
-    exchanges there since the band join reuses one exchange).  Exact
-    n-gram Jaccard adds the inverted-index df-filter round-trip."""
-    assert I.exchange_count(q("q_minhash_neardup")) <= 2
-    assert I.exchange_count(q("q_simhash_neardup")) <= 3
+    pair dedup — three signature/bucket-sized exchanges, never a
+    corpus-sized self-join (a banded self-join materializes the
+    signature subtree once per side under AQE).  Exact n-gram Jaccard
+    adds the inverted-index df-filter round-trip."""
+    for name in ("q_minhash_neardup", "q_simhash_neardup"):
+        df = q(name)
+        assert I.exchange_count(df) <= 3, name
+        assert "SortMergeJoin" not in I.simple_plan(df), name
     assert I.exchange_count(q("q_ngram_jaccard")) <= 4
-    assert "SortMergeJoin" not in I.simple_plan(q("q_simhash_neardup"))
 
 
 def test_exists_subquery_decorrelates_to_semi_anti(q):
