@@ -263,3 +263,94 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("sum_tokens"),
         )
     )
+
+
+@query(
+    "q_interpolate",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+             CASE WHEN event_id % 3 = 0 THEN value END AS known
+      FROM events
+    ), ctx AS (
+      SELECT user_id, event_id, t_us, known,
+             last_value(known IGNORE NULLS) OVER wp AS v_prev,
+             last_value(CASE WHEN known IS NOT NULL THEN t_us END IGNORE NULLS)
+               OVER wp AS t_prev,
+             first_value(known IGNORE NULLS) OVER wn AS v_next,
+             first_value(CASE WHEN known IS NOT NULL THEN t_us END IGNORE NULLS)
+               OVER wn AS t_next
+      FROM e
+      WINDOW wp AS (PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, event_id,
+           CASE WHEN known IS NOT NULL THEN known
+                WHEN v_prev IS NULL THEN v_next
+                WHEN v_next IS NULL THEN v_prev
+                ELSE v_prev + (v_next - v_prev)
+                     * CAST(t_us - t_prev AS DOUBLE)
+                     / CAST(t_next - t_prev AS DOUBLE)
+           END AS v_interp,
+           (known IS NULL) AS was_gap
+    FROM ctx
+    """,
+    tags=("W2", "P10"),
+)
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap interpolation (W2 closure): every third event is
+    treated as a known sensor reading and the rest are linearly
+    interpolated between the nearest known neighbors in event order —
+    boundary gaps take the nearest known value.  Forward context is
+    last_value IGNORE NULLS over the preceding frame, backward context
+    is first_value over the following frame; both frames share ONE
+    user_id shuffle.  The interpolation weight is a ratio of exact
+    epoch-µs integers, so both engines produce bit-identical doubles.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.when(F.col("event_id") % 3 == 0, F.col("value")).alias("known"),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    t_known = F.when(F.col("known").isNotNull(), F.col("t_us"))
+    ctx = e.select(
+        "user_id",
+        "event_id",
+        "t_us",
+        "known",
+        F.last("known", ignorenulls=True).over(wp).alias("v_prev"),
+        F.last(t_known, ignorenulls=True).over(wp).alias("t_prev"),
+        F.first("known", ignorenulls=True).over(wn).alias("v_next"),
+        F.first(t_known, ignorenulls=True).over(wn).alias("t_next"),
+    )
+    interp = (
+        F.when(F.col("known").isNotNull(), F.col("known"))
+        .when(F.col("v_prev").isNull(), F.col("v_next"))
+        .when(F.col("v_next").isNull(), F.col("v_prev"))
+        .otherwise(
+            F.col("v_prev")
+            + (F.col("v_next") - F.col("v_prev"))
+            * (F.col("t_us") - F.col("t_prev")).cast("double")
+            / (F.col("t_next") - F.col("t_prev")).cast("double")
+        )
+    )
+    return ctx.select(
+        "user_id",
+        "event_id",
+        interp.alias("v_interp"),
+        F.col("known").isNull().alias("was_gap"),
+    )

@@ -416,3 +416,10 @@ def test_sq_quantize_broadcasts_dim_stats(q):
     df = q("q_sq_quantize")
     assert I.broadcast_join_count(df) >= 1
     assert I.exchange_count(df) <= 1
+
+
+def test_interpolate_single_window_shuffle(q):
+    """Forward and backward IGNORE-NULLS context share one user_id
+    window partitioning — a second exchange would mean the two frames
+    stopped sharing their sort."""
+    assert I.exchange_count(q("q_interpolate")) == 1
