@@ -225,3 +225,102 @@ def q_regr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+@query(
+    "q_null_semantics",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END
+               AS nv
+      FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT o_orderkey, o_orderpriority, nv,
+           CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY nv DESC NULLS LAST, o_orderkey)
+                AS INT) AS rn,
+           (nv IS NOT DISTINCT FROM
+              lag(nv) OVER (PARTITION BY o_orderpriority
+                            ORDER BY nv DESC NULLS LAST, o_orderkey))
+             AS same_as_prev,
+           (nv IS DISTINCT FROM o_totalprice) AS was_nulled
+    FROM o JOIN (SELECT o_orderkey AS k, o_totalprice FROM orders) x
+      ON o_orderkey = k
+    """,
+    tags=("P8", "P14", "W1"),
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics closure (P8/P14): NULLS LAST ordering inside a
+    window rank, null-safe equality (<=> / IS NOT DISTINCT FROM) against
+    the previous row, and IS DISTINCT FROM change detection.  Three-
+    valued logic is where engines silently disagree; pinning the whole
+    family against the oracle keeps every null path honest.  One window
+    shuffle; the self-lookup of the original price broadcasts.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.where(F.col("o_orderkey") < 2000).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("o_orderstatus") == "P", F.lit(None))
+        .otherwise(F.col("o_totalprice"))
+        .alias("nv"),
+    )
+    x = o.select(F.col("o_orderkey").alias("k"), "o_totalprice")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc_nulls_last("nv"), "o_orderkey"
+    )
+    j = base.join(F.broadcast(x), base.o_orderkey == x.k)
+    return j.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "nv",
+        F.row_number().over(w).alias("rn"),
+        F.col("nv").eqNullSafe(F.lag("nv").over(w)).alias("same_as_prev"),
+        (~F.col("nv").eqNullSafe(F.col("o_totalprice"))).alias("was_nulled"),
+    )
+
+
+@query(
+    "q_fuzzy_match",
+    oracle="""
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM customer a
+    JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    tags=("J6", "U5", "P9"),
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching via edit distance (record linkage) — the
+    near-dup primitive for the reference's unique-name vertex table
+    (`src/Database.h:23-25`): names within a nation block whose
+    Levenshtein distance ≤ 2.  Blocking on the equi key keeps this a
+    hash join with the distance as a post-join filter (never a global
+    cross product); `levenshtein` is a codegen'd JVM expression in
+    Spark and a built-in in DuckDB, with identical distance semantics.
+    At 100 TB the blocking key is the lever: block harder (nation ×
+    name-prefix) and the per-block quadratic stays bounded.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    return (
+        a.join(b, "nk")
+        .where(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= 2)
+        .select("key_a", "key_b", "name_a", "name_b", "dist")
+    )

@@ -423,3 +423,12 @@ def test_interpolate_single_window_shuffle(q):
     window partitioning — a second exchange would mean the two frames
     stopped sharing their sort."""
     assert I.exchange_count(q("q_interpolate")) == 1
+
+
+def test_fuzzy_match_is_blocked_hash_join(q):
+    """Edit-distance matching must stay a hash join on the blocking key
+    with the distance as a post-join filter — never a nested-loop cross
+    product, never Python."""
+    plan = I.simple_plan(q("q_fuzzy_match"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
