@@ -354,3 +354,96 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp.alias("v_interp"),
         F.col("known").isNull().alias("was_gap"),
     )
+
+
+_PATTERN = (10.0, 20.0, 40.0, 80.0, 40.0, 20.0, 10.0, 5.0)  # spike shape
+_PN = len(_PATTERN)
+_P_SUM = sum(_PATTERN)
+_P_SUMSQ = sum(p * p for p in _PATTERN)
+
+
+def _ts_pattern_oracle() -> str:
+    leads = ",\n             ".join(
+        f"lead(value, {i}) OVER w AS v{i}" for i in range(_PN)
+    )
+    s = " + ".join(f"CAST(v{i} AS DECIMAL(18,4))" for i in range(_PN))
+    ssq = " + ".join(
+        f"CAST(v{i} AS DECIMAL(18,4)) * CAST(v{i} AS DECIMAL(18,4))"
+        for i in range(_PN)
+    )
+    dot = " + ".join(
+        f"CAST(v{i} AS DECIMAL(18,4)) * CAST({_PATTERN[i]!r} AS DECIMAL(18,4))"
+        for i in range(_PN)
+    )
+    return f"""
+    WITH leads AS (
+      SELECT user_id, event_id,
+             {leads}
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ), sums AS (
+      SELECT user_id, event_id,
+             CAST({s} AS DOUBLE)   AS sv,
+             CAST({ssq} AS DOUBLE) AS svv,
+             CAST({dot} AS DOUBLE) AS svp
+      FROM leads WHERE v{_PN - 1} IS NOT NULL
+    )
+    SELECT user_id, event_id,
+           ({_PN} * svp - sv * {_P_SUM!r})
+             / sqrt(({_PN} * svv - sv * sv)
+                    * ({_PN} * {_P_SUMSQ!r} - {_P_SUM!r} * {_P_SUM!r}))
+             AS score
+    FROM sums
+    ORDER BY score DESC, user_id, event_id
+    LIMIT 20
+    """
+
+
+@query("q_ts_pattern", oracle=_ts_pattern_oracle(), tags=("W2", "W5", "U6"))
+def q_ts_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window pattern matching over each user's value series
+    (time-series similarity search, cf. PAPERS.md EDBT 2019): the
+    normalized cross-correlation of every 8-event window against a fixed
+    spike template, global top-20 matches.  The window is materialized
+    as 8 native lead() columns — NOT an array fold — so the whole score
+    is codegen'd; the three window sums go through exact decimal
+    arithmetic in fixed expression order, making the correlation (and
+    the top-20 cut) bit-identical across engines.  One user_id window
+    shuffle + a TakeOrdered heap; at 100 TB the template sweep stays a
+    single pass over the partitioned series.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    leads = e.select(
+        "user_id",
+        "event_id",
+        *[F.lead("value", i).over(w).alias(f"v{i}") for i in range(_PN)],
+    ).where(F.col(f"v{_PN - 1}").isNotNull())
+
+    def dec(c):
+        return c.cast("decimal(18,4)")
+
+    sv = dec(F.col("v0"))
+    svv = dec(F.col("v0")) * dec(F.col("v0"))
+    svp = dec(F.col("v0")) * dec(F.lit(_PATTERN[0]))
+    for i in range(1, _PN):
+        sv = sv + dec(F.col(f"v{i}"))
+        svv = svv + dec(F.col(f"v{i}")) * dec(F.col(f"v{i}"))
+        svp = svp + dec(F.col(f"v{i}")) * dec(F.lit(_PATTERN[i]))
+    sums = leads.select(
+        "user_id",
+        "event_id",
+        sv.cast("double").alias("sv"),
+        svv.cast("double").alias("svv"),
+        svp.cast("double").alias("svp"),
+    )
+    n = float(_PN)
+    score = (n * F.col("svp") - F.col("sv") * _P_SUM) / F.sqrt(
+        (n * F.col("svv") - F.col("sv") * F.col("sv"))
+        * (n * _P_SUMSQ - _P_SUM * _P_SUM)
+    )
+    return (
+        sums.select("user_id", "event_id", score.alias("score"))
+        .orderBy(F.desc("score"), "user_id", "event_id")
+        .limit(20)
+    )

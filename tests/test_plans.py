@@ -432,3 +432,14 @@ def test_fuzzy_match_is_blocked_hash_join(q):
     plan = I.simple_plan(q("q_fuzzy_match"))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ts_pattern_is_window_plus_heap(q):
+    """The template sweep is one user_id window pass; the global top-20
+    must compile to TakeOrdered, never a full range sort.  No
+    interpreted folds — the score is all lead() columns."""
+    df = q("q_ts_pattern")
+    plan = I.simple_plan(df)
+    assert I.exchange_count(df) == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "lambdafunction" not in plan.lower()
