@@ -29,8 +29,23 @@ def _lit_vec(v) -> Column:
     return F.array(*[F.lit(float(x)) for x in v])
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ via zip_with + aggregate (JVM, one pass)."""
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Σ aᵢ·bᵢ, strict left-to-right float64 fold.
+
+    With ``dim`` given, the fold is UNROLLED into a fixed left-assoc
+    expression over element_at — bit-identical to the lambda fold
+    (IEEE: 0.0 + x == x, then the same addition order) but fully
+    whole-stage-codegen'd, where lambda HOFs are interpreted (~20 µs per
+    element — the dominant cost of every all-pairs cosine before this).
+    Without ``dim`` (variable-length arrays) it falls back to the HOF
+    fold, same values."""
+    if dim is not None:
+        e = F.element_at(a, 1).cast("double") * F.element_at(b, 1).cast("double")
+        for i in range(2, dim + 1):
+            e = e + F.element_at(a, i).cast("double") * F.element_at(b, i).cast(
+                "double"
+            )
+        return e
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -38,7 +53,13 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def l2_norm(a: Column) -> Column:
+def l2_norm(a: Column, dim: int | None = None) -> Column:
+    if dim is not None:
+        e = F.element_at(a, 1).cast("double") * F.element_at(a, 1).cast("double")
+        for i in range(2, dim + 1):
+            x = F.element_at(a, i).cast("double")
+            e = e + x * x
+        return F.sqrt(e)
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -48,8 +69,8 @@ def l2_norm(a: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
 
 
 def brute_force_topk(
@@ -60,11 +81,12 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k for one query vector (ties broken by id so the
-    result is a deterministic total order)."""
+    result is a deterministic total order).  The score unrolls to a
+    codegen'd expression (dim is known from the literal query vector)."""
     q = _lit_vec(query_vec)
     scored = corpus.select(
         F.col(id_col),
-        cosine(F.col(vec_col), q).alias("score"),
+        cosine(F.col(vec_col), q, dim=len(list(query_vec))).alias("score"),
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
@@ -77,6 +99,7 @@ def knn_join(
     query_vec: str = "q_vec",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = 64,
 ) -> DataFrame:
     """Brute-force k-NN join: broadcast the (small) query side over the
     corpus, score, keep top-k per query via ranked window."""
@@ -85,7 +108,7 @@ def knn_join(
     scored = corpus.crossJoin(F.broadcast(queries)).select(
         F.col(query_id),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col(query_vec)).alias("score"),
+        cosine(F.col(vec_col), F.col(query_vec), dim=dim).alias("score"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -112,7 +135,14 @@ def _seq_dot(a, b) -> float:
 
 
 def srp_bucket(vec: Column, planes: np.ndarray) -> Column:
-    """Bucket id = sign-bit pattern of the hyperplane projections."""
+    """Bucket id = sign-bit pattern of the hyperplane projections.
+
+    Deliberately uses the HOF fold (dim=None), NOT the unrolled dot:
+    nbits × dim unrolled literal-vector products per row overflow the
+    codegen method limit, and the interpreted fallback then rebuilds
+    each literal plane array per evaluation — measured 10× SLOWER than
+    the lambda fold here.  Unrolling pays off only for column-column
+    dots (the pair-verify cosine), not many-literal-plane sweeps."""
     bits = [
         F.when(dot(vec, _lit_vec(p)) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         for i, p in enumerate(planes)
@@ -197,6 +227,8 @@ def ivf_assign(
     centroids are unit vectors, so plain dot is cosine up to the row
     norm, which argmax ignores.  Map-only; in production written once as
     a partition/bucket column so probes prune at the file level."""
+    # HOF fold on purpose — see srp_bucket: many-literal-vector sweeps
+    # overflow codegen and interpret WORSE unrolled than as lambda folds
     scores = F.array(*[dot(F.col(vec_col), _lit_vec(c)) for c in centroids])
     return corpus.withColumn(
         "_ivf_cell", F.array_position(scores, F.array_max(scores)).cast("int")
@@ -340,11 +372,20 @@ def embedding_neardup_pairs(
     pairs colliding in any SRP table, verified by exact cosine ≥ τ.
     High-cosine pairs collide with probability (1-θ/π)^nbits per table,
     so a handful of tables suffices at τ ≥ 0.95."""
-    base = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # norm precomputed once per vector (see queries/similarity.py
+    # q_embedding_neardup): the pair stage then evaluates only the
+    # unrolled dot + a divide, which stays inside codegen's 64 KB limit
+    base = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col), dim=dim).alias("_n"),
+    )
     pairs = None
     for t in range(ntables):
         planes = _hyperplanes(dim, nbits, t, seed)
-        bucketed = base.select("_id", "_v", srp_bucket(F.col("_v"), planes).alias("_b"))
+        bucketed = base.select(
+            "_id", "_v", "_n", srp_bucket(F.col("_v"), planes).alias("_b")
+        )
         a, b = bucketed.alias("a"), bucketed.alias("b")
         p = a.join(
             b, (F.col("a._b") == F.col("b._b")) & (F.col("a._id") < F.col("b._id"))
@@ -353,10 +394,19 @@ def embedding_neardup_pairs(
             F.col("b._id").alias("id_b"),
             F.col("a._v").alias("_va"),
             F.col("b._v").alias("_vb"),
+            F.col("a._n").alias("_na"),
+            F.col("b._n").alias("_nb"),
         )
         pairs = p if pairs is None else pairs.unionByName(p)
     return (
         pairs.dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                dot(F.col("_va"), F.col("_vb"), dim=dim)
+                / (F.col("_na") * F.col("_nb"))
+            ).alias("cosine"),
+        )
         .where(F.col("cosine") >= cosine_threshold)
     )

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from consume_kafka_avro_data_spark.operators.dedup import (
+    ensure_min_splits,
     minhash_estimate_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -30,9 +31,10 @@ from consume_kafka_avro_data_spark.operators.multimodal import (
 )
 from consume_kafka_avro_data_spark.operators.similarity import (
     brute_force_topk,
-    cosine,
+    dot,
     ivf_topk,
     knn_join,
+    l2_norm,
     srp_lsh_topk,
 )
 from consume_kafka_avro_data_spark.operators.text import (
@@ -443,10 +445,22 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles match bit-for-bit).  The LSH-blocked scale path is
     operators/similarity.embedding_neardup_pairs; this exact variant is
     its recall oracle and the correctness contract."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
-    cos = cosine(F.col("_va"), F.col("_vb"))
+    emb = ensure_min_splits(load_table(spark, sf_dir, "embeddings"))
+    # norms precomputed once per VECTOR (map-side), not once per pair:
+    # n instead of n² norm evaluations, and the pair stage's expression
+    # (one unrolled dot + a divide) stays under the 64 KB codegen method
+    # limit that a fused dot+norm+norm cosine blows past
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("_va"),
+        l2_norm(F.col("embedding"), dim=64).alias("_na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("_vb"),
+        l2_norm(F.col("embedding"), dim=64).alias("_nb"),
+    )
+    cos = dot(F.col("_va"), F.col("_vb"), dim=64) / (F.col("_na") * F.col("_nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .where(cos >= 0.35)
@@ -487,12 +501,25 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     reachability with the same min-id labeling."""
     from consume_kafka_avro_data_spark.operators.graph import connected_components
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    emb = ensure_min_splits(load_table(spark, sf_dir, "embeddings"))
+    # per-vector norms + pair-stage dot: see q_embedding_neardup
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("_va"),
+        l2_norm(F.col("embedding"), dim=64).alias("_na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("_vb"),
+        l2_norm(F.col("embedding"), dim=64).alias("_nb"),
+    )
     pairs = (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .where(cosine(F.col("_va"), F.col("_vb")) >= 0.35)
+        .where(
+            dot(F.col("_va"), F.col("_vb"), dim=64)
+            / (F.col("_na") * F.col("_nb"))
+            >= 0.35
+        )
         .select("id_a", "id_b")
     )
     comps = connected_components(pairs, "id_a", "id_b")
