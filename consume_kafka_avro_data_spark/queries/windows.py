@@ -300,3 +300,48 @@ def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS od,
+             min(CAST(o_orderdate AS DATE)) OVER (
+               ORDER BY o_totalprice DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS best_prior_date
+      FROM orders
+    )
+    SELECT o_orderkey, o_totalprice, od AS o_orderdate
+    FROM ranked
+    WHERE best_prior_date IS NULL OR od < best_prior_date
+    """,
+    tags=("W3", "W4"),
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (maximize price, minimize date —
+    "biggest-and-earliest" orders no other order dominates).  The
+    classic quadratic NOT-EXISTS dominance test collapses to one sorted
+    pass for two dimensions: scan in price-descending order and keep a
+    row only when its date beats the running minimum of everything
+    before it.  The global sort is the honest cost — a rangepartitioned
+    sort, with the running min streaming inside each range partition at
+    scale.  Unique tie-break (o_orderkey) makes the frontier a
+    deterministic set in both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        F.min(F.col("o_orderdate").cast("date")).over(w).alias("best_prior_date"),
+    )
+    return ranked.where(
+        F.col("best_prior_date").isNull()
+        | (F.col("o_orderdate") < F.col("best_prior_date"))
+    ).select("o_orderkey", "o_totalprice", "o_orderdate")
