@@ -345,3 +345,38 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best_prior_date").isNull()
         | (F.col("o_orderdate") < F.col("best_prior_date"))
     ).select("o_orderkey", "o_totalprice", "o_orderdate")
+
+
+@query(
+    "q_id_gaps",
+    oracle="""
+    WITH seq AS (
+      SELECT event_id,
+             lead(event_id) OVER (ORDER BY event_id) AS next_id
+      FROM events WHERE event_id % 7 <> 0
+    )
+    SELECT event_id + 1 AS gap_start,
+           next_id - 1  AS gap_end,
+           CAST(next_id - event_id - 1 AS BIGINT) AS gap_len
+    FROM seq
+    WHERE next_id - event_id > 1
+    """,
+    tags=("W2",),
+)
+def q_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap detection over a dense id sequence (W2 closure): with every
+    7th event dropped, report each missing [start, end] range via a
+    single lead() pass — the integrity check a replayed Kafka offset
+    stream needs (the reference trusts offset order implicitly,
+    src/main.cpp:229).  The global order-by is the honest cost; at scale
+    the same query runs per partition key (topic-partition) so each
+    sequence sorts locally.
+    """
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 7 != 0)
+    w = Window.orderBy("event_id")
+    seq = e.select("event_id", F.lead("event_id").over(w).alias("next_id"))
+    return seq.where(F.col("next_id") - F.col("event_id") > 1).select(
+        (F.col("event_id") + 1).alias("gap_start"),
+        (F.col("next_id") - 1).alias("gap_end"),
+        (F.col("next_id") - F.col("event_id") - 1).alias("gap_len"),
+    )
