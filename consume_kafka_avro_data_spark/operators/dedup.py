@@ -244,10 +244,7 @@ def simhash_hex_table(
     before the shuffle — the exchange carries counter-sized rows, never
     token-sized data."""
     df = ensure_min_splits(df)
-    ex = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(tokens_col(text_col)).alias("_t"),
-    )
+    ex = _explode_keepall(df, id_col, tokens_col(text_col), "_t")
     # project the hash ONCE per token row, then derive the 16 digits
     # from the materialized column — inlining F.md5 into each digit
     # expression would hash every token 16 times
@@ -287,10 +284,7 @@ def simhash64_table(
     sum() design (see there for why this beats the interpreted array
     fold of :func:`simhash64`)."""
     df = ensure_min_splits(df)
-    ex = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(tokens_col(text_col)).alias("_t"),
-    )
+    ex = _explode_keepall(df, id_col, tokens_col(text_col), "_t")
     hashed = ex.select("_id", F.xxhash64(F.col("_t")).alias("_h"))
     aggs = [
         F.sum(
@@ -329,6 +323,42 @@ def hamming_hex(a: Column, b: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
+
+def _minhash_agg_components(hash_fn: str, sig_col: str, bands: int, rows: int):
+    """(comp, band_expr) for the aggregate-form MinHash signature.
+
+    ``comp(i)`` is the native min() aggregate for seed i over the
+    exploded ``_sh`` shingle rows; ``band_expr`` hashes the assembled
+    ``sig_col`` array into per-band bucket keys.  One definition shared
+    by the estimator and the LSH-verify pipeline so the md5 oracle proof
+    keeps covering the xxhash64 scale path.  Unknown names raise — a
+    silent fallback would swap hash families (and oracle portability)
+    on a typo."""
+    if hash_fn == "md5":
+        def comp(i: int) -> Column:
+            return F.min(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh"))), 1, 16)
+            ).alias(f"_h{i}")
+
+        return comp, band_hashes_md5(F.col(sig_col), bands, rows)
+    if hash_fn == "xxhash64":
+        def comp(i: int) -> Column:
+            return F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"_h{i}")
+
+        return comp, band_hashes(F.col(sig_col), bands, rows)
+    raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+
+
+def _explode_keepall(df: DataFrame, id_col: str, arr: Column, out: str) -> DataFrame:
+    """Explode ``arr`` keeping every id: a NULL/empty array (NULL text)
+    becomes one empty-string element instead of dropping the document —
+    the row-preserving convention of the HOF Column forms, which emit a
+    neutral signature for such docs rather than losing them."""
+    safe = F.coalesce(arr, F.array(F.lit("")))
+    safe = F.when(F.size(safe) == 0, F.array(F.lit(""))).otherwise(safe)
+    return df.select(F.col(id_col).alias("_id"), F.explode(safe).alias(out))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -356,22 +386,11 @@ def minhash_lsh_pairs(
     moves candidate recall, never the correctness of emitted pairs.
     """
     n = bands * rows
+    comp, bh = _minhash_agg_components(hash_fn, "_sig", bands, rows)
     df = ensure_min_splits(df)
     toks = tokens_col(text_col)
     sh = F.array_distinct(shingles(toks, shingle_k))
-    if hash_fn == "md5":
-        def comp(i: int) -> Column:
-            return F.min(
-                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh"))), 1, 16)
-            ).alias(f"_h{i}")
-
-        bh = band_hashes_md5(F.col("_sig"), bands, rows)
-    else:
-        def comp(i: int) -> Column:
-            return F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"_h{i}")
-
-        bh = band_hashes(F.col("_sig"), bands, rows)
-    exploded = df.select(F.col(id_col).alias("_id"), F.explode(sh).alias("_sh"))
+    exploded = _explode_keepall(df, id_col, sh, "_sh")
     base = (
         exploded.groupBy("_id")
         .agg(
@@ -415,7 +434,15 @@ def _bucket_candidate_pairs(blocked: DataFrame) -> DataFrame:
     as concurrent stages, so even exchange reuse doesn't save it).  The
     pair HOF is interpreted, but it runs over bucket-sized member lists,
     not corpus-sized data; quadratic only in bucket size, which the
-    blocking scheme keeps small."""
+    blocking scheme keeps small.
+
+    Hot-bucket caveat: a bucket of K members materializes its K·(K-1)/2
+    pair structs as one array value in one task, so K must stay
+    task-sized.  Banding bounds K only probabilistically — EXACT
+    duplicates agree on every band, so run exact dedup (fingerprint
+    group-by / dropDuplicates) BEFORE near-dup detection, which every
+    production pipeline does anyway and which collapses those buckets
+    to singletons."""
     buckets = blocked.groupBy("_block").agg(
         F.sort_array(F.collect_list(F.struct("_id", "_sim"))).alias("_members")
     )
@@ -512,33 +539,11 @@ def minhash_estimate_pairs(
     n = bands * rows
     if min_matches is None:
         min_matches = n // 2
+    comp, bh = _minhash_agg_components(hash_fn, "_sim", bands, rows)
     df = ensure_min_splits(df)
     toks = tokens_col(text_col)
     sh = F.array_distinct(shingles(toks, shingle_k))
-    # Signatures via explode + native min-aggregates, NOT the per-seed
-    # array HOFs of minhash_signature[_md5]: lambda-based higher-order
-    # functions are *interpreted* expressions in Spark (no whole-stage
-    # codegen), which makes the 32×|shingles| hash evaluation the
-    # dominant cost (~20 µs/hash observed).  Exploding once and taking
-    # 32 codegen'd min() aggregates computes the identical signature at
-    # native speed; map-side partial aggregation collapses each doc to
-    # its 32-component signature before the shuffle, so the exchange
-    # carries signature-sized data, never shingle-sized.
-    if hash_fn == "md5":
-        def comp(i: int) -> Column:
-            return F.min(
-                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh"))), 1, 16)
-            ).alias(f"_h{i}")
-
-        bh = band_hashes_md5(F.col("_sim"), bands, rows)
-    else:
-        def comp(i: int) -> Column:
-            return F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"_h{i}")
-
-        bh = band_hashes(F.col("_sim"), bands, rows)
-    exploded = df.select(
-        F.col(id_col).alias("_id"), F.explode(sh).alias("_sh")
-    )
+    exploded = _explode_keepall(df, id_col, sh, "_sh")
     base = (
         exploded.groupBy("_id")
         .agg(*[comp(i) for i in range(n)])

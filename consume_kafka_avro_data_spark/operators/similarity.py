@@ -99,10 +99,15 @@ def knn_join(
     query_vec: str = "q_vec",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Brute-force k-NN join: broadcast the (small) query side over the
-    corpus, score, keep top-k per query via ranked window."""
+    corpus, score, keep top-k per query via ranked window.
+
+    ``dim`` unrolls the cosine to a codegen'd expression — pass it only
+    when every vector has exactly that length (shorter arrays raise
+    under ANSI, longer ones would silently score a prefix); None uses
+    the length-agnostic HOF fold."""
     from pyspark.sql import Window
 
     scored = corpus.crossJoin(F.broadcast(queries)).select(

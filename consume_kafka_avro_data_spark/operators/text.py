@@ -172,7 +172,9 @@ def winnow_fingerprint_counts(
     from consume_kafka_avro_data_spark.operators.dedup import ensure_min_splits
 
     df = ensure_min_splits(df)
-    c = F.col(text_col)
+    # NULL text is treated as "" so the document keeps its (single,
+    # empty-gram) fingerprint row instead of being dropped by the explode
+    c = F.coalesce(F.col(text_col), F.lit(""))
     n_hashes = F.greatest(F.length(c) - k + 1, F.lit(1))
     pos = df.select(
         F.col(id_col),

@@ -37,10 +37,19 @@ def simple_plan(df: DataFrame) -> str:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of shuffle exchanges (hash/range/single partitioning) —
-    broadcast exchanges excluded: they ship a dimension, not the fact."""
+    """Number of DATA-SIZED shuffle exchanges: hash partitioning, range
+    partitioning, and single-partition collection.  Deliberately
+    excluded: broadcast exchanges (they ship a dimension, not the fact)
+    and round-robin repartitions (only emitted by ensure_min_splits,
+    whose contract is to be a no-op whenever input splits ≥ cores —
+    i.e. always, at scale)."""
     plan = simple_plan(df)
-    return len(re.findall(r"Exchange (?:hash|range|Single)partitioning", plan))
+    return len(
+        re.findall(
+            r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
+            plan,
+        )
+    )
 
 
 def broadcast_join_count(df: DataFrame) -> int:

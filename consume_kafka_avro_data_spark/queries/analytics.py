@@ -291,6 +291,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN known IS NOT NULL THEN known
                 WHEN v_prev IS NULL THEN v_next
                 WHEN v_next IS NULL THEN v_prev
+                WHEN t_next = t_prev THEN v_prev
                 ELSE v_prev + (v_next - v_prev)
                      * CAST(t_us - t_prev AS DOUBLE)
                      / CAST(t_next - t_prev AS DOUBLE)
@@ -341,6 +342,9 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("known").isNotNull(), F.col("known"))
         .when(F.col("v_prev").isNull(), F.col("v_next"))
         .when(F.col("v_next").isNull(), F.col("v_prev"))
+        # equal-timestamp neighbors (ts ties) would divide by zero —
+        # hold the previous value, matching the oracle's CASE arm
+        .when(F.col("t_next") == F.col("t_prev"), F.col("v_prev"))
         .otherwise(
             F.col("v_prev")
             + (F.col("v_next") - F.col("v_prev"))
@@ -394,6 +398,7 @@ def _ts_pattern_oracle() -> str:
                     * ({_PN} * {_P_SUMSQ!r} - {_P_SUM!r} * {_P_SUM!r}))
              AS score
     FROM sums
+    WHERE {_PN} * svv - sv * sv > 0
     ORDER BY score DESC, user_id, event_id
     LIMIT 20
     """
@@ -443,7 +448,11 @@ def q_ts_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (n * _P_SUMSQ - _P_SUM * _P_SUM)
     )
     return (
-        sums.select("user_id", "event_id", score.alias("score"))
+        # constant windows have zero variance — correlation is undefined
+        # and the division would abort under ANSI; drop them like the
+        # oracle's WHERE does
+        sums.where(n * F.col("svv") - F.col("sv") * F.col("sv") > 0)
+        .select("user_id", "event_id", score.alias("score"))
         .orderBy(F.desc("score"), "user_id", "event_id")
         .limit(20)
     )

@@ -140,10 +140,13 @@ def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type, e.value,
-           (e.value - sx / CAST(n AS DOUBLE))
-             / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
-                    / (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE))) AS zscore,
-           (e.value - mn) / (mx - mn) AS minmax
+           CASE WHEN n <= 1 OR sxx - sx * sx / CAST(n AS DOUBLE) <= 0 THEN NULL
+                ELSE (e.value - sx / CAST(n AS DOUBLE))
+                     / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+                            / (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE)))
+           END AS zscore,
+           CASE WHEN mx = mn THEN NULL
+                ELSE (e.value - mn) / (mx - mn) END AS minmax
     FROM events e JOIN stats s ON e.event_type = s.event_type
     WHERE e.event_id % 5 = 0
     """,
@@ -173,14 +176,21 @@ def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = e.where(F.col("event_id") % 5 == 0).select(
         "event_id", "event_type", "value"
     )
+    # degenerate groups (single row, or zero variance / constant value)
+    # yield NULL instead of aborting the job on ANSI division-by-zero
+    ssd = F.col("sxx") - F.col("sx") * F.col("sx") / n_d
+    zscore = F.when(
+        (F.col("n") <= 1) | (ssd <= 0), F.lit(None)
+    ).otherwise((F.col("value") - mean) / F.sqrt(var))
+    minmax = F.when(F.col("mx") == F.col("mn"), F.lit(None)).otherwise(
+        (F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn"))
+    )
     return fact.join(F.broadcast(stats), "event_type").select(
         "event_id",
         "event_type",
         "value",
-        ((F.col("value") - mean) / F.sqrt(var)).alias("zscore"),
-        ((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn"))).alias(
-            "minmax"
-        ),
+        zscore.alias("zscore"),
+        minmax.alias("minmax"),
     )
 
 
@@ -308,7 +318,7 @@ def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     textbook token self-join on doc_id; the Spark plan refuses that
     shape (it shuffles the full exploded token table twice).  Instead
     one aggregate builds the per-doc sorted distinct-token array —
-    persisted, it feeds all three consumers — and pair generation is a
+    its identical aggregate exchange is reused by all three consumers — and pair generation is a
     *map-side* higher-order-function expansion (indexed transform ×
     suffix slice), so the only pair-sized shuffle is the final co-count.
     Per-doc fan-out is quadratic in the doc's distinct vocabulary, which
@@ -325,10 +335,8 @@ def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
         )
     )
-    sets = (
-        toks.groupBy("doc_id")
-        .agg(F.sort_array(F.collect_set("tok")).alias("ts"))
-        .persist()
+    sets = toks.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("tok")).alias("ts")
     )
     nd = sets.agg(F.count("*").alias("nd"))
     tf = (

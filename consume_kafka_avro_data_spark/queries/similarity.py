@@ -83,7 +83,7 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    return knn_join(queries, emb, k=10)
+    return knn_join(queries, emb, k=10, dim=64)
 
 
 def _o_srp_ann(k=10, dim=64, nbits=12, ntables=6, seed=42) -> str:
@@ -797,8 +797,9 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS err
     FROM (
       SELECT vec_id, v.pos, val, mn, mx,
-             CAST(least(255, floor((val - mn) / (mx - mn) * 256)) AS INT)
-               AS code
+             CAST(CASE WHEN mx = mn THEN 0
+                  ELSE least(255, floor((val - mn) / (mx - mn) * 256))
+             END AS INT) AS code
       FROM v JOIN s ON v.pos = s.pos
     ) WHERE vec_id < 20
     """,
@@ -826,10 +827,20 @@ def q_sq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), "pos")
         .withColumn(
             "code",
-            F.least(
-                F.lit(255),
-                F.floor((F.col("val") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 256),
-            ).cast("int"),
+            # a constant dimension (mx == mn) quantizes to code 0 — the
+            # unguarded division would abort the job under ANSI mode
+            F.when(F.col("mx") == F.col("mn"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(255),
+                    F.floor(
+                        (F.col("val") - F.col("mn"))
+                        / (F.col("mx") - F.col("mn"))
+                        * 256
+                    ),
+                )
+            )
+            .cast("int"),
         )
     )
     recon = F.col("mn") + (F.col("code").cast("double") + 0.5) * (

@@ -436,3 +436,27 @@ def test_signature_tables_equal_hof_columns(docs):
         for r in winnow_fingerprint_counts(docs).collect()
     }
     assert hofw == tabw
+
+
+def test_signature_tables_keep_null_and_empty_text(spark):
+    """Docs with NULL or empty text must keep their signature row (the
+    row-preserving convention of the HOF Column forms) — a bare explode
+    would silently drop them from dedup entirely."""
+    from consume_kafka_avro_data_spark.operators.dedup import (
+        simhash_hex_table,
+        simhash64_table,
+    )
+    from consume_kafka_avro_data_spark.operators.text import (
+        winnow_fingerprint_counts,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    docs = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "hello world hello")], schema
+    )
+    assert simhash_hex_table(docs).count() == 3
+    assert simhash64_table(docs).count() == 3
+    assert winnow_fingerprint_counts(docs).count() == 3
