@@ -69,11 +69,25 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = F.length(t)
     alpha_chars = F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
     space_chars = F.length(t) - F.length(F.regexp_replace(t, " ", ""))
-    top_tok_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda u: F.size(F.filter(toks, lambda x: x == u)),
-        )
+    # mode-token count as ONE fold over the sorted array (longest equal
+    # run) — the distinct×filter formulation is O(n²) interpreted lambda
+    # evals per document, ~50× more than this O(n) run-length fold
+    top_tok_cnt = F.aggregate(
+        F.sort_array(toks),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     return df.withColumns(
         {
