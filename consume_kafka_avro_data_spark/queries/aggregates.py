@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from consume_kafka_avro_data_spark.functions.parity import (
+    DEC,
     davg,
     dsum,
     dsum_mul,
@@ -415,4 +416,38 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
         F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90_approx"),
+    )
+
+
+@query(
+    "q_salted_agg",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {o_dsum("value")}        AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("A2",),
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (A2, skew mechanics): rows first
+    aggregate on (key, salt) — 8 deterministic salt buckets from the
+    row id — then the salted partials re-aggregate on the key alone.
+    With 5 event types, a plain groupBy would reduce each hot key in ONE
+    task no matter the cluster size; salting spreads every key over 8
+    reducers and the second pass touches only |keys|×8 rows.  Exact
+    decimal partials make the result bit-identical to the oracle's plain
+    GROUP BY regardless of how rows split across salt buckets.
+    """
+    e = load_table(spark, sf_dir, "events")
+    salted = e.groupBy(
+        "event_type", F.pmod(F.xxhash64("event_id"), F.lit(8)).alias("_salt")
+    ).agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("value").cast(DEC)).alias("_s"),
+    )
+    return salted.groupBy("event_type").agg(
+        F.sum("_n").alias("n_events"),
+        F.sum("_s").cast("decimal(38,2)").cast("double").alias("sum_value"),
     )

@@ -449,3 +449,12 @@ def test_ts_pattern_is_window_plus_heap(q):
     assert I.exchange_count(df) == 1
     assert "TakeOrderedAndProject" in plan
     assert "lambdafunction" not in plan.lower()
+
+
+def test_salted_agg_two_phase(q):
+    """Salted aggregation must show two hash exchanges — (key, salt)
+    then key — with partial aggregation below each."""
+    df = q("q_salted_agg")
+    plan = I.simple_plan(df)
+    assert I.exchange_count(df) == 2
+    assert plan.count("HashAggregate") >= 3
