@@ -45,6 +45,11 @@ HEADLINE = [
     "q_scd2",
     "q_feature_scale",
     "q_minhash_est_fast",
+    "q_transition_matrix",
+    "q_salted_agg",
+    "q_range_frame",
+    "q_winnow_fingerprints",
+    "q_interval_count_binned",
 ]
 
 
