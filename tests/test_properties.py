@@ -62,3 +62,109 @@ def test_distinct_union_except_set_identity(spark, a, b):
     rhs = da.distinct().exceptAll(db.distinct())
     assert sorted(map(tuple, lhs.collect())) == sorted(map(tuple, rhs.collect()))
     assert sorted(map(tuple, rhs.collect())) == sorted(set(a) - set(b))
+
+
+DOC_TEXTS = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("ab c")),  # tiny alphabet → real collisions
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=DOC_TEXTS)
+@SETTINGS
+def test_minhash_estimator_vs_exact_jaccard_model(spark, texts):
+    """The signature-agreement estimate must (a) keep every emitted pair's
+    ids ordered, (b) stay in [0, 1], and (c) equal 1.0 whenever the two
+    docs have identical shingle sets (a permutation-min over equal sets is
+    equal componentwise) — the law that makes exact dupes always score 1."""
+    from consume_kafka_avro_data_spark.operators.dedup import (
+        minhash_estimate_pairs,
+        shingles,
+        tokens_col,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    sh = {
+        r.doc_id: tuple(sorted(r.sh))
+        for r in docs.select(
+            "doc_id", F.array_distinct(shingles(tokens_col("text"), 3)).alias("sh")
+        ).collect()
+    }
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard_est
+        for r in minhash_estimate_pairs(docs, min_matches=0).collect()
+    }
+    for (a, b), est in pairs.items():
+        assert a < b
+        assert 0.0 <= est <= 1.0
+        if sh[a] == sh[b]:
+            assert est == 1.0
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=5)
+)
+@SETTINGS
+def test_temperature_resample_targets_exact(spark, counts):
+    """Largest-remainder repeat counts must hit each language's computed
+    target EXACTLY — the law the md5-rank remainder assignment exists
+    for (approximate hash thresholds would only hit it in expectation)."""
+    import math
+
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    rows = [
+        (i, f"l{li}")
+        for li, n in enumerate(counts)
+        for i in range(sum(counts[:li]), sum(counts[:li]) + n)
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "lang"])
+    # reimplement the rate computation as the model
+    w = {f"l{li}": Decimal(str(round(math.sqrt(n), 4))) for li, n in enumerate(counts)}
+    w_tot = sum(w.values())
+    n_tot = sum(counts)
+    target = {
+        lang: int(math.floor(float(wl) / float(w_tot) * float(n_tot)))
+        for lang, wl in w.items()
+    }
+    stats = d.groupBy("lang").agg(F.count("*").alias("n_l"))
+    wc = F.round(F.sqrt(F.col("n_l")), 4).cast("decimal(18,4)")
+    tot = stats.agg(F.sum(wc).alias("w_tot"), F.sum("n_l").cast("long").alias("n_tot"))
+    p = stats.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_l",
+        F.floor(
+            (wc.cast("double") / F.col("w_tot").cast("double"))
+            * F.col("n_tot").cast("double")
+        ).cast("long").alias("target"),
+    )
+    joined = d.join(F.broadcast(p), "lang")
+    rank_w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    out = (
+        joined.select(
+            "lang",
+            (
+                F.expr("target div n_l")
+                + F.when(
+                    F.row_number().over(rank_w) <= F.col("target") % F.col("n_l"), 1
+                ).otherwise(0)
+            ).alias("copies"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("copies").alias("emitted"))
+    )
+    got = {r.lang: r.emitted for r in out.collect()}
+    assert got == target
