@@ -316,3 +316,112 @@ def transcode_json(df: DataFrame, schema_config: SchemaConfig) -> Column:
 from consume_kafka_avro_data_spark._serde import self_contained as _self_contained  # noqa: E402
 
 _self_contained(__name__)
+
+
+# ---------------------------------------------------------------------------
+# schema resolution (reader vs writer evolution)
+# ---------------------------------------------------------------------------
+
+# Avro spec promotion lattice for our flat scalar subset
+_PROMOTABLE = {
+    ("int", "long"),
+    ("int", "float"),
+    ("int", "double"),
+    ("long", "float"),
+    ("long", "double"),
+    ("float", "double"),
+}
+
+
+def resolve_record(
+    writer_fields: list[tuple[str, str]],
+    reader_fields: list[tuple[str, str]],
+    defaults: dict[str, object],
+    buf: bytes,
+) -> dict:
+    """Decode ``buf`` written with the WRITER schema, resolved to the
+    READER schema per the Avro spec's resolution rules for flat records
+    (the registry situation the reference lives in: each message carries
+    its writer-schema id, consumers evolve independently —
+    `src/SchemaRegistry.cpp:84-104`):
+
+    * field in both → decoded, with numeric promotion along
+      int→long→float→double when the reader widened it;
+    * writer-only field → decoded and discarded (reader skips it);
+    * reader-only field → its declared default (required by the spec for
+      compatibility; missing default ⇒ resolution error).
+    """
+    raw = decode_record(writer_fields, buf)
+    wtypes = dict(writer_fields)
+    out: dict = {}
+    for name, rtyp in reader_fields:
+        if name in wtypes:
+            wtyp = wtypes[name]
+            if wtyp == rtyp:
+                out[name] = raw[name]
+            elif (wtyp, rtyp) in _PROMOTABLE:
+                out[name] = (
+                    float(raw[name]) if rtyp in ("float", "double") else int(raw[name])
+                )
+            else:
+                raise ValueError(
+                    f"cannot resolve field {name!r}: writer {wtyp} vs reader {rtyp}"
+                )
+        elif name in defaults:
+            out[name] = defaults[name]
+        else:
+            raise ValueError(f"reader field {name!r} absent and has no default")
+    return out
+
+
+def from_confluent_avro_resolved(
+    df: DataFrame,
+    writer_configs: dict[int, SchemaConfig],
+    reader_config: SchemaConfig,
+    defaults: dict[str, object] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Decode a topic whose frames may carry OLDER writer schemas into
+    the evolved reader schema: the CP1 header's schema id selects the
+    writer field list per message, then :func:`resolve_record` applies
+    the spec's promotion/default rules.  PERMISSIVE like
+    :func:`from_confluent_avro`: unresolvable or malformed frames yield
+    null fields + ``_error`` for DLQ routing."""
+    defaults = defaults or {}
+    writer_fields = {
+        sid: _schema_fields(sc) for sid, sc in writer_configs.items()
+    }
+    reader_fields = _schema_fields(reader_config)
+    out_type = StructType(
+        [StructField(n, _AVRO_TO_SPARK[t], True) for n, t in reader_fields]
+        + [
+            StructField("_schema_id", _AVRO_TO_SPARK["int"], True),
+            StructField("_error", StringType(), True),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def dec(vals: pd.Series) -> pd.DataFrame:
+        rows = []
+        nulls = {n: None for n, _ in reader_fields}
+        for v in vals:
+            try:
+                sid, body = unframe_confluent(bytes(v))
+                wf = writer_fields.get(sid)
+                if wf is None:
+                    raise ValueError(f"unknown writer schema id {sid}")
+                rec = resolve_record(wf, reader_fields, defaults, body)
+                rec["_schema_id"] = sid
+                rec["_error"] = None
+                rows.append(rec)
+            except (ValueError, UnicodeDecodeError) as e:
+                rows.append({**nulls, "_schema_id": None, "_error": str(e)})
+        return pd.DataFrame(rows, columns=[f.name for f in out_type.fields])
+
+    decoded = df.withColumn("_rec", dec(F.col(value_col)))
+    return decoded.select(
+        *[c for c in df.columns if c != value_col],
+        F.col("_rec._error").alias("_error"),
+        F.col("_rec._schema_id").alias("_schema_id"),
+        *[F.col(f"_rec.{n}").alias(n) for n, _ in reader_fields],
+    )

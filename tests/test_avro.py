@@ -192,3 +192,71 @@ def test_multi_schema_topic_single_pass_decode(spark):
     assert by_key["cpu"]._schema_id == 9
     assert "unknown schema id 5" in by_key["x"]._error
     assert "Invalid CP1 magic byte 123" in by_key["junk"]._error
+
+
+def test_resolve_record_rules():
+    """Spec resolution: shared fields copied, widened numerics promoted,
+    writer-only dropped, reader-only defaulted, no-default errors."""
+    from consume_kafka_avro_data_spark.sources.avro_codec import resolve_record
+
+    writer = [("a", "string"), ("n", "int"), ("legacy", "string")]
+    reader = [("a", "string"), ("n", "double"), ("added", "string")]
+    body = encode_record(writer, {"a": "x", "n": 7, "legacy": "old"})
+    out = resolve_record(writer, reader, {"added": "dflt"}, body)
+    assert out == {"a": "x", "n": 7.0, "added": "dflt"}
+    with pytest.raises(ValueError, match="no default"):
+        resolve_record(writer, reader, {}, body)
+    with pytest.raises(ValueError, match="cannot resolve"):
+        resolve_record([("a", "string")], [("a", "int")], {}, encode_record([("a", "string")], {"a": "x"}))
+
+
+def test_schema_evolution_mixed_writers(spark):
+    """A topic carrying TWO writer generations (v1 without `source`,
+    v2 with it) decodes into the evolved reader schema in one pass:
+    v1 rows take the default, v2 rows keep their value — the registry
+    evolution scenario the reference's per-message schema ids exist for
+    (src/SchemaRegistry.cpp:84-104)."""
+    from pyspark.sql import functions as F
+
+    from consume_kafka_avro_data_spark.sources.avro_codec import (
+        from_confluent_avro_resolved,
+    )
+
+    v1_doc = {
+        "kafka": {},
+        "type_map": {"spo": {"key_column": "subject", "columns": ["S", "P", "O"]}},
+        "column_map": {"S": "subject", "P": "predicate", "O": "object"},
+    }
+    v2_doc = {
+        "kafka": {},
+        "type_map": {
+            "spo": {"key_column": "subject", "columns": ["S", "P", "O", "SRC"]}
+        },
+        "column_map": {
+            "S": "subject", "P": "predicate", "O": "object", "SRC": "source"
+        },
+    }
+    v1 = parse_config(v1_doc).schema_for("spo")
+    v2 = parse_config(v2_doc).schema_for("spo")
+    old = to_confluent_avro(
+        spark.createDataFrame([("a", "knows", "b")], ["S", "P", "O"]), v1, schema_id=1
+    )
+    new = to_confluent_avro(
+        spark.createDataFrame(
+            [("c", "knows", "d", "crawl")], ["S", "P", "O", "SRC"]
+        ),
+        v2,
+        schema_id=2,
+    )
+    decoded = from_confluent_avro_resolved(
+        old.unionByName(new),
+        writer_configs={1: v1, 2: v2},
+        reader_config=v2,
+        defaults={"source": "unknown"},
+    )
+    assert decoded.where(F.col("_error").isNotNull()).count() == 0
+    got = {
+        (r.subject, r.object, r.source, r._schema_id)
+        for r in decoded.collect()
+    }
+    assert got == {("a", "b", "unknown", 1), ("c", "d", "crawl", 2)}
