@@ -211,7 +211,18 @@ def kmeans_centroids(
         corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
     )
     x = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    return lloyd_unit_kmeans(x, k=k, iters=iters, seed=seed)
+
+
+def lloyd_unit_kmeans(
+    x: np.ndarray, k: int = 16, iters: int = 5, seed: int = 42
+) -> np.ndarray:
+    """Pure-numpy Lloyd's iteration over unit-normalized vectors —
+    shared by the Spark path (sample collected via DataFrame) and the
+    DuckDB oracle (same sample loaded straight from parquet), so both
+    derive bit-identical centroids and the IVF query is fully
+    oracle-checkable despite k-means being iterative."""
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
     for _ in range(iters):

@@ -133,11 +133,81 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_lsh_topk(emb, qv, k=10)
 
 
-@query("q_similarity_ivf", oracle=None, tags=("U6", "J8"))
+def _o_ivf(k=10, n_centroids=16, nprobe=4, seed=42) -> str | None:
+    """DuckDB twin of ivf_topk at the driver's sf0.01: recompute the
+    SAME deterministic centroids (identical numpy Lloyd's routine over
+    the identical ORDER BY vec_id LIMIT 4096 sample), inline them as
+    literals, assign cells by first-argmax of the literal-centroid dots
+    (list_indexof ≡ Spark's array_position), prune to the same nprobe
+    cells, and exact-rescore with the shared left-fold cosine.  The
+    centroid literals are data-dependent, so the sample is read from the
+    sf the oracle will run against: $SPARK_GRAFT_TEST_SF_DIR when the
+    local harness sets it, else the driver's documented sf0.01.  Returns
+    None (rows-only fallback) when that parquet isn't readable at import
+    time."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    path = f"{sf_dir}/embeddings.parquet"
+    try:
+        import duckdb
+        import numpy as np
+
+        from consume_kafka_avro_data_spark.operators.similarity import (
+            lloyd_unit_kmeans,
+        )
+
+        con = duckdb.connect()
+        rows = con.sql(
+            f"SELECT embedding FROM read_parquet('{path}') "
+            "ORDER BY vec_id LIMIT 4096"
+        ).fetchall()
+        qrow = con.sql(
+            f"SELECT embedding FROM read_parquet('{path}') WHERE vec_id = 0"
+        ).fetchall()
+        con.close()
+    except Exception:
+        return None
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    cent = lloyd_unit_kmeans(x, k=n_centroids, seed=seed)
+    qv = np.asarray(qrow[0][0], dtype=np.float64)
+    qn = qv / max(np.linalg.norm(qv), 1e-12)
+    order = np.argsort(-(cent @ qn))[:nprobe]
+    probe = ", ".join(str(int(c) + 1) for c in order)
+
+    def vec_sql(c) -> str:
+        return "[" + ", ".join(repr(float(v)) for v in c) + "]::DOUBLE[]"
+
+    scores = ", ".join(f"list_dot_product(v, {vec_sql(c)})" for c in cent)
+    return f"""
+    WITH a AS (
+      SELECT vec_id, v,
+             list_indexof(s, list_max(s)) AS cell
+      FROM (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               [{scores}] AS s
+        FROM embeddings
+      )
+    ), q AS (SELECT v AS qv FROM a WHERE vec_id = 0)
+    SELECT a.vec_id,
+           list_dot_product(a.v, qv)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qv, qv)))
+               AS score
+    FROM a, q
+    WHERE a.cell IN ({probe})
+    ORDER BY score DESC, a.vec_id
+    LIMIT {k}
+    """
+
+
+@query("q_similarity_ivf", oracle=_o_ivf(), tags=("U6", "J8"))
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k: deterministic k-means coarse quantizer, probe the
     4 nearest of 16 cells, exact cosine re-rank — the partition-pruned
-    scale path (cell id becomes a partition column at 100 TB)."""
+    scale path (cell id becomes a partition column at 100 TB).  Fully
+    oracle-checked even though k-means is iterative: the oracle reruns
+    the identical numpy Lloyd's routine on the identical sample and
+    inlines the resulting centroids as literals (see _o_ivf)."""
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
     return ivf_topk(emb, qv, k=10, n_centroids=16, nprobe=4)

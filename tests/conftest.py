@@ -17,6 +17,10 @@ from consume_kafka_avro_data_spark.session import get_session
 from consume_kafka_avro_data_spark.tables import TABLES
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+# Pin the env var BEFORE any test module imports the query registry:
+# data-dependent oracle builders (q_similarity_ivf's centroid literals)
+# read it at import time to sample the same sf the harness queries.
+os.environ["SPARK_GRAFT_TEST_SF_DIR"] = SF_DIR
 
 
 @pytest.fixture(scope="session")
