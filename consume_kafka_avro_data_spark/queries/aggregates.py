@@ -9,7 +9,7 @@ which is exactly the shape that scales: partials shrink the shuffle to
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from consume_kafka_avro_data_spark.functions.parity import (
     DEC,
@@ -450,4 +450,77 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted.groupBy("event_type").agg(
         F.sum("_n").alias("n_events"),
         F.sum("_s").cast("decimal(38,2)").cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "q_gini",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_events,
+           1.0 - SUM(CAST(cnt * cnt AS DOUBLE))
+                 / CAST(SUM(cnt) * SUM(cnt) AS DOUBLE) AS gini
+    FROM c GROUP BY user_id
+    """,
+    tags=("A2",),
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini impurity of each user's event-type mix (A2 closure): the
+    diversity measure that needs no logarithm — 1 − Σ(cᵢ/n)² is a pure
+    rational of exact integer counts, so unlike Shannon entropy it is
+    bit-identical across engines (libm ln() can differ by an ulp).  Two
+    stacked aggregates on the same user_id partitioning; the second
+    input is ≤ |users|×|types| rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    return c.groupBy("user_id").agg(
+        F.sum("cnt").alias("n_events"),
+        (
+            F.lit(1.0)
+            - F.sum(F.col("cnt") * F.col("cnt")).cast("double")
+            / (F.sum("cnt") * F.sum("cnt")).cast("double")
+        ).alias("gini"),
+    )
+
+
+@query(
+    "q_percentile_disc",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_disc(o_totalprice, 0.25) AS p25,
+           quantile_disc(o_totalprice, 0.75) AS p75
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("A6", "W1"),
+)
+def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (A6 completion): the smallest actual value
+    whose cumulative rank reaches p — no interpolation, so the result is
+    always a value that exists in the data (what q_percentile's
+    quantile_cont is not).  Spark has no percentile_disc aggregate;
+    the emulation ranks within each group and picks rank ⌈p·n⌉ — one
+    window shuffle, then a groups-sized aggregate.  Ties on price are
+    irrelevant: any tying row yields the same value.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    n = Window.partitionBy("o_orderpriority")
+    r = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(n).alias("n"),
+    )
+    return r.groupBy("o_orderpriority").agg(
+        F.min(
+            F.when(F.col("rn") >= F.ceil(F.col("n") * 0.25), F.col("o_totalprice"))
+        ).alias("p25"),
+        F.min(
+            F.when(F.col("rn") >= F.ceil(F.col("n") * 0.75), F.col("o_totalprice"))
+        ).alias("p75"),
     )
