@@ -650,3 +650,49 @@ def ngram_jaccard_pairs(
     return joined.select(
         "id_a", "id_b", (inter.cast("double") / union).alias("jaccard")
     ).where(F.col("jaccard") >= threshold)
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_ngram_df: int = 200,
+) -> DataFrame:
+    """Containment similarity join: |A∩B| / min(|A|,|B|) over n-gram
+    sets — the partial-duplicate detector.  A document quoted or
+    embedded inside a larger one has LOW Jaccard (the big doc's grams
+    dominate the union) but containment ≈ 1; corpus curation needs both
+    signals (cf. the containment dedup in Gopher/CCNet-style cleaning).
+    Same inverted-index plan as :func:`ngram_jaccard_pairs`: stop-gram
+    df cap, candidate pairs from shared rare grams, exact verification
+    on the full sets.
+    """
+    df = ensure_min_splits(df)
+    grams = F.array_distinct(shingles(tokens_col(text_col), n))
+    base = df.select(F.col(id_col).alias("_id"), grams.alias("_grams"))
+    posting = base.select("_id", F.explode("_grams").alias("_g"))
+    rare = (
+        posting.groupBy("_g")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") <= max_ngram_df)
+        .select("_g")
+    )
+    posting = posting.join(rare, "_g")
+    a, b = posting.alias("a"), posting.alias("b")
+    cand = (
+        a.join(b, (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ga = base.select(F.col("_id").alias("id_a"), F.col("_grams").alias("_ga"))
+    gb = base.select(F.col("_id").alias("id_b"), F.col("_grams").alias("_gb"))
+    joined = cand.join(ga, "id_a").join(gb, "id_b")
+    inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb")))
+    containment = inter.cast("double") / F.least(
+        F.size(F.col("_ga")), F.size(F.col("_gb"))
+    )
+    return joined.select(
+        "id_a", "id_b", containment.alias("containment")
+    ).where(F.col("containment") >= threshold)

@@ -20,6 +20,7 @@ from consume_kafka_avro_data_spark.operators.dedup import (
     ensure_min_splits,
     minhash_estimate_pairs,
     minhash_lsh_pairs,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash_hex_neardup_pairs,
     simhash_hex_table,
@@ -491,6 +492,47 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     lengths) and the Jaccard ratio is a single exact-int division in
     both engines."""
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_containment",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id AS _id,
+             list_distinct(
+               CASE WHEN len(toks) < 3
+                    THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(range(1, len(toks) - 1),
+                                        i -> array_to_string(toks[i : i + 2], ' '))
+               END) AS grams
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+            FROM documents)
+    ),
+    posting AS (SELECT _id, unnest(grams) AS g FROM base),
+    rare AS (SELECT g FROM posting GROUP BY g HAVING count(*) <= 200),
+    rp AS (SELECT p._id, p.g FROM posting p JOIN rare USING (g)),
+    cand AS (
+      SELECT DISTINCT a._id AS id_a, b._id AS id_b
+      FROM rp a JOIN rp b ON a.g = b.g AND a._id < b._id
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+               / least(len(ga.grams), len(gb.grams)) AS containment
+      FROM cand JOIN base ga ON ga._id = cand.id_a
+                JOIN base gb ON gb._id = cand.id_b
+    )
+    SELECT * FROM scored WHERE containment >= 0.8
+    """,
+    tags=("U5",),
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment pairs ≥ 0.8 (|A∩B| / min set size): the PARTIAL-dup
+    detector Jaccard misses — a document embedded inside a larger one
+    scores ≈ 1 here while its Jaccard drowns in the big doc's union.
+    Same fully-oracle-checked inverted-index plan as q_ngram_jaccard;
+    only the verification ratio differs."""
+    return ngram_containment_pairs(load_table(spark, sf_dir, "documents"))
 
 
 @query(
