@@ -35,6 +35,9 @@ from pyspark.sql import Column, DataFrame, functions as F
 # ---------------------------------------------------------------------------
 
 
+_SPLIT_PROBE_CACHE: dict[tuple[int, int], int] = {}
+
+
 def ensure_min_splits(df: DataFrame) -> DataFrame:
     """Round-robin repartition IFF the input has fewer partitions than
     the cluster has scheduling slots.
@@ -48,17 +51,43 @@ def ensure_min_splits(df: DataFrame) -> DataFrame:
     signature pass at sf0.1 vs ~4 s repartitioned).  Shuffling raw text
     before the fan-out costs one pass over data that is tiny exactly in
     the case where the repartition triggers.
-    """
+
+    The partition probe (``df.rdd.getNumPartitions()`` — a plan→RDD
+    conversion) is memoized per (session, analyzed-plan semantic hash),
+    so repeated operator invocations over the same input pay it once.
+    Set ``spark.graft.ensureMinSplits=false`` to disable the rewrite
+    entirely (plans then stop depending on driver defaultParallelism —
+    the right setting on a real cluster where inputs are never
+    single-split)."""
     spark = df.sparkSession
+    if spark.conf.get("spark.graft.ensureMinSplits", "true") == "false":
+        return df
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        key = (id(spark), df._jdf.queryExecution().analyzed().semanticHash())
+        n = _SPLIT_PROBE_CACHE.get(key)
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            _SPLIT_PROBE_CACHE[key] = n
+    except Exception:  # Connect / non-JVM backends: probe uncached
+        n = df.rdd.getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df
 
 
 def tokens_col(text: str | Column = "text") -> Column:
+    """Whitespace tokens of lowercased text.
+
+    NULL text is canonicalized to '' here — BOTH the HOF Column forms
+    (simhash_hex/simhash64/minhash_signature) and the explode+aggregate
+    table forms consume this, so NULL and '' documents get the identical
+    single-empty-token signature (md5('') prefix d41d8cd98f00b204 for the
+    portable family).  Oracles mirror it with lower(coalesce(text, ''));
+    ``string_split_regex('', '\\s+')`` is ``['']`` in DuckDB exactly as
+    ``F.split('', '\\s+')`` is in Spark."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.lower(c), r"\s+")
+    return F.split(F.lower(F.coalesce(c, F.lit(""))), r"\s+")
 
 
 def shingles(tokens: Column, k: int = 3) -> Column:
@@ -350,10 +379,16 @@ def _minhash_agg_components(hash_fn: str, sig_col: str, bands: int, rows: int):
 
 
 def _explode_keepall(df: DataFrame, id_col: str, arr: Column, out: str) -> DataFrame:
-    """Explode ``arr`` keeping every id: a NULL/empty array (NULL text)
-    becomes one empty-string element instead of dropping the document —
-    the row-preserving convention of the HOF Column forms, which emit a
-    neutral signature for such docs rather than losing them."""
+    """Explode ``arr`` keeping every id: a NULL/empty array becomes one
+    empty-string element instead of dropping the document.
+
+    With :func:`tokens_col` canonicalizing NULL text to '' upstream the
+    token array is never NULL/empty on the dedup paths, so these guards
+    are defensive for caller-supplied arrays only — and they encode the
+    SAME convention (missing ≡ single '' element), keeping the table
+    forms value-identical to the HOF Column forms on every input
+    (pinned by test_signature_tables_equal_hof_columns incl. NULL/empty
+    text rows)."""
     safe = F.coalesce(arr, F.array(F.lit("")))
     safe = F.when(F.size(safe) == 0, F.array(F.lit(""))).otherwise(safe)
     return df.select(F.col(id_col).alias("_id"), F.explode(safe).alias(out))
@@ -423,7 +458,31 @@ def minhash_lsh_pairs(
     )
 
 
-def _bucket_candidate_pairs(blocked: DataFrame) -> DataFrame:
+#: Hot-bucket guard: buckets with more members than this are DROPPED from
+#: candidate generation (see _bucket_candidate_pairs).  2^10 members →
+#: ≤ ~524k pair structs in one array value, the most one task should hold
+#: when pairs carry shingle-set payloads.
+MAX_BUCKET_SIZE = 1024
+
+
+def oversized_buckets(
+    blocked: DataFrame, max_bucket_size: int = MAX_BUCKET_SIZE
+) -> DataFrame:
+    """(_block, n_members) for buckets the candidate expansion will skip
+    — the observability hook for the MAX_BUCKET_SIZE guard.  A non-empty
+    result means the corpus still contains un-collapsed exact duplicates
+    (they agree on every band) or a degenerate band; run exact dedup
+    first, or raise the cap deliberately."""
+    return (
+        blocked.groupBy("_block")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .where(F.col("n_members") > max_bucket_size)
+    )
+
+
+def _bucket_candidate_pairs(
+    blocked: DataFrame, max_bucket_size: int = MAX_BUCKET_SIZE
+) -> DataFrame:
     """(_id, _sim, _block) rows → distinct candidate pairs
     (id_a, id_b, _sa, _sb).
 
@@ -436,16 +495,18 @@ def _bucket_candidate_pairs(blocked: DataFrame) -> DataFrame:
     not corpus-sized data; quadratic only in bucket size, which the
     blocking scheme keeps small.
 
-    Hot-bucket caveat: a bucket of K members materializes its K·(K-1)/2
-    pair structs as one array value in one task, so K must stay
-    task-sized.  Banding bounds K only probabilistically — EXACT
-    duplicates agree on every band, so run exact dedup (fingerprint
-    group-by / dropDuplicates) BEFORE near-dup detection, which every
-    production pipeline does anyway and which collapses those buckets
-    to singletons."""
+    Hot-bucket guard (ENFORCED): a bucket of K members materializes its
+    K·(K-1)/2 pair structs as one array value in one task, so buckets
+    over ``max_bucket_size`` are dropped rather than OOMing the executor
+    — banding bounds K only probabilistically, and EXACT duplicates
+    agree on every band.  Run exact dedup (fingerprint group-by /
+    dropDuplicates) before near-dup detection to collapse those buckets
+    to singletons; :func:`oversized_buckets` reports what this guard
+    would skip."""
     buckets = blocked.groupBy("_block").agg(
         F.sort_array(F.collect_list(F.struct("_id", "_sim"))).alias("_members")
     )
+    buckets = buckets.where(F.size("_members") <= max_bucket_size)
     pair_arr = F.flatten(
         F.transform(
             "_members",

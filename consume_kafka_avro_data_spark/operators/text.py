@@ -23,8 +23,12 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 
 
 def tokens(text: str | Column = "text") -> Column:
+    """Whitespace tokens of lowercased text; NULL canonicalized to ''
+    (→ one empty token) so token-derived features never drop rows —
+    same convention as operators/dedup.tokens_col and the
+    lower(coalesce(text, '')) oracles."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.lower(c), r"\s+")
+    return F.split(F.lower(F.coalesce(c, F.lit(""))), r"\s+")
 
 
 def lang_scores(toks: Column) -> dict[str, Column]:

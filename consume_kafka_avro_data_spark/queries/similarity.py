@@ -14,6 +14,8 @@ checks (DuckDB list lambdas mirror the Spark higher-order functions).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from consume_kafka_avro_data_spark.operators.dedup import (
@@ -28,7 +30,11 @@ from consume_kafka_avro_data_spark.operators.dedup import (
 from consume_kafka_avro_data_spark.operators.multimodal import (
     decode_features,
     documents_as_media,
+    encode_ppm,
+    encode_wav,
+    ppm_feature_table,
     sample_frames,
+    wav_feature_table,
 )
 from consume_kafka_avro_data_spark.operators.similarity import (
     brute_force_topk,
@@ -143,9 +149,13 @@ def _o_ivf(k=10, n_centroids=16, nprobe=4, seed=42) -> str | None:
     cells, and exact-rescore with the shared left-fold cosine.  The
     centroid literals are data-dependent, so the sample is read from the
     sf the oracle will run against: $SPARK_GRAFT_TEST_SF_DIR when the
-    local harness sets it, else the driver's documented sf0.01.  Returns
-    None (rows-only fallback) when that parquet isn't readable at import
-    time."""
+    local harness sets it, else the driver's documented sf0.01.
+
+    Registered as a FACTORY (not called at decoration): the registry
+    resolves it lazily at verification time, so the env var is read when
+    the oracle is used, query-module import does no file I/O, and a
+    degradation to rows-only (unreadable parquet → None) is logged by
+    Query.oracle_text instead of passing silently."""
     import os
 
     sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
@@ -201,7 +211,7 @@ def _o_ivf(k=10, n_centroids=16, nprobe=4, seed=42) -> str | None:
     """
 
 
-@query("q_similarity_ivf", oracle=_o_ivf(), tags=("U6", "J8"))
+@query("q_similarity_ivf", oracle=_o_ivf, tags=("U6", "J8"))
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k: deterministic k-means coarse quantizer, probe the
     4 nearest of 16 cells, exact cosine re-rank — the partition-pruned
@@ -266,7 +276,7 @@ def _o_minhash(bands: int = 8, rows: int = 4, threshold: float = 0.5) -> str:
                   ELSE list_transform(range(1, len(toks) - 1),
                                       i -> array_to_string(toks[i : i + 2], ' '))
              END) AS sh
-      FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      FROM (SELECT doc_id, string_split_regex(lower(coalesce(text, '')), '\s+') AS toks
             FROM documents)
     ),
     sigs AS (SELECT _id, sh, [{mins}] AS sig FROM base),
@@ -310,7 +320,7 @@ def _o_minhash_est(bands: int = 8, rows: int = 4) -> str:
                   ELSE list_transform(range(1, len(toks) - 1),
                                       i -> array_to_string(toks[i : i + 2], ' '))
              END) AS sh
-      FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      FROM (SELECT doc_id, string_split_regex(lower(coalesce(text, '')), '\s+') AS toks
             FROM documents)
     ),
     sigs AS (SELECT _id, [{mins}] AS sig FROM base),
@@ -386,7 +396,7 @@ def _o_simhash_sig_cte() -> str:
     )
     return rf"""
     WITH tk AS (
-      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+      SELECT doc_id, unnest(string_split_regex(lower(coalesce(text, '')), '\s+')) AS t
       FROM documents
     ),
     h AS (SELECT doc_id, substr(md5(t), 1, 16) AS hx FROM tk),
@@ -462,7 +472,7 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE list_transform(range(1, len(toks) - 1),
                                         i -> array_to_string(toks[i : i + 2], ' '))
                END) AS grams
-      FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      FROM (SELECT doc_id, string_split_regex(lower(coalesce(text, '')), '\s+') AS toks
             FROM documents)
     ),
     posting AS (SELECT _id, unnest(grams) AS g FROM base),
@@ -505,7 +515,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE list_transform(range(1, len(toks) - 1),
                                         i -> array_to_string(toks[i : i + 2], ' '))
                END) AS grams
-      FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      FROM (SELECT doc_id, string_split_regex(lower(coalesce(text, '')), '\s+') AS toks
             FROM documents)
     ),
     posting AS (SELECT _id, unnest(grams) AS g FROM base),
@@ -788,18 +798,175 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q_multimodal_features", oracle=None, tags=("U8",))
+def _embeddings_as_assets(emb: DataFrame) -> DataFrame:
+    """Synthesize REAL media bytes from the embeddings table — the
+    deterministic asset corpus for the U8 oracle checks:
+
+    * even vec_id → mono 16-bit PCM WAV @8 kHz, sample_i =
+      trunc(clip(x_i, ±1)·16383) (trunc-toward-zero matches DuckDB
+      ``trunc`` and numpy ``astype``);
+    * odd vec_id → 8×8 grayscale P6 PPM, byte_i =
+      trunc((clip(x_i, ±1)+1)·127.5).
+
+    Every decoded feature is therefore a closed-form function of the
+    embedding column, which is what lets DuckDB verify the *decoders*
+    (a header/endianness/parsing bug changes the features)."""
+    import numpy as np
+
+    @F.pandas_udf("binary")
+    def synth(vec_ids: pd.Series, embs: pd.Series) -> pd.Series:
+        out = []
+        for vid, v in zip(vec_ids, embs):
+            x = np.clip(np.asarray(v, dtype=np.float64), -1.0, 1.0)
+            if vid % 2 == 0:
+                s = np.trunc(x * 16383.0).astype(np.int16)
+                out.append(encode_wav(s, sample_rate=8000))
+            else:
+                b = np.trunc((x + 1.0) * 127.5).astype(np.uint8)
+                px = np.repeat(b.reshape(8, 8, 1), 3, axis=2)
+                out.append(encode_ppm(px))
+        return pd.Series(out, dtype=object)
+
+    return emb.select(
+        F.col("vec_id").alias("asset_id"),
+        F.when(F.col("vec_id") % 2 == 0, F.lit("audio"))
+        .otherwise(F.lit("image"))
+        .alias("modality"),
+        synth(F.col("vec_id"), F.col("embedding")).alias("media"),
+        F.struct(
+            F.when(F.col("vec_id") % 2 == 0, F.lit("audio/wav"))
+            .otherwise(F.lit("image/x-portable-pixmap"))
+            .alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+# WAV payload = 44-byte RIFF header + 2 bytes/sample; PPM = "P6\n8 8\n255\n"
+# (11 bytes) + 3 bytes/pixel.  dim is the FEATURE_DIM constant (16).
+_O_MULTIMODAL = """
+    WITH px AS (
+      SELECT vec_id,
+             len(embedding) AS n,
+             CAST(trunc((greatest(least(CAST(u.x AS DOUBLE), 1.0), -1.0) + 1.0)
+                        * 127.5) AS BIGINT) AS b
+      FROM embeddings, unnest(embedding) AS u(x)
+    ),
+    wav AS (
+      SELECT vec_id, 'audio' AS modality,
+             CAST(44 + 2 * n AS BIGINT) AS n_bytes, 16 AS dim,
+             CAST(CAST(trunc(greatest(least(CAST(embedding[1] AS DOUBLE),
+                                            1.0), -1.0) * 16383.0)
+                       / 32768.0 AS FLOAT) AS DOUBLE) AS f0
+      FROM (SELECT vec_id, embedding, len(embedding) AS n FROM embeddings)
+      WHERE vec_id % 2 = 0
+    ),
+    ppm AS (
+      SELECT vec_id, 'image' AS modality,
+             CAST(11 + 3 * max(n) AS BIGINT) AS n_bytes, 16 AS dim,
+             CAST(CAST(CAST(count(*) FILTER (WHERE b < 16) AS DOUBLE)
+                       / max(n) AS FLOAT) AS DOUBLE) AS f0
+      FROM px WHERE vec_id % 2 = 1 GROUP BY vec_id
+    )
+    SELECT vec_id AS asset_id, modality, n_bytes, dim, f0 FROM wav
+    UNION ALL
+    SELECT vec_id AS asset_id, modality, n_bytes, dim, f0 FROM ppm
+"""
+
+
+@query("q_multimodal_features", oracle=_O_MULTIMODAL, tags=("U8",))
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media column → stub decode → feature vectors via
-    mapInPandas (rows-only; decode is the documented fake codec)."""
-    media = documents_as_media(load_table(spark, sf_dir, "documents"))
-    feats = decode_features(media, codec="fake")
+    """Mixed-modality real decode: WAV and PPM assets (synthesized
+    deterministically from embeddings) through the format-dispatched
+    REAL codec (operators/multimodal._real_decode) via mapInPandas.
+    Oracle-checked end to end — f0 is the first decoded sample (audio)
+    or the first grayscale histogram bin (image), both closed-form in
+    the embedding column, so a decoder bug breaks the hash match."""
+    media = _embeddings_as_assets(load_table(spark, sf_dir, "embeddings"))
+    feats = decode_features(media, codec="real")
     return feats.select(
         "asset_id",
         "modality",
         "n_bytes",
         F.size("features").alias("dim"),
         F.element_at("features", 1).cast("double").alias("f0"),
+    )
+
+
+@query(
+    "q_wav_features",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             CAST(trunc(greatest(least(CAST(u.x AS DOUBLE), 1.0), -1.0)
+                        * 16383.0) AS BIGINT) AS smp
+      FROM embeddings, unnest(embedding) AS u(x)
+      WHERE vec_id % 2 = 0
+    )
+    SELECT vec_id,
+           CAST(count(*) AS BIGINT)                    AS n_samples,
+           8000                                        AS sample_rate,
+           CAST(count(*) * 1000 // 8000 AS BIGINT)     AS duration_ms,
+           CAST(max(abs(smp)) AS INT)                  AS peak,
+           CAST(sum(smp * smp) AS BIGINT)              AS sum_sq,
+           sqrt(CAST(sum(smp * smp) AS DOUBLE) / count(*)) AS rms
+    FROM s GROUP BY vec_id
+    """,
+    tags=("U8",),
+)
+def q_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV decode (struct-parsed RIFF/PCM) over synthesized audio
+    assets: every output column is computed from the DECODED int16
+    samples, and the DuckDB twin recomputes them closed-form from the
+    embeddings — full byte→samples→features verification (U8)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    media = _embeddings_as_assets(emb).where(F.col("modality") == "audio")
+    return wav_feature_table(media).select(
+        F.col("asset_id").alias("vec_id"),
+        "n_samples",
+        "sample_rate",
+        "duration_ms",
+        "peak",
+        "sum_sq",
+        "rms",
+    )
+
+
+@query(
+    "q_ppm_features",
+    oracle="""
+    WITH p AS (
+      SELECT vec_id,
+             CAST(trunc((greatest(least(CAST(u.x AS DOUBLE), 1.0), -1.0) + 1.0)
+                        * 127.5) AS BIGINT) AS b
+      FROM embeddings, unnest(embedding) AS u(x)
+      WHERE vec_id % 2 = 1
+    )
+    SELECT vec_id,
+           8 AS width,
+           8 AS height,
+           CAST(count(*) AS BIGINT)     AS n_pixels,
+           CAST(3 * sum(b) AS BIGINT)   AS sum_byte,
+           CAST(max(b) AS INT)          AS max_byte
+    FROM p GROUP BY vec_id
+    """,
+    tags=("U8",),
+)
+def q_ppm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PPM decode (P6 header + pixel array) over synthesized 8×8
+    grayscale images: geometry and exact integer pixel sums from the
+    DECODED array, verified closed-form by DuckDB (U8)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    media = _embeddings_as_assets(emb).where(F.col("modality") == "image")
+    return ppm_feature_table(media).select(
+        F.col("asset_id").alias("vec_id"),
+        "width",
+        "height",
+        "n_pixels",
+        "sum_byte",
+        "max_byte",
     )
 
 

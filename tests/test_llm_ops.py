@@ -241,17 +241,86 @@ def test_winnow_overlap(spark):
 
 def test_multimodal_decode_deterministic(spark, docs):
     media = documents_as_media(docs.withColumnRenamed("doc_id", "doc_id"))
-    f1 = {r.asset_id: r.features for r in decode_features(media).collect()}
-    f2 = {r.asset_id: r.features for r in decode_features(media).collect()}
+    f1 = {r.asset_id: r.features for r in decode_features(media, codec="fake").collect()}
+    f2 = {r.asset_id: r.features for r in decode_features(media, codec="fake").collect()}
     assert f1 == f2  # same bytes ⇒ same features
     assert f1[0] == f1[1]  # identical docs ⇒ identical features
     assert len(f1[0]) == 16
     assert abs(float(np.linalg.norm(f1[0])) - 1.0) < 1e-5
 
 
-def test_multimodal_real_codec_is_stubbed(spark, docs):
-    with pytest.raises(NotImplementedError, match="image/audio library"):
-        decode_features(documents_as_media(docs), codec="real")
+def test_wav_codec_roundtrip_and_errors():
+    """Real WAV codec: encode→decode identity on samples/rate, malformed
+    input raises (the DLQ path), word-aligned odd chunks handled."""
+    from consume_kafka_avro_data_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    s = np.array([0, 100, -100, 32767, -32768, 5], dtype=np.int16)
+    w = decode_wav(encode_wav(s, sample_rate=16000))
+    assert w["sample_rate"] == 16000 and w["channels"] == 1 and w["bits"] == 16
+    assert np.array_equal(w["samples"], s)
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"\x00" * 32)
+    with pytest.raises(ValueError, match="missing fmt"):
+        decode_wav(b"RIFF\x04\x00\x00\x00WAVE")
+    # 8-bit PCM unsupported → explicit error, not silence
+    bad = bytearray(encode_wav(s))
+    bad[34] = 8  # bits-per-sample field
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        decode_wav(bytes(bad))
+
+
+def test_ppm_codec_roundtrip_resize_and_errors():
+    from consume_kafka_avro_data_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    p = decode_ppm(encode_ppm(px))
+    assert (p["width"], p["height"]) == (3, 2)
+    assert np.array_equal(p["pixels"], px)
+
+    # comment-tolerant header
+    with_comment = b"P6\n# a comment\n3 2\n255\n" + px.tobytes()
+    assert np.array_equal(decode_ppm(with_comment)["pixels"], px)
+
+    up = resize_nearest(px, 6, 4)
+    assert up.shape == (4, 6, 3)
+    assert np.array_equal(up[::2, ::2], px)  # every source pixel survives
+
+    with pytest.raises(ValueError, match="P6"):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n3 2\n255\n\x00\x01")
+
+
+def test_real_codec_dispatch(spark):
+    """decode_features(codec='real') dispatches on magic bytes: WAV →
+    leading samples, PPM → grayscale histogram, other → byte histogram."""
+    from consume_kafka_avro_data_spark.operators.multimodal import (
+        encode_ppm,
+        encode_wav,
+    )
+
+    s = np.array([16384, -16384] + [0] * 14, dtype=np.int16)
+    px = np.zeros((2, 2, 3), dtype=np.uint8)  # all-black image
+    rows = [
+        (0, "audio", bytearray(encode_wav(s)), None),
+        (1, "image", bytearray(encode_ppm(px)), None),
+        (2, "text", bytearray(b"\x00" * 10), None),
+    ]
+    media = spark.createDataFrame(
+        rows, "asset_id long, modality string, media binary, meta string"
+    )
+    feats = {r.asset_id: r.features for r in decode_features(media, codec="real").collect()}
+    assert feats[0][0] == 0.5 and feats[0][1] == -0.5  # decoded samples
+    assert feats[1][0] == 1.0  # all 4 gray pixels land in histogram bin 0
+    assert feats[2][0] == 1.0  # all bytes are 0x00 → first byte-bin
 
 
 def test_frame_sampling_fanout(spark, docs):
@@ -436,6 +505,76 @@ def test_signature_tables_equal_hof_columns(docs):
         for r in winnow_fingerprint_counts(docs).collect()
     }
     assert hofw == tabw
+
+
+def test_hot_bucket_guard_drops_oversized_buckets(spark):
+    """The MAX_BUCKET_SIZE guard must drop (not OOM on) buckets bigger
+    than the cap, and oversized_buckets must report exactly those —
+    the enforcement the round-1 advisor asked for (previously the
+    mitigation lived only in a docstring)."""
+    from consume_kafka_avro_data_spark.operators.dedup import (
+        _bucket_candidate_pairs,
+        oversized_buckets,
+    )
+
+    rows = [(i, f"m{i}", "hot") for i in range(40)] + [
+        (100, "x", "cold"),
+        (101, "y", "cold"),
+    ]
+    blocked = spark.createDataFrame(rows, ["_id", "_sim", "_block"])
+
+    capped = _bucket_candidate_pairs(blocked, max_bucket_size=16)
+    pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert pairs == {(100, 101)}  # hot bucket contributed nothing
+
+    over = {(r._block, r.n_members) for r in oversized_buckets(blocked, 16).collect()}
+    assert over == {("hot", 40)}
+
+    # default cap admits both buckets
+    full = _bucket_candidate_pairs(blocked)
+    assert full.count() == 40 * 39 // 2 + 1
+
+
+def test_signature_forms_agree_on_null_and_empty_text(spark):
+    """NULL text is canonicalized to '' (→ one empty token) in
+    tokens_col, so the HOF Column forms and the explode+aggregate table
+    forms must emit the IDENTICAL signature for NULL, '', and whitespace
+    docs — the divergence the round-1 advisor caught (HOF forms used to
+    emit an all-zero signature for NULL while table forms emitted the
+    empty-string signature)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from consume_kafka_avro_data_spark.operators.dedup import (
+        simhash_hex,
+        simhash_hex_table,
+        simhash64,
+        simhash64_table,
+        tokens_col,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    frame = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "   "), (3, "real text here")], schema
+    )
+
+    hof = {
+        r.doc_id: (r.s64, r.shex)
+        for r in frame.select(
+            "doc_id",
+            simhash64(tokens_col("text")).alias("s64"),
+            simhash_hex(tokens_col("text")).alias("shex"),
+        ).collect()
+    }
+    tab64 = {r._id: r._sim for r in simhash64_table(frame).collect()}
+    tabhex = {r._id: r._sim for r in simhash_hex_table(frame).collect()}
+    for i in range(4):
+        assert hof[i] == (tab64[i], tabhex[i]), f"doc {i} diverged"
+    # NULL ≡ '' — one convention everywhere
+    assert hof[0] == hof[1]
+    # the empty-token signature is md5('')'s 16-hex prefix, not all-zero
+    assert hof[0][1] == "d41d8cd98f00b204"
 
 
 def test_signature_tables_keep_null_and_empty_text(spark):
