@@ -83,6 +83,9 @@ def oracle_sql() -> dict[str, str]:
     Queries registered with ``oracle=None`` (approx sketches, tie-prone
     top-k, codec roundtrips) are intentionally omitted → rows-only check.
     """
-    return {
-        name: q.oracle for name, q in _ordered_queries().items() if q.oracle is not None
-    }
+    out = {}
+    for name, q in _ordered_queries().items():
+        text = q.oracle_text()
+        if text is not None:
+            out[name] = text
+    return out

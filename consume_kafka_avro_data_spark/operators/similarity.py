@@ -107,13 +107,29 @@ def knn_join(
     ``dim`` unrolls the cosine to a codegen'd expression — pass it only
     when every vector has exactly that length (shorter arrays raise
     under ANSI, longer ones would silently score a prefix); None uses
-    the length-agnostic HOF fold."""
+    the length-agnostic HOF fold.
+
+    Norms are precomputed per side BEFORE the crossJoin (same trick as
+    ``embedding_neardup_pairs``): inlining ``cosine()`` into the joined
+    select recomputes each corpus norm once per query and each query
+    norm once per corpus row — |Q|× redundant arithmetic in the dominant
+    stage.  The score is dot ÷ (n_corpus·n_query), numerically identical
+    to ``cosine()`` (same fold, same operand order)."""
     from pyspark.sql import Window
 
-    scored = corpus.crossJoin(F.broadcast(queries)).select(
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col), dim=dim).alias("_cn")
+    )
+    q = queries.select(
+        F.col(query_id), F.col(query_vec), l2_norm(F.col(query_vec), dim=dim).alias("_qn")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
         F.col(query_id),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col(query_vec), dim=dim).alias("score"),
+        (
+            dot(F.col(vec_col), F.col(query_vec), dim=dim)
+            / (F.col("_cn") * F.col("_qn"))
+        ).alias("score"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -15,6 +15,7 @@ values agree.
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -22,23 +23,51 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+log = logging.getLogger(__name__)
+
+_ORACLE_CACHE: dict[str, str | None] = {}
+
 
 @dataclass(frozen=True)
 class Query:
     name: str
     fn: QueryFn
-    oracle: str | None
+    #: SQL string, None (rows-only), or a zero-arg factory returning
+    #: either — factories defer data-dependent oracle construction (e.g.
+    #: q_similarity_ivf's centroid literals) to VERIFICATION time, so the
+    #: scale-factor env var is read when the oracle is used, not when the
+    #: query module is imported, and module import performs no file I/O.
+    oracle: str | None | Callable[[], str | None]
     tags: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
+
+    def oracle_text(self) -> str | None:
+        """Resolve the oracle (invoking + caching a factory if needed).
+        A factory degrading to None is logged — silent degradation would
+        drop oracle coverage without notice."""
+        if not callable(self.oracle):
+            return self.oracle
+        if self.name not in _ORACLE_CACHE:
+            text = self.oracle()
+            if text is None:
+                log.warning(
+                    "query %s: oracle factory returned None — rows-only check",
+                    self.name,
+                )
+            _ORACLE_CACHE[self.name] = text
+        return _ORACLE_CACHE[self.name]
 
 
 REGISTRY: dict[str, Query] = {}
 
 
 def query(
-    name: str, oracle: str | None = None, tags: tuple[str, ...] = ()
+    name: str,
+    oracle: str | None | Callable[[], str | None] = None,
+    tags: tuple[str, ...] = (),
 ) -> Callable[[QueryFn], QueryFn]:
-    """Register a declared query. ``oracle=None`` → rows-only check."""
+    """Register a declared query. ``oracle=None`` → rows-only check;
+    a callable defers oracle construction to verification time."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:

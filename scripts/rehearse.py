@@ -63,6 +63,9 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # lazy oracle factories (q_similarity_ivf) read this env var when
+    # oracle_sql() resolves them — pin it to the sf being rehearsed
+    os.environ["SPARK_GRAFT_TEST_SF_DIR"] = sf_dir
     m = importlib.import_module("__spark_entry__")
     from pyspark.sql import SparkSession
 

@@ -16,8 +16,11 @@ import pytest
 from consume_kafka_avro_data_spark.registry import all_queries
 
 QUERIES = all_queries()
-SQL_CHECKED = sorted(n for n, q in QUERIES.items() if q.oracle is not None)
-ROWS_ONLY = sorted(n for n, q in QUERIES.items() if q.oracle is None)
+# oracle_text() resolves lazy oracle factories (conftest pins
+# SPARK_GRAFT_TEST_SF_DIR before this import, so factories see the same
+# sf the tests run against)
+SQL_CHECKED = sorted(n for n, q in QUERIES.items() if q.oracle_text() is not None)
+ROWS_ONLY = sorted(n for n, q in QUERIES.items() if q.oracle_text() is None)
 
 
 def canon(v) -> str:
@@ -55,7 +58,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def test_query_matches_oracle(name, spark, duck, sf_dir):
     q = QUERIES[name]
     got = normalize(q.fn(spark, sf_dir).toPandas())
-    want = normalize(duck.sql(q.oracle).df())
+    want = normalize(duck.sql(q.oracle_text()).df())
     assert list(got.columns) == list(want.columns), (
         f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
     )
