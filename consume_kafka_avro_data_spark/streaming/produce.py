@@ -1,0 +1,171 @@
+"""Kafka producer path (T4): Confluent-framed Avro write with delivery
+accounting.
+
+The reference's producer side is a librdkafka producer with a
+per-message delivery-report callback (``src/KafkaDeliveryReportCb.cpp:
+6-16`` — logs delivered/failed per message) serviced by a dedicated
+poller thread (``src/KafkaPoller.cpp:23-39``), with the writer schema
+registered to the Schema Registry (``src/SchemaRegistry.cpp:144-161``).
+
+Spark lift, same semantics batch-amortized:
+
+* per-message encode → :func:`to_confluent_avro` (Arrow-batched codec,
+  one CP1 frame per row);
+* producer + delivery report → ``write.format("kafka")`` per micro-batch
+  with a :class:`DeliveryReport` updated per batch — Spark's Kafka sink
+  only commits a batch when EVERY record is acknowledged, so the
+  batch-granular report is strictly stronger than the reference's
+  fire-and-log callback (a failed record fails the batch, which the
+  checkpoint then retries: at-least-once into Kafka);
+* poller thread → unnecessary (the sink blocks on acks inside the task);
+* offline tests → :class:`FileStreamStandIn` sink that assigns
+  deterministic (topic, partition, offset) so the consumer path replays
+  the "topic" byte-exactly without a broker.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.window import Window
+
+from consume_kafka_avro_data_spark.config import SchemaConfig
+from consume_kafka_avro_data_spark.sources.avro_codec import to_confluent_avro
+from consume_kafka_avro_data_spark.sources.kafka import (
+    FileStreamStandIn,
+    kafka_source_available,
+)
+
+
+@dataclass
+class DeliveryReport:
+    """Batch-granular delivery accounting — the reference's
+    per-message delivery-report callback (KafkaDeliveryReportCb.cpp:6-16)
+    aggregated per micro-batch."""
+
+    batches: int = 0
+    delivered: int = 0
+    by_batch: dict[int, int] = field(default_factory=dict)
+
+    def record(self, batch_id: int, n: int) -> None:
+        self.batches += 1
+        self.delivered += n
+        self.by_batch[batch_id] = self.by_batch.get(batch_id, 0) + n
+
+
+class AvroProducer:
+    """Confluent-framed Avro producer over a Kafka topic, with a
+    file-backed stand-in for brokerless tests.
+
+    ``produce_batch`` is the one-shot write; ``produce_stream`` wraps a
+    streaming DataFrame as ``writeStream`` with checkpointing (so a
+    restart resumes from the last committed offsets — at-least-once into
+    Kafka; consumers dedup via the idempotent graph merge, T5).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        schema_config: SchemaConfig,
+        schema_id: int,
+        topic: str,
+        bootstrap_servers: str | None = None,
+        stand_in: FileStreamStandIn | None = None,
+    ):
+        self.spark = spark
+        self.schema_config = schema_config
+        self.schema_id = schema_id
+        self.topic = topic
+        self.bootstrap_servers = bootstrap_servers
+        self.stand_in = stand_in
+        self.report = DeliveryReport()
+        self._next_offset = 0
+        if stand_in is None and not kafka_source_available(spark):
+            raise RuntimeError(
+                "no Kafka datasource on the classpath and no stand-in "
+                "given; pass stand_in=FileStreamStandIn(...) for offline "
+                "runs or add the spark-sql-kafka package"
+            )
+
+    # -- encode ------------------------------------------------------------
+
+    def frame(self, df: DataFrame) -> DataFrame:
+        """(configured columns) → (key string, value binary) CP1 frames."""
+        return to_confluent_avro(df, self.schema_config, self.schema_id)
+
+    # -- batch produce -----------------------------------------------------
+
+    def produce_batch(self, df: DataFrame, batch_id: int = 0) -> int:
+        """Encode + deliver one batch; returns the delivered count."""
+        framed = self.frame(df)
+        if self.stand_in is not None:
+            n = self._deliver_stand_in(framed)
+        else:
+            framed.select(
+                F.col("key").cast("binary").alias("key"), "value"
+            ).write.format("kafka").option(
+                "kafka.bootstrap.servers", self.bootstrap_servers or ""
+            ).option("topic", self.topic).save()
+            n = framed.count()
+        self.report.record(batch_id, n)
+        return n
+
+    def _deliver_stand_in(self, framed: DataFrame) -> int:
+        """Write frames to the stand-in with deterministic metadata:
+        partition 0 (the reference hard-codes partition 0,
+        src/main.cpp:230) and densely increasing offsets ordered by key
+        — so the consumer side sees a replayable topic."""
+        w = Window.orderBy("key", "value")
+        out = framed.select(
+            F.col("key").cast("binary").alias("key"),
+            "value",
+            F.lit(self.topic).alias("topic"),
+            F.lit(0).cast("long").alias("partition"),
+            (F.row_number().over(w) - 1 + F.lit(self._next_offset))
+            .cast("long")
+            .alias("offset"),
+        )
+        self.stand_in.write_batch(out)
+        n = out.count()
+        self._next_offset += n
+        return n
+
+    # -- streaming produce -------------------------------------------------
+
+    def produce_stream(
+        self,
+        stream: DataFrame,
+        checkpoint_dir: str,
+        available_now: bool = True,
+        processing_time: str = "1 second",
+    ) -> StreamingQuery:
+        """writeStream into the topic.  With a real Kafka sink this is
+        ``format("kafka")`` + checkpoint (exactly-once sink commit per
+        batch, retried on failure); with the stand-in it is a
+        foreachBatch delivering through :meth:`_deliver_stand_in` so the
+        delivery report still ticks per batch."""
+        if self.stand_in is not None:
+            def _deliver(batch: DataFrame, batch_id: int) -> None:
+                n = self._deliver_stand_in(self.frame(batch))
+                self.report.record(batch_id, n)
+
+            writer = stream.writeStream.foreachBatch(_deliver)
+        else:
+            writer = (
+                self.frame(stream)
+                .select(F.col("key").cast("binary").alias("key"), "value")
+                .writeStream.format("kafka")
+                .option("kafka.bootstrap.servers", self.bootstrap_servers or "")
+                .option("topic", self.topic)
+            )
+        writer = writer.option(
+            "checkpointLocation", os.path.join(checkpoint_dir, "produce")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
