@@ -146,9 +146,21 @@ def test_approx_percentile_within_tolerance(spark, sf_dir):
     from consume_kafka_avro_data_spark.registry import all_queries
     from consume_kafka_avro_data_spark.tables import load_table
 
+    # the query itself now emits rank-check booleans — all must hold
+    q_rows = all_queries()["q_approx_percentile"].fn(spark, sf_dir).collect()
+    assert all(r.p50_rank_ok and r.p90_rank_ok for r in q_rows)
+
+    # independent verification of the raw sketch (not via the query's
+    # own in-query rank logic)
     approx = {
         r.o_orderpriority: (r.p50_approx, r.p90_approx)
-        for r in all_queries()["q_approx_percentile"].fn(spark, sf_dir).collect()
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+            F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90_approx"),
+        )
+        .collect()
     }
     # percentile_approx's contract is bounded RANK error (≤ 1/accuracy),
     # not value error — at tiny group sizes adjacent values can differ by
