@@ -132,21 +132,26 @@ def connected_components(
     dst: str = "target_id",
     max_iter: int = 25,
 ) -> DataFrame:
-    """Connected components by iterative hash-min label propagation:
-    every node repeatedly adopts the minimum label among itself and its
-    neighbors until a fixpoint — the classic MapReduce CC recipe
-    (Kiveris et al., "Connected Components in MapReduce and Beyond"
-    simplify further with large-star/small-star; hash-min is their
-    baseline and converges in O(diameter) rounds, which for dedup
-    clusters — small, dense near-clique components — is 2-3 rounds).
+    """Connected components by hash-min label propagation WITH pointer
+    jumping: every node adopts the minimum label among itself and its
+    neighbors (the classic MapReduce CC recipe — Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", baseline hash-min),
+    then compresses one level of indirection by adopting its label's
+    label.  Plain hash-min needs O(diameter) rounds — fine for dedup
+    clusters (dense near-cliques, 2-3 rounds) but a crawl on
+    chain-shaped components; the jump doubles the propagation horizon
+    per round, so a path of n nodes converges in O(log n) rounds
+    (pinned by a 10k-node path-graph test in ≤ 15 rounds).
 
-    Scale shape per round: one shuffle join (messages = edges ⋈ labels
-    on the neighbor key) + one shuffle min-aggregate, both on the node
-    id, so AQE reuses the hash partitioning between them.  Lineage is
-    cut with ``localCheckpoint`` each round — without it the plan
-    doubles per iteration and the driver, not the data, becomes the
-    bottleneck.  The fixpoint test piggybacks on the aggregate (count
-    of label changes), one cheap job per round.
+    Scale shape per round: two shuffle joins (messages = edges ⋈ labels
+    on the neighbor key; jump = labels ⋈ labels on the label key) + one
+    shuffle min-aggregate, all keyed by node id, so AQE reuses the hash
+    partitioning across them.  Labels only ever decrease, so the jump
+    preserves the hash-min invariant (comp is always a node id in the
+    same component).  Lineage is cut with ``localCheckpoint`` each round
+    — without it the plan doubles per iteration and the driver, not the
+    data, becomes the bottleneck.  The fixpoint test piggybacks on the
+    aggregate (count of label changes), one cheap job per round.
 
     Use case (charter U5): near-dup *pairs* from MinHash/SimHash/cosine
     blocking are only half the dedup story — keep-one-per-group needs
@@ -173,7 +178,37 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
         )
-        new_labels = neighbor_min.localCheckpoint(eager=True)
+        # checkpoint BEFORE the jump (the self-join below would otherwise
+        # recompute the union+aggregate subtree once per side), and
+        # re-alias through a projection: LogicalRDD reuses the plan's
+        # attribute ids, and carrying the same ids through the next
+        # round's unionAll trips Catalyst's Union constraint rewrite
+        # (NoSuchElementException in rewriteConstraints); aliasing mints
+        # fresh expression ids each round
+        nm = neighbor_min.localCheckpoint(eager=True).select(
+            F.col("node").alias("node"), F.col("comp").alias("comp")
+        )
+        # pointer jumping: comp is itself a node — adopt ITS label too.
+        # left join: the propagation step can label a node with a
+        # neighbor id smaller than every labeled node (comp column), so
+        # the label may have no row of its own yet.
+        jumped = (
+            nm.alias("x")
+            .join(
+                nm.select(F.col("node").alias("_jn"), F.col("comp").alias("_jc")),
+                F.col("x.comp") == F.col("_jn"),
+                "left",
+            )
+            .select(
+                F.col("x.node").alias("node"),
+                F.least(
+                    F.col("x.comp"), F.coalesce(F.col("_jc"), F.col("x.comp"))
+                ).alias("comp"),
+            )
+        )
+        new_labels = jumped.localCheckpoint(eager=True).select(
+            F.col("node").alias("node"), F.col("comp").alias("comp")
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

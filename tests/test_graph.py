@@ -131,6 +131,22 @@ def test_connected_components_chain_and_clique(spark):
     assert got == want
 
 
+def test_connected_components_long_path_converges_fast(spark):
+    """A 10k-node path graph (diameter 9999) must fully converge within
+    15 rounds — plain hash-min would need ~10k.  Black-box check: run
+    with max_iter=15; any node still carrying a non-zero label means
+    the pointer-jumping horizon doubling failed."""
+    from consume_kafka_avro_data_spark.operators.graph import connected_components
+
+    n = 10_000
+    edges = spark.range(n - 1).selectExpr(
+        "id AS source_id", "id + 1 AS target_id"
+    )
+    labels = connected_components(edges, max_iter=15)
+    assert labels.count() == n
+    assert labels.where("comp != 0").count() == 0
+
+
 def test_connected_components_idempotent_on_duplicate_edges(spark):
     from consume_kafka_avro_data_spark.operators.graph import connected_components
 
