@@ -149,3 +149,28 @@ column_map:
     assert sf.to_struct_type() == sd.to_struct_type()
     assert sf.key_column == sd.key_column
     assert sf.to_avro_schema_json() == sd.to_avro_schema_json()
+
+
+def test_live_smoke_config_dry_run():
+    """The shipped live-cluster smoke config must always parse and
+    assemble its Avro schema — scripts/live_smoke.py --dry-run is the
+    offline CI gate for the documented real-Kafka path."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    out = subprocess.run(
+        [
+            sys.executable,
+            str(repo / "scripts" / "live_smoke.py"),
+            str(repo / "configs" / "live_smoke.yaml"),
+            "--dry-run",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "config ok: topic=spo" in out.stdout
+    assert '"name": "subject"' in out.stdout  # rename applied in schema

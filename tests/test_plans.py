@@ -458,3 +458,53 @@ def test_salted_agg_two_phase(q):
     plan = I.simple_plan(df)
     assert I.exchange_count(df) == 2
     assert plan.count("HashAggregate") >= 3
+
+
+# -- round-2 additions ---------------------------------------------------
+
+
+def test_similarity_topk_broadcast_and_shared_norms(q):
+    """knn_join: query side broadcast (corpus never shuffles for the
+    join), and the per-side norms are computed BEFORE the join — the
+    post-join projection must not re-derive them (round-1 finding: the
+    inlined cosine recomputed each corpus norm once per query)."""
+    df = q("q_similarity_topk")
+    plan = I.simple_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or I.broadcast_join_count(df) >= 1
+    # norms materialize as _cn/_qn columns on the join inputs
+    assert "_cn" in plan and "_qn" in plan
+
+
+def test_wav_features_single_arrow_stage(q):
+    """U8 real decode: exactly one Arrow python stage for the synth UDF
+    and one mapInPandas decode — no shuffle in between (the media bytes
+    never cross an exchange)."""
+    df = q("q_wav_features")
+    plan = I.simple_plan(df)
+    assert "MapInPandas" in plan
+    assert I.exchange_count(df) == 0
+
+
+def test_ppm_features_single_arrow_stage(q):
+    df = q("q_ppm_features")
+    plan = I.simple_plan(df)
+    assert "MapInPandas" in plan
+    assert I.exchange_count(df) == 0
+
+
+def test_approx_percentile_sketch_broadcast(q):
+    """The rank-verify pass broadcasts the 5-row sketch result back onto
+    orders — the fact side must not shuffle for it; total exchanges stay
+    at the two aggregation passes."""
+    df = q("q_approx_percentile")
+    assert I.broadcast_join_count(df) >= 1
+    assert I.exchange_count(df) <= 2
+
+
+def test_approx_distinct_partial_final(q):
+    """HLL++ + exact distinct in one aggregate: partial+final hash
+    aggregation, single shuffle on the group key."""
+    df = q("q_approx_distinct")
+    plan = I.simple_plan(df)
+    assert I.exchange_count(df) <= 2  # distinct expansion may add one
+    assert "HashAggregate" in plan
