@@ -45,7 +45,8 @@ _EXPOSURE_PRIORITY: list[str] = [
     # newly oracled approx sketches (were rows-only in r01)
     "q_approx_distinct", "q_approx_percentile",
     # remaining unchecked queries, unique-operator coverage first
-    "q_supply_chain_reach", "q_interval_count_binned", "q_unpivot",
+    "q_supply_chain_reach", "q_interval_count_binned", "q_interval_histogram",
+    "q_unpivot",
     "q_full_outer", "q_first_last", "q_posexplode", "q_regr_agg",
     "q_null_semantics", "q_fuzzy_match", "q_map_funcs",
     "q_higher_order_arrays", "q_sliding_window", "q_calendar_densify",

@@ -50,6 +50,7 @@ HEADLINE = [
     "q_range_frame",
     "q_winnow_fingerprints",
     "q_interval_count_binned",
+    "q_interval_histogram",
 ]
 
 

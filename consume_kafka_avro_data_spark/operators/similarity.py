@@ -102,32 +102,44 @@ def knn_join(
     dim: int | None = None,
 ) -> DataFrame:
     """Brute-force k-NN join: broadcast the (small) query side over the
-    corpus, score, keep top-k per query via ranked window.
-
-    ``dim`` unrolls the cosine to a codegen'd expression — pass it only
-    when every vector has exactly that length (shorter arrays raise
-    under ANSI, longer ones would silently score a prefix); None uses
-    the length-agnostic HOF fold.
+    corpus, score, keep top-k per query via ranked window (Spark ≥3.5
+    compiles the rank≤k filter to WindowGroupLimit — per-partition
+    partial top-k before the shuffle, so only ~k rows per partition per
+    query cross the exchange).
 
     Norms are precomputed per side BEFORE the crossJoin (same trick as
     ``embedding_neardup_pairs``): inlining ``cosine()`` into the joined
     select recomputes each corpus norm once per query and each query
     norm once per corpus row — |Q|× redundant arithmetic in the dominant
     stage.  The score is dot ÷ (n_corpus·n_query), numerically identical
-    to ``cosine()`` (same fold, same operand order)."""
+    to ``cosine()`` (same fold, same operand order).
+
+    ``dim`` is accepted for signature compatibility but the score always
+    uses the length-agnostic HOF fold: a column×column crossJoin plans
+    as BroadcastNestedLoopJoin, which whole-stage codegen does NOT
+    support, so the projection is interpreted either way — and an
+    interpreted 64-term unrolled expression tree is ~2× slower per row
+    (deep per-node recursion, per-element bounds checks) plus ~1.4 s of
+    extra Catalyst analysis for the giant tree (measured at sf0.1).
+    Unrolling only pays inside codegen'd projections (literal-vector
+    scoring after a scan or hash join — ``brute_force_topk``,
+    ``embedding_neardup_pairs``)."""
     from pyspark.sql import Window
 
+    del dim  # see docstring: BNLJ projections never codegen
     c = corpus.select(
-        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col), dim=dim).alias("_cn")
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col), dim=None).alias("_cn")
     )
     q = queries.select(
-        F.col(query_id), F.col(query_vec), l2_norm(F.col(query_vec), dim=dim).alias("_qn")
+        F.col(query_id),
+        F.col(query_vec),
+        l2_norm(F.col(query_vec), dim=None).alias("_qn"),
     )
     scored = c.crossJoin(F.broadcast(q)).select(
         F.col(query_id),
         F.col(id_col),
         (
-            dot(F.col(vec_col), F.col(query_vec), dim=dim)
+            dot(F.col(vec_col), F.col(query_vec), dim=None)
             / (F.col("_cn") * F.col("_qn"))
         ).alias("score"),
     )

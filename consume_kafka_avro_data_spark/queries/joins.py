@@ -402,3 +402,53 @@ def q_interval_count_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(F.count("*").alias("n_shipped"))
     )
+
+
+@query(
+    "q_interval_histogram",
+    oracle="""
+    SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_shipped
+    FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od
+          FROM orders WHERE o_totalprice > 450000) o
+    JOIN (SELECT CAST(l_shipdate AS DATE) AS sd FROM lineitem) l
+      ON l.sd >= o.od AND l.sd < o.od + INTERVAL 7 DAY
+    GROUP BY o_orderkey
+    """,
+    tags=("J6", "A2"),
+)
+def q_interval_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-pushdown interval COUNT (J6 specialization): the same
+    answer as q_interval_count_binned, but when the payload is a pure
+    count the join never needs row-level pairs — aggregate the big side
+    into a per-day histogram FIRST (|lineitem| → |distinct ship days|,
+    600k → ~2.4k at sf0.1), explode each order's 7-day window into
+    exact days, and equi-join the broadcast histogram.  Work drops from
+    O(pairs-sharing-a-bin) (46M pairs at sf0.1) to
+    O(|lineitem| + 7·|orders|) — the shape that survives 100 TB, where
+    the generic bin rewrite is reserved for joins that truly need the
+    pair payloads.  Same DuckDB range-join oracle as the generic form."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = (
+        li.select(F.unix_date(F.col("l_shipdate").cast("date")).alias("sd_day"))
+        .groupBy("sd_day")
+        .agg(F.count("*").alias("day_n"))
+    )
+    days = (
+        o.where(F.col("o_totalprice") > 450000)
+        .select(
+            "o_orderkey",
+            F.unix_date(F.col("o_orderdate").cast("date")).alias("od_day"),
+        )
+        .select(
+            "o_orderkey",
+            F.explode(
+                F.sequence(F.col("od_day"), F.col("od_day") + 6)
+            ).alias("sd_day"),
+        )
+    )
+    return (
+        days.join(F.broadcast(hist), "sd_day")
+        .groupBy("o_orderkey")
+        .agg(F.sum("day_n").alias("n_shipped"))
+    )

@@ -40,6 +40,10 @@ def tune_for_parity(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:  # plan-build speed: see the get_session comment on this conf
+        spark.conf.set("spark.python.sql.dataFrameDebugging.enabled", "false")
+    except Exception:
+        pass
     return spark
 
 
@@ -68,6 +72,12 @@ def get_session(
             driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # PySpark's per-API-call call-site capture walks the Python stack
+        # on EVERY DataFrame/Column call (~5 ms each) purely to decorate
+        # error messages; wide plan builders (32-component MinHash
+        # signatures, 64-bin histograms) spend ~0.5-1 s per query in it.
+        # Debug locally by flipping this on.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

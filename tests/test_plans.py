@@ -508,3 +508,14 @@ def test_approx_distinct_partial_final(q):
     plan = I.simple_plan(df)
     assert I.exchange_count(df) <= 2  # distinct expansion may add one
     assert "HashAggregate" in plan
+
+
+def test_interval_histogram_is_broadcast_no_pair_blowup(q):
+    """The aggregate-pushdown interval count must join the (broadcast)
+    day histogram, never materialize row-level pairs: one shuffle for
+    the histogram aggregate, one for the final per-order sum."""
+    df = q("q_interval_histogram")
+    plan = I.simple_plan(df)
+    assert I.broadcast_join_count(df) >= 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert I.exchange_count(df) <= 2
