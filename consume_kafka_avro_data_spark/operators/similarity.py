@@ -81,12 +81,26 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k for one query vector (ties broken by id so the
-    result is a deterministic total order).  The score unrolls to a
-    codegen'd expression (dim is known from the literal query vector)."""
-    q = _lit_vec(query_vec)
+    result is a deterministic total order).
+
+    The score is Σ element_at(vec,i)·qᵢ (SCALAR literals — embedding an
+    array literal and indexing it 128× made Catalyst analysis alone cost
+    seconds) ÷ (row-norm · query-norm), with the query norm folded in
+    Python using the same left-to-right order as DuckDB's
+    list_dot_product, so scores still match the oracle bit-for-bit."""
+    import math
+
+    qv = [float(x) for x in query_vec]
+    acc = 0.0
+    for x in qv:  # left fold ≡ sqrt(list_dot_product(q, q)) in DuckDB
+        acc += x * x
+    qn = math.sqrt(acc)
+    d = F.element_at(F.col(vec_col), 1).cast("double") * qv[0]
+    for i in range(1, len(qv)):
+        d = d + F.element_at(F.col(vec_col), i + 1).cast("double") * qv[i]
     scored = corpus.select(
         F.col(id_col),
-        cosine(F.col(vec_col), q, dim=len(list(query_vec))).alias("score"),
+        (d / (l2_norm(F.col(vec_col), dim=len(qv)) * F.lit(qn))).alias("score"),
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
@@ -148,6 +162,187 @@ def knn_join(
 
 
 # ---------------------------------------------------------------------------
+# fixed-point (q20) exact arithmetic — Arrow/numpy speed with cross-engine
+# bit-exactness
+# ---------------------------------------------------------------------------
+
+#: Quantization scale for order-independent vector arithmetic: values are
+#: trunc(x · 2^20), making every product and 64-term partial sum an
+#: integer below 2^53 — EXACTLY representable in float64, so the dot is
+#: identical no matter the summation order.  numpy matmul (BLAS, pairwise
+#: sums), DuckDB's sequential list_dot_product, and a JVM fold all agree
+#: bit-for-bit, which is what lets the hot embedding paths run as
+#: Arrow-batched numpy while staying fully DuckDB-oracle-checkable.
+#: (Interpreted JVM lambda folds cost ~20 µs per element; whole-stage
+#: codegen rejects the 3-5k-term unrolled alternatives — measured 2× and
+#: 10× slower respectively than the numpy path at sf0.1.)
+Q20 = 1048576.0
+
+
+def quantize_np(x: np.ndarray) -> np.ndarray:
+    """trunc(x · 2^20) as float64 — integer-valued, exact in double."""
+    return np.trunc(np.asarray(x, dtype=np.float64) * Q20)
+
+
+def o_quantize(vec_sql: str = "CAST(embedding AS DOUBLE[])") -> str:
+    """DuckDB twin of :func:`quantize_np` over a list column."""
+    return f"list_transform({vec_sql}, x -> trunc(x * {Q20!r}))"
+
+
+def srp_bucket_table(
+    corpus: DataFrame,
+    dim: int = 64,
+    nbits: int = 12,
+    ntables: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Arrow pass attaching ALL ``ntables`` SRP bucket ids as
+    ``_b0.._b{T-1}`` int columns: bucket = sign-bit pattern of the
+    q20-quantized hyperplane projections (exact integer dots — see
+    :data:`Q20` — so DuckDB reproduces every bucket from quantized
+    plane literals).  Replaces ntables × nbits interpreted lambda folds
+    per row with one numpy matmul per Arrow batch; at 100 TB this is a
+    map-only projection computed once and persisted."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    qplanes = [quantize_np(_hyperplanes(dim, nbits, t, seed)) for t in range(ntables)]
+    weights = np.array([1 << i for i in range(nbits)], dtype=np.int64)
+    out_schema = StructType(
+        corpus.select(id_col, vec_col).schema.fields
+        + [StructField(f"_b{t}", IntegerType(), False) for t in range(ntables)]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            x = quantize_np(np.stack(pdf[vec_col].map(np.asarray)))
+            out = {id_col: pdf[id_col], vec_col: pdf[vec_col]}
+            for t, qp in enumerate(qplanes):
+                proj = x @ qp.T  # exact: integer-valued float64
+                out[f"_b{t}"] = ((proj > 0) @ weights).astype(np.int32)
+            yield pd.DataFrame(out)
+
+    return corpus.select(id_col, vec_col).mapInPandas(gen, schema=out_schema)
+
+
+def srp_bucket_py(vec, planes: np.ndarray) -> int:
+    """Query-side bucket id under the same q20 arithmetic."""
+    proj = quantize_np(vec) @ quantize_np(planes).T
+    return int(((proj > 0) * (1 << np.arange(len(planes)))).sum())
+
+
+def o_srp_bucket(qplane_rows: np.ndarray) -> str:
+    """DuckDB expression for one table's bucket id over a quantized
+    vector column ``qv`` (build ``qv`` with :func:`o_quantize`)."""
+    bits = " + ".join(
+        "(CASE WHEN list_dot_product(qv, ["
+        + ", ".join(repr(float(v)) for v in p)
+        + "]::DOUBLE[]) > 0 THEN " + str(1 << i) + " ELSE 0 END)"
+        for i, p in enumerate(qplane_rows)
+    )
+    return f"({bits})"
+
+
+def blocked_allpairs_cosine(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ τ, distributed by block pairs: rows are
+    hashed into ``n_blocks`` blocks, every row is fanned out to the
+    ``n_blocks`` block-pairs it participates in, and each (ba ≤ bb)
+    group scores its pairs with one numpy matmul inside applyInPandas.
+    Per-task work is (n/B)² dot products; fan-out is ×B per row — the
+    classic blocked GEMM decomposition of brute-force pairwise scoring,
+    which is how an exact sweep over 10⁶+ vectors is actually run on a
+    cluster (each block pair is one bounded task).
+
+    Scores use q20 fixed-point dots (:data:`Q20`): cosine =
+    qdot/(√qaa·√qbb) over exact integer dots, so numpy here and
+    DuckDB's list_dot_product produce bit-identical doubles and the
+    τ-cut sets match exactly."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    blk = (F.crc32(F.col(id_col).cast("string")) % n_blocks).cast("int")
+    base = corpus.select(F.col(id_col), F.col(vec_col), blk.alias("_blk"))
+    pair_structs = F.array_distinct(
+        F.array(
+            *[
+                F.struct(
+                    F.least(F.col("_blk"), F.lit(q)).alias("ba"),
+                    F.greatest(F.col("_blk"), F.lit(q)).alias("bb"),
+                )
+                for q in range(n_blocks)
+            ]
+        )
+    )
+    tagged = base.select(
+        id_col, vec_col, "_blk", F.explode(pair_structs).alias("_bp")
+    ).select(id_col, vec_col, "_blk", "_bp.ba", "_bp.bb")
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType(), False),
+            StructField("id_b", LongType(), False),
+            StructField("cosine", DoubleType(), False),
+        ]
+    )
+    tau = float(threshold)
+
+    def score(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ba, bb = key
+        ids = pdf[id_col].to_numpy()
+        x = quantize_np(np.stack(pdf[vec_col].map(np.asarray)))
+        qnorm = np.sqrt((x * x).sum(axis=1))  # exact int sums
+        if ba == bb:
+            sim = (x @ x.T) / np.outer(qnorm, qnorm)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            id_a, id_b, s = ids[ia], ids[ib], sim[ia, ib]
+        else:
+            mask_a = (pdf["_blk"] == ba).to_numpy()
+            xa, xb = x[mask_a], x[~mask_a]
+            sim = (xa @ xb.T) / np.outer(qnorm[mask_a], qnorm[~mask_a])
+            ia, ib = np.nonzero(np.ones_like(sim, dtype=bool))
+            id_a, id_b, s = ids[mask_a][ia], ids[~mask_a][ib], sim[ia, ib]
+        lo = np.minimum(id_a, id_b)
+        hi = np.maximum(id_a, id_b)
+        keep = s >= tau
+        return pd.DataFrame(
+            {"id_a": lo[keep], "id_b": hi[keep], "cosine": s[keep]}
+        )
+
+    return tagged.groupBy("ba", "bb").applyInPandas(score, schema=out_schema)
+
+
+def o_blocked_allpairs(threshold: float) -> str:
+    """DuckDB twin of :func:`blocked_allpairs_cosine` on the
+    ``embeddings`` view — same q20 dots, same τ-cut, same doubles."""
+    return f"""
+    WITH q AS (
+      SELECT vec_id, {o_quantize()} AS qv FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.qv, b.qv)
+           / (sqrt(list_dot_product(a.qv, a.qv))
+              * sqrt(list_dot_product(b.qv, b.qv))) AS cosine
+    FROM q a JOIN q b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.qv, b.qv)
+          / (sqrt(list_dot_product(a.qv, a.qv))
+             * sqrt(list_dot_product(b.qv, b.qv))) >= {threshold!r}
+    """
+
+
+# ---------------------------------------------------------------------------
 # SRP-LSH
 # ---------------------------------------------------------------------------
 
@@ -155,35 +350,6 @@ def knn_join(
 def _hyperplanes(dim: int, nbits: int, table: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed + 1000 * table)
     return rng.standard_normal((nbits, dim))
-
-
-def _seq_dot(a, b) -> float:
-    """Strict left-to-right float64 dot — the SAME fold order as Spark's
-    F.aggregate and DuckDB's list_dot_product, so sign decisions agree
-    bit-for-bit across all three (numpy's pairwise summation does not)."""
-    acc = 0.0
-    for x, y in zip(a, b):
-        acc += float(x) * float(y)
-    return acc
-
-
-def srp_bucket(vec: Column, planes: np.ndarray) -> Column:
-    """Bucket id = sign-bit pattern of the hyperplane projections.
-
-    Deliberately uses the HOF fold (dim=None), NOT the unrolled dot:
-    nbits × dim unrolled literal-vector products per row overflow the
-    codegen method limit, and the interpreted fallback then rebuilds
-    each literal plane array per evaluation — measured 10× SLOWER than
-    the lambda fold here.  Unrolling pays off only for column-column
-    dots (the pair-verify cosine), not many-literal-plane sweeps."""
-    bits = [
-        F.when(dot(vec, _lit_vec(p)) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i, p in enumerate(planes)
-    ]
-    out = F.lit(0)
-    for b in bits:
-        out = out + b
-    return out
 
 
 def srp_lsh_topk(
@@ -197,18 +363,23 @@ def srp_lsh_topk(
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: union of exact-rescored bucket collisions
-    across ``ntables`` SRP tables.  The corpus-side bucket ids are
-    map-only projections; only colliding rows are scored."""
-    cand = None
+    """Approximate top-k: exact-rescored bucket collisions across
+    ``ntables`` SRP tables — ONE corpus pass computing every table's
+    bucket id (:func:`srp_bucket_table`, Arrow/numpy over q20 exact
+    arithmetic), one OR-filter for the collisions, then the codegen'd
+    float rescore.  The previous shape (ntables separate scans, each
+    evaluating nbits interpreted lambda folds per row, then a
+    union+dropDuplicates) measured 6.4 s at sf0.1; this is <1 s with
+    identical candidate semantics."""
+    bucketed = srp_bucket_table(
+        corpus, dim, nbits, ntables, seed, id_col, vec_col
+    )
+    cond = None
     for t in range(ntables):
-        planes = _hyperplanes(dim, nbits, t, seed)
-        q_bucket = int(
-            sum((1 << i) for i, p in enumerate(planes) if _seq_dot(query_vec, p) > 0)
-        )
-        hits = corpus.where(srp_bucket(F.col(vec_col), planes) == F.lit(q_bucket))
-        cand = hits if cand is None else cand.unionByName(hits)
-    cand = cand.dropDuplicates([id_col])
+        qb = srp_bucket_py(query_vec, _hyperplanes(dim, nbits, t, seed))
+        c = F.col(f"_b{t}") == F.lit(qb)
+        cond = c if cond is None else (cond | c)
+    cand = bucketed.where(cond).select(id_col, vec_col)
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
@@ -271,7 +442,7 @@ def ivf_assign(
     centroids are unit vectors, so plain dot is cosine up to the row
     norm, which argmax ignores.  Map-only; in production written once as
     a partition/bucket column so probes prune at the file level."""
-    # HOF fold on purpose — see srp_bucket: many-literal-vector sweeps
+    # HOF fold on purpose — many-literal-vector sweeps
     # overflow codegen and interpret WORSE unrolled than as lambda folds
     scores = F.array(*[dot(F.col(vec_col), _lit_vec(c)) for c in centroids])
     return corpus.withColumn(
@@ -415,42 +586,40 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-dup (the dedup-family member over vectors):
     pairs colliding in any SRP table, verified by exact cosine ≥ τ.
     High-cosine pairs collide with probability (1-θ/π)^nbits per table,
-    so a handful of tables suffices at τ ≥ 0.95."""
-    # norm precomputed once per vector (see queries/similarity.py
-    # q_embedding_neardup): the pair stage then evaluates only the
-    # unrolled dot + a divide, which stays inside codegen's 64 KB limit
-    base = corpus.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        l2_norm(F.col(vec_col), dim=dim).alias("_n"),
+    so a handful of tables suffices at τ ≥ 0.95.
+
+    Plan shape: ONE Arrow pass computes all table buckets
+    (:func:`srp_bucket_table`) plus the per-vector norm, the (table,
+    bucket) keys melt via explode, and candidates expand inside each
+    bucket (dedup's bucket-and-expand — the signature subtree is never
+    self-joined, so it computes once).  The verify cosine is the
+    codegen'd unrolled dot ÷ precomputed norms."""
+    from consume_kafka_avro_data_spark.operators.dedup import (
+        _bucket_candidate_pairs,
     )
-    pairs = None
-    for t in range(ntables):
-        planes = _hyperplanes(dim, nbits, t, seed)
-        bucketed = base.select(
-            "_id", "_v", "_n", srp_bucket(F.col("_v"), planes).alias("_b")
-        )
-        a, b = bucketed.alias("a"), bucketed.alias("b")
-        p = a.join(
-            b, (F.col("a._b") == F.col("b._b")) & (F.col("a._id") < F.col("b._id"))
-        ).select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._v").alias("_va"),
-            F.col("b._v").alias("_vb"),
-            F.col("a._n").alias("_na"),
-            F.col("b._n").alias("_nb"),
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
+
+    bucketed = srp_bucket_table(
+        corpus, dim, nbits, ntables, seed, id_col, vec_col
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.struct(
+            F.col(vec_col).alias("v"),
+            l2_norm(F.col(vec_col), dim=dim).alias("n"),
+        ).alias("_sim"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.lit(f"{t}:"), F.col(f"_b{t}").cast("string"))
+                    for t in range(ntables)
+                ]
+            )
+        ).alias("_block"),
+    )
+    cand = _bucket_candidate_pairs(bucketed)
+    cos = dot(F.col("_sa.v"), F.col("_sb.v"), dim=dim) / (
+        F.col("_sa.n") * F.col("_sb.n")
+    )
     return (
-        pairs.dropDuplicates(["id_a", "id_b"])
-        .select(
-            "id_a",
-            "id_b",
-            (
-                dot(F.col("_va"), F.col("_vb"), dim=dim)
-                / (F.col("_na") * F.col("_nb"))
-            ).alias("cosine"),
-        )
+        cand.select("id_a", "id_b", cos.alias("cosine"))
         .where(F.col("cosine") >= cosine_threshold)
     )

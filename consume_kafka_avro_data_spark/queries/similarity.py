@@ -37,6 +37,7 @@ from consume_kafka_avro_data_spark.operators.multimodal import (
     wav_feature_table,
 )
 from consume_kafka_avro_data_spark.operators.similarity import (
+    blocked_allpairs_cosine,
     brute_force_topk,
     dot,
     ivf_topk,
@@ -94,28 +95,31 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _o_srp_ann(k=10, dim=64, nbits=12, ntables=6, seed=42) -> str:
-    """DuckDB twin of srp_lsh_topk: the hyperplanes are seed-fixed
-    literals, every dot product left-folds in float64 in both engines
-    (so sign decisions — the buckets — match bit-for-bit), and the
-    exact re-rank uses the deterministic (score, id) cut."""
-    from consume_kafka_avro_data_spark.operators.similarity import _hyperplanes
-
-    def vec_sql(p) -> str:
-        return "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+    """DuckDB twin of srp_lsh_topk: bucket ids recomputed from
+    QUANTIZED (q20 fixed-point) hyperplane literals — integer-valued
+    dots are exact in float64, so numpy's matmul on the Spark side and
+    DuckDB's sequential list_dot_product here produce the identical
+    sign pattern regardless of summation order.  The exact re-rank uses
+    the float left-fold cosine (list_dot_product ≡ F.aggregate order)
+    and the deterministic (score, id) cut."""
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        _hyperplanes,
+        o_quantize,
+        o_srp_bucket,
+        quantize_np,
+    )
 
     bucket_cols = []
     for t in range(ntables):
-        planes = _hyperplanes(dim, nbits, t, seed)
-        bits = " + ".join(
-            f"(CASE WHEN list_dot_product(v, {vec_sql(p)}) > 0 THEN {1 << i} ELSE 0 END)"
-            for i, p in enumerate(planes)
-        )
-        bucket_cols.append(f"({bits}) AS b{t}")
+        qplanes = quantize_np(_hyperplanes(dim, nbits, t, seed))
+        bucket_cols.append(f"{o_srp_bucket(qplanes)} AS b{t}")
     collide = " OR ".join(f"c.b{t} = qb.b{t}" for t in range(ntables))
     return f"""
     WITH b AS (
       SELECT vec_id, v, {", ".join(bucket_cols)}
-      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   {o_quantize()} AS qv
+            FROM embeddings)
     ),
     qb AS (SELECT * FROM b WHERE vec_id = 0)
     SELECT c.vec_id,
@@ -129,12 +133,13 @@ def _o_srp_ann(k=10, dim=64, nbits=12, ntables=6, seed=42) -> str:
     """
 
 
-@query("q_similarity_ann", oracle=_o_srp_ann(), tags=("U6", "J8"))
+@query("q_similarity_ann", oracle=_o_srp_ann, tags=("U6", "J8"))
 def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH approximate top-k for one query — the 100 TB path:
-    bucket-collision candidates only, exact cosine re-rank.  Fully
-    oracle-checked: the DuckDB twin recomputes the same seed-fixed
-    hyperplane buckets from literals (see _o_srp_ann)."""
+    one Arrow pass computes every table's bucket id (q20-exact numpy
+    matmul), bucket-collision candidates only, exact cosine re-rank.
+    Fully oracle-checked: the DuckDB twin recomputes the same buckets
+    from quantized plane literals (see _o_srp_ann)."""
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
     return srp_lsh_topk(emb, qv, k=10)
@@ -545,63 +550,93 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(load_table(spark, sf_dir, "documents"))
 
 
-@query(
-    "q_embedding_neardup",
-    oracle="""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-                 4) AS cosine
-    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) a
-    JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) b
-      ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v)
-          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
-    """,
-    tags=("U5", "U6"),
-)
+def _o_embedding_neardup() -> str:
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        o_blocked_allpairs,
+    )
+
+    return o_blocked_allpairs(0.35)
+
+
+@query("q_embedding_neardup", oracle=_o_embedding_neardup, tags=("U5", "U6"))
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, exact baseline: all (a<b) pairs with
-    cosine ≥ τ, oracle-checked against DuckDB's sequential
-    list_dot_product (same left-fold order as our F.aggregate, so the
-    doubles match bit-for-bit).  The LSH-blocked scale path is
+    cosine ≥ τ via blocked-GEMM applyInPandas (each block pair is one
+    bounded numpy matmul task — the shape an exact pairwise sweep takes
+    on a real cluster).  Scores use q20 fixed-point dots (exact
+    integer-valued doubles, order-independent), so DuckDB's sequential
+    list_dot_product reproduces every score bit-for-bit (see
+    operators/similarity.Q20).  The LSH-blocked approximate path is
     operators/similarity.embedding_neardup_pairs; this exact variant is
     its recall oracle and the correctness contract."""
-    emb = ensure_min_splits(load_table(spark, sf_dir, "embeddings"))
-    # norms precomputed once per VECTOR (map-side), not once per pair:
-    # n instead of n² norm evaluations, and the pair stage's expression
-    # (one unrolled dot + a divide) stays under the 64 KB codegen method
-    # limit that a fused dot+norm+norm cosine blows past
-    a = emb.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("_va"),
-        l2_norm(F.col("embedding"), dim=64).alias("_na"),
+    emb = load_table(spark, sf_dir, "embeddings")
+    return blocked_allpairs_cosine(emb, threshold=0.35)
+
+
+def _o_neardup_lsh(tau=0.4, dim=64, nbits=6, ntables=6, seed=42) -> str:
+    """DuckDB twin of embedding_neardup_pairs: candidates = pairs
+    sharing any table's q20 bucket (quantized plane literals, exact
+    integer dots — order-independent), verified by the float left-fold
+    cosine ≥ τ (list_dot_product ≡ the unrolled left-assoc dot)."""
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        _hyperplanes,
+        o_quantize,
+        o_srp_bucket,
+        quantize_np,
     )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("_vb"),
-        l2_norm(F.col("embedding"), dim=64).alias("_nb"),
+
+    bucket_cols = [
+        f"{o_srp_bucket(quantize_np(_hyperplanes(dim, nbits, t, seed)))} AS b{t}"
+        for t in range(ntables)
+    ]
+    collide = " OR ".join(f"x.b{t} = y.b{t}" for t in range(ntables))
+    cos = (
+        "list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v))"
+        " * sqrt(list_dot_product(y.v, y.v)))"
     )
-    cos = dot(F.col("_va"), F.col("_vb"), dim=64) / (F.col("_na") * F.col("_nb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .where(cos >= 0.35)
-        .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+    return f"""
+    WITH b AS (
+      SELECT vec_id, v, {", ".join(bucket_cols)}
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   {o_quantize()} AS qv
+            FROM embeddings)
+    )
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b, {cos} AS cosine
+    FROM b x JOIN b y ON x.vec_id < y.vec_id AND ({collide})
+    WHERE {cos} >= {tau!r}
+    """
+
+
+@query("q_neardup_lsh", oracle=_o_neardup_lsh, tags=("U5", "U6", "J8"))
+def q_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH-blocked near-dup operator as a first-class query: SRP
+    bucket collisions only (one Arrow q20 bucket pass + bucket-and-
+    expand — never an all-pairs join), verified by exact cosine ≥ τ.
+    This is the 100 TB shape whose exact-recall contract is
+    q_embedding_neardup; fully oracle-checked because the q20 buckets
+    are engine-independent (see _o_neardup_lsh)."""
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        emb, cosine_threshold=0.4, nbits=6, ntables=6
     )
 
 
-@query(
-    "q_dedup_clusters",
-    oracle="""
+def _o_dedup_clusters() -> str:
+    from consume_kafka_avro_data_spark.operators.similarity import o_quantize
+
+    return f"""
     WITH RECURSIVE
+      q AS (SELECT vec_id, {o_quantize()} AS qv FROM embeddings),
       p AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) a
-        JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) b
-          ON a.vec_id < b.vec_id
-        WHERE list_dot_product(a.v, b.v)
-              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-              >= 0.35
+        FROM q a JOIN q b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.qv, b.qv)
+              / (sqrt(list_dot_product(a.qv, a.qv))
+                 * sqrt(list_dot_product(b.qv, b.qv))) >= 0.35
       ),
       e AS (SELECT id_a AS a, id_b AS b FROM p
             UNION SELECT id_b, id_a FROM p),
@@ -612,38 +647,22 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     SELECT node AS vec_id, MIN(comp) AS cluster_id
     FROM reach GROUP BY node
-    """,
-    tags=("U5", "J5"),
-)
+    """
+
+
+@query("q_dedup_clusters", oracle=_o_dedup_clusters, tags=("U5", "J5"))
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: the transitive closure over
-    embedding near-dup pairs (cosine ≥ 0.35) via iterative hash-min
-    connected components — the keep-one-per-group half of dedup that
-    pairwise queries alone can't answer.  Oracle: DuckDB recursive-CTE
-    reachability with the same min-id labeling."""
+    embedding near-dup pairs (cosine ≥ 0.35, blocked-GEMM exact sweep —
+    see q_embedding_neardup) via hash-min + pointer-jumping connected
+    components — the keep-one-per-group half of dedup that pairwise
+    queries alone can't answer.  Oracle: DuckDB recursive-CTE
+    reachability over the identical q20-scored pair set with the same
+    min-id labeling."""
     from consume_kafka_avro_data_spark.operators.graph import connected_components
 
-    emb = ensure_min_splits(load_table(spark, sf_dir, "embeddings"))
-    # per-vector norms + pair-stage dot: see q_embedding_neardup
-    a = emb.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("_va"),
-        l2_norm(F.col("embedding"), dim=64).alias("_na"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("_vb"),
-        l2_norm(F.col("embedding"), dim=64).alias("_nb"),
-    )
-    pairs = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .where(
-            dot(F.col("_va"), F.col("_vb"), dim=64)
-            / (F.col("_na") * F.col("_nb"))
-            >= 0.35
-        )
-        .select("id_a", "id_b")
-    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = blocked_allpairs_cosine(emb, threshold=0.35).select("id_a", "id_b")
     comps = connected_components(pairs, "id_a", "id_b")
     return comps.select(
         F.col("node").alias("vec_id"), F.col("comp").alias("cluster_id")

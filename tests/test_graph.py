@@ -142,9 +142,28 @@ def test_connected_components_long_path_converges_fast(spark):
     edges = spark.range(n - 1).selectExpr(
         "id AS source_id", "id + 1 AS target_id"
     )
-    labels = connected_components(edges, max_iter=15)
+    # small_graph_edges=0 forces the distributed loop — this test pins
+    # ITS convergence rate, not the driver union-find fast path
+    labels = connected_components(edges, max_iter=15, small_graph_edges=0)
     assert labels.count() == n
     assert labels.where("comp != 0").count() == 0
+
+
+def test_connected_components_fast_path_matches_distributed(spark):
+    """The driver union-find fast path and the distributed loop must
+    produce identical labelings."""
+    from consume_kafka_avro_data_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21)],
+        ["source_id", "target_id"],
+    )
+    fast = {(r.node, r.comp) for r in connected_components(edges).collect()}
+    dist = {
+        (r.node, r.comp)
+        for r in connected_components(edges, small_graph_edges=0).collect()
+    }
+    assert fast == dist
 
 
 def test_connected_components_idempotent_on_duplicate_edges(spark):
