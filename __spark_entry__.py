@@ -38,7 +38,7 @@ _EXPOSURE_PRIORITY: list[str] = [
     "q_minhash_est", "q_minhash_neardup", "q_simhash_neardup",
     "q_simhash_signatures", "q_ngram_jaccard", "q_containment",
     "q_embedding_neardup", "q_neardup_lsh", "q_dedup_clusters",
-    "q_winnow_fingerprints",
+    "q_dedup_pipeline", "q_winnow_fingerprints",
     "q_label_centroids", "q_sq_quantize", "q_minhash_est_fast",
     # U8 multimodal
     "q_multimodal_features", "q_frame_sample", "q_wav_features",

@@ -573,6 +573,105 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_allpairs_cosine(emb, threshold=0.35)
 
 
+def _o_dedup_pipeline(bands: int = 8, rows: int = 4) -> str:
+    """DuckDB twin of the full dedup pipeline: exact-fingerprint
+    collapse → portable-MinHash estimator pairs between CANONICAL
+    survivors only → recursive-CTE clustering → per-document
+    (canonical, cluster, survivor) assignment."""
+    n = bands * rows
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> substr(md5('{i}:' || s), 1, 16)))"
+        for i in range(n)
+    )
+    bexprs = ", ".join(
+        f"md5('{b}:' || array_to_string(sig[{b * rows + 1} : {b * rows + rows}], ','))"
+        for b in range(bands)
+    )
+    matches = f"len(list_filter(range(1, {n} + 1), i -> sa[i] = sb[i]))"
+    return rf"""
+    WITH RECURSIVE
+    fp AS (SELECT doc_id, md5(lower(text)) AS fp FROM documents),
+    canon AS (SELECT fp, MIN(doc_id) AS canonical_id FROM fp GROUP BY fp),
+    d2c AS (SELECT f.doc_id, c.canonical_id
+            FROM fp f JOIN canon c ON f.fp = c.fp),
+    base AS (
+      SELECT doc_id AS _id,
+             list_distinct(CASE WHEN len(toks) < 3
+                  THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks) - 1),
+                                      i -> array_to_string(toks[i : i + 2], ' '))
+             END) AS sh
+      FROM (SELECT d.doc_id,
+                   string_split_regex(lower(coalesce(d.text, '')), '\s+') AS toks
+            FROM documents d JOIN canon c ON d.doc_id = c.canonical_id)
+    ),
+    sigs AS (SELECT _id, [{mins}] AS sig FROM base),
+    banded AS (SELECT _id, sig, unnest([{bexprs}]) AS band FROM sigs),
+    cand AS (
+      SELECT DISTINCT a._id AS id_a, b._id AS id_b, a.sig AS sa, b.sig AS sb
+      FROM banded a JOIN banded b ON a.band = b.band AND a._id < b._id
+    ),
+    pairs AS (SELECT id_a, id_b FROM cand WHERE {matches} >= {n // 2}),
+    e AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    reach(node, comp) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT e.a, r.comp FROM e JOIN reach r ON e.b = r.node
+    ),
+    cc AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           d.canonical_id,
+           coalesce(cc.comp, d.canonical_id) AS cluster_id,
+           d.doc_id = coalesce(cc.comp, d.canonical_id) AS is_survivor
+    FROM d2c d LEFT JOIN cc ON cc.node = d.canonical_id
+    """
+
+
+@query("q_dedup_pipeline", oracle=_o_dedup_pipeline, tags=("U4", "U5", "J5"))
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE corpus-dedup pipeline as one query, end to end:
+
+    1. exact dedup — content fingerprint (md5 of normalized text),
+       min-id canonical per fingerprint (collapses exact duplicates so
+       no LSH bucket ever fills with identical docs — the hot-bucket
+       precondition);
+    2. near-dup — signature-only MinHash estimator pairs between the
+       CANONICAL survivors (the 100 TB scoring path: documents are
+       never re-read after the signature pass);
+    3. transitive closure — connected components over the pair graph;
+    4. assignment — every original document mapped to its canonical,
+       its cluster (min canonical id; itself when unpaired), and a
+       survivor flag (one per cluster).
+
+    Fully oracle-checked: portable md5 signatures + recursive-CTE
+    reachability reproduce every stage in DuckDB."""
+    from consume_kafka_avro_data_spark.operators.dedup import (
+        minhash_estimate_pairs,
+    )
+    from consume_kafka_avro_data_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.md5(F.lower(F.col("text"))).alias("fp"))
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("canonical_id"))
+    d2c = fp.join(canon, "fp").select("doc_id", "canonical_id")
+    canon_docs = docs.join(
+        canon.select(F.col("canonical_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    pairs = minhash_estimate_pairs(canon_docs, hash_fn="md5").select(
+        "id_a", "id_b"
+    )
+    comps = connected_components(pairs, "id_a", "id_b")
+    out = d2c.join(comps, d2c.canonical_id == comps.node, "left").select(
+        "doc_id",
+        "canonical_id",
+        F.coalesce(F.col("comp"), F.col("canonical_id")).alias("cluster_id"),
+    )
+    return out.withColumn(
+        "is_survivor", F.col("doc_id") == F.col("cluster_id")
+    )
+
+
 def _o_neardup_lsh(tau=0.4, dim=64, nbits=6, ntables=6, seed=42) -> str:
     """DuckDB twin of embedding_neardup_pairs: candidates = pairs
     sharing any table's q20 bucket (quantized plane literals, exact
