@@ -186,7 +186,8 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tkf AS (SELECT * FROM tk WHERE tok <> ''),
     uni AS (SELECT tok, count(*) AS cnt FROM tkf GROUP BY tok),
     tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM uni),
-    lp AS (SELECT tok, ln(CAST(cnt AS DOUBLE) / n) AS lp FROM uni, tot),
+    lp AS (SELECT tok, CAST(CAST(ln(CAST(cnt AS DOUBLE) / n) AS FLOAT) AS DOUBLE)
+                         AS lp FROM uni, tot),
     per AS (
       SELECT doc_id, count(*) AS n_toks,
              list_reduce(list(lp ORDER BY pos), (a, b) -> a + b) AS s
@@ -216,8 +217,18 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     tot = uni.agg(F.sum("cnt").cast("double").alias("n"))
+    # log-probs round through float32 (then back to double for the
+    # summation): JVM Math.log and libm ln() differ by 1 ulp on some
+    # arguments (observed on 15 of ~60k vocab entries at sf0.1), and
+    # float32 rounding erases a 1-ulp double discrepancy except on a
+    # ~2^-29-probability rounding boundary — the sums then accumulate
+    # identical doubles in identical order on both engines
     lp = uni.crossJoin(F.broadcast(tot)).select(
-        "tok", F.log(F.col("cnt").cast("double") / F.col("n")).alias("lp")
+        "tok",
+        F.log(F.col("cnt").cast("double") / F.col("n"))
+        .cast("float")
+        .cast("double")
+        .alias("lp"),
     )
     per = (
         toks.join(F.broadcast(lp), "tok")

@@ -84,18 +84,25 @@ class StreamingGraphIngest:
             batch, self.schema_config, self.expected_schema_id
         ).cache()
         try:
-            errors = decoded.where(F.col("_error").isNotNull())
-            n_err = errors.count()
+            # ONE aggregation pass yields every counter (valid count,
+            # error count, per-reason counts) — the result is
+            # reasons-sized, so the collect is driver-safe by
+            # construction; separate count() actions per counter would
+            # re-scan the cached batch three times
+            by_reason = {
+                r["_error"]: r["count"]
+                for r in decoded.groupBy("_error").count().collect()
+            }
+            n_valid = by_reason.pop(None, 0)
+            n_err = sum(by_reason.values())
             if n_err:
                 if self.dlq_dir:
-                    errors.select("key", "_error").write.mode("append").parquet(
-                        self.dlq_dir
-                    )
-                for r in (
-                    errors.groupBy("_error").count().collect()
-                ):  # small: distinct reasons only
-                    self.metrics.errors_by_reason[r["_error"]] = (
-                        self.metrics.errors_by_reason.get(r["_error"], 0) + r["count"]
+                    decoded.where(F.col("_error").isNotNull()).select(
+                        "key", "_error"
+                    ).write.mode("append").parquet(self.dlq_dir)
+                for reason, cnt in by_reason.items():
+                    self.metrics.errors_by_reason[reason] = (
+                        self.metrics.errors_by_reason.get(reason, 0) + cnt
                     )
             names = [
                 self.schema_config.field_name(c) for c in self.schema_config.columns
@@ -104,7 +111,7 @@ class StreamingGraphIngest:
             triples = triples_from(valid, *names[:3])
             nv, ne = self.store.ingest_triples(triples, created_at=self.created_at)
             self.metrics.batches += 1
-            self.metrics.valid_rows += valid.count()
+            self.metrics.valid_rows += n_valid
             self.metrics.error_rows += n_err
             self.metrics.new_vertices += nv
             self.metrics.new_edges += ne
