@@ -299,7 +299,7 @@ def blocked_allpairs_cosine(
     )
     tau = float(threshold)
 
-    def score(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def score(key, pdf):  # (key, pdf) -> pdf; schema passed explicitly
         ba, bb = key
         ids = pdf[id_col].to_numpy()
         x = quantize_np(np.stack(pdf[vec_col].map(np.asarray)))

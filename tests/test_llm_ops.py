@@ -599,3 +599,54 @@ def test_signature_tables_keep_null_and_empty_text(spark):
     assert simhash_hex_table(docs).count() == 3
     assert simhash64_table(docs).count() == 3
     assert winnow_fingerprint_counts(docs).count() == 3
+
+
+def test_blocked_allpairs_matches_naive_numpy(spark):
+    """blocked_allpairs_cosine over every block-pair decomposition must
+    equal the naive O(n²) q20 sweep — same pairs, bit-identical scores."""
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        blocked_allpairs_cosine,
+        quantize_np,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((60, 16))
+    vecs[11] = vecs[3] + 0.01 * rng.standard_normal(16)  # planted near-dup
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in blocked_allpairs_cosine(df, threshold=0.5, n_blocks=4).collect()
+    }
+
+    q = quantize_np(vecs)
+    norms = np.sqrt((q * q).sum(axis=1))
+    want = {}
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            s = float((q[i] @ q[j]) / (norms[i] * norms[j]))
+            if s >= 0.5:
+                want[(i, j)] = s
+    assert got == want
+    assert (3, 11) in got  # the planted pair survives the cut
+
+
+def test_srp_bucket_table_matches_python_buckets(spark):
+    """Every _b{t} column must equal srp_bucket_py's q20 bucket for the
+    same vector — the corpus path and the query path share arithmetic."""
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        _hyperplanes,
+        srp_bucket_py,
+        srp_bucket_table,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(64)]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = srp_bucket_table(df, dim=64, nbits=12, ntables=3).collect()
+    assert len(out) == 50
+    for r in out:
+        for t in range(3):
+            expect = srp_bucket_py(r.embedding, _hyperplanes(64, 12, t))
+            assert r[f"_b{t}"] == expect, (r.vec_id, t)
