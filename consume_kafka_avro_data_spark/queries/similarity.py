@@ -191,10 +191,20 @@ def _o_ivf(k=10, n_centroids=16, nprobe=4, seed=42) -> str | None:
     order = np.argsort(-(cent @ qn))[:nprobe]
     probe = ", ".join(str(int(c) + 1) for c in order)
 
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        o_quantize,
+        quantize_np,
+    )
+
     def vec_sql(c) -> str:
         return "[" + ", ".join(repr(float(v)) for v in c) + "]::DOUBLE[]"
 
-    scores = ", ".join(f"list_dot_product(v, {vec_sql(c)})" for c in cent)
+    # cell assignment under q20 fixed-point dots — exact integer-valued
+    # doubles, so list_indexof(list_max) here ≡ numpy argmax (first max)
+    # in ivf_assign, tie-for-tie
+    scores = ", ".join(
+        f"list_dot_product(qvec, {vec_sql(qc)})" for qc in quantize_np(cent)
+    )
     return f"""
     WITH a AS (
       SELECT vec_id, v,
@@ -202,7 +212,7 @@ def _o_ivf(k=10, n_centroids=16, nprobe=4, seed=42) -> str | None:
       FROM (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                [{scores}] AS s
-        FROM embeddings
+        FROM (SELECT vec_id, embedding, {o_quantize()} AS qvec FROM embeddings)
       )
     ), q AS (SELECT v AS qv FROM a WHERE vec_id = 0)
     SELECT a.vec_id,
