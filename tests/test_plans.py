@@ -519,3 +519,33 @@ def test_interval_histogram_is_broadcast_no_pair_blowup(q):
     assert I.broadcast_join_count(df) >= 1
     assert "BroadcastNestedLoopJoin" not in plan
     assert I.exchange_count(df) <= 2
+
+
+def test_similarity_ann_single_bucket_pass(q):
+    """SRP ANN must compute all hash tables' buckets in ONE Arrow pass
+    (one MapInPandas over one scan) — never one scan per table — and
+    the candidate filter must precede the rescore."""
+    df = q("q_similarity_ann")
+    plan = I.simple_plan(df)
+    assert plan.count("MapInPandas") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_neardup_no_allpairs_join(q):
+    """The exact blocked sweep runs as FlatMapGroupsInPandas over block
+    pairs — no join operator (a BNLJ here would be the quadratic
+    all-pairs trap), one exchange for the group-by."""
+    df = q("q_embedding_neardup")
+    plan = I.simple_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
+    assert I.exchange_count(df) == 1
+
+
+def test_neardup_lsh_bucket_and_expand(q):
+    """The LSH-blocked near-dup: one Arrow bucket pass, bucket-and-
+    expand candidates (no self-join of the bucket subtree)."""
+    df = q("q_neardup_lsh")
+    plan = I.simple_plan(df)
+    assert plan.count("MapInPandas") == 1
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
