@@ -1,0 +1,127 @@
+"""CLI entry point — the reference binary's UX, Spark-first.
+
+The reference runs as ``ingest -c <config.yaml>`` (arg parsing at
+``src/main.cpp:114-140``: ``-c`` is required, the file must exist, bad
+usage prints usage and exits non-zero).  Here:
+
+    python -m consume_kafka_avro_data_spark -c configs/live_smoke.yaml
+        [--dry-run]        validate config + schema assembly, no cluster
+        [--batch DIR]      run the SPO ingest in batch over a parquet
+                           stand-in topic directory instead of live Kafka
+        [--once]           bounded replay (availableNow) then exit — the
+                           reference's partition-EOF mode; live runs
+                           default to this (its exit_eof flag)
+
+Config errors raise/exit non-zero where the reference kills itself with
+SIGINT (``src/config/ConfigParser.cpp:33,58,133``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="consume_kafka_avro_data_spark",
+        description="Config-driven Kafka->Avro->graph ingest (PySpark)",
+    )
+    p.add_argument("-c", "--config", required=True, help="YAML job config")
+    p.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="validate config + schema assembly and exit",
+    )
+    p.add_argument(
+        "--batch",
+        metavar="DIR",
+        help="read a parquet stand-in topic directory instead of Kafka",
+    )
+    p.add_argument(
+        "--once",
+        action="store_true",
+        default=True,
+        help="bounded replay to end-of-topic, then stop (default)",
+    )
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if not os.path.isfile(args.config):
+        print(f"config file not found: {args.config}", file=sys.stderr)
+        return 2
+
+    from consume_kafka_avro_data_spark.config import ConfigError, load_config
+
+    try:
+        config = load_config(args.config)
+        topic = config.schemas[0].name
+        sc = config.schema_for(topic)
+    except ConfigError as e:
+        print(f"invalid config: {e}", file=sys.stderr)
+        return 2
+
+    print(f"topic={topic} key={sc.key_column} fields={sc.columns}")
+    print(f"schema={sc.to_avro_schema_json()}")
+    if args.dry_run:
+        return 0
+
+    import yaml
+
+    with open(args.config) as f:
+        engine = yaml.safe_load(f).get("engine", {})
+    graph_dir = engine.get("graph_dir", "/tmp/cka_spark/graph")
+    ckpt_dir = engine.get("checkpoint_dir", "/tmp/cka_spark/checkpoints")
+
+    from consume_kafka_avro_data_spark.operators.graph import GraphStore
+    from consume_kafka_avro_data_spark.session import get_session
+    from consume_kafka_avro_data_spark.sources.kafka import (
+        FileStreamStandIn,
+        kafka_reader,
+    )
+    from consume_kafka_avro_data_spark.streaming.ingest import StreamingGraphIngest
+
+    spark = get_session(app_name=f"cka-spark-{topic}")
+    spark.sparkContext.setLogLevel("WARN")
+    if args.batch:
+        stream = FileStreamStandIn(spark, args.batch).read_stream(
+            max_files_per_trigger=64
+        )
+        expected_id = None
+    else:
+        from consume_kafka_avro_data_spark.sources.schema_registry import (
+            SchemaRegistryClient,
+        )
+
+        registry = SchemaRegistryClient(url=config.schema_registry_url)
+        expected_id, _ = registry.fetch_value_schema(topic)
+        stream = kafka_reader(
+            spark,
+            config,
+            topic,
+            max_offsets_per_trigger=engine.get("max_offsets_per_trigger"),
+        )
+
+    store = GraphStore(spark, graph_dir)
+    ingest = StreamingGraphIngest(
+        spark,
+        store,
+        sc,
+        checkpoint_dir=ckpt_dir,
+        dlq_dir=engine.get("dlq_dir"),
+        expected_schema_id=expected_id,
+    )
+    m = ingest.run_to_completion(stream, timeout=600.0)
+    print(
+        f"batches={m.batches} valid={m.valid_rows} errors={m.error_rows} "
+        f"new_vertices={m.new_vertices} new_edges={m.new_edges}"
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,92 @@
+"""CLI entry point (the reference binary's `-c <config>` UX,
+src/main.cpp:114-140): arg validation in-process, the batch ingest path
+end-to-end as a subprocess."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from consume_kafka_avro_data_spark.__main__ import build_parser, main
+from consume_kafka_avro_data_spark.config import parse_config
+from consume_kafka_avro_data_spark.sources.avro_codec import to_confluent_avro
+from consume_kafka_avro_data_spark.sources.kafka import FileStreamStandIn
+
+REPO = Path(__file__).resolve().parent.parent
+SMOKE = REPO / "configs" / "live_smoke.yaml"
+
+
+def test_cli_requires_config():
+    parser = build_parser()
+    try:
+        parser.parse_args([])
+        raised = False
+    except SystemExit:
+        raised = True
+    assert raised  # -c is mandatory, as in the reference (main.cpp:114-140)
+
+
+def test_cli_missing_file_exits_nonzero(capsys):
+    assert main(["-c", "/does/not/exist.yaml", "--dry-run"]) == 2
+    assert "not found" in capsys.readouterr().err
+
+
+def test_cli_dry_run_validates(capsys):
+    assert main(["-c", str(SMOKE), "--dry-run"]) == 0
+    out = capsys.readouterr().out
+    assert "topic=spo" in out and '"name": "subject"' in out
+
+
+def test_cli_batch_ingest_end_to_end(spark, tmp_path):
+    """python -m consume_kafka_avro_data_spark -c cfg --batch DIR runs
+    the whole decode->graph pipeline over a stand-in topic."""
+    doc = {
+        "kafka": {},
+        "type_map": {"spo": {"key_column": "subject", "columns": ["S", "P", "O"]}},
+        "column_map": {"S": "subject", "P": "predicate", "O": "object"},
+    }
+    sc = parse_config(doc).schema_for("spo")
+    df = spark.createDataFrame(
+        [("a", "knows", "b"), ("b", "knows", "c")], ["S", "P", "O"]
+    )
+    framed = to_confluent_avro(df, sc, schema_id=2).select(
+        F.col("key").cast("binary").alias("key"),
+        "value",
+        F.lit("spo").alias("topic"),
+        F.lit(0).cast("long").alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+    )
+    topic_dir = tmp_path / "topic"
+    FileStreamStandIn(spark, str(topic_dir)).write_batch(framed)
+
+    cfg = tmp_path / "job.yaml"
+    cfg.write_text(
+        "kafka: {}\n"
+        "type_map:\n  spo:\n    key_column: subject\n    columns: [S, P, O]\n"
+        "column_map: {S: subject, P: predicate, O: object}\n"
+        "engine:\n"
+        f"  graph_dir: {tmp_path / 'graph'}\n"
+        f"  checkpoint_dir: {tmp_path / 'ckpt'}\n"
+    )
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "consume_kafka_avro_data_spark",
+            "-c",
+            str(cfg),
+            "--batch",
+            str(topic_dir),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=str(REPO),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "valid=2" in out.stdout and "errors=0" in out.stdout
+    graph = spark.read.parquet(str(tmp_path / "graph" / "objects"))
+    assert graph.count() == 3  # distinct {a, b, c}
