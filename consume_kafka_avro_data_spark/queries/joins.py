@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import broadcast
 
-from consume_kafka_avro_data_spark.functions.parity import dsum_mul, o_dsum_mul
+from consume_kafka_avro_data_spark.functions.parity import o_dsum_mul
 from consume_kafka_avro_data_spark.operators.asof import asof_join
 from consume_kafka_avro_data_spark.registry import query
 from consume_kafka_avro_data_spark.tables import load_table

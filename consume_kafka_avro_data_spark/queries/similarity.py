@@ -19,7 +19,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from consume_kafka_avro_data_spark.operators.dedup import (
-    ensure_min_splits,
     minhash_estimate_pairs,
     minhash_lsh_pairs,
     ngram_containment_pairs,
@@ -39,10 +38,8 @@ from consume_kafka_avro_data_spark.operators.multimodal import (
 from consume_kafka_avro_data_spark.operators.similarity import (
     blocked_allpairs_cosine,
     brute_force_topk,
-    dot,
     ivf_topk,
     knn_join,
-    l2_norm,
     srp_lsh_topk,
 )
 from consume_kafka_avro_data_spark.operators.text import (
