@@ -8,9 +8,9 @@ usage prints usage and exits non-zero).  Here:
         [--dry-run]        validate config + schema assembly, no cluster
         [--batch DIR]      run the SPO ingest in batch over a parquet
                            stand-in topic directory instead of live Kafka
-        [--once]           bounded replay (availableNow) then exit — the
-                           reference's partition-EOF mode; live runs
-                           default to this (its exit_eof flag)
+        [--follow]         consume continuously; the DEFAULT is a
+                           bounded replay (availableNow) then exit — the
+                           reference's partition-EOF mode (exit_eof)
 
 Config errors raise/exit non-zero where the reference kills itself with
 SIGINT (``src/config/ConfigParser.cpp:33,58,133``).
@@ -40,10 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="read a parquet stand-in topic directory instead of Kafka",
     )
     p.add_argument(
-        "--once",
+        "--follow",
         action="store_true",
-        default=True,
-        help="bounded replay to end-of-topic, then stop (default)",
+        help="consume continuously (micro-batches) instead of the "
+        "default bounded replay-to-end-of-topic (the reference's "
+        "exit_eof mode)",
     )
     return p
 
@@ -114,7 +115,15 @@ def main(argv: list[str] | None = None) -> int:
         dlq_dir=engine.get("dlq_dir"),
         expected_schema_id=expected_id,
     )
-    m = ingest.run_to_completion(stream, timeout=600.0)
+    if args.follow:
+        q = ingest.start(stream, available_now=False)
+        try:
+            q.awaitTermination()
+        except KeyboardInterrupt:  # the reference's SIGINT drain (T3)
+            StreamingGraphIngest.stop_and_drain(q)
+        m = ingest.metrics
+    else:
+        m = ingest.run_to_completion(stream, timeout=600.0)
     print(
         f"batches={m.batches} valid={m.valid_rows} errors={m.error_rows} "
         f"new_vertices={m.new_vertices} new_edges={m.new_edges}"

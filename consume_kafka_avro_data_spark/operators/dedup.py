@@ -35,6 +35,13 @@ from pyspark.sql import Column, DataFrame, functions as F
 # ---------------------------------------------------------------------------
 
 
+#: Hot-bucket guard: buckets with more members than this are DROPPED from
+#: candidate generation (see _bucket_candidate_pairs).  2^10 members →
+#: ≤ ~524k pair structs in one array value, the most one task should hold
+#: when pairs carry shingle-set payloads.
+MAX_BUCKET_SIZE = 1024
+
+
 _SPLIT_PROBE_CACHE: dict[tuple[int, int], int] = {}
 
 
@@ -68,6 +75,12 @@ def ensure_min_splits(df: DataFrame) -> DataFrame:
         n = _SPLIT_PROBE_CACHE.get(key)
         if n is None:
             n = df.rdd.getNumPartitions()
+            # bounded: clear wholesale at 256 entries (a per-process
+            # probe cache, not a source of truth — a stale entry only
+            # re-decides the local repartition heuristic, and clearing
+            # also drops entries whose session died)
+            if len(_SPLIT_PROBE_CACHE) >= 256:
+                _SPLIT_PROBE_CACHE.clear()
             _SPLIT_PROBE_CACHE[key] = n
     except Exception:  # Connect / non-JVM backends: probe uncached
         n = df.rdd.getNumPartitions()
@@ -403,6 +416,7 @@ def minhash_lsh_pairs(
     rows: int = 4,
     jaccard_threshold: float = 0.5,
     hash_fn: str = "xxhash64",
+    max_bucket_size: int = MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH with exact-Jaccard verify.
 
@@ -445,7 +459,7 @@ def minhash_lsh_pairs(
         F.col("_shingles").alias("_sim"),
         F.explode(bh).alias("_block"),
     )
-    cand = _bucket_candidate_pairs(banded)
+    cand = _bucket_candidate_pairs(banded, max_bucket_size)
     inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
     union = F.size(F.col("_sa")) + F.size(F.col("_sb")) - inter
     return (
@@ -456,13 +470,6 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= jaccard_threshold)
     )
-
-
-#: Hot-bucket guard: buckets with more members than this are DROPPED from
-#: candidate generation (see _bucket_candidate_pairs).  2^10 members →
-#: ≤ ~524k pair structs in one array value, the most one task should hold
-#: when pairs carry shingle-set payloads.
-MAX_BUCKET_SIZE = 1024
 
 
 def oversized_buckets(
@@ -502,7 +509,14 @@ def _bucket_candidate_pairs(
     agree on every band.  Run exact dedup (fingerprint group-by /
     dropDuplicates) before near-dup detection to collapse those buckets
     to singletons; :func:`oversized_buckets` reports what this guard
-    would skip."""
+    would skip.
+
+    Oracle note: the DuckDB twins model NO cap, so oracle parity holds
+    exactly while every bucket stays under ``max_bucket_size`` (true for
+    the driver testdata by orders of magnitude — the guard exists for
+    pathological corpora).  If :func:`oversized_buckets` is non-empty,
+    either pre-collapse exact duplicates or raise the cap via the
+    ``max_bucket_size`` parameter every public operator forwards."""
     buckets = blocked.groupBy("_block").agg(
         F.sort_array(F.collect_list(F.struct("_id", "_sim"))).alias("_members")
     )
@@ -534,6 +548,7 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     block_bits: int = 16,
+    max_bucket_size: int = MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """SimHash near-dup pairs: candidates share at least one of the
     64/block_bits signature blocks (pigeonhole: any pair within
@@ -561,7 +576,7 @@ def simhash_neardup_pairs(
         ).alias("_block"),
     )
     return (
-        _bucket_candidate_pairs(blocked)
+        _bucket_candidate_pairs(blocked, max_bucket_size)
         .select(
             "id_a",
             "id_b",
@@ -580,6 +595,7 @@ def minhash_estimate_pairs(
     rows: int = 4,
     min_matches: int | None = None,
     hash_fn: str = "md5",
+    max_bucket_size: int = MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Signature-only near-dup scoring — the true 100 TB dedup path.
 
@@ -615,7 +631,7 @@ def minhash_estimate_pairs(
         "_sim",
         F.explode(bh).alias("_band"),
     ).withColumnRenamed("_band", "_block")
-    cand = _bucket_candidate_pairs(banded)
+    cand = _bucket_candidate_pairs(banded, max_bucket_size)
     matches = F.aggregate(
         F.zip_with(
             F.col("_sa"),
@@ -636,6 +652,7 @@ def simhash_hex_neardup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     block_chars: int = 4,
+    max_bucket_size: int = MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Portable-SimHash near-dup pairs over hex signatures: candidates
     share one of the 16/block_chars hex blocks (pigeonhole over 4·block
@@ -662,7 +679,7 @@ def simhash_hex_neardup_pairs(
         ).alias("_block"),
     )
     return (
-        _bucket_candidate_pairs(blocked)
+        _bucket_candidate_pairs(blocked, max_bucket_size)
         .select(
             "id_a",
             "id_b",

@@ -195,8 +195,15 @@ def connected_components(
                     ra, rb = rb, ra
                 parent[rb] = ra
         out = [(n, find(n)) for n in parent]
+        # explicit schema: createDataFrame cannot infer from an empty
+        # list (no-duplicate corpora produce empty pair graphs), and the
+        # node type must match the edge column's, not inference's guess
+        node_type = e.schema["a"].dataType
+        schema = StructType(
+            [StructField("node", node_type), StructField("comp", node_type)]
+        )
         spark = edges.sparkSession
-        return spark.createDataFrame(out, ["node", "comp"])
+        return spark.createDataFrame(out, schema)
 
     labels = (
         e.select(F.col("a").alias("node"))
@@ -252,7 +259,10 @@ def connected_components(
             F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
         labels = new_labels
-        if prev_sum is not None and new_sum == prev_sum:
+        # new_sum is None iff labels is empty (sum over zero rows) —
+        # nothing to propagate, stop immediately instead of burning
+        # max_iter empty rounds
+        if new_sum is None or (prev_sum is not None and new_sum == prev_sum):
             break
         prev_sum = new_sum
     return labels

@@ -128,7 +128,10 @@ def decode_wav(data: bytes) -> dict:
         (size,) = _struct.unpack_from("<I", data, pos + 4)
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            if size < 16:
+            # check the BYTES PRESENT, not the declared size — a
+            # truncated stream can declare size>=16 with a short body,
+            # and struct.error would escape the ValueError DLQ contract
+            if len(body) < 16:
                 raise ValueError("fmt chunk too short")
             fmt = _struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":

@@ -600,6 +600,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup (the dedup-family member over vectors):
     pairs colliding in any SRP table, verified by exact cosine ≥ τ.
@@ -613,9 +614,12 @@ def embedding_neardup_pairs(
     self-joined, so it computes once).  The verify cosine is the
     codegen'd unrolled dot ÷ precomputed norms."""
     from consume_kafka_avro_data_spark.operators.dedup import (
+        MAX_BUCKET_SIZE,
         _bucket_candidate_pairs,
     )
 
+    if max_bucket_size is None:
+        max_bucket_size = MAX_BUCKET_SIZE
     bucketed = srp_bucket_table(
         corpus, dim, nbits, ntables, seed, id_col, vec_col
     ).select(
@@ -633,7 +637,7 @@ def embedding_neardup_pairs(
             )
         ).alias("_block"),
     )
-    cand = _bucket_candidate_pairs(bucketed)
+    cand = _bucket_candidate_pairs(bucketed, max_bucket_size)
     cos = dot(F.col("_sa.v"), F.col("_sb.v"), dim=dim) / (
         F.col("_sa.n") * F.col("_sb.n")
     )

@@ -449,25 +449,34 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", 0.9, 10000).alias("_a90"),
     )
     joined = o.join(F.broadcast(sketch), "o_orderpriority")
+    # tie-aware ranks: the returned value v occupies the rank interval
+    # [count(<v), count(<=v)] — checking only the max rank would fail a
+    # legitimate sketch result whenever v is duplicated near the target
+    def lt(c):
+        return F.sum(F.when(F.col("o_totalprice") < F.col(c), 1).otherwise(0))
+
+    def le(c):
+        return F.sum(F.when(F.col("o_totalprice") <= F.col(c), 1).otherwise(0))
+
     ranked = joined.groupBy("o_orderpriority").agg(
         F.first("n").alias("n"),
-        F.sum(F.when(F.col("o_totalprice") <= F.col("_a50"), 1).otherwise(0)).alias(
-            "_r50"
-        ),
-        F.sum(F.when(F.col("o_totalprice") <= F.col("_a90"), 1).otherwise(0)).alias(
-            "_r90"
-        ),
+        lt("_a50").alias("_lt50"),
+        le("_a50").alias("_le50"),
+        lt("_a90").alias("_lt90"),
+        le("_a90").alias("_le90"),
     )
     tol = 1.0 / 10000 + 1.0 / F.col("n")
 
-    def ok(r, q):
-        return F.abs(F.col(r) / F.col("n") - F.lit(q)) <= tol
+    def ok(lo, hi, q):
+        return (F.lit(q) >= F.col(lo) / F.col("n") - tol) & (
+            F.lit(q) <= F.col(hi) / F.col("n") + tol
+        )
 
     return ranked.select(
         "o_orderpriority",
         "n",
-        ok("_r50", 0.5).alias("p50_rank_ok"),
-        ok("_r90", 0.9).alias("p90_rank_ok"),
+        ok("_lt50", "_le50", 0.5).alias("p50_rank_ok"),
+        ok("_lt90", "_le90", 0.9).alias("p90_rank_ok"),
     )
 
 

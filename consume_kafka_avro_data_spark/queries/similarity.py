@@ -597,7 +597,7 @@ def _o_dedup_pipeline(bands: int = 8, rows: int = 4) -> str:
     matches = f"len(list_filter(range(1, {n} + 1), i -> sa[i] = sb[i]))"
     return rf"""
     WITH RECURSIVE
-    fp AS (SELECT doc_id, md5(lower(text)) AS fp FROM documents),
+    fp AS (SELECT doc_id, md5(lower(coalesce(text, ''))) AS fp FROM documents),
     canon AS (SELECT fp, MIN(doc_id) AS canonical_id FROM fp GROUP BY fp),
     d2c AS (SELECT f.doc_id, c.canonical_id
             FROM fp f JOIN canon c ON f.fp = c.fp),
@@ -659,7 +659,11 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from consume_kafka_avro_data_spark.operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    fp = docs.select("doc_id", F.md5(F.lower(F.col("text"))).alias("fp"))
+    # coalesce: md5(NULL) is NULL and the fp equi-join would silently
+    # drop NULL-text documents — NULL ≡ '' is the corpus-wide convention
+    fp = docs.select(
+        "doc_id", F.md5(F.lower(F.coalesce(F.col("text"), F.lit("")))).alias("fp")
+    )
     canon = fp.groupBy("fp").agg(F.min("doc_id").alias("canonical_id"))
     d2c = fp.join(canon, "fp").select("doc_id", "canonical_id")
     canon_docs = docs.join(

@@ -99,25 +99,33 @@ class AvroProducer:
     # -- batch produce -----------------------------------------------------
 
     def produce_batch(self, df: DataFrame, batch_id: int = 0) -> int:
-        """Encode + deliver one batch; returns the delivered count."""
+        """Encode + deliver one batch; returns the delivered count.
+
+        The count comes from the INPUT rows (one cheap pre-count), not
+        from re-running the framed plan — counting after the write
+        would re-execute the Avro-encode UDF over the whole batch, and
+        the sink commits all-or-nothing per batch so rows-in ==
+        rows-delivered on success (a failed write raises before the
+        report ticks)."""
+        n = df.count()
         framed = self.frame(df)
         if self.stand_in is not None:
-            n = self._deliver_stand_in(framed)
+            self._deliver_stand_in(framed, n)
         else:
             framed.select(
                 F.col("key").cast("binary").alias("key"), "value"
             ).write.format("kafka").option(
                 "kafka.bootstrap.servers", self.bootstrap_servers or ""
             ).option("topic", self.topic).save()
-            n = framed.count()
         self.report.record(batch_id, n)
         return n
 
-    def _deliver_stand_in(self, framed: DataFrame) -> int:
+    def _deliver_stand_in(self, framed: DataFrame, n: int) -> int:
         """Write frames to the stand-in with deterministic metadata:
         partition 0 (the reference hard-codes partition 0,
         src/main.cpp:230) and densely increasing offsets ordered by key
-        — so the consumer side sees a replayable topic."""
+        — so the consumer side sees a replayable topic.  ``n`` is the
+        pre-counted batch size (see produce_batch)."""
         w = Window.orderBy("key", "value")
         out = framed.select(
             F.col("key").cast("binary").alias("key"),
@@ -129,7 +137,6 @@ class AvroProducer:
             .alias("offset"),
         )
         self.stand_in.write_batch(out)
-        n = out.count()
         self._next_offset += n
         return n
 
@@ -149,7 +156,8 @@ class AvroProducer:
         delivery report still ticks per batch."""
         if self.stand_in is not None:
             def _deliver(batch: DataFrame, batch_id: int) -> None:
-                n = self._deliver_stand_in(self.frame(batch))
+                n = batch.count()  # input pre-count; see produce_batch
+                self._deliver_stand_in(self.frame(batch), n)
                 self.report.record(batch_id, n)
 
             writer = stream.writeStream.foreachBatch(_deliver)

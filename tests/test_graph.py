@@ -236,3 +236,21 @@ def test_uncommitted_files_are_invisible(spark, triples, tmp_path):
         os.path.join(store.objects_path, "part-orphan-deadbeef.parquet"),
     )
     assert sorted(map(tuple, store.objects().collect())) == before
+
+
+def test_connected_components_empty_edges(spark):
+    """An empty pair graph (no duplicates found) must yield an empty
+    labeling on BOTH paths, not a schema-inference crash."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from consume_kafka_avro_data_spark.operators.graph import connected_components
+
+    schema = StructType(
+        [StructField("source_id", LongType()), StructField("target_id", LongType())]
+    )
+    empty = spark.createDataFrame([], schema)
+    fast = connected_components(empty)
+    assert fast.count() == 0
+    assert [f.name for f in fast.schema.fields] == ["node", "comp"]
+    dist = connected_components(empty, small_graph_edges=0, max_iter=25)
+    assert dist.count() == 0

@@ -271,6 +271,15 @@ def test_wav_codec_roundtrip_and_errors():
     bad[34] = 8  # bits-per-sample field
     with pytest.raises(ValueError, match="unsupported WAV"):
         decode_wav(bytes(bad))
+    # truncated stream declaring a full-size fmt chunk must raise
+    # ValueError (the DLQ contract), never struct.error
+    import struct as _st
+
+    truncated = (
+        b"RIFF" + _st.pack("<I", 100) + b"WAVEfmt " + _st.pack("<I", 16) + b"\x01" * 8
+    )
+    with pytest.raises(ValueError, match="fmt chunk too short"):
+        decode_wav(truncated)
 
 
 def test_ppm_codec_roundtrip_resize_and_errors():
