@@ -129,7 +129,7 @@ def streaming_ingest_throughput(spark, sf_dir: str, n_rows: int = 20000) -> dict
             F.col("key").cast("binary").alias("key"),
             "value",
             F.lit("spo").alias("topic"),
-            F.lit(0).cast("long").alias("partition"),
+            F.lit(0).cast("int").alias("partition"),
             F.monotonically_increasing_id().alias("offset"),
         )
         topic = FileStreamStandIn(spark, os.path.join(tmp, "topic"))

@@ -50,6 +50,12 @@ def asof_join(
     direction='backward'  → match greatest right_ts <= left_ts;
     direction='forward'   → match least   right_ts >= left_ts;
     strict=True           → exclude equal timestamps.
+
+    NULL timestamps are no-match rows (pandas ``merge_asof`` rejects
+    them outright; we keep the row but never match it): null-ts right
+    rows are dropped before the union, and null-ts left rows bypass the
+    window (NULL sorts FIRST under asc / LAST under desc in Spark, so
+    inside the window they would adopt a spurious running match).
     """
     keys = [on] if isinstance(on, str) else list(on)
     if direction not in ("backward", "forward"):
@@ -68,6 +74,11 @@ def asof_join(
         F.col(right_ts).alias(f"{prefix}{right_ts}"),
         *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
     )
+
+    # NULL-ts guards (see docstring)
+    left_null = left.where(F.col(left_ts).isNull())
+    left = left.where(F.col(left_ts).isNotNull())
+    right = right.where(F.col(right_ts).isNotNull())
 
     # Inclusive match ⇒ an equal-ts right row must already be inside the
     # running frame when the left row is evaluated ⇒ right sorts first.
@@ -109,4 +120,18 @@ def asof_join(
         + [F.col(f"_m.{prefix}{right_ts}").alias(f"{prefix}{right_ts}")]
         + [F.col(f"_m.{prefix}{c}").alias(f"{prefix}{c}") for c in right_cols]
     )
-    return matched.select(*out_cols)
+    out = matched.select(*out_cols)
+    # null-ts left rows ride along unmatched (match columns all NULL)
+    null_out = left_null.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts),
+        *[F.col(c) for c in left_payload if c != "_noop"],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(
+            f"{prefix}{right_ts}"
+        ),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}")
+            for c in right_cols
+        ],
+    )
+    return out.unionByName(null_out)

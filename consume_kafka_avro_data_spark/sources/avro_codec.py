@@ -74,6 +74,11 @@ def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
         pos += 1
         acc |= (b & 0x7F) << shift
         if not b & 0x80:
+            # mask to 64 bits (mirrors _write_long): a corrupt 10-byte
+            # varint can set bits above 63, and the un-masked Python int
+            # would later crash the Arrow int64 conversion instead of
+            # staying inside the ValueError/_error decode contract
+            acc &= 0xFFFFFFFFFFFFFFFF
             return _zigzag_decode(acc), pos
         shift += 7
         if shift > 63:
@@ -81,10 +86,19 @@ def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
 
 
 def encode_record(fields: list[tuple[str, str]], values: dict) -> bytes:
-    """Encode one record body (no framing) per the Avro binary spec."""
+    """Encode one record body (no framing) per the Avro binary spec.
+
+    Null field values raise ValueError: the assembled schemas carry no
+    null union (the reference's type universe, ConfigParser.cpp:154-164,
+    has none), and silently coercing None — str(None) → the literal
+    string 'None' — would be undetectable corruption on the wire."""
     out = bytearray()
     for name, typ in fields:
         v = values[name]
+        if v is None or (isinstance(v, float) and v != v and typ in ("int", "long")):
+            raise ValueError(
+                f"null value for field {name!r}: schema has no null union"
+            )
         if typ in ("int", "long"):
             _write_long(out, int(v))
         elif typ == "float":
@@ -133,8 +147,14 @@ def decode_record(fields: list[tuple[str, str]], buf: bytes) -> dict:
 
 
 def frame_confluent(body: bytes, schema_id: int) -> bytes:
-    """Wrap an Avro body in the Confluent wire format (CP1)."""
-    return MAGIC + _struct.pack(">I", schema_id) + body
+    """Wrap an Avro body in the Confluent wire format (CP1).
+
+    Registry ids are a Java signed int32; enforcing the range here keeps
+    the decoded ``_schema_id`` inside the IntegerType column (an id ≥
+    2^31 would decode fine but crash the Arrow int32 conversion)."""
+    if not 0 <= schema_id < 2**31:
+        raise ValueError(f"schema id {schema_id} outside int32 range")
+    return MAGIC + _struct.pack(">i", schema_id) + body
 
 
 def unframe_confluent(msg: bytes) -> tuple[int, bytes]:
@@ -144,7 +164,9 @@ def unframe_confluent(msg: bytes) -> tuple[int, bytes]:
         raise ValueError(f"frame too short ({len(msg)} bytes)")
     if msg[0:1] != MAGIC:
         raise ValueError(f"Invalid CP1 magic byte {msg[0]}, expected 0")
-    (schema_id,) = _struct.unpack_from(">I", msg, 1)
+    (schema_id,) = _struct.unpack_from(">i", msg, 1)  # signed: Java int32
+    if schema_id < 0:
+        raise ValueError(f"invalid negative schema id {schema_id}")
     return schema_id, msg[5:]
 
 
@@ -228,6 +250,8 @@ def from_confluent_avro(
         nulls = {n: None for n, _ in fields}
         for v in vals:
             try:
+                if v is None:  # Kafka tombstone (compaction delete)
+                    raise ValueError("null value (tombstone)")
                 sid, body = unframe_confluent(bytes(v))
                 if expected is not None and sid != expected:
                     raise ValueError(
@@ -284,6 +308,8 @@ def from_confluent_avro_multi(
         rows = []
         for v in vals:
             try:
+                if v is None:  # Kafka tombstone (compaction delete)
+                    raise ValueError("null value (tombstone)")
                 sid, body = unframe_confluent(bytes(v))
                 fields = fields_by_id.get(sid)
                 if fields is None:
@@ -406,6 +432,8 @@ def from_confluent_avro_resolved(
         nulls = {n: None for n, _ in reader_fields}
         for v in vals:
             try:
+                if v is None:  # Kafka tombstone (compaction delete)
+                    raise ValueError("null value (tombstone)")
                 sid, body = unframe_confluent(bytes(v))
                 wf = writer_fields.get(sid)
                 if wf is None:

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     BinaryType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -37,7 +38,10 @@ KAFKA_SHAPE = StructType(
         StructField("key", BinaryType(), True),
         StructField("value", BinaryType(), True),
         StructField("topic", StringType(), True),
-        StructField("partition", LongType(), True),
+        # the spark-sql-kafka connector emits partition as INT32 —
+        # declaring long here would make stand-in parquet unreadable
+        # against real-source frames
+        StructField("partition", IntegerType(), True),
         StructField("offset", LongType(), True),
     ]
 )
@@ -101,8 +105,13 @@ class FileStreamStandIn:
         self.path = path
 
     def write_batch(self, df: DataFrame) -> None:
+        # cast to the declared shape: a writer whose partition/offset
+        # were inferred (e.g. from Python ints → long) would otherwise
+        # write parquet files the fixed-schema readers can't open
+        from pyspark.sql import functions as F
+
         df.select(
-            *[c.name for c in KAFKA_SHAPE.fields]
+            *[F.col(f.name).cast(f.dataType) for f in KAFKA_SHAPE.fields]
         ).write.mode("append").parquet(self.path)
 
     def read_batch(self) -> DataFrame:

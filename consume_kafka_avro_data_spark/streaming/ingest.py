@@ -68,6 +68,15 @@ class StreamingGraphIngest:
         expected_schema_id: int | None = None,
         created_at: str | None = None,
     ):
+        if len(schema_config.columns) != 3:
+            # fail at construction, not at the first micro-batch: the
+            # SPO graph sink consumes exactly (subject, predicate,
+            # object); a 2-column config would TypeError mid-stream and
+            # a 4-column one would silently drop the fourth field
+            raise ValueError(
+                "StreamingGraphIngest needs exactly 3 configured columns "
+                f"(subject, predicate, object); got {schema_config.columns}"
+            )
         self.spark = spark
         self.store = store
         self.schema_config = schema_config
@@ -76,10 +85,16 @@ class StreamingGraphIngest:
         self.expected_schema_id = expected_schema_id
         self.created_at = created_at
         self.metrics = IngestMetrics()
+        self._seen_batches: set[int] = set()
 
     # -- the per-micro-batch body (the reference's hot loop, set-oriented) --
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: the same batch_id re-runs after
+        # a mid-batch failure/restart.  The graph merge is idempotent by
+        # construction; make the side counters idempotent too
+        replayed = batch_id in self._seen_batches
+        self._seen_batches.add(batch_id)
         decoded = decode_stream(
             batch, self.schema_config, self.expected_schema_id
         ).cache()
@@ -97,24 +112,35 @@ class StreamingGraphIngest:
             n_err = sum(by_reason.values())
             if n_err:
                 if self.dlq_dir:
-                    decoded.where(F.col("_error").isNotNull()).select(
-                        "key", "_error"
-                    ).write.mode("append").parquet(self.dlq_dir)
-                for reason, cnt in by_reason.items():
-                    self.metrics.errors_by_reason[reason] = (
-                        self.metrics.errors_by_reason.get(reason, 0) + cnt
+                    # partition by batch id + overwrite: a replayed
+                    # batch REPLACES its own DLQ rows instead of
+                    # appending duplicates (dynamic overwrite touches
+                    # only this batch's partition)
+                    (
+                        decoded.where(F.col("_error").isNotNull())
+                        .select("key", "_error", F.lit(batch_id).alias("batch_id"))
+                        .write.partitionBy("batch_id")
+                        .option("partitionOverwriteMode", "dynamic")
+                        .mode("overwrite")
+                        .parquet(self.dlq_dir)
                     )
+                if not replayed:
+                    for reason, cnt in by_reason.items():
+                        self.metrics.errors_by_reason[reason] = (
+                            self.metrics.errors_by_reason.get(reason, 0) + cnt
+                        )
             names = [
                 self.schema_config.field_name(c) for c in self.schema_config.columns
             ]
             valid = decoded.where(F.col("_error").isNull())
             triples = triples_from(valid, *names[:3])
             nv, ne = self.store.ingest_triples(triples, created_at=self.created_at)
-            self.metrics.batches += 1
-            self.metrics.valid_rows += n_valid
-            self.metrics.error_rows += n_err
             self.metrics.new_vertices += nv
             self.metrics.new_edges += ne
+            if not replayed:
+                self.metrics.batches += 1
+                self.metrics.valid_rows += n_valid
+                self.metrics.error_rows += n_err
         finally:
             decoded.unpersist()
 

@@ -131,7 +131,7 @@ class AvroProducer:
             F.col("key").cast("binary").alias("key"),
             "value",
             F.lit(self.topic).alias("topic"),
-            F.lit(0).cast("long").alias("partition"),
+            F.lit(0).cast("int").alias("partition"),
             (F.row_number().over(w) - 1 + F.lit(self._next_offset))
             .cast("long")
             .alias("offset"),

@@ -156,9 +156,13 @@ def stream_stream_join(
     """
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
+    # DataFrame-qualified references, NOT bare F.col(): the two streams
+    # may share column names (the defaults left_ts=right_ts='ts' do!),
+    # where bare names either raise AMBIGUOUS_REFERENCE or collapse the
+    # key equality into a tautology
     cond = (
-        (F.col(left_key) == F.col(right_key))
-        & (F.col(right_ts) >= F.col(left_ts))
-        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+        (lw[left_key] == rw[right_key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
     )
     return lw.join(rw, cond, how)

@@ -103,3 +103,31 @@ def test_single_shuffle_plan(frames):
     left, right = frames
     plan = asof_join(left, right, "k", "ts", "ts", ["rv"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """Null-ts left rows ride along unmatched; null-ts right rows are
+    invisible to matching (merge_asof semantics: null keys don't join)."""
+    from pyspark.sql import functions as F
+
+    from consume_kafka_avro_data_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "ok"), (1, None, "null-ts")],
+        "k int, lts string, tag string",
+    ).withColumn("lts", F.col("lts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 100.0), (1, None, -1.0)],
+        "k int, rts string, px double",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+
+    out = {r.tag: r for r in asof_join(left, right, "k", "lts", "rts").collect()}
+    assert out["ok"].asof_px == 100.0  # real match unaffected
+    assert out["null-ts"].asof_px is None  # null ts ⇒ no match
+    assert out["null-ts"].asof_rts is None
+    # forward direction: the null-ts right row must not be matched either
+    fwd = {r.tag: r for r in asof_join(
+        left, right, "k", "lts", "rts", direction="forward"
+    ).collect()}
+    assert fwd["ok"].asof_px is None  # nothing at/after 10:00 with real ts
+    assert fwd["null-ts"].asof_px is None

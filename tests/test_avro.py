@@ -260,3 +260,54 @@ def test_schema_evolution_mixed_writers(spark):
         for r in decoded.collect()
     }
     assert got == {("a", "b", "unknown", 1), ("c", "d", "crawl", 2)}
+
+
+def test_tombstone_routed_to_dlq(spark):
+    """A null Kafka value (compaction tombstone) must route to _error,
+    not crash the decode task with TypeError."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    sc = parse_config(SPO_DOC).schema_for("spo")
+    good = to_confluent_avro(
+        spark.createDataFrame([("a", "b", "c")], ["S", "P", "O"]), sc, schema_id=2
+    )
+    tomb = spark.createDataFrame(
+        [Row(key="gone")], "key string"
+    ).select("key", F.lit(None).cast("binary").alias("value"))
+    decoded = from_confluent_avro(good.unionByName(tomb), sc, expected_schema_id=2)
+    rows = {r.key: r._error for r in decoded.collect()}
+    assert rows["a"] is None
+    assert "tombstone" in rows["gone"]
+
+
+def test_encode_rejects_null_fields():
+    """Null field values must raise (schema has no null union), never
+    silently serialize str(None) == 'None'."""
+    with pytest.raises(ValueError, match="null union"):
+        encode_record([("s", "string")], {"s": None})
+    with pytest.raises(ValueError, match="null union"):
+        encode_record([("n", "long")], {"n": None})
+
+
+def test_corrupt_varint_overflow_is_value_error():
+    """A 10-byte varint with high bits set must stay inside int64 (the
+    decode contract) instead of producing an unbounded Python int that
+    crashes the Arrow conversion later."""
+    body = bytes([0xFF] * 9 + [0x7F])
+    val = decode_record([("n", "long")], body)["n"]
+    assert -(2**63) <= val < 2**63
+
+
+def test_schema_id_is_signed_int32():
+    from consume_kafka_avro_data_spark.sources.avro_codec import (
+        frame_confluent,
+        unframe_confluent,
+    )
+
+    sid, body = unframe_confluent(frame_confluent(b"x", 2**31 - 1))
+    assert sid == 2**31 - 1 and body == b"x"
+    with pytest.raises(ValueError, match="int32 range"):
+        frame_confluent(b"x", 2**31)
+    with pytest.raises(ValueError, match="negative schema id"):
+        unframe_confluent(b"\x00\xff\xff\xff\xff" + b"x")

@@ -56,7 +56,7 @@ def test_cli_batch_ingest_end_to_end(spark, tmp_path):
         F.col("key").cast("binary").alias("key"),
         "value",
         F.lit("spo").alias("topic"),
-        F.lit(0).cast("long").alias("partition"),
+        F.lit(0).cast("int").alias("partition"),
         F.monotonically_increasing_id().alias("offset"),
     )
     topic_dir = tmp_path / "topic"

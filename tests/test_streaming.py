@@ -41,7 +41,7 @@ def _framed_topic(spark, tmp_path, with_corrupt=True):
     framed = to_confluent_avro(df, sc, schema_id=2).withColumns(
         {
             "topic": F.lit("spo"),
-            "partition": F.lit(0).cast("long"),
+            "partition": F.lit(0).cast("int"),
             "offset": F.monotonically_increasing_id(),
         }
     ).select(F.col("key").cast("binary"), "value", "topic", "partition", "offset")
@@ -114,7 +114,7 @@ def test_checkpoint_resume_processes_only_new_data(spark, tmp_path):
     framed2 = to_confluent_avro(df2, sc, schema_id=2).withColumns(
         {
             "topic": F.lit("spo"),
-            "partition": F.lit(0).cast("long"),
+            "partition": F.lit(0).cast("int"),
             "offset": F.lit(100).cast("long"),
         }
     ).select("key", "value", "topic", "partition", "offset")
@@ -485,3 +485,37 @@ def test_counters_listener_tracks_progress(spark, tmp_path):
         assert snap.rows_by_query.get("counter_probe") == len(TRIPLES)
     finally:
         detach_counters(spark, listener)
+
+
+def test_stream_stream_join_shared_column_names(spark, tmp_path):
+    """Both streams carrying the DEFAULT ts column name (and the same
+    key name) must work — regression for bare-F.col() conditions that
+    were ambiguous or degenerated to tautologies."""
+    from consume_kafka_avro_data_spark.streaming.windows import stream_stream_join
+
+    imps = [Row(ad_id=1, ts="2024-01-01 10:00:00", imp=10)]
+    clicks = [
+        Row(ad_id=1, ts="2024-01-01 10:30:00", click=20),
+        Row(ad_id=2, ts="2024-01-01 10:30:00", click=99),  # no matching imp
+    ]
+
+    def _src(rows, name):
+        p = str(tmp_path / name)
+        df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.write.mode("overwrite").parquet(p)
+        return spark.readStream.schema(df.schema).parquet(p)
+
+    left = _src(imps, "imps")
+    right = _src(clicks, "clicks").withColumnRenamed("ad_id", "ad_id2")
+    # same-name ts on both sides; different key names for output clarity
+    joined = stream_stream_join(left, right, "ad_id", "ad_id2")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssj_same")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [(r.imp, r.click) for r in spark.sql("SELECT * FROM t_ssj_same").collect()]
+    assert got == [(10, 20)]
