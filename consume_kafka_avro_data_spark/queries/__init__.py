@@ -15,5 +15,6 @@ from consume_kafka_avro_data_spark.queries import (  # noqa: F401
     similarity,
     temporal,
     text,
+    tpch,
     windows,
 )

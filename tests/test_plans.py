@@ -549,3 +549,36 @@ def test_neardup_lsh_bucket_and_expand(q):
     plan = I.simple_plan(df)
     assert plan.count("MapInPandas") == 1
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_shipping_priority_preagg_and_heap(q):
+    """TPC-H Q3 pattern: lineitem partial-aggregates below the join
+    (two HashAggregates around the orderkey exchange), the top-10 is
+    TakeOrdered, and both fact filters reach their parquet scans."""
+    df = q("q_shipping_priority")
+    plan = I.simple_plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert any("l_shipdate" in f for f in I.pushed_filters(df, "lineitem"))
+    assert any("o_orderdate" in f for f in I.pushed_filters(df, "orders"))
+
+
+def test_local_supplier_volume_broadcasts_only_tiny_dims(q):
+    """TPC-H Q5 pattern: nation⋈region broadcast; the lineitem scan is
+    column-pruned to the 4 columns the query touches."""
+    df = q("q_local_supplier_volume")
+    assert I.broadcast_join_count(df) >= 1
+    cols = I.read_schema_columns(df, "lineitem")
+    assert cols and len(cols) <= 4, f"lineitem scan reads {cols}"
+
+
+def test_returned_items_two_shuffles_heap_topk(q):
+    """TPC-H Q10 pattern: returns-filtered pre-aggregate + per-customer
+    re-aggregate (the only two wide stages besides a possible dim join),
+    top-20 via TakeOrdered, returnflag pushed to the scan."""
+    df = q("q_returned_items")
+    plan = I.simple_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert any("l_returnflag" in f for f in I.pushed_filters(df, "lineitem"))
+    assert I.exchange_count(df) <= 3
