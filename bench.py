@@ -201,6 +201,10 @@ def main() -> None:
     for name in names:
         best = float("inf")
         for _ in range(2):
+            # iterative queries persist() intermediates; clear them so
+            # each query is timed cold-cache and earlier queries' leftover
+            # blocks don't shift memory pressure onto later ones
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
