@@ -645,3 +645,174 @@ def embedding_neardup_pairs(
         cand.select("id_a", "id_b", cos.alias("cosine"))
         .where(F.col("cosine") >= cosine_threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-compression half of the IVF-PQ
+# layout every billion-vector ANN deployment uses.  A dim-d float vector
+# becomes m small integer codes (one per d/m-dim subvector, each the id
+# of the nearest centroid in that subspace's codebook), shrinking the
+# resident index ~dim*4/m bytes per vector; queries score candidates via
+# ADC (asymmetric distance computation) — a per-query m×k lookup table
+# of exact subspace distances, so scoring a candidate is m table lookups
+# and never touches the original floats.
+#
+# Correctness strategy mirrors IVF: codebooks come from a deterministic
+# driver-sized numpy Lloyd's over a deterministic sample, and all
+# in-engine arithmetic (assignment distances, ADC partials) runs on the
+# q20 fixed-point grid (:data:`Q20`) where every product and sum is an
+# exact integer-valued double — so DuckDB reproduces codes, distances,
+# and the final top-k bit-for-bit from centroid literals despite k-means
+# being iterative and the hot path being an Arrow/numpy matmul.
+# ---------------------------------------------------------------------------
+
+
+def lloyd_l2_kmeans(
+    x: np.ndarray, k: int = 16, iters: int = 5, seed: int = 42
+) -> np.ndarray:
+    """Plain-L2 Lloyd's (no unit normalization — PQ subvectors are not
+    unit vectors, so cosine assignment would be wrong).  Deterministic:
+    seeded centroid choice, argmin-first tie-break, empty clusters keep
+    their previous centroid.  Shared verbatim by the Spark path and the
+    DuckDB-oracle factory so both derive bit-identical codebooks."""
+    x = np.asarray(x, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        # ||x-c||^2 ranks like -2xc + cc for fixed x; keep the full form
+        # for clarity (sample-sized, driver-side)
+        d2 = (
+            (x * x).sum(axis=1, keepdims=True)
+            - 2.0 * (x @ cent.T)
+            + (cent * cent).sum(axis=1)
+        )
+        assign = d2.argmin(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    sample: int = 4096,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Train per-subspace codebooks on a deterministic driver-side
+    sample (first ``sample`` ids).  Returns shape (m, k, dim//m).  Like
+    :func:`kmeans_centroids`, the expensive corpus-wide step (encoding)
+    is separate and map-only; only m·k·(dim/m) = dim·k floats ever live
+    on the driver, at any corpus size."""
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    x = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    return np.stack(
+        [
+            lloyd_l2_kmeans(x[:, i * sub : (i + 1) * sub], k=k, iters=iters, seed=seed + i)
+            for i in range(m)
+        ]
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec) → (id, ``pq_codes`` array<int>, 1-based codes): one
+    Arrow pass, one m-way batched matmul per subspace against q20-
+    quantized codebooks — exact integer distances, numpy argmin-first ≡
+    DuckDB ``list_indexof(d, list_min(d))`` over the same literals.
+    Map-only: at 100 TB this runs once and the packed codes column (m
+    small ints ≈ m bytes dictionary-encoded in parquet) replaces the
+    dim×4-byte float array in the resident index."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    m, _k, sub = codebooks.shape
+    qcb = [quantize_np(codebooks[i]) for i in range(m)]
+    out_schema = StructType(
+        [
+            corpus.schema[id_col],
+            StructField("pq_codes", ArrayType(IntegerType(), False), False),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            x = quantize_np(np.stack(pdf[vec_col].map(np.asarray)))
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for i in range(m):
+                sv = x[:, i * sub : (i + 1) * sub]
+                qc = qcb[i]
+                d2 = (
+                    (sv * sv).sum(axis=1, keepdims=True)
+                    - 2.0 * (sv @ qc.T)
+                    + (qc * qc).sum(axis=1)
+                )  # exact: integer-valued float64 throughout
+                codes[:, i] = d2.argmin(axis=1) + 1  # 1-based (list_indexof)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "pq_codes": list(codes)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(gen, schema=out_schema)
+
+
+def pq_adc_lut(query_vec, codebooks: np.ndarray) -> list[tuple[int, int, float]]:
+    """Per-query ADC lookup table: rows (sub 1-based, code 1-based,
+    partial) where partial = ||q_sub − centroid||² on the q20 grid —
+    exact integer-valued doubles, so the m-term sums that score each
+    candidate are order-independent and engine-portable.  m·k rows:
+    driver-sized by construction, broadcast into the scoring join."""
+    m, k, sub = codebooks.shape
+    q = quantize_np(np.asarray(query_vec, dtype=np.float64))
+    rows = []
+    for i in range(m):
+        sv = q[i * sub : (i + 1) * sub]
+        qc = quantize_np(codebooks[i])
+        d2 = (sv * sv).sum() - 2.0 * (qc @ sv) + (qc * qc).sum(axis=1)
+        rows += [(i + 1, j + 1, float(d2[j])) for j in range(k)]
+    return rows
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    query_vec,
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k over PQ codes: encode (map-only) → posexplode the m
+    codes → broadcast-join the m·k LUT → per-id partial-aggregated sum
+    → TakeOrdered.  No float vector is read after the encode; at scale
+    the codes table is the persisted index and this is the whole query.
+    Ascending distance with id tie-break keeps the cut deterministic."""
+    from pyspark.sql.functions import broadcast as _bc
+
+    spark = corpus.sparkSession
+    lut = spark.createDataFrame(
+        pq_adc_lut(query_vec, codebooks),
+        "pq_sub INT, pq_code INT, partial DOUBLE",
+    )
+    codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    exploded = codes.select(
+        id_col, F.posexplode("pq_codes").alias("_pos", "pq_code")
+    ).select(id_col, (F.col("_pos") + 1).alias("pq_sub"), "pq_code")
+    return (
+        exploded.join(_bc(lut), ["pq_sub", "pq_code"], "inner")
+        .groupBy(id_col)
+        .agg(F.sum("partial").alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )

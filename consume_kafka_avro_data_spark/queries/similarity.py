@@ -1257,3 +1257,168 @@ def q_sq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coded.select(
         "vec_id", "pos", "code", F.abs(F.col("val") - recon).alias("err")
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (IVF-PQ's compression half)
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_K = 8, 16
+
+
+def _pq_codebooks_np():
+    """Shared oracle-side codebook derivation: same deterministic sample
+    (ORDER BY vec_id LIMIT 4096, ≥ corpus at the driver's sf), same
+    :func:`lloyd_l2_kmeans` per subspace — bit-identical to what the
+    Spark query trains via pq_codebooks.  Returns None if the parquet is
+    unreadable (factory degrades to rows-only, logged by the registry)."""
+    import os
+
+    import numpy as np
+
+    from consume_kafka_avro_data_spark.operators.similarity import lloyd_l2_kmeans
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        rows = con.sql(
+            f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+            "ORDER BY vec_id LIMIT 4096"
+        ).fetchall()
+        qrow = con.sql(
+            f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+            "WHERE vec_id = 0"
+        ).fetchall()
+        con.close()
+    except Exception:
+        return None
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    sub = x.shape[1] // _PQ_M
+    cb = np.stack(
+        [
+            lloyd_l2_kmeans(x[:, i * sub : (i + 1) * sub], k=_PQ_K, seed=42 + i)
+            for i in range(_PQ_M)
+        ]
+    )
+    return cb, np.asarray(qrow[0][0], dtype=np.float64)
+
+
+def _o_pq_codes_cte() -> str | None:
+    """WITH-clause prefix computing (vec_id, pq_sub, pq_code) in DuckDB
+    from quantized codebook literals — distances and argmin on the same
+    q20 grid as pq_encode's numpy matmul, so codes agree bit-for-bit."""
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        o_quantize,
+        quantize_np,
+    )
+
+    got = _pq_codebooks_np()
+    if got is None:
+        return None
+    cb, _qv = got
+    m, _k, sub = cb.shape
+
+    def dist_exprs(i: int) -> str:
+        qc = quantize_np(cb[i])
+        parts = []
+        for c in qc:
+            lit = "[" + ", ".join(repr(float(v)) for v in c) + "]::DOUBLE[]"
+            cc = repr(float((c * c).sum()))
+            parts.append(
+                f"list_dot_product(sv, sv) - 2*list_dot_product(sv, {lit}) + {cc}"
+            )
+        return ", ".join(parts)
+
+    branches = "\n      UNION ALL\n".join(
+        f"""
+      SELECT vec_id, {i + 1} AS pq_sub,
+             CAST(list_indexof(d, list_min(d)) AS INT) AS pq_code
+      FROM (
+        SELECT vec_id, [{dist_exprs(i)}] AS d
+        FROM (SELECT vec_id, qv[{i * sub + 1}:{(i + 1) * sub}] AS sv FROM qvt)
+      )"""
+        for i in range(m)
+    )
+    return f"""
+    WITH qvt AS (SELECT vec_id, {o_quantize()} AS qv FROM embeddings),
+    codes AS ({branches}
+    )
+    """
+
+
+def _o_pq_codes() -> str | None:
+    cte = _o_pq_codes_cte()
+    if cte is None:
+        return None
+    return cte + "SELECT vec_id, CAST(pq_sub AS INT) AS pq_sub, pq_code FROM codes"
+
+
+def _o_pq_adc() -> str | None:
+    from consume_kafka_avro_data_spark.operators.similarity import pq_adc_lut
+
+    cte = _o_pq_codes_cte()
+    got = _pq_codebooks_np()
+    if cte is None or got is None:
+        return None
+    cb, qv = got
+    vals = ", ".join(
+        f"({s}, {c}, {p!r})" for s, c, p in pq_adc_lut(qv, cb)
+    )
+    return (
+        cte.rstrip()
+        + f""",
+    lut(pq_sub, pq_code, partial) AS (VALUES {vals})
+    SELECT c.vec_id, CAST(SUM(l.partial) AS DOUBLE) AS adc_dist
+    FROM codes c JOIN lut l USING (pq_sub, pq_code)
+    GROUP BY c.vec_id
+    ORDER BY adc_dist ASC, vec_id ASC
+    LIMIT 10
+    """
+    )
+
+
+@query("q_pq_codes", oracle=_o_pq_codes, tags=("U6",))
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (U6): dim-64 float vectors → 8
+    one-byte-class codes, the compression half of the IVF-PQ layout a
+    billion-vector ANN index uses (the codes table replaces the float
+    corpus in memory, a ~32× shrink here).  Codebooks are deterministic
+    per-subspace Lloyd's on a driver-sized sample; encoding is ONE
+    map-only Arrow pass of batched matmuls on the q20 grid, so the
+    DuckDB twin reproduces every code from centroid literals
+    (argmin-first ≡ list_indexof(list_min)).  Emitted exploded
+    (vec_id, pq_sub, pq_code) so each code is a typed scalar cell."""
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb, m=_PQ_M, k=_PQ_K)
+    codes = pq_encode(emb, cb)
+    return codes.select(
+        "vec_id", F.posexplode("pq_codes").alias("_pos", "pq_code")
+    ).select("vec_id", (F.col("_pos") + 1).cast("int").alias("pq_sub"), "pq_code")
+
+
+@query("q_pq_adc", oracle=_o_pq_adc, tags=("U6", "J8"))
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC (asymmetric-distance) top-10 over PQ codes for the vec_id=0
+    query (U6/J8): the per-query m×k lookup table of exact q20 subspace
+    distances broadcast-joins the exploded codes, partial-aggregated
+    sums score every vector WITHOUT re-reading any float vector, and
+    TakeOrdered takes the cut — the scoring path of an IVF-PQ index,
+    where at 100 TB the codes table is the only thing resident.  Fully
+    oracle-checked: codes, LUT literals, and the integer-valued partial
+    sums are all engine-portable."""
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb, m=_PQ_M, k=_PQ_K)
+    qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return pq_adc_topk(emb, qv, cb, k=10)

@@ -679,3 +679,83 @@ def test_srp_bucket_table_matches_python_buckets(spark):
         for t in range(3):
             expect = srp_bucket_py(r.embedding, _hyperplanes(64, 12, t))
             assert r[f"_b{t}"] == expect, (r.vec_id, t)
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+def _pq_fixture_corpus(spark, n=64, dim=16, seed=7):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, dim)).astype(np.float64)
+    rows = [(int(i), [float(v) for v in x[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>"), x
+
+
+def test_pq_codes_shape_and_range(spark):
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    df, _ = _pq_fixture_corpus(spark)
+    cb = pq_codebooks(df, m=4, k=8, sample=64)
+    assert cb.shape == (4, 8, 4)
+    got = pq_encode(df, cb).collect()
+    assert len(got) == 64
+    for r in got:
+        assert len(r.pq_codes) == 4
+        assert all(1 <= c <= 8 for c in r.pq_codes)
+
+
+def test_pq_exact_duplicate_gets_identical_codes_and_score(spark):
+    """An exact duplicate vector must encode to the same codes and score
+    the same ADC distance — the determinism PQ dedup/rerank relies on."""
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    df, x = _pq_fixture_corpus(spark)
+    dup = spark.createDataFrame(
+        [(1000, [float(v) for v in x[3]])], "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    corpus = df.unionByName(dup)
+    cb = pq_codebooks(corpus, m=4, k=8, sample=64)  # sample excludes id 1000
+    codes = {r.vec_id: list(r.pq_codes) for r in pq_encode(corpus, cb).collect()}
+    assert codes[1000] == codes[3]
+    top = pq_adc_topk(corpus, x[3], cb, k=5).collect()
+    by_id = {r.vec_id: r.adc_dist for r in top}
+    assert 3 in by_id and 1000 in by_id
+    assert by_id[3] == by_id[1000]
+    # the query's own quantization error is the minimum distance
+    assert top[0].vec_id == 3 and top[1].vec_id == 1000
+
+
+def test_pq_adc_matches_numpy_reference(spark):
+    """ADC distances equal an independent numpy computation of
+    sum_i ||q_i - centroid(code_i)||^2 on the q20 grid."""
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+        quantize_np,
+    )
+
+    df, x = _pq_fixture_corpus(spark)
+    cb = pq_codebooks(df, m=4, k=8, sample=64)
+    q = x[0]
+    got = {r.vec_id: r.adc_dist for r in pq_adc_topk(df, q, cb, k=64).collect()}
+    codes = {r.vec_id: list(r.pq_codes) for r in pq_encode(df, cb).collect()}
+    qq = quantize_np(q)
+    sub = 4
+    for vid, cs in codes.items():
+        want = 0.0
+        for i, c in enumerate(cs):
+            qc = quantize_np(cb[i][c - 1])
+            d = qq[i * sub : (i + 1) * sub] - qc
+            want += float((d * d).sum())
+        if vid in got:
+            assert got[vid] == want

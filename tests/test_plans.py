@@ -582,3 +582,15 @@ def test_returned_items_two_shuffles_heap_topk(q):
     assert "TakeOrderedAndProject" in plan
     assert any("l_returnflag" in f for f in I.pushed_filters(df, "lineitem"))
     assert I.exchange_count(df) <= 3
+
+
+def test_pq_adc_single_encode_pass_broadcast_lut(q):
+    """PQ/ADC: encoding is ONE MapInPandas pass, the m×k LUT joins via
+    broadcast (the codes side never shuffles for it), the per-id sum is
+    partial+final, and the top-10 is TakeOrdered."""
+    df = q("q_pq_adc")
+    plan = I.simple_plan(df)
+    assert plan.count("MapInPandas") == 1
+    assert I.broadcast_join_count(df) >= 1
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
