@@ -264,3 +264,65 @@ def q_butterfly_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_butterflies"),
     )
     return n_edges.crossJoin(n_wedges).crossJoin(pair_stats)
+
+
+@query(
+    "q_trade_triangles",
+    oracle="""
+    WITH w AS (
+      SELECT least(c_nationkey, s_nationkey)    AS u,
+             greatest(c_nationkey, s_nationkey) AS v,
+             CAST(count(*) AS BIGINT)           AS n
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN supplier ON l_suppkey  = s_suppkey
+      WHERE c_nationkey <> s_nationkey
+      GROUP BY 1, 2
+    ),
+    e AS (SELECT u, v FROM w ORDER BY n DESC, u, v LIMIT 100)
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+    tags=("J5", "A2", "graph"),
+)
+def q_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration (J5) over the nation-level trade graph: the
+    top-100 strongest customer-nation↔supplier-nation trade edges, then
+    every triangle (a<b<c) among them — the canonical graph-cohesion
+    motif, here over the graph the reference's relationships table
+    (src/Database.h:29-31) would materialize.
+
+    Scale shape: the edge list aggregates the 4-table trade join down to
+    ≤|V|² rows BEFORE any graph work (the same facts-first pre-reduction
+    as q_local_supplier_volume), and the canonical u<v edge orientation
+    makes the triangle enumeration a pure 2-join pipeline with each edge
+    examined once per role — no direction double-count, no post-hoc
+    dedup.  On a 100 TB fact table the heavy stage is still the trade
+    aggregation; the motif joins run on vertex-bounded data.  For
+    social-scale SPARSE graphs (|E| ≫ |V|²-bounded here) the same plan
+    holds with degree-based orientation replacing id order, which bounds
+    hub fan-out by sqrt(|E|).  Top-100 edge cut is deterministic via the
+    (weight desc, u, v) total order."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    w = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.least("c_nationkey", "s_nationkey").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    e = w.orderBy(F.desc("n"), F.asc("u"), F.asc("v")).limit(100).select("u", "v")
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    return e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")

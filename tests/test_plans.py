@@ -594,3 +594,13 @@ def test_pq_adc_single_encode_pass_broadcast_lut(q):
     assert I.broadcast_join_count(df) >= 1
     assert plan.count("HashAggregate") >= 2
     assert "TakeOrderedAndProject" in plan
+
+
+def test_trade_triangles_preagg_before_motif_joins(q):
+    """Triangle query: the 4-table trade join reduces to the edge
+    aggregate before any motif join (partial+final agg present), and the
+    tiny edge set broadcasts into the triangle joins."""
+    df = q("q_trade_triangles")
+    plan = I.simple_plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert I.broadcast_join_count(df) >= 2
