@@ -59,6 +59,11 @@ HEADLINE = [
     "q_pagerank",
     "q_wav_features",
     "q_multimodal_features",
+    "q_shipping_priority",
+    "q_local_supplier_volume",
+    "q_returned_items",
+    "q_pq_adc",
+    "q_trade_triangles",
 ]
 
 

@@ -53,3 +53,74 @@ def bucketed_join(
     """Join two same-bucketed tables on their bucket key — verified
     shuffle-free in tests/test_scale.py."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout: multi-dimensional clustering for min/max pruning.
+#
+# Parquet/file pruning works off per-file (row-group) min/max stats, so
+# a layout sorted on ONE column leaves every OTHER column's stats spanning
+# the full domain — a filter on the second column prunes nothing.
+# Interleaving the bits of several grid-quantized columns into one sort
+# key (the Z-order / Morton curve) keeps files tight on ALL interleaved
+# dimensions at once: sort-by-zkey ⇒ each file covers a small hyper-
+# rectangle ⇒ min/max pruning works for every dimension.  This is the
+# standard data-layout lever for multi-predicate scans at 100 TB; the
+# write is one range-partitioned sort, paid once.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import Column, functions as F
+
+
+def grid_coord(col: Column, mn: Column, mx: Column, bits: int = 8) -> Column:
+    """Quantize a value onto the [0, 2^bits) grid given broadcastable
+    min/max columns — floor (not round) so engines bucket identically;
+    a constant dimension maps to cell 0."""
+    cells = 1 << bits
+    return (
+        F.when(mx == mn, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(cells - 1),
+                F.floor((col - mn) / (mx - mn) * cells),
+            )
+        )
+        .cast("long")
+    )
+
+
+def zorder_key(coords: list[Column], bits: int = 8) -> Column:
+    """Bit-interleave grid coordinates into one Morton key.
+
+    Bit ``b`` of coordinate ``i`` lands at position ``b·n + (n-1-i)``
+    (dimension 0 owns the most-significant bit of each group), a pure
+    shift/mask/sum expression that stays inside whole-stage codegen —
+    2·bits·n integer ops per row, no UDF."""
+    n = len(coords)
+    terms = []
+    for i, c in enumerate(coords):
+        lc = c.cast("long")
+        for b in range(bits):
+            terms.append(
+                F.shiftleft(
+                    # Column.bitwiseAND, not `&` (which is logical AND)
+                    F.shiftright(lc, b).bitwiseAND(F.lit(1).cast("long")),
+                    b * n + (n - 1 - i),
+                )
+            )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def o_zorder_key(cols: list[str], bits: int = 8) -> str:
+    """DuckDB twin of :func:`zorder_key` over already-gridded BIGINT
+    columns (same bit layout, same shift/mask arithmetic)."""
+    n = len(cols)
+    terms = [
+        f"((({c} >> {b}) & 1) << {b * n + (n - 1 - i)})"
+        for i, c in enumerate(cols)
+        for b in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"

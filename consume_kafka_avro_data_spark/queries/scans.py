@@ -333,3 +333,106 @@ def q_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
             "has_big"
         ),
     )
+
+
+from consume_kafka_avro_data_spark.operators.bucketing import o_zorder_key as _ozk
+
+
+@query(
+    "q_zorder_layout",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS price,
+             CAST(datediff('day', DATE '1995-01-01',
+                           CAST(o_orderdate AS DATE)) AS DOUBLE) AS day
+      FROM orders
+    ), s AS (
+      SELECT min(price) AS pmn, max(price) AS pmx,
+             min(day) AS dmn, max(day) AS dmx
+      FROM base
+    ), g AS (
+      SELECT o_orderkey, price, day,
+             CASE WHEN pmx = pmn THEN 0
+                  ELSE CAST(least(255, floor((price - pmn) / (pmx - pmn) * 256))
+                       AS BIGINT) END AS gp,
+             CASE WHEN dmx = dmn THEN 0
+                  ELSE CAST(least(255, floor((day - dmn) / (dmx - dmn) * 256))
+                       AS BIGINT) END AS gd
+      FROM base, s
+    ), z AS (
+      SELECT o_orderkey, price, day,
+             {_ozk(["gp", "gd"], bits=8)} AS zkey
+      FROM g
+    ), b AS (
+      SELECT price, day,
+             CAST(ntile(32) OVER (ORDER BY zkey, o_orderkey) AS INT) AS bucket
+      FROM z
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           min(price) AS price_min, max(price) AS price_max,
+           CAST(min(day) AS BIGINT) AS day_min,
+           CAST(max(day) AS BIGINT) AS day_max
+    FROM b
+    GROUP BY bucket
+    """,
+    tags=("S11", "W1", "layout"),
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout inspection (S11/layout): grid-quantize
+    (price, order-day) to 8 bits each, bit-interleave into one Morton
+    key, split the zkey-sorted order into 32 layout buckets, and emit
+    each bucket's min/max on BOTH dimensions — the per-file statistics
+    parquet pruning would use.  Under a single-column sort the second
+    column's spans cover the whole domain; under Z-order every bucket is
+    a tight hyper-rectangle, so filters on EITHER column prune files.
+
+    Scale shape: the key is pure shift/mask codegen (no UDF); the 1-row
+    min/max stats broadcast; at 100 TB the ntile inspection window is
+    replaced by the layout write itself (``repartitionByRange(zkey)``
+    + sorted parquet) — the bucket-stats output here exists to make the
+    pruning benefit oracle-checkable."""
+    from consume_kafka_avro_data_spark.operators.bucketing import (
+        grid_coord,
+        zorder_key,
+    )
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("double")
+        .alias("day"),
+    )
+    stats = base.agg(
+        F.min("price").alias("pmn"),
+        F.max("price").alias("pmx"),
+        F.min("day").alias("dmn"),
+        F.max("day").alias("dmx"),
+    )
+    g = base.crossJoin(F.broadcast(stats)).select(
+        "o_orderkey",
+        "price",
+        "day",
+        grid_coord(F.col("price"), F.col("pmn"), F.col("pmx"), bits=8).alias("gp"),
+        grid_coord(F.col("day"), F.col("dmn"), F.col("dmx"), bits=8).alias("gd"),
+    )
+    z = g.select(
+        "o_orderkey",
+        "price",
+        "day",
+        zorder_key([F.col("gp"), F.col("gd")], bits=8).alias("zkey"),
+    )
+    w = Window.orderBy("zkey", "o_orderkey")
+    b = z.select("price", "day", F.ntile(32).over(w).cast("int").alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("price").alias("price_min"),
+        F.max("price").alias("price_max"),
+        F.min("day").cast("long").alias("day_min"),
+        F.max("day").cast("long").alias("day_max"),
+    )

@@ -604,3 +604,15 @@ def test_trade_triangles_preagg_before_motif_joins(q):
     plan = I.simple_plan(df)
     assert plan.count("HashAggregate") >= 2
     assert I.broadcast_join_count(df) >= 2
+
+
+def test_zorder_key_is_pure_jvm_expression(q):
+    """The Morton key must compile to pure shift/mask JVM expressions —
+    no UDF, no Python — with the 1-row stats broadcast (an
+    IdentityBroadcastMode nested-loop join, the right shape for a
+    scalar-stats attach)."""
+    df = q("q_zorder_layout")
+    plan = I.simple_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "shiftleft" in plan and "shiftright" in plan
+    assert "BroadcastNestedLoopJoin" in plan or I.broadcast_join_count(df) >= 1

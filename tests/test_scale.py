@@ -178,3 +178,50 @@ def test_approx_percentile_within_tolerance(spark, sf_dir):
         for a, q in ((a50, 0.5), (a90, 0.9)):
             rank = sum(v <= a for v in vals) / len(vals)
             assert abs(rank - q) <= 0.01 + 1.0 / len(vals), (k, q, rank)
+
+
+def test_zorder_buckets_tighter_than_single_column_sort(spark, sf_dir):
+    """The point of Z-order: bucket min/max spans stay small on BOTH
+    dimensions.  Under a price-only sort the day dimension's per-bucket
+    spans cover ~the whole domain; under Z-order they must be
+    substantially tighter (pruning would actually skip files)."""
+    from consume_kafka_avro_data_spark.operators.bucketing import (
+        grid_coord,
+        zorder_key,
+    )
+    from pyspark.sql import Window
+    from consume_kafka_avro_data_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).cast("double").alias("day"),
+    )
+    stats = base.agg(
+        F.min("price").alias("pmn"), F.max("price").alias("pmx"),
+        F.min("day").alias("dmn"), F.max("day").alias("dmx"),
+    )
+    g = base.crossJoin(F.broadcast(stats)).select(
+        "o_orderkey", "price", "day",
+        grid_coord(F.col("price"), F.col("pmn"), F.col("pmx"), 8).alias("gp"),
+        grid_coord(F.col("day"), F.col("dmn"), F.col("dmx"), 8).alias("gd"),
+    )
+    z = g.withColumn("zkey", zorder_key([F.col("gp"), F.col("gd")], 8))
+
+    def mean_day_span(df, order_col):
+        w = Window.orderBy(order_col, "o_orderkey")
+        b = df.select("day", F.ntile(32).over(w).alias("bucket"))
+        spans = (
+            b.groupBy("bucket")
+            .agg((F.max("day") - F.min("day")).alias("span"))
+            .agg(F.avg("span"))
+            .collect()[0][0]
+        )
+        return spans
+
+    z_span = mean_day_span(z, "zkey")
+    p_span = mean_day_span(z, "price")
+    assert z_span < p_span * 0.5, (z_span, p_span)
