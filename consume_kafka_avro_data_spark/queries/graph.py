@@ -321,8 +321,20 @@ def q_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    e = w.orderBy(F.desc("n"), F.asc("u"), F.asc("v")).limit(100).select("u", "v")
+    # The edge list is vertex-bounded (≤|V|² rows, ≤100 after the cut),
+    # so materialize it ONCE on the driver: referencing the unpersisted
+    # subplan in three join roles would re-run the 4-table trade
+    # aggregation — the expensive stage — three times.
+    edges = (
+        w.orderBy(F.desc("n"), F.asc("u"), F.asc("v")).limit(100).select("u", "v")
+    ).collect()
+    e = spark.createDataFrame(edges, "u INT, v INT")
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    return e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
+    # local relations carry no stats, so hint the (≤100-row) build sides
+    return (
+        e1.join(F.broadcast(e2), "b")
+        .join(F.broadcast(e3), ["a", "c"])
+        .select("a", "b", "c")
+    )

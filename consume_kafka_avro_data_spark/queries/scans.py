@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from consume_kafka_avro_data_spark.operators.bucketing import o_zorder_key as _ozk
 from consume_kafka_avro_data_spark.registry import query
 from consume_kafka_avro_data_spark.tables import load_table
 
@@ -335,9 +336,6 @@ def q_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from consume_kafka_avro_data_spark.operators.bucketing import o_zorder_key as _ozk
-
-
 @query(
     "q_zorder_layout",
     oracle=f"""
@@ -354,10 +352,12 @@ from consume_kafka_avro_data_spark.operators.bucketing import o_zorder_key as _o
     ), g AS (
       SELECT o_orderkey, price, day,
              CASE WHEN pmx = pmn THEN 0
-                  ELSE CAST(least(255, floor((price - pmn) / (pmx - pmn) * 256))
+                  ELSE CAST(greatest(0, least(255,
+                       floor((price - pmn) / (pmx - pmn) * 256)))
                        AS BIGINT) END AS gp,
              CASE WHEN dmx = dmn THEN 0
-                  ELSE CAST(least(255, floor((day - dmn) / (dmx - dmn) * 256))
+                  ELSE CAST(greatest(0, least(255,
+                       floor((day - dmn) / (dmx - dmn) * 256)))
                        AS BIGINT) END AS gd
       FROM base, s
     ), z AS (
@@ -392,10 +392,7 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaced by the layout write itself (``repartitionByRange(zkey)``
     + sorted parquet) — the bucket-stats output here exists to make the
     pruning benefit oracle-checkable."""
-    from consume_kafka_avro_data_spark.operators.bucketing import (
-        grid_coord,
-        zorder_key,
-    )
+    from consume_kafka_avro_data_spark.operators.bucketing import zorder_frame
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
@@ -408,25 +405,7 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("day"),
     )
-    stats = base.agg(
-        F.min("price").alias("pmn"),
-        F.max("price").alias("pmx"),
-        F.min("day").alias("dmn"),
-        F.max("day").alias("dmx"),
-    )
-    g = base.crossJoin(F.broadcast(stats)).select(
-        "o_orderkey",
-        "price",
-        "day",
-        grid_coord(F.col("price"), F.col("pmn"), F.col("pmx"), bits=8).alias("gp"),
-        grid_coord(F.col("day"), F.col("dmn"), F.col("dmx"), bits=8).alias("gd"),
-    )
-    z = g.select(
-        "o_orderkey",
-        "price",
-        "day",
-        zorder_key([F.col("gp"), F.col("gd")], bits=8).alias("zkey"),
-    )
+    z = zorder_frame(base, ["price", "day"], bits=8)
     w = Window.orderBy("zkey", "o_orderkey")
     b = z.select("price", "day", F.ntile(32).over(w).cast("int").alias("bucket"))
     return b.groupBy("bucket").agg(

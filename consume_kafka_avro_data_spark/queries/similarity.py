@@ -181,6 +181,10 @@ def _o_ivf(k=10, n_centroids=16, nprobe=4, seed=42) -> str | None:
         con.close()
     except Exception:
         return None
+    if not rows or not qrow:
+        # readable-but-empty table / missing query row: degrade to
+        # rows-only instead of raising out of oracle_text()
+        return None
     x = np.array([r[0] for r in rows], dtype=np.float64)
     cent = lloyd_unit_kmeans(x, k=n_centroids, seed=seed)
     qv = np.asarray(qrow[0][0], dtype=np.float64)
@@ -1266,12 +1270,23 @@ def q_sq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_K = 8, 16
 
 
+_PQ_NP_CACHE: dict[str, object] = {}
+
+
 def _pq_codebooks_np():
     """Shared oracle-side codebook derivation: same deterministic sample
     (ORDER BY vec_id LIMIT 4096, ≥ corpus at the driver's sf), same
     :func:`lloyd_l2_kmeans` per subspace — bit-identical to what the
-    Spark query trains via pq_codebooks.  Returns None if the parquet is
-    unreadable (factory degrades to rows-only, logged by the registry)."""
+    Spark query trains via pq_codebooks.
+
+    Returns ``(codebooks, query_vec_or_None)``; query_vec is None when
+    no vec_id=0 row exists (only the ADC oracle needs it).  Returns
+    ``None`` — degrade to rows-only, logged by the registry — when the
+    parquet is unreadable, empty, or not divisible into subspaces; every
+    failure mode stays inside this contract so a broken oracle can never
+    take down the whole parity run.  Cached per sf_dir: the two PQ
+    oracle factories plus the CTE builder would otherwise rerun the
+    2-scan + 8-Lloyd's derivation three times per process."""
     import os
 
     import numpy as np
@@ -1279,6 +1294,9 @@ def _pq_codebooks_np():
     from consume_kafka_avro_data_spark.operators.similarity import lloyd_l2_kmeans
 
     sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    if sf_dir in _PQ_NP_CACHE:
+        return _PQ_NP_CACHE[sf_dir]
+    result = None
     try:
         import duckdb
 
@@ -1292,17 +1310,23 @@ def _pq_codebooks_np():
             "WHERE vec_id = 0"
         ).fetchall()
         con.close()
+        x = np.array([r[0] for r in rows], dtype=np.float64)
+        if x.ndim == 2 and len(x) >= _PQ_K and x.shape[1] % _PQ_M == 0:
+            sub = x.shape[1] // _PQ_M
+            cb = np.stack(
+                [
+                    lloyd_l2_kmeans(
+                        x[:, i * sub : (i + 1) * sub], k=_PQ_K, seed=42 + i
+                    )
+                    for i in range(_PQ_M)
+                ]
+            )
+            qv = np.asarray(qrow[0][0], dtype=np.float64) if qrow else None
+            result = (cb, qv)
     except Exception:
-        return None
-    x = np.array([r[0] for r in rows], dtype=np.float64)
-    sub = x.shape[1] // _PQ_M
-    cb = np.stack(
-        [
-            lloyd_l2_kmeans(x[:, i * sub : (i + 1) * sub], k=_PQ_K, seed=42 + i)
-            for i in range(_PQ_M)
-        ]
-    )
-    return cb, np.asarray(qrow[0][0], dtype=np.float64)
+        result = None
+    _PQ_NP_CACHE[sf_dir] = result
+    return result
 
 
 def _o_pq_codes_cte() -> str | None:
@@ -1359,9 +1383,9 @@ def _o_pq_adc() -> str | None:
     from consume_kafka_avro_data_spark.operators.similarity import pq_adc_lut
 
     cte = _o_pq_codes_cte()
-    got = _pq_codebooks_np()
-    if cte is None or got is None:
-        return None
+    got = _pq_codebooks_np()  # cached — no repeat derivation
+    if cte is None or got is None or got[1] is None:
+        return None  # no vec_id=0 query row ⇒ rows-only for ADC only
     cb, qv = got
     vals = ", ".join(
         f"({s}, {c}, {p!r})" for s, c, p in pq_adc_lut(qv, cb)

@@ -596,13 +596,15 @@ def test_pq_adc_single_encode_pass_broadcast_lut(q):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_trade_triangles_preagg_before_motif_joins(q):
-    """Triangle query: the 4-table trade join reduces to the edge
-    aggregate before any motif join (partial+final agg present), and the
-    tiny edge set broadcasts into the triangle joins."""
+def test_trade_triangles_single_trade_agg_then_local_motifs(q):
+    """Triangle query: the expensive 4-table trade aggregation runs
+    exactly ONCE (materialized to the driver-sized edge list), so the
+    returned motif plan must contain NO fact-table scan — referencing
+    the unpersisted aggregate in three join roles would triple the
+    heavy stage — and the tiny edge set broadcasts into both joins."""
     df = q("q_trade_triangles")
     plan = I.simple_plan(df)
-    assert plan.count("HashAggregate") >= 2
+    assert "lineitem" not in plan and "FileScan" not in plan
     assert I.broadcast_join_count(df) >= 2
 
 

@@ -185,10 +185,7 @@ def test_zorder_buckets_tighter_than_single_column_sort(spark, sf_dir):
     dimensions.  Under a price-only sort the day dimension's per-bucket
     spans cover ~the whole domain; under Z-order they must be
     substantially tighter (pruning would actually skip files)."""
-    from consume_kafka_avro_data_spark.operators.bucketing import (
-        grid_coord,
-        zorder_key,
-    )
+    from consume_kafka_avro_data_spark.operators.bucketing import zorder_frame
     from pyspark.sql import Window
     from consume_kafka_avro_data_spark.tables import load_table
 
@@ -200,16 +197,8 @@ def test_zorder_buckets_tighter_than_single_column_sort(spark, sf_dir):
             F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
         ).cast("double").alias("day"),
     )
-    stats = base.agg(
-        F.min("price").alias("pmn"), F.max("price").alias("pmx"),
-        F.min("day").alias("dmn"), F.max("day").alias("dmx"),
-    )
-    g = base.crossJoin(F.broadcast(stats)).select(
-        "o_orderkey", "price", "day",
-        grid_coord(F.col("price"), F.col("pmn"), F.col("pmx"), 8).alias("gp"),
-        grid_coord(F.col("day"), F.col("dmn"), F.col("dmx"), 8).alias("gd"),
-    )
-    z = g.withColumn("zkey", zorder_key([F.col("gp"), F.col("gd")], 8))
+    # the SAME pipeline q_zorder_layout ships — one source of truth
+    z = zorder_frame(base, ["price", "day"], bits=8)
 
     def mean_day_span(df, order_col):
         w = Window.orderBy(order_col, "o_orderkey")
