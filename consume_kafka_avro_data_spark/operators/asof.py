@@ -43,13 +43,20 @@ def asof_join(
     prefix: str = "asof_",
     direction: str = "backward",
     strict: bool = False,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row, plus the matched right row's
     ``right_cols`` (renamed ``{prefix}{col}``), NULL when no match.
 
     direction='backward'  → match greatest right_ts <= left_ts;
     direction='forward'   → match least   right_ts >= left_ts;
-    strict=True           → exclude equal timestamps.
+    strict=True           → exclude equal timestamps;
+    tolerance_seconds     → pandas ``merge_asof(tolerance=...)``
+                            semantics: a running match farther than the
+                            tolerance from the left timestamp becomes
+                            no-match (all match columns NULL).  Applied
+                            as a post-window predicate, so the plan
+                            stays one shuffle.
 
     NULL timestamps are no-match rows (pandas ``merge_asof`` rejects
     them outright; we keep the row but never match it): null-ts right
@@ -113,6 +120,17 @@ def asof_join(
     matched = unioned.withColumn("_m", F.last("_r", ignorenulls=True).over(w)).where(
         F.col("_side") == l_side
     )
+    if tolerance_seconds is not None:
+        gap_us = F.abs(
+            F.unix_micros(F.col("_ts").cast("timestamp"))
+            - F.unix_micros(
+                F.col(f"_m.{prefix}{right_ts}").cast("timestamp")
+            )
+        )
+        matched = matched.withColumn(
+            "_m",
+            F.when(gap_us <= F.lit(int(tolerance_seconds * 1_000_000)), F.col("_m")),
+        )
     out_cols = (
         [F.col(k) for k in keys]
         + [F.col("_ts").alias(left_ts)]

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from consume_kafka_avro_data_spark.operators.asof import asof_join
 
@@ -131,3 +132,34 @@ def test_asof_null_timestamps_never_match(spark):
     ).collect()}
     assert fwd["ok"].asof_px is None  # nothing at/after 10:00 with real ts
     assert fwd["null-ts"].asof_px is None
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    """merge_asof(tolerance=...) semantics: a running match older than
+    the tolerance becomes no-match, matching pandas exactly."""
+    import pandas as pd
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10"), (1, "2024-01-01 01:00:00")],
+        "k INT, ts STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7.0)], "k INT, rts STRING, v DOUBLE"
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        tolerance_seconds=60.0,
+    ).orderBy("ts").collect()
+    assert out[0].asof_v == 7.0          # 10s gap: within tolerance
+    assert out[1].asof_v is None          # 1h gap: nulled
+    assert out[1].asof_rts is None
+
+    # pandas reference on the same frames
+    lp = pd.DataFrame({"k": [1, 1], "ts": pd.to_datetime(
+        ["2024-01-01 00:00:10", "2024-01-01 01:00:00"])})
+    rp = pd.DataFrame({"k": [1], "rts": pd.to_datetime(["2024-01-01 00:00:00"]),
+                       "v": [7.0]})
+    ref = pd.merge_asof(lp.sort_values("ts"), rp.sort_values("rts"),
+                        left_on="ts", right_on="rts", by="k",
+                        tolerance=pd.Timedelta(seconds=60))
+    assert (ref["v"].isna().tolist() == [r.asof_v is None for r in out])

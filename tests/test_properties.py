@@ -260,3 +260,47 @@ def test_union_find_fast_path_matches_reference_cc(edge_seeds):
             parent[rb] = ra
     got = {n: find(n) for n in parent}
     assert got == label
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    )
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_zorder_key_interleave_roundtrip(spark, coords):
+    """The Morton key is a bijection on the grid: de-interleaving the
+    Spark-computed key with an independent pure-Python reference must
+    recover every coordinate exactly (any bit landing at a wrong
+    position breaks this for some input)."""
+    from consume_kafka_avro_data_spark.operators.bucketing import zorder_key
+    from pyspark.sql import functions as F
+
+    n = 3
+    df = spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(coords)],
+        "id LONG, x LONG, y LONG, z LONG",
+    )
+    got = {
+        r.id: r.k
+        for r in df.select(
+            "id", zorder_key([F.col("x"), F.col("y"), F.col("z")], bits=8).alias("k")
+        ).collect()
+    }
+
+    def deinterleave(key: int, i: int) -> int:
+        out = 0
+        for b in range(8):
+            out |= ((key >> (b * n + (n - 1 - i))) & 1) << b
+        return out
+
+    for i, (a, b, c) in enumerate(coords):
+        k = got[i]
+        assert (deinterleave(k, 0), deinterleave(k, 1), deinterleave(k, 2)) == (
+            a,
+            b,
+            c,
+        ), (k, a, b, c)
