@@ -48,6 +48,7 @@ _EXPOSURE_PRIORITY: list[str] = [
     # round-2 additions: TPC-H-pattern multi-join analytics + PQ/ADC ANN
     "q_shipping_priority", "q_local_supplier_volume", "q_returned_items",
     "q_pq_codes", "q_pq_adc", "q_trade_triangles", "q_zorder_layout",
+    "q_asof_tolerance",
     # remaining unchecked queries, unique-operator coverage first
     "q_supply_chain_reach", "q_interval_count_binned", "q_interval_histogram",
     "q_unpivot",

@@ -240,6 +240,48 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_asof_tolerance",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN gap <= 3600000000 THEN asof_ts END AS asof_ts,
+           CASE WHEN gap <= 3600000000 THEN asof_value END AS asof_value
+    FROM (
+      SELECT l.event_id, l.user_id, l.ts, l.value,
+             r.ts AS asof_ts, r.value AS asof_value,
+             date_diff('microsecond', r.ts, l.ts) AS gap
+      FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM events WHERE event_type = 'click') l
+      ASOF LEFT JOIN
+           (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM events WHERE event_type = 'error') r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+    )
+    """,
+    tags=("J7",),
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance (J7): like q_asof_join but a
+    most-recent error older than one hour is treated as NO match — pandas
+    ``merge_asof(tolerance=...)`` semantics, applied as a post-window
+    predicate so the plan keeps the one-shuffle union + running-last
+    shape.  The stream-enrichment version of "state expires"."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    errors = e.where(F.col("event_type") == "error").select("user_id", "ts", "value")
+    return asof_join(
+        clicks,
+        errors,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["value"],
+        tolerance_seconds=3600.0,
+    ).select("event_id", "user_id", "ts", "value", "asof_ts", "asof_value")
+
+
 _EXISTS_SQL = """
     SELECT c.c_custkey, c.c_name, c.c_mktsegment
     FROM {customer} c
