@@ -304,3 +304,75 @@ def test_zorder_key_interleave_roundtrip(spark, coords):
             b,
             c,
         ), (k, a, b, c)
+
+
+@given(
+    st.lists(  # left rows: (key 0-2, ts 0-50)
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),
+        min_size=1, max_size=25,
+    ),
+    st.lists(  # right rows: (key 0-2, ts 0-50, payload)
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 999)),
+        min_size=0, max_size=25,
+    ),
+    st.sampled_from([None, 5.0, 20.0]),
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_join_fuzz_vs_pandas_merge_asof(spark, left_rows, right_rows, tol):
+    """Randomized differential test: asof_join (backward, inclusive,
+    with/without tolerance) must agree with pandas.merge_asof on the
+    matched payload for every generated frame.  Right-side duplicate
+    (key, ts) rows are collapsed to the max payload first — both engines
+    tie-break arbitrarily otherwise, which would fuzz the fuzzer."""
+    import pandas as pd
+
+    from consume_kafka_avro_data_spark.operators.asof import asof_join
+
+    base = pd.Timestamp("2024-01-01")
+    lp = pd.DataFrame(
+        {
+            "k": [k for k, _ in left_rows],
+            "ts": [base + pd.Timedelta(seconds=t) for _, t in left_rows],
+            "lid": range(len(left_rows)),
+        }
+    )
+    rp = (
+        pd.DataFrame(
+            {
+                "k": [k for k, _, _ in right_rows],
+                "rts": [base + pd.Timedelta(seconds=t) for _, t, _ in right_rows],
+                "pay": [p for _, _, p in right_rows],
+            }
+        )
+        .groupby(["k", "rts"], as_index=False)["pay"]
+        .max()
+    )
+    # an empty groupby result loses dtypes (object/float64) and
+    # merge_asof requires exact key-dtype matches
+    rp = rp.astype({"k": "int64", "pay": "int64"})
+    rp["rts"] = pd.to_datetime(rp["rts"])
+    ref = pd.merge_asof(
+        lp.sort_values(["ts", "lid"]),
+        rp.sort_values("rts"),
+        left_on="ts",
+        right_on="rts",
+        by="k",
+        tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+    ).set_index("lid")
+
+    ldf = spark.createDataFrame(lp, "k INT, ts TIMESTAMP_NTZ, lid LONG")
+    if len(rp):
+        rdf = spark.createDataFrame(rp, "k INT, rts TIMESTAMP_NTZ, pay LONG")
+    else:
+        rdf = spark.createDataFrame([], "k INT, rts TIMESTAMP_NTZ, pay LONG")
+    got = {
+        r.lid: r.asof_pay
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="rts",
+            right_cols=["pay"], tolerance_seconds=tol,
+        ).collect()
+    }
+    for lid in lp["lid"]:
+        want = ref.loc[lid, "pay"]
+        want = None if pd.isna(want) else int(want)
+        assert got[lid] == want, (lid, got[lid], want)
