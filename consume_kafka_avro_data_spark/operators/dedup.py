@@ -69,8 +69,13 @@ def ensure_min_splits(df: DataFrame) -> DataFrame:
     spark = df.sparkSession
     if spark.conf.get("spark.graft.ensureMinSplits", "true") == "false":
         return df
-    target = spark.sparkContext.defaultParallelism
     try:
+        # everything JVM-backed stays inside the try: on Spark Connect
+        # both sparkContext and df.rdd raise NotImplementedError, and
+        # the correct behavior there is to skip the local repartition
+        # heuristic entirely (a Connect deployment is a real cluster,
+        # where inputs are never single-split)
+        target = spark.sparkContext.defaultParallelism
         key = (id(spark), df._jdf.queryExecution().analyzed().semanticHash())
         n = _SPLIT_PROBE_CACHE.get(key)
         if n is None:
@@ -82,8 +87,8 @@ def ensure_min_splits(df: DataFrame) -> DataFrame:
             if len(_SPLIT_PROBE_CACHE) >= 256:
                 _SPLIT_PROBE_CACHE.clear()
             _SPLIT_PROBE_CACHE[key] = n
-    except Exception:  # Connect / non-JVM backends: probe uncached
-        n = df.rdd.getNumPartitions()
+    except Exception:  # Connect / non-JVM backends: no-op
+        return df
     if n < target:
         return df.repartition(target)
     return df
@@ -555,7 +560,12 @@ def simhash_neardup_pairs(
     ``max_hamming`` ≤ blocks-1 bit flips must agree on some block),
     verified by exact Hamming distance."""
     n_blocks = 64 // block_bits
-    assert max_hamming < n_blocks, "pigeonhole needs max_hamming < n_blocks"
+    if max_hamming >= n_blocks:
+        # a hard error, not an assert: under python -O an assert vanishes
+        # and the blocking would silently MISS near-dup pairs
+        raise ValueError(
+            f"pigeonhole needs max_hamming ({max_hamming}) < n_blocks ({n_blocks})"
+        )
     base = simhash64_table(df, id_col, text_col)
     mask = (1 << block_bits) - 1
     blocked = base.select(
@@ -661,7 +671,12 @@ def simhash_hex_neardup_pairs(
     block bucket-and-expand); every expression has a 1:1 DuckDB
     translation."""
     n_blocks = 16 // block_chars
-    assert max_hamming < n_blocks, "pigeonhole needs max_hamming < n_blocks"
+    if max_hamming >= n_blocks:
+        # a hard error, not an assert: under python -O an assert vanishes
+        # and the blocking would silently MISS near-dup pairs
+        raise ValueError(
+            f"pigeonhole needs max_hamming ({max_hamming}) < n_blocks ({n_blocks})"
+        )
     base = simhash_hex_table(df, id_col, text_col)
     blocked = base.select(
         "_id",
@@ -689,20 +704,19 @@ def simhash_hex_neardup_pairs(
     )
 
 
-def ngram_jaccard_pairs(
+def _ngram_candidate_pairs(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    threshold: float = 0.4,
-    max_ngram_df: int = 200,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_ngram_df: int,
 ) -> DataFrame:
-    """Exact n-gram Jaccard join via an inverted index: explode n-grams,
-    drop stop-grams with document frequency > ``max_ngram_df`` (they
-    generate quadratic candidates but carry no signal — the classic
-    skew guard for this join at scale), pair docs sharing a surviving
-    n-gram, verify exact Jaccard on the full n-gram sets.
-    """
+    """Shared inverted-index candidate stage for the exact n-gram
+    similarity joins: explode distinct n-grams, drop stop-grams with
+    document frequency > ``max_ngram_df`` (quadratic candidates, no
+    signal — the skew guard for this join at scale), pair docs sharing a
+    surviving gram, and re-attach both full gram sets for exact
+    verification.  Returns (id_a, id_b, _ga, _gb)."""
     df = ensure_min_splits(df)
     grams = F.array_distinct(shingles(tokens_col(text_col), n))
     base = df.select(F.col(id_col).alias("_id"), grams.alias("_grams"))
@@ -722,7 +736,21 @@ def ngram_jaccard_pairs(
     )
     ga = base.select(F.col("_id").alias("id_a"), F.col("_grams").alias("_ga"))
     gb = base.select(F.col("_id").alias("id_b"), F.col("_grams").alias("_gb"))
-    joined = cand.join(ga, "id_a").join(gb, "id_b")
+    return cand.join(ga, "id_a").join(gb, "id_b")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.4,
+    max_ngram_df: int = 200,
+) -> DataFrame:
+    """Exact n-gram Jaccard join via the shared inverted-index candidate
+    stage (:func:`_ngram_candidate_pairs`), verified with exact Jaccard
+    on the full n-gram sets."""
+    joined = _ngram_candidate_pairs(df, id_col, text_col, n, max_ngram_df)
     inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb")))
     union = F.size(F.col("_ga")) + F.size(F.col("_gb")) - inter
     return joined.select(
@@ -743,30 +771,9 @@ def ngram_containment_pairs(
     embedded inside a larger one has LOW Jaccard (the big doc's grams
     dominate the union) but containment ≈ 1; corpus curation needs both
     signals (cf. the containment dedup in Gopher/CCNet-style cleaning).
-    Same inverted-index plan as :func:`ngram_jaccard_pairs`: stop-gram
-    df cap, candidate pairs from shared rare grams, exact verification
-    on the full sets.
-    """
-    df = ensure_min_splits(df)
-    grams = F.array_distinct(shingles(tokens_col(text_col), n))
-    base = df.select(F.col(id_col).alias("_id"), grams.alias("_grams"))
-    posting = base.select("_id", F.explode("_grams").alias("_g"))
-    rare = (
-        posting.groupBy("_g")
-        .agg(F.count("*").alias("_df"))
-        .where(F.col("_df") <= max_ngram_df)
-        .select("_g")
-    )
-    posting = posting.join(rare, "_g")
-    a, b = posting.alias("a"), posting.alias("b")
-    cand = (
-        a.join(b, (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id")))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    ga = base.select(F.col("_id").alias("id_a"), F.col("_grams").alias("_ga"))
-    gb = base.select(F.col("_id").alias("id_b"), F.col("_grams").alias("_gb"))
-    joined = cand.join(ga, "id_a").join(gb, "id_b")
+    Same candidate stage as :func:`ngram_jaccard_pairs`, different
+    verification score."""
+    joined = _ngram_candidate_pairs(df, id_col, text_col, n, max_ngram_df)
     inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb")))
     containment = inter.cast("double") / F.least(
         F.size(F.col("_ga")), F.size(F.col("_gb"))

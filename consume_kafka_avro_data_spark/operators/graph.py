@@ -173,7 +173,9 @@ def connected_components(
     e = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     e = e.localCheckpoint(eager=True)
 
-    if small_graph_edges and e.count() <= small_graph_edges:
+    # the count here is of the SYMMETRIZED set (≤ 2× the input edges),
+    # so compare against 2× the documented input-edge budget
+    if small_graph_edges and e.count() <= 2 * small_graph_edges:
         parent: dict = {}
 
         def find(x):
@@ -372,7 +374,20 @@ class GraphStore:
         per-row insert result, aggregated).
         """
         existing = self._read(path, schema).select(*keys)
-        new_rows = batch.dropDuplicates(keys).join(existing, on=keys, how="left_anti")
+        # NULL-SAFE anti-join: plain `on=keys` compiles to EqualTo, under
+        # which NULL never equals NULL — a NULL-keyed row (a decoded
+        # record with a NULL subject/object survives PERMISSIVE mode)
+        # would re-append on EVERY replay, breaking the idempotence
+        # invariant that dropDuplicates (which treats NULLs as equal)
+        # appears to promise.  eqNullSafe matches Postgres' NULLS NOT
+        # DISTINCT semantics for the dedup key.
+        deduped = batch.dropDuplicates(keys).alias("b")
+        ex = existing.alias("e")
+        cond = None
+        for k in keys:
+            c = F.col(f"b.{k}").eqNullSafe(F.col(f"e.{k}"))
+            cond = c if cond is None else cond & c
+        new_rows = deduped.join(ex, on=cond, how="left_anti")
         # cache the delta: it is both counted and written
         new_rows = new_rows.cache()
         try:
@@ -426,7 +441,16 @@ class GraphStore:
             if not old_files:
                 continue
             df = self._read(path, schema)
-            n_files = max(1, -(-df.count() // target_rows_per_file))  # ceil
+            # size from parquet FOOTERS, not a df.count() job: the count
+            # would scan every file this compaction exists to clean up,
+            # doubling its cost for a number the metadata already holds
+            import pyarrow.parquet as pq
+
+            n_rows = sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in old_files
+            )
+            n_files = max(1, -(-n_rows // target_rows_per_file))  # ceil
             staged = self._stage(df, path, n_files=n_files)
             self._publish(path, staged)
             for name in old_files:  # GC only after the commit point

@@ -41,6 +41,13 @@ STATE_SCHEMA = StructType(
 )
 
 
+#: state sentinel for "no timestamp observed yet".  Initializing to 0
+#: (epoch) breaks max() for pre-1970 timestamps and makes an all-NaT key
+#: emit epoch as if it were a real last-seen; the sentinel folds
+#: correctly under max() and is emitted as NULL.
+NO_TS = -(2**63)
+
+
 def _output_schema(key_field: StructField) -> StructType:
     return StructType(
         [
@@ -72,7 +79,7 @@ def running_stats(
         if state.hasTimedOut:
             state.remove()
             return
-        n, total, last = state.get if state.exists else (0, 0.0, 0)
+        n, total, last = state.get if state.exists else (0, 0.0, NO_TS)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf[value_col].sum())
@@ -87,7 +94,7 @@ def running_stats(
                 key: [key_tuple[0]],
                 "n_events": [n],
                 "total_value": [total],
-                "last_micros": [last],
+                "last_micros": [None if last == NO_TS else last],
             }
         )
 
@@ -138,7 +145,7 @@ def running_stats_tws(
             self, key_tuple: tuple[Any, ...], rows: Iterator[pd.DataFrame], timer_values: Any
         ) -> Iterator[pd.DataFrame]:
             n, total, last = (
-                self._agg.get() if self._agg.exists() else (0, 0.0, 0)
+                self._agg.get() if self._agg.exists() else (0, 0.0, NO_TS)
             )
             for pdf in rows:
                 n += len(pdf)
@@ -152,7 +159,7 @@ def running_stats_tws(
                     key: [key_tuple[0]],
                     "n_events": [n],
                     "total_value": [total],
-                    "last_micros": [last],
+                    "last_micros": [None if last == NO_TS else last],
                 }
             )
 

@@ -24,16 +24,24 @@ def tumbling_window_agg(
     watermark: str = "10 minutes",
     keys: list[str] | None = None,
     value_col: str = "value",
+    exact_decimal: bool = True,
 ) -> DataFrame:
     """T6 tumbling + T7 watermark: per-window count and exact sum.
-    State for a window is droppable once the watermark passes its end."""
+    State for a window is droppable once the watermark passes its end.
+
+    ``exact_decimal=True`` sums through the DECIMAL(18,4) parity form —
+    order-independent and engine-portable, but it ASSUMES ≤4-dp values
+    below ~1e14 (the money/measure convention of this engine; outside it
+    the cast truncates or nulls).  Pass False for arbitrary doubles to
+    get a plain IEEE sum."""
     grouped = (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(_ts(ts_col), window), *(keys or []))
     )
+    sum_expr = dsum(value_col) if exact_decimal else F.sum(value_col)
     return grouped.agg(
         F.count("*").alias("n_events"),
-        dsum(value_col).alias("sum_value"),
+        sum_expr.alias("sum_value"),
     ).select(
         F.col("window.start").alias("bucket"),
         *(keys or []),
@@ -50,14 +58,19 @@ def sliding_window_agg(
     watermark: str = "10 minutes",
     keys: list[str] | None = None,
     value_col: str = "value",
+    exact_decimal: bool = True,
 ) -> DataFrame:
-    """T6 sliding windows (each event lands in window/slide buckets)."""
+    """T6 sliding windows (each event lands in window/slide buckets).
+    ``exact_decimal`` as in :func:`tumbling_window_agg` (2-dp money
+    convention; False → plain IEEE sum for arbitrary doubles)."""
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(_ts(ts_col), window, slide), *(keys or []))
         .agg(
             F.count("*").alias("n_events"),
-            dsum(value_col).alias("sum_value"),
+            (dsum(value_col) if exact_decimal else F.sum(value_col)).alias(
+                "sum_value"
+            ),
         )
         .select(
             F.col("window.start").alias("bucket_start"),
@@ -118,11 +131,18 @@ def stream_static_enrich(
     dim: DataFrame,
     on: list[str] | Column,
     how: str = "left",
+    broadcast_dim: bool = True,
 ) -> DataFrame:
     """T9 stream-static join — the reference's registry/dimension lookup
     pattern (J1) against a slowly-changing static table.  The static
-    side is re-read per micro-batch; Spark broadcasts it when small."""
-    return stream.join(F.broadcast(dim), on, how)
+    side is re-read per micro-batch.
+
+    ``broadcast_dim=True`` force-hints the broadcast (right for
+    registry-sized dims — it bypasses autoBroadcastJoinThreshold, so the
+    caller is promising the table fits in executor memory).  Pass False
+    for large dimensions and the planner picks broadcast vs shuffle from
+    its own size estimate."""
+    return stream.join(F.broadcast(dim) if broadcast_dim else dim, on, how)
 
 
 def stream_stream_join(

@@ -254,3 +254,27 @@ def test_connected_components_empty_edges(spark):
     assert [f.name for f in fast.schema.fields] == ["node", "comp"]
     dist = connected_components(empty, small_graph_edges=0, max_iter=25)
     assert dist.count() == 0
+
+
+def test_null_keyed_rows_stay_idempotent_on_replay(spark, tmp_path):
+    """A NULL dedup key must not re-append on replay: plain `on=keys`
+    anti-joins compile to EqualTo (NULL never matches NULL) while
+    dropDuplicates treats NULLs as equal — the merge uses eqNullSafe so
+    both layers agree and 'replays produce zero new rows' holds even
+    for NULL-keyed vertices/edges."""
+    from consume_kafka_avro_data_spark.operators.graph import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "graph"))
+    nulled = spark.createDataFrame(
+        [("s1", "Email", None), ("s1", "Email", "o1")],
+        "subject STRING, predicate STRING, object STRING",
+    )
+    nv, ne = store.ingest_triples(nulled, created_at="2024-01-01")
+    assert nv > 0
+    nv2, ne2 = store.ingest_triples(nulled, created_at="2024-01-01")
+    assert (nv2, ne2) == (0, 0), "NULL-keyed row re-appended on replay"
+    n_obj = store.objects().count()
+    n_rel = store.relationships().count()
+    store.ingest_triples(nulled, created_at="2024-01-01")
+    assert store.objects().count() == n_obj
+    assert store.relationships().count() == n_rel

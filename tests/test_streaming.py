@@ -519,3 +519,28 @@ def test_stream_stream_join_shared_column_names(spark, tmp_path):
     q.awaitTermination(120)
     got = [(r.imp, r.click) for r in spark.sql("SELECT * FROM t_ssj_same").collect()]
     assert got == [(10, 20)]
+
+
+def test_running_stats_all_null_ts_emits_null_last_seen(spark, tmp_path):
+    """A key whose rows carry only NULL timestamps must report
+    last_micros as NULL — not epoch 0, which a zero-initialized max()
+    fold would fabricate (and which a pre-1970 timestamp would also
+    silently lose to)."""
+    from consume_kafka_avro_data_spark.streaming.stateful import running_stats
+
+    rows = [
+        Row(event_id=0, ts=None, user_id=7, value=1.0),
+        Row(event_id=1, ts=None, user_id=7, value=2.0),
+    ]
+    path = str(tmp_path / "nullts_events")
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE"
+    )
+    df.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    out = _run_to_memory(spark, running_stats(stream), "t_nullts", "update")
+    final = out.toPandas().sort_values("n_events").groupby("user_id").last()
+    assert final.loc[7, "n_events"] == 2
+    import pandas as pd
+
+    assert pd.isna(final.loc[7, "last_micros"])
