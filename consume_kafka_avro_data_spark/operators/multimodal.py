@@ -142,6 +142,10 @@ def decode_wav(data: bytes) -> dict:
     tag, channels, rate, _byte_rate, _align, bits = fmt
     if tag != 1 or bits != 16:
         raise ValueError(f"unsupported WAV encoding (tag={tag}, bits={bits})")
+    if rate <= 0:
+        # a zero rate would later ZeroDivisionError out of the
+        # duration computation, escaping the ValueError/DLQ contract
+        raise ValueError(f"invalid WAV sample rate {rate}")
     samples = np.frombuffer(raw[: len(raw) - (len(raw) % 2)], dtype="<i2")
     return {
         "sample_rate": rate,
@@ -181,6 +185,10 @@ def decode_ppm(data: bytes) -> dict:
     w, h, maxval = fields
     if maxval != 255:
         raise ValueError(f"unsupported PPM maxval {maxval}")
+    if w <= 0 or h <= 0:
+        # numpy reshape treats a single negative dim as inferred -1, so
+        # negative header dims would otherwise decode to garbage shapes
+        raise ValueError(f"invalid PPM dimensions {w}x{h}")
     need = w * h * 3
     raw = data[pos : pos + need]
     if len(raw) < need:
@@ -299,6 +307,16 @@ def wav_feature_table(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for aid, blob in zip(pdf["asset_id"], pdf["media"]):
+                if blob is None:  # NULL media → NULL features (the
+                    # decode_features convention; bytes(None) would
+                    # TypeError outside the ValueError/DLQ contract).
+                    # Explicit Nones keep the pandas column object-typed
+                    # so Arrow converts to nullable ints, not NaN floats
+                    rows.append(
+                        {f.name: (aid if f.name == "asset_id" else None)
+                         for f in _WAV_FEATURES_SCHEMA}
+                    )
+                    continue
                 w = decode_wav(bytes(blob))
                 s = w["samples"].astype(np.int64)
                 n = len(s)
@@ -340,6 +358,12 @@ def ppm_feature_table(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for aid, blob in zip(pdf["asset_id"], pdf["media"]):
+                if blob is None:  # NULL media → NULL features
+                    rows.append(
+                        {f.name: (aid if f.name == "asset_id" else None)
+                         for f in _PPM_FEATURES_SCHEMA}
+                    )
+                    continue
                 p = decode_ppm(bytes(blob))
                 px = p["pixels"].astype(np.int64)
                 rows.append(

@@ -312,8 +312,12 @@ def blocked_allpairs_cosine(
             mask_a = (pdf["_blk"] == ba).to_numpy()
             xa, xb = x[mask_a], x[~mask_a]
             sim = (xa @ xb.T) / np.outer(qnorm[mask_a], qnorm[~mask_a])
-            ia, ib = np.nonzero(np.ones_like(sim, dtype=bool))
-            id_a, id_b, s = ids[mask_a][ia], ids[~mask_a][ib], sim[ia, ib]
+            # closed-form all-pairs indices — an ones+nonzero scan would
+            # allocate and walk an na×nb bool matrix for nothing
+            na, nb = sim.shape
+            ia = np.repeat(np.arange(na), nb)
+            ib = np.tile(np.arange(nb), na)
+            id_a, id_b, s = ids[mask_a][ia], ids[~mask_a][ib], sim.ravel()
         lo = np.minimum(id_a, id_b)
         hi = np.maximum(id_a, id_b)
         keep = s >= tau
@@ -573,8 +577,14 @@ def kmeans_distributed(
     through the driver per iteration — the scale-correct shape when the
     corpus outgrows ``kmeans_centroids``'s driver-side sample.
 
-    Deterministic: init = the first k rows by id (no RNG over data),
-    iteration order fixed, empty cells keep their previous centroid.
+    Determinism note: init (first k rows by id), iteration order, and
+    empty-cell handling are all fixed, but the M-step's ``avg()`` over
+    doubles accumulates in shuffle-merge order — across DIFFERENT
+    partitionings/cluster layouts a centroid component can move by an
+    ulp, which the quantized E-step argmax can then amplify.  Runs are
+    reproducible on a fixed layout; bit-exact cross-engine reproduction
+    is what the driver-sampled :func:`kmeans_centroids` path (used by
+    every oracle-checked query) provides instead.
     """
     seed_rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     cent = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
@@ -583,7 +593,9 @@ def kmeans_distributed(
         assigned = ivf_assign(corpus, cent, vec_col)
         got = {
             r["_ivf_cell"]: r["centroid"]
-            for r in cell_centroids_jvm(assigned, dim=dim).collect()
+            for r in cell_centroids_jvm(
+                assigned, vec_col=vec_col, dim=dim
+            ).collect()
         }
         cent = np.array(
             [got.get(c + 1, cent[c]) for c in range(len(cent))], dtype=np.float64

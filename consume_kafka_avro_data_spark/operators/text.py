@@ -24,11 +24,13 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 
 def tokens(text: str | Column = "text") -> Column:
     """Whitespace tokens of lowercased text; NULL canonicalized to ''
-    (→ one empty token) so token-derived features never drop rows —
-    same convention as operators/dedup.tokens_col and the
-    lower(coalesce(text, '')) oracles."""
-    c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.lower(F.coalesce(c, F.lit(""))), r"\s+")
+    (→ one empty token) so token-derived features never drop rows.
+    Delegates to operators/dedup.tokens_col — ONE implementation of the
+    corpus-wide NULL/tokenization convention, so document features and
+    dedup signatures can never drift apart."""
+    from consume_kafka_avro_data_spark.operators.dedup import tokens_col
+
+    return tokens_col(text)
 
 
 def lang_scores(toks: Column) -> dict[str, Column]:
@@ -66,8 +68,14 @@ def bpe_ish_tokens(text: str | Column = "text") -> Column:
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append the standard quality-filter features: token stats, type-
-    token ratio, alpha/punct ratios, max token repetition share."""
-    t = F.col(text_col)
+    token ratio, alpha/punct ratios, max token repetition share.
+
+    NULL/empty text follows the tokens() never-drop-rows convention:
+    the char-level ratios guard their divisions (0-length text → 0.0,
+    not the NULL a bare x/0 yields in non-ANSI mode), so a downstream
+    ``quality > τ`` filter scores these rows instead of silently
+    dropping them."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
     toks = tokens(t)
     n_tok = F.size(toks)
     n_chars = F.length(t)
@@ -98,7 +106,9 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "n_tokens": n_tok.cast("long"),
             "ttr": F.size(F.array_distinct(toks)).cast("double") / n_tok,
             "mean_token_len": (n_chars - space_chars).cast("double") / n_tok,
-            "alpha_ratio": alpha_chars.cast("double") / n_chars,
+            "alpha_ratio": F.when(
+                n_chars > 0, alpha_chars.cast("double") / n_chars
+            ).otherwise(F.lit(0.0)),
             "max_token_share": top_tok_cnt.cast("double") / n_tok,
         }
     )
@@ -119,19 +129,16 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return feats.withColumn("quality", F.round(score, 6))
 
 
-def winnow_fingerprints(
-    text: str | Column = "text", k: int = 8, window: int = 4
-) -> Column:
-    """Winnowing document fingerprints (Schleimer et al.): rolling
-    k-char hashes, then the min of each ``window`` of consecutive hashes,
-    deduplicated.  Near-identical documents share most fingerprints, so
-    a group-by on exploded fingerprints finds overlap clusters.  All
-    higher-order functions — one projection, no UDF."""
+def _winnow(text: str | Column, k: int, window: int, gram_hash) -> Column:
+    """Shared winnowing body (Schleimer et al.): rolling k-char gram
+    hashes via ``gram_hash``, then the min of each ``window`` of
+    consecutive hashes, deduplicated.  One implementation for both hash
+    families so the windowing/clamping logic cannot drift."""
     c = F.col(text) if isinstance(text, str) else text
     n_hashes = F.length(c) - k + 1
     hashes = F.transform(
         F.sequence(F.lit(1), F.greatest(n_hashes, F.lit(1))),
-        lambda i: F.xxhash64(c.substr(i, F.lit(k))),
+        lambda i: gram_hash(c.substr(i, F.lit(k))),
     )
     n_windows = F.greatest(F.size(hashes) - window + 1, F.lit(1))
     return F.array_distinct(
@@ -140,6 +147,16 @@ def winnow_fingerprints(
             lambda i: F.array_min(F.slice(hashes, i, window)),
         )
     )
+
+
+def winnow_fingerprints(
+    text: str | Column = "text", k: int = 8, window: int = 4
+) -> Column:
+    """Winnowing document fingerprints on xxhash64 (the cheap scale
+    hash).  Near-identical documents share most fingerprints, so a
+    group-by on exploded fingerprints finds overlap clusters.  All
+    higher-order functions — one projection, no UDF."""
+    return _winnow(text, k, window, F.xxhash64)
 
 
 def winnow_fingerprints_md5(
@@ -150,18 +167,8 @@ def winnow_fingerprints_md5(
     lexicographic min (≡ uint64 min on fixed-width hex) is reproducible
     in any engine with md5/substr — used by the oracle-checked
     q_winnow_fingerprints query."""
-    c = F.col(text) if isinstance(text, str) else text
-    n_hashes = F.length(c) - k + 1
-    hashes = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_hashes, F.lit(1))),
-        lambda i: F.substring(F.md5(c.substr(i, F.lit(k))), 1, 16),
-    )
-    n_windows = F.greatest(F.size(hashes) - window + 1, F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n_windows),
-            lambda i: F.array_min(F.slice(hashes, i, window)),
-        )
+    return _winnow(
+        text, k, window, lambda g: F.substring(F.md5(g), 1, 16)
     )
 
 

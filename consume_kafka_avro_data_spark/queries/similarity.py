@@ -858,12 +858,16 @@ _O_QUALITY = """
            len(list_distinct(toks))::DOUBLE / len(toks) AS ttr,
            (length(text) - (length(text) - length(replace(text, ' ', ''))))::DOUBLE
              / len(toks) AS mean_token_len,
-           length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
-             / length(text) AS alpha_ratio,
+           CASE WHEN length(text) > 0 THEN
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+               / length(text)
+           ELSE CAST(0.0 AS DOUBLE) END AS alpha_ratio,
            list_max(list_transform(list_distinct(toks),
                     u -> len(list_filter(toks, x -> x = u))))::DOUBLE
              / len(toks) AS max_token_share
-    FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents)
+    FROM (SELECT doc_id, coalesce(text, '') AS text,
+                 string_split(lower(coalesce(text, '')), ' ') AS toks
+          FROM documents)
 """
 
 

@@ -91,7 +91,16 @@ def encode_record(fields: list[tuple[str, str]], values: dict) -> bytes:
     Null field values raise ValueError: the assembled schemas carry no
     null union (the reference's type universe, ConfigParser.cpp:154-164,
     has none), and silently coercing None — str(None) → the literal
-    string 'None' — would be undetectable corruption on the wire."""
+    string 'None' — would be undetectable corruption on the wire.
+
+    NaN additionally counts as null for int/long fields (int(nan) would
+    raise an unrelated error anyway).  For float/double fields NaN IS a
+    legal Avro value and round-trips (pinned by test) — with the caveat
+    that on the Arrow UDF path a SQL NULL float/double also arrives as
+    NaN, so a no-null-union schema cannot distinguish a conflated NULL
+    from a genuine NaN payload: callers that must reject NULL floats
+    should filter ``isnan`` upstream where the SQL-level nullness is
+    still visible."""
     out = bytearray()
     for name, typ in fields:
         v = values[name]

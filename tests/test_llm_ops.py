@@ -759,3 +759,50 @@ def test_pq_adc_matches_numpy_reference(spark):
             want += float((d * d).sum())
         if vid in got:
             assert got[vid] == want
+
+
+def test_malformed_media_raises_valueerror_contract(spark):
+    """Every malformed-media shape must fail inside the ValueError/DLQ
+    contract — never a ZeroDivisionError/TypeError/garbage row."""
+    import pytest as _pytest
+    import struct as _struct
+
+    from consume_kafka_avro_data_spark.operators.multimodal import (
+        decode_ppm,
+        decode_wav,
+    )
+
+    with _pytest.raises(ValueError, match="PPM dimensions"):
+        decode_ppm(b"P6\n-3 2\n255\n" + b"\x00" * 64)
+    # structurally valid header with sample_rate=0
+    fmt = _struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+    wav = (
+        b"RIFF" + _struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    with _pytest.raises(ValueError, match="sample rate"):
+        decode_wav(wav)
+
+
+def test_null_media_rows_yield_null_features(spark):
+    """NULL media follows the decode_features convention in the typed
+    feature tables too: NULL feature columns, not a crashed task."""
+    from consume_kafka_avro_data_spark.operators.multimodal import (
+        encode_wav,
+        ppm_feature_table,
+        wav_feature_table,
+    )
+    import numpy as np
+
+    wav_bytes = encode_wav(np.array([100, -100], dtype=np.int16))
+    media = spark.createDataFrame(
+        [(1, wav_bytes), (2, None)], "asset_id LONG, media BINARY"
+    )
+    rows = {r.asset_id: r for r in wav_feature_table(media).collect()}
+    assert rows[1].n_samples == 2
+    assert rows[2].n_samples is None and rows[2].rms is None
+    rows = {r.asset_id: r for r in ppm_feature_table(
+        spark.createDataFrame([(3, None)], "asset_id LONG, media BINARY")
+    ).collect()}
+    assert rows[3].width is None
