@@ -20,6 +20,7 @@ projection applied to any input DataFrame.  Config errors raise
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -33,6 +34,20 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+
+#: Avro name grammar (spec: names start with [A-Za-z_], then word chars)
+_AVRO_NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _avro_record_name(topic: str) -> str:
+    """Kafka topic → valid Avro record name: '.'/'-' and any other
+    non-word character map to '_'; a leading digit gets a '_' prefix.
+    Deterministic, so the registered subject's schema name is stable."""
+    name = re.sub(r"[^A-Za-z0-9_]", "_", topic)
+    if not name or name[0].isdigit():
+        name = "_" + name
+    return name
 
 
 class ConfigError(ValueError):
@@ -95,11 +110,25 @@ class SchemaConfig:
     def to_avro_schema_json(self) -> str:
         """Avro record-schema JSON equivalent to the registry-registered
         schema (SchemaRegistry.cpp:144-161 registers under subject
-        ``<topic>-value``)."""
+        ``<topic>-value``).
+
+        The record name is SANITIZED to the Avro name grammar
+        ``[A-Za-z_][A-Za-z0-9_]*``: topic names routinely contain '.'
+        and '-' (legal in Kafka, illegal in Avro), and a real Confluent
+        registry rejects a spec-invalid schema at registration time.
+        Field names come from user renames, so an invalid one is a
+        config error, not something to silently rewrite."""
+        for c in self.columns:
+            f = self.field_name(c)
+            if not _AVRO_NAME_RE.fullmatch(f):
+                raise ConfigError(
+                    f"column_map produces invalid Avro field name {f!r} "
+                    "(must match [A-Za-z_][A-Za-z0-9_]*)"
+                )
         return json.dumps(
             {
                 "type": "record",
-                "name": self.name,
+                "name": _avro_record_name(self.name),
                 "fields": [
                     {"name": self.field_name(c), "type": self.field_type(c)}
                     for c in self.columns
@@ -150,10 +179,19 @@ def parse_config(doc: dict) -> JobConfig:
     reference's file shape (configs/SPO_2_kafka.yaml:1-29)."""
     if not isinstance(doc, dict):
         raise ConfigError("config root must be a mapping")
-    kafka = {str(k): str(v) for k, v in (doc.get("kafka") or {}).items()}
-    column_map = {str(k): str(v) for k, v in (doc.get("column_map") or {}).items()}
+
+    def _mapping(key: str) -> dict:
+        sec = doc.get(key) or {}
+        if not isinstance(sec, dict):
+            # a scalar here ('kafka: localhost:9092') must be a
+            # ConfigError the CLI can report, not an AttributeError
+            raise ConfigError(f"config section {key!r} must be a mapping")
+        return sec
+
+    kafka = {str(k): str(v) for k, v in _mapping("kafka").items()}
+    column_map = {str(k): str(v) for k, v in _mapping("column_map").items()}
     transforms = {
-        str(k): str(v) for k, v in (doc.get("column_type_transforms") or {}).items()
+        str(k): str(v) for k, v in _mapping("column_type_transforms").items()
     }
     type_map = doc.get("type_map") or {}
     if not isinstance(type_map, dict) or not type_map:

@@ -189,13 +189,11 @@ def _schema_fields(sc: SchemaConfig) -> list[tuple[str, str]]:
 
 
 def native_avro_available(spark) -> bool:
-    """True if the spark-avro SQL datasource is on the JVM classpath."""
-    try:
-        jvm = spark._jvm  # noqa: SLF001
-        jvm.java.lang.Class.forName("org.apache.spark.sql.avro.AvroDataToCatalyst")
-        return True
-    except Exception:
-        return False
+    """True if the spark-avro SQL datasource is on Spark's classpath
+    (shared probe — sees ``--packages`` jars, see jvm_class_available)."""
+    from consume_kafka_avro_data_spark.sources.kafka import jvm_class_available
+
+    return jvm_class_available(spark, "org.apache.spark.sql.avro.AvroDataToCatalyst")
 
 
 def to_confluent_avro(

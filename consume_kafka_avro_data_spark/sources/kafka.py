@@ -47,15 +47,27 @@ KAFKA_SHAPE = StructType(
 )
 
 
-def kafka_source_available(spark: SparkSession) -> bool:
+def jvm_class_available(spark: SparkSession, class_name: str) -> bool:
+    """True if ``class_name`` resolves on SPARK'S classloader.
+
+    Must go through ``Utils.classForName`` (context-or-Spark loader):
+    a plain py4j ``java.lang.Class.forName`` uses the system loader and
+    CANNOT see jars pulled in via ``--packages``/``spark.jars.packages``
+    (they live in Spark's MutableURLClassLoader), so it reports the
+    Kafka/Avro connectors missing in exactly the documented live-submit
+    configuration."""
     try:
         jvm = spark._jvm  # noqa: SLF001
-        jvm.java.lang.Class.forName(
-            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
-        )
+        jvm.org.apache.spark.util.Utils.classForName(class_name, True, False)
         return True
     except Exception:
         return False
+
+
+def kafka_source_available(spark: SparkSession) -> bool:
+    return jvm_class_available(
+        spark, "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+    )
 
 
 def kafka_reader(

@@ -26,6 +26,7 @@ Spark lift, same semantics batch-amortized:
 from __future__ import annotations
 
 import os
+import threading
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -83,6 +84,12 @@ class AvroProducer:
         self.stand_in = stand_in
         self.report = DeliveryReport()
         self._next_offset = 0
+        # foreachBatch callbacks run on streaming-query threads; the
+        # offset allocator and report counters are read-modify-write
+        # state, so concurrent queries off one producer need the lock
+        # (metrics.py locks the same producer/consumer boundary)
+        self._lock = threading.Lock()
+        self._seen_batches: set[int] = set()
         if stand_in is None and not kafka_source_available(spark):
             raise RuntimeError(
                 "no Kafka datasource on the classpath and no stand-in "
@@ -117,7 +124,8 @@ class AvroProducer:
             ).write.format("kafka").option(
                 "kafka.bootstrap.servers", self.bootstrap_servers or ""
             ).option("topic", self.topic).save()
-        self.report.record(batch_id, n)
+        with self._lock:
+            self.report.record(batch_id, n)
         return n
 
     def _deliver_stand_in(self, framed: DataFrame, n: int) -> int:
@@ -125,19 +133,21 @@ class AvroProducer:
         partition 0 (the reference hard-codes partition 0,
         src/main.cpp:230) and densely increasing offsets ordered by key
         — so the consumer side sees a replayable topic.  ``n`` is the
-        pre-counted batch size (see produce_batch)."""
+        pre-counted batch size (see produce_batch).  The offset range is
+        reserved under the lock so concurrent queries off one producer
+        cannot interleave ranges; the write itself runs outside it."""
+        with self._lock:
+            base = self._next_offset
+            self._next_offset += n
         w = Window.orderBy("key", "value")
         out = framed.select(
             F.col("key").cast("binary").alias("key"),
             "value",
             F.lit(self.topic).alias("topic"),
             F.lit(0).cast("int").alias("partition"),
-            (F.row_number().over(w) - 1 + F.lit(self._next_offset))
-            .cast("long")
-            .alias("offset"),
+            (F.row_number().over(w) - 1 + F.lit(base)).cast("long").alias("offset"),
         )
         self.stand_in.write_batch(out)
-        self._next_offset += n
         return n
 
     # -- streaming produce -------------------------------------------------
@@ -149,26 +159,37 @@ class AvroProducer:
         available_now: bool = True,
         processing_time: str = "1 second",
     ) -> StreamingQuery:
-        """writeStream into the topic.  With a real Kafka sink this is
-        ``format("kafka")`` + checkpoint (exactly-once sink commit per
-        batch, retried on failure); with the stand-in it is a
-        foreachBatch delivering through :meth:`_deliver_stand_in` so the
-        delivery report still ticks per batch."""
-        if self.stand_in is not None:
-            def _deliver(batch: DataFrame, batch_id: int) -> None:
-                n = batch.count()  # input pre-count; see produce_batch
-                self._deliver_stand_in(self.frame(batch), n)
+        """writeStream into the topic via foreachBatch on BOTH paths, so
+        the delivery report ticks per batch against a real broker too
+        (a bare ``format("kafka")`` sink would leave the report at zero
+        in exactly the production configuration).
+
+        Replayed batch ids (at-least-once foreachBatch after a failure/
+        restart) are skipped entirely: delivery becomes effectively-once
+        into the topic — strictly stronger than the reference's
+        fire-and-log callback and than a non-transactional Kafka
+        producer, and it keeps the stand-in's dense-offset replayable-
+        topic invariant intact."""
+
+        def _deliver(batch: DataFrame, batch_id: int) -> None:
+            with self._lock:
+                if batch_id in self._seen_batches:
+                    return
+                self._seen_batches.add(batch_id)
+            n = batch.count()  # input pre-count; see produce_batch
+            framed = self.frame(batch)
+            if self.stand_in is not None:
+                self._deliver_stand_in(framed, n)
+            else:
+                framed.select(
+                    F.col("key").cast("binary").alias("key"), "value"
+                ).write.format("kafka").option(
+                    "kafka.bootstrap.servers", self.bootstrap_servers or ""
+                ).option("topic", self.topic).save()
+            with self._lock:
                 self.report.record(batch_id, n)
 
-            writer = stream.writeStream.foreachBatch(_deliver)
-        else:
-            writer = (
-                self.frame(stream)
-                .select(F.col("key").cast("binary").alias("key"), "value")
-                .writeStream.format("kafka")
-                .option("kafka.bootstrap.servers", self.bootstrap_servers or "")
-                .option("topic", self.topic)
-            )
+        writer = stream.writeStream.foreachBatch(_deliver)
         writer = writer.option(
             "checkpointLocation", os.path.join(checkpoint_dir, "produce")
         )

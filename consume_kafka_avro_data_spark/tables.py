@@ -57,6 +57,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # timestamp_micros yields TIMESTAMP_LTZ; cast to NTZ (session tz
             # is pinned UTC) so events.ts matches the other tables' parquet
             # timestamps, which Spark 4 reads as TIMESTAMP_NTZ.
+            # `div` truncates toward ZERO — which is exactly what DuckDB's
+            # TIMESTAMP_NS→TIMESTAMP cast does for pre-epoch values too
+            # (verified: -1500 ns → -1 µs in both engines), so oracle
+            # parity holds on either side of 1970.  Do NOT "fix" this to
+            # floor division; that would diverge from the oracle.
             df = df.withColumn(
                 "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
             )

@@ -174,3 +174,46 @@ def test_live_smoke_config_dry_run():
     assert out.returncode == 0, out.stderr
     assert "config ok: topic=spo" in out.stdout
     assert '"name": "subject"' in out.stdout  # rename applied in schema
+
+
+def test_avro_record_name_sanitized_for_kafka_topic_chars():
+    """'.'/'-' are legal in Kafka topics but illegal in Avro record
+    names; the schema JSON must sanitize the record name (a real
+    registry 422s a spec-invalid schema) while field names from user
+    renames raise ConfigError instead of being silently rewritten."""
+    import json
+
+    from consume_kafka_avro_data_spark.config import ConfigError, parse_config
+
+    doc = {
+        "kafka": {},
+        "type_map": {
+            "prod.spo-events": {"key_column": "s", "columns": ["s", "p", "o"]}
+        },
+    }
+    sc = parse_config(doc).schema_for("prod.spo-events")
+    schema = json.loads(sc.to_avro_schema_json())
+    assert schema["name"] == "prod_spo_events"
+
+    bad = {
+        "kafka": {},
+        "type_map": {"t": {"key_column": "k", "columns": ["k", "a"]}},
+        "column_map": {"a": "bad-field"},
+    }
+    sc2 = parse_config(bad).schema_for("t")
+    try:
+        sc2.to_avro_schema_json()
+        raise AssertionError("invalid field name accepted")
+    except ConfigError:
+        pass
+
+
+def test_scalar_config_section_is_config_error():
+    """'kafka: localhost:9092' (scalar where a mapping belongs) must be
+    a ConfigError the CLI reports, not an AttributeError traceback."""
+    import pytest as _pytest
+
+    from consume_kafka_avro_data_spark.config import ConfigError, parse_config
+
+    with _pytest.raises(ConfigError, match="must be a mapping"):
+        parse_config({"kafka": "localhost:9092", "type_map": {"t": {"key_column": "a", "columns": ["a"]}}})
