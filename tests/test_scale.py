@@ -214,3 +214,32 @@ def test_zorder_buckets_tighter_than_single_column_sort(spark, sf_dir):
     z_span = mean_day_span(z, "zkey")
     p_span = mean_day_span(z, "price")
     assert z_span < p_span * 0.5, (z_span, p_span)
+
+
+def test_ivf_cells_as_partition_column_prune_probes(spark, sf_dir, tmp_path):
+    """The IVF scale story made concrete: assign cells once, WRITE the
+    corpus partitioned by cell, and a probe over nprobe cells must show
+    PartitionFilters (planning-time file skip) — the nprobe/n_cells scan
+    reduction is then a storage-layout fact, not a runtime filter."""
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_centroids,
+    )
+    from consume_kafka_avro_data_spark.plans.inspect import partition_filters
+    from consume_kafka_avro_data_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb, k=8)
+    assigned = ivf_assign(emb, cent)
+    path = str(tmp_path / "ivf_layout")
+    assigned.write.partitionBy("_ivf_cell").mode("overwrite").parquet(path)
+
+    index = spark.read.parquet(path)
+    probed = index.where(F.col("_ivf_cell").isin([1, 2]))
+    pf = partition_filters(probed)
+    assert pf and any("_ivf_cell" in f for f in pf), pf
+    # the probe reads only the 2 probed cells' rows
+    per_cell = {r._ivf_cell: r.n for r in
+                index.groupBy("_ivf_cell").agg(F.count("*").alias("n")).collect()}
+    want = per_cell.get(1, 0) + per_cell.get(2, 0)
+    assert probed.count() == want
