@@ -56,6 +56,44 @@ def broadcast_join_count(df: DataFrame) -> int:
     return simple_plan(df).count("BroadcastHashJoin")
 
 
+def _split_top_level(text: str) -> list[str]:
+    """Split a filter/field list on commas NOT inside (), [], or <> —
+    a naive split mangles ``In(col, [a,b])`` and ``decimal(18,4)`` into
+    garbage fragments that make substring assertions lie."""
+    out, depth, cur = [], 0, []
+    for ch in text:
+        if ch in "([<":
+            depth += 1
+        elif ch in ")]>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return [s for s in out if s]
+
+
+def _bracket_payload(block: str, label: str) -> str | None:
+    """The text between ``label: [`` and its MATCHING ``]`` (bracket-
+    counted — a first-']' regex truncates nested lists like In(...))."""
+    start = block.find(f"{label}: [")
+    if start < 0:
+        return None
+    i = start + len(label) + 3
+    depth = 1
+    for j in range(i, len(block)):
+        if block[j] == "[":
+            depth += 1
+        elif block[j] == "]":
+            depth -= 1
+            if depth == 0:
+                return block[i:j]
+    return None
+
+
 def pushed_filters(df: DataFrame, table_hint: str = "") -> list[str]:
     """All PushedFilters entries (optionally only scans whose text
     mentions ``table_hint``, e.g. the parquet file name)."""
@@ -64,22 +102,30 @@ def pushed_filters(df: DataFrame, table_hint: str = "") -> list[str]:
     for b in blocks:
         if table_hint and table_hint not in b.split("PushedFilters", 1)[0]:
             continue
-        fm = re.search(r"PushedFilters: \[([^\]]*)\]", b)
-        if fm and fm.group(1).strip():
-            out.extend(s.strip() for s in fm.group(1).split(","))
+        payload = _bracket_payload(b, "PushedFilters")
+        if payload and payload.strip():
+            out.extend(_split_top_level(payload))
     return out
 
 
 def read_schema_columns(df: DataFrame, table_hint: str) -> set[str]:
-    """Column names the scan of ``table_hint`` actually reads."""
+    """Column names every scan of ``table_hint`` reads, UNIONED across
+    scans — a self-joined table scanned twice must report both scans'
+    columns, or a pruning assertion can pass against the narrow one."""
+    cols: set[str] = set()
     blocks = re.split(r"\(\d+\) Scan parquet", formatted_plan(df))[1:]
     for b in blocks:
         head = b.split("PushedFilters", 1)[0]
         if table_hint in head:
-            sm = re.search(r"ReadSchema: struct<([^>]*)>", b)
+            # greedy to the LAST '>' on the line: nested types
+            # (struct<...>, array<...>) contain '>' themselves
+            sm = re.search(r"ReadSchema: struct<(.*)>", b)
             if sm:
-                return {p.split(":", 1)[0].strip() for p in sm.group(1).split(",") if p.strip()}
-    return set()
+                cols |= {
+                    p.split(":", 1)[0].strip()
+                    for p in _split_top_level(sm.group(1))
+                }
+    return cols
 
 
 def partition_filters(df: DataFrame) -> list[str]:
@@ -87,9 +133,11 @@ def partition_filters(df: DataFrame) -> list[str]:
     means partition pruning is happening at planning time (files of
     non-matching partitions are never opened)."""
     out: list[str] = []
-    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", formatted_plan(df)):
-        if m.group(1).strip():
-            out.extend(s.strip() for s in m.group(1).split(","))
+    plan = formatted_plan(df)
+    for m in re.finditer(r"PartitionFilters: \[", plan):
+        payload = _bracket_payload(plan[m.start() :], "PartitionFilters")
+        if payload and payload.strip():
+            out.extend(_split_top_level(payload))
     return out
 
 

@@ -523,8 +523,9 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            CAST(SUM(cnt) AS BIGINT) AS n_events,
-           1.0 - SUM(CAST(cnt * cnt AS DOUBLE))
-                 / CAST(SUM(cnt) * SUM(cnt) AS DOUBLE) AS gini
+           1.0 - CAST(SUM(CAST(cnt AS DECIMAL(18,0)) * CAST(cnt AS DECIMAL(18,0)))
+                      AS DOUBLE)
+                 / (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE)) AS gini
     FROM c GROUP BY user_id
     """,
     tags=("A2",),
@@ -536,16 +537,19 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines (libm ln() can differ by an ulp).  Two
     stacked aggregates on the same user_id partitioning; the second
     input is ≤ |users|×|types| rows.
-    """
+
+    Σcᵢ² goes through a DECIMAL(18,0) product sum (exact and order-
+    independent at any count — a raw long×long would ANSI-overflow near
+    cnt≈3e9, and a per-element double sum would drift from the oracle
+    past 2⁵³); the n² denominator squares the exact double of n, which
+    rounds the exact product once in BOTH engines."""
     e = load_table(spark, sf_dir, "events")
     c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    dec = F.col("cnt").cast("decimal(18,0)")
+    n_d = F.sum("cnt").cast("double")
     return c.groupBy("user_id").agg(
         F.sum("cnt").alias("n_events"),
-        (
-            F.lit(1.0)
-            - F.sum(F.col("cnt") * F.col("cnt")).cast("double")
-            / (F.sum("cnt") * F.sum("cnt")).cast("double")
-        ).alias("gini"),
+        (F.lit(1.0) - F.sum(dec * dec).cast("double") / (n_d * n_d)).alias("gini"),
     )
 
 

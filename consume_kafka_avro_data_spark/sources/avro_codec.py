@@ -232,6 +232,7 @@ def from_confluent_avro(
     schema_config: SchemaConfig,
     expected_schema_id: int | None = None,
     value_col: str = "value",
+    keep_raw: bool = False,
 ) -> DataFrame:
     """Decode a Confluent-framed Avro ``value`` column into the
     configured fields, PERMISSIVE-style: malformed frames yield null
@@ -239,7 +240,9 @@ def from_confluent_avro(
 
     Set ``expected_schema_id`` to also reject frames whose embedded id
     differs (multi-schema topics should instead split by id and decode
-    each subset with its own schema).
+    each subset with its own schema).  ``keep_raw=True`` carries the
+    undecoded frame through as ``_raw_value`` — a DLQ that persists only
+    the error string cannot replay its dead letters after a schema fix.
     """
     fields = _schema_fields(schema_config)
     out_type = StructType(
@@ -273,8 +276,10 @@ def from_confluent_avro(
         return pd.DataFrame(rows, columns=[f.name for f in out_type.fields])
 
     decoded = df.withColumn("_rec", dec(F.col(value_col)))
+    raw = [F.col(value_col).alias("_raw_value")] if keep_raw else []
     return decoded.select(
         *[c for c in df.columns if c != value_col],
+        *raw,
         F.col("_rec._error").alias("_error"),
         F.col("_rec._schema_id").alias("_schema_id"),
         *[F.col(f"_rec.{n}").alias(n) for n, _ in fields],

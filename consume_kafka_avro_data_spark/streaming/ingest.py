@@ -49,10 +49,15 @@ class IngestMetrics:
 
 
 def decode_stream(
-    stream: DataFrame, schema_config: SchemaConfig, expected_schema_id: int | None = None
+    stream: DataFrame,
+    schema_config: SchemaConfig,
+    expected_schema_id: int | None = None,
+    keep_raw: bool = False,
 ) -> DataFrame:
     """Wire frames → decoded fields + ``_error`` (null ⇒ valid)."""
-    return from_confluent_avro(stream, schema_config, expected_schema_id)
+    return from_confluent_avro(
+        stream, schema_config, expected_schema_id, keep_raw=keep_raw
+    )
 
 
 class StreamingGraphIngest:
@@ -92,11 +97,13 @@ class StreamingGraphIngest:
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         # foreachBatch is at-least-once: the same batch_id re-runs after
         # a mid-batch failure/restart.  The graph merge is idempotent by
-        # construction; make the side counters idempotent too
+        # construction; the side counters are made idempotent by marking
+        # a batch as seen only AFTER it fully succeeds — marking first
+        # would make a failed-then-retried batch skip its counters
+        # forever (counted nowhere), the inverse bug of double-counting
         replayed = batch_id in self._seen_batches
-        self._seen_batches.add(batch_id)
         decoded = decode_stream(
-            batch, self.schema_config, self.expected_schema_id
+            batch, self.schema_config, self.expected_schema_id, keep_raw=True
         ).cache()
         try:
             # ONE aggregation pass yields every counter (valid count,
@@ -110,25 +117,26 @@ class StreamingGraphIngest:
             }
             n_valid = by_reason.pop(None, 0)
             n_err = sum(by_reason.values())
-            if n_err:
-                if self.dlq_dir:
-                    # partition by batch id + overwrite: a replayed
-                    # batch REPLACES its own DLQ rows instead of
-                    # appending duplicates (dynamic overwrite touches
-                    # only this batch's partition)
-                    (
-                        decoded.where(F.col("_error").isNotNull())
-                        .select("key", "_error", F.lit(batch_id).alias("batch_id"))
-                        .write.partitionBy("batch_id")
-                        .option("partitionOverwriteMode", "dynamic")
-                        .mode("overwrite")
-                        .parquet(self.dlq_dir)
+            if n_err and self.dlq_dir:
+                # partition by batch id + overwrite: a replayed batch
+                # REPLACES its own DLQ rows instead of appending
+                # duplicates (dynamic overwrite touches only this
+                # batch's partition).  The RAW undecoded frame rides
+                # along so dead letters can be re-decoded after a
+                # schema fix — an error string alone is unreplayable.
+                (
+                    decoded.where(F.col("_error").isNotNull())
+                    .select(
+                        "key",
+                        F.col("_raw_value").alias("value"),
+                        "_error",
+                        F.lit(batch_id).alias("batch_id"),
                     )
-                if not replayed:
-                    for reason, cnt in by_reason.items():
-                        self.metrics.errors_by_reason[reason] = (
-                            self.metrics.errors_by_reason.get(reason, 0) + cnt
-                        )
+                    .write.partitionBy("batch_id")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .mode("overwrite")
+                    .parquet(self.dlq_dir)
+                )
             names = [
                 self.schema_config.field_name(c) for c in self.schema_config.columns
             ]
@@ -141,6 +149,12 @@ class StreamingGraphIngest:
                 self.metrics.batches += 1
                 self.metrics.valid_rows += n_valid
                 self.metrics.error_rows += n_err
+                for reason, cnt in by_reason.items():
+                    self.metrics.errors_by_reason[reason] = (
+                        self.metrics.errors_by_reason.get(reason, 0) + cnt
+                    )
+            # success: only now does a replay of this id skip counters
+            self._seen_batches.add(batch_id)
         finally:
             decoded.unpersist()
 
@@ -168,14 +182,43 @@ class StreamingGraphIngest:
     @staticmethod
     def stop_and_drain(query: StreamingQuery, timeout: float = 60.0) -> None:
         """Graceful shutdown (T3): mirrors the reference's signal channel
-        + drain — no new batches, in-flight work completes."""
-        query.processAllAvailable()
+        + drain — best-effort drain, then stop.
+
+        ``processAllAvailable`` blocks FOREVER on a source that keeps
+        producing (Spark documents it as a testing utility), so the
+        drain runs on a daemon thread bounded by ``timeout`` — a live
+        Ctrl-C must reach ``stop()`` even when the sink can never catch
+        up to the producer."""
+        import threading
+
+        drain = threading.Thread(target=query.processAllAvailable, daemon=True)
+        drain.start()
+        drain.join(timeout)
         query.stop()
         query.awaitTermination(timeout)
 
-    def run_to_completion(self, stream: DataFrame, timeout: float = 300.0) -> IngestMetrics:
+    def run_to_completion(
+        self,
+        stream: DataFrame,
+        timeout: float = 300.0,
+        reset_metrics: bool = True,
+    ) -> IngestMetrics:
         """Bounded replay convenience: start availableNow, await, return
-        metrics — the reference's run-to-partition-EOF mode."""
+        metrics — the reference's run-to-partition-EOF mode.
+
+        Metrics are per-RUN (reset on entry by default; pass
+        ``reset_metrics=False`` to accumulate across runs).  A replay
+        that cannot finish within ``timeout`` raises TimeoutError after
+        stopping the query — silently returning partial counters as if
+        final would understate every metric."""
+        if reset_metrics:
+            self.metrics = IngestMetrics()
         q = self.start(stream, available_now=True)
-        q.awaitTermination(timeout)
+        finished = q.awaitTermination(timeout)
+        if not finished:
+            q.stop()
+            raise TimeoutError(
+                f"bounded replay did not finish within {timeout}s; "
+                "metrics are partial"
+            )
         return self.metrics
