@@ -17,7 +17,7 @@ from consume_kafka_avro_data_spark.functions.parity import dsum, o_dsum
 from consume_kafka_avro_data_spark.registry import query
 from consume_kafka_avro_data_spark.tables import load_table
 
-SESSION_GAP_US = 1_800_000_000  # 30 minutes, matches q_session_like
+from consume_kafka_avro_data_spark.queries.temporal import SESSION_GAP_US
 
 
 @query(

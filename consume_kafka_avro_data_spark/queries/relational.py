@@ -266,7 +266,12 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_totalprice"))
         .alias("nv"),
     )
-    x = o.select(F.col("o_orderkey").alias("k"), "o_totalprice")
+    # the lookup side carries the SAME key filter as the probe: the
+    # broadcast must be probe-sized, not |orders|-sized (an unfiltered
+    # broadcast ships the whole table for keys that can never match)
+    x = o.where(F.col("o_orderkey") < 2000).select(
+        F.col("o_orderkey").alias("k"), "o_totalprice"
+    )
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.desc_nulls_last("nv"), "o_orderkey"
     )

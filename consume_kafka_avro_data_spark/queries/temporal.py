@@ -12,6 +12,11 @@ from consume_kafka_avro_data_spark.functions.parity import dsum, o_dsum
 from consume_kafka_avro_data_spark.registry import query
 from consume_kafka_avro_data_spark.tables import load_table
 
+#: 30-minute session gap in integer microseconds — the SINGLE source of
+#: truth shared by q_session_like here and q_sessionize (analytics.py);
+#: two hand-synced literals previously invited silent drift.
+SESSION_GAP_US = 1_800_000_000
+
 
 @query(
     "q_tumbling_window",
@@ -80,9 +85,9 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_session_like",
-    oracle="""
+    oracle=f"""
     SELECT user_id,
-           CAST(1 + SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(1 + SUM(CASE WHEN gap_us > {SESSION_GAP_US} THEN 1 ELSE 0 END) AS BIGINT)
                AS n_sessions,
            CAST(count(*) AS BIGINT) AS n_events
     FROM (
@@ -113,7 +118,7 @@ def q_session_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gapped.groupBy("user_id").agg(
         (
             F.lit(1)
-            + F.sum(F.when(F.col("gap_us") > 1_800_000_000, 1).otherwise(0))
+            + F.sum(F.when(F.col("gap_us") > SESSION_GAP_US, 1).otherwise(0))
         )
         .cast("long")
         .alias("n_sessions"),

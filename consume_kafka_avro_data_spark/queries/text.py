@@ -135,7 +135,9 @@ _CHUNK, _STRIDE = 32, 24  # token window + stride (8-token overlap)
            CAST((s - 1) // {_STRIDE} AS INT) AS chunk_no,
            array_to_string(toks[s : s + {_CHUNK - 1}], ' ') AS chunk,
            CAST(len(toks[s : s + {_CHUNK - 1}]) AS INT) AS n_chunk_tokens
-    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    FROM (SELECT doc_id,
+                 string_split_regex(lower(coalesce(text, '')), '\\s+') AS toks
+          FROM documents),
          unnest(range(1, greatest(len(toks), 1) + 1, {_STRIDE})) AS u(s)
     """,
     tags=("U3", "U7"),
@@ -145,9 +147,16 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     of an LLM training pipeline): 32-token chunks at stride 24 via
     sequence → transform → posexplode — a UDTF-shaped fan-out (U3) as
     pure codegen.  Map-only: each document expands locally, so at
-    100 TB chunking runs at scan speed with no shuffle."""
+    100 TB chunking runs at scan speed with no shuffle.
+
+    Tokenization is the corpus-wide tokens_col convention (regex
+    whitespace split, NULL→''), mirrored by the oracle's
+    string_split_regex + coalesce — a single-space split would disagree
+    on any document with runs of whitespace."""
+    from consume_kafka_avro_data_spark.operators.dedup import tokens_col
+
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), r"\s+")
+    toks = tokens_col("text")
     starts = F.sequence(
         F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(_STRIDE)
     )
@@ -207,13 +216,17 @@ _NEG_SQL = "['bad','slow','terrible','worst','hate','fail','poor','wrong']"
            (len(list_filter(toks, x -> list_contains({_POS_SQL}, x)))
             - len(list_filter(toks, x -> list_contains({_NEG_SQL}, x))))::DOUBLE
              / len(toks) AS sentiment
-    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+    FROM (SELECT doc_id,
+                 string_split_regex(lower(coalesce(text, '')), '\\s+') AS toks
+          FROM documents)
     """,
     tags=("U7",),
 )
 def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon sentiment score (U7): duplicate-counting lexicon hits as
-    a pure map-side filter expression — no join, no UDF."""
+    a pure map-side filter expression — no join, no UDF.  The oracle
+    mirrors tokens_col's regex-split + NULL→'' convention exactly (a
+    single-space split would disagree on tabs/newlines/NULL text)."""
     from consume_kafka_avro_data_spark.operators.text import sentiment_score
 
     d = load_table(spark, sf_dir, "documents")
@@ -224,7 +237,9 @@ def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tfidf_topterms",
     oracle="""
     WITH terms AS (
-      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+      SELECT doc_id,
+             unnest(string_split_regex(lower(coalesce(text, '')), '\s+')) AS term
+      FROM documents
     ), tf AS (
       SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY 1, 2
     ), dfreq AS (
@@ -324,12 +339,19 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass on doc_id — both shrink map-side at 100 TB."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + F.lit(1))
+    # guard: sequence(1, 0) yields [1, 0] (descending), and element_at
+    # with index 0/2-of-1 ABORTS the query under ANSI — a single-token
+    # or empty document must emit zero bigrams like the oracle's
+    # range(1, len), not kill the job
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + F.lit(1))
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     counts = (
         d.select("doc_id", F.explode(bigrams).alias("gram"))
         .groupBy("doc_id", "gram")

@@ -11,10 +11,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from consume_kafka_avro_data_spark.functions.parity import DEC
 from consume_kafka_avro_data_spark.registry import query
 from consume_kafka_avro_data_spark.tables import load_table
-
-DEC = "decimal(18,4)"
 
 
 @query(
@@ -154,7 +153,9 @@ def q_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("k"), F.lit("both_or_cust").alias("src")
     )
-    return c.union(s).distinct().exceptAll(o.distinct())
+    # subtract = set EXCEPT directly; the previous exceptAll-of-distinct
+    # spelling was only correct because the left side was pre-deduped
+    return c.union(s).distinct().subtract(o)
 
 
 @query(

@@ -806,3 +806,49 @@ def test_null_media_rows_yield_null_features(spark):
         spark.createDataFrame([(3, None)], "asset_id LONG, media BINARY")
     ).collect()}
     assert rows[3].width is None
+
+
+def test_text_queries_survive_pathological_documents(spark):
+    """Single-token, empty, NULL, and whitespace-run documents must not
+    crash or silently diverge: the bigram builder guards its sequence
+    (element_at under ANSI aborts on out-of-range), and tokenization is
+    the regex+coalesce convention everywhere."""
+    from consume_kafka_avro_data_spark.operators.text import (
+        quality_features,
+        sentiment_score,
+        tf_idf,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello"),
+            (2, ""),
+            (3, None),
+            (4, "good\tbad  good\nbad"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    # bigram repetition stats: the exploded builder used by
+    # q_repetition_stats (single-token docs emit zero bigrams)
+    from pyspark.sql import functions as F
+
+    toks = F.split(F.lower(F.col("text")), " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select("doc_id", F.explode(bigrams).alias("g")).collect()
+    assert all(r.doc_id == 4 for r in grams)
+
+    # regex+coalesce tokenization: tab/newline split, NULL scored not dropped
+    sent = {r.doc_id: (r.n_pos, r.n_neg) for r in sentiment_score(docs).collect()}
+    assert sent[4] == (2, 2)
+    assert sent[3] == (0, 0)
+    qf = {r.doc_id: r.alpha_ratio for r in quality_features(docs).collect()}
+    assert qf[2] == 0.0 and qf[3] == 0.0  # guarded division, no NULL
+    assert tf_idf(docs).where("doc_id = 4").count() >= 2  # split on \t and \n
