@@ -197,12 +197,26 @@ def native_avro_available(spark) -> bool:
 
 
 def to_confluent_avro(
-    df: DataFrame, schema_config: SchemaConfig, schema_id: int, value_col: str = "value"
+    df: DataFrame,
+    schema_config: SchemaConfig,
+    schema_id: int,
+    value_col: str = "value",
+    use_native: bool | None = None,
 ) -> DataFrame:
     """Project per config, then encode each row to a Confluent-framed
     Avro ``value`` (binary) + the configured key column — the writer
     path the reference's producer side implies (SchemaRegistry.cpp:144-161
-    registers, KafkaPoller delivers)."""
+    registers, KafkaPoller delivers).
+
+    ``use_native=None`` (default) probes the classpath once and compiles
+    to the JVM ``to_avro`` expression when the spark-avro datasource is
+    present (SURVEY §7 step 4); otherwise (and with ``use_native=False``)
+    it uses the Arrow-batched pandas codec.  Both paths emit byte-
+    identical CP1 frames for the flat scalar schema universe."""
+    if use_native is None:
+        use_native = native_avro_available(df.sparkSession)
+    if use_native:
+        return _to_confluent_avro_native(df, schema_config, schema_id, value_col)
     fields = _schema_fields(schema_config)
     sid = schema_id
 
@@ -227,12 +241,137 @@ def to_confluent_avro(
     )
 
 
+def _to_confluent_avro_native(
+    df: DataFrame, schema_config: SchemaConfig, schema_id: int, value_col: str
+) -> DataFrame:
+    """Pure-JVM encode: ``concat(<5-byte CP1 header literal>,
+    to_avro(struct))`` — zero Python in the plan, whole-stage-codegen
+    eligible.  Requires spark-avro on the classpath.
+
+    Contract difference vs the pandas codec, by construction: a NULL
+    field value fails the TASK (to_avro rejects nulls against the
+    no-null-union writer schema) instead of raising a driver-side
+    ValueError per row; both surface the same invariant."""
+    from pyspark.sql.avro.functions import to_avro
+
+    if not 0 <= schema_id < 2**31:
+        raise ValueError(f"schema id {schema_id} outside int32 range")
+    fields = _schema_fields(schema_config)
+    header = MAGIC + _struct.pack(">i", schema_id)
+    shaped = schema_config.apply(df)
+    struct_col = F.struct(*[F.col(n) for n, _ in fields])
+    body = to_avro(struct_col, schema_config.to_avro_schema_json())
+    return shaped.select(
+        F.col(schema_config.key_column).cast("string").alias("key"),
+        F.concat(F.lit(header), body).alias(value_col),
+    )
+
+
+def _cp1_header_error(
+    v: Column, sid_signed: Column, expected: int | None
+) -> Column:
+    """JVM-side CP1 header validation producing the SAME error strings
+    as the Python codec (unframe_confluent), so DLQ contents don't
+    depend on which codec path a deployment runs."""
+    vlen = F.length(v)
+    magic = F.conv(F.hex(v.substr(1, 1)), 16, 10).cast("int")
+    return (
+        F.when(v.isNull(), F.lit("null value (tombstone)"))
+        .when(
+            vlen < 5,
+            F.concat(
+                F.lit("frame too short ("), vlen.cast("string"), F.lit(" bytes)")
+            ),
+        )
+        .when(
+            magic != 0,
+            F.concat(
+                F.lit("Invalid CP1 magic byte "),
+                magic.cast("string"),
+                F.lit(", expected 0"),
+            ),
+        )
+        .when(
+            sid_signed < 0,
+            F.concat(
+                F.lit("invalid negative schema id "), sid_signed.cast("string")
+            ),
+        )
+        .when(
+            F.lit(expected is not None) & (sid_signed != F.lit(expected or 0)),
+            F.concat(
+                F.lit("schema id "),
+                sid_signed.cast("string"),
+                F.lit(f" != expected {expected}"),
+            ),
+        )
+    )
+
+
+def _from_confluent_avro_native(
+    df: DataFrame,
+    schema_config: SchemaConfig,
+    expected_schema_id: int | None,
+    value_col: str,
+    keep_raw: bool,
+) -> DataFrame:
+    """Pure-JVM decode (SURVEY §7 step 4; reference S2 decode at
+    src/KafkaConsumerCallback.cpp:69-83): header checks as codegen'd
+    expressions, ``substring(value, 6, length(value)-5)`` strips the CP1
+    frame, ``from_avro(..., mode=PERMISSIVE)`` decodes the body — no
+    ``BatchEvalPython``/``ArrowEvalPython`` node anywhere in the plan.
+
+    Two deliberate contract differences vs the pandas codec, both only
+    on MALFORMED bodies (header errors match byte-for-byte):
+    * body decode failures all map to the one message ``malformed Avro
+      body`` (from_avro's PERMISSIVE null carries no reason);
+    * trailing bytes after a well-formed record are ignored (the Avro
+      reader stops at the record boundary) instead of erroring.
+    """
+    from pyspark.sql.avro.functions import from_avro
+
+    fields = _schema_fields(schema_config)
+    v = F.col(value_col)
+    sid_unsigned = F.conv(F.hex(v.substr(2, 4)), 16, 10).cast("long")
+    sid_signed = F.when(
+        sid_unsigned >= F.lit(2**31), sid_unsigned - F.lit(2**32)
+    ).otherwise(sid_unsigned)
+    header_err = _cp1_header_error(v, sid_signed, expected_schema_id)
+    body = F.expr(f"substring({value_col}, 6, length({value_col}) - 5)")
+    dec = F.when(
+        header_err.isNull(),
+        from_avro(
+            body, schema_config.to_avro_schema_json(), {"mode": "PERMISSIVE"}
+        ),
+    )
+    tmp = df.withColumns(
+        {
+            "_dec": dec,
+            "_err": F.coalesce(
+                header_err,
+                F.when(dec.isNull(), F.lit("malformed Avro body")),
+            ),
+            "_sid": F.when(header_err.isNull(), sid_signed.cast("int")),
+        }
+    )
+    raw = [v.alias("_raw_value")] if keep_raw else []
+    ok = F.col("_err").isNull()
+    return tmp.select(
+        *[c for c in df.columns if c != value_col],
+        *raw,
+        F.col("_err").alias("_error"),
+        F.when(ok, F.col("_sid")).alias("_schema_id"),
+        *[F.when(ok, F.col(f"_dec.{n}")).alias(n) for n, _ in fields],
+    )
+
+
 def from_confluent_avro(
     df: DataFrame,
     schema_config: SchemaConfig,
     expected_schema_id: int | None = None,
     value_col: str = "value",
     keep_raw: bool = False,
+    use_native: bool | None = None,
 ) -> DataFrame:
     """Decode a Confluent-framed Avro ``value`` column into the
     configured fields, PERMISSIVE-style: malformed frames yield null
@@ -243,7 +382,18 @@ def from_confluent_avro(
     each subset with its own schema).  ``keep_raw=True`` carries the
     undecoded frame through as ``_raw_value`` — a DLQ that persists only
     the error string cannot replay its dead letters after a schema fix.
+
+    ``use_native=None`` (default) probes the classpath once and uses the
+    pure-JVM ``from_avro`` path when spark-avro is present — the 100 TB
+    hot-ingest shape, no Python in the plan — falling back to the
+    Arrow-batched pandas codec in jar-less deployments (this sandbox).
     """
+    if use_native is None:
+        use_native = native_avro_available(df.sparkSession)
+    if use_native:
+        return _from_confluent_avro_native(
+            df, schema_config, expected_schema_id, value_col, keep_raw
+        )
     fields = _schema_fields(schema_config)
     out_type = StructType(
         [StructField(n, _AVRO_TO_SPARK[t], True) for n, t in fields]

@@ -70,6 +70,40 @@ def kafka_source_available(spark: SparkSession) -> bool:
     )
 
 
+# spark-sql-kafka artifact matching the bundled PySpark build — the
+# ``--packages`` coordinate documented in configs/live_smoke.yaml and
+# README; pinned here so config, docs, and tests share ONE constant.
+KAFKA_PACKAGE = "org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2"
+
+
+def kafka_reader_options(
+    config: JobConfig,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool | None = None,
+) -> dict[str, str]:
+    """The kafka datasource option map, as a pure function so tests can
+    pin the assembly against configs/live_smoke.yaml with no broker.
+
+    ``startingOffsets=earliest`` is the reference's OFFSET_BEGINNING
+    (src/main.cpp:229-230); ``maxOffsetsPerTrigger`` adds the
+    backpressure bound the reference lacks (its SafeQueue grows without
+    bound, src/SafeQueue.h:55); ``failOnDataLoss=false`` is the live
+    choice for retention-expired replays (the reference logs and keeps
+    consuming; a fail-fast deployment passes True)."""
+    opts = {
+        "kafka.bootstrap.servers": config.bootstrap_servers or "",
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    if fail_on_data_loss is not None:
+        opts["failOnDataLoss"] = "true" if fail_on_data_loss else "false"
+    return opts
+
+
 def kafka_reader(
     spark: SparkSession,
     config: JobConfig,
@@ -77,28 +111,26 @@ def kafka_reader(
     streaming: bool = True,
     starting_offsets: str = "earliest",
     max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool | None = None,
 ):
-    """Configured Kafka reader (stream or batch replay).
-
-    ``startingOffsets=earliest`` is the reference's OFFSET_BEGINNING
-    (src/main.cpp:229-230); ``maxOffsetsPerTrigger`` adds the
-    backpressure bound the reference lacks.
-    """
+    """Configured Kafka reader (stream or batch replay) — option
+    assembly in :func:`kafka_reader_options` (unit-tested brokerless)."""
     if not kafka_source_available(spark):
         raise RuntimeError(
             "spark-sql-kafka datasource not on the classpath; add the "
-            "org.apache.spark:spark-sql-kafka-0-10 package, or use "
+            f"{KAFKA_PACKAGE} package, or use "
             "FileStreamStandIn for offline runs"
         )
     reader = spark.readStream if streaming else spark.read
-    reader = (
-        reader.format("kafka")
-        .option("kafka.bootstrap.servers", config.bootstrap_servers or "")
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+    reader = reader.format("kafka").options(
+        **kafka_reader_options(
+            config,
+            topic,
+            starting_offsets,
+            max_offsets_per_trigger,
+            fail_on_data_loss,
+        )
     )
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     return reader.load()
 
 

@@ -3,7 +3,7 @@
 Confluent Schema Registry — no file stand-ins, no offline registry cache.
 
     spark-submit \
-      --packages org.apache.spark:spark-sql-kafka-0-10_2.13:4.0.0 \
+      --packages org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2 \
       scripts/live_smoke.py configs/live_smoke.yaml [--dry-run]
 
 Exercises the exact path the reference binary runs (src/main.cpp:143-256):
@@ -47,11 +47,32 @@ def main() -> int:
 
     import yaml
 
+    from consume_kafka_avro_data_spark.sources.kafka import (
+        KAFKA_PACKAGE,
+        kafka_reader_options,
+    )
+
     with open(cfg_path) as f:
         engine = yaml.safe_load(f).get("engine", {})
 
+    pkg = engine.get("kafka_package", KAFKA_PACKAGE)
+    if pkg != KAFKA_PACKAGE:
+        print(
+            f"warning: config pins {pkg}, engine expects {KAFKA_PACKAGE}",
+            file=sys.stderr,
+        )
+    opts = kafka_reader_options(
+        config,
+        topic,
+        starting_offsets="earliest",
+        max_offsets_per_trigger=engine.get("max_offsets_per_trigger"),
+        fail_on_data_loss=engine.get("fail_on_data_loss"),
+    )
+    print(f"  --packages {pkg}")
+    print(f"  kafka options: {opts}")
+
     if dry_run:
-        print("dry-run: config + schema assembly validated, stopping")
+        print("dry-run: config + schema assembly + reader options validated")
         return 0
 
     from pyspark.sql import SparkSession
@@ -80,6 +101,7 @@ def main() -> int:
         streaming=True,
         starting_offsets="earliest",
         max_offsets_per_trigger=engine.get("max_offsets_per_trigger"),
+        fail_on_data_loss=engine.get("fail_on_data_loss"),
     )
     store = GraphStore(spark, engine["graph_dir"])
     ingest = StreamingGraphIngest(

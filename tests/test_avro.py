@@ -311,3 +311,115 @@ def test_schema_id_is_signed_int32():
         frame_confluent(b"x", 2**31)
     with pytest.raises(ValueError, match="negative schema id"):
         unframe_confluent(b"\x00\xff\xff\xff\xff" + b"x")
+
+
+# ---------------------------------------------------------------------------
+# native (spark-avro) path — SURVEY §7 step 4; VERDICT r02 item 2
+# ---------------------------------------------------------------------------
+
+
+def _error_for(frame: bytes | None, expected: int | None) -> str | None:
+    """Expected _error per the PYTHON codec's header rules (the header
+    contract both codec paths must share)."""
+    if frame is None:
+        return "null value (tombstone)"
+    try:
+        sid, _ = unframe_confluent(frame)
+    except ValueError as e:
+        return str(e)
+    if expected is not None and sid != expected:
+        return f"schema id {sid} != expected {expected}"
+    return None
+
+
+def test_cp1_header_error_expressions_match_python_codec(spark):
+    """The JVM header-validation expressions (_cp1_header_error) must
+    emit byte-identical error strings to unframe_confluent, so a DLQ's
+    contents don't depend on which codec path a deployment runs.  Jar-
+    independent: exercises only the header expressions, not from_avro."""
+    from pyspark.sql import functions as F
+
+    from consume_kafka_avro_data_spark.sources.avro_codec import (
+        _cp1_header_error,
+    )
+
+    frames: list[bytes | None] = [
+        frame_confluent(b"\x02x", 2),              # valid, id matches
+        frame_confluent(b"\x02x", 7),              # valid, id mismatch
+        b"",                                        # empty
+        b"\x00\x00\x00",                            # too short
+        b'{"not": "avro"}',                         # bad magic (123)
+        b"\x00\xff\xff\xff\xff" + b"x",            # negative schema id
+        None,                                       # tombstone
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(f) if f is not None else None) for i, f in enumerate(frames)],
+        "i int, value binary",
+    )
+    v = F.col("value")
+    sid_u = F.conv(F.hex(v.substr(2, 4)), 16, 10).cast("long")
+    sid = F.when(sid_u >= F.lit(2**31), sid_u - F.lit(2**32)).otherwise(sid_u)
+    got = {
+        r.i: r.err
+        for r in df.select(
+            "i", _cp1_header_error(v, sid, 2).alias("err")
+        ).collect()
+    }
+    for i, f in enumerate(frames):
+        assert got[i] == _error_for(f, 2), f"frame {i}: {got[i]!r}"
+
+
+def _native_available(spark) -> bool:
+    from consume_kafka_avro_data_spark.sources.avro_codec import (
+        native_avro_available,
+    )
+
+    return native_avro_available(spark)
+
+
+def test_native_and_pandas_codecs_agree(spark):
+    """With spark-avro on the classpath, the JVM from_avro/to_avro path
+    must produce byte-identical frames and identical decoded rows to the
+    pandas codec on the same input (skipped in jar-less sandboxes)."""
+    if not _native_available(spark):
+        pytest.skip("spark-avro datasource not on classpath")
+    from pyspark.sql import functions as F
+
+    sc = parse_config(SPO_DOC).schema_for("spo")
+    df = spark.createDataFrame(
+        [("Don Vito", "Email", "donvito@example.com"), ("A", "Captain", "B")],
+        ["S", "P", "O"],
+    )
+    f_py = to_confluent_avro(df, sc, schema_id=2, use_native=False)
+    f_jvm = to_confluent_avro(df, sc, schema_id=2, use_native=True)
+    by_key_py = {r.key: bytes(r.value) for r in f_py.collect()}
+    by_key_jvm = {r.key: bytes(r.value) for r in f_jvm.collect()}
+    assert by_key_py == by_key_jvm  # byte-identical CP1 frames
+
+    bad = spark.createDataFrame(
+        [("junk", bytearray(b'{"not": "avro"}'))], ["key", "value"]
+    )
+    topic = f_py.unionByName(bad)
+    cols = ["key", "_error", "_schema_id", "subject", "predicate", "object"]
+    d_py = from_confluent_avro(topic, sc, expected_schema_id=2, use_native=False)
+    d_jvm = from_confluent_avro(topic, sc, expected_schema_id=2, use_native=True)
+    rows_py = {tuple(r[c] for c in cols) for r in d_py.collect()}
+    rows_jvm = {tuple(r[c] for c in cols) for r in d_jvm.collect()}
+    assert rows_py == rows_jvm
+
+
+def test_native_decode_plan_is_pure_jvm(spark):
+    """The native decode/encode plans must contain NO Python evaluation
+    node — that is the entire point of the native path at 100 TB."""
+    if not _native_available(spark):
+        pytest.skip("spark-avro datasource not on classpath")
+    sc = parse_config(SPO_DOC).schema_for("spo")
+    df = spark.createDataFrame(
+        [("Don Vito", "Email", "d@example.com")], ["S", "P", "O"]
+    )
+    framed = to_confluent_avro(df, sc, schema_id=2, use_native=True)
+    decoded = from_confluent_avro(framed, sc, use_native=True)
+    for d in (framed, decoded):
+        plan = d._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan

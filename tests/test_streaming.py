@@ -544,3 +544,92 @@ def test_running_stats_all_null_ts_emits_null_last_seen(spark, tmp_path):
     import pandas as pd
 
     assert pd.isna(final.loc[7, "last_micros"])
+
+
+# ---------------------------------------------------------------------------
+# live-smoke dry path (VERDICT r02 item 6) — brokerless coverage of the
+# kafka option assembly and the --packages pin
+# ---------------------------------------------------------------------------
+
+
+def test_kafka_reader_options_from_live_smoke_config():
+    """The option map the live job would hand the kafka datasource,
+    assembled from configs/live_smoke.yaml with no broker involved."""
+    import os
+
+    import yaml
+
+    from consume_kafka_avro_data_spark.config import load_config
+    from consume_kafka_avro_data_spark.sources.kafka import (
+        KAFKA_PACKAGE,
+        kafka_reader_options,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg_path = os.path.join(repo, "configs", "live_smoke.yaml")
+    config = load_config(cfg_path)
+    with open(cfg_path) as f:
+        engine = yaml.safe_load(f)["engine"]
+
+    topic = config.schemas[0].name
+    opts = kafka_reader_options(
+        config,
+        topic,
+        starting_offsets="earliest",
+        max_offsets_per_trigger=engine.get("max_offsets_per_trigger"),
+        fail_on_data_loss=engine.get("fail_on_data_loss"),
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "localhost:9092",
+        "subscribe": "spo",
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": "10000",
+        "failOnDataLoss": "false",
+    }
+    # the config's --packages pin must match the engine's constant
+    assert engine["kafka_package"] == KAFKA_PACKAGE
+    # coordinate's artifact version tracks the installed pyspark build
+    import pyspark
+
+    assert KAFKA_PACKAGE.rsplit(":", 1)[1] == pyspark.__version__
+
+
+def test_kafka_reader_options_defaults_omit_optional_keys():
+    from consume_kafka_avro_data_spark.config import parse_config
+    from consume_kafka_avro_data_spark.sources.kafka import kafka_reader_options
+
+    cfg = parse_config(
+        {
+            "kafka": {"bootstrap.servers": "b:9092"},
+            "type_map": {"t": {"key_column": "k", "columns": ["k"]}},
+            "column_map": {"k": "k"},
+        }
+    )
+    opts = kafka_reader_options(cfg, "t")
+    assert opts == {
+        "kafka.bootstrap.servers": "b:9092",
+        "subscribe": "t",
+        "startingOffsets": "earliest",
+    }
+
+
+def test_live_smoke_dry_run_exits_clean():
+    """scripts/live_smoke.py --dry-run validates config + schema
+    assembly + reader options without touching any service."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "live_smoke.py"), "--dry-run"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "config ok: topic=spo" in proc.stdout
+    assert "--packages org.apache.spark:spark-sql-kafka-0-10" in proc.stdout
+    assert "'failOnDataLoss': 'false'" in proc.stdout
+    assert "dry-run: config + schema assembly + reader options validated" in proc.stdout
+    assert "warning" not in proc.stderr
