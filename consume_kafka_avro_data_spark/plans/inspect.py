@@ -57,20 +57,34 @@ def broadcast_join_count(df: DataFrame) -> int:
 
 
 def _split_top_level(text: str) -> list[str]:
-    """Split a filter/field list on commas NOT inside (), [], or <> —
-    a naive split mangles ``In(col, [a,b])`` and ``decimal(18,4)`` into
-    garbage fragments that make substring assertions lie."""
-    out, depth, cur = [], 0, []
+    """Split a filter/field list on commas NOT inside (), [], or type
+    applications like ``struct<...>`` — a naive split mangles
+    ``In(col, [a,b])`` and ``decimal(18,4)`` into garbage fragments.
+
+    ``<``/``>`` are bracket-counted ONLY when the ``<`` immediately
+    follows a word character (``array<``, ``map<``, ``struct<``): infix
+    comparisons in PartitionFilters (``(x#1 > 5)``) and lambda arrows
+    (``->``) would otherwise drive the depth negative and disable comma
+    splitting for the rest of the payload."""
+    out: list[str] = []
+    cur: list[str] = []
+    depth = angle = 0
+    prev = ""
     for ch in text:
-        if ch in "([<":
+        if ch in "([":
             depth += 1
-        elif ch in ")]>":
+        elif ch in ")]":
             depth -= 1
-        if ch == "," and depth == 0:
+        elif ch == "<" and (prev.isalnum() or prev == "_"):
+            angle += 1
+        elif ch == ">" and angle > 0 and prev != "-":
+            angle -= 1
+        if ch == "," and depth == 0 and angle == 0:
             out.append("".join(cur).strip())
             cur = []
         else:
             cur.append(ch)
+        prev = ch
     if cur:
         out.append("".join(cur).strip())
     return [s for s in out if s]

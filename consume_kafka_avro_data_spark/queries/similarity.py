@@ -852,7 +852,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_O_QUALITY = """
+_O_QUALITY = r"""
     SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,
            len(list_distinct(toks))::DOUBLE / len(toks) AS ttr,
@@ -866,7 +866,7 @@ _O_QUALITY = """
                     u -> len(list_filter(toks, x -> x = u))))::DOUBLE
              / len(toks) AS max_token_share
     FROM (SELECT doc_id, coalesce(text, '') AS text,
-                 string_split(lower(coalesce(text, '')), ' ') AS toks
+                 string_split_regex(lower(coalesce(text, '')), '\s+') AS toks
           FROM documents)
 """
 
@@ -1240,6 +1240,7 @@ def q_sq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = v.groupBy("pos").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
     coded = (
         v.where(F.col("vec_id") < 20)
+        # s is one row per vector dimension (≤64) — bounded at any SF
         .join(F.broadcast(s), "pos")
         .withColumn(
             "code",
@@ -1448,5 +1449,10 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cb = pq_codebooks(emb, m=_PQ_M, k=_PQ_K)
-    qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
-    return pq_adc_topk(emb, qv, cb, k=10)
+    # Defensive collect: the oracle (_o_pq_adc) degrades to rows-only
+    # when no vec_id=0 row exists, so the Spark side must degrade too
+    # (empty top-k frame) rather than IndexError the whole parity run.
+    rows = emb.where(F.col("vec_id") == 0).limit(1).collect()
+    if not rows:
+        return spark.createDataFrame([], "vec_id long, adc_dist double")
+    return pq_adc_topk(emb, rows[0]["embedding"], cb, k=10)

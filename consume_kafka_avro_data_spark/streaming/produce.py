@@ -133,21 +133,23 @@ class AvroProducer:
         partition 0 (the reference hard-codes partition 0,
         src/main.cpp:230) and densely increasing offsets ordered by key
         — so the consumer side sees a replayable topic.  ``n`` is the
-        pre-counted batch size (see produce_batch).  The offset range is
-        reserved under the lock so concurrent queries off one producer
-        cannot interleave ranges; the write itself runs outside it."""
+        pre-counted batch size (see produce_batch).  The lock is held
+        across the write and the offset commit: offsets advance only
+        after the write succeeds, so a failed write leaves no permanent
+        gap in the densely-increasing-offsets invariant (delivery is
+        serialized per batch anyway, so the held lock costs nothing)."""
         with self._lock:
             base = self._next_offset
-            self._next_offset += n
-        w = Window.orderBy("key", "value")
-        out = framed.select(
-            F.col("key").cast("binary").alias("key"),
-            "value",
-            F.lit(self.topic).alias("topic"),
-            F.lit(0).cast("int").alias("partition"),
-            (F.row_number().over(w) - 1 + F.lit(base)).cast("long").alias("offset"),
-        )
-        self.stand_in.write_batch(out)
+            w = Window.orderBy("key", "value")
+            out = framed.select(
+                F.col("key").cast("binary").alias("key"),
+                "value",
+                F.lit(self.topic).alias("topic"),
+                F.lit(0).cast("int").alias("partition"),
+                (F.row_number().over(w) - 1 + F.lit(base)).cast("long").alias("offset"),
+            )
+            self.stand_in.write_batch(out)
+            self._next_offset = base + n
         return n
 
     # -- streaming produce -------------------------------------------------
@@ -172,10 +174,15 @@ class AvroProducer:
         topic invariant intact."""
 
         def _deliver(batch: DataFrame, batch_id: int) -> None:
+            # Membership check WITHOUT inserting: the id is marked seen
+            # only after successful delivery (below, next to report.record).
+            # Inserting first would turn a failed write + checkpoint
+            # replay into silent at-most-once loss — the replayed batch
+            # would be skipped though it was never delivered (the exact
+            # inverse-ordering bug ingest.py process_batch fixed).
             with self._lock:
                 if batch_id in self._seen_batches:
                     return
-                self._seen_batches.add(batch_id)
             n = batch.count()  # input pre-count; see produce_batch
             framed = self.frame(batch)
             if self.stand_in is not None:
@@ -187,6 +194,7 @@ class AvroProducer:
                     "kafka.bootstrap.servers", self.bootstrap_servers or ""
                 ).option("topic", self.topic).save()
             with self._lock:
+                self._seen_batches.add(batch_id)
                 self.report.record(batch_id, n)
 
         writer = stream.writeStream.foreachBatch(_deliver)
