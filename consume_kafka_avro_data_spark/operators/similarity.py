@@ -149,6 +149,8 @@ def knn_join(
         F.col(query_vec),
         l2_norm(F.col(query_vec), dim=None).alias("_qn"),
     )
+    # q is the query set — caller-bounded (top-k search ships a handful
+    # of probe vectors), never corpus-sized, so broadcast is safe
     scored = c.crossJoin(F.broadcast(q)).select(
         F.col(query_id),
         F.col(id_col),

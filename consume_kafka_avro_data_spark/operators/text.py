@@ -315,6 +315,8 @@ def tf_idf(
             ).alias("idf"),
         )
     )
-    return tf.join(F.broadcast(dfreq), "term").select(
+    # dfreq is vocab-sized (unbounded at scale): no hint — the planner
+    # broadcasts it while its estimate fits, shuffles on term at 100 TB
+    return tf.join(dfreq, "term").select(
         id_col, "term", "tf", (F.col("tf") * F.col("idf")).alias("tfidf")
     )

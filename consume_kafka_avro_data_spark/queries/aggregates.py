@@ -206,6 +206,7 @@ def q_collect_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     return (
+        # nation is 25 rows at ANY scale factor — always broadcast-safe
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -448,6 +449,7 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("_a50"),
         F.percentile_approx("o_totalprice", 0.9, 10000).alias("_a90"),
     )
+    # sketch is one row per o_orderpriority (5-value domain at any SF)
     joined = o.join(F.broadcast(sketch), "o_orderpriority")
     # tie-aware ranks: the returned value v occupies the rank interval
     # [count(<v), count(<=v)] — checking only the max rank would fail a

@@ -168,6 +168,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.where(F.col("source") != "src0").select("doc_id", "g").distinct()
     )
     return (
+        # eval_g is the EVAL corpus' gram set — eval sets are fixed-size
+        # by construction (they don't grow with training data), so the
+        # broadcast is bounded; this is the standard decontamination shape
         train_g.join(F.broadcast(eval_g), "g")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
@@ -223,7 +226,7 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # float32 rounding erases a 1-ulp double discrepancy except on a
     # ~2^-29-probability rounding boundary — the sums then accumulate
     # identical doubles in identical order on both engines
-    lp = uni.crossJoin(F.broadcast(tot)).select(
+    lp = uni.crossJoin(F.broadcast(tot)).select(  # tot: single row
         "tok",
         F.log(F.col("cnt").cast("double") / F.col("n"))
         .cast("float")
@@ -231,7 +234,9 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lp"),
     )
     per = (
-        toks.join(F.broadcast(lp), "tok")
+        # lp is vocab-sized (unbounded at scale): no hint — planner
+        # broadcasts while small, shuffles on tok at 100 TB
+        toks.join(lp, "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_toks"),

@@ -185,6 +185,7 @@ def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     minmax = F.when(F.col("mx") == F.col("mn"), F.lit(None)).otherwise(
         (F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn"))
     )
+    # stats is one row per event_type — a fixed small domain at any SF
     return fact.join(F.broadcast(stats), "event_type").select(
         "event_id",
         "event_type",
@@ -250,6 +251,8 @@ def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = stats.agg(
         F.sum(w).alias("w_tot"), F.sum("n_l").cast("long").alias("n_tot")
     )
+    # tot is a single row; p below is one row per language (fixed
+    # small domain at any SF) — both broadcast-safe
     p = (
         stats.crossJoin(F.broadcast(tot))
         .select(
@@ -360,9 +363,12 @@ def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("co") >= 50)
     )
     out = (
-        pairs.join(F.broadcast(tf.withColumnRenamed("df", "df_a")), pairs.tok_a == F.col("tok"))
+        # tf is vocab-sized (unbounded at scale): no hint — the planner
+        # broadcasts it while small and shuffles on tok at 100 TB.
+        # nd is a single global row: always broadcast-safe.
+        pairs.join(tf.withColumnRenamed("df", "df_a"), pairs.tok_a == F.col("tok"))
         .drop("tok")
-        .join(F.broadcast(tf.withColumnRenamed("df", "df_b")), pairs.tok_b == F.col("tok"))
+        .join(tf.withColumnRenamed("df", "df_b"), pairs.tok_b == F.col("tok"))
         .drop("tok")
         .crossJoin(F.broadcast(nd))
     )

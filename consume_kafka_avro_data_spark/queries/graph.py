@@ -64,7 +64,10 @@ def q_vertex_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         e.select(F.col("user_id").alias("k"))
-        .join(F.broadcast(existing), "k", "left_anti")
+        # no hint: the existing-vertex set is SF-sized (grows with the
+        # store) — planner broadcasts while small, shuffled anti-join at
+        # scale; a forced broadcast of the full vertex set cannot scale
+        .join(existing, "k", "left_anti")
         .select(
             F.col("k").cast("string").alias("object_name"),
             F.lit("user").alias("object_type"),
@@ -203,8 +206,10 @@ def q_coengagement_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.orderBy(F.desc("jaccard"), F.asc("u1"), F.asc("u2"))
     return (
-        pairs.join(F.broadcast(d1), "u1")
-        .join(F.broadcast(d2), "u2")
+        # degree table is user-sized (unbounded at scale): no hint —
+        # planner broadcasts while small, shuffles on u1/u2 at 100 TB
+        pairs.join(d1, "u1")
+        .join(d2, "u2")
         .select("u1", "u2", "shared", jac.alias("jaccard"))
         .orderBy(F.desc("jaccard"), F.asc("u1"), F.asc("u2"))
         .limit(50)

@@ -36,9 +36,12 @@ def q_fk_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
+    # no hint: customer grows linearly with SF (scale-factor-sized, not
+    # truly tiny like nation/region) — the planner broadcasts it while
+    # its size estimate fits and shuffles at 100 TB instead of OOMing
     return (
         o.where(F.col("o_totalprice") > 150000.0)
-        .join(broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .join(c, o.o_custkey == c.c_custkey, "inner")
         .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
     )
 
@@ -80,7 +83,9 @@ def q_edge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_order.join(o, per_order.l_orderkey == o.o_orderkey)
-        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        # customer is SF-sized: unhinted, the planner broadcasts it only
+        # while its estimate fits the threshold (it does at bench SFs)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.sum("_n").alias("n_lineitems"),
@@ -109,7 +114,11 @@ def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
-    return c.join(broadcast(o), c.c_custkey == o.o_custkey, "left").select(
+    # NO broadcast hint: the build side is fact-derived (distinct orders
+    # keys ~= |customer|, unbounded at scale).  The planner broadcasts it
+    # while its size estimate is under the threshold and falls back to a
+    # shuffled join at 100 TB — an explicit hint would force driver OOM.
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
         "c_custkey",
         "c_name",
         F.col("o_custkey").isNotNull().alias("has_order"),
@@ -140,6 +149,7 @@ def q_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
             & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
         )
+        # region is 5 rows at ANY scale factor — always broadcast-safe
         .join(broadcast(r), F.col("a.n_regionkey") == F.col("r_regionkey"))
         .select("r_name", F.col("a.n_name").alias("nation_a"), F.col("b.n_name").alias("nation_b"))
     )
@@ -340,12 +350,13 @@ def q_supply_chain_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-hop reachability (J5) over the relational graph: starting
     from one region, the BFS frontier sizes through nations → customers
     → orders → supplying suppliers → supplier nations.  Each hop is an
-    equi-join against the (distinct) previous frontier; every frontier
-    up to orders is dimension-sized, so Catalyst broadcasts it onto the
-    next fact table and the only real shuffles are the distinct()
-    reductions — the frontier-expansion shape any iterative graph
-    traversal (and q_pagerank's loop) uses.  Counts are integers:
-    exact on both engines."""
+    equi-join against the (distinct) previous frontier; only the
+    nation-level frontier (≤25 rows at any SF) carries a broadcast
+    hint — the wider fact-derived frontiers are left to the planner,
+    which broadcasts them while small and shuffles them at 100 TB —
+    the frontier-expansion shape any iterative graph traversal (and
+    q_pagerank's loop) uses.  Counts are integers: exact on both
+    engines."""
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     customer = load_table(spark, sf_dir, "customer")
@@ -357,23 +368,28 @@ def q_supply_chain_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("r_name") == "ASIA")
         .select("n_nationkey")
     )
+    # h1 is nation-derived (≤25 rows at ANY SF) — the only hinted
+    # frontier.  h2/h3/h4 are fact-derived (customer-/orders-/lineitem-
+    # sized) and carry NO hint: the planner broadcasts small frontiers
+    # and falls back to shuffled joins at 100 TB, where a forced
+    # broadcast of millions of order keys would OOM the driver.
     h2 = (
         customer.join(F.broadcast(h1), customer.c_nationkey == h1.n_nationkey)
         .select("c_custkey")
         .distinct()
     )
     h3 = (
-        orders.join(F.broadcast(h2), orders.o_custkey == h2.c_custkey)
+        orders.join(h2, orders.o_custkey == h2.c_custkey)
         .select("o_orderkey")
         .distinct()
     )
     h4 = (
-        lineitem.join(F.broadcast(h3), lineitem.l_orderkey == h3.o_orderkey)
+        lineitem.join(h3, lineitem.l_orderkey == h3.o_orderkey)
         .select("l_suppkey")
         .distinct()
     )
     h5 = (
-        supplier.join(F.broadcast(h4), supplier.s_suppkey == h4.l_suppkey)
+        supplier.join(h4, supplier.s_suppkey == h4.l_suppkey)
         .select("s_nationkey")
         .distinct()
     )
@@ -490,6 +506,8 @@ def q_interval_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
+        # hist is one row per ship-date DAY (≤ ~2500 over the 7-year
+        # span at ANY SF — domain-bounded, not data-sized)
         days.join(F.broadcast(hist), "sd_day")
         .groupBy("o_orderkey")
         .agg(F.sum("day_n").alias("n_shipped"))

@@ -168,6 +168,8 @@ def q_calendar_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         dsum("o_totalprice").alias("sum_price"),
     )
+    # agg is one row per calendar month in the data's 7-year span
+    # (≤ ~100 rows at any SF) — broadcast onto the generated spine
     return months.join(F.broadcast(agg), "month", "left").select(
         "month",
         F.coalesce(F.col("n_orders"), F.lit(0).cast("long")).alias("n_orders"),

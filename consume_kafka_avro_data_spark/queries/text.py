@@ -235,7 +235,7 @@ def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_tfidf_topterms",
-    oracle="""
+    oracle=r"""
     WITH terms AS (
       SELECT doc_id,
              unnest(string_split_regex(lower(coalesce(text, '')), '\s+')) AS term
@@ -525,6 +525,8 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / (F.col("total_dl") / F.col("n_docs"))))
     )
     sc = (
+        # dfq is one row per QUERY term (3 literals here — query-sized,
+        # not vocab-sized); st is a single global-stats row
         tf.join(F.broadcast(dfq), "tok")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(st))

@@ -292,6 +292,8 @@ def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", 0.5).alias("med_value")
     )
     return (
+        # med is one row per event_type — a fixed small domain, bounded
+        # at any SF, so the broadcast hint is scale-safe
         e.join(F.broadcast(med), "event_type")
         .groupBy("event_type")
         .agg(

@@ -93,9 +93,15 @@ def test_dedup_exact_single_shuffle(q):
     assert I.exchange_count(df) <= 1
 
 
-def test_semi_anti_broadcast(q):
+def test_semi_anti_plan_unhinted(q):
+    """J4: no explicit broadcast hint on the fact-derived distinct-keys
+    side — at test SF the PLANNER still picks a broadcast join from its
+    own size estimate (asserted), and at 100 TB the same plan degrades
+    to a shuffled join instead of a forced driver OOM.  The single
+    exchange is the distinct() reduction."""
     df = q("q_semi_anti")
     assert I.exchange_count(df) <= 1
+    assert I.broadcast_join_count(df) >= 1
 
 
 def test_doc_fingerprint_partial_agg(q):
