@@ -97,13 +97,20 @@ def spo_ingest_throughput(spark, sf_dir: str) -> dict:
     }
 
 
-def streaming_ingest_throughput(spark, sf_dir: str, n_rows: int = 20000) -> dict:
+def streaming_ingest_throughput(spark, sf_dir: str) -> dict:
     """The reference's ACTUAL loop, streaming end-to-end: Confluent-Avro
     frames on a (stand-in) topic → Structured Streaming availableNow
     replay → decode → DLQ split → idempotent graph merge, checkpointed.
     Topic materialization happens OUTSIDE the timed region; the timer
     covers exactly what the reference's consume→decode→sink loop does
-    at ~770 msg/s single-threaded."""
+    at ~770 msg/s single-threaded.
+
+    Sweeps the two backpressure knobs — files-per-trigger (the stand-
+    in's maxOffsetsPerTrigger) × topic size — because micro-batch COUNT,
+    not row count, dominates cost: each batch pays fixed scheduler +
+    checkpoint + merge-job overhead, so bigger triggers amortize it.
+    The headline rows_per_sec is the best config; the full sweep rides
+    along so the trade-off is visible in BENCH history."""
     from pyspark.sql import functions as F
 
     from consume_kafka_avro_data_spark.config import parse_config
@@ -119,23 +126,31 @@ def streaming_ingest_throughput(spark, sf_dir: str, n_rows: int = 20000) -> dict
         "column_map": {"S": "subject", "P": "predicate", "O": "object"},
     }
     sc = parse_config(doc).schema_for("spo")
-    rows = (
-        load_table(spark, sf_dir, "events")
-        .limit(n_rows)
-        .select(
-            F.col("user_id").cast("string").alias("S"),
-            F.col("event_type").alias("P"),
-            F.col("props").alias("O"),
+    n_topic_files = 16
+
+    def one_run(tmp: str, n_rows: int, files_per_trigger: int) -> dict:
+        rows = (
+            load_table(spark, sf_dir, "events")
+            .limit(n_rows)
+            .select(
+                F.col("user_id").cast("string").alias("S"),
+                F.col("event_type").alias("P"),
+                F.col("props").alias("O"),
+            )
         )
-    )
-    tmp = tempfile.mkdtemp(prefix="stream_bench_")
-    try:
-        framed = to_confluent_avro(rows, sc, schema_id=2).select(
-            F.col("key").cast("binary").alias("key"),
-            "value",
-            F.lit("spo").alias("topic"),
-            F.lit(0).cast("int").alias("partition"),
-            F.monotonically_increasing_id().alias("offset"),
+        # topic written as n_topic_files parquet files so files-per-
+        # trigger actually controls micro-batch count (1 → 16 batches,
+        # 16 → one batch)
+        framed = (
+            to_confluent_avro(rows, sc, schema_id=2)
+            .select(
+                F.col("key").cast("binary").alias("key"),
+                "value",
+                F.lit("spo").alias("topic"),
+                F.lit(0).cast("int").alias("partition"),
+                F.monotonically_increasing_id().alias("offset"),
+            )
+            .repartition(n_topic_files)
         )
         topic = FileStreamStandIn(spark, os.path.join(tmp, "topic"))
         topic.write_batch(framed)
@@ -151,18 +166,138 @@ def streaming_ingest_throughput(spark, sf_dir: str, n_rows: int = 20000) -> dict
         )
         t0 = time.perf_counter()
         metrics = ingest.run_to_completion(
-            topic.read_stream(max_files_per_trigger=64)
+            topic.read_stream(max_files_per_trigger=files_per_trigger)
         )
         dt = time.perf_counter() - t0
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        return {
+            "rows": metrics.valid_rows,
+            "files_per_trigger": files_per_trigger,
+            "sec": round(dt, 4),
+            "rows_per_sec": round(metrics.valid_rows / dt, 1),
+            "batches": metrics.batches,
+            "new_vertices": metrics.new_vertices,
+            "new_edges": metrics.new_edges,
+        }
+
+    sweep: list[dict] = []
+    for n_rows, fpt in ((20000, 1), (20000, 4), (20000, 16), (50000, 16)):
+        tmp = tempfile.mkdtemp(prefix="stream_bench_")
+        try:
+            sweep.append(one_run(tmp, n_rows, fpt))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    best = max(sweep, key=lambda r: r["rows_per_sec"])
+    return {**best, "sweep": sweep}
+
+
+def cc_distributed_bench(spark, sf_dir: str) -> dict:
+    """Force the DISTRIBUTED hash-min + pointer-jumping connected-
+    components loop (small_graph_edges=0) over the same embedding
+    near-dup pair graph q_dedup_clusters builds, and verify it returns
+    exactly the labels the driver union-find fast path produces — the
+    regression guard for the code path that actually runs at 100 TB,
+    where the pair graph never fits the driver."""
+    from consume_kafka_avro_data_spark.operators.graph import connected_components
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        blocked_allpairs_cosine,
+    )
+    from consume_kafka_avro_data_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = (
+        blocked_allpairs_cosine(emb, threshold=0.35)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)  # pair generation outside the timer
+    )
+    t0 = time.perf_counter()
+    dist = connected_components(pairs, "id_a", "id_b", small_graph_edges=0)
+    dist_rows = sorted((r["node"], r["comp"]) for r in dist.collect())
+    dt = time.perf_counter() - t0
+    driver = connected_components(pairs, "id_a", "id_b")
+    driver_rows = sorted((r["node"], r["comp"]) for r in driver.collect())
     return {
-        "rows": metrics.valid_rows,
         "sec": round(dt, 4),
-        "rows_per_sec": round(metrics.valid_rows / dt, 1),
-        "batches": metrics.batches,
-        "new_vertices": metrics.new_vertices,
-        "new_edges": metrics.new_edges,
+        "n_nodes": len(dist_rows),
+        "matches_driver_path": dist_rows == driver_rows,
+    }
+
+
+def skew_stress_bench(spark, sf_dir: str) -> dict:
+    """Salted vs plain JOIN on a DELIBERATELY skewed key: events
+    inflated 50× with 90% of rows remapped onto one hot key, equi-
+    joined to a tiny key dimension with broadcast and AQE disabled —
+    the sort-merge shape where the hot key's entire partition lands on
+    ONE task and the stage runs at straggler speed.  ``salted_join``
+    scatters the hot key over 64 sub-keys (dim replicated 64×; the
+    measured sf0.1 sweep was 16→2.85s, 32→2.31s, 64→1.94s vs plain
+    3.21s) so the sort+join parallelizes; an aggregate checksum pins
+    both plans to identical results.
+
+    Why a JOIN and not an aggregation A/B: Spark's map-side partial
+    aggregation already neutralizes reduce skew for decomposable
+    aggregates (each map task pre-collapses the hot key to one row), so
+    a salted-vs-plain groupBy-sum measures only the salt's overhead —
+    q_salted_agg in HEADLINE covers those mechanics.  Join skew has no
+    such built-in rescue outside AQE, which is exactly why the explicit
+    salt exists (operators/skew.py)."""
+    from pyspark.sql import functions as F
+
+    from consume_kafka_avro_data_spark.operators.skew import salted_join
+    from consume_kafka_avro_data_spark.tables import load_table
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.when(F.pmod(F.xxhash64("event_id"), F.lit(10)) < 9, F.lit("hot"))
+            .otherwise(F.col("event_type"))
+            .alias("k"),
+            "value",
+            "event_id",
+        )
+        .withColumn("_rep", F.explode(F.sequence(F.lit(1), F.lit(50))))
+    )
+    dim = spark.createDataFrame(
+        [("hot", 2.0), ("click", 1.0), ("view", 1.1), ("purchase", 3.0),
+         ("signup", 1.5), ("share", 1.2)],
+        "k string, weight double",
+    )
+
+    def checksum(df) -> list:
+        rows = (
+            df.groupBy("k")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,4)") * F.col("weight"))
+                .cast("double")
+                .alias("wsum"),
+            )
+            .collect()
+        )
+        return sorted((r["k"], r["n"], round(r["wsum"], 2)) for r in rows)
+
+    # Broadcast would sidestep the shuffle entirely and AQE's skew-join
+    # splitting would repair it at runtime; both are disabled so the A/B
+    # isolates the explicit salt — the deterministic fallback for plans
+    # AQE can't touch (see operators/skew.py module docstring).
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t0 = time.perf_counter()
+        plain = checksum(e.join(dim, "k"))
+        t_plain = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        salted = checksum(salted_join(e, dim, "k", salt_buckets=64))
+        t_salted = time.perf_counter() - t0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    return {
+        "plain_sec": round(t_plain, 4),
+        "salted_sec": round(t_salted, 4),
+        "speedup": round(t_plain / t_salted, 3),
+        "results_match": plain == salted,
     }
 
 
@@ -217,6 +352,8 @@ def main() -> None:
 
     spo = spo_ingest_throughput(spark, sf_dir)
     stream = streaming_ingest_throughput(spark, sf_dir)
+    cc = cc_distributed_bench(spark, sf_dir)
+    skew = skew_stress_bench(spark, sf_dir)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -229,6 +366,8 @@ def main() -> None:
                 "sf": sf,
                 "spo_ingest": spo,
                 "streaming_ingest": stream,
+                "cc_distributed": cc,
+                "skew_stress": skew,
                 "baseline_reference_msgs_per_sec": 770,
             }
         )

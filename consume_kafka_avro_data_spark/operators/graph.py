@@ -388,18 +388,30 @@ class GraphStore:
             c = F.col(f"b.{k}").eqNullSafe(F.col(f"e.{k}"))
             cond = c if cond is None else cond & c
         new_rows = deduped.join(ex, on=cond, how="left_anti")
-        # cache the delta: it is both counted and written
-        new_rows = new_rows.cache()
-        try:
-            n = new_rows.count()
-            if n:
-                staged = self._stage(
-                    new_rows.select(*[f.name for f in schema.fields]), path
-                )
-                self._publish(path, self._manifest_files(path) + staged)
-            return n
-        finally:
-            new_rows.unpersist()
+        # ONE Spark job: write the delta, then take its row count from
+        # the staged parquet FOOTERS (driver-side metadata, file-count-
+        # sized) instead of a separate cache+count action.  The
+        # streaming hot loop calls this twice per micro-batch (vertices
+        # + edges), so the old count-then-write shape cost two extra
+        # jobs per batch — pure scheduler overhead at any scale.
+        import pyarrow.parquet as pq
+
+        staged = self._stage(
+            new_rows.select(*[f.name for f in schema.fields]), path
+        )
+        n = sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in staged
+        )
+        if n:
+            self._publish(path, self._manifest_files(path) + staged)
+        else:
+            for name in staged:  # empty delta: GC the zero-row files
+                try:
+                    os.remove(os.path.join(path, name))
+                except FileNotFoundError:
+                    pass
+        return n
 
     def upsert_objects(self, vertices: DataFrame) -> int:
         """Idempotent vertex insert (S7; Database.h:23-25 semantics)."""
