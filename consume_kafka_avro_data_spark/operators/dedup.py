@@ -412,6 +412,138 @@ def _explode_keepall(df: DataFrame, id_col: str, arr: Column, out: str) -> DataF
     return df.select(F.col(id_col).alias("_id"), F.explode(safe).alias(out))
 
 
+def _minhash_base(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    bands: int,
+    rows: int,
+    hash_fn: str,
+) -> DataFrame:
+    """(_id, _shingles, _sig) per document: ONE explode + aggregate pass
+    builds both the distinct shingle set and the native-min signature
+    (see module docstring for why aggregates, not HOFs).  Shared by the
+    intra-corpus LSH pipeline and the incremental new-vs-corpus form."""
+    n = bands * rows
+    comp, _ = _minhash_agg_components(hash_fn, "_sig", bands, rows)
+    df = ensure_min_splits(df)
+    toks = tokens_col(text_col)
+    sh = F.array_distinct(shingles(toks, shingle_k))
+    exploded = _explode_keepall(df, id_col, sh, "_sh")
+    return (
+        exploded.groupBy("_id")
+        .agg(
+            *[comp(i) for i in range(n)],
+            F.collect_set("_sh").alias("_shingles"),
+        )
+        .select(
+            "_id",
+            "_shingles",
+            F.array(*[f"_h{i}" for i in range(n)]).alias("_sig"),
+        )
+    )
+
+
+def minhash_sig_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    bands: int = 8,
+    rows: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(_id, _sim) signature-only table: the explode + native-min
+    aggregate pass WITHOUT the shingle-set payload — what the estimator
+    pipeline shuffles and what a persistent signature store (streaming
+    dedup) writes to disk.  Signature elements are longs for xxhash64,
+    16-char hex strings for md5."""
+    n = bands * rows
+    comp, _ = _minhash_agg_components(hash_fn, "_sim", bands, rows)
+    df = ensure_min_splits(df)
+    toks = tokens_col(text_col)
+    sh = F.array_distinct(shingles(toks, shingle_k))
+    exploded = _explode_keepall(df, id_col, sh, "_sh")
+    return (
+        exploded.groupBy("_id")
+        .agg(*[comp(i) for i in range(n)])
+        .select("_id", F.array(*[f"_h{i}" for i in range(n)]).alias("_sim"))
+    )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    bands: int = 8,
+    rows: int = 4,
+    jaccard_threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+    max_bucket_size: int = MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Incremental near-dup: score an arriving shard ONLY against the
+    existing corpus — the operational dedup shape at 100 TB, where the
+    corpus is already internally deduped and re-running the full
+    pairwise pipeline per shard would redo |corpus|-sized band work for
+    |shard|-sized questions.
+
+    Returns (new_id, corpus_id, jaccard) with exact Jaccard ≥ τ.
+
+    Plan shape: both sides run the one-pass signature aggregate
+    (:func:`_minhash_base`); band keys explode on each side and meet in
+    a plain equi-JOIN on the band bucket — new×corpus collisions only,
+    never corpus×corpus (an intra-corpus pair can't appear, and
+    intra-shard dedup is :func:`minhash_lsh_pairs` run on the shard
+    alone).  No broadcast hint on either side: a daily shard may be
+    tiny or huge, so the planner picks broadcast vs shuffle from its
+    own estimates.  Hot-bucket guard: corpus band buckets with more
+    than ``max_bucket_size`` members are dropped (same contract and
+    rationale as :func:`_bucket_candidate_pairs`) — at scale the corpus
+    side's banded signature store is what you persist, so the count is
+    a metadata lookup, not a recompute.
+    """
+    nb = _minhash_base(
+        new_docs, id_col, text_col, shingle_k, bands, rows, hash_fn
+    )
+    cb = _minhash_base(
+        corpus, id_col, text_col, shingle_k, bands, rows, hash_fn
+    )
+    _, bh_new = _minhash_agg_components(hash_fn, "_sig", bands, rows)
+    _, bh_cor = _minhash_agg_components(hash_fn, "_sig", bands, rows)
+    nbanded = nb.select(
+        F.col("_id").alias("new_id"),
+        F.col("_shingles").alias("_sa"),
+        F.explode(bh_new).alias("_block"),
+    )
+    cbanded = cb.select(
+        F.col("_id").alias("corpus_id"),
+        F.col("_shingles").alias("_sb"),
+        F.explode(bh_cor).alias("_block"),
+    )
+    hot = (
+        cbanded.groupBy("_block")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > max_bucket_size)
+        .select("_block")
+    )
+    cbanded = cbanded.join(hot, "_block", "left_anti")
+    cand = (
+        nbanded.join(cbanded, "_block")
+        .select("new_id", "corpus_id", "_sa", "_sb")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    union = F.size(F.col("_sa")) + F.size(F.col("_sb")) - inter
+    return cand.select(
+        "new_id",
+        "corpus_id",
+        (inter.cast("double") / union).alias("jaccard"),
+    ).where(F.col("jaccard") >= jaccard_threshold)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -439,24 +571,8 @@ def minhash_lsh_pairs(
     The verify step is exact Jaccard either way, so the hash choice only
     moves candidate recall, never the correctness of emitted pairs.
     """
-    n = bands * rows
-    comp, bh = _minhash_agg_components(hash_fn, "_sig", bands, rows)
-    df = ensure_min_splits(df)
-    toks = tokens_col(text_col)
-    sh = F.array_distinct(shingles(toks, shingle_k))
-    exploded = _explode_keepall(df, id_col, sh, "_sh")
-    base = (
-        exploded.groupBy("_id")
-        .agg(
-            *[comp(i) for i in range(n)],
-            F.collect_set("_sh").alias("_shingles"),
-        )
-        .select(
-            "_id",
-            "_shingles",
-            F.array(*[f"_h{i}" for i in range(n)]).alias("_sig"),
-        )
-    )
+    _, bh = _minhash_agg_components(hash_fn, "_sig", bands, rows)
+    base = _minhash_base(df, id_col, text_col, shingle_k, bands, rows, hash_fn)
     banded = base.select(
         "_id",
         # the pair payload (_sim) is the shingle set: the verify step
@@ -626,15 +742,9 @@ def minhash_estimate_pairs(
     n = bands * rows
     if min_matches is None:
         min_matches = n // 2
-    comp, bh = _minhash_agg_components(hash_fn, "_sim", bands, rows)
-    df = ensure_min_splits(df)
-    toks = tokens_col(text_col)
-    sh = F.array_distinct(shingles(toks, shingle_k))
-    exploded = _explode_keepall(df, id_col, sh, "_sh")
-    base = (
-        exploded.groupBy("_id")
-        .agg(*[comp(i) for i in range(n)])
-        .select("_id", F.array(*[f"_h{i}" for i in range(n)]).alias("_sim"))
+    _, bh = _minhash_agg_components(hash_fn, "_sim", bands, rows)
+    base = minhash_sig_table(
+        df, id_col, text_col, shingle_k, bands, rows, hash_fn
     )
     banded = base.select(
         "_id",

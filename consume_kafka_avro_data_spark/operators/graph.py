@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import os
 
+from consume_kafka_avro_data_spark.operators.store import ManifestTable
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     DateType,
@@ -273,82 +274,53 @@ def connected_components(
 class GraphStore:
     """Parquet-backed objects/relationships tables with idempotent
     dedup-merge writes (the engine's stand-in for the reference's
-    Postgres graph).
+    Postgres graph, ``src/Database.cpp:26-78``).
 
-    **Manifest-commit protocol** (mini transaction log): readers only
-    see files listed in the table's ``_manifest.json``; writers stage
-    new parquet files into the table directory first and then publish
-    them with a single atomic ``os.replace`` of the manifest.  A crash
-    mid-write therefore leaves invisible orphan files, never partial
-    state — the batch-level analogue of the reference's per-row
-    transactions (``src/Database.cpp:44-49``), and the same
-    commit-by-metadata-swap idea Delta/Iceberg use at 100 TB (there the
-    manifest write is a conditional object-store PUT; locally it is an
-    atomic rename).  Single writer per table, matching the reference's
-    single consumer thread."""
+    Both tables live under the manifest-commit protocol — see
+    :class:`~consume_kafka_avro_data_spark.operators.store.ManifestTable`
+    (generalized from this class) for the staging/publish/crash-safety
+    contract.  The path-keyed private methods below are thin shims kept
+    for the existing call sites and tests."""
 
-    MANIFEST = "_manifest.json"
+    MANIFEST = ManifestTable.MANIFEST
 
     def __init__(self, spark: SparkSession, base_dir: str):
         self.spark = spark
         self.base_dir = base_dir
         self.objects_path = os.path.join(base_dir, "objects")
         self.relationships_path = os.path.join(base_dir, "relationships")
+        self._tables = {
+            self.objects_path: ManifestTable(
+                spark, self.objects_path, OBJECTS_SCHEMA, ["object_name"]
+            ),
+            self.relationships_path: ManifestTable(
+                spark,
+                self.relationships_path,
+                RELATIONSHIPS_SCHEMA,
+                ["source_id", "target_id", "relationship_name"],
+            ),
+        }
 
-    # -- manifest ------------------------------------------------------------
+    # -- path-keyed shims -----------------------------------------------------
 
     def _manifest_files(self, path: str) -> list[str]:
-        import json
-
-        mf = os.path.join(path, self.MANIFEST)
-        if not os.path.isfile(mf):
-            return []
-        with open(mf) as f:
-            return list(json.load(f)["files"])
+        return self._tables[path].files()
 
     def _publish(self, path: str, files: list[str]) -> None:
-        """Atomically replace the manifest (write-temp + rename)."""
-        import json
+        self._tables[path].publish(files)
 
-        os.makedirs(path, exist_ok=True)
-        tmp = os.path.join(path, self.MANIFEST + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump({"files": sorted(files)}, f)
-        os.replace(tmp, os.path.join(path, self.MANIFEST))
-
-    def _stage(self, df: DataFrame, path: str, n_files: int | None = None) -> list[str]:
-        """Write df's parquet files into the table dir WITHOUT
-        publishing them; returns the new (unique, uuid-named) files."""
-        import shutil
-
-        stage = os.path.join(path, "_stage")
-        if n_files:
-            df = df.repartition(n_files)
-        df.write.mode("overwrite").parquet(stage)
-        os.makedirs(path, exist_ok=True)
-        moved = []
-        for name in os.listdir(stage):
-            if name.endswith(".parquet"):
-                os.rename(os.path.join(stage, name), os.path.join(path, name))
-                moved.append(name)
-        shutil.rmtree(stage, ignore_errors=True)
-        return moved
+    def _stage(
+        self, df: DataFrame, path: str, n_files: int | None = None
+    ) -> list[str]:
+        return self._tables[path].stage(df, n_files)
 
     # -- reads ---------------------------------------------------------------
 
-    def _read(self, path: str, schema: StructType) -> DataFrame:
-        files = self._manifest_files(path)
-        if not files:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(
-            *[os.path.join(path, f) for f in files]
-        )
-
     def objects(self) -> DataFrame:
-        return self._read(self.objects_path, OBJECTS_SCHEMA)
+        return self._tables[self.objects_path].read()
 
     def relationships(self) -> DataFrame:
-        return self._read(self.relationships_path, RELATIONSHIPS_SCHEMA)
+        return self._tables[self.relationships_path].read()
 
     def get_object_id(self, name: str) -> int | None:
         """Keyed lookup (J1; Database.cpp:26-39).  With content-hash ids
@@ -365,112 +337,23 @@ class GraphStore:
 
     # -- idempotent writes ---------------------------------------------------
 
-    def _merge_new(
-        self, batch: DataFrame, path: str, schema: StructType, keys: list[str]
-    ) -> int:
-        """ON CONFLICT DO NOTHING, set-oriented: append only key-new rows.
-
-        Returns the number of rows appended (the reference's boolean
-        per-row insert result, aggregated).
-        """
-        existing = self._read(path, schema).select(*keys)
-        # NULL-SAFE anti-join: plain `on=keys` compiles to EqualTo, under
-        # which NULL never equals NULL — a NULL-keyed row (a decoded
-        # record with a NULL subject/object survives PERMISSIVE mode)
-        # would re-append on EVERY replay, breaking the idempotence
-        # invariant that dropDuplicates (which treats NULLs as equal)
-        # appears to promise.  eqNullSafe matches Postgres' NULLS NOT
-        # DISTINCT semantics for the dedup key.
-        deduped = batch.dropDuplicates(keys).alias("b")
-        ex = existing.alias("e")
-        cond = None
-        for k in keys:
-            c = F.col(f"b.{k}").eqNullSafe(F.col(f"e.{k}"))
-            cond = c if cond is None else cond & c
-        new_rows = deduped.join(ex, on=cond, how="left_anti")
-        # ONE Spark job: write the delta, then take its row count from
-        # the staged parquet FOOTERS (driver-side metadata, file-count-
-        # sized) instead of a separate cache+count action.  The
-        # streaming hot loop calls this twice per micro-batch (vertices
-        # + edges), so the old count-then-write shape cost two extra
-        # jobs per batch — pure scheduler overhead at any scale.
-        import pyarrow.parquet as pq
-
-        staged = self._stage(
-            new_rows.select(*[f.name for f in schema.fields]), path
-        )
-        n = sum(
-            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-            for f in staged
-        )
-        if n:
-            self._publish(path, self._manifest_files(path) + staged)
-        else:
-            for name in staged:  # empty delta: GC the zero-row files
-                try:
-                    os.remove(os.path.join(path, name))
-                except FileNotFoundError:
-                    pass
-        return n
-
     def upsert_objects(self, vertices: DataFrame) -> int:
         """Idempotent vertex insert (S7; Database.h:23-25 semantics)."""
-        return self._merge_new(
-            vertices, self.objects_path, OBJECTS_SCHEMA, ["object_name"]
-        )
+        return self._tables[self.objects_path].merge_new(vertices)
 
     def upsert_relationships(self, edges: DataFrame) -> int:
         """Idempotent edge insert (S8; Database.h:29-31 semantics)."""
-        return self._merge_new(
-            edges,
-            self.relationships_path,
-            RELATIONSHIPS_SCHEMA,
-            ["source_id", "target_id", "relationship_name"],
-        )
+        return self._tables[self.relationships_path].merge_new(edges)
 
     def compact(self, target_rows_per_file: int = 4_000_000) -> dict[str, int]:
-        """Rewrite each graph table into ~evenly sized files.
-
-        The streaming ingest appends one small file set per micro-batch
-        (the parquet analogue of the reference's per-row INSERTs), so
-        file counts grow linearly with batches — the classic small-file
-        problem that degrades 100 TB scans (footer/open overhead per
-        file, under-filled scan partitions).  Compaction is the standard
-        maintenance job: read, repartition to a size target, atomically
-        swap.  Returns {table: n_files_after}.
-
-        The swap is the manifest publish: new compacted files stage in,
-        one atomic manifest replace makes them the table, and the
-        superseded files are garbage-collected afterwards — readers
-        never observe a mixed state.
-        """
+        """Rewrite each non-empty graph table into ~evenly sized files
+        (see ManifestTable.compact for the small-file rationale and the
+        atomic-swap mechanics).  Returns {table: n_files_after}."""
         out: dict[str, int] = {}
-        for path, schema in (
-            (self.objects_path, OBJECTS_SCHEMA),
-            (self.relationships_path, RELATIONSHIPS_SCHEMA),
-        ):
-            old_files = self._manifest_files(path)
-            if not old_files:
-                continue
-            df = self._read(path, schema)
-            # size from parquet FOOTERS, not a df.count() job: the count
-            # would scan every file this compaction exists to clean up,
-            # doubling its cost for a number the metadata already holds
-            import pyarrow.parquet as pq
-
-            n_rows = sum(
-                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-                for f in old_files
-            )
-            n_files = max(1, -(-n_rows // target_rows_per_file))  # ceil
-            staged = self._stage(df, path, n_files=n_files)
-            self._publish(path, staged)
-            for name in old_files:  # GC only after the commit point
-                try:
-                    os.remove(os.path.join(path, name))
-                except FileNotFoundError:
-                    pass
-            out[os.path.basename(path)] = len(staged)
+        for path, mt in self._tables.items():
+            n = mt.compact(target_rows_per_file)
+            if n:
+                out[os.path.basename(path)] = n
         return out
 
     def ingest_triples(

@@ -742,6 +742,7 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """(id, vec) → (id, ``pq_codes`` array<int>, 1-based codes): one
     Arrow pass, one m-way batched matmul per subspace against q20-
@@ -755,11 +756,11 @@ def pq_encode(
 
     m, _k, sub = codebooks.shape
     qcb = [quantize_np(codebooks[i]) for i in range(m)]
+    keep = list(keep_cols or [])  # extra columns to carry through
     out_schema = StructType(
-        [
-            corpus.schema[id_col],
-            StructField("pq_codes", ArrayType(IntegerType(), False), False),
-        ]
+        [corpus.schema[id_col]]
+        + [corpus.schema[c] for c in keep]
+        + [StructField("pq_codes", ArrayType(IntegerType(), False), False)]
     )
 
     def gen(batches):
@@ -775,11 +776,15 @@ def pq_encode(
                     + (qc * qc).sum(axis=1)
                 )  # exact: integer-valued float64 throughout
                 codes[:, i] = d2.argmin(axis=1) + 1  # 1-based (list_indexof)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "pq_codes": list(codes)}
-            )
+            out = {id_col: pdf[id_col]}
+            out.update({c: pdf[c] for c in keep})
+            out["pq_codes"] = list(codes)
+            yield pd.DataFrame(out)
 
-    return corpus.select(id_col, vec_col).mapInPandas(gen, schema=out_schema)
+    tail = [] if vec_col in keep else [vec_col]  # keep may retain the vector
+    return corpus.select(id_col, *keep, *tail).mapInPandas(
+        gen, schema=out_schema
+    )
 
 
 def pq_adc_lut(query_vec, codebooks: np.ndarray) -> list[tuple[int, int, float]]:

@@ -1,0 +1,179 @@
+"""ManifestTable — one parquet table under the manifest-commit protocol.
+
+Generalized from the graph sink (operators/graph.GraphStore, the
+engine's stand-in for the reference's Postgres tables,
+``src/Database.cpp:26-78``) so any keyed, append-only, idempotent store
+— graph vertices/edges, the streaming dedup signature store — shares
+one implementation.
+
+**Protocol** (mini transaction log): readers only see files listed in
+the table's ``_manifest.json``; writers stage new parquet files into
+the table directory first and then publish them with a single atomic
+``os.replace`` of the manifest.  A crash mid-write therefore leaves
+invisible orphan files, never partial state — the batch-level analogue
+of the reference's per-row transactions, and the same
+commit-by-metadata-swap idea Delta/Iceberg use at 100 TB (there the
+manifest write is a conditional object-store PUT; locally it is an
+atomic rename).  Single writer per table, matching the reference's
+single consumer thread.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+
+class ManifestTable:
+    """Parquet table with manifest commits and idempotent keyed merge."""
+
+    MANIFEST = "_manifest.json"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        schema: StructType,
+        keys: list[str],
+    ):
+        self.spark = spark
+        self.path = path
+        self.schema = schema
+        self.keys = list(keys)
+
+    # -- manifest ------------------------------------------------------------
+
+    def files(self) -> list[str]:
+        import json
+
+        mf = os.path.join(self.path, self.MANIFEST)
+        if not os.path.isfile(mf):
+            return []
+        with open(mf) as f:
+            return list(json.load(f)["files"])
+
+    def publish(self, files: list[str]) -> None:
+        """Atomically replace the manifest (write-temp + rename)."""
+        import json
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, self.MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({"files": sorted(files)}, f)
+        os.replace(tmp, os.path.join(self.path, self.MANIFEST))
+
+    def stage(self, df: DataFrame, n_files: int | None = None) -> list[str]:
+        """Write df's parquet files into the table dir WITHOUT
+        publishing them; returns the new (unique, uuid-named) files."""
+        import shutil
+
+        stage = os.path.join(self.path, "_stage")
+        if n_files:
+            df = df.repartition(n_files)
+        df.write.mode("overwrite").parquet(stage)
+        os.makedirs(self.path, exist_ok=True)
+        moved = []
+        for name in os.listdir(stage):
+            if name.endswith(".parquet"):
+                os.rename(
+                    os.path.join(stage, name), os.path.join(self.path, name)
+                )
+                moved.append(name)
+        shutil.rmtree(stage, ignore_errors=True)
+        return moved
+
+    # -- reads ---------------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        files = self.files()
+        if not files:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(
+            *[os.path.join(self.path, f) for f in files]
+        )
+
+    # -- idempotent writes ---------------------------------------------------
+
+    def merge_new(self, batch: DataFrame) -> int:
+        """ON CONFLICT DO NOTHING, set-oriented: append only key-new rows.
+
+        Returns the number of rows appended (the reference's boolean
+        per-row insert result, aggregated).
+        """
+        existing = self.read().select(*self.keys)
+        # NULL-SAFE anti-join: plain `on=keys` compiles to EqualTo, under
+        # which NULL never equals NULL — a NULL-keyed row (a decoded
+        # record with a NULL subject/object survives PERMISSIVE mode)
+        # would re-append on EVERY replay, breaking the idempotence
+        # invariant that dropDuplicates (which treats NULLs as equal)
+        # appears to promise.  eqNullSafe matches Postgres' NULLS NOT
+        # DISTINCT semantics for the dedup key.
+        deduped = batch.dropDuplicates(self.keys).alias("b")
+        ex = existing.alias("e")
+        cond = None
+        for k in self.keys:
+            c = F.col(f"b.{k}").eqNullSafe(F.col(f"e.{k}"))
+            cond = c if cond is None else cond & c
+        new_rows = deduped.join(ex, on=cond, how="left_anti")
+        # ONE Spark job: write the delta, then take its row count from
+        # the staged parquet FOOTERS (driver-side metadata, file-count-
+        # sized) instead of a separate cache+count action.  Streaming
+        # hot loops call this per micro-batch, so a count-then-write
+        # shape would cost an extra job per call — pure scheduler
+        # overhead at any scale.
+        import pyarrow.parquet as pq
+
+        staged = self.stage(
+            new_rows.select(*[f.name for f in self.schema.fields])
+        )
+        n = sum(
+            pq.ParquetFile(os.path.join(self.path, f)).metadata.num_rows
+            for f in staged
+        )
+        if n:
+            self.publish(self.files() + staged)
+        else:
+            for name in staged:  # empty delta: GC the zero-row files
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except FileNotFoundError:
+                    pass
+        return n
+
+    # -- maintenance ---------------------------------------------------------
+
+    def compact(self, target_rows_per_file: int = 4_000_000) -> int:
+        """Rewrite the table into ~evenly sized files; returns the file
+        count after (0 for an empty table, which is left untouched).
+
+        Append-per-micro-batch writers grow file counts linearly — the
+        classic small-file problem that degrades 100 TB scans (footer/
+        open overhead per file, under-filled scan partitions).  Read,
+        repartition to a size target, atomically swap via the manifest
+        publish, then GC the superseded files — readers never observe a
+        mixed state.
+        """
+        old_files = self.files()
+        if not old_files:
+            return 0
+        df = self.read()
+        # size from parquet FOOTERS, not a df.count() job: the count
+        # would scan every file this compaction exists to clean up,
+        # doubling its cost for a number the metadata already holds
+        import pyarrow.parquet as pq
+
+        n_rows = sum(
+            pq.ParquetFile(os.path.join(self.path, f)).metadata.num_rows
+            for f in old_files
+        )
+        n_files = max(1, -(-n_rows // target_rows_per_file))  # ceil
+        staged = self.stage(df, n_files=n_files)
+        self.publish(staged)
+        for name in old_files:  # GC only after the commit point
+            try:
+                os.remove(os.path.join(self.path, name))
+            except FileNotFoundError:
+                pass
+        return len(staged)

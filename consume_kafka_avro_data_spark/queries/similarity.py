@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from consume_kafka_avro_data_spark.operators.dedup import (
+    incremental_minhash_dedup,
     minhash_estimate_pairs,
     minhash_lsh_pairs,
     ngram_containment_pairs,
@@ -383,6 +384,69 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard, hash choice only moves candidate recall, never the
     correctness of emitted pairs."""
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), hash_fn="md5")
+
+
+def _o_incremental_dedup(
+    bands: int = 8, rows: int = 4, threshold: float = 0.5
+) -> str:
+    """DuckDB twin of incremental_minhash_dedup(hash_fn="md5") over the
+    doc_id%4 shard split: same md5 hex-prefix signatures and band keys
+    as _o_minhash, but candidates come from a new-side × corpus-side
+    band join — corpus×corpus pairs are structurally impossible, which
+    is the operator's whole contract."""
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> substr(md5('{i}:' || s), 1, 16)))"
+        for i in range(bands * rows)
+    )
+    bexprs = ", ".join(
+        f"md5('{b}:' || array_to_string(sig[{b * rows + 1} : {b * rows + rows}], ','))"
+        for b in range(bands)
+    )
+    return rf"""
+    WITH base AS (
+      SELECT doc_id AS _id,
+             list_distinct(CASE WHEN len(toks) < 3
+                  THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks) - 1),
+                                      i -> array_to_string(toks[i : i + 2], ' '))
+             END) AS sh
+      FROM (SELECT doc_id, string_split_regex(lower(coalesce(text, '')), '\s+') AS toks
+            FROM documents)
+    ),
+    sigs AS (SELECT _id, sh, [{mins}] AS sig FROM base),
+    banded AS (SELECT _id, unnest([{bexprs}]) AS band FROM sigs),
+    cand AS (
+      SELECT DISTINCT a._id AS new_id, b._id AS corpus_id
+      FROM banded a JOIN banded b ON a.band = b.band
+      WHERE a._id % 4 = 0 AND b._id % 4 != 0
+    ),
+    scored AS (
+      SELECT new_id, corpus_id,
+             CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE)
+               / (len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh)))
+                 AS jaccard
+      FROM cand JOIN base ga ON ga._id = cand.new_id
+                JOIN base gb ON gb._id = cand.corpus_id
+    )
+    SELECT * FROM scored WHERE jaccard >= {threshold}
+    """
+
+
+@query("q_incremental_dedup", oracle=_o_incremental_dedup(), tags=("U5",))
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental shard-vs-corpus near-dup (U5, the operational 100 TB
+    dedup shape): documents with doc_id%4=0 play the arriving shard,
+    the rest the existing corpus; the band join meets new×corpus
+    collisions only and exact Jaccard ≥ 0.5 verifies.  Fully
+    oracle-checked via the portable md5 signatures (_o_incremental_
+    dedup); the xxhash64 default of incremental_minhash_dedup stays the
+    deployment path."""
+    d = load_table(spark, sf_dir, "documents")
+    return incremental_minhash_dedup(
+        d.where(F.col("doc_id") % 4 == 0),
+        d.where(F.col("doc_id") % 4 != 0),
+        hash_fn="md5",
+    )
 
 
 def _o_simhash_sig_cte() -> str:

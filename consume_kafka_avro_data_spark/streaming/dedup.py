@@ -1,0 +1,258 @@
+"""Streaming near-dup dedup at ingest time (charter U5, operational):
+each micro-batch of documents is MinHash-signed, LSH-matched against a
+persistent signature store, routed duplicate/novel, and the novel
+signatures are merged into the store — so the corpus stays deduped AS
+it is ingested instead of via periodic full-corpus sweeps.
+
+Scale shape (the invariant of operators/dedup: never shuffle more than
+the signature):
+
+* The store holds only ``(doc_id, signature)`` — bands recompute from
+  the stored signatures as codegen'd hashes, so the on-disk state is
+  ~n·8·32 bytes per document regardless of document size.
+* Per batch: one signature pass over the batch (explode + native min
+  aggregates), one band equi-join against the store's banded view
+  (new×store only — the store is already deduped, so store×store work
+  would be pure waste), one intra-batch band self-check (earlier-id
+  canonical), one idempotent merge of novel signatures.
+* Replay safety mirrors streaming/ingest.StreamingGraphIngest: the
+  store merge anti-joins on doc_id (a replayed batch re-appends
+  nothing), self-matches are excluded by id (a doc whose signature
+  already landed before a crash does not count as its own duplicate on
+  replay), and side counters are marked per batch only after success.
+
+The reference never had this operator; it is the LLM-pipeline charter
+applied to the reference's consume→transform→idempotent-sink loop
+(src/main.cpp:221-256), with the dedup signature store taking the place
+of the graph tables.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from consume_kafka_avro_data_spark.operators.dedup import (
+    MAX_BUCKET_SIZE,
+    _minhash_agg_components,
+    minhash_sig_table,
+)
+from consume_kafka_avro_data_spark.operators.store import ManifestTable
+
+
+@dataclass
+class DedupMetrics:
+    """Per-run counters: every batch doc is either novel or a dupe."""
+
+    batches: int = 0
+    docs: int = 0
+    novel_docs: int = 0
+    dup_docs: int = 0
+    dup_pairs_by_batch: dict[int, int] = field(default_factory=dict)
+
+
+class StreamingDedupIngest:
+    """readStream(docs) → sign → LSH vs store → route → merge novel."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+        checkpoint_dir: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        shingle_k: int = 3,
+        bands: int = 8,
+        rows: int = 4,
+        min_matches: int | None = None,
+        hash_fn: str = "xxhash64",
+        max_bucket_size: int = MAX_BUCKET_SIZE,
+        dupes_dir: str | None = None,
+    ):
+        n = bands * rows
+        self.spark = spark
+        self.checkpoint_dir = checkpoint_dir
+        self.id_col = id_col
+        self.text_col = text_col
+        self.shingle_k = shingle_k
+        self.bands = bands
+        self.rows = rows
+        self.min_matches = n // 2 if min_matches is None else min_matches
+        self.hash_fn = hash_fn
+        self.max_bucket_size = max_bucket_size
+        self.dupes_dir = dupes_dir
+        elem = LongType() if hash_fn == "xxhash64" else StringType()
+        self.store = ManifestTable(
+            spark,
+            os.path.join(store_dir, "signatures"),
+            StructType(
+                [
+                    StructField("_id", LongType(), True),
+                    StructField("_sim", ArrayType(elem, True), True),
+                ]
+            ),
+            keys=["_id"],
+        )
+        self.metrics = DedupMetrics()
+        self._seen_batches: set[int] = set()
+
+    # -- building blocks -----------------------------------------------------
+
+    def _banded(self, sigs: DataFrame) -> DataFrame:
+        """(_id, _sim, _block) — band keys recomputed from signatures
+        (codegen'd hashes over array slices; cheap relative to the
+        signature pass, and what lets the store persist signatures
+        only)."""
+        _, bh = _minhash_agg_components(
+            self.hash_fn, "_sim", self.bands, self.rows
+        )
+        return sigs.select("_id", "_sim", F.explode(bh).alias("_block"))
+
+    def _agreement(self) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col("_sa"),
+                F.col("_sb"),
+                lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+
+    def _matches(self, probe: DataFrame, target: DataFrame) -> DataFrame:
+        """(dup_id, match_id, matches) for probe docs whose signature
+        agrees with a target doc on ≥ min_matches components, meeting
+        only through band-bucket collisions.  Self-pairs (same id) are
+        excluded — on a post-crash replay the batch's own already-
+        stored signatures must not count as duplicates.  Hot target
+        buckets (> max_bucket_size members) are dropped, same contract
+        as _bucket_candidate_pairs."""
+        p = probe.select(
+            F.col("_id").alias("dup_id"),
+            F.col("_sim").alias("_sa"),
+            "_block",
+        )
+        t = target.select(
+            F.col("_id").alias("match_id"),
+            F.col("_sim").alias("_sb"),
+            "_block",
+        )
+        hot = (
+            t.groupBy("_block")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > self.max_bucket_size)
+            .select("_block")
+        )
+        t = t.join(hot, "_block", "left_anti")
+        cand = (
+            p.join(t, "_block")
+            .where(F.col("dup_id") != F.col("match_id"))
+            .dropDuplicates(["dup_id", "match_id"])
+        )
+        return cand.select(
+            "dup_id", "match_id", self._agreement().alias("matches")
+        ).where(F.col("matches") >= self.min_matches)
+
+    # -- per-micro-batch body ------------------------------------------------
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        replayed = batch_id in self._seen_batches
+        sigs = minhash_sig_table(
+            batch,
+            self.id_col,
+            self.text_col,
+            self.shingle_k,
+            self.bands,
+            self.rows,
+            self.hash_fn,
+        ).localCheckpoint(eager=True)  # signed once; used by 3 consumers
+        try:
+            banded = self._banded(sigs)
+            vs_store = self._matches(banded, self._banded(self.store.read()))
+            # intra-batch: earlier id is canonical, so only (dup > match)
+            # pairs count — a batch's first copy of a new document stays
+            # novel and becomes the stored canonical
+            vs_batch = self._matches(banded, banded).where(
+                F.col("dup_id") > F.col("match_id")
+            )
+            dup_map = vs_store.unionByName(vs_batch).dropDuplicates(["dup_id"])
+            n_docs = sigs.count()
+            if self.dupes_dir:
+                # partition by batch id + dynamic overwrite: a replayed
+                # batch REPLACES its own rows (same contract as the
+                # ingest DLQ) — the dup routing stays queryable state
+                (
+                    dup_map.withColumn("batch_id", F.lit(batch_id))
+                    .write.partitionBy("batch_id")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .mode("overwrite")
+                    .parquet(self.dupes_dir)
+                )
+            n_dupes = dup_map.count()
+            novel = sigs.join(
+                dup_map.select(F.col("dup_id").alias("_id")), "_id", "left_anti"
+            )
+            self.store.merge_new(novel)
+            if not replayed:
+                self.metrics.batches += 1
+                self.metrics.docs += n_docs
+                self.metrics.dup_docs += n_dupes
+                self.metrics.novel_docs += n_docs - n_dupes
+                self.metrics.dup_pairs_by_batch[batch_id] = n_dupes
+            self._seen_batches.add(batch_id)
+        finally:
+            # localCheckpoint blocks are freed with the DataFrame; make
+            # the lineage cut explicit about its lifetime anyway
+            sigs.unpersist()
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def start(
+        self,
+        stream: DataFrame,
+        available_now: bool = True,
+        processing_time: str = "1 second",
+    ) -> StreamingQuery:
+        writer = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option(
+                "checkpointLocation", os.path.join(self.checkpoint_dir, "dedup")
+            )
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+    def run_to_completion(
+        self,
+        stream: DataFrame,
+        timeout: float = 300.0,
+        reset_metrics: bool = True,
+    ) -> DedupMetrics:
+        """Bounded replay: availableNow, await, return per-run metrics
+        (TimeoutError rather than silently-partial counters, matching
+        StreamingGraphIngest.run_to_completion)."""
+        if reset_metrics:
+            self.metrics = DedupMetrics()
+        q = self.start(stream, available_now=True)
+        finished = q.awaitTermination(timeout)
+        if not finished:
+            q.stop()
+            raise TimeoutError(
+                f"bounded replay did not finish within {timeout}s; "
+                "metrics are partial"
+            )
+        return self.metrics

@@ -1,0 +1,102 @@
+"""AnnIndex: the persisted IVF-PQ layout must (a) answer exact queries
+identically to the un-indexed operators over the same probed subset,
+(b) prune unprobed cells at planning time (PartitionFilters), (c) never
+read the float vector column on the ADC path (ReadSchema), and (d)
+round-trip its driver-sized metadata bit-exactly through load()."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from consume_kafka_avro_data_spark.operators.ann_index import AnnIndex
+from consume_kafka_avro_data_spark.operators.similarity import (
+    brute_force_topk,
+    pq_adc_topk,
+)
+from consume_kafka_avro_data_spark.plans.inspect import (
+    partition_filters,
+    read_schema_columns,
+)
+from consume_kafka_avro_data_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def index(spark, sf_dir, tmp_path_factory):
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path_factory.mktemp("ann") / "index")
+    return AnnIndex.build(spark, emb, path, n_cells=8, m=8, k_codes=16)
+
+
+@pytest.fixture(scope="module")
+def qvec(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == 1)
+        .collect()[0]["embedding"]
+    )
+
+
+def test_exact_query_with_all_cells_equals_brute_force(
+    spark, sf_dir, index, qvec
+):
+    """nprobe = n_cells probes everything, so the indexed exact path
+    must return byte-identical top-k to brute force over the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    want = [(r.vec_id, r.score) for r in brute_force_topk(emb, qvec, 10).collect()]
+    got = [(r.vec_id, r.score) for r in index.query_exact(qvec, 10, nprobe=8).collect()]
+    assert got == want
+
+
+def test_exact_query_prunes_and_recalls(index, qvec):
+    """nprobe=2: the scan must carry a planning-time PartitionFilter on
+    _ivf_cell, and the query's own cell being probed first means the
+    query vector itself is always recalled at rank 1 (cosine 1)."""
+    probed = index._probe(qvec, nprobe=2)
+    pf = partition_filters(probed)
+    assert pf and any("_ivf_cell" in f for f in pf), pf
+    top = index.query_exact(qvec, 5, nprobe=2).collect()
+    assert top[0].vec_id == 1 and abs(top[0].score - 1.0) < 1e-12
+
+
+def test_adc_path_never_reads_float_vectors(index, qvec):
+    """IVF-PQ's point: the ADC scan reads (id, codes [, partition
+    col]) ONLY — the embedding column must be absent from ReadSchema."""
+    out = index.query_adc(qvec, 10, nprobe=8)
+    cols = read_schema_columns(out, "vectors")
+    assert cols, "expected a parquet scan of the index in the ADC plan"
+    assert "embedding" not in cols, cols
+    pf = partition_filters(index._probe(qvec, 2).select("vec_id", "pq_codes"))
+    assert pf and any("_ivf_cell" in f for f in pf), pf
+
+
+def test_adc_matches_unindexed_operator_on_full_probe(
+    spark, sf_dir, index, qvec
+):
+    """With every cell probed, the indexed ADC distances must equal the
+    per-query pq_adc_topk operator's (same codebooks, same q20 grid)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    want = [
+        (r.vec_id, r.adc_dist)
+        for r in pq_adc_topk(emb, qvec, index.codebooks, k=10).collect()
+    ]
+    got = [
+        (r.vec_id, r.adc_dist)
+        for r in index.query_adc(qvec, 10, nprobe=8).collect()
+    ]
+    assert got == want
+
+
+def test_metadata_roundtrip_bit_exact(spark, index):
+    loaded = AnnIndex.load(spark, index.path)
+    assert np.array_equal(loaded.centroids, index.centroids)
+    assert np.array_equal(loaded.codebooks, index.codebooks)
+    assert (loaded.id_col, loaded.vec_col) == (index.id_col, index.vec_col)
+
+
+def test_cell_sizes_cover_corpus(spark, sf_dir, index):
+    n = load_table(spark, sf_dir, "embeddings").count()
+    sizes = {r._ivf_cell: r.n for r in index.cell_sizes().collect()}
+    assert sum(sizes.values()) == n
+    assert all(c >= 1 for c in sizes)

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from consume_kafka_avro_data_spark.operators.dedup import (
     hamming64,
+    incremental_minhash_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash64,
@@ -64,6 +65,44 @@ def test_minhash_finds_planted_pairs(docs):
     )
     assert abs(pairs[(0, 2)] - expect) < 1e-12
     assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_incremental_dedup_scores_new_against_corpus_only(spark):
+    """incremental_minhash_dedup must emit ONLY new×corpus rows: the
+    corpus's own internal duplicates never appear (its whole contract),
+    every planted shard duplicate is found with the same exact Jaccard
+    minhash_lsh_pairs verifies, and an unrelated shard doc never pairs."""
+    corpus = spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, NEAR)], ["doc_id", "text"]
+    )  # 1 and 2 are an intra-corpus exact dup — must NOT be emitted
+    new = spark.createDataFrame([(10, BASE), (11, FAR)], ["doc_id", "text"])
+    got = {
+        (r.new_id, r.corpus_id): r.jaccard
+        for r in incremental_minhash_dedup(new, corpus).collect()
+    }
+    assert (10, 1) in got and got[(10, 1)] == 1.0
+    assert (10, 2) in got and got[(10, 2)] == 1.0
+    expect = len(_py_shingles(BASE) & _py_shingles(NEAR)) / len(
+        _py_shingles(BASE) | _py_shingles(NEAR)
+    )
+    assert abs(got[(10, 3)] - expect) < 1e-12
+    assert not any(n == 11 for n, _ in got)  # unrelated new doc
+    assert all(n in (10, 11) for n, _ in got)  # no corpus×corpus rows
+
+
+def test_incremental_dedup_hot_bucket_guard(spark):
+    """Corpus band buckets over max_bucket_size are dropped from the
+    candidate join (same contract as _bucket_candidate_pairs): with the
+    cap forced below the planted duplicate count, the exact dup pairs
+    disappear instead of OOMing a task."""
+    corpus = spark.createDataFrame(
+        [(i, BASE) for i in range(1, 5)], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame([(10, BASE)], ["doc_id", "text"])
+    full = incremental_minhash_dedup(new, corpus).collect()
+    assert len(full) == 4
+    capped = incremental_minhash_dedup(new, corpus, max_bucket_size=3).collect()
+    assert capped == []
 
 
 def test_minhash_signatures_match_python_reference(spark, docs):

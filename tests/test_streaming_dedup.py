@@ -1,0 +1,98 @@
+"""StreamingDedupIngest: dedup-at-ingest over a file-backed document
+stream — planted duplicates must route as dupes against BOTH the
+persisted signature store and earlier docs in the same batch, novel
+signatures must merge idempotently, and a full replay must leave the
+store byte-stable."""
+
+from __future__ import annotations
+
+import pytest
+
+from consume_kafka_avro_data_spark.streaming.dedup import StreamingDedupIngest
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "in the warm sun near the old barn door"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")
+FAR = "completely different content about spark query engines and distributed joins"
+ALSO_FAR = (
+    "yet another unrelated document describing parquet manifests and "
+    "atomic metadata swaps for streaming sinks"
+)
+
+BATCH1 = [(1, BASE), (2, BASE), (3, FAR)]  # 2 is an intra-batch dup of 1
+BATCH2 = [(4, NEAR), (5, ALSO_FAR)]  # 4 is a near-dup of stored 1
+
+
+def _doc_stream(spark, tmp_path, batches):
+    """One parquet file per micro-batch; maxFilesPerTrigger=1 replays
+    them in order."""
+    path = str(tmp_path / "docs")
+    for rows in batches:
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(path)
+    return (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+
+
+@pytest.fixture()
+def ingest(spark, tmp_path):
+    return StreamingDedupIngest(
+        spark,
+        store_dir=str(tmp_path / "store"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        dupes_dir=str(tmp_path / "dupes"),
+    )
+
+
+def test_streaming_dedup_routes_and_merges(spark, tmp_path, ingest):
+    stream = _doc_stream(spark, tmp_path, [BATCH1, BATCH2])
+    m = ingest.run_to_completion(stream)
+    assert m.batches == 2
+    assert m.docs == 5
+    assert m.dup_docs == 2 and m.novel_docs == 3
+    stored = sorted(r["_id"] for r in ingest.store.read().collect())
+    assert stored == [1, 3, 5]  # canonicals only; dupes never land
+    dupes = {
+        r.dup_id: r.match_id
+        for r in spark.read.parquet(str(tmp_path / "dupes")).collect()
+    }
+    assert dupes == {2: 1, 4: 1}
+
+
+def test_streaming_dedup_replay_is_idempotent(spark, tmp_path, ingest):
+    stream = _doc_stream(spark, tmp_path, [BATCH1, BATCH2])
+    ingest.run_to_completion(stream)
+    before = sorted(
+        (r["_id"], tuple(r["_sim"])) for r in ingest.store.read().collect()
+    )
+    # fresh checkpoint = full source replay into the SAME store: stored
+    # docs must not self-match (id-excluded), dup routing must repeat
+    # identically, and merge_new must append nothing
+    replay = StreamingDedupIngest(
+        spark,
+        store_dir=str(tmp_path / "store"),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    m = replay.run_to_completion(
+        _doc_stream(spark, tmp_path, [])  # files already on disk
+    )
+    after = sorted(
+        (r["_id"], tuple(r["_sim"])) for r in replay.store.read().collect()
+    )
+    assert after == before
+    assert m.dup_docs == 2 and m.novel_docs == 3
+
+
+def test_streaming_dedup_replayed_batch_id_skips_counters(spark, ingest):
+    batch = spark.createDataFrame(BATCH1, "doc_id long, text string")
+    ingest.process_batch(batch, batch_id=0)
+    assert ingest.metrics.docs == 3 and ingest.metrics.dup_docs == 1
+    ingest.process_batch(batch, batch_id=0)  # foreachBatch replay
+    assert ingest.metrics.docs == 3 and ingest.metrics.dup_docs == 1
+    assert ingest.metrics.batches == 1
