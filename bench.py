@@ -222,6 +222,41 @@ def cc_distributed_bench(spark, sf_dir: str) -> dict:
     }
 
 
+def ann_index_bench(spark, sf_dir: str) -> dict:
+    """Build-once / query-many: time the persisted IVF-PQ index build
+    (two map-only passes + partitioned write) and the two query paths —
+    exact rescore over probed cells vs ADC over codes only.  The query
+    numbers are what an application pays per lookup once the build is
+    amortized; both paths prune unprobed cells at planning time."""
+    import tempfile as _tf
+
+    from consume_kafka_avro_data_spark.operators.ann_index import AnnIndex
+    from consume_kafka_avro_data_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.where("vec_id = 1").collect()[0]["embedding"]
+    tmp = _tf.mkdtemp(prefix="ann_bench_")
+    try:
+        t0 = time.perf_counter()
+        idx = AnnIndex.build(spark, emb, os.path.join(tmp, "idx"), n_cells=16)
+        t_build = time.perf_counter() - t0
+        t_exact = t_adc = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            idx.query_exact(qv, k=10, nprobe=4).collect()
+            t_exact = min(t_exact, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            idx.query_adc(qv, k=10, nprobe=4).collect()
+            t_adc = min(t_adc, time.perf_counter() - t0)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "build_sec": round(t_build, 4),
+        "query_exact_sec": round(t_exact, 4),
+        "query_adc_sec": round(t_adc, 4),
+    }
+
+
 def skew_stress_bench(spark, sf_dir: str) -> dict:
     """Salted vs plain JOIN on a DELIBERATELY skewed key: events
     inflated 50× with 90% of rows remapped onto one hot key, equi-
@@ -284,12 +319,18 @@ def skew_stress_bench(spark, sf_dir: str) -> dict:
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        t0 = time.perf_counter()
-        plain = checksum(e.join(dim, "k"))
-        t_plain = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        salted = checksum(salted_join(e, dim, "k", salt_buckets=64))
-        t_salted = time.perf_counter() - t0
+        # best-of-2 per arm (same policy as the headline queries): the
+        # inflated 5M-row joins swing by seconds from GC/page-cache
+        # effects, and a single cold run can invert the comparison
+        t_plain = t_salted = float("inf")
+        plain = salted = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            plain = checksum(e.join(dim, "k"))
+            t_plain = min(t_plain, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            salted = checksum(salted_join(e, dim, "k", salt_buckets=64))
+            t_salted = min(t_salted, time.perf_counter() - t0)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
@@ -354,6 +395,7 @@ def main() -> None:
     stream = streaming_ingest_throughput(spark, sf_dir)
     cc = cc_distributed_bench(spark, sf_dir)
     skew = skew_stress_bench(spark, sf_dir)
+    ann = ann_index_bench(spark, sf_dir)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -368,6 +410,7 @@ def main() -> None:
                 "streaming_ingest": stream,
                 "cc_distributed": cc,
                 "skew_stress": skew,
+                "ann_index": ann,
                 "baseline_reference_msgs_per_sec": 770,
             }
         )
