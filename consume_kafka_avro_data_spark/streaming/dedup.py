@@ -78,6 +78,7 @@ class StreamingDedupIngest:
         hash_fn: str = "xxhash64",
         max_bucket_size: int = MAX_BUCKET_SIZE,
         dupes_dir: str | None = None,
+        compact_every: int | None = None,
     ):
         n = bands * rows
         self.spark = spark
@@ -91,6 +92,7 @@ class StreamingDedupIngest:
         self.hash_fn = hash_fn
         self.max_bucket_size = max_bucket_size
         self.dupes_dir = dupes_dir
+        self.compact_every = compact_every
         elem = LongType() if hash_fn == "xxhash64" else StringType()
         self.store = ManifestTable(
             spark,
@@ -210,6 +212,13 @@ class StreamingDedupIngest:
                 self.metrics.novel_docs += n_docs - n_dupes
                 self.metrics.dup_pairs_by_batch[batch_id] = n_dupes
             self._seen_batches.add(batch_id)
+            # append-per-batch grows the store's file count linearly
+            # (the small-file problem); periodic compaction is safe at
+            # any point — it rewrites the same rows behind an atomic
+            # manifest swap, so a crash or replay never observes a
+            # partial store
+            if self.compact_every and self.metrics.batches % self.compact_every == 0:
+                self.store.compact()
         finally:
             # localCheckpoint blocks are freed with the DataFrame; make
             # the lineage cut explicit about its lifetime anyway

@@ -376,3 +376,54 @@ def test_asof_join_fuzz_vs_pandas_merge_asof(spark, left_rows, right_rows, tol):
         want = ref.loc[lid, "pay"]
         want = None if pd.isna(want) else int(want)
         assert got[lid] == want, (lid, got[lid], want)
+
+
+# ---------------------------------------------------------------------------
+# incremental vs intra-corpus dedup consistency
+# ---------------------------------------------------------------------------
+
+_WORDS = ["alpha", "beta", "gamma", "delta"]
+_DOCS = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=8).map(" ".join),
+    min_size=0,
+    max_size=8,
+)
+
+
+@given(texts=_DOCS)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_incremental_dedup_agrees_with_intra_corpus_pipeline(spark, texts):
+    """Law: incremental_minhash_dedup(new, corpus) must emit EXACTLY the
+    cross-split subset of minhash_lsh_pairs(new ∪ corpus) — same band
+    keys, same candidates, same exact-Jaccard verify — with new docs
+    split off by id parity.  Catches any drift between the two candidate
+    generators (bucket-and-expand vs band equi-join)."""
+    from consume_kafka_avro_data_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_lsh_pairs,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    all_docs = spark.createDataFrame(
+        rows or [(0, "zz")], "doc_id long, text string"
+    ).limit(len(rows))
+    new = all_docs.where("doc_id % 2 = 0")
+    corpus = all_docs.where("doc_id % 2 != 0")
+
+    union_pairs = {
+        (r.id_a, r.id_b): r.jaccard for r in minhash_lsh_pairs(all_docs).collect()
+    }
+    want = {
+        (a, b) if a % 2 == 0 else (b, a): j
+        for (a, b), j in union_pairs.items()
+        if (a % 2) != (b % 2)  # cross-split only
+    }
+    got = {
+        (r.new_id, r.corpus_id): r.jaccard
+        for r in incremental_minhash_dedup(new, corpus).collect()
+    }
+    assert got == want

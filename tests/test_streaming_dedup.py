@@ -89,6 +89,21 @@ def test_streaming_dedup_replay_is_idempotent(spark, tmp_path, ingest):
     assert m.dup_docs == 2 and m.novel_docs == 3
 
 
+def test_streaming_dedup_auto_compaction(spark, tmp_path):
+    """compact_every=1 collapses the append-per-batch file growth to a
+    single file per table generation with contents intact."""
+    ingest = StreamingDedupIngest(
+        spark,
+        store_dir=str(tmp_path / "store"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        compact_every=1,
+    )
+    stream = _doc_stream(spark, tmp_path, [BATCH1, BATCH2])
+    ingest.run_to_completion(stream)
+    assert len(ingest.store.files()) == 1
+    assert sorted(r["_id"] for r in ingest.store.read().collect()) == [1, 3, 5]
+
+
 def test_streaming_dedup_replayed_batch_id_skips_counters(spark, ingest):
     batch = spark.createDataFrame(BATCH1, "doc_id long, text string")
     ingest.process_batch(batch, batch_id=0)
