@@ -49,7 +49,16 @@ VECTORS = "vectors"
 
 
 class AnnIndex:
-    """Persisted IVF-PQ index over an embedding corpus."""
+    """Persisted IVF-PQ index over an embedding corpus.
+
+    Rebuild safety: each build writes its rows into a fresh generation
+    directory (``vectors-<token>``) and the atomic META replace — which
+    names that directory — is the ONLY commit point.  A crash anywhere
+    before it leaves the previous generation fully live (readers load
+    the old meta → the old directory); an in-place overwrite would
+    instead let a crash pair new cell layouts with old centroids and
+    return silently wrong neighbors.  Superseded generations are
+    garbage-collected after the commit, best-effort."""
 
     def __init__(
         self,
@@ -59,6 +68,7 @@ class AnnIndex:
         codebooks: np.ndarray,
         id_col: str,
         vec_col: str,
+        vectors_dir: str = VECTORS,
     ):
         self.spark = spark
         self.path = path
@@ -66,6 +76,7 @@ class AnnIndex:
         self.codebooks = codebooks
         self.id_col = id_col
         self.vec_col = vec_col
+        self.vectors_dir = vectors_dir
 
     # -- build / load --------------------------------------------------------
 
@@ -83,9 +94,13 @@ class AnnIndex:
         seed: int = 42,
     ) -> "AnnIndex":
         """Train (driver-sized sample) → assign + encode (two map-only
-        Arrow passes) → write partitioned by cell.  The corpus is read
-        twice and never shuffled; the only driver traffic is the
-        centroid/codebook matrices."""
+        Arrow passes) → write a fresh generation directory → atomically
+        commit it via the META replace.  The corpus is read twice and
+        never shuffled; the only driver traffic is the centroid/codebook
+        matrices."""
+        import shutil
+        import uuid
+
         centroids = kmeans_centroids(
             corpus, k=n_cells, id_col=id_col, vec_col=vec_col, seed=seed
         )
@@ -100,22 +115,29 @@ class AnnIndex:
             vec_col,
             keep_cols=[vec_col, "_ivf_cell"],
         )
+        gen = f"{VECTORS}-{uuid.uuid4().hex[:8]}"
         (
             rows.write.partitionBy("_ivf_cell")
             .mode("overwrite")
-            .parquet(os.path.join(path, VECTORS))
+            .parquet(os.path.join(path, gen))
         )
         meta = {
             "id_col": id_col,
             "vec_col": vec_col,
+            "vectors_dir": gen,
             "centroids": centroids.tolist(),
             "codebooks": codebooks.tolist(),
         }
         tmp = os.path.join(path, META + ".tmp")
         with open(tmp, "w") as f:
             json.dump(meta, f)
-        os.replace(tmp, os.path.join(path, META))  # commit point
-        return cls(spark, path, centroids, codebooks, id_col, vec_col)
+        os.replace(tmp, os.path.join(path, META))  # the ONLY commit point
+        for name in os.listdir(path):  # GC superseded generations
+            if name.startswith(VECTORS) and name != gen:
+                shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+        return cls(
+            spark, path, centroids, codebooks, id_col, vec_col, vectors_dir=gen
+        )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "AnnIndex":
@@ -128,6 +150,7 @@ class AnnIndex:
             np.asarray(meta["codebooks"], dtype=np.float64),
             meta["id_col"],
             meta["vec_col"],
+            vectors_dir=meta.get("vectors_dir", VECTORS),
         )
 
     # -- query ---------------------------------------------------------------
@@ -140,7 +163,7 @@ class AnnIndex:
         qv = qv / max(np.linalg.norm(qv), 1e-12)
         order = np.argsort(-(self.centroids @ qv))[:nprobe]
         cells = [int(c) + 1 for c in order]  # 1-based, as ivf_assign
-        index = self.spark.read.parquet(os.path.join(self.path, VECTORS))
+        index = self.spark.read.parquet(os.path.join(self.path, self.vectors_dir))
         return index.where(F.col("_ivf_cell").isin(cells))
 
     def query_exact(self, query_vec, k: int = 10, nprobe: int = 4) -> DataFrame:
@@ -177,7 +200,7 @@ class AnnIndex:
     def cell_sizes(self) -> DataFrame:
         """(_ivf_cell, n) — the balance diagnostic for probe planning."""
         return (
-            self.spark.read.parquet(os.path.join(self.path, VECTORS))
+            self.spark.read.parquet(os.path.join(self.path, self.vectors_dir))
             .groupBy("_ivf_cell")
             .agg(F.count(F.lit(1)).alias("n"))
         )

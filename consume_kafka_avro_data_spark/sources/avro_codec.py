@@ -324,9 +324,17 @@ def _from_confluent_avro_native(
     Two deliberate contract differences vs the pandas codec, both only
     on MALFORMED bodies (header errors match byte-for-byte):
     * body decode failures all map to the one message ``malformed Avro
-      body`` (from_avro's PERMISSIVE null carries no reason);
+      body`` (from_avro's PERMISSIVE failure row carries no reason);
     * trailing bytes after a well-formed record are ignored (the Avro
       reader stops at the record boundary) instead of erroring.
+
+    Malformed-body detection: PERMISSIVE ``from_avro`` does NOT return
+    a NULL struct on failure — it returns a struct with every field
+    null (Spark's AvroDataToCatalyst ``nullResultRow``) — so the
+    failure test is all-fields-null, not ``isNull``.  That test is
+    exact for this codec's schema universe: the writer schema has no
+    null unions (``to_confluent_avro`` rejects null field values), so
+    a legitimately decoded record can never have every field null.
     """
     from pyspark.sql.avro.functions import from_avro
 
@@ -344,13 +352,17 @@ def _from_confluent_avro_native(
             body, schema_config.to_avro_schema_json(), {"mode": "PERMISSIVE"}
         ),
     )
-    tmp = df.withColumns(
+    tmp = df.withColumns({"_dec": dec})
+    all_null = None
+    for n, _ in fields:
+        c = F.col(f"_dec.{n}").isNull()
+        all_null = c if all_null is None else all_null & c
+    body_err = F.when(
+        F.col("_dec").isNull() | all_null, F.lit("malformed Avro body")
+    )
+    tmp = tmp.withColumns(
         {
-            "_dec": dec,
-            "_err": F.coalesce(
-                header_err,
-                F.when(dec.isNull(), F.lit("malformed Avro body")),
-            ),
+            "_err": F.coalesce(header_err, body_err),
             "_sid": F.when(header_err.isNull(), sid_signed.cast("int")),
         }
     )

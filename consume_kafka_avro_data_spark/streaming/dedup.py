@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import (
     ArrayType,
+    DataType,
     LongType,
     StringType,
     StructField,
@@ -79,7 +80,14 @@ class StreamingDedupIngest:
         max_bucket_size: int = MAX_BUCKET_SIZE,
         dupes_dir: str | None = None,
         compact_every: int | None = None,
+        id_type: DataType | None = None,
     ):
+        """``id_type`` is the document-id column's Spark type (default
+        LongType) — it shapes the persisted store schema, so a stream
+        whose ``id_col`` disagrees is rejected at the first micro-batch
+        with a clear error instead of corrupting the store (parquet
+        would accept the mismatched write and every later read would
+        fail with a column-type mismatch)."""
         n = bands * rows
         self.spark = spark
         self.checkpoint_dir = checkpoint_dir
@@ -94,12 +102,13 @@ class StreamingDedupIngest:
         self.dupes_dir = dupes_dir
         self.compact_every = compact_every
         elem = LongType() if hash_fn == "xxhash64" else StringType()
+        self.id_type = id_type or LongType()
         self.store = ManifestTable(
             spark,
             os.path.join(store_dir, "signatures"),
             StructType(
                 [
-                    StructField("_id", LongType(), True),
+                    StructField("_id", self.id_type, True),
                     StructField("_sim", ArrayType(elem, True), True),
                 ]
             ),
@@ -168,6 +177,13 @@ class StreamingDedupIngest:
     # -- per-micro-batch body ------------------------------------------------
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        got = batch.schema[self.id_col].dataType
+        if got != self.id_type:
+            raise TypeError(
+                f"{self.id_col!r} is {got.simpleString()} but the signature "
+                f"store was declared {self.id_type.simpleString()}; pass "
+                "id_type= so the persisted schema matches the stream"
+            )
         replayed = batch_id in self._seen_batches
         sigs = minhash_sig_table(
             batch,
@@ -187,7 +203,15 @@ class StreamingDedupIngest:
             vs_batch = self._matches(banded, banded).where(
                 F.col("dup_id") > F.col("match_id")
             )
-            dup_map = vs_store.unionByName(vs_batch).dropDuplicates(["dup_id"])
+            # checkpointed like sigs: dup_map has up to three consumers
+            # (dupes write, count, the novel anti-join feeding
+            # merge_new) — uncached, each would re-run the store scan +
+            # both LSH band joins, tripling the dominant per-batch cost
+            dup_map = (
+                vs_store.unionByName(vs_batch)
+                .dropDuplicates(["dup_id"])
+                .localCheckpoint(eager=True)
+            )
             n_docs = sigs.count()
             if self.dupes_dir:
                 # partition by batch id + dynamic overwrite: a replayed

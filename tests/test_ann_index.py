@@ -95,6 +95,29 @@ def test_metadata_roundtrip_bit_exact(spark, index):
     assert (loaded.id_col, loaded.vec_col) == (index.id_col, index.vec_col)
 
 
+def test_rebuild_commits_atomically_and_gcs_old_generation(
+    spark, sf_dir, tmp_path, qvec
+):
+    """A rebuild writes a FRESH generation directory and commits it via
+    the META replace (a crash in between leaves the old generation
+    live); after the commit exactly one generation remains and a
+    fresh load() answers from it."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    first = AnnIndex.build(spark, emb, path, n_cells=8)
+    gen1 = first.vectors_dir
+    second = AnnIndex.build(spark, emb, path, n_cells=8)
+    assert second.vectors_dir != gen1  # never overwritten in place
+    gens = [n for n in os.listdir(path) if n.startswith("vectors")]
+    assert gens == [second.vectors_dir]  # old generation GC'd
+    loaded = AnnIndex.load(spark, path)
+    assert loaded.vectors_dir == second.vectors_dir
+    top = loaded.query_exact(qvec, 3, nprobe=8).collect()
+    assert top[0].vec_id == 1
+
+
 def test_cell_sizes_cover_corpus(spark, sf_dir, index):
     n = load_table(spark, sf_dir, "embeddings").count()
     sizes = {r._ivf_cell: r.n for r in index.cell_sizes().collect()}

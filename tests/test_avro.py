@@ -407,6 +407,22 @@ def test_native_and_pandas_codecs_agree(spark):
     rows_jvm = {tuple(r[c] for c in cols) for r in d_jvm.collect()}
     assert rows_py == rows_jvm
 
+    # valid CP1 header + garbage body: BOTH codecs must route it to the
+    # DLQ (null fields, non-null _error) — messages may differ (the
+    # native path's single 'malformed Avro body' vs the pandas codec's
+    # reason string), but validity must not.  Regression for the
+    # PERMISSIVE from_avro nullResultRow trap: a failed decode is a
+    # struct of nulls, NOT a null struct, so an isNull test never fires.
+    corrupt = spark.createDataFrame(
+        [("c", bytearray(frame_confluent(b"\xff", 2)))], ["key", "value"]
+    )
+    for use_native in (False, True):
+        r = from_confluent_avro(
+            corrupt, sc, expected_schema_id=2, use_native=use_native
+        ).collect()[0]
+        assert r["_error"] is not None, f"use_native={use_native}"
+        assert r["subject"] is None and r["object"] is None
+
 
 def test_native_decode_plan_is_pure_jvm(spark):
     """The native decode/encode plans must contain NO Python evaluation

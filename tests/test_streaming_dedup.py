@@ -104,6 +104,39 @@ def test_streaming_dedup_auto_compaction(spark, tmp_path):
     assert sorted(r["_id"] for r in ingest.store.read().collect()) == [1, 3, 5]
 
 
+def test_streaming_dedup_rejects_mismatched_id_type(spark, tmp_path):
+    """A stream whose id column disagrees with the declared store type
+    must fail FAST with a clear TypeError — parquet would accept the
+    mismatched write and corrupt the store for every later read."""
+    from pyspark.sql.types import StringType
+
+    ingest = StreamingDedupIngest(
+        spark,
+        store_dir=str(tmp_path / "store"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    bad = spark.createDataFrame(
+        [("a", BASE)], "doc_id string, text string"
+    )
+    with pytest.raises(TypeError, match="signature store was declared"):
+        ingest.process_batch(bad, batch_id=0)
+    assert ingest.store.files() == []  # nothing was written
+
+    # declaring the type makes string ids first-class
+    typed = StreamingDedupIngest(
+        spark,
+        store_dir=str(tmp_path / "store2"),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        id_type=StringType(),
+    )
+    batch = spark.createDataFrame(
+        [("a", BASE), ("b", BASE), ("c", FAR)], "doc_id string, text string"
+    )
+    typed.process_batch(batch, batch_id=0)
+    assert typed.metrics.dup_docs == 1 and typed.metrics.novel_docs == 2
+    assert sorted(r["_id"] for r in typed.store.read().collect()) == ["a", "c"]
+
+
 def test_streaming_dedup_replayed_batch_id_skips_counters(spark, ingest):
     batch = spark.createDataFrame(BATCH1, "doc_id long, text string")
     ingest.process_batch(batch, batch_id=0)
