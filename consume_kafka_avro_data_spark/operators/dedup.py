@@ -826,22 +826,36 @@ def _ngram_candidate_pairs(
     document frequency > ``max_ngram_df`` (quadratic candidates, no
     signal — the skew guard for this join at scale), pair docs sharing a
     surviving gram, and re-attach both full gram sets for exact
-    verification.  Returns (id_a, id_b, _ga, _gb)."""
+    verification.  Returns (id_a, id_b, _ga, _gb).
+
+    Bucket-and-expand, same rationale as :func:`_bucket_candidate_pairs`:
+    ONE groupBy over the posting list yields each gram's sorted member
+    array, whose SIZE is the gram's document frequency — so the
+    stop-gram filter is a length test on the aggregate, not a separate
+    df-count + join, and the pair expansion happens map-side instead of
+    a posting self-join that would materialize (and shuffle) the
+    posting subtree once per side."""
     df = ensure_min_splits(df)
     grams = F.array_distinct(shingles(tokens_col(text_col), n))
     base = df.select(F.col(id_col).alias("_id"), grams.alias("_grams"))
     posting = base.select("_id", F.explode("_grams").alias("_g"))
-    rare = (
+    buckets = (
         posting.groupBy("_g")
-        .agg(F.count("*").alias("_df"))
-        .where(F.col("_df") <= max_ngram_df)
-        .select("_g")
+        .agg(F.sort_array(F.collect_list("_id")).alias("_m"))
+        .where(F.size("_m") <= max_ngram_df)
     )
-    posting = posting.join(rare, "_g")
-    a, b = posting.alias("a"), posting.alias("b")
+    pair_arr = F.flatten(
+        F.transform(
+            "_m",
+            lambda x, i: F.transform(
+                F.slice("_m", i + F.lit(2), F.size("_m")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     cand = (
-        a.join(b, (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id")))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     ga = base.select(F.col("_id").alias("id_a"), F.col("_grams").alias("_ga"))
