@@ -627,3 +627,47 @@ def from_confluent_avro_resolved(
         F.col("_rec._schema_id").alias("_schema_id"),
         *[F.col(f"_rec.{n}").alias(n) for n, _ in reader_fields],
     )
+
+
+def recover_json_frames(
+    dlq: DataFrame,
+    schema_config: SchemaConfig,
+    value_col: str = "value",
+) -> DataFrame:
+    """Re-decode dead letters whose raw frame is UTF-8 JSON — the
+    reference's observed production corruption (a producer shipped raw
+    JSON onto the Avro topic; ``Invalid CP1 magic byte 123`` = ``{``
+    appears 4× in its 2024-12-21 log, ``src/main.cpp:249-252``, where
+    the reference could only count them).  With the DLQ retaining the
+    undecoded frame (``keep_raw=True`` → ``_raw_value`` → the DLQ's
+    ``value``), those dead letters are recoverable: parse the frame as
+    a JSON object keyed by the CONFIGURED field names and split
+    recovered rows from still-dead ones.
+
+    Returns the DLQ columns plus the configured fields and a
+    ``_recovered`` flag: true ⇒ the fields are populated and the row
+    can be fed back through the normal sink path (the graph merge is
+    idempotent, so replaying recovered rows is safe); false ⇒ the frame
+    is neither valid CP1 nor parseable JSON and stays dead.
+
+    Pure-JVM plan: one ``from_json`` (PERMISSIVE — unparseable input
+    yields a null struct) over the frame cast to string; rows whose
+    parse succeeds but populate NO configured field (e.g. a JSON object
+    with foreign keys) are NOT recovered — a row of all-null fields
+    would merge a meaningless vertex."""
+    fields = _schema_fields(schema_config)
+    json_schema = StructType(
+        [StructField(n, _AVRO_TO_SPARK[t], True) for n, t in fields]
+    )
+    parsed = F.from_json(F.col(value_col).cast("string"), json_schema)
+    tmp = dlq.withColumn("_rec", parsed)
+    any_field = None
+    for n, _ in fields:
+        c = F.col(f"_rec.{n}").isNotNull()
+        any_field = c if any_field is None else any_field | c
+    ok = F.col("_rec").isNotNull() & any_field
+    return tmp.select(
+        *dlq.columns,
+        *[F.when(ok, F.col(f"_rec.{n}")).alias(n) for n, _ in fields],
+        ok.alias("_recovered"),
+    )

@@ -633,3 +633,62 @@ def test_live_smoke_dry_run_exits_clean():
     assert "'failOnDataLoss': 'false'" in proc.stdout
     assert "dry-run: config + schema assembly + reader options validated" in proc.stdout
     assert "warning" not in proc.stderr
+
+
+def test_dlq_json_recovery_feeds_back_into_graph(spark, tmp_path):
+    """The reference could only COUNT its raw-JSON corruption (Invalid
+    CP1 magic byte 123, 4x in its production log); with the DLQ
+    retaining raw frames, recover_json_frames re-decodes the JSON dead
+    letters and the idempotent merge absorbs them — while genuinely
+    dead frames stay dead."""
+    from consume_kafka_avro_data_spark.operators.graph import triples_from
+    from consume_kafka_avro_data_spark.sources.avro_codec import (
+        recover_json_frames,
+    )
+
+    topic, sc = _framed_topic(spark, tmp_path)  # 4 valid + 1 raw JSON
+    extra = spark.createDataFrame(
+        [
+            Row(  # complete JSON triple — fully recoverable
+                key=bytearray(b"junk2"),
+                value=bytearray(
+                    b'{"subject": "Consigliere Tom", '
+                    b'"predicate": "Advises", "object": "Don Vito"}'
+                ),
+                topic="spo",
+                partition=0,
+                offset=1000,
+            ),
+            Row(  # neither CP1 nor JSON — stays dead
+                key=bytearray(b"junk3"),
+                value=bytearray(b"\x01not json, not avro"),
+                topic="spo",
+                partition=0,
+                offset=1001,
+            ),
+        ]
+    )
+    topic.write_batch(extra)
+    store, ing, m = _ingest(spark, tmp_path, topic, sc, "a")
+    assert m.error_rows == 3
+
+    dlq = spark.read.parquet(str(tmp_path / "dlq"))
+    rec = recover_json_frames(dlq, sc)
+    recovered = rec.where("_recovered")
+    assert rec.where("NOT _recovered").count() == 1
+    by_subject = {r["subject"]: r for r in recovered.collect()}
+    assert set(by_subject) == {"raw json", "Consigliere Tom"}
+    assert by_subject["raw json"]["predicate"] is None  # partial JSON
+    assert by_subject["Consigliere Tom"]["object"] == "Don Vito"
+
+    # feed the COMPLETE recovered triples back through the normal sink
+    # path: one new subject vertex + one new edge land (Don Vito already
+    # exists; the merge is idempotent so this replay is always safe)
+    nv_before = store.objects().count()
+    complete = recovered.where(
+        "subject IS NOT NULL AND predicate IS NOT NULL AND object IS NOT NULL"
+    )
+    triples = triples_from(complete, "subject", "predicate", "object")
+    nv, ne = store.ingest_triples(triples, created_at="2024-01-01")
+    assert (nv, ne) == (1, 1)
+    assert store.objects().count() == nv_before + 1
