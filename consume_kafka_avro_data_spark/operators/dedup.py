@@ -829,20 +829,29 @@ def _ngram_candidate_pairs(
     verification.  Returns (id_a, id_b, _ga, _gb).
 
     Bucket-and-expand, same rationale as :func:`_bucket_candidate_pairs`:
-    ONE groupBy over the posting list yields each gram's sorted member
-    array, whose SIZE is the gram's document frequency — so the
-    stop-gram filter is a length test on the aggregate, not a separate
-    df-count + join, and the pair expansion happens map-side instead of
-    a posting self-join that would materialize (and shuffle) the
-    posting subtree once per side."""
+    the stop-gram guard runs FIRST as a constant-memory partial-agg
+    count + anti-join (a hot stop-gram must never reach collect_list —
+    at corpus scale it would materialize an O(df) array in one task
+    before being discarded), then ONE groupBy yields each surviving
+    gram's sorted distinct member array and the pair expansion happens
+    map-side — no posting self-join that would materialize (and
+    shuffle) the posting subtree once per side.  Members are distinct,
+    so duplicate ids in the input never produce (x, x) self-pairs,
+    matching the strict a < b predicate of a pair join."""
     df = ensure_min_splits(df)
     grams = F.array_distinct(shingles(tokens_col(text_col), n))
     base = df.select(F.col(id_col).alias("_id"), grams.alias("_grams"))
     posting = base.select("_id", F.explode("_grams").alias("_g"))
-    buckets = (
+    hot = (
         posting.groupBy("_g")
-        .agg(F.sort_array(F.collect_list("_id")).alias("_m"))
-        .where(F.size("_m") <= max_ngram_df)
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > max_ngram_df)
+        .select("_g")
+    )
+    buckets = (
+        posting.join(hot, "_g", "left_anti")
+        .groupBy("_g")
+        .agg(F.array_distinct(F.sort_array(F.collect_list("_id"))).alias("_m"))
     )
     pair_arr = F.flatten(
         F.transform(

@@ -188,6 +188,28 @@ def _schema_fields(sc: SchemaConfig) -> list[tuple[str, str]]:
     return [(sc.field_name(c), sc.field_type(c)) for c in sc.columns]
 
 
+def _null_fold(
+    struct_col: str,
+    fields: list[tuple[str, str]],
+    null: bool,
+    every: bool,
+) -> Column:
+    """Fold per-field nullness over a struct column: ``null`` picks the
+    predicate (isNull vs isNotNull), ``every`` picks the combiner (AND
+    vs OR).  One home for the reduce-over-schema-fields pattern shared
+    by the native decode's all-null failure test and the JSON
+    recovery's any-/every-field checks (and for the empty-fields edge:
+    SchemaConfig requires ≥1 column, asserted here rather than silently
+    folding over nothing)."""
+    assert fields, "SchemaConfig guarantees at least one configured column"
+    acc = None
+    for n, _ in fields:
+        c = F.col(f"{struct_col}.{n}")
+        c = c.isNull() if null else c.isNotNull()
+        acc = c if acc is None else (acc & c if every else acc | c)
+    return acc
+
+
 def native_avro_available(spark) -> bool:
     """True if the spark-avro SQL datasource is on Spark's classpath
     (shared probe — sees ``--packages`` jars, see jvm_class_available)."""
@@ -353,12 +375,10 @@ def _from_confluent_avro_native(
         ),
     )
     tmp = df.withColumns({"_dec": dec})
-    all_null = None
-    for n, _ in fields:
-        c = F.col(f"_dec.{n}").isNull()
-        all_null = c if all_null is None else all_null & c
     body_err = F.when(
-        F.col("_dec").isNull() | all_null, F.lit("malformed Avro body")
+        F.col("_dec").isNull()
+        | _null_fold("_dec", fields, null=True, every=True),
+        F.lit("malformed Avro body"),
     )
     tmp = tmp.withColumns(
         {
@@ -644,30 +664,32 @@ def recover_json_frames(
     a JSON object keyed by the CONFIGURED field names and split
     recovered rows from still-dead ones.
 
-    Returns the DLQ columns plus the configured fields and a
-    ``_recovered`` flag: true ⇒ the fields are populated and the row
-    can be fed back through the normal sink path (the graph merge is
-    idempotent, so replaying recovered rows is safe); false ⇒ the frame
-    is neither valid CP1 nor parseable JSON and stays dead.
+    Returns the DLQ columns plus the configured fields and two flags:
+
+    * ``_recovered`` — the parse succeeded and populated at least one
+      configured field (an all-null parse, e.g. a JSON object with only
+      foreign keys, stays dead: it carries no usable signal);
+    * ``_complete`` — EVERY configured field is populated.  Only
+      ``_complete`` rows are safe to feed back through the normal sink
+      path unfiltered (the graph merge is idempotent, so replaying them
+      is always safe); ``_recovered`` -but-incomplete rows carry the
+      fields that did parse for manual triage, and pushing them into
+      ``triples_from`` would merge null-named vertices.
 
     Pure-JVM plan: one ``from_json`` (PERMISSIVE — unparseable input
-    yields a null struct) over the frame cast to string; rows whose
-    parse succeeds but populate NO configured field (e.g. a JSON object
-    with foreign keys) are NOT recovered — a row of all-null fields
-    would merge a meaningless vertex."""
+    yields a null struct) over the frame cast to string."""
     fields = _schema_fields(schema_config)
     json_schema = StructType(
         [StructField(n, _AVRO_TO_SPARK[t], True) for n, t in fields]
     )
     parsed = F.from_json(F.col(value_col).cast("string"), json_schema)
     tmp = dlq.withColumn("_rec", parsed)
-    any_field = None
-    for n, _ in fields:
-        c = F.col(f"_rec.{n}").isNotNull()
-        any_field = c if any_field is None else any_field | c
-    ok = F.col("_rec").isNotNull() & any_field
+    rec_ok = F.col("_rec").isNotNull()
+    ok = rec_ok & _null_fold("_rec", fields, null=False, every=False)
+    complete = rec_ok & _null_fold("_rec", fields, null=False, every=True)
     return tmp.select(
         *dlq.columns,
         *[F.when(ok, F.col(f"_rec.{n}")).alias(n) for n, _ in fields],
         ok.alias("_recovered"),
+        complete.alias("_complete"),
     )

@@ -194,6 +194,7 @@ class StreamingDedupIngest:
             self.rows,
             self.hash_fn,
         ).localCheckpoint(eager=True)  # signed once; used by 3 consumers
+        dup_map = None
         try:
             banded = self._banded(sigs)
             vs_store = self._matches(banded, self._banded(self.store.read()))
@@ -245,8 +246,12 @@ class StreamingDedupIngest:
                 self.store.compact()
         finally:
             # localCheckpoint blocks are freed with the DataFrame; make
-            # the lineage cut explicit about its lifetime anyway
+            # the lineage cuts explicit about their lifetimes anyway —
+            # a long-running processingTime stream must not accumulate
+            # superseded batches' blocks until driver GC gets around to it
             sigs.unpersist()
+            if dup_map is not None:
+                dup_map.unpersist()
 
     # -- lifecycle -----------------------------------------------------------
 

@@ -90,6 +90,18 @@ def test_incremental_dedup_scores_new_against_corpus_only(spark):
     assert all(n in (10, 11) for n, _ in got)  # no corpus×corpus rows
 
 
+def test_ngram_pairs_never_emit_self_pairs_on_duplicate_ids(spark):
+    """Duplicate ids in the input (two rows, same doc_id) must not
+    produce (x, x) self-pairs from the bucket expansion — the member
+    arrays are distinct, matching a strict a < b pair-join predicate."""
+    docs = spark.createDataFrame(
+        [(0, BASE), (0, BASE), (1, NEAR)], ["doc_id", "text"]
+    )
+    pairs = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs).collect()}
+    assert (0, 0) not in pairs
+    assert (0, 1) in pairs
+
+
 def test_incremental_dedup_hot_bucket_guard(spark):
     """Corpus band buckets over max_bucket_size are dropped from the
     candidate join (same contract as _bucket_candidate_pairs): with the

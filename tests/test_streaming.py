@@ -681,13 +681,15 @@ def test_dlq_json_recovery_feeds_back_into_graph(spark, tmp_path):
     assert by_subject["raw json"]["predicate"] is None  # partial JSON
     assert by_subject["Consigliere Tom"]["object"] == "Don Vito"
 
-    # feed the COMPLETE recovered triples back through the normal sink
-    # path: one new subject vertex + one new edge land (Don Vito already
-    # exists; the merge is idempotent so this replay is always safe)
+    # the API's own _complete flag marks the rows safe to feed back
+    # unfiltered: one new subject vertex + one new edge land (Don Vito
+    # already exists; the merge is idempotent so replay is always safe)
+    assert {r["subject"]: r["_complete"] for r in recovered.collect()} == {
+        "raw json": False,
+        "Consigliere Tom": True,
+    }
     nv_before = store.objects().count()
-    complete = recovered.where(
-        "subject IS NOT NULL AND predicate IS NOT NULL AND object IS NOT NULL"
-    )
+    complete = rec.where("_complete")
     triples = triples_from(complete, "subject", "predicate", "object")
     nv, ne = store.ingest_triples(triples, created_at="2024-01-01")
     assert (nv, ne) == (1, 1)
