@@ -187,7 +187,15 @@ def streaming_ingest_throughput(spark, sf_dir: str) -> dict:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
     best = max(sweep, key=lambda r: r["rows_per_sec"])
-    return {**best, "sweep": sweep}
+    # record WHICH decode path this number measures: the pandas codec in
+    # jar-less sandboxes, the pure-JVM from_avro path when spark-avro is
+    # on the classpath (from_confluent_avro auto-probes)
+    from consume_kafka_avro_data_spark.sources.avro_codec import (
+        native_avro_available,
+    )
+
+    codec = "native" if native_avro_available(spark) else "pandas"
+    return {**best, "codec": codec, "sweep": sweep}
 
 
 def cc_distributed_bench(spark, sf_dir: str) -> dict:
