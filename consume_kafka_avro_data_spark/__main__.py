@@ -40,6 +40,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="read a parquet stand-in topic directory instead of Kafka",
     )
     p.add_argument(
+        "--ocf",
+        metavar="DIR",
+        help="ingest a directory of Avro Object Container Files (.avro "
+        "lake files) through the same triples->graph merge instead of "
+        "consuming a topic",
+    )
+    p.add_argument(
         "--follow",
         action="store_true",
         help="consume continuously (micro-batches) instead of the "
@@ -87,6 +94,20 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_session(app_name=f"cka-spark-{topic}")
     spark.sparkContext.setLogLevel("WARN")
+    if args.ocf:
+        # at-rest ingest: already-decoded lake rows skip the wire codec
+        # and run straight through the same idempotent triples merge the
+        # stream path lands in (replays are safe by construction)
+        from consume_kafka_avro_data_spark.operators.graph import triples_from
+        from consume_kafka_avro_data_spark.sources.ocf import read_ocf
+
+        rows = read_ocf(spark, args.ocf, sc)
+        names = [sc.field_name(c) for c in sc.columns]
+        store = GraphStore(spark, graph_dir)
+        nv, ne = store.ingest_triples(triples_from(rows, *names[:3]))
+        print(f"ocf_ingest new_vertices={nv} new_edges={ne}")
+        spark.stop()
+        return 0
     if args.batch:
         stream = FileStreamStandIn(spark, args.batch).read_stream(
             max_files_per_trigger=64

@@ -90,3 +90,50 @@ def test_cli_batch_ingest_end_to_end(spark, tmp_path):
     assert "valid=2" in out.stdout and "errors=0" in out.stdout
     graph = spark.read.parquet(str(tmp_path / "graph" / "objects"))
     assert graph.count() == 3  # distinct {a, b, c}
+
+
+def test_cli_ocf_ingest_end_to_end(spark, tmp_path):
+    """python -m consume_kafka_avro_data_spark -c cfg --ocf DIR ingests
+    at-rest .avro lake files through the same idempotent graph merge."""
+    from consume_kafka_avro_data_spark.sources.ocf import write_ocf
+
+    doc = {
+        "kafka": {},
+        "type_map": {"spo": {"key_column": "subject", "columns": ["S", "P", "O"]}},
+        "column_map": {"S": "subject", "P": "predicate", "O": "object"},
+    }
+    sc = parse_config(doc).schema_for("spo")
+    df = spark.createDataFrame(
+        [("a", "knows", "b"), ("b", "knows", "c")], ["S", "P", "O"]
+    )
+    lake = tmp_path / "lake"
+    write_ocf(df, sc, str(lake))
+
+    cfg = tmp_path / "job.yaml"
+    cfg.write_text(
+        "kafka: {}\n"
+        "type_map:\n  spo:\n    key_column: subject\n    columns: [S, P, O]\n"
+        "column_map: {S: subject, P: predicate, O: object}\n"
+        "engine:\n"
+        f"  graph_dir: {tmp_path / 'graph'}\n"
+        f"  checkpoint_dir: {tmp_path / 'ckpt'}\n"
+    )
+    args = [
+        sys.executable,
+        "-m",
+        "consume_kafka_avro_data_spark",
+        "-c",
+        str(cfg),
+        "--ocf",
+        str(lake),
+    ]
+    out = subprocess.run(
+        args, capture_output=True, text=True, timeout=300, cwd=str(REPO)
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "ocf_ingest new_vertices=3 new_edges=2" in out.stdout
+    # replay: the merge is idempotent, a second run adds nothing
+    out2 = subprocess.run(
+        args, capture_output=True, text=True, timeout=300, cwd=str(REPO)
+    )
+    assert "ocf_ingest new_vertices=0 new_edges=0" in out2.stdout
