@@ -123,9 +123,13 @@ def encode_record(fields: list[tuple[str, str]], values: dict) -> bytes:
     return bytes(out)
 
 
-def decode_record(fields: list[tuple[str, str]], buf: bytes) -> dict:
-    """Decode one record body; raises ValueError on malformed input."""
-    pos = 0
+def decode_one(
+    fields: list[tuple[str, str]], buf: bytes, pos: int = 0
+) -> tuple[dict, int]:
+    """Decode one record starting at ``pos``; returns (row, new_pos).
+    The cursor form serves block containers (OCF packs many records per
+    block); :func:`decode_record` is the whole-buffer wrapper.  Raises
+    ValueError on malformed input."""
     out: dict = {}
     for name, typ in fields:
         if typ in ("int", "long"):
@@ -150,6 +154,13 @@ def decode_record(fields: list[tuple[str, str]], buf: bytes) -> dict:
             pos += n
         else:  # pragma: no cover
             raise ValueError(f"unsupported avro type {typ!r}")
+    return out, pos
+
+
+def decode_record(fields: list[tuple[str, str]], buf: bytes) -> dict:
+    """Decode one record body; raises ValueError on malformed input
+    (including trailing bytes — a wire frame carries exactly one record)."""
+    out, pos = decode_one(fields, buf)
     if pos != len(buf):
         raise ValueError(f"{len(buf) - pos} trailing bytes after record")
     return out
@@ -572,6 +583,19 @@ def resolve_record(
       compatibility; missing default ⇒ resolution error).
     """
     raw = decode_record(writer_fields, buf)
+    return resolve_row(writer_fields, reader_fields, defaults, raw)
+
+
+def resolve_row(
+    writer_fields: list[tuple[str, str]],
+    reader_fields: list[tuple[str, str]],
+    defaults: dict[str, object],
+    raw: dict,
+) -> dict:
+    """The dict-level half of :func:`resolve_record` (promotion / skip /
+    default over an already-decoded row) — shared with the OCF reader,
+    which decodes records straight out of container blocks and must not
+    pay an encode+decode round-trip per row just to resolve them."""
     wtypes = dict(writer_fields)
     out: dict = {}
     for name, rtyp in reader_fields:

@@ -48,9 +48,9 @@ from consume_kafka_avro_data_spark.sources.avro_codec import (
     _read_long,
     _schema_fields,
     _write_long,
-    decode_record,
+    decode_one,
     encode_record,
-    resolve_record,
+    resolve_row,
 )
 
 OCF_MAGIC = b"Obj\x01"
@@ -109,15 +109,18 @@ def schema_fields_from_json(schema_json: str) -> list[tuple[str, str]]:
         raise ValueError(f"not a record schema: {sch.get('type')!r}")
     fields = []
     for f in sch.get("fields", []):
+        name = f.get("name")
         typ = f.get("type")
+        if not isinstance(name, str) or not name:
+            raise ValueError(f"schema field without a name: {f!r}")
         # unions/records arrive as list/dict — unhashable, so the
         # membership test must guard on str first
         if not isinstance(typ, str) or typ not in _AVRO_TO_SPARK:
             raise ValueError(
-                f"field {f.get('name')!r}: unsupported type {typ!r} "
+                f"field {name!r}: unsupported type {typ!r} "
                 "(flat records over string/int/long/float/double only)"
             )
-        fields.append((f["name"], typ))
+        fields.append((name, typ))
     if not fields:
         raise ValueError("record schema has no fields")
     return fields
@@ -195,6 +198,11 @@ def read_ocf_bytes(buf: bytes) -> tuple[list[tuple[str, str]], Iterator[dict]]:
             "snappy needs a native library this environment lacks)"
         )
     fields = schema_fields_from_json(meta["avro.schema"].decode("utf-8"))
+    if pos + _SYNC_LEN > len(buf):
+        # a file truncated in (or before) the header sync must RAISE —
+        # returning an empty record iterator would make a partially
+        # uploaded lake file read as a valid empty file and lose rows
+        raise ValueError("truncated OCF header (sync marker incomplete)")
     sync = buf[pos : pos + _SYNC_LEN]
     pos += _SYNC_LEN
 
@@ -214,9 +222,9 @@ def read_ocf_bytes(buf: bytes) -> tuple[list[tuple[str, str]], Iterator[dict]]:
                 data = _inflate(data)
             dpos = 0
             for _ in range(count):
-                # decode_record is whole-buffer; step record-by-record
-                # with a manual cursor instead
-                row, dpos = _decode_one(fields, data, dpos)
+                # avro_codec.decode_one steps record-by-record with a
+                # cursor — the same wire walk the stream codec uses
+                row, dpos = decode_one(fields, data, dpos)
                 yield row
             if dpos != len(data):
                 raise ValueError(
@@ -224,39 +232,6 @@ def read_ocf_bytes(buf: bytes) -> tuple[list[tuple[str, str]], Iterator[dict]]:
                 )
 
     return fields, records()
-
-
-def _decode_one(
-    fields: list[tuple[str, str]], buf: bytes, pos: int
-) -> tuple[dict, int]:
-    """One record from ``buf`` at ``pos``; returns (row, new_pos).
-    Field-level wire walking shared with decode_record via the same
-    primitive readers."""
-    import struct as _struct
-
-    out: dict = {}
-    for name, typ in fields:
-        if typ in ("int", "long"):
-            out[name], pos = _read_long(buf, pos)
-            if typ == "int" and not -(2**31) <= out[name] < 2**31:
-                raise ValueError(f"int field {name} out of range")
-        elif typ == "float":
-            if pos + 4 > len(buf):
-                raise ValueError("truncated float")
-            (out[name],) = _struct.unpack_from("<f", buf, pos)
-            pos += 4
-        elif typ == "double":
-            if pos + 8 > len(buf):
-                raise ValueError("truncated double")
-            (out[name],) = _struct.unpack_from("<d", buf, pos)
-            pos += 8
-        else:  # string — the only remaining configured type
-            n, pos = _read_long(buf, pos)
-            if n < 0 or pos + n > len(buf):
-                raise ValueError("truncated string")
-            out[name] = buf[pos : pos + n].decode("utf-8")
-            pos += n
-    return out, pos
 
 
 # ---------------------------------------------------------------------------
@@ -323,31 +298,41 @@ def read_ocf(
     out_schema = StructType(
         [StructField(n, _AVRO_TO_SPARK[t], True) for n, t in reader_fields]
     )
-    files = spark.read.format("binaryFile").load(path).select("content")
+    files = (
+        spark.read.format("binaryFile")
+        # only container files: a stray sidecar (or this module's own
+        # .tmp left by a crashed write) must not abort the whole read
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
+        .select("path", "content")
+    )
 
     def gen(batches):
         for pdf in batches:
-            rows: list[dict] = []
-            for content in pdf["content"]:
-                buf = bytes(content)
-                writer_fields, records = read_ocf_bytes(buf)
-                if writer_fields == reader_fields:
-                    rows.extend(records)
-                else:
-                    # re-encode per record through the resolution rules;
-                    # flat-record bodies are just field concatenations,
-                    # so resolve_record can re-parse each one
-                    for row in records:
-                        body = encode_record(writer_fields, row)
-                        rows.append(
-                            resolve_record(
-                                writer_fields, reader_fields, defaults, body
+            # yield one frame per FILE: an Arrow input batch can carry
+            # thousands of whole-file payloads, and accumulating their
+            # decoded rows into one list would hold the whole batch's
+            # records as Python objects at once
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    writer_fields, records = read_ocf_bytes(bytes(content))
+                    if writer_fields == reader_fields:
+                        rows = list(records)
+                    else:
+                        rows = [
+                            resolve_row(
+                                writer_fields, reader_fields, defaults, row
                             )
-                        )
-            yield pd.DataFrame(
-                {n: [r[n] for r in rows] for n, _ in reader_fields}
-                if rows
-                else {n: [] for n, _ in reader_fields}
-            )
+                            for row in records
+                        ]
+                except ValueError as e:
+                    # strict contract stays strict, but actionable: the
+                    # operator must know WHICH lake file is corrupt
+                    raise ValueError(f"{fpath}: {e}") from e
+                yield pd.DataFrame(
+                    {n: [r[n] for r in rows] for n, _ in reader_fields}
+                    if rows
+                    else {n: [] for n, _ in reader_fields}
+                )
 
     return files.mapInPandas(gen, schema=out_schema)

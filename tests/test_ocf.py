@@ -177,6 +177,58 @@ def test_corrupt_sync_and_bad_magic_raise():
 # ---------------------------------------------------------------------------
 
 
+def test_truncated_header_sync_raises():
+    """A file cut in (or before) the header sync must raise — an empty
+    record iterator would read a partially-uploaded file as validly
+    empty and silently lose rows."""
+    fields = [("a", "long")]
+    schema = json.dumps(
+        {"type": "record", "name": "r", "fields": [{"name": "a", "type": "long"}]}
+    )
+    buf = write_ocf_bytes(fields, [{"a": 1}, {"a": 2}], schema, "null")
+    _, recs = read_ocf_bytes(buf)
+    assert len(list(recs)) == 2  # intact file reads fully
+    # every truncation point inside the header region (magic + metadata
+    # map + sync) must raise, never parse as a valid empty file
+    for cut in range(4, 120):
+        with pytest.raises(ValueError):
+            _, r = read_ocf_bytes(buf[:cut])
+            list(r)
+
+
+def test_missing_field_name_raises_valueerror():
+    schema = json.dumps(
+        {"type": "record", "name": "r", "fields": [{"type": "long"}]}
+    )
+    with pytest.raises(ValueError, match="without a name"):
+        write_and_read = write_ocf_bytes([("a", "long")], [], schema, "null")
+        read_ocf_bytes(write_and_read)
+
+
+def test_spark_read_ignores_stray_files_and_names_corrupt_ones(
+    spark, tmp_path
+):
+    sc = _sc()
+    df = spark.createDataFrame(TRIPLES, ["S", "P", "O"])
+    path = str(tmp_path / "lake")
+    write_ocf(df, sc, path)
+    import os
+
+    # a crashed write's .tmp and a random sidecar must not abort the read
+    with open(os.path.join(path, "part-00001.avro.tmp"), "wb") as f:
+        f.write(b"partial garbage")
+    with open(os.path.join(path, "_SUCCESS"), "wb") as f:
+        f.write(b"")
+    assert read_ocf(spark, path, sc).count() == 3
+
+    # a corrupt .avro DOES abort — and the error names the file
+    bad = os.path.join(path, "part-00002.avro")
+    with open(bad, "wb") as f:
+        f.write(b"Obj\x01garbage")
+    with pytest.raises(Exception, match="part-00002.avro"):
+        read_ocf(spark, path, sc).count()
+
+
 def test_spark_roundtrip_and_multifile_read(spark, tmp_path):
     sc = _sc()
     df = spark.createDataFrame(TRIPLES, ["S", "P", "O"])
