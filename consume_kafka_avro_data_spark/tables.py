@@ -74,3 +74,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register the (normalized) testdata tables as temp views so users
+    can run arbitrary ``spark.sql`` over them — the engine-side mirror
+    of the driver's DuckDB view registration, with the same table names
+    and the same events.ts normalization, so a query written against
+    the oracle views runs unchanged against Spark."""
+    for n, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)
+
+
+def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """``register_views`` + ``spark.sql`` in one call: the ad-hoc SQL
+    entry point.  Catalog oracle strings that stay inside the ANSI
+    subset run verbatim (pinned by test for q_groupby_agg); oracles
+    leaning on DuckDB-only list/lambda builtins are DuckDB's to run."""
+    register_views(spark, sf_dir)
+    return spark.sql(query)

@@ -217,3 +217,16 @@ def test_scalar_config_section_is_config_error():
 
     with _pytest.raises(ConfigError, match="must be a mapping"):
         parse_config({"kafka": "localhost:9092", "type_map": {"t": {"key_column": "a", "columns": ["a"]}}})
+
+
+def test_sql_surface_runs_oracle_sql_verbatim(spark, sf_dir):
+    """tables.sql registers the normalized views and runs ANSI SQL —
+    including a declared query's own oracle string, whose result must
+    match the DataFrame form of the same query."""
+    from consume_kafka_avro_data_spark.registry import all_queries
+    from consume_kafka_avro_data_spark.tables import sql
+
+    q = all_queries()["q_groupby_agg"]
+    via_sql = sorted(map(tuple, sql(spark, sf_dir, q.oracle_text()).collect()))
+    via_df = sorted(map(tuple, q.fn(spark, sf_dir).collect()))
+    assert via_sql == via_df
