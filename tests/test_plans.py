@@ -624,3 +624,15 @@ def test_zorder_key_is_pure_jvm_expression(q):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "shiftleft" in plan and "shiftright" in plan
     assert "BroadcastNestedLoopJoin" in plan or I.broadcast_join_count(df) >= 1
+
+
+def test_incremental_dedup_band_equi_join_no_nested_loop(q):
+    """U5 incremental: new and corpus signature subtrees must meet in an
+    EQUI join on the band key (hash/sort-merge) with an anti-join hot-
+    bucket guard — never a nested-loop/cartesian pair sweep, and no
+    Python anywhere in the plan."""
+    plan = I.simple_plan(q("q_incremental_dedup"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftAnti" in plan, plan  # the max_bucket_size guard
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
