@@ -64,6 +64,7 @@ HEADLINE = [
     "q_returned_items",
     "q_pq_adc",
     "q_trade_triangles",
+    "q_semantic_dedup",
 ]
 
 

@@ -253,6 +253,7 @@ def blocked_allpairs_cosine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int = 8,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ τ, distributed by block pairs: rows are
     hashed into ``n_blocks`` blocks, every row is fanned out to the
@@ -262,6 +263,14 @@ def blocked_allpairs_cosine(
     classic blocked GEMM decomposition of brute-force pairwise scoring,
     which is how an exact sweep over 10⁶+ vectors is actually run on a
     cluster (each block pair is one bounded task).
+
+    With ``group_col`` set, pairs are generated only WITHIN each group
+    value (the grouping key becomes (group, ba, bb)): the blocked sweep
+    becomes a per-cell sweep — the generic pairs-out form of the
+    blocking that :func:`semantic_dedup` fuses with its per-vector
+    verdicts — and each task stays bounded even when a single cell
+    outgrows one executor, because the block decomposition still
+    applies inside it.
 
     Scores use q20 fixed-point dots (:data:`Q20`): cosine =
     qdot/(√qaa·√qbb) over exact integer dots, so numpy here and
@@ -275,8 +284,11 @@ def blocked_allpairs_cosine(
         StructType,
     )
 
+    gcols = [group_col] if group_col is not None else []
     blk = (F.crc32(F.col(id_col).cast("string")) % n_blocks).cast("int")
-    base = corpus.select(F.col(id_col), F.col(vec_col), blk.alias("_blk"))
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col), blk.alias("_blk"), *gcols
+    )
     pair_structs = F.array_distinct(
         F.array(
             *[
@@ -289,8 +301,8 @@ def blocked_allpairs_cosine(
         )
     )
     tagged = base.select(
-        id_col, vec_col, "_blk", F.explode(pair_structs).alias("_bp")
-    ).select(id_col, vec_col, "_blk", "_bp.ba", "_bp.bb")
+        id_col, vec_col, "_blk", *gcols, F.explode(pair_structs).alias("_bp")
+    ).select(id_col, vec_col, "_blk", *gcols, "_bp.ba", "_bp.bb")
 
     out_schema = StructType(
         [
@@ -302,7 +314,7 @@ def blocked_allpairs_cosine(
     tau = float(threshold)
 
     def score(key, pdf):  # (key, pdf) -> pdf; schema passed explicitly
-        ba, bb = key
+        ba, bb = key[-2], key[-1]  # leading key element (if any) = group
         ids = pdf[id_col].to_numpy()
         x = quantize_np(np.stack(pdf[vec_col].map(np.asarray)))
         qnorm = np.sqrt((x * x).sum(axis=1))  # exact int sums
@@ -327,7 +339,9 @@ def blocked_allpairs_cosine(
             {"id_a": lo[keep], "id_b": hi[keep], "cosine": s[keep]}
         )
 
-    return tagged.groupBy("ba", "bb").applyInPandas(score, schema=out_schema)
+    return tagged.groupBy(*gcols, "ba", "bb").applyInPandas(
+        score, schema=out_schema
+    )
 
 
 def o_blocked_allpairs(threshold: float) -> str:
@@ -499,6 +513,147 @@ def ivf_topk(
         F.col("_ivf_cell").isin(probe_cells)
     )
     return brute_force_topk(cand.drop("_ivf_cell"), query_vec, k, id_col, vec_col)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with the deterministic coarse
+    quantizer (:func:`kmeans_centroids` + :func:`ivf_assign`), score
+    exact cosines only WITHIN each cell, and prune every vector that has
+    a lower-id cell-mate at cosine ≥ τ.  Returns one row per input
+    vector: ``(vec_id, cell, kept, dup_of)`` where ``dup_of`` is the
+    MINIMUM lower-id witness (NULL ⇔ kept).
+
+    Scale shape: the k-means sample is driver-bounded (k·dim floats),
+    cell assignment is ONE map-only Arrow pass, and pair scoring is a
+    per-(cell, block-pair) blocked-GEMM sweep — no all-pairs work ever
+    crosses cell boundaries, so total pair cost drops from n² to
+    Σ|cell|², and each task stays bounded by the block decomposition
+    even for a hot cell.  The sweep is FUSED with the per-vector output:
+    each diagonal block emits its vectors' base rows and every block
+    pair emits (pruned, witness) rows, so one map-side-combinable
+    min/max aggregate on the id produces the verdicts — no second scan,
+    no re-assignment, no join (the unfused form — pairs via
+    :func:`blocked_allpairs_cosine` with ``group_col`` + a witness join
+    back to the assignment — costs an extra scan+assign pass).
+    Cross-engine exactness: q20 fixed-point dots (:data:`Q20`) make
+    every cosine bit-identical to DuckDB's list_dot_product over the
+    same quantized literals, so the τ-cut — and therefore the kept set —
+    is oracle-checkable despite k-means being iterative (same trick as
+    the IVF oracle)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus, k=n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
+        )
+    assigned = ivf_assign(corpus.select(id_col, vec_col), centroids, vec_col)
+
+    blk = (F.crc32(F.col(id_col).cast("string")) % n_blocks).cast("int")
+    pair_structs = F.array_distinct(
+        F.array(
+            *[
+                F.struct(
+                    F.least(F.col("_blk"), F.lit(q)).alias("ba"),
+                    F.greatest(F.col("_blk"), F.lit(q)).alias("bb"),
+                )
+                for q in range(n_blocks)
+            ]
+        )
+    )
+    tagged = (
+        assigned.withColumn("_blk", blk)
+        .select(
+            id_col,
+            vec_col,
+            "_ivf_cell",
+            "_blk",
+            F.explode(pair_structs).alias("_bp"),
+        )
+        .select(id_col, vec_col, "_ivf_cell", "_blk", "_bp.ba", "_bp.bb")
+    )
+
+    mid_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("cell", IntegerType(), False),
+            StructField("dup_of", LongType(), True),
+        ]
+    )
+    tau = float(threshold)
+
+    def score(key, pdf):
+        cell, ba, bb = int(key[0]), key[1], key[2]
+        ids = pdf[id_col].to_numpy()
+        x = quantize_np(np.stack(pdf[vec_col].map(np.asarray)))
+        qnorm = np.sqrt((x * x).sum(axis=1))  # exact int sums
+        frames = []
+        if ba == bb:
+            # a diagonal group holds exactly its block's rows, and every
+            # vector is in exactly one diagonal group → one base row each
+            frames.append(
+                pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "cell": np.full(len(ids), cell, dtype=np.int32),
+                        "dup_of": pd.array([pd.NA] * len(ids), dtype="Int64"),
+                    }
+                )
+            )
+            sim = (x @ x.T) / np.outer(qnorm, qnorm)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            id_a, id_b, s = ids[ia], ids[ib], sim[ia, ib]
+        else:
+            mask_a = (pdf["_blk"] == ba).to_numpy()
+            xa, xb = x[mask_a], x[~mask_a]
+            sim = (xa @ xb.T) / np.outer(qnorm[mask_a], qnorm[~mask_a])
+            na, nb = sim.shape
+            ia = np.repeat(np.arange(na), nb)
+            ib = np.tile(np.arange(nb), na)
+            id_a, id_b, s = ids[mask_a][ia], ids[~mask_a][ib], sim.ravel()
+        lo = np.minimum(id_a, id_b)
+        hi = np.maximum(id_a, id_b)
+        keep = s >= tau
+        frames.append(
+            pd.DataFrame(
+                {
+                    id_col: hi[keep],
+                    "cell": np.full(int(keep.sum()), cell, dtype=np.int32),
+                    "dup_of": pd.array(lo[keep], dtype="Int64"),
+                }
+            )
+        )
+        return pd.concat(frames, ignore_index=True)
+
+    grouped = tagged.groupBy("_ivf_cell", "ba", "bb").applyInPandas(
+        score, schema=mid_schema
+    )
+    # min-id witness per vector (NULL ⇔ kept); map-side partial agg —
+    # the only shuffle after the group-by that formed the sweep tasks
+    out = grouped.groupBy(id_col).agg(
+        F.max("cell").alias("cell"), F.min("dup_of").alias("dup_of")
+    )
+    return out.select(
+        F.col(id_col).alias("vec_id"),
+        F.col("cell"),
+        F.col("dup_of").isNull().alias("kept"),
+        F.col("dup_of"),
+    )
 
 
 def cell_centroids(

@@ -41,6 +41,7 @@ from consume_kafka_avro_data_spark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
     knn_join,
+    semantic_dedup,
     srp_lsh_topk,
 )
 from consume_kafka_avro_data_spark.operators.text import (
@@ -646,6 +647,87 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     its recall oracle and the correctness contract."""
     emb = load_table(spark, sf_dir, "embeddings")
     return blocked_allpairs_cosine(emb, threshold=0.35)
+
+
+def _o_semantic_dedup(threshold=0.35, n_centroids=16, seed=42) -> str | None:
+    """DuckDB twin of operators.similarity.semantic_dedup: recompute
+    the SAME deterministic centroids from the SAME ORDER BY vec_id
+    LIMIT 4096 sample (the _o_ivf trick), assign cells by first-argmax
+    over quantized centroid literals, then prune every vector with a
+    lower-id cell-mate at q20 cosine ≥ τ.  Factory, resolved lazily:
+    reads $SPARK_GRAFT_TEST_SF_DIR (driver default sf0.01) and degrades
+    to rows-only (None) when the parquet is unreadable or empty."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    path = f"{sf_dir}/embeddings.parquet"
+    try:
+        import duckdb
+        import numpy as np
+
+        from consume_kafka_avro_data_spark.operators.similarity import (
+            lloyd_unit_kmeans,
+        )
+
+        con = duckdb.connect()
+        rows = con.sql(
+            f"SELECT embedding FROM read_parquet('{path}') "
+            "ORDER BY vec_id LIMIT 4096"
+        ).fetchall()
+        con.close()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    cent = lloyd_unit_kmeans(x, k=n_centroids, seed=seed)
+
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        o_quantize,
+        quantize_np,
+    )
+
+    def vec_sql(c) -> str:
+        return "[" + ", ".join(repr(float(v)) for v in c) + "]::DOUBLE[]"
+
+    scores = ", ".join(
+        f"list_dot_product(qv, {vec_sql(qc)})" for qc in quantize_np(cent)
+    )
+    return f"""
+    WITH a AS (
+      SELECT vec_id, qv, list_indexof(s, list_max(s)) AS cell
+      FROM (
+        SELECT vec_id, qv, [{scores}] AS s
+        FROM (SELECT vec_id, {o_quantize()} AS qv FROM embeddings)
+      )
+    ),
+    w AS (
+      SELECT x.vec_id AS vec_id, MIN(y.vec_id) AS dup_of
+      FROM a x JOIN a y
+        ON x.cell = y.cell AND y.vec_id < x.vec_id
+      WHERE list_dot_product(x.qv, y.qv)
+            / (sqrt(list_dot_product(x.qv, x.qv))
+               * sqrt(list_dot_product(y.qv, y.qv))) >= {threshold!r}
+      GROUP BY x.vec_id
+    )
+    SELECT a.vec_id, a.cell,
+           (w.dup_of IS NULL) AS kept, w.dup_of
+    FROM a LEFT JOIN w USING (vec_id)
+    """
+
+
+@query("q_semantic_dedup", oracle=_o_semantic_dedup, tags=("U5", "U6"))
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): k-means cells
+    → within-cell exact cosine → prune any vector with a lower-id
+    cell-mate at cosine ≥ τ.  One row per vector (vec_id, cell, kept,
+    dup_of).  Pair cost is Σ|cell|² instead of n², each cell swept with
+    the bounded blocked-GEMM tasks, and the whole thing is
+    oracle-checked — deterministic centroids re-derived by the DuckDB
+    twin, q20 fixed-point cosines bit-identical across engines (see
+    operators/similarity.semantic_dedup)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.35, n_centroids=16)
 
 
 def _o_dedup_pipeline(bands: int = 8, rows: int = 4) -> str:

@@ -712,6 +712,90 @@ def test_blocked_allpairs_matches_naive_numpy(spark):
     assert (3, 11) in got  # the planted pair survives the cut
 
 
+def test_blocked_allpairs_group_col_restricts_to_within_group(spark):
+    """With group_col set, the blocked sweep must produce exactly the
+    within-group subset of the global q20 pair set — the blocking step
+    of semantic_dedup."""
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        blocked_allpairs_cosine,
+        quantize_np,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((60, 16))
+    vecs[11] = vecs[3] + 0.01 * rng.standard_normal(16)  # planted near-dup
+    cells = [i % 3 for i in range(len(vecs))]
+    cells[11] = cells[3]  # planted near-dup shares its witness's cell
+    rows = [
+        (i, [float(x) for x in vecs[i]], cells[i]) for i in range(len(vecs))
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "cell"])
+
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in blocked_allpairs_cosine(
+            df, threshold=0.3, n_blocks=4, group_col="cell"
+        ).collect()
+    }
+
+    q = quantize_np(vecs)
+    norms = np.sqrt((q * q).sum(axis=1))
+    want = {}
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            if cells[i] != cells[j]:
+                continue
+            s = float((q[i] @ q[j]) / (norms[i] * norms[j]))
+            if s >= 0.3:
+                want[(i, j)] = s
+    assert got == want
+    assert (3, 11) in got
+
+
+def test_semantic_dedup_prunes_planted_duplicate(spark):
+    """semantic_dedup keeps the low-id copy, prunes the high-id copy
+    with dup_of pointing at its minimum lower-id witness, and keeps
+    everything else; the keep-set equals the naive per-cell sweep."""
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_centroids,
+        quantize_np,
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((80, 16))
+    vecs[42] = vecs[7] * 1.5  # exact-direction duplicate → cosine 1.0
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    out = {r.vec_id: r for r in semantic_dedup(df, threshold=0.9, n_centroids=4).collect()}
+    assert len(out) == 80
+    assert out[7].kept and out[7].dup_of is None
+    assert not out[42].kept and out[42].dup_of == 7
+    assert out[42].cell == out[7].cell  # same direction → same cell
+
+    # naive reference: same centroids, same cells, same q20 cosines
+    cent = kmeans_centroids(df, k=4)
+    cells = {
+        r.vec_id: r._ivf_cell
+        for r in ivf_assign(df.select("vec_id", "embedding"), cent).collect()
+    }
+    q = quantize_np(vecs)
+    norms = np.sqrt((q * q).sum(axis=1))
+    for i in range(len(vecs)):
+        witnesses = [
+            j
+            for j in range(i)
+            if cells[j] == cells[i]
+            and float((q[i] @ q[j]) / (norms[i] * norms[j])) >= 0.9
+        ]
+        if witnesses:
+            assert not out[i].kept and out[i].dup_of == min(witnesses)
+        else:
+            assert out[i].kept and out[i].dup_of is None
+
+
 def test_srp_bucket_table_matches_python_buckets(spark):
     """Every _b{t} column must equal srp_bucket_py's q20 bucket for the
     same vector — the corpus path and the query path share arithmetic."""

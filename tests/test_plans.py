@@ -548,6 +548,18 @@ def test_embedding_neardup_no_allpairs_join(q):
     assert I.exchange_count(df) == 1
 
 
+def test_semantic_dedup_cell_bounded_sweep(q):
+    """Semantic dedup: ONE Arrow pass for cell assignment (MapInPandas),
+    the pair sweep as FlatMapGroupsInPandas over (cell, block-pair)
+    groups — never a BroadcastNestedLoopJoin (the cross-cell all-pairs
+    trap) — and the witness join back on the id stays an equi-join."""
+    df = q("q_semantic_dedup")
+    plan = I.simple_plan(df)
+    assert plan.count("MapInPandas") == 1
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_neardup_lsh_bucket_and_expand(q):
     """The LSH-blocked near-dup: one Arrow bucket pass, bucket-and-
     expand candidates (no self-join of the bucket subtree)."""
