@@ -43,7 +43,7 @@ _EXPOSURE_PRIORITY: list[str] = [
     "q_bm25_rank", "q_lang_id", "q_quality_features", "q_bpe_tokens",
     "q_quality_score",
     # round-3 additions (never driver-checked yet)
-    "q_incremental_dedup", "q_semantic_dedup",
+    "q_incremental_dedup", "q_semantic_dedup", "q_curation_pipeline",
     # already-green regression canaries (one per operator family)
     "q_groupby_agg", "q_scan_project", "q_filter_predicates",
     "q_window_rank", "q_topk_global", "q_asof_join", "q_edge_join",

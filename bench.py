@@ -65,6 +65,7 @@ HEADLINE = [
     "q_pq_adc",
     "q_trade_triangles",
     "q_semantic_dedup",
+    "q_curation_pipeline",
 ]
 
 

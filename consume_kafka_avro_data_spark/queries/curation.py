@@ -367,3 +367,206 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("node").alias("node"), F.col("rank").alias("rank")
         )
     return ranks.select("node", F.col("rank").alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation: quality gate → exact dedup → semantic dedup
+# ---------------------------------------------------------------------------
+
+_CURATION_QT = 0.84  # quality threshold; rounded(6) scores are engine-identical
+
+# shared WITH-clause body: quality scores → gate → fingerprint collapse →
+# canonical survivors.  Used verbatim by the final oracle AND by the
+# lazy factory (to load the survivor embedding sample the centroids
+# derive from), so the survivor set cannot drift between them.
+_O_CURATION_STAGES = """
+    q AS (SELECT doc_id, round(
+               CAST(0.25 AS DOUBLE) * least(n_tokens / CAST(20.0 AS DOUBLE),
+                                            CAST(1.0 AS DOUBLE))
+             + CAST(0.25 AS DOUBLE) * least(ttr * 2, CAST(1.0 AS DOUBLE))
+             + CAST(0.25 AS DOUBLE) * alpha_ratio
+             + CAST(0.25 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - max_token_share),
+             6) AS quality
+          FROM feats),
+    qpass AS (SELECT d.doc_id, md5(lower(coalesce(d.text, ''))) AS fp
+              FROM documents d JOIN q USING (doc_id)
+              WHERE q.quality >= {qt}),
+    canon AS (SELECT fp, MIN(doc_id) AS canonical_id FROM qpass GROUP BY fp),
+    d2c AS (SELECT p.doc_id, c.canonical_id FROM qpass p JOIN canon c USING (fp)),
+    surv AS (SELECT doc_id FROM d2c WHERE doc_id = canonical_id)
+"""
+
+
+def _o_curation_pipeline(
+    threshold: float = 0.35, n_centroids: int = 16, seed: int = 42
+) -> str | None:
+    """DuckDB twin of q_curation_pipeline.  Lazy factory (the _o_ivf
+    pattern): replays the quality gate + fingerprint collapse in DuckDB
+    to find the survivors, loads THEIR embeddings (ORDER BY vec_id
+    LIMIT 4096 — the same driver-bounded sample kmeans_centroids takes
+    from the survivor frame), re-derives the deterministic centroids
+    with the shared numpy Lloyd's routine, and inlines them as
+    literals.  Degrades to rows-only (None) when the parquet is
+    unreadable or the survivor set is empty."""
+    import os
+
+    from consume_kafka_avro_data_spark.queries.similarity import _O_QUALITY
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    stages = _O_CURATION_STAGES.format(qt=repr(_CURATION_QT))
+    try:
+        import duckdb
+        import numpy as np
+
+        from consume_kafka_avro_data_spark.operators.similarity import (
+            lloyd_unit_kmeans,
+        )
+
+        con = duckdb.connect()
+        for t in ("documents", "embeddings"):
+            con.execute(
+                f"CREATE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        rows = con.sql(
+            f"""
+            WITH feats AS ({_O_QUALITY}), {stages}
+            SELECT e.embedding FROM embeddings e
+            JOIN surv ON e.vec_id = surv.doc_id
+            ORDER BY e.vec_id LIMIT 4096
+            """
+        ).fetchall()
+        con.close()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    cent = lloyd_unit_kmeans(x, k=n_centroids, seed=seed)
+
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        o_quantize,
+        quantize_np,
+    )
+
+    def vec_sql(c) -> str:
+        return "[" + ", ".join(repr(float(v)) for v in c) + "]::DOUBLE[]"
+
+    scores = ", ".join(
+        f"list_dot_product(qv, {vec_sql(qc)})" for qc in quantize_np(cent)
+    )
+    return f"""
+    WITH feats AS ({_O_QUALITY}), {stages},
+    a AS (
+      SELECT vec_id, qv, list_indexof(s, list_max(s)) AS cell
+      FROM (
+        SELECT se.vec_id, se.qv, [{scores}] AS s
+        FROM (SELECT e.vec_id, {o_quantize()} AS qv
+              FROM embeddings e JOIN surv ON e.vec_id = surv.doc_id) se
+      )
+    ),
+    w AS (
+      SELECT x.vec_id AS vec_id, MIN(y.vec_id) AS dup_of
+      FROM a x JOIN a y
+        ON x.cell = y.cell AND y.vec_id < x.vec_id
+      WHERE list_dot_product(x.qv, y.qv)
+            / (sqrt(list_dot_product(x.qv, x.qv))
+               * sqrt(list_dot_product(y.qv, y.qv))) >= {threshold!r}
+      GROUP BY x.vec_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN q.quality < {_CURATION_QT!r} THEN 'quality'
+                WHEN d2c.canonical_id <> d.doc_id THEN 'exact'
+                WHEN w.dup_of IS NOT NULL THEN 'semantic'
+                ELSE 'kept' END AS stage,
+           CASE WHEN q.quality < {_CURATION_QT!r} THEN NULL
+                WHEN d2c.canonical_id <> d.doc_id THEN d2c.canonical_id
+                ELSE w.dup_of END AS witness
+    FROM documents d
+    JOIN q USING (doc_id)
+    LEFT JOIN d2c USING (doc_id)
+    LEFT JOIN w ON w.vec_id = d.doc_id
+    """
+
+
+def curation_verdicts(
+    docs: DataFrame,
+    emb: DataFrame,
+    qt: float = _CURATION_QT,
+    threshold: float = 0.35,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """Three-stage curation funnel: quality gate → exact fingerprint
+    dedup (min-id canonical) → SemDeDup-style semantic dedup over the
+    survivors' embeddings.  One verdict row per document:
+    (doc_id, stage ∈ {quality, exact, semantic, kept}, witness)."""
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from consume_kafka_avro_data_spark.operators.text import quality_score
+
+    s = quality_score(docs).select("doc_id", "text", "quality")
+    qpass = s.where(F.col("quality") >= qt).withColumn(
+        "_fp", F.md5(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+    )
+    canon = qpass.groupBy("_fp").agg(F.min("doc_id").alias("canonical_id"))
+    d2c = (
+        qpass.select("doc_id", "_fp")
+        .join(canon, "_fp")
+        .select("doc_id", "canonical_id")
+    )
+    surv_emb = emb.join(
+        d2c.where(F.col("doc_id") == F.col("canonical_id")).select(
+            F.col("doc_id").alias("vec_id")
+        ),
+        "vec_id",
+    )
+    sem = semantic_dedup(surv_emb, threshold=threshold, n_centroids=n_centroids)
+
+    return (
+        s.select("doc_id", "quality")
+        .join(d2c, "doc_id", "left")
+        .join(
+            sem.select(F.col("vec_id").alias("doc_id"), "dup_of"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("quality") < qt, F.lit("quality"))
+            .when(F.col("canonical_id") != F.col("doc_id"), F.lit("exact"))
+            .when(F.col("dup_of").isNotNull(), F.lit("semantic"))
+            .otherwise(F.lit("kept"))
+            .alias("stage"),
+            F.when(F.col("quality") < qt, F.lit(None).cast("long"))
+            .when(F.col("canonical_id") != F.col("doc_id"), F.col("canonical_id"))
+            .otherwise(F.col("dup_of"))
+            .alias("witness"),
+        )
+    )
+
+
+@query(
+    "q_curation_pipeline",
+    oracle=_o_curation_pipeline,
+    tags=("U4", "U5", "U6", "U7", "curation"),
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation, the three-stage funnel a training-
+    data pipeline actually runs: (1) quality gate (oracle-checked
+    composite score >= tau_q), (2) exact dedup (fingerprint collapse,
+    min-id canonical), (3) SemDeDup-style semantic dedup over the
+    SURVIVORS' embeddings (centroids sampled from the survivor frame -
+    stage 3 never sees stage-1/2 rejects).  One verdict row per
+    document.
+
+    Scale: stage 1 is map-only JVM expressions, stage 2 a map-side-
+    combinable min-agg on the fingerprint, stage 3 the fused sum|cell|^2
+    sweep (operators/similarity.semantic_dedup); the verdict assembly
+    is two id-equi-joins.  Fully oracle-checked - the DuckDB twin
+    replays the survivor set to re-derive the SAME k-means sample
+    (see _o_curation_pipeline)."""
+    return curation_verdicts(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )

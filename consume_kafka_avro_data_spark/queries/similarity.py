@@ -140,8 +140,13 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fully oracle-checked: the DuckDB twin recomputes the same buckets
     from quantized plane literals (see _o_srp_ann)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
-    return srp_lsh_topk(emb, qv, k=10)
+    # Defensive collect: _o_srp_ann degrades to rows-only when no
+    # vec_id=0 row exists, so the Spark side must degrade too (empty
+    # top-k frame) rather than IndexError the whole parity run.
+    rows = emb.where(F.col("vec_id") == 0).limit(1).collect()
+    if not rows:
+        return spark.createDataFrame([], "vec_id long, score double")
+    return srp_lsh_topk(emb, rows[0]["embedding"], k=10)
 
 
 def _o_ivf(k=10, n_centroids=16, nprobe=4, seed=42) -> str | None:
@@ -238,8 +243,12 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical numpy Lloyd's routine on the identical sample and
     inlines the resulting centroids as literals (see _o_ivf)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
-    return ivf_topk(emb, qv, k=10, n_centroids=16, nprobe=4)
+    # Defensive collect: _o_ivf degrades to rows-only when no vec_id=0
+    # row exists — degrade identically instead of IndexError.
+    rows = emb.where(F.col("vec_id") == 0).limit(1).collect()
+    if not rows:
+        return spark.createDataFrame([], "vec_id long, score double")
+    return ivf_topk(emb, rows[0]["embedding"], k=10, n_centroids=16, nprobe=4)
 
 
 _BASIS_64 = "[" + ", ".join(["1.0"] + ["0.0"] * 63) + "]::DOUBLE[]"

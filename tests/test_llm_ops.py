@@ -796,6 +796,64 @@ def test_semantic_dedup_prunes_planted_duplicate(spark):
             assert out[i].kept and out[i].dup_of is None
 
 
+def test_curation_verdicts_all_four_stages(spark):
+    """The curation funnel must route each planted document to its
+    stage: low-quality → 'quality' (no witness), exact copy → 'exact'
+    (witness = canonical), near-identical embedding among survivors →
+    'semantic' (witness = kept twin), everything else → 'kept'.  A
+    quality-dropped doc must NOT act as a semantic witness."""
+    from consume_kafka_avro_data_spark.queries.curation import (
+        curation_verdicts,
+    )
+
+    good0 = (
+        "the quick brown fox jumps over a lazy dog while seventeen "
+        "curious researchers measure corpus quality with careful "
+        "deliberate metrics today"
+    )
+    good3 = (
+        "an entirely different sentence about distributed query engines "
+        "processing immense datasets across many executor nodes with "
+        "columnar formats and adaptive plans"
+    )
+    good4 = (
+        "yet another unique paragraph describing streaming ingestion "
+        "pipelines deduplicating documents before training large models "
+        "on carefully filtered text corpora"
+    )
+    bad2 = "zz zz zz"
+    docs = spark.createDataFrame(
+        [
+            (0, good0),
+            (1, good0),  # exact copy → pruned by fingerprint, witness 0
+            (2, bad2),  # low quality → dropped before any dedup
+            (3, good3),  # semantic twin of 0 (via embedding below)
+            (4, good4),  # kept
+        ],
+        ["doc_id", "text"],
+    )
+    e0 = [1.0, 0.0, 0.0, 0.0]
+    e_near0 = [0.999, 0.01, 0.0, 0.0]
+    e_orth = [0.0, 1.0, 0.0, 0.0]
+    e_other = [0.0, 0.0, 1.0, 0.0]
+    emb = spark.createDataFrame(
+        [(0, e0), (1, e_other), (2, e_near0), (3, e_near0), (4, e_orth)],
+        ["vec_id", "embedding"],
+    )
+    out = {
+        r.doc_id: r
+        for r in curation_verdicts(
+            docs, emb, qt=0.5, threshold=0.9, n_centroids=2
+        ).collect()
+    }
+    assert len(out) == 5
+    assert out[0].stage == "kept" and out[0].witness is None
+    assert out[1].stage == "exact" and out[1].witness == 0
+    assert out[2].stage == "quality" and out[2].witness is None
+    assert out[3].stage == "semantic" and out[3].witness == 0
+    assert out[4].stage == "kept" and out[4].witness is None
+
+
 def test_srp_bucket_table_matches_python_buckets(spark):
     """Every _b{t} column must equal srp_bucket_py's q20 bucket for the
     same vector — the corpus path and the query path share arithmetic."""

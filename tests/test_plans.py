@@ -560,6 +560,20 @@ def test_semantic_dedup_cell_bounded_sweep(q):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_curation_pipeline_one_arrow_pass_no_nested_loop(q):
+    """The curation funnel: quality gate and fingerprint stages stay
+    JVM-side (the only Python nodes are semantic dedup's one assignment
+    MapInPandas and one sweep FlatMapGroupsInPandas), and no stage
+    degenerates to a nested-loop/cartesian pair sweep."""
+    df = q("q_curation_pipeline")
+    plan = I.simple_plan(df)
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_neardup_lsh_bucket_and_expand(q):
     """The LSH-blocked near-dup: one Arrow bucket pass, bucket-and-
     expand candidates (no self-join of the bucket subtree)."""
