@@ -505,10 +505,21 @@ def curation_verdicts(
     )
     from consume_kafka_avro_data_spark.operators.text import quality_score
 
-    s = quality_score(docs).select("doc_id", "text", "quality")
-    qpass = s.where(F.col("quality") >= qt).withColumn(
-        "_fp", F.md5(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+    # One evaluation of the quality fold + fingerprint, checkpointed as
+    # a FIXED-WIDTH frame (id, score, 32-hex) — no text — because three
+    # consumers re-traverse it (the k-means sample collect, the sweep
+    # side, the verdict assembly) and Spark shares no subtrees across
+    # actions.  Same localCheckpoint-not-persist reasoning as q_pagerank.
+    s = (
+        quality_score(docs)
+        .select(
+            "doc_id",
+            "quality",
+            F.md5(F.lower(F.coalesce(F.col("text"), F.lit("")))).alias("_fp"),
+        )
+        .localCheckpoint(eager=True)
     )
+    qpass = s.where(F.col("quality") >= qt)
     canon = qpass.groupBy("_fp").agg(F.min("doc_id").alias("canonical_id"))
     d2c = (
         qpass.select("doc_id", "_fp")
