@@ -334,7 +334,9 @@ def blocked_allpairs_cosine(
             id_a, id_b, s = ids[mask_a][ia], ids[~mask_a][ib], sim.ravel()
         lo = np.minimum(id_a, id_b)
         hi = np.maximum(id_a, id_b)
-        keep = s >= tau
+        # lo != hi: duplicate input ids meet in their (deterministic)
+        # shared block; never emit (x, x) — the pair contract is a < b
+        keep = (s >= tau) & (lo != hi)
         return pd.DataFrame(
             {"id_a": lo[keep], "id_b": hi[keep], "cosine": s[keep]}
         )
@@ -628,7 +630,9 @@ def semantic_dedup(
             id_a, id_b, s = ids[mask_a][ia], ids[~mask_a][ib], sim.ravel()
         lo = np.minimum(id_a, id_b)
         hi = np.maximum(id_a, id_b)
-        keep = s >= tau
+        # lo != hi: a duplicated id must not witness itself (the oracle
+        # pairs on strict y.vec_id < x.vec_id)
+        keep = (s >= tau) & (lo != hi)
         frames.append(
             pd.DataFrame(
                 {

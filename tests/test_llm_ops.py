@@ -796,6 +796,32 @@ def test_semantic_dedup_prunes_planted_duplicate(spark):
             assert out[i].kept and out[i].dup_of is None
 
 
+def test_pair_sweeps_never_emit_self_pairs_on_duplicate_ids(spark):
+    """A duplicated input id (same id, same vector, twice) must neither
+    produce an (x, x) pair from the blocked sweep nor witness itself in
+    semantic dedup — the contracts are strict a < b / y.id < x.id."""
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        blocked_allpairs_cosine,
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((10, 8))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    rows.append(rows[5])  # duplicate id 5, identical vector
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    pairs = blocked_allpairs_cosine(df, threshold=0.99, n_blocks=2).collect()
+    assert all(r.id_a != r.id_b for r in pairs)
+
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(df, threshold=0.99, n_centroids=2).collect()
+    }
+    assert len(out) == 10  # one verdict per distinct id
+    assert out[5].kept and out[5].dup_of is None
+
+
 def test_curation_verdicts_all_four_stages(spark):
     """The curation funnel must route each planted document to its
     stage: low-quality → 'quality' (no witness), exact copy → 'exact'
