@@ -19,40 +19,51 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from consume_kafka_avro_data_spark.registry import all_queries  # noqa: E402
 
-# Driver-exposure ordering (round 3).  The correctness driver evaluates a
-# ~50-query prefix of ``queries()`` in dict order; rounds 1+2 produced
-# green rows for 98 distinct queries.  This list front-loads the 34
-# queries with NO CORRECTNESS_r01/r02 row yet (all rehearse+pytest green
-# locally) so round 3 completes driver-side evidence for the whole
-# 132-query catalog; already-green queries fill the remaining prefix
-# slots as regression canaries, ordered by unique-operator value.
+# Driver-exposure ordering (round 4: freshness rotation).  The
+# correctness driver evaluates a ~50-query prefix of ``queries()`` in
+# dict order; after round 3 every catalog query has a green row, so the
+# policy shifts from coverage to FRESHNESS — re-certify the queries
+# whose most recent driver row is oldest, so every row in the rolling
+# union stays ≤ 2 rounds old.  Ordering: (a) queries with no driver row
+# yet (round-4 additions), (b) the 40 queries last certified by r01,
+# (c) the 45 last certified by r02 (the prefix takes the first ~8;
+# round 5 rotates the rest in), (d) the r03-fresh rows, with
 # ``q_minhash_est_fast`` (the catalog's only rows-only-by-design entry)
-# stays at the very back so it never displaces a provable query.
+# at the very back so it never displaces a provable query.
 _EXPOSURE_PRIORITY: list[str] = [
-    # never driver-checked (34): the U3 family + long-tail relational,
-    # window, and text/curation queries — r03's primary evidence target
-    "q_posexplode", "q_doc_chunks",
-    "q_full_outer", "q_first_last", "q_regr_agg", "q_null_semantics",
-    "q_fuzzy_match", "q_map_funcs", "q_higher_order_arrays",
-    "q_sliding_window", "q_calendar_densify", "q_interval_histogram",
-    "q_unpivot", "q_intersect", "q_ntile_buckets", "q_range_frame",
-    "q_mad", "q_skyline", "q_id_gaps",
-    "q_doc_fingerprint", "q_lang_stats", "q_text_quality", "q_train_split",
-    "q_sentiment", "q_tfidf_topterms", "q_dedup_keep_canonical",
-    "q_repetition_stats", "q_pii_scrub", "q_token_len_histogram",
-    "q_bm25_rank", "q_lang_id", "q_quality_features", "q_bpe_tokens",
-    "q_quality_score",
-    # round-3 additions (never driver-checked yet)
-    "q_incremental_dedup", "q_semantic_dedup", "q_curation_pipeline",
-    # already-green regression canaries (one per operator family)
-    "q_groupby_agg", "q_scan_project", "q_filter_predicates",
-    "q_window_rank", "q_topk_global", "q_asof_join", "q_edge_join",
-    "q_semi_anti", "q_two_hop", "q_range_join", "q_rollup",
-    "q_percentile", "q_tumbling_window", "q_similarity_topk",
-    "q_minhash_neardup", "q_dedup_pipeline", "q_pq_adc",
-    "q_multimodal_features", "q_text_tokens", "q_avro_roundtrip",
-    "q_vertex_upsert", "q_error_split", "q_shipping_priority",
-    "q_approx_distinct",
+    # (a) round-4 additions — no driver row yet
+    "q_dlq_recovery",
+    # (b) last certified r01 (40) — the stalest evidence in the union
+    "q_vertex_upsert", "q_fk_lookup_join", "q_avro_roundtrip",
+    "q_error_split", "q_triple_projection", "q_dedup_exact",
+    "q_count_distinct", "q_collect_adjacency", "q_cube",
+    "q_grouping_sets", "q_pivot", "q_percentile_disc",
+    "q_stats_moments", "q_corr_cov", "q_maxby_boolagg", "q_string_agg",
+    "q_gini", "q_scalar_subquery", "q_exists_subquery",
+    "q_degree_dist", "q_pagerank", "q_coengagement_pairs",
+    "q_butterfly_census", "q_funnel", "q_retention", "q_sessionize",
+    "q_scd2", "q_transition_matrix", "q_interpolate", "q_feature_scale",
+    "q_salted_agg", "q_ts_pattern", "q_decontaminate", "q_perplexity",
+    "q_pack_sequences", "q_pmi_pairs", "q_stratified_sample",
+    "q_temperature_resample", "q_vocab_stats", "q_zipf_topterms",
+    # (c) last certified r02 (45) — next-stalest; prefix takes the head
+    "q_rename_cast", "q_string_funcs", "q_date_funcs", "q_math_case",
+    "q_json_extract", "q_array_explode", "q_lag_lead",
+    "q_window_running", "q_union_except", "q_session_like",
+    "q_approx_distinct", "q_approx_percentile", "q_asof_tolerance",
+    "q_interval_count_binned", "q_local_supplier_volume",
+    "q_returned_items", "q_shipping_priority", "q_supply_chain_reach",
+    "q_trade_triangles", "q_zorder_layout", "q_text_tokens",
+    "q_containment", "q_ngram_jaccard", "q_simhash_neardup",
+    "q_simhash_signatures", "q_winnow_fingerprints", "q_minhash_est",
+    "q_minhash_neardup", "q_dedup_clusters", "q_dedup_pipeline",
+    "q_embedding_neardup", "q_embedding_norms", "q_label_centroids",
+    "q_neardup_lsh", "q_pq_adc", "q_pq_codes", "q_similarity_ann",
+    "q_similarity_ivf", "q_similarity_topk", "q_sq_quantize",
+    "q_frame_sample", "q_multimodal_features", "q_ppm_features",
+    "q_wav_features",
+    # (d) r03-fresh rows follow in registration order; the rows-only
+    # estimator stays last (enforced below)
 ]
 
 
@@ -61,7 +72,12 @@ def _ordered_queries():
     # priority names in list position order, the rest keep registration order
     prioritized = [n for n in _EXPOSURE_PRIORITY if n in qs]
     tail = [n for n in qs if n not in set(prioritized)]
-    return {n: qs[n] for n in prioritized + tail}
+    ordered = prioritized + tail
+    rows_only = "q_minhash_est_fast"  # rows-only by design: never displaces
+    if rows_only in ordered:  # a provable query from the checked prefix
+        ordered.remove(rows_only)
+        ordered.append(rows_only)
+    return {n: qs[n] for n in ordered}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -62,23 +62,32 @@ def _split_top_level(text: str) -> list[str]:
     ``In(col, [a,b])`` and ``decimal(18,4)`` into garbage fragments.
 
     ``<``/``>`` are bracket-counted ONLY when the ``<`` immediately
-    follows a word character (``array<``, ``map<``, ``struct<``): infix
-    comparisons in PartitionFilters (``(x#1 > 5)``) and lambda arrows
-    (``->``) would otherwise drive the depth negative and disable comma
-    splitting for the rest of the payload."""
+    follows a TYPE keyword (``array<``, ``map<``, ``struct<``): a
+    follows-a-word-character heuristic would treat the infix comparison
+    in a spaceless plan fragment (``(x#1<5)``) as an opener whose ``>``
+    never arrives, permanently disabling comma splitting for the rest
+    of the payload.  Closers only decrement when an opener is
+    outstanding (depth never goes negative), and lambda arrows (``->``)
+    are ignored."""
+    type_words = ("array", "map", "struct")
     out: list[str] = []
     cur: list[str] = []
     depth = angle = 0
+    word: list[str] = []
     prev = ""
     for ch in text:
         if ch in "([":
             depth += 1
         elif ch in ")]":
             depth -= 1
-        elif ch == "<" and (prev.isalnum() or prev == "_"):
+        elif ch == "<" and "".join(word).lower() in type_words:
             angle += 1
         elif ch == ">" and angle > 0 and prev != "-":
             angle -= 1
+        if ch.isalnum() or ch == "_":
+            word.append(ch)
+        else:
+            word.clear()
         if ch == "," and depth == 0 and angle == 0:
             out.append("".join(cur).strip())
             cur = []

@@ -210,9 +210,11 @@ def _null_fold(
     vs OR).  One home for the reduce-over-schema-fields pattern shared
     by the native decode's all-null failure test and the JSON
     recovery's any-/every-field checks (and for the empty-fields edge:
-    SchemaConfig requires ≥1 column, asserted here rather than silently
-    folding over nothing)."""
-    assert fields, "SchemaConfig guarantees at least one configured column"
+    SchemaConfig requires ≥1 column — an explicit raise, not an assert,
+    so the guard survives ``python -O`` instead of silently returning
+    None and crashing F.when downstream)."""
+    if not fields:
+        raise ValueError("cannot fold nullness over an empty field list")
     acc = None
     for n, _ in fields:
         c = F.col(f"{struct_col}.{n}")

@@ -207,10 +207,20 @@ class StreamingDedupIngest:
             # checkpointed like sigs: dup_map has up to three consumers
             # (dupes write, count, the novel anti-join feeding
             # merge_new) — uncached, each would re-run the store scan +
-            # both LSH band joins, tripling the dominant per-batch cost
+            # both LSH band joins, tripling the dominant per-batch cost.
+            # MIN(match_id) per dup_id (not dropDuplicates, which keeps
+            # an arbitrary witness): the dupes_dir contract is that a
+            # replayed batch rewrites IDENTICAL rows, so the witness
+            # choice must be deterministic.  In an intra-batch chain
+            # (a<b<c, c matching only b) the recorded match_id is a
+            # witness, not necessarily the stored canonical.
             dup_map = (
                 vs_store.unionByName(vs_batch)
-                .dropDuplicates(["dup_id"])
+                .groupBy("dup_id")
+                .agg(
+                    F.min("match_id").alias("match_id"),
+                    F.min_by("matches", "match_id").alias("matches"),
+                )
                 .localCheckpoint(eager=True)
             )
             n_docs = sigs.count()

@@ -662,3 +662,18 @@ def test_incremental_dedup_band_equi_join_no_nested_loop(q):
     assert "CartesianProduct" not in plan, plan
     assert "LeftAnti" in plan, plan  # the max_bucket_size guard
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_split_top_level_spaceless_comparison():
+    """A spaceless infix comparison (``(x#1<5)``) must NOT open an angle
+    bracket (the '<' follows an alnum but no type keyword) — the old
+    heuristic latched angle>0 forever and disabled comma splitting for
+    the rest of the payload."""
+    got = I._split_top_level("(x#1<5), IsNotNull(y#2), In(z#3, [1,2])")
+    assert got == ["(x#1<5)", "IsNotNull(y#2)", "In(z#3, [1,2])"]
+    # type applications still bracket-count across their commas
+    got = I._split_top_level("a:struct<x:int,y:map<string,int>>, b:int")
+    assert got == ["a:struct<x:int,y:map<string,int>>", "b:int"]
+    # unmatched '>' (e.g. '(a > 5)') never drives the depth negative
+    got = I._split_top_level("(a > 5), (b -> c), d")
+    assert got == ["(a > 5)", "(b -> c)", "d"]
