@@ -302,6 +302,18 @@ def _to_confluent_avro_native(
     )
 
 
+def _cp1_sid_signed(v: Column) -> Column:
+    """Reconstruct the CP1 header's SIGNED int32 schema id JVM-side:
+    bytes 2-5 via hex→decimal conv (unsigned), then two's-complement
+    fold-down.  Registry ids are Java int32, so a high bit set means a
+    negative id (which the header validator then rejects, same as the
+    Python codec's signed ``>i`` unpack)."""
+    sid_unsigned = F.conv(F.hex(v.substr(2, 4)), 16, 10).cast("long")
+    return F.when(
+        sid_unsigned >= F.lit(2**31), sid_unsigned - F.lit(2**32)
+    ).otherwise(sid_unsigned)
+
+
 def _cp1_header_error(
     v: Column, sid_signed: Column, expected: int | None
 ) -> Column:
@@ -375,10 +387,7 @@ def _from_confluent_avro_native(
 
     fields = _schema_fields(schema_config)
     v = F.col(value_col)
-    sid_unsigned = F.conv(F.hex(v.substr(2, 4)), 16, 10).cast("long")
-    sid_signed = F.when(
-        sid_unsigned >= F.lit(2**31), sid_unsigned - F.lit(2**32)
-    ).otherwise(sid_unsigned)
+    sid_signed = _cp1_sid_signed(v)
     header_err = _cp1_header_error(v, sid_signed, expected_schema_id)
     body = F.expr(f"substring({value_col}, 6, length({value_col}) - 5)")
     dec = F.when(

@@ -13,15 +13,20 @@ stream decodes the files.
 
 Scale shape:
 
-* **Read is distributed**: ``spark.read.format("binaryFile")`` scans
-  the files in parallel (one task per file — OCF files are split at
-  sync boundaries by the JVM datasource; the pure-Python reader takes
-  whole files, so keep files ≤ a task's worth, which is how OCF is
-  written in practice), and an Arrow-batched ``mapInPandas`` parses
-  blocks and resolves each FILE's embedded writer schema to the
-  configured reader schema (``resolve_record`` — numeric promotion,
-  writer-only fields skipped, reader-only fields defaulted), so a
-  directory of mixed schema generations reads as one table.
+* **Read is two-tier, like the wire codec** (``from_confluent_avro``):
+  when the spark-avro datasource is on the classpath,
+  :func:`read_ocf` compiles to ``spark.read.format("avro")`` with the
+  reader schema (+ declared defaults) passed as ``avroSchema`` — the
+  JVM reader splits files at sync boundaries and resolves each file's
+  writer schema per the spec, zero Python in the plan.  Jar-less
+  deployments (this sandbox) fall back to the pure-Python tier:
+  ``spark.read.format("binaryFile")`` scans the files in parallel
+  (one WHOLE file per task, so keep files ≤ a task's worth), and an
+  Arrow-batched ``mapInPandas`` parses blocks and resolves each
+  FILE's embedded writer schema to the configured reader schema
+  (``resolve_record`` — numeric promotion, writer-only fields
+  skipped, reader-only fields defaulted), so a directory of mixed
+  schema generations reads as one table either way.
 * **Write is a driver-side export utility** (results, fixtures,
   interop samples — result-sized by contract).  A 100 TB write goes
   through the JVM spark-avro datasource when the jar is present;
@@ -40,7 +45,7 @@ import os
 import zlib
 from collections.abc import Iterable, Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructField, StructType
 
 from consume_kafka_avro_data_spark.config import SchemaConfig, _AVRO_TO_SPARK
@@ -276,23 +281,83 @@ def write_ocf(
     return n
 
 
+def reader_avro_schema_json(
+    reader_config: SchemaConfig, defaults: dict[str, object] | None = None
+) -> str:
+    """The reader schema as Avro JSON with the declared ``defaults``
+    injected as per-field ``default`` entries — the form the Avro
+    spec's resolution rules (and the spark-avro ``avroSchema`` option)
+    need to fill reader-only fields."""
+    sch = json.loads(reader_config.to_avro_schema_json())
+    defaults = defaults or {}
+    for f in sch["fields"]:
+        if f["name"] in defaults:
+            f["default"] = defaults[f["name"]]
+    return json.dumps(sch)
+
+
+def _read_ocf_native(
+    spark: SparkSession,
+    path: str,
+    reader_config: SchemaConfig,
+    defaults: dict[str, object] | None,
+) -> DataFrame:
+    """JVM spark-avro tier: files split at sync boundaries, writer→
+    reader resolution (promotion / skip / default) done by the
+    datasource against the ``avroSchema`` reader schema.  Column order
+    and Spark types are pinned to the reader config so both tiers
+    return identical frames (agreement pytest, skipped jar-less).
+    Contract difference vs the Python tier, by construction: a reader-
+    only field with no default and a corrupt file both fail the TASK
+    with Spark's own error instead of this module's ValueError."""
+    reader_fields = _schema_fields(reader_config)
+    df = (
+        spark.read.format("avro")
+        .option("avroSchema", reader_avro_schema_json(reader_config, defaults))
+        # only container files, same contract as the Python tier: a
+        # stray sidecar or crashed-write .tmp must not abort the read
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
+    )
+    return df.select(
+        *[
+            F.col(n).cast(_AVRO_TO_SPARK[t]).alias(n)
+            for n, t in reader_fields
+        ]
+    )
+
+
 def read_ocf(
     spark: SparkSession,
     path: str,
     reader_config: SchemaConfig,
     defaults: dict[str, object] | None = None,
+    use_native: bool | None = None,
 ) -> DataFrame:
-    """Distributed OCF read resolved to the configured READER schema:
-    binaryFile scan (one task per file) → mapInPandas parsing blocks →
-    per-file writer schema resolved to the reader fields (promotion /
-    skip / default — the same rules the registry stream path uses, so
-    a lake directory spanning schema generations reads as one table).
-    ``defaults`` supplies values for reader-only fields (the Avro spec
-    requires one; a missing default is a resolution error).
+    """Distributed OCF read resolved to the configured READER schema.
+    ``use_native=None`` (default) probes the classpath once — same
+    two-tier policy as ``from_confluent_avro`` — and routes to the JVM
+    spark-avro datasource when present (splits at sync boundaries, no
+    Python in the plan: the 100 TB shape); otherwise the pure-Python
+    tier: binaryFile scan (one task per file) → mapInPandas parsing
+    blocks → per-file writer schema resolved to the reader fields
+    (promotion / skip / default — the same rules the registry stream
+    path uses, so a lake directory spanning schema generations reads
+    as one table).  ``defaults`` supplies values for reader-only
+    fields (the Avro spec requires one; a missing default is a
+    resolution error).
 
     Strict decode (raise, don't route): see read_ocf_bytes."""
     import pandas as pd
 
+    from consume_kafka_avro_data_spark.sources.avro_codec import (
+        native_avro_available,
+    )
+
+    if use_native is None:
+        use_native = native_avro_available(spark)
+    if use_native:
+        return _read_ocf_native(spark, path, reader_config, defaults)
     reader_fields = _schema_fields(reader_config)
     defaults = defaults or {}
     out_schema = StructType(

@@ -439,3 +439,102 @@ def test_native_decode_plan_is_pure_jvm(spark):
         plan = d._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_native_header_expressions_match_python_codec_jarless(spark):
+    """The native decode's JVM HEADER constructs — hex/conv signed-sid
+    reconstruction (_cp1_sid_signed) and the error-string ladder
+    (_cp1_header_error) — are plain Spark SQL expressions needing no
+    spark-avro jar, so they run HERE even though the full-path
+    agreement test is env-skipped.  Every header-level frame shape must
+    yield the byte-identical error string (or None) the Python codec's
+    unframe_confluent raises, and the reconstructed id must equal the
+    signed big-endian unpack, including int32-boundary ids."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from consume_kafka_avro_data_spark.sources.avro_codec import (
+        _cp1_header_error,
+        _cp1_sid_signed,
+        unframe_confluent,
+    )
+
+    def py_header_error(v: bytes | None, expected: int | None) -> str | None:
+        if v is None:
+            return "null value (tombstone)"
+        try:
+            sid, _ = unframe_confluent(v)
+        except ValueError as e:
+            return str(e)
+        if expected is not None and sid != expected:
+            return f"schema id {sid} != expected {expected}"
+        return None
+
+    def frame(sid_bytes: bytes, magic: bytes = b"\x00") -> bytes:
+        return magic + sid_bytes + b"body"
+
+    cases = [
+        None,  # tombstone
+        b"",  # too short (0)
+        b"\x00\x00\x00\x00",  # too short (4)
+        frame(struct.pack(">i", 2)),  # valid, matches expected
+        frame(struct.pack(">i", 7)),  # valid, wrong id
+        frame(struct.pack(">i", 2**31 - 1)),  # max positive int32
+        frame(b"\x80\x00\x00\x00"),  # sign bit set -> -2147483648
+        frame(b"\xff\xff\xff\xff"),  # -1
+        frame(struct.pack(">i", 2), magic=b"\x7b"),  # raw JSON '{'
+        frame(struct.pack(">i", 2), magic=b"\xff"),  # other bad magic
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(c) if c is not None else None) for i, c in enumerate(cases)],
+        "i int, value binary",
+    )
+    for expected in (2, None):
+        got = {
+            r["i"]: (r["err"], r["sid"])
+            for r in df.select(
+                "i",
+                _cp1_header_error(
+                    F.col("value"), _cp1_sid_signed(F.col("value")), expected
+                ).alias("err"),
+                _cp1_sid_signed(F.col("value")).alias("sid"),
+            ).collect()
+        }
+        for i, c in enumerate(cases):
+            assert got[i][0] == py_header_error(c, expected), (i, c, expected)
+            if c is not None and len(c) >= 5:
+                (want_sid,) = struct.unpack_from(">i", c, 1)
+                assert got[i][1] == want_sid, (i, c)
+
+
+def test_null_fold_any_every_jarless(spark):
+    """_null_fold backs the native decode's all-null failure-row
+    detection and the DLQ JSON recovery's field checks — exercise all
+    four (null, every) combinations on a struct column without the
+    jar, plus the empty-fields guard."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from consume_kafka_avro_data_spark.sources.avro_codec import _null_fold
+
+    fields = [("a", "string"), ("b", "long")]
+    df = spark.createDataFrame(
+        [(1, "x", 2), (2, "x", None), (3, None, None)],
+        "i int, a string, b long",
+    ).select("i", F.struct("a", "b").alias("s"))
+    out = {
+        r["i"]: (r["all_null"], r["any_null"], r["all_set"], r["any_set"])
+        for r in df.select(
+            "i",
+            _null_fold("s", fields, null=True, every=True).alias("all_null"),
+            _null_fold("s", fields, null=True, every=False).alias("any_null"),
+            _null_fold("s", fields, null=False, every=True).alias("all_set"),
+            _null_fold("s", fields, null=False, every=False).alias("any_set"),
+        ).collect()
+    }
+    assert out[1] == (False, False, True, True)
+    assert out[2] == (False, True, False, True)
+    assert out[3] == (True, True, False, False)
+    with _pytest.raises(ValueError, match="empty field list"):
+        _null_fold("s", [], null=True, every=True)

@@ -279,3 +279,70 @@ def test_spark_read_resolves_writer_to_reader_schema(spark, tmp_path):
 
     with pytest.raises(Exception, match="absent and has no default"):
         read_ocf(spark, path, reader).collect()
+
+
+def test_reader_avro_schema_json_injects_defaults():
+    """The native tier's ``avroSchema`` string must carry the declared
+    defaults as per-field ``default`` entries (the spec's mechanism for
+    reader-only fields) and leave other fields untouched."""
+    import json as _json
+
+    from consume_kafka_avro_data_spark.sources.ocf import (
+        reader_avro_schema_json,
+    )
+
+    reader_doc = {
+        "kafka": {},
+        "type_map": {
+            "spo": {"key_column": "subject", "columns": ["S", "P", "W"]}
+        },
+        "column_map": {"S": "subject", "P": "predicate", "W": "weight"},
+        "column_type_transforms": {"W": "long"},
+    }
+    reader = parse_config(reader_doc).schema_for("spo")
+    sch = _json.loads(reader_avro_schema_json(reader, {"weight": 1}))
+    by_name = {f["name"]: f for f in sch["fields"]}
+    assert by_name["weight"]["default"] == 1
+    assert "default" not in by_name["subject"]
+    # no defaults at all → byte-equal to the plain reader schema
+    assert reader_avro_schema_json(reader) == reader.to_avro_schema_json()
+
+
+def test_read_ocf_native_tier_agrees_with_python_tier(spark, tmp_path):
+    """With spark-avro on the classpath the JVM ``format("avro")`` tier
+    must return exactly the rows the pure-Python tier returns on the
+    same files — including writer→reader resolution with a defaulted
+    reader-only field — with no Python stage in its plan.  Skipped in
+    jar-less sandboxes (same env gate as the wire codec's agreement
+    test)."""
+    from consume_kafka_avro_data_spark.sources.avro_codec import (
+        native_avro_available,
+    )
+
+    if not native_avro_available(spark):
+        pytest.skip("spark-avro datasource not on classpath")
+    sc = _sc()
+    df = spark.createDataFrame(TRIPLES, ["S", "P", "O"])
+    path = str(tmp_path / "lake")
+    write_ocf(df, sc, path)
+
+    same = lambda d: sorted(tuple(r) for r in d.collect())  # noqa: E731
+    py = read_ocf(spark, path, sc, use_native=False)
+    jvm = read_ocf(spark, path, sc, use_native=True)
+    assert same(py) == same(jvm)
+    assert py.schema.fieldNames() == jvm.schema.fieldNames()
+    plan = jvm._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    reader_doc = {
+        "kafka": {},
+        "type_map": {
+            "spo": {"key_column": "subject", "columns": ["S", "P", "W"]}
+        },
+        "column_map": {"S": "subject", "P": "predicate", "W": "weight"},
+        "column_type_transforms": {"W": "long"},
+    }
+    reader = parse_config(reader_doc).schema_for("spo")
+    py_r = read_ocf(spark, path, reader, {"weight": 1}, use_native=False)
+    jvm_r = read_ocf(spark, path, reader, {"weight": 1}, use_native=True)
+    assert same(py_r) == same(jvm_r)
