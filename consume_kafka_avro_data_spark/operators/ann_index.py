@@ -53,12 +53,26 @@ class AnnIndex:
 
     Rebuild safety: each build writes its rows into a fresh generation
     directory (``vectors-<token>``) and the atomic META replace — which
-    names that directory — is the ONLY commit point.  A crash anywhere
-    before it leaves the previous generation fully live (readers load
-    the old meta → the old directory); an in-place overwrite would
-    instead let a crash pair new cell layouts with old centroids and
-    return silently wrong neighbors.  Superseded generations are
-    garbage-collected after the commit, best-effort."""
+    lists the live directories — is the ONLY commit point.  A crash
+    anywhere before it leaves the previous generations fully live
+    (readers load the old meta → the old directories); an in-place
+    overwrite would instead let a crash pair new cell layouts with old
+    centroids and return silently wrong neighbors.
+
+    Incremental growth (100 TB corpora arrive in shards):
+    :meth:`add_shard` reuses the FROZEN centroids/codebooks to assign +
+    encode only the new vectors, writes them as one more generation
+    directory, and appends it to the meta's live list — the corpus is
+    never re-swept, the ``incremental_minhash_dedup`` pattern applied
+    to ANN.  Queries read the union of live directories; each is
+    partitioned by ``_ivf_cell``, so probe pruning still skips
+    unprobed cells' files in every generation.
+
+    GC grace period: a rebuild does NOT delete the directories it
+    supersedes — they are recorded in the meta and removed by the NEXT
+    build — so a concurrent reader that loaded the previous meta
+    moments before the commit can finish its scan against intact
+    files.  (Single writer per index, like ManifestTable.)"""
 
     def __init__(
         self,
@@ -68,7 +82,7 @@ class AnnIndex:
         codebooks: np.ndarray,
         id_col: str,
         vec_col: str,
-        vectors_dir: str = VECTORS,
+        vectors_dirs: list[str] | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -76,7 +90,7 @@ class AnnIndex:
         self.codebooks = codebooks
         self.id_col = id_col
         self.vec_col = vec_col
-        self.vectors_dir = vectors_dir
+        self.vectors_dirs = list(vectors_dirs or [VECTORS])
 
     # -- build / load --------------------------------------------------------
 
@@ -97,9 +111,10 @@ class AnnIndex:
         Arrow passes) → write a fresh generation directory → atomically
         commit it via the META replace.  The corpus is read twice and
         never shuffled; the only driver traffic is the centroid/codebook
-        matrices."""
+        matrices.  Directories the new meta supersedes are kept until
+        the NEXT build (reader grace period — see class docstring);
+        only the PREVIOUS build's leftovers are deleted here."""
         import shutil
-        import uuid
 
         centroids = kmeans_centroids(
             corpus, k=n_cells, id_col=id_col, vec_col=vec_col, seed=seed
@@ -115,34 +130,103 @@ class AnnIndex:
             vec_col,
             keep_cols=[vec_col, "_ivf_cell"],
         )
+        prev_live, prev_superseded = cls._read_meta_dirs(path)
+        gen = cls._write_generation(rows, path)
+        meta = {
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "vectors_dirs": [gen],
+            "superseded": prev_live,  # grace: deleted by the NEXT build
+            "centroids": centroids.tolist(),
+            "codebooks": codebooks.tolist(),
+        }
+        cls._commit_meta(path, meta)  # the ONLY commit point
+        for name in prev_superseded:  # grace expired: two builds old
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+        return cls(
+            spark, path, centroids, codebooks, id_col, vec_col,
+            vectors_dirs=[gen],
+        )
+
+    def add_shard(self, shard: DataFrame) -> "AnnIndex":
+        """Incrementally index a new shard of vectors against the
+        FROZEN centroids/codebooks: assign + encode only the shard
+        (two map-only Arrow passes over the new rows — the existing
+        corpus is untouched), write it as one more generation
+        directory, and atomically append it to the meta's live list.
+        The quantizers do not move, so existing cells/codes stay valid
+        and a query sees old + new vectors identically to a full
+        rebuild over the union (exactly equal for ``query_exact`` with
+        the same centroids; a full REBUILD would retrain quantizers on
+        the grown corpus — do that periodically if cell balance
+        drifts, this method is the cheap between-rebuilds path).
+        Caller contract: shard ids are new (the index does not dedup
+        across generations)."""
+        assigned = ivf_assign(
+            shard.select(self.id_col, self.vec_col),
+            self.centroids,
+            self.vec_col,
+        )
+        rows = pq_encode(
+            assigned,
+            self.codebooks,
+            self.id_col,
+            self.vec_col,
+            keep_cols=[self.vec_col, "_ivf_cell"],
+        )
+        live, superseded = self._read_meta_dirs(self.path)
+        gen = self._write_generation(rows, self.path)
+        meta = {
+            "id_col": self.id_col,
+            "vec_col": self.vec_col,
+            "vectors_dirs": live + [gen],
+            "superseded": superseded,  # untouched: no dirs replaced
+            "centroids": self.centroids.tolist(),
+            "codebooks": self.codebooks.tolist(),
+        }
+        self._commit_meta(self.path, meta)
+        self.vectors_dirs = live + [gen]
+        return self
+
+    # -- meta / generation plumbing -----------------------------------------
+
+    @staticmethod
+    def _read_meta_dirs(path: str) -> tuple[list[str], list[str]]:
+        """(live, superseded) generation directories from the current
+        meta; ([], []) for a fresh index.  Legacy single-``vectors_dir``
+        metas read as a one-element live list."""
+        mf = os.path.join(path, META)
+        if not os.path.isfile(mf):
+            return [], []
+        with open(mf) as f:
+            meta = json.load(f)
+        live = meta.get("vectors_dirs") or [meta.get("vectors_dir", VECTORS)]
+        return list(live), list(meta.get("superseded", []))
+
+    @staticmethod
+    def _write_generation(rows: DataFrame, path: str) -> str:
+        import uuid
+
         gen = f"{VECTORS}-{uuid.uuid4().hex[:8]}"
         (
             rows.write.partitionBy("_ivf_cell")
             .mode("overwrite")
             .parquet(os.path.join(path, gen))
         )
-        meta = {
-            "id_col": id_col,
-            "vec_col": vec_col,
-            "vectors_dir": gen,
-            "centroids": centroids.tolist(),
-            "codebooks": codebooks.tolist(),
-        }
+        return gen
+
+    @staticmethod
+    def _commit_meta(path: str, meta: dict) -> None:
         tmp = os.path.join(path, META + ".tmp")
         with open(tmp, "w") as f:
             json.dump(meta, f)
-        os.replace(tmp, os.path.join(path, META))  # the ONLY commit point
-        for name in os.listdir(path):  # GC superseded generations
-            if name.startswith(VECTORS) and name != gen:
-                shutil.rmtree(os.path.join(path, name), ignore_errors=True)
-        return cls(
-            spark, path, centroids, codebooks, id_col, vec_col, vectors_dir=gen
-        )
+        os.replace(tmp, os.path.join(path, META))
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "AnnIndex":
         with open(os.path.join(path, META)) as f:
             meta = json.load(f)
+        dirs = meta.get("vectors_dirs") or [meta.get("vectors_dir", VECTORS)]
         return cls(
             spark,
             path,
@@ -150,10 +234,24 @@ class AnnIndex:
             np.asarray(meta["codebooks"], dtype=np.float64),
             meta["id_col"],
             meta["vec_col"],
-            vectors_dir=meta.get("vectors_dir", VECTORS),
+            vectors_dirs=list(dirs),
         )
 
     # -- query ---------------------------------------------------------------
+
+    def _vectors(self) -> DataFrame:
+        """Union of the live generation directories — one scan each
+        (a multi-path read of separately-partitioned roots trips
+        CONFLICTING_DIRECTORY_STRUCTURES), unioned by name.  A cell
+        filter pushes through the union into every scan's
+        PartitionFilters, so probes still prune per generation."""
+        from functools import reduce
+
+        dfs = [
+            self.spark.read.parquet(os.path.join(self.path, d))
+            for d in self.vectors_dirs
+        ]
+        return reduce(DataFrame.unionByName, dfs)
 
     def _probe(self, query_vec, nprobe: int) -> DataFrame:
         """Rows of the ``nprobe`` cells nearest the query — the cell
@@ -163,8 +261,7 @@ class AnnIndex:
         qv = qv / max(np.linalg.norm(qv), 1e-12)
         order = np.argsort(-(self.centroids @ qv))[:nprobe]
         cells = [int(c) + 1 for c in order]  # 1-based, as ivf_assign
-        index = self.spark.read.parquet(os.path.join(self.path, self.vectors_dir))
-        return index.where(F.col("_ivf_cell").isin(cells))
+        return self._vectors().where(F.col("_ivf_cell").isin(cells))
 
     def query_exact(self, query_vec, k: int = 10, nprobe: int = 4) -> DataFrame:
         """IVF-Flat: exact cosine rescore over the probed cells' float
@@ -198,9 +295,11 @@ class AnnIndex:
         )
 
     def cell_sizes(self) -> DataFrame:
-        """(_ivf_cell, n) — the balance diagnostic for probe planning."""
+        """(_ivf_cell, n) — the balance diagnostic for probe planning
+        (and the rebuild trigger: when incremental shards skew it,
+        retrain via ``build``)."""
         return (
-            self.spark.read.parquet(os.path.join(self.path, self.vectors_dir))
+            self._vectors()
             .groupBy("_ivf_cell")
             .agg(F.count(F.lit(1)).alias("n"))
         )

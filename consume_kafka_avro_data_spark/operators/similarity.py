@@ -410,6 +410,26 @@ def srp_lsh_topk(
 # ---------------------------------------------------------------------------
 
 
+def auto_n_centroids(
+    n_rows: int, dim: int, max_centroid_bytes: int = 64 << 20
+) -> int:
+    """Corpus-scaled cell count for the SemDeDup sweep: ``⌊√n⌋`` cells
+    make the expected per-cell size √n, so the Σ|cell|² pair cost grows
+    ~n^1.5 instead of reverting to n² as a FIXED k would at 100× the
+    corpus (with k fixed, cells grow 100× and the within-cell sweep is
+    quadratic again).  Capped so the k·dim float64 centroid matrix —
+    the only driver-resident state — stays under ``max_centroid_bytes``
+    (default 64 MB; at dim=1024 that still allows k=8192 ≈ √(67M), and
+    beyond that corpus size a persisted AnnIndex layout is the right
+    tool anyway).  Pure integer math (``isqrt``) so the DuckDB oracle
+    re-derives the identical k from the identical count."""
+    import math
+
+    k = max(1, math.isqrt(max(n_rows, 1)))
+    cap = max(1, max_centroid_bytes // (max(dim, 1) * 8))
+    return min(k, cap)
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     k: int = 16,
@@ -520,7 +540,7 @@ def ivf_topk(
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.35,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -540,7 +560,10 @@ def semantic_dedup(
     per-(cell, block-pair) blocked-GEMM sweep — no all-pairs work ever
     crosses cell boundaries, so total pair cost drops from n² to
     Σ|cell|², and each task stays bounded by the block decomposition
-    even for a hot cell.  The sweep is FUSED with the per-vector output:
+    even for a hot cell.  ``n_centroids=None`` (default) derives
+    k ≈ √n from a corpus count (:func:`auto_n_centroids`), keeping the
+    expected per-cell size √n — a FIXED k would make cells 100× bigger
+    at 100× the corpus and turn the sweep quadratic again.  The sweep is FUSED with the per-vector output:
     each diagonal block emits its vectors' base rows and every block
     pair emits (pruned, witness) rows, so one map-side-combinable
     min/max aggregate on the id produces the verdicts — no second scan,
@@ -561,6 +584,15 @@ def semantic_dedup(
     )
 
     if centroids is None:
+        if n_centroids is None:
+            # ``n_centroids=None`` (default) scales k to the corpus:
+            # one count job + a 1-row head for the dimension, then the
+            # shared pure-integer formula the oracle re-derives from
+            # the same count (see auto_n_centroids)
+            head = corpus.select(vec_col).head()
+            n_centroids = (
+                auto_n_centroids(corpus.count(), len(head[0])) if head else 1
+            )
         centroids = kmeans_centroids(
             corpus, k=n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
         )

@@ -398,15 +398,16 @@ _O_CURATION_STAGES = """
 
 
 def _o_curation_pipeline(
-    threshold: float = 0.35, n_centroids: int = 16, seed: int = 42
+    threshold: float = 0.35, n_centroids: int | None = None, seed: int = 42
 ) -> str | None:
     """DuckDB twin of q_curation_pipeline.  Lazy factory (the _o_ivf
     pattern): replays the quality gate + fingerprint collapse in DuckDB
     to find the survivors, loads THEIR embeddings (ORDER BY vec_id
     LIMIT 4096 — the same driver-bounded sample kmeans_centroids takes
-    from the survivor frame), re-derives the deterministic centroids
-    with the shared numpy Lloyd's routine, and inlines them as
-    literals.  Degrades to rows-only (None) when the parquet is
+    from the survivor frame), re-derives k from the SAME survivor count
+    (auto_n_centroids, when ``n_centroids=None``) and the deterministic
+    centroids with the shared numpy Lloyd's routine, and inlines them
+    as literals.  Degrades to rows-only (None) when the parquet is
     unreadable or the survivor set is empty."""
     import os
 
@@ -419,6 +420,7 @@ def _o_curation_pipeline(
         import numpy as np
 
         from consume_kafka_avro_data_spark.operators.similarity import (
+            auto_n_centroids,
             lloyd_unit_kmeans,
         )
 
@@ -436,12 +438,21 @@ def _o_curation_pipeline(
             ORDER BY e.vec_id LIMIT 4096
             """
         ).fetchall()
+        (n_surv,) = con.sql(
+            f"""
+            WITH feats AS ({_O_QUALITY}), {stages}
+            SELECT count(*) FROM embeddings e
+            JOIN surv ON e.vec_id = surv.doc_id
+            """
+        ).fetchone()
         con.close()
     except Exception:
         return None
     if not rows:
         return None
     x = np.array([r[0] for r in rows], dtype=np.float64)
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(int(n_surv), x.shape[1])
     cent = lloyd_unit_kmeans(x, k=n_centroids, seed=seed)
 
     from consume_kafka_avro_data_spark.operators.similarity import (
@@ -494,7 +505,7 @@ def curation_verdicts(
     emb: DataFrame,
     qt: float = _CURATION_QT,
     threshold: float = 0.35,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """Three-stage curation funnel: quality gate → exact fingerprint
     dedup (min-id canonical) → SemDeDup-style semantic dedup over the

@@ -658,11 +658,13 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_allpairs_cosine(emb, threshold=0.35)
 
 
-def _o_semantic_dedup(threshold=0.35, n_centroids=16, seed=42) -> str | None:
+def _o_semantic_dedup(threshold=0.35, n_centroids=None, seed=42) -> str | None:
     """DuckDB twin of operators.similarity.semantic_dedup: recompute
     the SAME deterministic centroids from the SAME ORDER BY vec_id
-    LIMIT 4096 sample (the _o_ivf trick), assign cells by first-argmax
-    over quantized centroid literals, then prune every vector with a
+    LIMIT 4096 sample (the _o_ivf trick) — with ``n_centroids=None``
+    re-deriving k from the SAME corpus count via the shared
+    pure-integer auto_n_centroids — assign cells by first-argmax over
+    quantized centroid literals, then prune every vector with a
     lower-id cell-mate at q20 cosine ≥ τ.  Factory, resolved lazily:
     reads $SPARK_GRAFT_TEST_SF_DIR (driver default sf0.01) and degrades
     to rows-only (None) when the parquet is unreadable or empty."""
@@ -675,6 +677,7 @@ def _o_semantic_dedup(threshold=0.35, n_centroids=16, seed=42) -> str | None:
         import numpy as np
 
         from consume_kafka_avro_data_spark.operators.similarity import (
+            auto_n_centroids,
             lloyd_unit_kmeans,
         )
 
@@ -683,12 +686,17 @@ def _o_semantic_dedup(threshold=0.35, n_centroids=16, seed=42) -> str | None:
             f"SELECT embedding FROM read_parquet('{path}') "
             "ORDER BY vec_id LIMIT 4096"
         ).fetchall()
+        (n_corpus,) = con.sql(
+            f"SELECT count(*) FROM read_parquet('{path}')"
+        ).fetchone()
         con.close()
     except Exception:
         return None
     if not rows:
         return None
     x = np.array([r[0] for r in rows], dtype=np.float64)
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(int(n_corpus), x.shape[1])
     cent = lloyd_unit_kmeans(x, k=n_centroids, seed=seed)
 
     from consume_kafka_avro_data_spark.operators.similarity import (
@@ -730,13 +738,16 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023): k-means cells
     → within-cell exact cosine → prune any vector with a lower-id
     cell-mate at cosine ≥ τ.  One row per vector (vec_id, cell, kept,
-    dup_of).  Pair cost is Σ|cell|² instead of n², each cell swept with
-    the bounded blocked-GEMM tasks, and the whole thing is
-    oracle-checked — deterministic centroids re-derived by the DuckDB
-    twin, q20 fixed-point cosines bit-identical across engines (see
+    dup_of).  Pair cost is Σ|cell|² instead of n² — with k ≈ √n cells
+    auto-derived from the corpus count (auto_n_centroids), so the sweep
+    stays subquadratic at ANY corpus size instead of reverting to n²
+    under a fixed k — each cell swept with the bounded blocked-GEMM
+    tasks, and the whole thing is oracle-checked: deterministic
+    centroids AND the same k re-derived by the DuckDB twin, q20
+    fixed-point cosines bit-identical across engines (see
     operators/similarity.semantic_dedup)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, threshold=0.35, n_centroids=16)
+    return semantic_dedup(emb, threshold=0.35)
 
 
 def _o_dedup_pipeline(bands: int = 8, rows: int = 4) -> str:

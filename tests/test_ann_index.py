@@ -95,27 +95,94 @@ def test_metadata_roundtrip_bit_exact(spark, index):
     assert (loaded.id_col, loaded.vec_col) == (index.id_col, index.vec_col)
 
 
-def test_rebuild_commits_atomically_and_gcs_old_generation(
+def test_rebuild_commits_atomically_with_reader_grace_period(
     spark, sf_dir, tmp_path, qvec
 ):
     """A rebuild writes a FRESH generation directory and commits it via
     the META replace (a crash in between leaves the old generation
-    live); after the commit exactly one generation remains and a
-    fresh load() answers from it."""
+    live).  The superseded generation is NOT deleted at commit — a
+    reader holding the previous meta must be able to finish its scan —
+    and only expires at the NEXT build (grace period of one cycle)."""
     import os
+
+    def gens_on_disk():
+        return {n for n in os.listdir(path) if n.startswith("vectors")}
 
     emb = load_table(spark, sf_dir, "embeddings")
     path = str(tmp_path / "idx")
     first = AnnIndex.build(spark, emb, path, n_cells=8)
-    gen1 = first.vectors_dir
+    (gen1,) = first.vectors_dirs
+    stale_reader = AnnIndex.load(spark, path)  # holds the gen1 meta
+
     second = AnnIndex.build(spark, emb, path, n_cells=8)
-    assert second.vectors_dir != gen1  # never overwritten in place
-    gens = [n for n in os.listdir(path) if n.startswith("vectors")]
-    assert gens == [second.vectors_dir]  # old generation GC'd
+    (gen2,) = second.vectors_dirs
+    assert gen2 != gen1  # never overwritten in place
+    assert gens_on_disk() == {gen1, gen2}  # grace: gen1 still intact
+    # the stale reader's in-flight queries against gen1 still complete
+    top = stale_reader.query_exact(qvec, 3, nprobe=8).collect()
+    assert top[0].vec_id == 1
+
+    third = AnnIndex.build(spark, emb, path, n_cells=8)
+    (gen3,) = third.vectors_dirs
+    assert gens_on_disk() == {gen2, gen3}  # gen1's grace expired
     loaded = AnnIndex.load(spark, path)
-    assert loaded.vectors_dir == second.vectors_dir
+    assert loaded.vectors_dirs == [gen3]
     top = loaded.query_exact(qvec, 3, nprobe=8).collect()
     assert top[0].vec_id == 1
+
+
+def test_add_shard_matches_full_build_on_full_probe(spark, sf_dir, tmp_path):
+    """Incremental growth: build on half the corpus, add_shard the
+    other half.  With every cell probed the exact path is brute force
+    over the union, so results must be IDENTICAL to a full build's
+    (regardless of the two indexes' different trained quantizers), the
+    quantizers must stay frozen across add_shard, and cell_sizes must
+    cover the whole corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 1).collect()[0]["embedding"]
+    n = emb.count()
+    half_a = emb.where(F.col("vec_id") % 2 == 0)
+    half_b = emb.where(F.col("vec_id") % 2 == 1)
+
+    inc = AnnIndex.build(
+        spark, half_a, str(tmp_path / "inc"), n_cells=8, m=8, k_codes=16
+    )
+    cent_before = inc.centroids.copy()
+    inc.add_shard(half_b)
+    assert np.array_equal(inc.centroids, cent_before)  # frozen quantizer
+    assert len(inc.vectors_dirs) == 2
+
+    full = AnnIndex.build(
+        spark, emb, str(tmp_path / "full"), n_cells=8, m=8, k_codes=16
+    )
+    want = [
+        (r.vec_id, r.score)
+        for r in full.query_exact(qvec, 10, nprobe=8).collect()
+    ]
+    got = [
+        (r.vec_id, r.score)
+        for r in inc.query_exact(qvec, 10, nprobe=8).collect()
+    ]
+    assert got == want
+
+    sizes = {r._ivf_cell: r.n for r in inc.cell_sizes().collect()}
+    assert sum(sizes.values()) == n
+
+    # the incremental meta survives load() and probes still
+    # partition-prune across BOTH generation directories
+    from consume_kafka_avro_data_spark.plans.inspect import (
+        partition_filters as _pf,
+    )
+
+    loaded = AnnIndex.load(spark, inc.path)
+    assert loaded.vectors_dirs == inc.vectors_dirs
+    pf = _pf(loaded._probe(qvec, nprobe=2))
+    assert pf and any("_ivf_cell" in f for f in pf), pf
+    got2 = [
+        (r.vec_id, r.score)
+        for r in loaded.query_exact(qvec, 10, nprobe=8).collect()
+    ]
+    assert got2 == want
 
 
 def test_cell_sizes_cover_corpus(spark, sf_dir, index):

@@ -1071,3 +1071,45 @@ def test_text_queries_survive_pathological_documents(spark):
     qf = {r.doc_id: r.alpha_ratio for r in quality_features(docs).collect()}
     assert qf[2] == 0.0 and qf[3] == 0.0  # guarded division, no NULL
     assert tf_idf(docs).where("doc_id = 4").count() >= 2  # split on \t and \n
+
+
+def test_auto_n_centroids_scaling_and_cap():
+    """k ≈ ⌊√n⌋ grows with the corpus (the fixed-k quadratic-reversion
+    fix) and is capped so k·dim·8 bytes of centroids stay driver-sized;
+    pure integer math so the DuckDB oracles re-derive the identical k."""
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        auto_n_centroids,
+    )
+
+    assert auto_n_centroids(10_000, 32) == 100
+    assert auto_n_centroids(1_000_000, 32) == 1000  # 100× corpus → 10× k
+    assert auto_n_centroids(1, 32) == 1
+    assert auto_n_centroids(0, 32) == 1
+    cap = (1 << 20) // (1024 * 8)
+    assert (
+        auto_n_centroids(10**18, 1024, max_centroid_bytes=1 << 20) == cap
+    )
+
+
+def test_semantic_dedup_auto_k_keeps_sweep_subquadratic(spark, sf_dir):
+    """With n_centroids=None the operator derives k ≈ √n itself; the
+    resulting cell layout must cover every vector, use more than one
+    cell, never exceed k cells, and keep the Σ|cell|² pair sweep well
+    below the n² all-pairs cost."""
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        auto_n_centroids,
+        semantic_dedup,
+    )
+    from consume_kafka_avro_data_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    dim = len(emb.select("embedding").head()[0])
+    k = auto_n_centroids(n, dim)
+    assert k > 1
+    out = semantic_dedup(emb, threshold=0.35)
+    sizes = [r["n"] for r in out.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n")).collect()]
+    assert sum(sizes) == n  # one verdict per vector
+    assert 1 < len(sizes) <= k
+    assert sum(s * s for s in sizes) < n * n / 2  # subquadratic sweep
