@@ -66,3 +66,84 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "object",
         transcode_json(decoded, sc).alias("json"),
     )
+
+
+@query(
+    "q_dlq_recovery",
+    oracle="""
+    WITH base AS (SELECT * FROM events WHERE event_id < 2000),
+    a AS (SELECT CAST(user_id AS VARCHAR) AS subject,
+                 event_type AS predicate, props AS object
+          FROM base WHERE event_id % 5 = 0),
+    b AS (SELECT count(*) AS n FROM base
+          WHERE event_id % 5 <> 0 AND event_id % 7 = 0)
+    SELECT subject, predicate, object,
+           'Invalid CP1 magic byte 123, expected 0' AS _error,
+           TRUE AS _recovered, TRUE AS _complete,
+           CAST(count(*) AS BIGINT) AS n_frames
+    FROM a GROUP BY subject, predicate, object
+    UNION ALL
+    SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR),
+           'Invalid CP1 magic byte 123, expected 0',
+           FALSE, FALSE, CAST(n AS BIGINT)
+    FROM b WHERE n > 0
+    """,
+    tags=("P7", "S2"),
+)
+def q_dlq_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7's FULL loop, driver-checkable: malformed-frame routing → DLQ
+    with the raw frame retained → JSON re-decode → merge-ready graph
+    delta.  The reference could only COUNT its production corruption
+    (a producer shipped raw JSON onto the Avro topic — ``Invalid CP1
+    magic byte 123`` 4× in logs/flycatcher_2024-12-21.log,
+    src/main.cpp:249-252); here the same dead letters are replayed
+    through ``recover_json_frames`` and come back as rows.
+
+    Construction (deterministic, oracle-replayable): events slice
+    ``event_id < 2000``; ``% 5 == 0`` rows ship as RAW JSON of the SPO
+    record (the observed corruption — recoverable, complete); the
+    remaining ``% 7 == 0`` rows ship as raw JSON carrying only a
+    foreign key (parses, but no configured field — stays dead); all
+    others are proper CP1 frames (decode clean, never reach the DLQ).
+    Output: the recovered triples collapsed to the DISTINCT merge
+    delta (idempotent-upsert input) with per-triple frame counts, plus
+    one bookkeeping row for the still-dead letters — every frame's
+    ``_error`` string byte-identical to the reference's log line."""
+    sc = parse_config(_SPO_EVENTS_DOC).schema_for("spo")
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    is_a = F.col("event_id") % 5 == 0
+    is_b = (F.col("event_id") % 5 != 0) & (F.col("event_id") % 7 == 0)
+
+    spo_json = F.to_json(
+        F.struct(
+            F.col("user_id").cast("string").alias("subject"),
+            F.col("event_type").alias("predicate"),
+            F.col("props").alias("object"),
+        )
+    )
+    alien_json = F.to_json(F.struct(F.col("user_id").alias("uid")))
+    corrupt = e.where(is_a | is_b).select(
+        F.col("user_id").cast("string").alias("key"),
+        F.when(is_a, spo_json).otherwise(alien_json).cast("binary").alias("value"),
+    )
+    framed = to_confluent_avro(e.where(~is_a & ~is_b), sc, schema_id=2)
+    topic = framed.unionByName(corrupt)
+
+    decoded = from_confluent_avro(
+        topic, sc, expected_schema_id=2, keep_raw=True
+    )
+    # route: only the undecodable frames enter the DLQ, raw frame kept
+    # (slim columns — the failed decode's null fields would collide
+    # with the recovered fields' names)
+    dlq = decoded.where(F.col("_error").isNotNull()).select(
+        "_raw_value", "_error"
+    )
+    from consume_kafka_avro_data_spark.sources.avro_codec import (
+        recover_json_frames,
+    )
+
+    rec = recover_json_frames(dlq, sc, value_col="_raw_value")
+    return rec.groupBy(
+        "subject", "predicate", "object", "_error", "_recovered", "_complete"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_frames"))

@@ -93,3 +93,44 @@ def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     leaning on DuckDB-only list/lambda builtins are DuckDB's to run."""
     register_views(spark, sf_dir)
     return spark.sql(query)
+
+
+def register_engine_views(
+    spark: SparkSession,
+    graph=None,
+    signatures=None,
+    ann_index=None,
+) -> list[str]:
+    """Expose the ENGINE'S materialized state — not just the input
+    tables — through the same ad-hoc SQL surface: the reference's graph
+    existed to be queried (its prepared SELECT/INSERT statements over
+    ``objects``/``relationships``, src/Database.h:23-31), and this
+    engine additionally materializes a dedup signature store and ANN
+    index layouts.  Registers temp views for whatever is passed:
+
+    * ``graph`` (operators/graph.GraphStore) → ``objects`` +
+      ``relationships`` — the reference's two tables, queryable with
+      the exact SQL shapes its prepared statements hard-coded;
+    * ``signatures`` (operators/store.ManifestTable, e.g. a
+      StreamingDedupIngest's ``.store``) → ``signatures``;
+    * ``ann_index`` (operators/ann_index.AnnIndex) → ``ann_cells``
+      (the per-cell balance diagnostic) + ``ann_vectors`` (the live
+      generations' rows: id, codes, cell — probe pruning still applies
+      to a ``WHERE _ivf_cell IN (...)``).
+
+    Views are lazy over the manifest/meta read at registration time:
+    re-register after ingests/builds to see newer commits.  Returns the
+    view names created."""
+    created: list[str] = []
+    if graph is not None:
+        graph.objects().createOrReplaceTempView("objects")
+        graph.relationships().createOrReplaceTempView("relationships")
+        created += ["objects", "relationships"]
+    if signatures is not None:
+        signatures.read().createOrReplaceTempView("signatures")
+        created.append("signatures")
+    if ann_index is not None:
+        ann_index.cell_sizes().createOrReplaceTempView("ann_cells")
+        ann_index._vectors().createOrReplaceTempView("ann_vectors")
+        created += ["ann_cells", "ann_vectors"]
+    return created

@@ -278,3 +278,91 @@ def test_null_keyed_rows_stay_idempotent_on_replay(spark, tmp_path):
     store.ingest_triples(nulled, created_at="2024-01-01")
     assert store.objects().count() == n_obj
     assert store.relationships().count() == n_rel
+
+
+def test_engine_state_sql_views(spark, tmp_path, triples):
+    """register_engine_views exposes the MATERIALIZED graph (and the
+    other engine stores) to ad-hoc spark.sql — the reference's graph
+    existed to be queried (Database.h:23-31).  Run the reference's own
+    prepared-statement shapes over a populated GraphStore view, then
+    query a signature store and an ANN index through the same surface."""
+    from consume_kafka_avro_data_spark.operators.ann_index import AnnIndex
+    from consume_kafka_avro_data_spark.tables import register_engine_views
+
+    store = GraphStore(spark, str(tmp_path / "graph"))
+    store.ingest_triples(triples, created_at="2024-01-01")
+
+    created = register_engine_views(spark, graph=store)
+    assert created == ["objects", "relationships"]
+    # the reference's keyed lookup: SELECT id FROM objects WHERE
+    # object_name = $1 (Database.h:27)
+    got = spark.sql(
+        "SELECT id FROM objects WHERE object_name = 'Don Vito'"
+    ).collect()
+    assert len(got) == 1 and got[0]["id"] == store.get_object_id("Don Vito")
+    # edge traversal: join relationships back to both endpoint names
+    hop = spark.sql(
+        """
+        SELECT s.object_name AS src, r.relationship_name AS rel,
+               t.object_name AS dst
+        FROM relationships r
+        JOIN objects s ON r.source_id = s.id
+        JOIN objects t ON r.target_id = t.id
+        ORDER BY src, rel, dst
+        """
+    ).collect()
+    assert ("Don Vito", "Email", "donvito@example.com") in {
+        (r.src, r.rel, r.dst) for r in hop
+    }
+    assert len(hop) == 4  # the exact-dup triple merged away
+
+    # signature store view (a StreamingDedupIngest's .store is one)
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from consume_kafka_avro_data_spark.operators.store import ManifestTable
+
+    sigs = ManifestTable(
+        spark,
+        str(tmp_path / "sigs"),
+        StructType(
+            [
+                StructField("_id", LongType(), True),
+                StructField("_sim", ArrayType(LongType(), True), True),
+            ]
+        ),
+        keys=["_id"],
+    )
+    sigs.merge_new(
+        spark.createDataFrame([(1, [7, 8]), (2, [9, 10])], sigs.schema)
+    )
+
+    # tiny ANN index
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(20)],
+        ["vec_id", "embedding"],
+    )
+    idx = AnnIndex.build(spark, emb, str(tmp_path / "ann"), n_cells=4, m=4)
+
+    created = register_engine_views(spark, signatures=sigs, ann_index=idx)
+    assert created == ["signatures", "ann_cells", "ann_vectors"]
+    assert spark.sql("SELECT count(*) AS n FROM signatures").collect()[0].n == 2
+    assert (
+        spark.sql("SELECT sum(n) AS total FROM ann_cells").collect()[0].total
+        == 20
+    )
+    assert (
+        spark.sql(
+            "SELECT count(*) AS n FROM ann_vectors WHERE _ivf_cell = 1"
+        ).collect()[0].n
+        == spark.sql(
+            "SELECT n FROM ann_cells WHERE _ivf_cell = 1"
+        ).collect()[0].n
+    )
