@@ -327,6 +327,8 @@ def ann_index_bench(spark, sf_dir: str) -> dict:
     from consume_kafka_avro_data_spark.operators.ann_index import AnnIndex
     from consume_kafka_avro_data_spark.tables import load_table
 
+    from pyspark.sql import functions as F
+
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.where("vec_id = 1").collect()[0]["embedding"]
     tmp = _tf.mkdtemp(prefix="ann_bench_")
@@ -334,6 +336,14 @@ def ann_index_bench(spark, sf_dir: str) -> dict:
         t0 = time.perf_counter()
         idx = AnnIndex.build(spark, emb, os.path.join(tmp, "idx"), n_cells=16)
         t_build = time.perf_counter() - t0
+        # incremental path: index a same-sized "new arrivals" shard
+        # (ids shifted clear of the corpus) against the frozen
+        # quantizers — the between-rebuilds cost a sharded 100 TB
+        # corpus actually pays per increment
+        shard = emb.withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000))
+        t0 = time.perf_counter()
+        idx.add_shard(shard)
+        t_shard = time.perf_counter() - t0
         t_exact = t_adc = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
@@ -346,7 +356,8 @@ def ann_index_bench(spark, sf_dir: str) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
     return {
         "build_sec": round(t_build, 4),
-        "query_exact_sec": round(t_exact, 4),
+        "add_shard_sec": round(t_shard, 4),
+        "query_exact_sec": round(t_exact, 4),  # over corpus + shard
         "query_adc_sec": round(t_adc, 4),
     }
 

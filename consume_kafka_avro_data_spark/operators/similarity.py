@@ -545,7 +545,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     seed: int = 42,
     centroids: np.ndarray | None = None,
-    n_blocks: int = 4,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with the deterministic coarse
@@ -583,19 +583,38 @@ def semantic_dedup(
         StructType,
     )
 
+    n_rows = None
     if centroids is None:
-        if n_centroids is None:
-            # ``n_centroids=None`` (default) scales k to the corpus:
-            # one count job + a 1-row head for the dimension, then the
-            # shared pure-integer formula the oracle re-derives from
-            # the same count (see auto_n_centroids)
-            head = corpus.select(vec_col).head()
-            n_centroids = (
-                auto_n_centroids(corpus.count(), len(head[0])) if head else 1
-            )
-        centroids = kmeans_centroids(
-            corpus, k=n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
+        # collect the k-means sample FIRST (same deterministic ORDER BY
+        # id LIMIT slice as kmeans_centroids) so the auto-k path reads
+        # the dimension from it instead of paying a separate head() job
+        rows = (
+            corpus.select(id_col, vec_col).orderBy(id_col).limit(4096).collect()
         )
+        x = np.array([r[vec_col] for r in rows], dtype=np.float64)
+        if n_centroids is None:
+            # one count job + the shared pure-integer formula the
+            # oracle re-derives from the same count (auto_n_centroids)
+            n_rows = corpus.count()
+            n_centroids = (
+                auto_n_centroids(n_rows, x.shape[1]) if len(rows) else 1
+            )
+        centroids = lloyd_unit_kmeans(x, k=n_centroids, seed=seed)
+    if n_blocks is None:
+        # Block decomposition exists to BOUND a hot cell's GEMM task,
+        # not to split already-small cells: b blocks cost b(b+1)/2
+        # groups per cell, and with k ≈ √n cells a fixed b shatters the
+        # sweep into thousands of tiny pandas groups whose per-group
+        # overhead dominates (measured 0.93 s → 1.28 s at sf0.1 when
+        # auto-k landed on b=4).  Scale b to the EXPECTED cell (n/k
+        # rows, ~4096-row blocks); skew beyond expectation still only
+        # grows the per-task GEMM quadratically-in-overshoot, and the
+        # result is block-count-invariant (every pair is scored exactly
+        # once under any b).
+        if n_rows is None:
+            n_rows = corpus.count()
+        est_cell = max(1, n_rows // max(len(centroids), 1))
+        n_blocks = max(1, min(16, -(-est_cell // 4096)))
     assigned = ivf_assign(corpus.select(id_col, vec_col), centroids, vec_col)
 
     blk = (F.crc32(F.col(id_col).cast("string")) % n_blocks).cast("int")

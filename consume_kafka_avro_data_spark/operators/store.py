@@ -16,6 +16,15 @@ commit-by-metadata-swap idea Delta/Iceberg use at 100 TB (there the
 manifest write is a conditional object-store PUT; locally it is an
 atomic rename).  Single writer per table, matching the reference's
 single consumer thread.
+
+**Snapshots / time travel**: every publish also records itself as
+``_manifest.v{N}.json``, and ``read(version=k)`` reconstructs the
+table exactly as of commit k — free, because merges only ADD files, so
+an old manifest's file list stays valid on disk.  ``compact()``
+rewrites the data and prunes the history (old snapshots' files are
+gone — the same trade Delta's VACUUM makes).  This is what debugging a
+100 TB ingest actually needs: "what did the signature store look like
+before batch 17" is a metadata read, not a restore.
 """
 
 from __future__ import annotations
@@ -45,23 +54,65 @@ class ManifestTable:
 
     # -- manifest ------------------------------------------------------------
 
-    def files(self) -> list[str]:
+    def _manifest_doc(self, version: int | None = None) -> dict:
         import json
 
-        mf = os.path.join(self.path, self.MANIFEST)
+        name = (
+            self.MANIFEST
+            if version is None
+            else f"_manifest.v{version}.json"
+        )
+        mf = os.path.join(self.path, name)
         if not os.path.isfile(mf):
-            return []
+            if version is None:
+                return {"files": [], "version": 0}
+            raise FileNotFoundError(
+                f"version {version} of {self.path} is not available "
+                "(never existed, or its history was pruned by compact())"
+            )
         with open(mf) as f:
-            return list(json.load(f)["files"])
+            doc = json.load(f)
+        doc.setdefault("version", 0)  # pre-versioning manifests
+        return doc
+
+    def files(self, version: int | None = None) -> list[str]:
+        return list(self._manifest_doc(version)["files"])
+
+    def version(self) -> int:
+        """The current committed snapshot version (0 = empty table)."""
+        return int(self._manifest_doc()["version"])
+
+    def versions(self) -> list[int]:
+        """Snapshot versions still readable (compact() prunes history —
+        it deletes the data files old snapshots reference, the same
+        reason Delta's VACUUM truncates time travel)."""
+        import re
+
+        out = []
+        if os.path.isdir(self.path):
+            for name in os.listdir(self.path):
+                m = re.fullmatch(r"_manifest\.v(\d+)\.json", name)
+                if m:
+                    out.append(int(m.group(1)))
+        return sorted(out)
 
     def publish(self, files: list[str]) -> None:
-        """Atomically replace the manifest (write-temp + rename)."""
+        """Commit a new snapshot: write the versioned manifest (the
+        time-travel record), then atomically replace the current
+        pointer (write-temp + rename — still the single commit point:
+        a crash after the v-file but before the rename leaves the
+        current manifest untouched and an orphan history file)."""
         import json
 
         os.makedirs(self.path, exist_ok=True)
+        doc = {"files": sorted(files), "version": self.version() + 1}
+        payload = json.dumps(doc)
+        vf = os.path.join(self.path, f"_manifest.v{doc['version']}.json")
+        with open(vf, "w") as f:
+            f.write(payload)
         tmp = os.path.join(self.path, self.MANIFEST + ".tmp")
         with open(tmp, "w") as f:
-            json.dump({"files": sorted(files)}, f)
+            f.write(payload)
         os.replace(tmp, os.path.join(self.path, self.MANIFEST))
 
     def stage(self, df: DataFrame, n_files: int | None = None) -> list[str]:
@@ -86,8 +137,11 @@ class ManifestTable:
 
     # -- reads ---------------------------------------------------------------
 
-    def read(self) -> DataFrame:
-        files = self.files()
+    def read(self, version: int | None = None) -> DataFrame:
+        """The table at a committed snapshot (``version=None`` →
+        current).  Old snapshots stay readable because merges only ADD
+        files — until compact() rewrites the data and prunes history."""
+        files = self.files(version)
         if not files:
             return self.spark.createDataFrame([], self.schema)
         return self.spark.read.schema(self.schema).parquet(
@@ -176,4 +230,17 @@ class ManifestTable:
                 os.remove(os.path.join(self.path, name))
             except FileNotFoundError:
                 pass
+        # prune time-travel history: the data files every older snapshot
+        # references were just deleted, so keeping their manifests would
+        # advertise unreadable versions (Delta's VACUUM makes the same
+        # trade)
+        current = self.version()
+        for v in self.versions():
+            if v < current:
+                try:
+                    os.remove(
+                        os.path.join(self.path, f"_manifest.v{v}.json")
+                    )
+                except FileNotFoundError:
+                    pass
         return len(staged)

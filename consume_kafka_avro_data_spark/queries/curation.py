@@ -178,6 +178,64 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_decontaminate_bloom",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source, array_to_string(t[i : i + 7], ' ') AS g
+      FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+    ),
+    eval_g AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+    train_g AS (SELECT DISTINCT doc_id, g FROM grams WHERE source <> 'src0')
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+    FROM train_g t JOIN eval_g e USING (g)
+    GROUP BY t.doc_id
+    """,
+    tags=("U5", "U7", "curation"),
+)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_decontaminate's 100 TB shape: two-phase bloom decontamination.
+    Phase 1 prefilters the training gram stream with a BroadcastBloom
+    built over the eval set's distinct grams — a pure-JVM k-bit-test
+    expression against an array<long> literal carrying ~2 bytes/gram
+    (vs ~50+ bytes/gram for the broadcast hash relation the exact join
+    ships), no shuffle, no join, no false negatives.  Phase 2
+    exact-verifies only the surviving candidates (true matches + ~0.2%
+    false positives) against the broadcast eval grams, so the FINAL
+    result is exact — same oracle as q_decontaminate, and the driver
+    hash-checks the two queries return identical rows.  The per-doc
+    distinct also runs AFTER the prefilter, so its shuffle carries
+    candidates, not the whole corpus' grams."""
+    from consume_kafka_avro_data_spark.operators.bloom import BroadcastBloom
+
+    d = load_table(spark, sf_dir, "documents")
+    t = _lower_tokens()
+    grams_expr = F.when(
+        F.size(t) >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 7),
+            lambda i: F.concat_ws(" ", F.slice(t, i, 8)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select("doc_id", "source", F.explode(grams_expr).alias("g"))
+    eval_g = grams.where(F.col("source") == "src0").select("g").distinct()
+    bloom = BroadcastBloom.build(eval_g, "g")
+    cand = (
+        grams.where(F.col("source") != "src0")
+        .where(bloom.might_contain("g"))  # phase 1: JVM bit-test only
+        .select("doc_id", "g")
+        .distinct()
+    )
+    return (
+        cand.join(F.broadcast(eval_g), "g")  # phase 2: exact verify
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+@query(
     "q_perplexity",
     oracle="""
     WITH tk AS (
@@ -537,12 +595,16 @@ def curation_verdicts(
         .join(canon, "_fp")
         .select("doc_id", "canonical_id")
     )
+    # checkpointed like ``s``: the auto-k semantic stage traverses the
+    # survivor join THREE times (k-means sample collect, corpus count,
+    # assignment pass) — uncached, each re-runs the fingerprint
+    # group-by + join
     surv_emb = emb.join(
         d2c.where(F.col("doc_id") == F.col("canonical_id")).select(
             F.col("doc_id").alias("vec_id")
         ),
         "vec_id",
-    )
+    ).localCheckpoint(eager=True)
     sem = semantic_dedup(surv_emb, threshold=threshold, n_centroids=n_centroids)
 
     return (

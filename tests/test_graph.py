@@ -366,3 +366,45 @@ def test_engine_state_sql_views(spark, tmp_path, triples):
             "SELECT n FROM ann_cells WHERE _ivf_cell = 1"
         ).collect()[0].n
     )
+
+
+def test_manifest_table_time_travel(spark, tmp_path):
+    """Every publish is a numbered snapshot: read(version=k) returns
+    the table exactly as of commit k (merges only add files, so old
+    manifests stay valid); compact() rewrites the data and prunes the
+    history, after which old versions fail with a clear error."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from consume_kafka_avro_data_spark.operators.store import ManifestTable
+
+    schema = StructType(
+        [
+            StructField("k", LongType(), True),
+            StructField("v", StringType(), True),
+        ]
+    )
+    t = ManifestTable(spark, str(tmp_path / "t"), schema, keys=["k"])
+    assert t.version() == 0 and t.versions() == []
+
+    t.merge_new(spark.createDataFrame([(1, "a")], schema))
+    t.merge_new(spark.createDataFrame([(2, "b")], schema))
+    t.merge_new(spark.createDataFrame([(2, "dup"), (3, "c")], schema))
+    assert t.version() == 3 and t.versions() == [1, 2, 3]
+
+    def keys(version=None):
+        return sorted(r.k for r in t.read(version).collect())
+
+    assert keys(1) == [1]
+    assert keys(2) == [1, 2]
+    assert keys(3) == [1, 2, 3]
+    assert keys() == [1, 2, 3]  # current == latest
+
+    # an empty merge publishes nothing — version unchanged
+    t.merge_new(spark.createDataFrame([(1, "replay")], schema))
+    assert t.version() == 3
+
+    t.compact()
+    assert keys() == [1, 2, 3]  # same rows, rewritten files
+    assert t.versions() == [t.version()]  # history pruned
+    with pytest.raises(FileNotFoundError, match="pruned|not available"):
+        t.read(1)

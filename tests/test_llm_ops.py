@@ -1113,3 +1113,51 @@ def test_semantic_dedup_auto_k_keeps_sweep_subquadratic(spark, sf_dir):
     assert sum(sizes) == n  # one verdict per vector
     assert 1 < len(sizes) <= k
     assert sum(s * s for s in sizes) < n * n / 2  # subquadratic sweep
+
+
+def test_broadcast_bloom_no_false_negatives_bounded_fps(spark):
+    """Every built value must probe true (bloom contract: zero false
+    negatives); absent values probe true at roughly the design FP rate
+    (generously bounded here), and the probe plan contains no Python
+    stage and no join."""
+    from consume_kafka_avro_data_spark.operators.bloom import BroadcastBloom
+
+    members = [(f"member-{i}",) for i in range(500)]
+    df = spark.createDataFrame(members, ["g"])
+    bloom = BroadcastBloom.build(df, "g")
+
+    hits = df.where(bloom.might_contain("g")).count()
+    assert hits == 500  # no false negatives, ever
+
+    absent = spark.createDataFrame(
+        [(f"absent-{i}",) for i in range(2000)], ["g"]
+    )
+    fps = absent.where(bloom.might_contain("g")).count()
+    assert fps / 2000 < 0.05  # design ≈0.24%; generous ceiling
+
+    plan = (
+        df.where(bloom.might_contain("g"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_bloom_equals_exact_join_form(spark, sf_dir):
+    """The two-phase bloom query must return EXACTLY the rows of the
+    broadcast-join form — the bloom is a prefilter, never a source of
+    approximation (false positives die in the verify join)."""
+    from consume_kafka_avro_data_spark.registry import all_queries
+
+    qs = all_queries()
+    exact = {
+        (r.doc_id, r.n_shared_grams)
+        for r in qs["q_decontaminate"].fn(spark, sf_dir).collect()
+    }
+    bloom = {
+        (r.doc_id, r.n_shared_grams)
+        for r in qs["q_decontaminate_bloom"].fn(spark, sf_dir).collect()
+    }
+    assert bloom == exact and len(bloom) > 0
