@@ -66,6 +66,8 @@ HEADLINE = [
     "q_trade_triangles",
     "q_semantic_dedup",
     "q_curation_pipeline",
+    "q_decontaminate",
+    "q_decontaminate_bloom",
 ]
 
 

@@ -53,12 +53,14 @@ from consume_kafka_avro_data_spark.operators.store import ManifestTable
 
 @dataclass
 class DedupMetrics:
-    """Per-run counters: every batch doc is either novel or a dupe."""
+    """Per-run counters: every batch doc is rejected (quality gate,
+    when enabled), a dupe, or novel — the three always sum to docs."""
 
     batches: int = 0
     docs: int = 0
     novel_docs: int = 0
     dup_docs: int = 0
+    rejected_docs: int = 0
     dup_pairs_by_batch: dict[int, int] = field(default_factory=dict)
 
 
@@ -81,13 +83,23 @@ class StreamingDedupIngest:
         dupes_dir: str | None = None,
         compact_every: int | None = None,
         id_type: DataType | None = None,
+        quality_threshold: float | None = None,
+        rejects_dir: str | None = None,
     ):
         """``id_type`` is the document-id column's Spark type (default
         LongType) — it shapes the persisted store schema, so a stream
         whose ``id_col`` disagrees is rejected at the first micro-batch
         with a clear error instead of corrupting the store (parquet
         would accept the mismatched write and every later read would
-        fail with a column-type mismatch)."""
+        fail with a column-type mismatch).
+
+        ``quality_threshold`` enables the batch curation funnel's
+        stage-1 gate AT INGEST (operators/text.quality_score < τ →
+        rejected before signing): gated docs never enter the signature
+        store, never witness a duplicate, and are optionally persisted
+        to ``rejects_dir`` (same partition-by-batch dynamic-overwrite
+        replay contract as ``dupes_dir``).  The gate is map-only JVM
+        expressions — it adds no shuffle to the per-batch plan."""
         n = bands * rows
         self.spark = spark
         self.checkpoint_dir = checkpoint_dir
@@ -101,6 +113,8 @@ class StreamingDedupIngest:
         self.max_bucket_size = max_bucket_size
         self.dupes_dir = dupes_dir
         self.compact_every = compact_every
+        self.quality_threshold = quality_threshold
+        self.rejects_dir = rejects_dir
         elem = LongType() if hash_fn == "xxhash64" else StringType()
         self.id_type = id_type or LongType()
         self.store = ManifestTable(
@@ -185,6 +199,39 @@ class StreamingDedupIngest:
                 "id_type= so the persisted schema matches the stream"
             )
         replayed = batch_id in self._seen_batches
+        n_rejected = 0
+        rejects = None
+        if self.quality_threshold is not None:
+            from consume_kafka_avro_data_spark.operators.text import (
+                quality_score,
+            )
+
+            scored = quality_score(
+                batch.select(self.id_col, self.text_col), self.text_col
+            )
+            # checkpointed: up to three consumers (rejects write, count,
+            # the gate anti-join) — and the cut keeps the feature
+            # expressions from being re-evaluated per consumer
+            rejects = (
+                scored.where(F.col("quality") < self.quality_threshold)
+                .select(self.id_col, "quality")
+                .localCheckpoint(eager=True)
+            )
+            if self.rejects_dir:
+                # partition by batch id + dynamic overwrite: a replayed
+                # batch REPLACES its own rows (same contract as dupes)
+                (
+                    rejects.withColumn("batch_id", F.lit(batch_id))
+                    .write.partitionBy("batch_id")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .mode("overwrite")
+                    .parquet(self.rejects_dir)
+                )
+            n_rejected = rejects.count()
+            if n_rejected:
+                batch = batch.join(
+                    rejects.select(self.id_col), self.id_col, "left_anti"
+                )
         sigs = minhash_sig_table(
             batch,
             self.id_col,
@@ -242,9 +289,10 @@ class StreamingDedupIngest:
             self.store.merge_new(novel)
             if not replayed:
                 self.metrics.batches += 1
-                self.metrics.docs += n_docs
+                self.metrics.docs += n_docs + n_rejected
                 self.metrics.dup_docs += n_dupes
                 self.metrics.novel_docs += n_docs - n_dupes
+                self.metrics.rejected_docs += n_rejected
                 self.metrics.dup_pairs_by_batch[batch_id] = n_dupes
             self._seen_batches.add(batch_id)
             # append-per-batch grows the store's file count linearly
@@ -262,6 +310,8 @@ class StreamingDedupIngest:
             sigs.unpersist()
             if dup_map is not None:
                 dup_map.unpersist()
+            if rejects is not None:
+                rejects.unpersist()
 
     # -- lifecycle -----------------------------------------------------------
 

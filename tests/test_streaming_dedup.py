@@ -144,3 +144,54 @@ def test_streaming_dedup_replayed_batch_id_skips_counters(spark, ingest):
     ingest.process_batch(batch, batch_id=0)  # foreachBatch replay
     assert ingest.metrics.docs == 3 and ingest.metrics.dup_docs == 1
     assert ingest.metrics.batches == 1
+
+
+def test_streaming_quality_gate_rejects_before_signing(spark, tmp_path):
+    """The batch curation funnel's stage-1 gate at ingest: junk docs
+    (quality < τ) must be rejected BEFORE signing — never stored, never
+    a duplicate witness — persisted to rejects_dir, and counted so
+    rejected + dupes + novel == docs.  A replay rewrites identical
+    reject rows (dynamic-overwrite contract) and appends nothing."""
+    junk = "aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa"
+    b1 = [(1, BASE), (2, junk), (3, FAR)]
+    b2 = [(4, BASE), (5, ALSO_FAR)]  # 4 dups stored 1
+
+    def make(ckpt):
+        return StreamingDedupIngest(
+            spark,
+            store_dir=str(tmp_path / "store"),
+            checkpoint_dir=str(tmp_path / ckpt),
+            dupes_dir=str(tmp_path / "dupes"),
+            quality_threshold=0.5,
+            rejects_dir=str(tmp_path / "rejects"),
+        )
+
+    stream = _doc_stream(spark, tmp_path, [b1, b2])
+
+    def reread():  # same files, fresh reader (no re-append)
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(tmp_path / "docs"))
+        )
+
+    ingest = make("ckpt")
+    m = ingest.run_to_completion(stream)
+    assert m.docs == 5
+    assert m.rejected_docs == 1
+    assert m.dup_docs == 1 and m.novel_docs == 3
+    assert m.rejected_docs + m.dup_docs + m.novel_docs == m.docs
+
+    stored = sorted(r["_id"] for r in ingest.store.read().collect())
+    assert stored == [1, 3, 5]  # the junk doc never entered the store
+    rejects = spark.read.parquet(str(tmp_path / "rejects")).collect()
+    assert [r.doc_id for r in rejects] == [2]
+    assert rejects[0].quality < 0.5
+
+    # full replay into the same store: identical routing, no growth
+    replay = make("ckpt2")
+    m2 = replay.run_to_completion(reread())
+    assert m2.rejected_docs == 1 and m2.dup_docs == 1
+    assert sorted(r["_id"] for r in replay.store.read().collect()) == stored
+    rejects2 = spark.read.parquet(str(tmp_path / "rejects")).collect()
+    assert [r.doc_id for r in rejects2] == [2]
