@@ -158,6 +158,7 @@ class JobConfig:
     kafka: dict[str, str]
     schemas: tuple[SchemaConfig, ...]
     input_type: str = "csv"
+    csv_options: dict[str, str] = field(default_factory=dict)
 
     @property
     def bootstrap_servers(self) -> str | None:
@@ -219,6 +220,7 @@ def parse_config(doc: dict) -> JobConfig:
         kafka=kafka,
         schemas=tuple(schemas),
         input_type=str(doc.get("input_type", "csv")),
+        csv_options={str(k): str(v) for k, v in _mapping("csv_options").items()},
     )
     for s in cfg.schemas:
         s.to_struct_type()  # validate eagerly, like the reference's parse step

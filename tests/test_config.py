@@ -230,3 +230,74 @@ def test_sql_surface_runs_oracle_sql_verbatim(spark, sf_dir):
     via_sql = sorted(map(tuple, sql(spark, sf_dir, q.oracle_text()).collect()))
     via_df = sorted(map(tuple, q.fn(spark, sf_dir).collect()))
     assert via_sql == via_df
+
+
+def test_csv_input_reads_and_shapes_per_config(spark, tmp_path):
+    """input_type:csv + csv_options (the reference job file's producer-
+    side input declaration, configs/SPO_2_kafka.yaml:5-7) drives a real
+    CSV read here: header columns validated against the config,
+    projection/rename/cast applied, escape_hack selecting backslash
+    escaping, and the shaped frame round-trips the wire codec."""
+    import pytest as _pytest
+
+    from consume_kafka_avro_data_spark.config import ConfigError, parse_config
+    from consume_kafka_avro_data_spark.sources.avro_codec import (
+        from_confluent_avro,
+        to_confluent_avro,
+    )
+    from consume_kafka_avro_data_spark.sources.csv_input import read_csv_input
+
+    doc = {
+        "kafka": {},
+        "input_type": "csv",
+        "csv_options": {"escape_hack": "true"},
+        "type_map": {
+            "spo": {
+                "key_column": "subject",
+                "columns": ["Source", "Relationship", "Target"],
+            }
+        },
+        "column_map": {
+            "Source": "subject",
+            "Relationship": "predicate",
+            "Target": "object",
+        },
+    }
+    cfg = parse_config(doc)
+    assert cfg.csv_options == {"escape_hack": "true"}
+
+    csv_dir = tmp_path / "in"
+    csv_dir.mkdir()
+    (csv_dir / "part.csv").write_text(
+        "Source,Relationship,Target,Extra\n"
+        "Don Vito,Email,donvito@example.com,x\n"
+        '"Underboss \\"Marco\\"",Captain,Capo Salvatore,y\n'
+    )
+    raw = read_csv_input(spark, str(csv_dir), cfg, "spo")
+    # projected to the configured columns, input names, strings; the
+    # Extra column is gone (P1); rename/cast happen at encode time
+    assert raw.columns == ["Source", "Relationship", "Target"]
+    rows = {r.Source: (r.Relationship, r.Target) for r in raw.collect()}
+    # backslash-escaped quotes survived (escape_hack)
+    assert rows['Underboss "Marco"'] == ("Captain", "Capo Salvatore")
+
+    # produce-ready: the frame round-trips the wire codec, which applies
+    # the config's rename+cast exactly once
+    sc = cfg.schema_for("spo")
+    back = from_confluent_avro(
+        to_confluent_avro(raw, sc, schema_id=2), sc, expected_schema_id=2
+    )
+    got = {r.subject: (r.predicate, r.object) for r in back.collect()}
+    assert got == rows
+
+    # a header missing configured columns fails with a clear error
+    bad_dir = tmp_path / "bad"
+    bad_dir.mkdir()
+    (bad_dir / "part.csv").write_text("Source,Relationship\nA,B\n")
+    with _pytest.raises(ConfigError, match="missing configured columns"):
+        read_csv_input(spark, str(bad_dir), cfg, "spo")
+
+    # input_type mismatch is rejected up front
+    cfg2 = parse_config({**doc, "input_type": "parquet"})
+    with _pytest.raises(ConfigError, match="not csv"):
+        read_csv_input(spark, str(csv_dir), cfg2, "spo")
