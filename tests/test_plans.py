@@ -677,3 +677,27 @@ def test_split_top_level_spaceless_comparison():
     # unmatched '>' (e.g. '(a > 5)') never drives the depth negative
     got = I._split_top_level("(a > 5), (b -> c), d")
     assert got == ["(a > 5)", "(b -> c)", "d"]
+
+
+def test_decontaminate_bloom_prefilter_is_jvm_single_verify_join(q):
+    """Phase 1 must be pure-JVM bit tests (xxhash64 conjunctions, no
+    Python, no extra join): the plan carries exactly one broadcast
+    (the exact verify against the eval grams) and the bloom shows up
+    as xxhash64 calls in the filter, not as a join or UDF."""
+    df = q("q_decontaminate_bloom")
+    plan = I.simple_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "xxhash64" in plan.lower(), plan[:2000]
+    assert I.broadcast_join_count(df) == 1, plan
+
+
+def test_dlq_recovery_no_row_python_jvm_recovery(q):
+    """The DLQ loop stays Arrow-batched (never row-at-a-time Python)
+    and the recovery itself is JVM from_json.  Catalyst pushes the
+    decode UDF into both union branches (valid frames / corrupt
+    frames), so up to 4 Arrow nodes appear — one encode plus a decode
+    per branch — but each ROW passes through each stage once."""
+    plan = I.simple_plan(q("q_dlq_recovery"))
+    assert "BatchEvalPython" not in plan
+    assert 1 <= plan.count("ArrowEvalPython") <= 4
+    assert "from_json" in plan
