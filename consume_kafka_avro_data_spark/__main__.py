@@ -53,6 +53,14 @@ def build_parser() -> argparse.ArgumentParser:
         "default bounded replay-to-end-of-topic (the reference's "
         "exit_eof mode)",
     )
+    p.add_argument(
+        "--produce-csv",
+        metavar="CSVDIR",
+        help="PRODUCER mode (the tool the reference's input_type:csv "
+        "config implies but its repo never shipped): read CSV per the "
+        "config, encode Confluent-framed Avro, deliver to the topic — "
+        "live Kafka by default, or the --batch stand-in directory",
+    )
     return p
 
 
@@ -94,6 +102,44 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_session(app_name=f"cka-spark-{topic}")
     spark.sparkContext.setLogLevel("WARN")
+    if args.produce_csv:
+        from consume_kafka_avro_data_spark.sources.csv_input import (
+            read_csv_input,
+        )
+        from consume_kafka_avro_data_spark.streaming.produce import (
+            AvroProducer,
+        )
+
+        rows = read_csv_input(spark, args.produce_csv, config, topic)
+        if args.batch:  # stand-in topic directory (brokerless)
+            stand_in = FileStreamStandIn(spark, args.batch)
+            schema_id = int(engine.get("schema_id", 1))
+        else:  # live: register the assembled schema like the reference
+            from consume_kafka_avro_data_spark.sources.schema_registry import (
+                SchemaRegistryClient,
+            )
+
+            registry = SchemaRegistryClient(url=config.schema_registry_url)
+            schema_id = registry.register_value_schema(
+                topic, sc.to_avro_schema_json()
+            )
+            stand_in = None
+        producer = AvroProducer(
+            spark,
+            sc,
+            schema_id=schema_id,
+            topic=topic,
+            bootstrap_servers=config.bootstrap_servers,
+            stand_in=stand_in,
+        )
+        n = producer.produce_batch(rows)
+        r = producer.report
+        print(
+            f"produced={n} delivered={r.delivered} batches={r.batches} "
+            f"schema_id={schema_id}"
+        )
+        spark.stop()
+        return 0
     if args.ocf:
         # at-rest ingest: already-decoded lake rows skip the wire codec
         # and run straight through the same idempotent triples merge the

@@ -137,3 +137,52 @@ def test_cli_ocf_ingest_end_to_end(spark, tmp_path):
         args, capture_output=True, text=True, timeout=300, cwd=str(REPO)
     )
     assert "ocf_ingest new_vertices=0 new_edges=0" in out2.stdout
+
+
+def test_cli_produce_csv_then_consume_full_loop(spark, tmp_path):
+    """The reference's WHOLE deployment loop through the CLI: the
+    producer tool its input_type:csv config implies (CSV → config
+    projection → Confluent-Avro frames → topic), then the consumer
+    (topic → decode → idempotent graph merge) — two processes, one
+    stand-in topic directory, reference column names throughout."""
+    csv_dir = tmp_path / "csv"
+    csv_dir.mkdir()
+    (csv_dir / "spo.csv").write_text(
+        "Source,Relationship,Target\n"
+        "a,knows,b\n"
+        "b,knows,c\n"
+    )
+    cfg = tmp_path / "job.yaml"
+    cfg.write_text(
+        "kafka: {}\n"
+        "input_type: csv\n"
+        "type_map:\n  spo:\n    key_column: subject\n"
+        "    columns: [Source, Relationship, Target]\n"
+        "column_map: {Source: subject, Relationship: predicate, "
+        "Target: object}\n"
+        "engine:\n"
+        "  schema_id: 2\n"
+        f"  graph_dir: {tmp_path / 'graph'}\n"
+        f"  checkpoint_dir: {tmp_path / 'ckpt'}\n"
+    )
+    topic_dir = tmp_path / "topic"
+
+    def run(*extra):
+        return subprocess.run(
+            [sys.executable, "-m", "consume_kafka_avro_data_spark",
+             "-c", str(cfg), *extra],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            cwd=str(REPO),
+        )
+
+    prod = run("--produce-csv", str(csv_dir), "--batch", str(topic_dir))
+    assert prod.returncode == 0, prod.stderr[-2000:]
+    assert "produced=2 delivered=2" in prod.stdout
+
+    cons = run("--batch", str(topic_dir))
+    assert cons.returncode == 0, cons.stderr[-2000:]
+    assert "valid=2" in cons.stdout and "errors=0" in cons.stdout
+    graph = spark.read.parquet(str(tmp_path / "graph" / "objects"))
+    assert sorted(r.object_name for r in graph.collect()) == ["a", "b", "c"]
