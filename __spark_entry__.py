@@ -26,8 +26,8 @@ from consume_kafka_avro_data_spark.registry import all_queries  # noqa: E402
 # whose most recent driver row is oldest, so every row in the rolling
 # union stays ≤ 2 rounds old.  Ordering: (a) queries with no driver row
 # yet (round-4 additions), (b) the 40 queries last certified by r01,
-# (c) the 45 last certified by r02 (the prefix takes the first ~8;
-# round 5 rotates the rest in), (d) the r03-fresh rows, with
+# (c) the 44 provable queries last certified by r02 (the prefix takes
+# the head; round 5 rotates the rest in), (d) the r03-fresh rows, with
 # ``q_minhash_est_fast`` (the catalog's only rows-only-by-design entry)
 # at the very back so it never displaces a provable query.
 _EXPOSURE_PRIORITY: list[str] = [

@@ -274,11 +274,14 @@ def streaming_dedup_bench(spark, sf_dir: str) -> dict:
     no_compact = one_run(32, 1, None)
     with_compact = one_run(32, 1, 8)
     sweep.append(no_compact)
-    best = max(sweep + [with_compact], key=lambda r: r["docs_per_sec"])
+    # headline comes from the compaction-OFF sweep only, and carries
+    # compact_every explicitly — a compaction-assisted number must
+    # never masquerade as the plain ingest configuration
+    best = max(sweep, key=lambda r: r["docs_per_sec"])
     return {
         **{k: best[k] for k in (
-            "docs", "novel", "dupes", "files_per_trigger", "batches",
-            "sec", "docs_per_sec",
+            "docs", "novel", "dupes", "files_per_trigger",
+            "compact_every", "batches", "sec", "docs_per_sec",
         )},
         "n_docs": n_docs,
         "sweep": sweep,

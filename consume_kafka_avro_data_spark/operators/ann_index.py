@@ -114,8 +114,6 @@ class AnnIndex:
         matrices.  Directories the new meta supersedes are kept until
         the NEXT build (reader grace period — see class docstring);
         only the PREVIOUS build's leftovers are deleted here."""
-        import shutil
-
         centroids = kmeans_centroids(
             corpus, k=n_cells, id_col=id_col, vec_col=vec_col, seed=seed
         )
@@ -141,8 +139,11 @@ class AnnIndex:
             "codebooks": codebooks.tolist(),
         }
         cls._commit_meta(path, meta)  # the ONLY commit point
-        for name in prev_superseded:  # grace expired: two builds old
-            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+        # GC everything the committed meta does not reference: dirs two
+        # builds old (grace expired) AND orphans from crashed builds/
+        # add_shards (written but never committed — without this sweep
+        # a crash-retry loop leaks a corpus-sized directory per attempt)
+        cls._gc_unreferenced(path, keep={gen, *prev_live})
         return cls(
             spark, path, centroids, codebooks, id_col, vec_col,
             vectors_dirs=[gen],
@@ -185,6 +186,11 @@ class AnnIndex:
             "codebooks": self.codebooks.tolist(),
         }
         self._commit_meta(self.path, meta)
+        # orphan sweep only (nothing was superseded): a crashed earlier
+        # add_shard's uncommitted directory must not leak forever
+        self._gc_unreferenced(
+            self.path, keep={gen, *live, *superseded}
+        )
         self.vectors_dirs = live + [gen]
         return self
 
@@ -202,6 +208,18 @@ class AnnIndex:
             meta = json.load(f)
         live = meta.get("vectors_dirs") or [meta.get("vectors_dir", VECTORS)]
         return list(live), list(meta.get("superseded", []))
+
+    @staticmethod
+    def _gc_unreferenced(path: str, keep: set[str]) -> None:
+        """Delete every ``vectors-*`` directory the committed meta does
+        not reference (``keep`` = live ∪ still-in-grace).  Safe under
+        the single-writer contract: an unreferenced directory can only
+        be grace-expired or an uncommitted crash leftover."""
+        import shutil
+
+        for name in os.listdir(path):
+            if name.startswith(VECTORS) and name not in keep:
+                shutil.rmtree(os.path.join(path, name), ignore_errors=True)
 
     @staticmethod
     def _write_generation(rows: DataFrame, path: str) -> str:

@@ -430,6 +430,25 @@ def auto_n_centroids(
     return min(k, cap)
 
 
+def kmeans_sample(
+    corpus: DataFrame,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """THE deterministic centroid-training sample: first ``sample`` ids
+    (ORDER BY id LIMIT — no RNG over the data), as a driver-side float64
+    matrix.  One implementation shared by every consumer
+    (kmeans_centroids, semantic_dedup's auto-k path) AND mirrored by the
+    DuckDB oracles' ``ORDER BY vec_id LIMIT 4096`` — the slice must
+    never drift between call sites or the oracles' re-derived centroids
+    silently diverge."""
+    rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    )
+    return np.array([r[vec_col] for r in rows], dtype=np.float64)
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     k: int = 16,
@@ -440,18 +459,15 @@ def kmeans_centroids(
     seed: int = 42,
 ) -> np.ndarray:
     """Deterministic coarse quantizer: Lloyd's k-means on a driver-side
-    sample (first ``sample`` ids — deterministic, no RNG over the data),
-    unit-normalized so assignment-by-max-cosine == assignment-by-min-L2.
+    sample (:func:`kmeans_sample`), unit-normalized so
+    assignment-by-max-cosine == assignment-by-min-L2.
 
     At 100 TB the sample stays driver-sized (k·dim floats broadcast back
     into the plan as literals); the expensive part — assigning every
     corpus row — runs as a pure JVM expression, one map-only pass that a
     real deployment computes once and persists as a partition column.
     """
-    rows = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
-    )
-    x = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    x = kmeans_sample(corpus, sample, id_col, vec_col)
     return lloyd_unit_kmeans(x, k=k, iters=iters, seed=seed)
 
 
@@ -585,19 +601,16 @@ def semantic_dedup(
 
     n_rows = None
     if centroids is None:
-        # collect the k-means sample FIRST (same deterministic ORDER BY
-        # id LIMIT slice as kmeans_centroids) so the auto-k path reads
-        # the dimension from it instead of paying a separate head() job
-        rows = (
-            corpus.select(id_col, vec_col).orderBy(id_col).limit(4096).collect()
-        )
-        x = np.array([r[vec_col] for r in rows], dtype=np.float64)
+        # collect the shared k-means sample FIRST so the auto-k path
+        # reads the dimension from it instead of paying a separate
+        # head() job
+        x = kmeans_sample(corpus, id_col=id_col, vec_col=vec_col)
         if n_centroids is None:
             # one count job + the shared pure-integer formula the
             # oracle re-derives from the same count (auto_n_centroids)
             n_rows = corpus.count()
             n_centroids = (
-                auto_n_centroids(n_rows, x.shape[1]) if len(rows) else 1
+                auto_n_centroids(n_rows, x.shape[1]) if len(x) else 1
             )
         centroids = lloyd_unit_kmeans(x, k=n_centroids, seed=seed)
     if n_blocks is None:

@@ -107,12 +107,18 @@ class ManifestTable:
         os.makedirs(self.path, exist_ok=True)
         doc = {"files": sorted(files), "version": self.version() + 1}
         payload = json.dumps(doc)
-        vf = os.path.join(self.path, f"_manifest.v{doc['version']}.json")
-        with open(vf, "w") as f:
-            f.write(payload)
         tmp = os.path.join(self.path, self.MANIFEST + ".tmp")
+        # the snapshot file gets the same write-temp + rename as the
+        # pointer: a crash mid-write must never leave a truncated
+        # _manifest.v{N}.json that versions() advertises and read(N)
+        # then chokes on
         with open(tmp, "w") as f:
             f.write(payload)
+        vf = os.path.join(self.path, f"_manifest.v{doc['version']}.json")
+        import shutil
+
+        shutil.copyfile(tmp, tmp + ".v")
+        os.replace(tmp + ".v", vf)
         os.replace(tmp, os.path.join(self.path, self.MANIFEST))
 
     def stage(self, df: DataFrame, n_files: int | None = None) -> list[str]:

@@ -220,7 +220,15 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     grams = d.select("doc_id", "source", F.explode(grams_expr).alias("g"))
-    eval_g = grams.where(F.col("source") == "src0").select("g").distinct()
+    # checkpointed: three actions traverse the eval subtree (the bloom
+    # build's count, its positions collect, the verify join's broadcast)
+    # — uncached, each re-tokenizes and re-explodes every src0 document
+    eval_g = (
+        grams.where(F.col("source") == "src0")
+        .select("g")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     bloom = BroadcastBloom.build(eval_g, "g")
     cand = (
         grams.where(F.col("source") != "src0")
