@@ -32,7 +32,7 @@ from consume_kafka_avro_data_spark.registry import all_queries  # noqa: E402
 # at the very back so it never displaces a provable query.
 _EXPOSURE_PRIORITY: list[str] = [
     # (a) round-4 additions — no driver row yet
-    "q_dlq_recovery", "q_decontaminate_bloom",
+    "q_dlq_recovery", "q_decontaminate_bloom", "q_hll_shards",
     # (b) last certified r01 (40) — the stalest evidence in the union
     "q_vertex_upsert", "q_fk_lookup_join", "q_avro_roundtrip",
     "q_error_split", "q_triple_projection", "q_dedup_exact",

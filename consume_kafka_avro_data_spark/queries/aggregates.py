@@ -591,3 +591,68 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rn") >= F.ceil(F.col("n") * 0.75), F.col("o_totalprice"))
         ).alias("p75"),
     )
+
+
+@query(
+    "q_hll_shards",
+    oracle="""
+    SELECT event_type AS scope,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL' AS scope,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_5pct
+    FROM events
+    """,
+    tags=("A4", "A2"),
+)
+def q_hll_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-MERGEABLE distinct counting (A4's incremental-statistics
+    form): one HLL sketch per shard (event_type), then the global count
+    from ``hll_union_agg`` over the per-shard SKETCHES — the shards'
+    raw data is never rescanned for the global number.  This is the
+    100 TB statistics pattern: each arriving shard contributes a
+    KB-sized sketch, global/rollup distincts are sketch unions (a
+    byte-sized shuffle), and re-computation after new data touches only
+    the new shard — exactly how ``AnnIndex.add_shard`` treats vectors
+    and ``incremental_minhash_dedup`` treats signatures.  Sketch bits
+    are implementation-defined, so the query emits the EXACT counts
+    (oracle-verifiable) plus in-query accuracy assertions — the union
+    estimate must sit within 5% of the exact global distinct and each
+    shard estimate within 5% of its exact (q_approx_distinct's
+    established contract: an out-of-tolerance sketch fails the hash
+    check instead of hiding behind rows-only)."""
+    e = load_table(spark, sf_dir, "events")
+    shards = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("_sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    per_shard = shards.select(
+        F.col("event_type").alias("scope"),
+        "exact_users",
+        (
+            F.abs(
+                F.hll_sketch_estimate("_sk").cast("double")
+                - F.col("exact_users")
+            )
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("within_5pct"),
+    )
+    global_exact = e.agg(F.countDistinct("user_id").alias("exact_users"))
+    # the global estimate merges the per-shard SKETCHES — never the rows
+    global_est = shards.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est")
+    )
+    global_row = global_exact.crossJoin(global_est).select(
+        F.lit("ALL").alias("scope"),
+        "exact_users",
+        (
+            (F.abs(F.col("_est").cast("double") - F.col("exact_users"))
+             / F.col("exact_users"))
+            <= 0.05
+        ).alias("within_5pct"),
+    )
+    return per_shard.unionByName(global_row)

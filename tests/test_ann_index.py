@@ -190,3 +190,35 @@ def test_cell_sizes_cover_corpus(spark, sf_dir, index):
     sizes = {r._ivf_cell: r.n for r in index.cell_sizes().collect()}
     assert sum(sizes.values()) == n
     assert all(c >= 1 for c in sizes)
+
+
+def test_crash_orphaned_generation_dirs_are_swept(spark, sf_dir, tmp_path):
+    """A generation directory written but never committed (crash
+    between _write_generation and _commit_meta) must be swept by the
+    next successful commit — build AND add_shard — while live and
+    still-in-grace directories survive."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    idx = AnnIndex.build(spark, emb, path, n_cells=8)
+
+    def plant_orphan(name):
+        d = os.path.join(path, name)
+        os.makedirs(d)
+        open(os.path.join(d, "part-junk.parquet"), "wb").close()
+        return name
+
+    orphan = plant_orphan("vectors-deadbeef")
+    idx.add_shard(emb.withColumn("vec_id", F.col("vec_id") + 10_000_000))
+    names = set(os.listdir(path))
+    assert orphan not in names  # swept by add_shard's commit
+    assert set(idx.vectors_dirs) <= names  # live dirs intact
+
+    orphan2 = plant_orphan("vectors-cafebabe")
+    rebuilt = AnnIndex.build(spark, emb, path, n_cells=8)
+    names = set(os.listdir(path))
+    assert orphan2 not in names  # swept by build's commit
+    # grace: the superseded (pre-rebuild) live dirs still on disk
+    assert set(idx.vectors_dirs) <= names
+    assert set(rebuilt.vectors_dirs) <= names
