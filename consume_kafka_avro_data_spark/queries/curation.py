@@ -207,7 +207,17 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is exact — same oracle as q_decontaminate, and the driver
     hash-checks the two queries return identical rows.  The per-doc
     distinct also runs AFTER the prefilter, so its shuffle carries
-    candidates, not the whole corpus' grams."""
+    candidates, not the whole corpus' grams.
+
+    Tiering honesty (the q_interval_histogram pattern): at bench SF
+    the bloom form is SLOWER than the exact join — its fixed costs
+    (eval checkpoint, two build jobs, one-time codegen of the bit
+    array literal) exceed what pruning a 224k-row distinct saves; the
+    measured warm probe itself is near-free (+0.1 s on a 1.5 s scan,
+    0.8% selectivity).  The crossover is where the corpus gram stream
+    dwarfs those fixed costs and the eval hash relation's executor
+    footprint matters — i.e. the 100 TB deployment this variant
+    exists for; q_decontaminate remains the small-corpus form."""
     from consume_kafka_avro_data_spark.operators.bloom import BroadcastBloom
 
     d = load_table(spark, sf_dir, "documents")
