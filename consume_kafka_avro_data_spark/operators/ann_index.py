@@ -134,7 +134,8 @@ class AnnIndex:
             "id_col": id_col,
             "vec_col": vec_col,
             "vectors_dirs": [gen],
-            "superseded": prev_live,  # grace: deleted by the NEXT build
+            "superseded": prev_live,  # grace: expire at the NEXT commit
+            "shards": {},  # rebuild re-indexes everything: ids reset
             "centroids": centroids.tolist(),
             "codebooks": codebooks.tolist(),
         }
@@ -149,7 +150,9 @@ class AnnIndex:
             vectors_dirs=[gen],
         )
 
-    def add_shard(self, shard: DataFrame) -> "AnnIndex":
+    def add_shard(
+        self, shard: DataFrame, shard_id: str | None = None
+    ) -> "AnnIndex":
         """Incrementally index a new shard of vectors against the
         FROZEN centroids/codebooks: assign + encode only the shard
         (two map-only Arrow passes over the new rows — the existing
@@ -162,7 +165,16 @@ class AnnIndex:
         the grown corpus — do that periodically if cell balance
         drifts, this method is the cheap between-rebuilds path).
         Caller contract: shard ids are new (the index does not dedup
-        across generations)."""
+        across generations).
+
+        ``shard_id`` makes the call IDEMPOTENT per id: a shard
+        committed under the same id is atomically REPLACED (its old
+        directory moves to the grace list) instead of double-counted —
+        what a streaming foreachBatch replay needs
+        (streaming/ann.StreamingAnnIngest passes the batch id).  Grace
+        policy, uniform across build and add_shard: directories
+        superseded by THIS commit survive until the next commit, prior
+        grace entries expire."""
         assigned = ivf_assign(
             shard.select(self.id_col, self.vec_col),
             self.centroids,
@@ -175,21 +187,30 @@ class AnnIndex:
             self.vec_col,
             keep_cols=[self.vec_col, "_ivf_cell"],
         )
-        live, superseded = self._read_meta_dirs(self.path)
+        doc = self._read_meta_doc(self.path)
+        live, prev_grace, shards = doc["live"], doc["superseded"], doc["shards"]
         gen = self._write_generation(rows, self.path)
+        replaced: list[str] = []
+        if shard_id is not None:
+            old_dir = shards.get(shard_id)
+            if old_dir is not None:  # replay: replace, don't double-count
+                live = [d for d in live if d != old_dir]
+                replaced = [old_dir]
+            shards[shard_id] = gen
         meta = {
             "id_col": self.id_col,
             "vec_col": self.vec_col,
             "vectors_dirs": live + [gen],
-            "superseded": superseded,  # untouched: no dirs replaced
+            "superseded": replaced,  # this commit's grace list
+            "shards": shards,
             "centroids": self.centroids.tolist(),
             "codebooks": self.codebooks.tolist(),
         }
         self._commit_meta(self.path, meta)
-        # orphan sweep only (nothing was superseded): a crashed earlier
-        # add_shard's uncommitted directory must not leak forever
+        # sweep prior-grace (expired) + crash orphans; keep this
+        # commit's live set and its own grace entries
         self._gc_unreferenced(
-            self.path, keep={gen, *live, *superseded}
+            self.path, keep={gen, *live, *replaced}
         )
         self.vectors_dirs = live + [gen]
         return self
@@ -201,13 +222,25 @@ class AnnIndex:
         """(live, superseded) generation directories from the current
         meta; ([], []) for a fresh index.  Legacy single-``vectors_dir``
         metas read as a one-element live list."""
+        doc = AnnIndex._read_meta_doc(path)
+        return doc["live"], doc["superseded"]
+
+    @staticmethod
+    def _read_meta_doc(path: str) -> dict:
+        """{live, superseded, shards} from the current meta (defaults
+        for a fresh index; legacy single-``vectors_dir`` metas read as
+        a one-element live list)."""
         mf = os.path.join(path, META)
         if not os.path.isfile(mf):
-            return [], []
+            return {"live": [], "superseded": [], "shards": {}}
         with open(mf) as f:
             meta = json.load(f)
         live = meta.get("vectors_dirs") or [meta.get("vectors_dir", VECTORS)]
-        return list(live), list(meta.get("superseded", []))
+        return {
+            "live": list(live),
+            "superseded": list(meta.get("superseded", [])),
+            "shards": dict(meta.get("shards", {})),
+        }
 
     @staticmethod
     def _gc_unreferenced(path: str, keep: set[str]) -> None:
