@@ -82,20 +82,27 @@ def spo_ingest_throughput(spark, sf_dir: str) -> dict:
 
     events = load_table(spark, sf_dir, "events")
     n_rows = events.count()  # outside the timed region
-    tmp = tempfile.mkdtemp(prefix="spo_bench_")
-    try:
-        t0 = time.perf_counter()
-        triples = triples_from(events, "user_id", "event_type", "props")
-        nv, ne = GraphStore(spark, tmp).ingest_triples(
-            triples, created_at="2024-01-01"
-        )
-        dt = time.perf_counter() - t0
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    # best-of-2, same policy as the headline queries: a single shot
+    # swung 65k→45k rows/s between otherwise-identical runs (GC/page
+    # cache), which reads as a phantom regression in round-over-round
+    # comparisons
+    best = float("inf")
+    nv = ne = 0
+    for _ in range(2):
+        tmp = tempfile.mkdtemp(prefix="spo_bench_")
+        try:
+            t0 = time.perf_counter()
+            triples = triples_from(events, "user_id", "event_type", "props")
+            nv, ne = GraphStore(spark, tmp).ingest_triples(
+                triples, created_at="2024-01-01"
+            )
+            best = min(best, time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
     return {
         "rows": n_rows,
-        "sec": round(dt, 4),
-        "rows_per_sec": round(n_rows / dt, 1),
+        "sec": round(best, 4),
+        "rows_per_sec": round(n_rows / best, 1),
         "new_vertices": nv,
         "new_edges": ne,
     }
@@ -484,18 +491,25 @@ def main() -> None:
     ).save()
     qs[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # best-of-2 per query: single cold runs swing by seconds from JIT /
-    # GC / shuffle-file effects; the minimum is the steady-state cost a
-    # deployed job sees (plans are rebuilt per run, so plan construction
-    # is still included)
+    # best-of-3 per query: single cold runs swing by seconds from JIT /
+    # GC / shuffle-file effects (a 45-query suite shares one JVM), and
+    # two samples still occasionally both land on a GC pause; the
+    # minimum is the steady-state cost a deployed job sees (plans are
+    # rebuilt per run, so plan construction is still included)
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             # iterative queries persist() intermediates; clear them so
             # each query is timed cold-cache and earlier queries' leftover
-            # blocks don't shift memory pressure onto later ones
+            # blocks don't shift memory pressure onto later ones.
+            # clearCache does NOT free localCheckpoint blocks — those go
+            # when their RDD is JVM-GC'd — so nudge a full GC too: one
+            # straggler query holding checkpoint blocks otherwise taxes
+            # every later query (observed: a 1.1 s query timing 4.9 s
+            # mid-suite, isolation-clean)
             spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
