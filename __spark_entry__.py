@@ -46,7 +46,9 @@ _EXPOSURE_PRIORITY: list[str] = [
     "q_salted_agg", "q_ts_pattern", "q_decontaminate", "q_perplexity",
     "q_pack_sequences", "q_pmi_pairs", "q_stratified_sample",
     "q_temperature_resample", "q_vocab_stats", "q_zipf_topterms",
-    # (c) last certified r02 (45) — next-stalest; prefix takes the head
+    # (c) last certified r02 (44 provable) — next-stalest; prefix takes
+    # the head (the 45th r02 row, rows-only q_minhash_est_fast, is
+    # pinned last by _ordered_queries)
     "q_rename_cast", "q_string_funcs", "q_date_funcs", "q_math_case",
     "q_json_extract", "q_array_explode", "q_lag_lead",
     "q_window_running", "q_union_except", "q_session_like",

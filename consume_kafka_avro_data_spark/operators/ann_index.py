@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import time as _time
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -68,11 +69,19 @@ class AnnIndex:
     partitioned by ``_ivf_cell``, so probe pruning still skips
     unprobed cells' files in every generation.
 
-    GC grace period: a rebuild does NOT delete the directories it
-    supersedes — they are recorded in the meta and removed by the NEXT
-    build — so a concurrent reader that loaded the previous meta
-    moments before the commit can finish its scan against intact
-    files.  (Single writer per index, like ManifestTable.)"""
+    GC grace period (TIME-based): a commit never deletes the
+    directories it supersedes — they move to the meta's grace list
+    stamped with the supersede time, and later commits only delete
+    entries older than ``grace_seconds`` (default 1 h).  A commit-count
+    grace would be wrong here: under StreamingAnnIngest the index
+    commits every micro-batch, so "kept until the next commit" is
+    seconds — shorter than a big concurrent scan.  Time bounds reader
+    exposure independently of commit cadence.  (Single writer per
+    index, like ManifestTable.)"""
+
+    #: how long superseded generation directories survive before GC —
+    #: must exceed the longest concurrent reader scan
+    grace_seconds: float = 3600.0
 
     def __init__(
         self,
@@ -106,14 +115,17 @@ class AnnIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         seed: int = 42,
+        grace_seconds: float | None = None,
     ) -> "AnnIndex":
         """Train (driver-sized sample) → assign + encode (two map-only
         Arrow passes) → write a fresh generation directory → atomically
         commit it via the META replace.  The corpus is read twice and
         never shuffled; the only driver traffic is the centroid/codebook
-        matrices.  Directories the new meta supersedes are kept until
-        the NEXT build (reader grace period — see class docstring);
-        only the PREVIOUS build's leftovers are deleted here."""
+        matrices.  Superseded directories enter the timestamped grace
+        list (class docstring); only grace-EXPIRED entries and crash
+        orphans are deleted here."""
+        if grace_seconds is None:
+            grace_seconds = cls.grace_seconds
         centroids = kmeans_centroids(
             corpus, k=n_cells, id_col=id_col, vec_col=vec_col, seed=seed
         )
@@ -128,27 +140,34 @@ class AnnIndex:
             vec_col,
             keep_cols=[vec_col, "_ivf_cell"],
         )
-        prev_live, prev_superseded = cls._read_meta_dirs(path)
+        doc = cls._read_meta_doc(path)
         gen = cls._write_generation(rows, path)
+        now = _time.time()
+        grace = cls._grace_surviving(doc["superseded"], now, grace_seconds)
+        grace += [{"dir": d, "at": now} for d in doc["live"]]
         meta = {
             "id_col": id_col,
             "vec_col": vec_col,
             "vectors_dirs": [gen],
-            "superseded": prev_live,  # grace: expire at the NEXT commit
+            "superseded": grace,
             "shards": {},  # rebuild re-indexes everything: ids reset
             "centroids": centroids.tolist(),
             "codebooks": codebooks.tolist(),
         }
         cls._commit_meta(path, meta)  # the ONLY commit point
-        # GC everything the committed meta does not reference: dirs two
-        # builds old (grace expired) AND orphans from crashed builds/
-        # add_shards (written but never committed — without this sweep
-        # a crash-retry loop leaks a corpus-sized directory per attempt)
-        cls._gc_unreferenced(path, keep={gen, *prev_live})
-        return cls(
+        # GC everything the committed meta does not reference: grace-
+        # expired dirs AND orphans from crashed builds/add_shards
+        # (written but never committed — without this sweep a
+        # crash-retry loop leaks a corpus-sized directory per attempt)
+        cls._gc_unreferenced(
+            path, keep={gen, *(e["dir"] for e in grace)}
+        )
+        idx = cls(
             spark, path, centroids, codebooks, id_col, vec_col,
             vectors_dirs=[gen],
         )
+        idx.grace_seconds = grace_seconds
+        return idx
 
     def add_shard(
         self, shard: DataFrame, shard_id: str | None = None
@@ -169,12 +188,14 @@ class AnnIndex:
 
         ``shard_id`` makes the call IDEMPOTENT per id: a shard
         committed under the same id is atomically REPLACED (its old
-        directory moves to the grace list) instead of double-counted —
-        what a streaming foreachBatch replay needs
-        (streaming/ann.StreamingAnnIngest passes the batch id).  Grace
-        policy, uniform across build and add_shard: directories
-        superseded by THIS commit survive until the next commit, prior
-        grace entries expire."""
+        directory moves to the timestamped grace list) instead of
+        double-counted — what a streaming foreachBatch replay needs
+        (streaming/ann.StreamingAnnIngest passes the batch id).  Only
+        grace-EXPIRED entries and crash orphans are deleted here —
+        never directories a concurrent reader could still be scanning
+        (class docstring).  ``last_shard_rows`` is set from the written
+        generation's parquet footers (driver-side metadata, no extra
+        scan)."""
         assigned = ivf_assign(
             shard.select(self.id_col, self.vec_col),
             self.centroids,
@@ -188,29 +209,34 @@ class AnnIndex:
             keep_cols=[self.vec_col, "_ivf_cell"],
         )
         doc = self._read_meta_doc(self.path)
-        live, prev_grace, shards = doc["live"], doc["superseded"], doc["shards"]
+        live, shards = doc["live"], doc["shards"]
         gen = self._write_generation(rows, self.path)
-        replaced: list[str] = []
+        self.last_shard_rows = self._dir_row_count(
+            os.path.join(self.path, gen)
+        )
+        now = _time.time()
+        grace = self._grace_surviving(
+            doc["superseded"], now, self.grace_seconds
+        )
         if shard_id is not None:
             old_dir = shards.get(shard_id)
             if old_dir is not None:  # replay: replace, don't double-count
                 live = [d for d in live if d != old_dir]
-                replaced = [old_dir]
+                grace.append({"dir": old_dir, "at": now})
             shards[shard_id] = gen
         meta = {
             "id_col": self.id_col,
             "vec_col": self.vec_col,
             "vectors_dirs": live + [gen],
-            "superseded": replaced,  # this commit's grace list
+            "superseded": grace,
             "shards": shards,
             "centroids": self.centroids.tolist(),
             "codebooks": self.codebooks.tolist(),
         }
         self._commit_meta(self.path, meta)
-        # sweep prior-grace (expired) + crash orphans; keep this
-        # commit's live set and its own grace entries
+        # sweep grace-EXPIRED dirs + crash orphans only
         self._gc_unreferenced(
-            self.path, keep={gen, *live, *replaced}
+            self.path, keep={gen, *live, *(e["dir"] for e in grace)}
         )
         self.vectors_dirs = live + [gen]
         return self
@@ -218,29 +244,52 @@ class AnnIndex:
     # -- meta / generation plumbing -----------------------------------------
 
     @staticmethod
-    def _read_meta_dirs(path: str) -> tuple[list[str], list[str]]:
-        """(live, superseded) generation directories from the current
-        meta; ([], []) for a fresh index.  Legacy single-``vectors_dir``
-        metas read as a one-element live list."""
-        doc = AnnIndex._read_meta_doc(path)
-        return doc["live"], doc["superseded"]
-
-    @staticmethod
     def _read_meta_doc(path: str) -> dict:
         """{live, superseded, shards} from the current meta (defaults
         for a fresh index; legacy single-``vectors_dir`` metas read as
-        a one-element live list)."""
+        a one-element live list).  ``superseded`` entries normalize to
+        ``{"dir", "at"}`` — legacy bare strings get stamped NOW, so a
+        meta written before timestamped grace earns one fresh window
+        rather than being deleted immediately."""
         mf = os.path.join(path, META)
         if not os.path.isfile(mf):
             return {"live": [], "superseded": [], "shards": {}}
         with open(mf) as f:
             meta = json.load(f)
         live = meta.get("vectors_dirs") or [meta.get("vectors_dir", VECTORS)]
+        now = _time.time()
+        superseded = [
+            e if isinstance(e, dict) else {"dir": e, "at": now}
+            for e in meta.get("superseded", [])
+        ]
         return {
             "live": list(live),
-            "superseded": list(meta.get("superseded", [])),
+            "superseded": superseded,
             "shards": dict(meta.get("shards", {})),
         }
+
+    @staticmethod
+    def _grace_surviving(
+        entries: list[dict], now: float, grace_seconds: float
+    ) -> list[dict]:
+        """Grace entries still inside their window (the rest may be
+        deleted by this commit's sweep)."""
+        return [e for e in entries if now - e["at"] <= grace_seconds]
+
+    @staticmethod
+    def _dir_row_count(path_dir: str) -> int:
+        """Row count of a written generation from parquet FOOTERS —
+        driver-side metadata, never a Spark scan."""
+        import pyarrow.parquet as pq
+
+        n = 0
+        for root, _dirs, files in os.walk(path_dir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).metadata.num_rows
+        return n
 
     @staticmethod
     def _gc_unreferenced(path: str, keep: set[str]) -> None:

@@ -57,22 +57,27 @@ class ManifestTable:
     def _manifest_doc(self, version: int | None = None) -> dict:
         import json
 
-        name = (
-            self.MANIFEST
-            if version is None
-            else f"_manifest.v{version}.json"
-        )
-        mf = os.path.join(self.path, name)
+        mf = os.path.join(self.path, self.MANIFEST)
         if not os.path.isfile(mf):
-            if version is None:
-                return {"files": [], "version": 0}
+            current = {"files": [], "version": 0}
+        else:
+            with open(mf) as f:
+                current = json.load(f)
+            current.setdefault("version", 0)  # pre-versioning manifests
+        if version is None or version == current["version"]:
+            # the POINTER is authoritative for the current version: its
+            # snapshot file may not exist yet (crash between the pointer
+            # swap and the snapshot rename) and must not shadow it
+            return current
+        vf = os.path.join(self.path, f"_manifest.v{version}.json")
+        if not os.path.isfile(vf):
             raise FileNotFoundError(
                 f"version {version} of {self.path} is not available "
                 "(never existed, or its history was pruned by compact())"
             )
-        with open(mf) as f:
+        with open(vf) as f:
             doc = json.load(f)
-        doc.setdefault("version", 0)  # pre-versioning manifests
+        doc.setdefault("version", version)
         return doc
 
     def files(self, version: int | None = None) -> list[str]:
@@ -85,41 +90,48 @@ class ManifestTable:
     def versions(self) -> list[int]:
         """Snapshot versions still readable (compact() prunes history —
         it deletes the data files old snapshots reference, the same
-        reason Delta's VACUUM truncates time travel)."""
+        reason Delta's VACUUM truncates time travel).  The current
+        pointer's version is always included even if its snapshot file
+        is missing (crash window between pointer swap and snapshot
+        rename) — the pointer itself serves it."""
         import re
 
-        out = []
+        out = set()
         if os.path.isdir(self.path):
             for name in os.listdir(self.path):
                 m = re.fullmatch(r"_manifest\.v(\d+)\.json", name)
                 if m:
-                    out.append(int(m.group(1)))
+                    out.add(int(m.group(1)))
+        cur = self.version()
+        if cur:
+            out.add(cur)
         return sorted(out)
 
     def publish(self, files: list[str]) -> None:
-        """Commit a new snapshot: write the versioned manifest (the
-        time-travel record), then atomically replace the current
-        pointer (write-temp + rename — still the single commit point:
-        a crash after the v-file but before the rename leaves the
-        current manifest untouched and an orphan history file)."""
+        """Commit a new snapshot: atomically replace the current
+        pointer (the single commit point), then record the snapshot as
+        ``_manifest.v{N}.json`` (the time-travel entry).  See the
+        in-body comment for why the pointer goes first."""
         import json
 
         os.makedirs(self.path, exist_ok=True)
         doc = {"files": sorted(files), "version": self.version() + 1}
         payload = json.dumps(doc)
         tmp = os.path.join(self.path, self.MANIFEST + ".tmp")
-        # the snapshot file gets the same write-temp + rename as the
-        # pointer: a crash mid-write must never leave a truncated
-        # _manifest.v{N}.json that versions() advertises and read(N)
-        # then chokes on
+        # POINTER FIRST, snapshot second — both via write-temp + rename.
+        # Pointer-first means a crash between the two renames leaves a
+        # committed current version whose snapshot file is missing
+        # (served by the pointer via _manifest_doc's fallback) rather
+        # than a snapshot file advertising an UNCOMMITTED version whose
+        # identity a post-restart retry would silently overwrite.
         with open(tmp, "w") as f:
             f.write(payload)
-        vf = os.path.join(self.path, f"_manifest.v{doc['version']}.json")
         import shutil
 
         shutil.copyfile(tmp, tmp + ".v")
-        os.replace(tmp + ".v", vf)
         os.replace(tmp, os.path.join(self.path, self.MANIFEST))
+        vf = os.path.join(self.path, f"_manifest.v{doc['version']}.json")
+        os.replace(tmp + ".v", vf)
 
     def stage(self, df: DataFrame, n_files: int | None = None) -> list[str]:
         """Write df's parquet files into the table dir WITHOUT

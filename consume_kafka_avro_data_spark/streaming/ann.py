@@ -25,13 +25,12 @@ the accumulated corpus and resume streaming into the new generation.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.streaming import StreamingQuery
 
 from consume_kafka_avro_data_spark.operators.ann_index import AnnIndex
+from consume_kafka_avro_data_spark.streaming.lifecycle import BoundedReplayMixin
 
 
 @dataclass
@@ -41,9 +40,14 @@ class AnnIngestMetrics:
     vectors_by_batch: dict[int, int] = field(default_factory=dict)
 
 
-class StreamingAnnIngest:
+class StreamingAnnIngest(BoundedReplayMixin):
     """readStream(vectors) → assign+encode vs frozen quantizers →
     atomic per-batch generation commit (replay-idempotent)."""
+
+    _checkpoint_subdir = "ann"
+
+    def _new_metrics(self) -> AnnIngestMetrics:
+        return AnnIngestMetrics()
 
     def __init__(
         self,
@@ -58,51 +62,17 @@ class StreamingAnnIngest:
         self._seen_batches: set[int] = set()
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        n = batch.count()
-        if n:
+        # isEmpty is a cheap limit-1 probe; the real row count comes
+        # from the written generation's parquet footers (driver-side
+        # metadata) — a batch.count() here would add a full extra scan
+        # per micro-batch purely for bookkeeping
+        n = 0
+        if not batch.isEmpty():
             self.index.add_shard(batch, shard_id=f"b{batch_id}")
+            n = self.index.last_shard_rows
         if batch_id not in self._seen_batches:
             self.metrics.batches += 1
             self.metrics.vectors += n
             self.metrics.vectors_by_batch[batch_id] = n
         self._seen_batches.add(batch_id)
 
-    def start(
-        self,
-        stream: DataFrame,
-        available_now: bool = True,
-        processing_time: str = "1 second",
-    ) -> StreamingQuery:
-        writer = (
-            stream.writeStream.foreachBatch(self.process_batch)
-            .option(
-                "checkpointLocation", os.path.join(self.checkpoint_dir, "ann")
-            )
-            .outputMode("update")
-        )
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        else:
-            writer = writer.trigger(processingTime=processing_time)
-        return writer.start()
-
-    def run_to_completion(
-        self,
-        stream: DataFrame,
-        timeout: float = 300.0,
-        reset_metrics: bool = True,
-    ) -> AnnIngestMetrics:
-        """Bounded replay: availableNow, await, return per-run metrics
-        (TimeoutError rather than silently-partial counters — same
-        contract as the graph and dedup ingests)."""
-        if reset_metrics:
-            self.metrics = AnnIngestMetrics()
-        q = self.start(stream, available_now=True)
-        finished = q.awaitTermination(timeout)
-        if not finished:
-            q.stop()
-            raise TimeoutError(
-                f"bounded replay did not finish within {timeout}s; "
-                "metrics are partial"
-            )
-        return self.metrics

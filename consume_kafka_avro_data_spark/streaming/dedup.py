@@ -33,7 +33,6 @@ import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
-from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import (
     ArrayType,
     DataType,
@@ -49,6 +48,7 @@ from consume_kafka_avro_data_spark.operators.dedup import (
     minhash_sig_table,
 )
 from consume_kafka_avro_data_spark.operators.store import ManifestTable
+from consume_kafka_avro_data_spark.streaming.lifecycle import BoundedReplayMixin
 
 
 @dataclass
@@ -64,8 +64,13 @@ class DedupMetrics:
     dup_pairs_by_batch: dict[int, int] = field(default_factory=dict)
 
 
-class StreamingDedupIngest:
+class StreamingDedupIngest(BoundedReplayMixin):
     """readStream(docs) → sign → LSH vs store → route → merge novel."""
+
+    _checkpoint_subdir = "dedup"
+
+    def _new_metrics(self) -> DedupMetrics:
+        return DedupMetrics()
 
     def __init__(
         self,
@@ -313,44 +318,3 @@ class StreamingDedupIngest:
             if rejects is not None:
                 rejects.unpersist()
 
-    # -- lifecycle -----------------------------------------------------------
-
-    def start(
-        self,
-        stream: DataFrame,
-        available_now: bool = True,
-        processing_time: str = "1 second",
-    ) -> StreamingQuery:
-        writer = (
-            stream.writeStream.foreachBatch(self.process_batch)
-            .option(
-                "checkpointLocation", os.path.join(self.checkpoint_dir, "dedup")
-            )
-            .outputMode("update")
-        )
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        else:
-            writer = writer.trigger(processingTime=processing_time)
-        return writer.start()
-
-    def run_to_completion(
-        self,
-        stream: DataFrame,
-        timeout: float = 300.0,
-        reset_metrics: bool = True,
-    ) -> DedupMetrics:
-        """Bounded replay: availableNow, await, return per-run metrics
-        (TimeoutError rather than silently-partial counters, matching
-        StreamingGraphIngest.run_to_completion)."""
-        if reset_metrics:
-            self.metrics = DedupMetrics()
-        q = self.start(stream, available_now=True)
-        finished = q.awaitTermination(timeout)
-        if not finished:
-            q.stop()
-            raise TimeoutError(
-                f"bounded replay did not finish within {timeout}s; "
-                "metrics are partial"
-            )
-        return self.metrics

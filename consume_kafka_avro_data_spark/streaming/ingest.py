@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from consume_kafka_avro_data_spark.config import SchemaConfig
+from consume_kafka_avro_data_spark.streaming.lifecycle import BoundedReplayMixin
 from consume_kafka_avro_data_spark.operators.graph import GraphStore, triples_from
 from consume_kafka_avro_data_spark.sources.avro_codec import from_confluent_avro
 
@@ -60,8 +61,13 @@ def decode_stream(
     )
 
 
-class StreamingGraphIngest:
+class StreamingGraphIngest(BoundedReplayMixin):
     """readStream → decode → foreachBatch{DLQ, graph merge}, checkpointed."""
+
+    _checkpoint_subdir = "ingest"
+
+    def _new_metrics(self) -> "IngestMetrics":
+        return IngestMetrics()
 
     def __init__(
         self,
@@ -160,25 +166,6 @@ class StreamingGraphIngest:
 
     # -- lifecycle -----------------------------------------------------------
 
-    def start(
-        self,
-        stream: DataFrame,
-        available_now: bool = True,
-        processing_time: str = "1 second",
-    ) -> StreamingQuery:
-        """availableNow=True → bounded replay to EOF then stop (T2);
-        False → continuous micro-batches at ``processing_time`` (T1)."""
-        writer = (
-            stream.writeStream.foreachBatch(self.process_batch)
-            .option("checkpointLocation", os.path.join(self.checkpoint_dir, "ingest"))
-            .outputMode("update")
-        )
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        else:
-            writer = writer.trigger(processingTime=processing_time)
-        return writer.start()
-
     @staticmethod
     def stop_and_drain(query: StreamingQuery, timeout: float = 60.0) -> None:
         """Graceful shutdown (T3): mirrors the reference's signal channel
@@ -197,28 +184,4 @@ class StreamingGraphIngest:
         query.stop()
         query.awaitTermination(timeout)
 
-    def run_to_completion(
-        self,
-        stream: DataFrame,
-        timeout: float = 300.0,
-        reset_metrics: bool = True,
-    ) -> IngestMetrics:
-        """Bounded replay convenience: start availableNow, await, return
-        metrics — the reference's run-to-partition-EOF mode.
-
-        Metrics are per-RUN (reset on entry by default; pass
-        ``reset_metrics=False`` to accumulate across runs).  A replay
-        that cannot finish within ``timeout`` raises TimeoutError after
-        stopping the query — silently returning partial counters as if
-        final would understate every metric."""
-        if reset_metrics:
-            self.metrics = IngestMetrics()
-        q = self.start(stream, available_now=True)
-        finished = q.awaitTermination(timeout)
-        if not finished:
-            q.stop()
-            raise TimeoutError(
-                f"bounded replay did not finish within {timeout}s; "
-                "metrics are partial"
-            )
-        return self.metrics
+    # start() / run_to_completion() come from BoundedReplayMixin

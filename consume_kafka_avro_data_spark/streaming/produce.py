@@ -83,7 +83,19 @@ class AvroProducer:
         self.bootstrap_servers = bootstrap_servers
         self.stand_in = stand_in
         self.report = DeliveryReport()
+        # resume after the stand-in topic's existing frames: a FRESH
+        # producer appending to a non-empty topic (e.g. a second CLI
+        # --produce-csv run) would otherwise restart at 0 and emit
+        # duplicate (partition, offset) pairs, breaking the densely-
+        # increasing replayable-offsets invariant _deliver_stand_in
+        # documents
         self._next_offset = 0
+        if stand_in is not None and os.path.isdir(stand_in.path):
+            row = stand_in.read_batch().agg(
+                F.max("offset").alias("mx")
+            ).collect()[0]
+            if row["mx"] is not None:
+                self._next_offset = int(row["mx"]) + 1
         # foreachBatch callbacks run on streaming-query threads; the
         # offset allocator and report counters are read-modify-write
         # state, so concurrent queries off one producer need the lock

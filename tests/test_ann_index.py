@@ -100,9 +100,11 @@ def test_rebuild_commits_atomically_with_reader_grace_period(
 ):
     """A rebuild writes a FRESH generation directory and commits it via
     the META replace (a crash in between leaves the old generation
-    live).  The superseded generation is NOT deleted at commit — a
-    reader holding the previous meta must be able to finish its scan —
-    and only expires at the NEXT build (grace period of one cycle)."""
+    live).  Superseded generations are NOT deleted at commit — a reader
+    holding the previous meta must be able to finish its scan — and
+    survive on the timestamped grace list until ``grace_seconds``
+    elapses (commit COUNT must not expire them: under streaming ingest
+    the index commits every micro-batch)."""
     import os
 
     def gens_on_disk():
@@ -122,11 +124,25 @@ def test_rebuild_commits_atomically_with_reader_grace_period(
     top = stale_reader.query_exact(qvec, 3, nprobe=8).collect()
     assert top[0].vec_id == 1
 
+    # within the grace window, MANY further commits never delete gen1
     third = AnnIndex.build(spark, emb, path, n_cells=8)
     (gen3,) = third.vectors_dirs
-    assert gens_on_disk() == {gen2, gen3}  # gen1's grace expired
+    assert {gen1, gen2, gen3} <= gens_on_disk()
+    third.add_shard(
+        emb.withColumn("vec_id", F.col("vec_id") + 10_000_000), shard_id="s1"
+    )
+    assert {gen1, gen2} <= gens_on_disk()
+
+    # once the window elapses (grace_seconds=0 simulates it), the next
+    # commits sweep the expired generations; only the current live dir
+    # and the just-superseded one (stamped at this commit) remain
+    fourth = AnnIndex.build(spark, emb, path, n_cells=8, grace_seconds=0.0)
+    (gen4,) = fourth.vectors_dirs
+    fifth = AnnIndex.build(spark, emb, path, n_cells=8, grace_seconds=0.0)
+    (gen5,) = fifth.vectors_dirs
+    assert gens_on_disk() == {gen5, gen4}
     loaded = AnnIndex.load(spark, path)
-    assert loaded.vectors_dirs == [gen3]
+    assert loaded.vectors_dirs == [gen5]
     top = loaded.query_exact(qvec, 3, nprobe=8).collect()
     assert top[0].vec_id == 1
 

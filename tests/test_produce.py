@@ -113,3 +113,41 @@ def test_produce_stream_then_ingest_end_to_end(spark, tmp_path):
     assert m.valid_rows == 3 and m.error_rows == 0
     assert store.objects().count() == 6  # 3 subjects + 3 distinct objects
     assert store.relationships().count() == 3
+
+
+def test_fresh_producer_resumes_offsets_on_existing_topic(spark, tmp_path):
+    """A second producer process appending to a non-empty stand-in
+    topic must continue the densely increasing offsets, not restart at
+    0 with duplicate (partition, offset) pairs."""
+    from consume_kafka_avro_data_spark.config import parse_config
+    from consume_kafka_avro_data_spark.sources.kafka import FileStreamStandIn
+    from consume_kafka_avro_data_spark.streaming.produce import AvroProducer
+
+    doc = {
+        "kafka": {},
+        "type_map": {"spo": {"key_column": "subject", "columns": ["S", "P", "O"]}},
+        "column_map": {"S": "subject", "P": "predicate", "O": "object"},
+    }
+    sc = parse_config(doc).schema_for("spo")
+    rows = spark.createDataFrame(
+        [("a", "knows", "b"), ("b", "knows", "c")], ["S", "P", "O"]
+    )
+    topic_dir = str(tmp_path / "topic")
+
+    p1 = AvroProducer(
+        spark, sc, schema_id=2, topic="spo",
+        stand_in=FileStreamStandIn(spark, topic_dir),
+    )
+    p1.produce_batch(rows)
+    # a FRESH producer (new process) over the same topic directory
+    p2 = AvroProducer(
+        spark, sc, schema_id=2, topic="spo",
+        stand_in=FileStreamStandIn(spark, topic_dir),
+    )
+    assert p2._next_offset == 2
+    p2.produce_batch(rows.limit(1))
+    offs = sorted(
+        r.offset
+        for r in FileStreamStandIn(spark, topic_dir).read_batch().collect()
+    )
+    assert offs == [0, 1, 2]  # dense, no duplicates
