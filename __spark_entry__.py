@@ -19,38 +19,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from consume_kafka_avro_data_spark.registry import all_queries  # noqa: E402
 
-# Driver-exposure ordering (round 4: freshness rotation).  The
-# correctness driver evaluates a ~50-query prefix of ``queries()`` in
-# dict order; after round 3 every catalog query has a green row, so the
-# policy shifts from coverage to FRESHNESS — re-certify the queries
-# whose most recent driver row is oldest, so every row in the rolling
-# union stays ≤ 2 rounds old.  Ordering: (a) queries with no driver row
-# yet (round-4 additions), (b) the 40 queries last certified by r01,
-# (c) the 44 provable queries last certified by r02 (the prefix takes
-# the head; round 5 rotates the rest in), (d) the r03-fresh rows, with
-# ``q_minhash_est_fast`` (the catalog's only rows-only-by-design entry)
-# at the very back so it never displaces a provable query.
+# Driver-exposure ordering (round 5: freshness rotation, continued).
+# The correctness driver evaluates a ~50-query prefix of ``queries()``
+# in dict order; every catalog query has a green row, so the policy is
+# FRESHNESS — re-certify the queries whose most recent driver row is
+# oldest, keeping every row in the rolling union ≤ 2 rounds old.
+# After r04 the union's staleness is: 37 provable queries last
+# certified by r02 (the r04 prefix could not fit them), 50 by r03, 50
+# by r04.  Ordering: (a) round-5 additions with no driver row yet,
+# (b) ALL 37 provable r02 rows, (c) the stalest r03 rows to fill the
+# 50-slot prefix, (d) the rest of r03 then r04 in registration order,
+# with ``q_minhash_est_fast`` (the catalog's only rows-only-by-design
+# entry) pinned last so it never displaces a provable query.
 _EXPOSURE_PRIORITY: list[str] = [
-    # (a) round-4 additions — no driver row yet
-    "q_dlq_recovery", "q_decontaminate_bloom", "q_hll_shards",
-    # (b) last certified r01 (40) — the stalest evidence in the union
-    "q_vertex_upsert", "q_fk_lookup_join", "q_avro_roundtrip",
-    "q_error_split", "q_triple_projection", "q_dedup_exact",
-    "q_count_distinct", "q_collect_adjacency", "q_cube",
-    "q_grouping_sets", "q_pivot", "q_percentile_disc",
-    "q_stats_moments", "q_corr_cov", "q_maxby_boolagg", "q_string_agg",
-    "q_gini", "q_scalar_subquery", "q_exists_subquery",
-    "q_degree_dist", "q_pagerank", "q_coengagement_pairs",
-    "q_butterfly_census", "q_funnel", "q_retention", "q_sessionize",
-    "q_scd2", "q_transition_matrix", "q_interpolate", "q_feature_scale",
-    "q_salted_agg", "q_ts_pattern", "q_decontaminate", "q_perplexity",
-    "q_pack_sequences", "q_pmi_pairs", "q_stratified_sample",
-    "q_temperature_resample", "q_vocab_stats", "q_zipf_topterms",
-    # (c) last certified r02 (44 provable) — next-stalest; prefix takes
-    # the head (the 45th r02 row, rows-only q_minhash_est_fast, is
-    # pinned last by _ordered_queries)
-    "q_rename_cast", "q_string_funcs", "q_date_funcs", "q_math_case",
-    "q_json_extract", "q_array_explode", "q_lag_lead",
+    # (a) round-5 additions — no driver row yet
+    "q_ann_recall",
+    # (b) last certified r02 (37 provable) — the stalest evidence
+    # (the other 7 of r02's 44 provable rows — q_rename_cast,
+    # q_string_funcs, q_date_funcs, q_math_case, q_json_extract,
+    # q_array_explode, q_lag_lead — were re-certified by r04)
     "q_window_running", "q_union_except", "q_session_like",
     "q_approx_distinct", "q_approx_percentile", "q_asof_tolerance",
     "q_interval_count_binned", "q_local_supplier_volume",
@@ -64,8 +51,14 @@ _EXPOSURE_PRIORITY: list[str] = [
     "q_similarity_ivf", "q_similarity_topk", "q_sq_quantize",
     "q_frame_sample", "q_multimodal_features", "q_ppm_features",
     "q_wav_features",
-    # (d) r03-fresh rows follow in registration order; the rows-only
-    # estimator stays last (enforced below)
+    # (c) stalest r03 rows fill the remaining prefix slots (the rest of
+    # r03 rotates in on round 6)
+    "q_asof_join", "q_bm25_rank", "q_bpe_tokens", "q_calendar_densify",
+    "q_curation_pipeline", "q_dedup_keep_canonical", "q_doc_chunks",
+    "q_doc_fingerprint", "q_edge_join", "q_filter_predicates",
+    "q_first_last", "q_full_outer",
+    # (d) remaining r03 then r04 rows follow in registration order; the
+    # rows-only estimator stays last (enforced below)
 ]
 
 

@@ -16,6 +16,11 @@ physical shape carries the query-time pruning:
 * centroids + codebooks (driver-sized: k·dim + dim·k floats at ANY
   corpus size) live in a JSON sidecar, so ``load`` needs no Spark job.
 
+Meta/sidecar IO goes through :mod:`consume_kafka_avro_data_spark.fsio`
+(POSIX for local paths, Hadoop FileSystem for ``file://``/``hdfs://``/
+any configured scheme), so the index works wherever Spark can write the
+parquet — the store URI, not the driver's local disk, decides.
+
 Query = probe ``nprobe`` nearest cells → either exact rescore
 (brute-force cosine over probed vectors, the high-recall path) or ADC
 (broadcast m·k LUT joined against the codes, never touching a float) —
@@ -36,6 +41,7 @@ import time as _time
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from consume_kafka_avro_data_spark.fsio import fs_for
 from consume_kafka_avro_data_spark.operators.similarity import (
     brute_force_topk,
     ivf_assign,
@@ -100,6 +106,9 @@ class AnnIndex:
         self.id_col = id_col
         self.vec_col = vec_col
         self.vectors_dirs = list(vectors_dirs or [VECTORS])
+        # metadata IO backend resolved from the index URI (fsio): POSIX
+        # for local paths, Hadoop FileSystem for file://-and-beyond
+        self._io = fs_for(spark, path)
 
     # -- build / load --------------------------------------------------------
 
@@ -126,6 +135,7 @@ class AnnIndex:
         orphans are deleted here."""
         if grace_seconds is None:
             grace_seconds = cls.grace_seconds
+        io = fs_for(spark, path)
         centroids = kmeans_centroids(
             corpus, k=n_cells, id_col=id_col, vec_col=vec_col, seed=seed
         )
@@ -140,7 +150,7 @@ class AnnIndex:
             vec_col,
             keep_cols=[vec_col, "_ivf_cell"],
         )
-        doc = cls._read_meta_doc(path)
+        doc = cls._read_meta_doc(io, path)
         gen = cls._write_generation(rows, path)
         now = _time.time()
         grace = cls._grace_surviving(doc["superseded"], now, grace_seconds)
@@ -154,13 +164,13 @@ class AnnIndex:
             "centroids": centroids.tolist(),
             "codebooks": codebooks.tolist(),
         }
-        cls._commit_meta(path, meta)  # the ONLY commit point
+        cls._commit_meta(io, path, meta)  # the ONLY commit point
         # GC everything the committed meta does not reference: grace-
         # expired dirs AND orphans from crashed builds/add_shards
         # (written but never committed — without this sweep a
         # crash-retry loop leaks a corpus-sized directory per attempt)
         cls._gc_unreferenced(
-            path, keep={gen, *(e["dir"] for e in grace)}
+            io, path, keep={gen, *(e["dir"] for e in grace)}
         )
         idx = cls(
             spark, path, centroids, codebooks, id_col, vec_col,
@@ -208,12 +218,16 @@ class AnnIndex:
             self.vec_col,
             keep_cols=[self.vec_col, "_ivf_cell"],
         )
-        doc = self._read_meta_doc(self.path)
+        doc = self._read_meta_doc(self._io, self.path)
         live, shards = doc["live"], doc["shards"]
         gen = self._write_generation(rows, self.path)
-        self.last_shard_rows = self._dir_row_count(
-            os.path.join(self.path, gen)
+        # per-cell footer counts double as the DRIFT input: streaming/
+        # ann.AnnIngestMetrics accumulates them to decide when the
+        # frozen quantizers need retraining (needs_rebuild)
+        self.last_shard_cell_counts = self._dir_cell_counts(
+            self._io, os.path.join(self.path, gen)
         )
+        self.last_shard_rows = sum(self.last_shard_cell_counts.values())
         now = _time.time()
         grace = self._grace_surviving(
             doc["superseded"], now, self.grace_seconds
@@ -233,10 +247,10 @@ class AnnIndex:
             "centroids": self.centroids.tolist(),
             "codebooks": self.codebooks.tolist(),
         }
-        self._commit_meta(self.path, meta)
+        self._commit_meta(self._io, self.path, meta)
         # sweep grace-EXPIRED dirs + crash orphans only
         self._gc_unreferenced(
-            self.path, keep={gen, *live, *(e["dir"] for e in grace)}
+            self._io, self.path, keep={gen, *live, *(e["dir"] for e in grace)}
         )
         self.vectors_dirs = live + [gen]
         return self
@@ -244,7 +258,7 @@ class AnnIndex:
     # -- meta / generation plumbing -----------------------------------------
 
     @staticmethod
-    def _read_meta_doc(path: str) -> dict:
+    def _read_meta_doc(io, path: str) -> dict:
         """{live, superseded, shards} from the current meta (defaults
         for a fresh index; legacy single-``vectors_dir`` metas read as
         a one-element live list).  ``superseded`` entries normalize to
@@ -252,10 +266,9 @@ class AnnIndex:
         meta written before timestamped grace earns one fresh window
         rather than being deleted immediately."""
         mf = os.path.join(path, META)
-        if not os.path.isfile(mf):
+        if not io.is_file(mf):
             return {"live": [], "superseded": [], "shards": {}}
-        with open(mf) as f:
-            meta = json.load(f)
+        meta = json.loads(io.read_bytes(mf))
         live = meta.get("vectors_dirs") or [meta.get("vectors_dir", VECTORS)]
         now = _time.time()
         superseded = [
@@ -277,31 +290,34 @@ class AnnIndex:
         return [e for e in entries if now - e["at"] <= grace_seconds]
 
     @staticmethod
-    def _dir_row_count(path_dir: str) -> int:
-        """Row count of a written generation from parquet FOOTERS —
-        driver-side metadata, never a Spark scan."""
-        import pyarrow.parquet as pq
+    def _dir_cell_counts(io, path_dir: str) -> dict[int, int]:
+        """Per-cell row counts of a written generation from parquet
+        FOOTERS — driver-side metadata, never a Spark scan.  The cell
+        id comes from the ``_ivf_cell=N`` partition directory each file
+        sits under (the generation is partitionBy-written)."""
+        import re
 
-        n = 0
-        for root, _dirs, files in os.walk(path_dir):
-            for f in files:
-                if f.endswith(".parquet"):
-                    n += pq.ParquetFile(
-                        os.path.join(root, f)
-                    ).metadata.num_rows
-        return n
+        counts: dict[int, int] = {}
+        for fpath in io.walk_parquet(path_dir):
+            m = re.search(r"_ivf_cell=(\d+)/", fpath)
+            cell = int(m.group(1)) if m else -1
+            counts[cell] = counts.get(cell, 0) + io.parquet_num_rows(fpath)
+        return counts
+
+    @classmethod
+    def _dir_row_count(cls, io, path_dir: str) -> int:
+        """Row count of a written generation from parquet FOOTERS."""
+        return sum(cls._dir_cell_counts(io, path_dir).values())
 
     @staticmethod
-    def _gc_unreferenced(path: str, keep: set[str]) -> None:
+    def _gc_unreferenced(io, path: str, keep: set[str]) -> None:
         """Delete every ``vectors-*`` directory the committed meta does
         not reference (``keep`` = live ∪ still-in-grace).  Safe under
         the single-writer contract: an unreferenced directory can only
         be grace-expired or an uncommitted crash leftover."""
-        import shutil
-
-        for name in os.listdir(path):
+        for name in io.list_names(path):
             if name.startswith(VECTORS) and name not in keep:
-                shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+                io.delete(os.path.join(path, name), recursive=True)
 
     @staticmethod
     def _write_generation(rows: DataFrame, path: str) -> str:
@@ -316,16 +332,15 @@ class AnnIndex:
         return gen
 
     @staticmethod
-    def _commit_meta(path: str, meta: dict) -> None:
+    def _commit_meta(io, path: str, meta: dict) -> None:
         tmp = os.path.join(path, META + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, os.path.join(path, META))
+        io.write_bytes(tmp, json.dumps(meta).encode())
+        io.rename_overwrite(tmp, os.path.join(path, META))
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "AnnIndex":
-        with open(os.path.join(path, META)) as f:
-            meta = json.load(f)
+        io = fs_for(spark, path)
+        meta = json.loads(io.read_bytes(os.path.join(path, META)))
         dirs = meta.get("vectors_dirs") or [meta.get("vectors_dir", VECTORS)]
         return cls(
             spark,

@@ -42,6 +42,15 @@ from pyspark.sql import Column, DataFrame, functions as F
 BITS_PER_ITEM = 16
 DEFAULT_K = 4
 
+# LITERAL-SIZE BOUND: the bit array ships as an array<long> literal
+# inside the plan (not a broadcast variable), serialized into every
+# task binary of the probe stage.  2^27 bits = 16 MB of longs — about
+# the autoBroadcastJoinThreshold's order of magnitude and ~8M items at
+# 16 bits/item; beyond that the plan-literal transport is the wrong
+# tool (a broadcast hash join ships the same data with bookkeeping the
+# executor can spill) and build() refuses rather than degrade silently.
+MAX_BITS = 1 << 27
+
 
 def _probe_positions(c: Column, m: int, k: int) -> list[Column]:
     """The k Kirsch-Mitzenmacher positions ``(h1 + j·h2) mod m`` —
@@ -57,6 +66,20 @@ class BroadcastBloom:
     """m-bit bloom filter over a string/long column's distinct values."""
 
     def __init__(self, bits: list[int], m: int, k: int):
+        # k <= 0 would make might_contain's probe-conjunction loop run
+        # zero times and return None, which DataFrame.where rejects with
+        # an error far from the misuse; m < 64 can't hold one long word
+        if k < 1:
+            raise ValueError(f"bloom k must be >= 1, got {k}")
+        if m < 64:
+            raise ValueError(f"bloom m must be >= 64 bits, got {m}")
+        if m > MAX_BITS:
+            raise ValueError(
+                f"bloom m={m} bits exceeds the plan-literal bound "
+                f"MAX_BITS={MAX_BITS} (16 MB of long words shipped in "
+                "every task binary); use a broadcast hash join for "
+                "build sides this large"
+            )
         self.bits = bits  # m/64 signed int64 words (Spark long literals)
         self.m = m
         self.k = k
@@ -75,10 +98,18 @@ class BroadcastBloom:
         an m-bit driver array.  ``n_bits`` defaults to 16·count rounded
         up to a word — callers with a known distinct count can pass a
         tighter m (and skip the count job)."""
+        if k < 1:  # fail before the distributed pass, not after it
+            raise ValueError(f"bloom k must be >= 1, got {k}")
         if n_bits is None:
             n = df.count()
             n_bits = max(128, BITS_PER_ITEM * n)
         m = ((n_bits + 63) // 64) * 64
+        if m > MAX_BITS:
+            raise ValueError(
+                f"bloom sized to m={m} bits (> MAX_BITS={MAX_BITS}): "
+                "the build side is too large for plan-literal "
+                "transport; use a broadcast hash join instead"
+            )
         pos = (
             df.select(
                 F.explode(F.array(*_probe_positions(F.col(col), m, k))).alias("p")

@@ -9,13 +9,19 @@ one implementation.
 **Protocol** (mini transaction log): readers only see files listed in
 the table's ``_manifest.json``; writers stage new parquet files into
 the table directory first and then publish them with a single atomic
-``os.replace`` of the manifest.  A crash mid-write therefore leaves
-invisible orphan files, never partial state — the batch-level analogue
-of the reference's per-row transactions, and the same
-commit-by-metadata-swap idea Delta/Iceberg use at 100 TB (there the
-manifest write is a conditional object-store PUT; locally it is an
-atomic rename).  Single writer per table, matching the reference's
-single consumer thread.
+rename of the manifest.  A crash mid-write therefore leaves invisible
+orphan files, never partial state — the batch-level analogue of the
+reference's per-row transactions, and the same commit-by-metadata-swap
+idea Delta/Iceberg use at 100 TB (there the manifest write is a
+conditional object-store PUT; locally it is an atomic rename).  Single
+writer per table, matching the reference's single consumer thread.
+
+**Filesystems**: data goes through Spark (any cluster filesystem);
+manifest IO goes through :mod:`consume_kafka_avro_data_spark.fsio` —
+POSIX for schemeless local paths, the Hadoop FileSystem API for
+``file://``/``hdfs://``/any configured scheme, a clear error for
+unconfigured ones.  The commit rename is atomic on local FS and HDFS;
+see fsio's module docstring for the S3 caveat.
 
 **Snapshots / time travel**: every publish also records itself as
 ``_manifest.v{N}.json``, and ``read(version=k)`` reconstructs the
@@ -29,10 +35,13 @@ before batch 17" is a metadata read, not a restore.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
+
+from consume_kafka_avro_data_spark.fsio import fs_for
 
 
 class ManifestTable:
@@ -51,18 +60,16 @@ class ManifestTable:
         self.path = path
         self.schema = schema
         self.keys = list(keys)
+        self._io = fs_for(spark, path)
 
     # -- manifest ------------------------------------------------------------
 
     def _manifest_doc(self, version: int | None = None) -> dict:
-        import json
-
         mf = os.path.join(self.path, self.MANIFEST)
-        if not os.path.isfile(mf):
+        if not self._io.is_file(mf):
             current = {"files": [], "version": 0}
         else:
-            with open(mf) as f:
-                current = json.load(f)
+            current = json.loads(self._io.read_bytes(mf))
             current.setdefault("version", 0)  # pre-versioning manifests
         if version is None or version == current["version"]:
             # the POINTER is authoritative for the current version: its
@@ -70,13 +77,12 @@ class ManifestTable:
             # swap and the snapshot rename) and must not shadow it
             return current
         vf = os.path.join(self.path, f"_manifest.v{version}.json")
-        if not os.path.isfile(vf):
+        if not self._io.is_file(vf):
             raise FileNotFoundError(
                 f"version {version} of {self.path} is not available "
                 "(never existed, or its history was pruned by compact())"
             )
-        with open(vf) as f:
-            doc = json.load(f)
+        doc = json.loads(self._io.read_bytes(vf))
         doc.setdefault("version", version)
         return doc
 
@@ -97,11 +103,10 @@ class ManifestTable:
         import re
 
         out = set()
-        if os.path.isdir(self.path):
-            for name in os.listdir(self.path):
-                m = re.fullmatch(r"_manifest\.v(\d+)\.json", name)
-                if m:
-                    out.add(int(m.group(1)))
+        for name in self._io.list_names(self.path):
+            m = re.fullmatch(r"_manifest\.v(\d+)\.json", name)
+            if m:
+                out.add(int(m.group(1)))
         cur = self.version()
         if cur:
             out.add(cur)
@@ -112,45 +117,53 @@ class ManifestTable:
         pointer (the single commit point), then record the snapshot as
         ``_manifest.v{N}.json`` (the time-travel entry).  See the
         in-body comment for why the pointer goes first."""
-        import json
-
-        os.makedirs(self.path, exist_ok=True)
-        doc = {"files": sorted(files), "version": self.version() + 1}
-        payload = json.dumps(doc)
+        self._io.mkdirs(self.path)
+        current = self._manifest_doc()
+        # BACKFILL: a crash in a PREVIOUS publish's window (pointer
+        # swapped, snapshot rename never ran) left the then-current
+        # version without its _manifest.v{N}.json; the pointer served
+        # it until now, but advancing the pointer would lose that
+        # committed version from time travel permanently.  Re-derive
+        # the snapshot file from the pointer before moving on.
+        cur_v = int(current["version"])
+        if cur_v:
+            cur_vf = os.path.join(self.path, f"_manifest.v{cur_v}.json")
+            if not self._io.is_file(cur_vf):
+                tmp_bf = cur_vf + ".tmp"
+                self._io.write_bytes(tmp_bf, json.dumps(current).encode())
+                self._io.rename_overwrite(tmp_bf, cur_vf)
+        doc = {"files": sorted(files), "version": cur_v + 1}
+        payload = json.dumps(doc).encode()
         tmp = os.path.join(self.path, self.MANIFEST + ".tmp")
         # POINTER FIRST, snapshot second — both via write-temp + rename.
         # Pointer-first means a crash between the two renames leaves a
         # committed current version whose snapshot file is missing
-        # (served by the pointer via _manifest_doc's fallback) rather
-        # than a snapshot file advertising an UNCOMMITTED version whose
-        # identity a post-restart retry would silently overwrite.
-        with open(tmp, "w") as f:
-            f.write(payload)
-        import shutil
-
-        shutil.copyfile(tmp, tmp + ".v")
-        os.replace(tmp, os.path.join(self.path, self.MANIFEST))
+        # (served by the pointer via _manifest_doc's fallback, and
+        # backfilled by the NEXT publish above) rather than a snapshot
+        # file advertising an UNCOMMITTED version whose identity a
+        # post-restart retry would silently overwrite.
+        self._io.write_bytes(tmp, payload)
+        self._io.write_bytes(tmp + ".v", payload)
+        self._io.rename_overwrite(tmp, os.path.join(self.path, self.MANIFEST))
         vf = os.path.join(self.path, f"_manifest.v{doc['version']}.json")
-        os.replace(tmp + ".v", vf)
+        self._io.rename_overwrite(tmp + ".v", vf)
 
     def stage(self, df: DataFrame, n_files: int | None = None) -> list[str]:
         """Write df's parquet files into the table dir WITHOUT
         publishing them; returns the new (unique, uuid-named) files."""
-        import shutil
-
         stage = os.path.join(self.path, "_stage")
         if n_files:
             df = df.repartition(n_files)
         df.write.mode("overwrite").parquet(stage)
-        os.makedirs(self.path, exist_ok=True)
+        self._io.mkdirs(self.path)
         moved = []
-        for name in os.listdir(stage):
+        for name in self._io.list_names(stage):
             if name.endswith(".parquet"):
-                os.rename(
+                self._io.rename(
                     os.path.join(stage, name), os.path.join(self.path, name)
                 )
                 moved.append(name)
-        shutil.rmtree(stage, ignore_errors=True)
+        self._io.delete(stage, recursive=True)
         return moved
 
     # -- reads ---------------------------------------------------------------
@@ -195,23 +208,18 @@ class ManifestTable:
         # hot loops call this per micro-batch, so a count-then-write
         # shape would cost an extra job per call — pure scheduler
         # overhead at any scale.
-        import pyarrow.parquet as pq
-
         staged = self.stage(
             new_rows.select(*[f.name for f in self.schema.fields])
         )
         n = sum(
-            pq.ParquetFile(os.path.join(self.path, f)).metadata.num_rows
+            self._io.parquet_num_rows(os.path.join(self.path, f))
             for f in staged
         )
         if n:
             self.publish(self.files() + staged)
         else:
             for name in staged:  # empty delta: GC the zero-row files
-                try:
-                    os.remove(os.path.join(self.path, name))
-                except FileNotFoundError:
-                    pass
+                self._io.delete(os.path.join(self.path, name))
         return n
 
     # -- maintenance ---------------------------------------------------------
@@ -234,20 +242,15 @@ class ManifestTable:
         # size from parquet FOOTERS, not a df.count() job: the count
         # would scan every file this compaction exists to clean up,
         # doubling its cost for a number the metadata already holds
-        import pyarrow.parquet as pq
-
         n_rows = sum(
-            pq.ParquetFile(os.path.join(self.path, f)).metadata.num_rows
+            self._io.parquet_num_rows(os.path.join(self.path, f))
             for f in old_files
         )
         n_files = max(1, -(-n_rows // target_rows_per_file))  # ceil
         staged = self.stage(df, n_files=n_files)
         self.publish(staged)
         for name in old_files:  # GC only after the commit point
-            try:
-                os.remove(os.path.join(self.path, name))
-            except FileNotFoundError:
-                pass
+            self._io.delete(os.path.join(self.path, name))
         # prune time-travel history: the data files every older snapshot
         # references were just deleted, so keeping their manifests would
         # advertise unreadable versions (Delta's VACUUM makes the same
@@ -255,10 +258,7 @@ class ManifestTable:
         current = self.version()
         for v in self.versions():
             if v < current:
-                try:
-                    os.remove(
-                        os.path.join(self.path, f"_manifest.v{v}.json")
-                    )
-                except FileNotFoundError:
-                    pass
+                self._io.delete(
+                    os.path.join(self.path, f"_manifest.v{v}.json")
+                )
         return len(staged)

@@ -62,25 +62,35 @@ def _split_top_level(text: str) -> list[str]:
     ``In(col, [a,b])`` and ``decimal(18,4)`` into garbage fragments.
 
     ``<``/``>`` are bracket-counted ONLY when the ``<`` immediately
-    follows a TYPE keyword (``array<``, ``map<``, ``struct<``): a
-    follows-a-word-character heuristic would treat the infix comparison
-    in a spaceless plan fragment (``(x#1<5)``) as an opener whose ``>``
-    never arrives, permanently disabling comma splitting for the rest
-    of the payload.  Closers only decrement when an opener is
-    outstanding (depth never goes negative), and lambda arrows (``->``)
-    are ignored."""
+    follows a TYPE keyword (``array<``, ``map<``, ``struct<``) AND the
+    next character starts an identifier: a follows-a-word-character
+    heuristic would treat the infix comparison in a spaceless plan
+    fragment (``(x#1<5)``) as an opener whose ``>`` never arrives,
+    permanently disabling comma splitting for the rest of the payload —
+    and a column literally NAMED ``array``/``map``/``struct`` (no
+    #exprId suffix) compared spacelessly against a literal
+    (``array<5``) would trip the keyword check alone, so the opener
+    additionally requires a type-name-looking character after the
+    ``<`` (every Spark type token starts with a letter).  Closers only
+    decrement when an opener is outstanding (depth never goes
+    negative), and lambda arrows (``->``) are ignored."""
     type_words = ("array", "map", "struct")
     out: list[str] = []
     cur: list[str] = []
     depth = angle = 0
     word: list[str] = []
     prev = ""
-    for ch in text:
+    for i, ch in enumerate(text):
+        nxt = text[i + 1] if i + 1 < len(text) else ""
         if ch in "([":
             depth += 1
         elif ch in ")]":
             depth -= 1
-        elif ch == "<" and "".join(word).lower() in type_words:
+        elif (
+            ch == "<"
+            and "".join(word).lower() in type_words
+            and (nxt.isalpha() or nxt == "_")
+        ):
             angle += 1
         elif ch == ">" and angle > 0 and prev != "-":
             angle -= 1

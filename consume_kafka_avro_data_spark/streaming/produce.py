@@ -91,9 +91,20 @@ class AvroProducer:
         # documents
         self._next_offset = 0
         if stand_in is not None and os.path.isdir(stand_in.path):
-            row = stand_in.read_batch().agg(
-                F.max("offset").alias("mx")
-            ).collect()[0]
+            # scope the resume scan to THIS producer's (topic, partition
+            # 0) frames: the stand-in schema carries a topic column, so
+            # a directory shared by several topics would otherwise
+            # resume past foreign offsets and leave gaps in this topic's
+            # densely-increasing sequence
+            row = (
+                stand_in.read_batch()
+                .where(
+                    (F.col("topic") == self.topic)
+                    & (F.col("partition") == 0)
+                )
+                .agg(F.max("offset").alias("mx"))
+                .collect()[0]
+            )
             if row["mx"] is not None:
                 self._next_offset = int(row["mx"]) + 1
         # foreachBatch callbacks run on streaming-query threads; the

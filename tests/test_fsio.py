@@ -1,0 +1,164 @@
+"""fsio: the persistence layer's metadata IO must work through the
+Hadoop FileSystem API (exercised here via ``file://`` URIs — the same
+code path an ``hdfs://`` store takes), keep the plain-local POSIX path
+as the degenerate case, and fail clearly on unconfigured schemes
+instead of mid-commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from consume_kafka_avro_data_spark.fsio import (
+    HadoopIO,
+    LocalIO,
+    UnsupportedFsError,
+    fs_for,
+)
+from consume_kafka_avro_data_spark.operators.store import ManifestTable
+
+SCHEMA = StructType(
+    [
+        StructField("k", LongType(), True),
+        StructField("v", StringType(), True),
+    ]
+)
+
+
+def test_backend_dispatch(spark, tmp_path):
+    assert isinstance(fs_for(spark, str(tmp_path)), LocalIO)
+    assert isinstance(fs_for(spark, f"file://{tmp_path}"), HadoopIO)
+
+
+def test_unconfigured_scheme_fails_at_construction(spark, tmp_path):
+    """s3a:// without the AWS connector must raise a clear error when
+    the STORE is built, not a confusing JVM stack mid-commit."""
+    with pytest.raises(UnsupportedFsError, match="s3a"):
+        ManifestTable(spark, "s3a://bucket/table", SCHEMA, keys=["k"])
+
+
+def test_hadoop_io_primitives_match_local(spark, tmp_path):
+    """Same bytes through both backends: write/read/rename-overwrite/
+    list/delete, plus footer row counts on a real parquet file."""
+    local = LocalIO()
+    hd = fs_for(spark, f"file://{tmp_path}")
+    base_l = str(tmp_path / "l")
+    base_h = f"file://{tmp_path}/h"
+    for io, base in ((local, base_l), (hd, base_h)):
+        io.mkdirs(base)
+        io.write_bytes(os.path.join(base, "a.json"), b'{"x": 1}')
+        assert io.is_file(os.path.join(base, "a.json"))
+        assert io.read_bytes(os.path.join(base, "a.json")) == b'{"x": 1}'
+        io.write_bytes(os.path.join(base, "b.json"), b'{"x": 2}')
+        io.rename_overwrite(
+            os.path.join(base, "b.json"), os.path.join(base, "a.json")
+        )
+        assert io.read_bytes(os.path.join(base, "a.json")) == b'{"x": 2}'
+        assert io.list_names(base) == ["a.json"]
+        assert io.list_names(os.path.join(base, "missing")) == []
+        io.delete(os.path.join(base, "a.json"))
+        assert not io.exists(os.path.join(base, "a.json"))
+
+    # footer row count: Hadoop (seek-tail reconstruction) == pyarrow
+    pq_dir = str(tmp_path / "pq")
+    spark.range(1234).write.parquet(pq_dir)
+    files = [f for f in os.listdir(pq_dir) if f.endswith(".parquet")]
+    n_local = sum(local.parquet_num_rows(os.path.join(pq_dir, f)) for f in files)
+    n_hadoop = sum(
+        hd.parquet_num_rows(f"file://{pq_dir}/{f}") for f in files
+    )
+    assert n_local == n_hadoop == 1234
+    assert len(hd.walk_parquet(f"file://{pq_dir}")) == len(files)
+
+
+def test_manifest_table_full_lifecycle_over_hadoop_uri(spark, tmp_path):
+    """The exact local-path lifecycle test, through file:// — merge
+    idempotence, time travel, compact + history pruning all run on the
+    Hadoop FileSystem code path."""
+    t = ManifestTable(spark, f"file://{tmp_path}/t", SCHEMA, keys=["k"])
+    assert isinstance(t._io, HadoopIO)
+    assert t.version() == 0 and t.versions() == []
+
+    t.merge_new(spark.createDataFrame([(1, "a")], SCHEMA))
+    t.merge_new(spark.createDataFrame([(2, "b")], SCHEMA))
+    t.merge_new(spark.createDataFrame([(2, "dup"), (3, "c")], SCHEMA))
+    assert t.version() == 3 and t.versions() == [1, 2, 3]
+
+    def keys(version=None):
+        return sorted(r.k for r in t.read(version).collect())
+
+    assert keys(1) == [1]
+    assert keys(2) == [1, 2]
+    assert keys() == [1, 2, 3]
+
+    # replay: nothing new, version unchanged
+    t.merge_new(spark.createDataFrame([(1, "replay")], SCHEMA))
+    assert t.version() == 3
+
+    t.compact()
+    assert keys() == [1, 2, 3]
+    assert t.versions() == [t.version()]
+    with pytest.raises(FileNotFoundError, match="pruned|not available"):
+        t.read(1)
+
+
+def test_publish_backfills_snapshot_lost_in_crash_window(spark, tmp_path):
+    """Crash between the pointer swap and the snapshot rename leaves
+    version N without _manifest.vN.json; the NEXT publish must rebuild
+    it from the pointer before advancing, or read(version=N) dies for a
+    version that was committed."""
+    t = ManifestTable(spark, str(tmp_path / "t"), SCHEMA, keys=["k"])
+    t.merge_new(spark.createDataFrame([(1, "a")], SCHEMA))
+    t.merge_new(spark.createDataFrame([(2, "b")], SCHEMA))
+    # simulate the crash window for version 2: snapshot file missing,
+    # pointer still serving it
+    os.remove(str(tmp_path / "t" / "_manifest.v2.json"))
+    assert sorted(r.k for r in t.read(2).collect()) == [1, 2]  # pointer
+    t.merge_new(spark.createDataFrame([(3, "c")], SCHEMA))  # backfills
+    assert sorted(r.k for r in t.read(2).collect()) == [1, 2]
+    assert sorted(r.k for r in t.read(3).collect()) == [1, 2, 3]
+    doc = json.loads((tmp_path / "t" / "_manifest.v2.json").read_bytes())
+    assert doc["version"] == 2
+
+
+def test_ann_index_over_hadoop_uri(spark, tmp_path):
+    """Build + add_shard + load + both query paths through file:// —
+    the meta sidecar, footer counts, GC sweep, and generation commits
+    all ride HadoopIO."""
+    import numpy as np
+
+    from consume_kafka_avro_data_spark.operators.ann_index import AnnIndex
+
+    rng = np.random.default_rng(7)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    path = f"file://{tmp_path}/idx"
+    idx = AnnIndex.build(spark, emb, path, n_cells=4, m=4, k_codes=8)
+    assert isinstance(idx._io, HadoopIO)
+
+    shard = spark.createDataFrame(
+        [(100 + i, [float(x) for x in rng.standard_normal(8)]) for i in range(10)],
+        ["vec_id", "embedding"],
+    )
+    idx.add_shard(shard, shard_id="s1")
+    assert idx.last_shard_rows == 10
+    assert sum(idx.last_shard_cell_counts.values()) == 10
+
+    qv = emb.where("vec_id = 1").collect()[0]["embedding"]
+    top = idx.query_exact(qv, k=5, nprobe=4).collect()
+    assert len(top) == 5
+    adc = idx.query_adc(qv, k=5, nprobe=4).collect()
+    assert len(adc) == 5
+
+    loaded = AnnIndex.load(spark, path)
+    assert loaded.vectors_dirs == idx.vectors_dirs
+    assert (
+        idx.query_exact(qv, k=5, nprobe=4).collect()
+        == loaded.query_exact(qv, k=5, nprobe=4).collect()
+    )
