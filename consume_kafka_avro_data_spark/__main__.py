@@ -54,6 +54,14 @@ def build_parser() -> argparse.ArgumentParser:
         "exit_eof mode)",
     )
     p.add_argument(
+        "--sql",
+        metavar="QUERY",
+        help="after the ingest completes, register the engine-state "
+        "views (objects/relationships — the reference's two queryable "
+        "tables, src/Database.h:23-31) and run one ad-hoc SQL query; "
+        "rows print tab-separated with a header line",
+    )
+    p.add_argument(
         "--produce-csv",
         metavar="CSVDIR",
         help="PRODUCER mode (the tool the reference's input_type:csv "
@@ -152,6 +160,8 @@ def main(argv: list[str] | None = None) -> int:
         store = GraphStore(spark, graph_dir)
         nv, ne = store.ingest_triples(triples_from(rows, *names[:3]))
         print(f"ocf_ingest new_vertices={nv} new_edges={ne}")
+        if args.sql:
+            _run_sql(spark, store, args.sql)
         spark.stop()
         return 0
     if args.batch:
@@ -195,8 +205,23 @@ def main(argv: list[str] | None = None) -> int:
         f"batches={m.batches} valid={m.valid_rows} errors={m.error_rows} "
         f"new_vertices={m.new_vertices} new_edges={m.new_edges}"
     )
+    if args.sql:
+        _run_sql(spark, store, args.sql)
     spark.stop()
     return 0
+
+
+def _run_sql(spark, store, query: str) -> None:
+    """The reference's 'graph exists to be queried' loop from the
+    binary UX: register the just-populated engine-state views and run
+    one ad-hoc query over them."""
+    from consume_kafka_avro_data_spark.tables import register_engine_views
+
+    register_engine_views(spark, graph=store)
+    out = spark.sql(query)
+    print("\t".join(out.columns))
+    for r in out.collect():  # ad-hoc CLI result: user-bounded by LIMIT
+        print("\t".join("" if v is None else str(v) for v in r))
 
 
 if __name__ == "__main__":

@@ -230,16 +230,26 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     grams = d.select("doc_id", "source", F.explode(grams_expr).alias("g"))
-    # checkpointed: three actions traverse the eval subtree (the bloom
-    # build's count, its positions collect, the verify join's broadcast)
-    # — uncached, each re-tokenizes and re-explodes every src0 document
-    eval_g = (
-        grams.where(F.col("source") == "src0")
-        .select("g")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    bloom = BroadcastBloom.build(eval_g, "g")
+    eval_g = grams.where(F.col("source") == "src0").select("g").distinct()
+    # The bloom BUILD traverses the eval subtree twice (count for m,
+    # positions collect) — checkpoint for exactly that window, then
+    # unpersist: a checkpoint referenced by the RETURNED plan would
+    # leak its blocks for the session (freed only on JVM GC — the leak
+    # class bench.py works around with System.gc()).  The verify join
+    # below therefore re-derives eval_g from lineage at consumer time —
+    # one extra src0 tokenize pass, bounded by the fixed-size eval set.
+    eval_ck = eval_g.localCheckpoint(eager=True)
+    try:
+        from consume_kafka_avro_data_spark.operators.bloom import (
+            BITS_PER_ITEM,
+        )
+
+        n_eval = eval_ck.count()
+        bloom = BroadcastBloom.build(
+            eval_ck, "g", n_bits=BITS_PER_ITEM * max(n_eval, 8)
+        )
+    finally:
+        eval_ck.unpersist()
     cand = (
         grams.where(F.col("source") != "src0")
         .where(bloom.might_contain("g"))  # phase 1: JVM bit-test only
@@ -613,17 +623,49 @@ def curation_verdicts(
         .join(canon, "_fp")
         .select("doc_id", "canonical_id")
     )
-    # checkpointed like ``s``: the auto-k semantic stage traverses the
-    # survivor join THREE times (k-means sample collect, corpus count,
-    # assignment pass) — uncached, each re-runs the fingerprint
-    # group-by + join
+    # The auto-k semantic stage traverses the survivor join three times
+    # (k-means sample collect, corpus count, assignment pass) — uncached,
+    # each re-runs the fingerprint group-by + join.  Checkpoint for the
+    # two EAGER phases only (sample + count, both driver-side here),
+    # then unpersist: a checkpoint referenced by the returned plan would
+    # leak its blocks for the session.  semantic_dedup then receives the
+    # un-checkpointed lineage plus the precomputed centroids/k/blocks,
+    # so its one remaining (lazy) assignment pass recomputes the
+    # survivor join at consumer time — reading ``s``'s checkpoint, so
+    # the recompute is two cheap id-joins, not the quality fold.
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        auto_n_centroids,
+        kmeans_sample,
+        lloyd_unit_kmeans,
+    )
+
     surv_emb = emb.join(
         d2c.where(F.col("doc_id") == F.col("canonical_id")).select(
             F.col("doc_id").alias("vec_id")
         ),
         "vec_id",
-    ).localCheckpoint(eager=True)
-    sem = semantic_dedup(surv_emb, threshold=threshold, n_centroids=n_centroids)
+    )
+    surv_ck = surv_emb.localCheckpoint(eager=True)
+    try:
+        x = kmeans_sample(surv_ck)
+        n_rows = surv_ck.count()
+        k = n_centroids
+        if k is None:
+            # the same derivation semantic_dedup's auto-k path runs (and
+            # the DuckDB oracle re-derives from the same count)
+            k = auto_n_centroids(n_rows, x.shape[1]) if len(x) else 1
+        centroids = lloyd_unit_kmeans(x, k=k, seed=42)
+    finally:
+        surv_ck.unpersist()
+    est_cell = max(1, n_rows // max(len(centroids), 1))
+    n_blocks = max(1, min(16, -(-est_cell // 4096)))
+    sem = semantic_dedup(
+        surv_emb,
+        threshold=threshold,
+        n_centroids=k,
+        centroids=centroids,
+        n_blocks=n_blocks,
+    )
 
     return (
         s.select("doc_id", "quality")

@@ -112,7 +112,12 @@ def register_engine_views(
       ``relationships`` — the reference's two tables, queryable with
       the exact SQL shapes its prepared statements hard-coded;
     * ``signatures`` (operators/store.ManifestTable, e.g. a
-      StreamingDedupIngest's ``.store``) → ``signatures``;
+      StreamingDedupIngest's ``.store``) → ``signatures`` (the head)
+      plus ``signatures_v{k}`` for every snapshot version still
+      readable — the store's time travel (``read(version=k)``) reached
+      from plain SQL.  ``compact()`` prunes history, so the version
+      view count stays bounded by the compaction cadence, not the
+      micro-batch count;
     * ``ann_index`` (operators/ann_index.AnnIndex) → ``ann_cells``
       (the per-cell balance diagnostic) + ``ann_vectors`` (the live
       generations' rows: id, codes, cell — probe pruning still applies
@@ -129,6 +134,11 @@ def register_engine_views(
     if signatures is not None:
         signatures.read().createOrReplaceTempView("signatures")
         created.append("signatures")
+        for v in signatures.versions():
+            signatures.read(version=v).createOrReplaceTempView(
+                f"signatures_v{v}"
+            )
+            created.append(f"signatures_v{v}")
     if ann_index is not None:
         ann_index.cell_sizes().createOrReplaceTempView("ann_cells")
         ann_index._vectors().createOrReplaceTempView("ann_vectors")

@@ -42,7 +42,9 @@ def test_cli_dry_run_validates(capsys):
 
 def test_cli_batch_ingest_end_to_end(spark, tmp_path):
     """python -m consume_kafka_avro_data_spark -c cfg --batch DIR runs
-    the whole decode->graph pipeline over a stand-in topic."""
+    the whole decode->graph pipeline over a stand-in topic, and --sql
+    queries the just-populated graph through the engine-state views
+    (the reference's 'graph exists to be queried' loop)."""
     doc = {
         "kafka": {},
         "type_map": {"spo": {"key_column": "subject", "columns": ["S", "P", "O"]}},
@@ -80,6 +82,8 @@ def test_cli_batch_ingest_end_to_end(spark, tmp_path):
             str(cfg),
             "--batch",
             str(topic_dir),
+            "--sql",
+            "SELECT object_name FROM objects ORDER BY object_name",
         ],
         capture_output=True,
         text=True,
@@ -88,6 +92,10 @@ def test_cli_batch_ingest_end_to_end(spark, tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "valid=2" in out.stdout and "errors=0" in out.stdout
+    # --sql output: header line + one tab-separated row per object
+    lines = out.stdout.splitlines()
+    i = lines.index("object_name")
+    assert lines[i + 1 : i + 4] == ["a", "b", "c"]
     graph = spark.read.parquet(str(tmp_path / "graph" / "objects"))
     assert graph.count() == 3  # distinct {a, b, c}
 

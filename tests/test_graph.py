@@ -340,6 +340,7 @@ def test_engine_state_sql_views(spark, tmp_path, triples):
     sigs.merge_new(
         spark.createDataFrame([(1, [7, 8]), (2, [9, 10])], sigs.schema)
     )
+    sigs.merge_new(spark.createDataFrame([(3, [11, 12])], sigs.schema))
 
     # tiny ANN index
     import numpy as np
@@ -352,8 +353,22 @@ def test_engine_state_sql_views(spark, tmp_path, triples):
     idx = AnnIndex.build(spark, emb, str(tmp_path / "ann"), n_cells=4, m=4)
 
     created = register_engine_views(spark, signatures=sigs, ann_index=idx)
-    assert created == ["signatures", "ann_cells", "ann_vectors"]
-    assert spark.sql("SELECT count(*) AS n FROM signatures").collect()[0].n == 2
+    assert created == [
+        "signatures",
+        "signatures_v1",
+        "signatures_v2",
+        "ann_cells",
+        "ann_vectors",
+    ]
+    assert spark.sql("SELECT count(*) AS n FROM signatures").collect()[0].n == 3
+    # time travel from plain SQL: v1 = first merge only, v2 = both
+    assert (
+        spark.sql("SELECT count(*) AS n FROM signatures_v1").collect()[0].n
+        == 2
+    )
+    assert sorted(
+        r._id for r in spark.sql("SELECT _id FROM signatures_v2").collect()
+    ) == [1, 2, 3]
     assert (
         spark.sql("SELECT sum(n) AS total FROM ann_cells").collect()[0].total
         == 20

@@ -93,3 +93,49 @@ def test_streaming_ann_ingest_matches_full_build(spark, sf_dir, tmp_path, emb):
     # replaced rather than appended
     loaded = AnnIndex.load(spark, idx.path)
     assert len(loaded.vectors_dirs) == 3
+
+
+def test_drift_metric_flags_skewed_arrivals(spark, sf_dir, tmp_path, emb):
+    """Streaming a shard whose vectors all land in ONE cell must push
+    drift_ratio toward n_cells and flip needs_rebuild; a balanced
+    stream must not."""
+    idx = AnnIndex.build(
+        spark, emb, str(tmp_path / "idx"), n_cells=8, m=8, k_codes=16
+    )
+    # skewed arrivals: many copies of one corpus vector (same cell),
+    # fresh ids clear of the corpus
+    one = emb.where(F.col("vec_id") == 1).select("embedding")
+    skew = (
+        one.crossJoin(spark.range(64).withColumnRenamed("id", "vec_id"))
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    skew.coalesce(1).write.parquet(str(tmp_path / "skewed"))
+    stream = (
+        spark.readStream.schema(skew.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "skewed"))
+    )
+    ingest = StreamingAnnIngest(spark, idx, str(tmp_path / "ckpt"))
+    assert ingest.drift_ratio() == 0.0  # nothing streamed yet
+    assert not ingest.needs_rebuild()
+    ingest.run_to_completion(stream)
+    assert ingest.drift_ratio() == pytest.approx(8.0)  # all → one cell
+    assert ingest.needs_rebuild(threshold=4.0)
+
+    # balanced arrivals: a spread of the corpus itself
+    bal = emb.select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"
+    )
+    bal.coalesce(1).write.parquet(str(tmp_path / "balanced"))
+    stream2 = (
+        spark.readStream.schema(bal.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "balanced"))
+    )
+    idx2 = AnnIndex.build(
+        spark, emb, str(tmp_path / "idx2"), n_cells=8, m=8, k_codes=16
+    )
+    ingest2 = StreamingAnnIngest(spark, idx2, str(tmp_path / "ckpt2"))
+    ingest2.run_to_completion(stream2)
+    assert ingest2.drift_ratio() < 4.0
+    assert not ingest2.needs_rebuild(threshold=4.0)
