@@ -149,22 +149,13 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_lsh_topk(emb, rows[0]["embedding"], k=10)
 
 
-def _o_ivf(k=10, n_centroids=16, nprobe=4, seed=42) -> str | None:
-    """DuckDB twin of ivf_topk at the driver's sf0.01: recompute the
-    SAME deterministic centroids (identical numpy Lloyd's routine over
-    the identical ORDER BY vec_id LIMIT 4096 sample), inline them as
-    literals, assign cells by first-argmax of the literal-centroid dots
-    (list_indexof ≡ Spark's array_position), prune to the same nprobe
-    cells, and exact-rescore with the shared left-fold cosine.  The
-    centroid literals are data-dependent, so the sample is read from the
-    sf the oracle will run against: $SPARK_GRAFT_TEST_SF_DIR when the
-    local harness sets it, else the driver's documented sf0.01.
-
-    Registered as a FACTORY (not called at decoration): the registry
-    resolves it lazily at verification time, so the env var is read when
-    the oracle is used, query-module import does no file I/O, and a
-    degradation to rows-only (unreadable parquet → None) is logged by
-    Query.oracle_text instead of passing silently."""
+def _ivf_oracle_ctx(n_centroids=16, seed=42):
+    """Shared context for the IVF-family oracle factories: re-derive the
+    deterministic centroids from the sf the oracle will run against
+    ($SPARK_GRAFT_TEST_SF_DIR when the local harness sets it, else the
+    driver's documented sf0.01) and return ``(centroids, unit query
+    vector, cell-scores SQL fragment)`` — or None to degrade the query
+    to rows-only (unreadable/empty parquet, missing vec_id=0 row)."""
     import os
 
     sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
@@ -196,11 +187,8 @@ def _o_ivf(k=10, n_centroids=16, nprobe=4, seed=42) -> str | None:
     cent = lloyd_unit_kmeans(x, k=n_centroids, seed=seed)
     qv = np.asarray(qrow[0][0], dtype=np.float64)
     qn = qv / max(np.linalg.norm(qv), 1e-12)
-    order = np.argsort(-(cent @ qn))[:nprobe]
-    probe = ", ".join(str(int(c) + 1) for c in order)
 
     from consume_kafka_avro_data_spark.operators.similarity import (
-        o_quantize,
         quantize_np,
     )
 
@@ -213,6 +201,37 @@ def _o_ivf(k=10, n_centroids=16, nprobe=4, seed=42) -> str | None:
     scores = ", ".join(
         f"list_dot_product(qvec, {vec_sql(qc)})" for qc in quantize_np(cent)
     )
+    return cent, qn, scores
+
+
+def _o_ivf(k=10, n_centroids=16, nprobe=4, seed=42) -> str | None:
+    """DuckDB twin of ivf_topk at the driver's sf0.01: recompute the
+    SAME deterministic centroids (identical numpy Lloyd's routine over
+    the identical ORDER BY vec_id LIMIT 4096 sample), inline them as
+    literals, assign cells by first-argmax of the literal-centroid dots
+    (list_indexof ≡ Spark's array_position), prune to the same nprobe
+    cells, and exact-rescore with the shared left-fold cosine.  The
+    centroid literals are data-dependent, so the sample is read from the
+    sf the oracle will run against: $SPARK_GRAFT_TEST_SF_DIR when the
+    local harness sets it, else the driver's documented sf0.01.
+
+    Registered as a FACTORY (not called at decoration): the registry
+    resolves it lazily at verification time, so the env var is read when
+    the oracle is used, query-module import does no file I/O, and a
+    degradation to rows-only (unreadable parquet → None) is logged by
+    Query.oracle_text instead of passing silently."""
+    ctx = _ivf_oracle_ctx(n_centroids, seed)
+    if ctx is None:
+        return None
+    cent, qn, scores = ctx
+    import numpy as np
+
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        o_quantize,
+    )
+
+    order = np.argsort(-(cent @ qn))[:nprobe]
+    probe = ", ".join(str(int(c) + 1) for c in order)
     return f"""
     WITH a AS (
       SELECT vec_id, v,
@@ -249,6 +268,113 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not rows:
         return spark.createDataFrame([], "vec_id long, score double")
     return ivf_topk(emb, rows[0]["embedding"], k=10, n_centroids=16, nprobe=4)
+
+
+def _o_ann_recall(k=10, n_centroids=16, seed=42) -> str | None:
+    """DuckDB twin of q_ann_recall: the same re-derived centroid
+    literals as _o_ivf, one CTE per nprobe's probed top-k, the exact
+    brute-force top-k as ground truth, recall as an exact count/k
+    division — deterministic on both engines because every cosine is a
+    q20 fixed-point dot and every cut tie-breaks on vec_id."""
+    ctx = _ivf_oracle_ctx(n_centroids, seed)
+    if ctx is None:
+        return None
+    cent, qn, scores = ctx
+    import numpy as np
+
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        o_quantize,
+    )
+
+    ctes = []
+    selects = []
+    for nprobe in (1, 2, 4, 8):
+        order = np.argsort(-(cent @ qn))[:nprobe]
+        probe = ", ".join(str(int(c) + 1) for c in order)
+        ctes.append(
+            f"""ivf{nprobe} AS (
+      SELECT a.vec_id FROM a, q WHERE a.cell IN ({probe})
+      ORDER BY list_dot_product(a.v, qv)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(qv, qv))) DESC, a.vec_id
+      LIMIT {k}
+    )"""
+        )
+        selects.append(
+            f"SELECT CAST({nprobe} AS INT) AS nprobe, "
+            f"CAST((SELECT count(*) FROM ivf{nprobe} "
+            f"WHERE vec_id IN (SELECT vec_id FROM bf)) / {k}.0 AS DOUBLE) "
+            "AS recall_at_k"
+        )
+    return f"""
+    WITH a AS (
+      SELECT vec_id, v,
+             list_indexof(s, list_max(s)) AS cell
+      FROM (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               [{scores}] AS s
+        FROM (SELECT vec_id, embedding, {o_quantize()} AS qvec FROM embeddings)
+      )
+    ), q AS (SELECT v AS qv FROM a WHERE vec_id = 0),
+    bf AS (
+      SELECT a.vec_id FROM a, q
+      ORDER BY list_dot_product(a.v, qv)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(qv, qv))) DESC, a.vec_id
+      LIMIT {k}
+    ),
+    {", ".join(ctes)}
+    {" UNION ALL ".join(selects)}
+    ORDER BY nprobe
+    """
+
+
+@query("q_ann_recall", oracle=_o_ann_recall, tags=("U6", "J8"))
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall accountability for the IVF ANN path: recall@10 vs the
+    exact brute-force top-10 at nprobe ∈ {1, 2, 4, 8} of 16 cells —
+    the recall/latency trade an operator budgets against (probing half
+    the cells should recover most of the truth; this query MEASURES
+    it, per corpus, fully oracle-checked).  Deterministic despite
+    k-means being iterative and the cut being a top-k: the oracle
+    replays the identical centroid literals (see _ivf_oracle_ctx) and
+    both engines tie-break every cut on vec_id over q20-exact scores."""
+    from functools import reduce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.where(F.col("vec_id") == 0).limit(1).collect()
+    if not rows:
+        return spark.createDataFrame([], "nprobe int, recall_at_k double")
+    qv = rows[0]["embedding"]
+    truth = brute_force_topk(emb, qv, k=10).select("vec_id")
+    parts = [
+        ivf_topk(emb, qv, k=10, n_centroids=16, nprobe=p)
+        .select(F.lit(p).cast("int").alias("nprobe"), "vec_id")
+        for p in (1, 2, 4, 8)
+    ]
+    cand = reduce(DataFrame.unionByName, parts)
+    # truth is k rows — always broadcast-safe; the probed top-k frames
+    # are k rows per nprobe, so this "join" is trivially small at ANY
+    # corpus size (the heavy lifting happened inside the top-k
+    # operators, which prune cells before scoring)
+    hits = (
+        cand.join(F.broadcast(truth), "vec_id")
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    # left join from the literal probe list: an nprobe with ZERO hits
+    # must surface as recall 0.0, not vanish from the group-by
+    probes = spark.createDataFrame([(1,), (2,), (4,), (8,)], "nprobe int")
+    return (
+        probes.join(hits, "nprobe", "left")
+        .select(
+            "nprobe",
+            (F.coalesce(F.col("_hits"), F.lit(0)) / F.lit(10.0)).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("nprobe")
+    )
 
 
 _BASIS_64 = "[" + ", ".join(["1.0"] + ["0.0"] * 63) + "]::DOUBLE[]"
