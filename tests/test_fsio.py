@@ -162,3 +162,57 @@ def test_ann_index_over_hadoop_uri(spark, tmp_path):
         idx.query_exact(qv, k=5, nprobe=4).collect()
         == loaded.query_exact(qv, k=5, nprobe=4).collect()
     )
+
+
+def test_streaming_dedup_store_over_hadoop_uri(spark, sf_dir, tmp_path):
+    """The dedup ingest's HOT LOOP (per-batch store scan + footer
+    counts + manifest commits) must run unchanged when the signature
+    store lives behind a file:// URI — the HadoopIO path a real
+    hdfs:// deployment takes."""
+    from consume_kafka_avro_data_spark.streaming.dedup import (
+        StreamingDedupIngest,
+    )
+    from consume_kafka_avro_data_spark.tables import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    topic = str(tmp_path / "docs")
+    docs.repartition(2).write.parquet(topic)
+
+    ingest = StreamingDedupIngest(
+        spark,
+        store_dir=f"file://{tmp_path}/store",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert isinstance(ingest.store._io, HadoopIO)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(topic)
+    )
+    m = ingest.run_to_completion(stream)
+    assert m.docs == 200
+    assert m.novel_docs + m.dup_docs == 200
+    assert ingest.store.read().count() == m.novel_docs
+    before = sorted(r["_id"] for r in ingest.store.read().collect())
+
+    # replay with a fresh checkpoint: stored docs must not self-match
+    # (id-excluded) and merge_new must append nothing — store contents
+    # byte-stable through the HadoopIO manifest path
+    replay = StreamingDedupIngest(
+        spark,
+        store_dir=f"file://{tmp_path}/store",
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    m2 = replay.run_to_completion(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(topic)
+    )
+    assert m2.docs == 200
+    after = sorted(r["_id"] for r in replay.store.read().collect())
+    assert after == before
+    assert replay.store.version() == ingest.store.version()

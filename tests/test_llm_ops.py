@@ -1161,3 +1161,30 @@ def test_decontaminate_bloom_equals_exact_join_form(spark, sf_dir):
         for r in qs["q_decontaminate_bloom"].fn(spark, sf_dir).collect()
     }
     assert bloom == exact and len(bloom) > 0
+
+
+def test_broadcast_bloom_parameter_guards(spark):
+    """Misuse fails loudly AND early: k <= 0 would make might_contain
+    return None (a confusing error far from the call site), and a bit
+    array past MAX_BITS would ship >16 MB of longs inside every task
+    binary — build() refuses before running its distributed pass."""
+    import pytest as _pytest
+
+    from consume_kafka_avro_data_spark.operators.bloom import (
+        MAX_BITS,
+        BroadcastBloom,
+    )
+
+    df = spark.createDataFrame([("x",)], ["g"])
+    with _pytest.raises(ValueError, match="k must be >= 1"):
+        BroadcastBloom.build(df, "g", k=0)
+    with _pytest.raises(ValueError, match="k must be >= 1"):
+        BroadcastBloom([0, 0], m=128, k=0)
+    with _pytest.raises(ValueError, match="m must be >= 64"):
+        BroadcastBloom([], m=0, k=4)
+    # sized past the plan-literal bound: refused without a Spark job
+    with _pytest.raises(ValueError, match="MAX_BITS"):
+        BroadcastBloom.build(df, "g", n_bits=MAX_BITS + 64)
+    # the documented maximum itself is accepted (bound is inclusive)
+    words = [0] * (MAX_BITS // 64)
+    BroadcastBloom(words, m=MAX_BITS, k=4)
