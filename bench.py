@@ -411,7 +411,11 @@ def ann_index_bench(spark, sf_dir: str) -> dict:
             recall[f"nprobe{nprobe}"] = round(hits / (10 * len(q_vecs)), 3)
         # ADC recall at the widest probe: with cell loss mostly gone at
         # nprobe=8, the gap below the exact path's number is the PQ
-        # quantization loss itself — the cost of never reading a float
+        # quantization loss itself — the cost of never reading a float.
+        # The serving shape (query_adc_rerank: ADC shortlist → exact
+        # re-rank of `shortlist` floats) should close that gap while
+        # still reading ~shortlist vectors instead of every probed
+        # cell's — both measured so the trade is a number.
         recall_adc = {}
         for nprobe in (4, 8):
             hits = sum(
@@ -427,6 +431,24 @@ def ann_index_bench(spark, sf_dir: str) -> dict:
             recall_adc[f"nprobe{nprobe}"] = round(
                 hits / (10 * len(q_vecs)), 3
             )
+        # rerank at fixed nprobe=8: the SHORTLIST is the recall knob
+        # once probes saturate (each +1 of shortlist costs one more
+        # float-vector read, not another cell scan)
+        recall_rerank = {}
+        for sl in (50, 200):
+            hits_r = sum(
+                len(
+                    {
+                        r["vec_id"]
+                        for r in idx.query_adc_rerank(
+                            v, 10, nprobe=8, shortlist=sl
+                        ).collect()
+                    }
+                    & truth[i]
+                )
+                for i, v in q_vecs.items()
+            )
+            recall_rerank[f"sl{sl}"] = round(hits_r / (10 * len(q_vecs)), 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return {
@@ -436,6 +458,7 @@ def ann_index_bench(spark, sf_dir: str) -> dict:
         "query_adc_sec": round(t_adc, 4),
         "recall_at_10": recall,
         "recall_at_10_adc": recall_adc,
+        "recall_at_10_adc_rerank": recall_rerank,
     }
 
 
@@ -733,6 +756,7 @@ def main() -> None:
             "skew_speedup": skew["speedup"],
             "ann_recall_at_10": ann["recall_at_10"],
             "ann_recall_at_10_adc": ann["recall_at_10_adc"],
+            "ann_recall_at_10_adc_rerank": ann["recall_at_10_adc_rerank"],
             "bloom_crossover_mult": bloom_x["crossover_mult"],
             "baseline_reference_msgs_per_sec": 770,
         },

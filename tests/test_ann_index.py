@@ -238,3 +238,50 @@ def test_crash_orphaned_generation_dirs_are_swept(spark, sf_dir, tmp_path):
     # grace: the superseded (pre-rebuild) live dirs still on disk
     assert set(idx.vectors_dirs) <= names
     assert set(rebuilt.vectors_dirs) <= names
+
+
+def test_adc_rerank_saturated_shortlist_equals_exact_path(
+    spark, sf_dir, index, qvec
+):
+    """With a shortlist as large as the probed cells' population, the
+    ADC stage discards nothing and the re-rank must return EXACTLY the
+    exact path's top-k (same probe set, same q20 cosines, same id
+    tie-breaks)."""
+    n_probed = index._probe(qvec, nprobe=2).count()
+    want = [
+        (r.vec_id, r.score)
+        for r in index.query_exact(qvec, 10, nprobe=2).collect()
+    ]
+    got = [
+        (r.vec_id, r.score)
+        for r in index.query_adc_rerank(
+            qvec, 10, nprobe=2, shortlist=n_probed
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_adc_rerank_recovers_recall_over_plain_adc(spark, sf_dir, index, qvec):
+    """The serving-shape contract: re-ranking the ADC shortlist with
+    true cosines recalls at least as much of the exact answer as plain
+    ADC's top-k, and the rescore scan reads floats for the SHORTLIST
+    only (an IN pushdown below the cell PartitionFilter)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = {r.vec_id for r in brute_force_topk(emb, qvec, 10).collect()}
+    adc = {r.vec_id for r in index.query_adc(qvec, 10, nprobe=8).collect()}
+    rer = index.query_adc_rerank(qvec, 10, nprobe=8, shortlist=50)
+    rerank = {r.vec_id for r in rer.collect()}
+    assert len(rerank & truth) >= len(adc & truth)
+    # the query vector itself survives the shortlist and re-ranks first
+    top = rer.collect()[0]
+    assert top.vec_id == 1 and abs(top.score - 1.0) < 1e-12
+    # plan: float reads are gated by the pushed id filter
+    from consume_kafka_avro_data_spark.plans.inspect import pushed_filters
+
+    cand = (
+        index._probe(qvec, 8)
+        .where(F.col("vec_id").isin([1, 2, 3]))
+        .select("vec_id", "embedding")
+    )
+    pushed = pushed_filters(cand, "vectors")
+    assert any("vec_id" in f and "In" in f for f in pushed), pushed
