@@ -483,23 +483,15 @@ def bloom_crossover_bench(spark, sf_dir: str) -> dict:
         BITS_PER_ITEM,
         BroadcastBloom,
     )
-    from consume_kafka_avro_data_spark.queries.curation import _lower_tokens
+    from consume_kafka_avro_data_spark.queries.curation import word_grams
     from consume_kafka_avro_data_spark.tables import load_table
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    t = _lower_tokens()
-    grams_expr = F.when(
-        F.size(t) >= 8,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 7),
-            lambda i: F.concat_ws(" ", F.slice(t, i, 8)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     eval_g = (
         d.where(F.col("source") == "src0")
-        .select(F.explode(grams_expr).alias("g"))
+        .select(F.explode(word_grams(8)).alias("g"))
         .distinct()
         .localCheckpoint(eager=True)  # shared eval prep, outside timers
     )
@@ -518,7 +510,7 @@ def bloom_crossover_bench(spark, sf_dir: str) -> dict:
                     "text",
                 )
             )
-            tg = train.select("doc_id", F.explode(grams_expr).alias("g"))
+            tg = train.select("doc_id", F.explode(word_grams(8)).alias("g"))
 
             t0 = time.perf_counter()
             (

@@ -108,6 +108,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     from consume_kafka_avro_data_spark.streaming.ingest import StreamingGraphIngest
 
+    if args.produce_csv and args.sql:
+        # producer mode populates a TOPIC, not the graph — there is no
+        # engine state to query; silently dropping the flag would read
+        # as data loss (the consumer modes honor it)
+        print(
+            "--sql is not available with --produce-csv (producer mode "
+            "writes a topic, not the graph); run it with --batch/--ocf",
+            file=sys.stderr,
+        )
+        return 2
+
     spark = get_session(app_name=f"cka-spark-{topic}")
     spark.sparkContext.setLogLevel("WARN")
     if args.produce_csv:

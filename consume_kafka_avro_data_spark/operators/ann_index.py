@@ -304,11 +304,6 @@ class AnnIndex:
             counts[cell] = counts.get(cell, 0) + io.parquet_num_rows(fpath)
         return counts
 
-    @classmethod
-    def _dir_row_count(cls, io, path_dir: str) -> int:
-        """Row count of a written generation from parquet FOOTERS."""
-        return sum(cls._dir_cell_counts(io, path_dir).values())
-
     @staticmethod
     def _gc_unreferenced(io, path: str, keep: set[str]) -> None:
         """Delete every ``vectors-*`` directory the committed meta does
@@ -434,8 +429,14 @@ class AnnIndex:
         # bounded collect: exactly `shortlist` rows by construction
         ids = [r[self.id_col] for r in short.collect()]
         if not ids:
-            return self.spark.createDataFrame(
-                [], f"{self.id_col} long, score double"
+            # empty-index probe: keep the id column's REAL type (ids
+            # may be strings), so this branch unions cleanly with
+            # non-empty results
+            return (
+                self._vectors()
+                .select(self.id_col)
+                .limit(0)
+                .withColumn("score", F.lit(0.0))
             )
         cand = (
             self._probe(query_vec, nprobe)

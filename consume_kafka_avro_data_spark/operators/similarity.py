@@ -553,6 +553,55 @@ def ivf_topk(
     return brute_force_topk(cand.drop("_ivf_cell"), query_vec, k, id_col, vec_col)
 
 
+def semantic_dedup_params(
+    corpus: DataFrame,
+    n_centroids: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+    n_blocks: int | None = None,
+):
+    """The ONE derivation of semantic_dedup's eager-phase parameters —
+    ``(centroids, n_centroids, n_blocks)`` — shared between
+    :func:`semantic_dedup` and callers that run the eager phases on a
+    checkpoint themselves (queries/curation.curation_verdicts).  A
+    second copy of these formulas would silently diverge from the
+    DuckDB oracles, which re-derive k and the sample from the same
+    count/slice.
+
+    * Centroids: the shared k-means sample is collected FIRST so the
+      auto-k path reads the dimension from it instead of paying a
+      separate head() job; ``n_centroids=None`` derives k = ⌊√n⌋ from
+      one count job via :func:`auto_n_centroids` (pure integer math
+      the oracles re-derive from the same count).
+    * Blocks: the decomposition exists to BOUND a hot cell's GEMM
+      task, not to split already-small cells — b blocks cost b(b+1)/2
+      groups per cell, and with k ≈ √n cells a fixed b shatters the
+      sweep into thousands of tiny pandas groups whose per-group
+      overhead dominates (measured 0.93 s → 1.28 s at sf0.1 when
+      auto-k landed on b=4).  Scale b to the EXPECTED cell (n/k rows,
+      ~4096-row blocks); skew beyond expectation only grows the
+      per-task GEMM quadratically-in-overshoot, and the result is
+      block-count-invariant (every pair is scored exactly once under
+      any b)."""
+    n_rows = None
+    if centroids is None:
+        x = kmeans_sample(corpus, id_col=id_col, vec_col=vec_col)
+        if n_centroids is None:
+            n_rows = corpus.count()
+            n_centroids = (
+                auto_n_centroids(n_rows, x.shape[1]) if len(x) else 1
+            )
+        centroids = lloyd_unit_kmeans(x, k=n_centroids, seed=seed)
+    if n_blocks is None:
+        if n_rows is None:
+            n_rows = corpus.count()
+        est_cell = max(1, n_rows // max(len(centroids), 1))
+        n_blocks = max(1, min(16, -(-est_cell // 4096)))
+    return centroids, n_centroids, n_blocks
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.35,
@@ -599,35 +648,16 @@ def semantic_dedup(
         StructType,
     )
 
-    n_rows = None
-    if centroids is None:
-        # collect the shared k-means sample FIRST so the auto-k path
-        # reads the dimension from it instead of paying a separate
-        # head() job
-        x = kmeans_sample(corpus, id_col=id_col, vec_col=vec_col)
-        if n_centroids is None:
-            # one count job + the shared pure-integer formula the
-            # oracle re-derives from the same count (auto_n_centroids)
-            n_rows = corpus.count()
-            n_centroids = (
-                auto_n_centroids(n_rows, x.shape[1]) if len(x) else 1
-            )
-        centroids = lloyd_unit_kmeans(x, k=n_centroids, seed=seed)
-    if n_blocks is None:
-        # Block decomposition exists to BOUND a hot cell's GEMM task,
-        # not to split already-small cells: b blocks cost b(b+1)/2
-        # groups per cell, and with k ≈ √n cells a fixed b shatters the
-        # sweep into thousands of tiny pandas groups whose per-group
-        # overhead dominates (measured 0.93 s → 1.28 s at sf0.1 when
-        # auto-k landed on b=4).  Scale b to the EXPECTED cell (n/k
-        # rows, ~4096-row blocks); skew beyond expectation still only
-        # grows the per-task GEMM quadratically-in-overshoot, and the
-        # result is block-count-invariant (every pair is scored exactly
-        # once under any b).
-        if n_rows is None:
-            n_rows = corpus.count()
-        est_cell = max(1, n_rows // max(len(centroids), 1))
-        n_blocks = max(1, min(16, -(-est_cell // 4096)))
+    if centroids is None or n_blocks is None:
+        centroids, _, n_blocks = semantic_dedup_params(
+            corpus,
+            n_centroids=n_centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+            seed=seed,
+            centroids=centroids,
+            n_blocks=n_blocks,
+        )
     assigned = ivf_assign(corpus.select(id_col, vec_col), centroids, vec_col)
 
     blk = (F.crc32(F.col(id_col).cast("string")) % n_blocks).cast("int")

@@ -63,17 +63,20 @@ def _split_top_level(text: str) -> list[str]:
 
     ``<``/``>`` are bracket-counted ONLY when the ``<`` immediately
     follows a TYPE keyword (``array<``, ``map<``, ``struct<``) AND the
-    next character starts an identifier: a follows-a-word-character
-    heuristic would treat the infix comparison in a spaceless plan
-    fragment (``(x#1<5)``) as an opener whose ``>`` never arrives,
-    permanently disabling comma splitting for the rest of the payload —
-    and a column literally NAMED ``array``/``map``/``struct`` (no
-    #exprId suffix) compared spacelessly against a literal
-    (``array<5``) would trip the keyword check alone, so the opener
-    additionally requires a type-name-looking character after the
-    ``<`` (every Spark type token starts with a letter).  Closers only
-    decrement when an opener is outstanding (depth never goes
-    negative), and lambda arrows (``->``) are ignored."""
+    next character continues an identifier (alnum/underscore — struct
+    field names may start with a DIGIT via CSV headers, so requiring a
+    letter would mis-split ``struct<1a:int,b:string>``): a
+    follows-a-word-character heuristic would treat the infix comparison
+    in a spaceless plan fragment (``(x#1<5)``) as an opener whose ``>``
+    never arrives, permanently disabling comma splitting for the rest
+    of the payload.  The residual false-open — a column literally NAMED
+    ``array``/``map``/``struct`` with no ``#exprId`` suffix compared
+    spacelessly to a value — cannot occur in Spark-rendered plan
+    payloads (columns carry ``#exprId``, which resets the word
+    tracker at ``#``; pushed filters render functionally,
+    ``GreaterThan(col, 5)``).  Closers only decrement when an opener
+    is outstanding (depth never goes negative), and lambda arrows
+    (``->``) are ignored."""
     type_words = ("array", "map", "struct")
     out: list[str] = []
     cur: list[str] = []
@@ -89,7 +92,7 @@ def _split_top_level(text: str) -> list[str]:
         elif (
             ch == "<"
             and "".join(word).lower() in type_words
-            and (nxt.isalpha() or nxt == "_")
+            and (nxt.isalnum() or nxt == "_")
         ):
             angle += 1
         elif ch == ">" and angle > 0 and prev != "-":

@@ -26,6 +26,23 @@ def _lower_tokens() -> F.Column:
     return F.split(F.lower(F.col("text")), " ")
 
 
+def word_grams(n: int = 8) -> F.Column:
+    """Word ``n``-gram array over ``text`` (lowercased, space-split) —
+    THE decontamination gram shape, shared by ``q_decontaminate``,
+    ``q_decontaminate_bloom``, and the bench's crossover measurement
+    (bench.py): a second copy would let the published crossover
+    silently measure a different gram shape than the shipped queries.
+    Docs shorter than ``n`` tokens produce no grams (both engines)."""
+    t = _lower_tokens()
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 @query(
     "q_stratified_sample",
     oracle="""
@@ -154,15 +171,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (eval sets are tiny next to the corpus).  Docs shorter than 8
     tokens produce no grams on either engine."""
     d = load_table(spark, sf_dir, "documents")
-    t = _lower_tokens()
-    grams_expr = F.when(
-        F.size(t) >= 8,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 7),
-            lambda i: F.concat_ws(" ", F.slice(t, i, 8)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = d.select("doc_id", "source", F.explode(grams_expr).alias("g"))
+    grams = d.select("doc_id", "source", F.explode(word_grams(8)).alias("g"))
     eval_g = grams.where(F.col("source") == "src0").select("g").distinct()
     train_g = (
         grams.where(F.col("source") != "src0").select("doc_id", "g").distinct()
@@ -221,15 +230,7 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from consume_kafka_avro_data_spark.operators.bloom import BroadcastBloom
 
     d = load_table(spark, sf_dir, "documents")
-    t = _lower_tokens()
-    grams_expr = F.when(
-        F.size(t) >= 8,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 7),
-            lambda i: F.concat_ws(" ", F.slice(t, i, 8)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = d.select("doc_id", "source", F.explode(grams_expr).alias("g"))
+    grams = d.select("doc_id", "source", F.explode(word_grams(8)).alias("g"))
     eval_g = grams.where(F.col("source") == "src0").select("g").distinct()
     # The bloom BUILD traverses the eval subtree twice (count for m,
     # positions collect) — checkpoint for exactly that window, then
@@ -634,9 +635,7 @@ def curation_verdicts(
     # survivor join at consumer time — reading ``s``'s checkpoint, so
     # the recompute is two cheap id-joins, not the quality fold.
     from consume_kafka_avro_data_spark.operators.similarity import (
-        auto_n_centroids,
-        kmeans_sample,
-        lloyd_unit_kmeans,
+        semantic_dedup_params,
     )
 
     surv_emb = emb.join(
@@ -647,18 +646,13 @@ def curation_verdicts(
     )
     surv_ck = surv_emb.localCheckpoint(eager=True)
     try:
-        x = kmeans_sample(surv_ck)
-        n_rows = surv_ck.count()
-        k = n_centroids
-        if k is None:
-            # the same derivation semantic_dedup's auto-k path runs (and
-            # the DuckDB oracle re-derives from the same count)
-            k = auto_n_centroids(n_rows, x.shape[1]) if len(x) else 1
-        centroids = lloyd_unit_kmeans(x, k=k, seed=42)
+        # THE shared derivation (semantic_dedup_params) — a local copy
+        # of the k/blocks formulas would drift from the oracles
+        centroids, k, n_blocks = semantic_dedup_params(
+            surv_ck, n_centroids=n_centroids
+        )
     finally:
         surv_ck.unpersist()
-    est_cell = max(1, n_rows // max(len(centroids), 1))
-    n_blocks = max(1, min(16, -(-est_cell // 4096)))
     sem = semantic_dedup(
         surv_emb,
         threshold=threshold,

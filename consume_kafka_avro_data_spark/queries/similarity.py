@@ -347,8 +347,17 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], "nprobe int, recall_at_k double")
     qv = rows[0]["embedding"]
     truth = brute_force_topk(emb, qv, k=10).select("vec_id")
+    # train the quantizer ONCE: the four nprobe variants share the same
+    # deterministic (n_centroids=16, seed=42) centroids, so per-call
+    # training would re-collect the sample and re-run Lloyd's 4× for
+    # bit-identical matrices
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    cent = kmeans_centroids(emb, k=16, seed=42)
     parts = [
-        ivf_topk(emb, qv, k=10, n_centroids=16, nprobe=p)
+        ivf_topk(emb, qv, k=10, n_centroids=16, nprobe=p, centroids=cent)
         .select(F.lit(p).cast("int").alias("nprobe"), "vec_id")
         for p in (1, 2, 4, 8)
     ]
