@@ -2,9 +2,13 @@
 store path carries a URI scheme, plain POSIX for schemeless local paths
 (the degenerate case).
 
-Why this exists: ``ManifestTable`` and ``AnnIndex`` write their DATA
-through Spark (cluster-capable on any ``hdfs://``/``s3a://`` path), but
-their manifest/meta commits are driver-side file operations.  Routed
+Why this exists: the reference's sink was a NETWORK database (libpq
+connection, ``/root/reference/src/Database.cpp:5`` — nothing about its
+persistence assumed a local disk), so this engine's stores must not
+silently require one either.  ``ManifestTable`` and ``AnnIndex`` write
+their DATA through Spark (cluster-capable on any
+``hdfs://``/``s3a://`` path), but their manifest/meta commits are
+driver-side file operations.  Routed
 through ``os``/``shutil``/``pyarrow`` they silently require the store
 directory to be driver-local — a hard blocker on a real cluster.  This
 module expresses the same nine primitives over

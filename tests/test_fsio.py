@@ -216,3 +216,27 @@ def test_streaming_dedup_store_over_hadoop_uri(spark, sf_dir, tmp_path):
     after = sorted(r["_id"] for r in replay.store.read().collect())
     assert after == before
     assert replay.store.version() == ingest.store.version()
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"",
+        b"\x00",
+        b"\x00\xff" * 3,
+        bytes(range(256)),
+        b"\x80\x81\xfe\xff" * 100_000,  # ~400 KB, high bits set
+    ],
+    ids=["empty", "nul", "nul-ff", "all-bytes", "400kb-high-bits"],
+)
+def test_hadoop_io_byte_roundtrip_exact(spark, tmp_path, payload):
+    """write_bytes/read_bytes through the JVM must be byte-exact for
+    arbitrary binary payloads (py4j byte[] conversion is the risk:
+    signed bytes, NULs, large arrays) — and identical to the POSIX
+    backend's roundtrip."""
+    hd = fs_for(spark, f"file://{tmp_path}")
+    p = f"file://{tmp_path}/blob.bin"
+    hd.write_bytes(p, payload)
+    assert hd.read_bytes(p) == payload
+    # the POSIX backend reads the same physical file identically
+    assert LocalIO().read_bytes(str(tmp_path / "blob.bin")) == payload
