@@ -33,7 +33,7 @@ from consume_kafka_avro_data_spark.registry import all_queries  # noqa: E402
 # entry) pinned last so it never displaces a provable query.
 _EXPOSURE_PRIORITY: list[str] = [
     # (a) round-5 additions — no driver row yet
-    "q_ann_recall",
+    "q_ann_recall", "q_adc_rerank",
     # (b) last certified r02 (37 provable) — the stalest evidence
     # (the other 7 of r02's 44 provable rows — q_rename_cast,
     # q_string_funcs, q_date_funcs, q_math_case, q_json_extract,
@@ -56,7 +56,7 @@ _EXPOSURE_PRIORITY: list[str] = [
     "q_asof_join", "q_bm25_rank", "q_bpe_tokens", "q_calendar_densify",
     "q_curation_pipeline", "q_dedup_keep_canonical", "q_doc_chunks",
     "q_doc_fingerprint", "q_edge_join", "q_filter_predicates",
-    "q_first_last", "q_full_outer",
+    "q_first_last",
     # (d) remaining r03 then r04 rows follow in registration order; the
     # rows-only estimator stays last (enforced below)
 ]

@@ -1757,3 +1757,73 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not rows:
         return spark.createDataFrame([], "vec_id long, adc_dist double")
     return pq_adc_topk(emb, rows[0]["embedding"], cb, k=10)
+
+
+def _o_adc_rerank(shortlist=50, k=10) -> str | None:
+    """DuckDB twin of q_adc_rerank: the shared PQ-codes CTE + ADC LUT
+    produce the same deterministic shortlist cut (adc asc, id asc), and
+    the re-rank is the exact float cosine with the same (score desc,
+    id asc) cut — every stage engine-portable."""
+    from consume_kafka_avro_data_spark.operators.similarity import pq_adc_lut
+
+    cte = _o_pq_codes_cte()
+    got = _pq_codebooks_np()
+    if cte is None or got is None or got[1] is None:
+        return None
+    cb, qv = got
+    vals = ", ".join(
+        f"({s}, {c}, {p!r})" for s, c, p in pq_adc_lut(qv, cb)
+    )
+    return (
+        cte.rstrip()
+        + f""",
+    lut(pq_sub, pq_code, partial) AS (VALUES {vals}),
+    short AS (
+      SELECT c.vec_id FROM codes c JOIN lut l USING (pq_sub, pq_code)
+      GROUP BY c.vec_id
+      ORDER BY SUM(l.partial) ASC, vec_id ASC
+      LIMIT {shortlist}
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           list_dot_product(e.v, qv)
+           / (sqrt(list_dot_product(e.v, e.v))
+              * sqrt(list_dot_product(qv, qv))) AS score
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings) e
+    JOIN short USING (vec_id), q
+    ORDER BY score DESC, e.vec_id ASC
+    LIMIT {k}
+    """
+    )
+
+
+@query("q_adc_rerank", oracle=_o_adc_rerank, tags=("U6", "J8"))
+def q_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ SERVING shape as a driver-checkable query: ADC scores
+    every vector from codes alone (no float reads), the top-``50``
+    shortlist comes back to the driver (bounded by the constant, never
+    the data), and ONLY those vectors are re-ranked with true cosines —
+    recall recovers from the PQ-loss cap while float-column IO stays
+    shortlist-sized (the persisted-index twin is
+    ``AnnIndex.query_adc_rerank``; this per-query form shares its
+    shape and is fully oracle-checked end-to-end: codes, LUT partial
+    sums, both deterministic cuts)."""
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb, m=_PQ_M, k=_PQ_K)
+    rows = emb.where(F.col("vec_id") == 0).limit(1).collect()
+    if not rows:  # degrade with the oracle (rows-only), as q_pq_adc does
+        return spark.createDataFrame([], "vec_id long, score double")
+    qv = rows[0]["embedding"]
+    short = pq_adc_topk(emb, qv, cb, k=50)
+    # bounded collect: exactly `shortlist` ids by construction; pushed
+    # into the rescore scan as an IN filter (row-group pruning)
+    ids = [r["vec_id"] for r in short.collect()]
+    cand = emb.where(F.col("vec_id").isin(ids))
+    return brute_force_topk(cand, qv, k=10)
