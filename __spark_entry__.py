@@ -19,59 +19,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from consume_kafka_avro_data_spark.registry import all_queries  # noqa: E402
 
-# Driver-exposure ordering (round 5: freshness rotation, continued).
-# The correctness driver evaluates a ~50-query prefix of ``queries()``
-# in dict order; every catalog query has a green row, so the policy is
-# FRESHNESS — re-certify the queries whose most recent driver row is
-# oldest, keeping every row in the rolling union ≤ 2 rounds old.
-# After r04 the union's staleness is: 37 provable queries last
-# certified by r02 (the r04 prefix could not fit them), 50 by r03, 50
-# by r04.  Ordering: (a) round-5 additions with no driver row yet,
-# (b) ALL 37 provable r02 rows, (c) the stalest r03 rows to fill the
-# 50-slot prefix, (d) the rest of r03 then r04 in registration order,
-# with ``q_minhash_est_fast`` (the catalog's only rows-only-by-design
-# entry) pinned last so it never displaces a provable query.
-_EXPOSURE_PRIORITY: list[str] = [
-    # (a) round-5 additions — no driver row yet
-    "q_ann_recall", "q_adc_rerank",
-    # (b) last certified r02 (37 provable) — the stalest evidence
-    # (the other 7 of r02's 44 provable rows — q_rename_cast,
-    # q_string_funcs, q_date_funcs, q_math_case, q_json_extract,
-    # q_array_explode, q_lag_lead — were re-certified by r04)
-    "q_window_running", "q_union_except", "q_session_like",
-    "q_approx_distinct", "q_approx_percentile", "q_asof_tolerance",
-    "q_interval_count_binned", "q_local_supplier_volume",
-    "q_returned_items", "q_shipping_priority", "q_supply_chain_reach",
-    "q_trade_triangles", "q_zorder_layout", "q_text_tokens",
-    "q_containment", "q_ngram_jaccard", "q_simhash_neardup",
-    "q_simhash_signatures", "q_winnow_fingerprints", "q_minhash_est",
-    "q_minhash_neardup", "q_dedup_clusters", "q_dedup_pipeline",
-    "q_embedding_neardup", "q_embedding_norms", "q_label_centroids",
-    "q_neardup_lsh", "q_pq_adc", "q_pq_codes", "q_similarity_ann",
-    "q_similarity_ivf", "q_similarity_topk", "q_sq_quantize",
-    "q_frame_sample", "q_multimodal_features", "q_ppm_features",
-    "q_wav_features",
-    # (c) stalest r03 rows fill the remaining prefix slots (the rest of
-    # r03 rotates in on round 6)
-    "q_asof_join", "q_bm25_rank", "q_bpe_tokens", "q_calendar_densify",
-    "q_curation_pipeline", "q_dedup_keep_canonical", "q_doc_chunks",
-    "q_doc_fingerprint", "q_edge_join", "q_filter_predicates",
-    "q_first_last",
-    # (d) remaining r03 then r04 rows follow in registration order; the
-    # rows-only estimator stays last (enforced below)
-]
+# Driver-exposure ordering: FRESHNESS rotation, computed from the
+# committed CORRECTNESS_r*.json artifacts (rounds 1-4 maintained a
+# hand-derived list here; round 5 automated it so the rotation is
+# routine).  Policy, encoded in consume_kafka_avro_data_spark/rotation:
+# never-certified queries first, then stalest green evidence first,
+# name tie-break; rows-only-by-design queries (oracle=None) pinned
+# after every provable query so the weaker check never displaces a
+# provable one from the driver's ~50-query checked prefix.  Each
+# round's new artifact automatically shifts the next round's order.
+from consume_kafka_avro_data_spark.rotation import (  # noqa: E402
+    exposure_order,
+    freshest_green,
+)
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
 def _ordered_queries():
     qs = all_queries()
-    # priority names in list position order, the rest keep registration order
-    prioritized = [n for n in _EXPOSURE_PRIORITY if n in qs]
-    tail = [n for n in qs if n not in set(prioritized)]
-    ordered = prioritized + tail
-    rows_only = "q_minhash_est_fast"  # rows-only by design: never displaces
-    if rows_only in ordered:  # a provable query from the checked prefix
-        ordered.remove(rows_only)
-        ordered.append(rows_only)
+    # provability from the registered oracle WITHOUT invoking factories
+    # (factories may read data files; import must stay side-effect free)
+    provable = {n: q.oracle is not None for n, q in qs.items()}
+    ordered = exposure_order(list(qs), provable, freshest_green(_REPO_DIR))
     return {n: qs[n] for n in ordered}
 
 
