@@ -343,3 +343,75 @@ def q_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(e3), ["a", "c"])
         .select("a", "b", "c")
     )
+
+
+@query(
+    "q_cc_components",
+    oracle="""
+    WITH RECURSIVE
+      base AS (
+        SELECT CAST(o_custkey  AS BIGINT) * 10     AS a,
+               CAST(o_orderkey AS BIGINT) * 10 + 1 AS b
+        FROM orders WHERE o_orderkey % 199 = 0
+        UNION ALL
+        SELECT CAST(l_orderkey AS BIGINT) * 10 + 1 AS a,
+               CAST(l_suppkey  AS BIGINT) * 10 + 2 AS b
+        FROM lineitem WHERE l_orderkey % 199 = 0
+      ),
+      e AS (
+        SELECT DISTINCT a, b FROM
+          (SELECT a, b FROM base UNION ALL SELECT b AS a, a AS b FROM base)
+      ),
+      reach(node, comp) AS (
+        SELECT a, a FROM e
+        UNION
+        SELECT e.a, r.comp FROM e JOIN reach r ON e.b = r.node
+      )
+    SELECT node, MIN(comp) AS comp FROM reach GROUP BY node
+    """,
+    tags=("J5", "U5", "graph"),
+)
+def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a multi-hop entity graph, with the
+    DISTRIBUTED hash-min + pointer-jumping loop forced
+    (``small_graph_edges=0``) — the other CC-backed queries
+    (q_dedup_clusters, q_dedup_pipeline) run small pair graphs that the
+    operator's adaptive union-find fallback answers driver-side, so
+    this row is the driver-level certification of the loop that a
+    100 TB pair graph would actually execute.
+
+    Graph: a deterministic 1/199 keyspace sample of orders, three node
+    namespaces packed into disjoint bigint ranges (customer = key*10,
+    order = key*10+1, supplier = key*10+2), edges customer—order and
+    order—supplier.  Both edge sets derive from pure pushed-down
+    filters — the order—supplier edges come straight from lineitem's
+    own l_orderkey, no join against the sampled orders — so at any SF
+    the pre-graph stage is two filtered scans.  Components chain
+    customers to each other through shared suppliers (diameter ≥ 4,
+    exercising the pointer jump).  Oracle: DuckDB recursive-CTE
+    reachability with the same min-id labeling (the same twin shape as
+    _o_dedup_clusters).
+
+    Replaces the reference's graph-in-Postgres identity
+    (src/Database.h:29-31) at analysis level: once relationships are
+    materialized, "which entities are transitively connected" is the
+    first graph question asked of them.
+    """
+    from consume_kafka_avro_data_spark.operators.graph import connected_components
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 199 == 0
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 199 == 0
+    )
+    cust_edges = orders.select(
+        (F.col("o_custkey").cast("bigint") * 10).alias("src"),
+        (F.col("o_orderkey").cast("bigint") * 10 + 1).alias("dst"),
+    )
+    supp_edges = li.select(
+        (F.col("l_orderkey").cast("bigint") * 10 + 1).alias("src"),
+        (F.col("l_suppkey").cast("bigint") * 10 + 2).alias("dst"),
+    )
+    edges = cust_edges.unionAll(supp_edges)
+    return connected_components(edges, "src", "dst", small_graph_edges=0)
