@@ -53,14 +53,16 @@ from consume_kafka_avro_data_spark.streaming.lifecycle import BoundedReplayMixin
 
 @dataclass
 class DedupMetrics:
-    """Per-run counters: every batch doc is rejected (quality gate,
-    when enabled), a dupe, or novel — the three always sum to docs."""
+    """Per-run counters: every batch doc is rejected (quality gate),
+    contaminated (decontamination gate), a dupe, or novel — the four
+    always sum to docs (gates that are off contribute zero)."""
 
     batches: int = 0
     docs: int = 0
     novel_docs: int = 0
     dup_docs: int = 0
     rejected_docs: int = 0
+    contaminated_docs: int = 0
     dup_pairs_by_batch: dict[int, int] = field(default_factory=dict)
 
 
@@ -90,6 +92,10 @@ class StreamingDedupIngest(BoundedReplayMixin):
         id_type: DataType | None = None,
         quality_threshold: float | None = None,
         rejects_dir: str | None = None,
+        eval_docs: DataFrame | None = None,
+        contam_gram_n: int = 8,
+        contam_min_hits: int = 1,
+        contam_dir: str | None = None,
     ):
         """``id_type`` is the document-id column's Spark type (default
         LongType) — it shapes the persisted store schema, so a stream
@@ -104,7 +110,26 @@ class StreamingDedupIngest(BoundedReplayMixin):
         store, never witness a duplicate, and are optionally persisted
         to ``rejects_dir`` (same partition-by-batch dynamic-overwrite
         replay contract as ``dupes_dir``).  The gate is map-only JVM
-        expressions — it adds no shuffle to the per-batch plan."""
+        expressions — it adds no shuffle to the per-batch plan.
+
+        ``eval_docs`` enables DECONTAMINATION AT INGEST (the streaming
+        form of q_decontaminate/q_decontaminate_bloom): a static frame
+        of benchmark/eval documents (same ``text_col``) whose word
+        ``contam_gram_n``-grams are, once at construction, distinct'd,
+        checkpointed, and compiled into a ``BroadcastBloom``.  Each
+        micro-batch's grams pass the bloom's pure-JVM bit-test
+        prefilter (no false negatives; prunes ~all clean grams before
+        any join), then an exact broadcast verify join against the
+        eval gram set — so a bloom false positive can NEVER reject a
+        clean document.  Docs with ≥ ``contam_min_hits`` distinct eval
+        grams are dropped before signing (never enter the store, never
+        witness a duplicate) and optionally persisted with their hit
+        counts to ``contam_dir`` (same replay contract as
+        ``rejects_dir``).  Gate order: quality first (map-only, no
+        shuffle) so the gram explode only runs on quality survivors.
+        Eval sets are bounded by construction — the bloom's
+        ``MAX_BITS`` guard and the broadcast verify both refuse builds
+        past plan-shippable size."""
         n = bands * rows
         self.spark = spark
         self.checkpoint_dir = checkpoint_dir
@@ -120,6 +145,31 @@ class StreamingDedupIngest(BoundedReplayMixin):
         self.compact_every = compact_every
         self.quality_threshold = quality_threshold
         self.rejects_dir = rejects_dir
+        self.contam_gram_n = contam_gram_n
+        self.contam_min_hits = contam_min_hits
+        self.contam_dir = contam_dir
+        self._eval_grams: DataFrame | None = None
+        self._bloom = None
+        if eval_docs is not None:
+            from consume_kafka_avro_data_spark.operators.bloom import (
+                BroadcastBloom,
+            )
+            from consume_kafka_avro_data_spark.queries.curation import (
+                word_grams,
+            )
+
+            # one-time: distinct eval grams, checkpointed (probed every
+            # batch — recomputing the explode per batch would rescan the
+            # eval corpus), then the bloom compiled from them.  Bounded:
+            # eval sets are fixed and small relative to the stream, and
+            # BroadcastBloom.build enforces MAX_BITS.
+            self._eval_grams = (
+                eval_docs.select(F.col(text_col).alias("text"))
+                .select(F.explode(word_grams(contam_gram_n)).alias("g"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            self._bloom = BroadcastBloom.build(self._eval_grams, "g")
         elem = LongType() if hash_fn == "xxhash64" else StringType()
         self.id_type = id_type or LongType()
         self.store = ManifestTable(
@@ -237,6 +287,47 @@ class StreamingDedupIngest(BoundedReplayMixin):
                 batch = batch.join(
                     rejects.select(self.id_col), self.id_col, "left_anti"
                 )
+        n_contam = 0
+        contam = None
+        if self._eval_grams is not None:
+            from consume_kafka_avro_data_spark.queries.curation import (
+                word_grams,
+            )
+
+            grams = batch.select(
+                self.id_col, F.col(self.text_col).alias("text")
+            ).select(
+                self.id_col, F.explode(word_grams(self.contam_gram_n)).alias("g")
+            )
+            # bloom prefilter = pure-JVM bit tests in the scan stage
+            # (prunes ~all clean grams); the exact broadcast verify
+            # join makes the decision FP-free, same two-phase shape as
+            # q_decontaminate_bloom
+            pre = grams.where(self._bloom.might_contain("g"))
+            contam = (
+                # broadcast justified: bounded eval gram set (see
+                # __init__ — MAX_BITS-guarded, checkpointed once)
+                pre.join(F.broadcast(self._eval_grams), "g")
+                .groupBy(self.id_col)
+                .agg(F.count_distinct("g").alias("eval_gram_hits"))
+                .where(F.col("eval_gram_hits") >= self.contam_min_hits)
+                .localCheckpoint(eager=True)  # dir write + count + anti-join
+            )
+            if self.contam_dir:
+                # partition by batch id + dynamic overwrite: a replayed
+                # batch REPLACES its own rows (same contract as rejects)
+                (
+                    contam.withColumn("batch_id", F.lit(batch_id))
+                    .write.partitionBy("batch_id")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .mode("overwrite")
+                    .parquet(self.contam_dir)
+                )
+            n_contam = contam.count()
+            if n_contam:
+                batch = batch.join(
+                    contam.select(self.id_col), self.id_col, "left_anti"
+                )
         sigs = minhash_sig_table(
             batch,
             self.id_col,
@@ -294,10 +385,11 @@ class StreamingDedupIngest(BoundedReplayMixin):
             self.store.merge_new(novel)
             if not replayed:
                 self.metrics.batches += 1
-                self.metrics.docs += n_docs + n_rejected
+                self.metrics.docs += n_docs + n_rejected + n_contam
                 self.metrics.dup_docs += n_dupes
                 self.metrics.novel_docs += n_docs - n_dupes
                 self.metrics.rejected_docs += n_rejected
+                self.metrics.contaminated_docs += n_contam
                 self.metrics.dup_pairs_by_batch[batch_id] = n_dupes
             self._seen_batches.add(batch_id)
             # append-per-batch grows the store's file count linearly
@@ -317,4 +409,6 @@ class StreamingDedupIngest(BoundedReplayMixin):
                 dup_map.unpersist()
             if rejects is not None:
                 rejects.unpersist()
+            if contam is not None:
+                contam.unpersist()
 

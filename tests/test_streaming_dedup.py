@@ -195,3 +195,78 @@ def test_streaming_quality_gate_rejects_before_signing(spark, tmp_path):
     assert sorted(r["_id"] for r in replay.store.read().collect()) == stored
     rejects2 = spark.read.parquet(str(tmp_path / "rejects")).collect()
     assert [r.doc_id for r in rejects2] == [2]
+
+
+def test_streaming_decontamination_gate(spark, tmp_path):
+    """Decontamination at ingest: docs sharing >= contam_min_hits
+    distinct word 8-grams with the eval corpus are dropped BEFORE
+    signing — never stored, never a duplicate witness — persisted with
+    hit counts to contam_dir, and counted so contaminated + rejected +
+    dupes + novel == docs.  A replay rewrites identical contam rows and
+    the store stays byte-stable."""
+    eval_docs = spark.createDataFrame([(BASE,)], "text string")
+
+    def make(ckpt):
+        return StreamingDedupIngest(
+            spark,
+            store_dir=str(tmp_path / "store"),
+            checkpoint_dir=str(tmp_path / ckpt),
+            eval_docs=eval_docs,
+            contam_dir=str(tmp_path / "contam"),
+        )
+
+    # 1 and 2 are verbatim eval text; 4 (NEAR) still shares clean
+    # 8-gram windows with BASE outside the single edited bigram — all
+    # three must gate out, leaving only the FAR docs to sign.  The
+    # 1-vs-2 intra-batch dup pair and the 4-vs-1 store pair disappear
+    # WITH them: a contaminated doc is not a duplicate witness.
+    stream = _doc_stream(spark, tmp_path, [BATCH1, BATCH2])
+    ingest = make("ckpt")
+    m = ingest.run_to_completion(stream)
+    assert m.docs == 5
+    assert m.contaminated_docs == 3
+    assert m.dup_docs == 0 and m.novel_docs == 2
+    assert (
+        m.contaminated_docs + m.rejected_docs + m.dup_docs + m.novel_docs
+        == m.docs
+    )
+    stored = sorted(r["_id"] for r in ingest.store.read().collect())
+    assert stored == [3, 5]
+    contam = {
+        r.doc_id: r.eval_gram_hits
+        for r in spark.read.parquet(str(tmp_path / "contam")).collect()
+    }
+    assert sorted(contam) == [1, 2, 4]
+    # verbatim copies hit every eval gram; the near-dup hits fewer
+    assert contam[1] == contam[2] > contam[4] >= 1
+
+    # full replay into the same store: identical gating, no growth
+    replay = make("ckpt2")
+    m2 = replay.run_to_completion(
+        _doc_stream(spark, tmp_path, [])  # files already on disk
+    )
+    assert m2.contaminated_docs == 3 and m2.novel_docs == 2
+    assert sorted(r["_id"] for r in replay.store.read().collect()) == stored
+    contam2 = {
+        r.doc_id: r.eval_gram_hits
+        for r in spark.read.parquet(str(tmp_path / "contam")).collect()
+    }
+    assert contam2 == contam
+
+
+def test_streaming_decontamination_min_hits_threshold(spark, tmp_path):
+    """contam_min_hits above a doc's distinct eval-gram overlap lets it
+    through: the near-dup (partial overlap) passes while verbatim eval
+    text still gates out."""
+    eval_docs = spark.createDataFrame([(BASE,)], "text string")
+    ingest = StreamingDedupIngest(
+        spark,
+        store_dir=str(tmp_path / "store"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        eval_docs=eval_docs,
+        contam_min_hits=10**6,  # unreachable: gate must pass everything
+    )
+    batch = spark.createDataFrame(BATCH1, "doc_id long, text string")
+    ingest.process_batch(batch, batch_id=0)
+    assert ingest.metrics.contaminated_docs == 0
+    assert ingest.metrics.dup_docs == 1 and ingest.metrics.novel_docs == 2
