@@ -708,3 +708,212 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         load_table(spark, sf_dir, "embeddings"),
     )
+
+
+def duplicate_token_spans(d: DataFrame, n: int = 10) -> DataFrame:
+    """Maximal duplicated token spans (ExactSubstr dedup, the word-level
+    form of Lee et al. 2021 "Deduplicating Training Data Makes Language
+    Models Better"): every word ``n``-gram window occurring more than
+    once in the corpus marks its ``n`` tokens as duplicated; overlapping
+    duplicated windows within a doc merge into maximal spans
+    (gap-and-islands over window start positions).  Returns one row per
+    (doc_id, span_id) with 1-based inclusive [start_tok, end_tok].
+
+    Scale shape: two shuffles, both linear in corpus tokens — (1) the
+    occurrence count partitions by the gram STRING (n·avg_token bytes
+    per row; a 100 TB deployment can pre-bucket on xxhash64(g) and
+    count hash cells instead, accepting ~2⁻⁶⁴·pairs false dup marks —
+    kept exact here for oracle parity), and (2) the island merge
+    partitions by doc_id (bounded: one partition holds one doc's
+    window starts).  No all-pairs stage anywhere — this is the property
+    that lets suffix-array-style span dedup run on a corpus scan.
+    """
+    wins = d.select(
+        "doc_id", F.posexplode(word_grams(n)).alias("p0", "g")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "g")
+    dup = (
+        wins.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .where(F.col("c") > 1)
+        .select("doc_id", "pos")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        dup.withColumn(
+            "new_span",
+            F.when(
+                F.col("pos")
+                > F.coalesce(
+                    F.max(F.col("pos") + (n - 1)).over(w_prev), F.lit(-1)
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("span_id", F.sum("new_span").over(w_run))
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + (n - 1)).alias("end_tok"),
+        )
+    )
+
+
+@query(
+    "q_dup_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, i AS pos, array_to_string(t[i : i + 9], ' ') AS g
+      FROM toks, unnest(range(1, len(t) - 8)) AS u(i)
+    ),
+    dup AS (
+      SELECT doc_id, pos
+      FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS c FROM wins)
+      WHERE c > 1
+    ),
+    spans AS (
+      SELECT doc_id, span_id, min(pos) AS start_tok, max(pos) + 9 AS end_tok
+      FROM (
+        SELECT doc_id, pos,
+               sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        FROM (
+          SELECT doc_id, pos,
+                 CASE WHEN pos > coalesce(max(pos + 9) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                      THEN 1 ELSE 0 END AS new_span
+          FROM dup)
+      ) GROUP BY doc_id, span_id
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(end_tok - start_tok + 1) AS BIGINT) AS dup_tokens,
+           CAST(max(end_tok - start_tok + 1) AS BIGINT) AS longest_span
+    FROM spans GROUP BY doc_id
+    """,
+    tags=("U4", "U5", "curation"),
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span census (substring-level exact dedup): per doc,
+    how many maximal duplicated spans it carries, how many tokens they
+    cover, and the longest one — the doc-level report a span-dedup pass
+    emits before scrubbing (q_dup_span_scrub is the scrub itself).
+    Complements the catalog's document-level dedup family: exact
+    fingerprints collapse whole-doc copies, MinHash/SimHash find
+    near-copies, THIS finds verbatim regions embedded inside otherwise
+    distinct docs — the boilerplate/license-header/quotation case that
+    doc-granularity dedup cannot see (Lee et al. 2021, §4).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    spans = duplicate_token_spans(d, 10)
+    ln = F.col("end_tok") - F.col("start_tok") + 1
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(ln).cast("long").alias("dup_tokens"),
+        F.max(ln).cast("long").alias("longest_span"),
+    )
+
+
+@query(
+    "q_dup_span_scrub",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, i AS pos, array_to_string(t[i : i + 9], ' ') AS g
+      FROM toks, unnest(range(1, len(t) - 8)) AS u(i)
+    ),
+    dup AS (
+      SELECT doc_id, pos
+      FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS c FROM wins)
+      WHERE c > 1
+    ),
+    spans AS (
+      SELECT doc_id, span_id, min(pos) AS start_tok, max(pos) + 9 AS end_tok
+      FROM (
+        SELECT doc_id, pos,
+               sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        FROM (
+          SELECT doc_id, pos,
+                 CASE WHEN pos > coalesce(max(pos + 9) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                      THEN 1 ELSE 0 END AS new_span
+          FROM dup)
+      ) GROUP BY doc_id, span_id
+    ),
+    covered AS (
+      SELECT doc_id, unnest(range(start_tok, end_tok + 1)) AS pos FROM spans
+    ),
+    alltok AS (
+      SELECT doc_id, i AS pos, t[i] AS tok
+      FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+    )
+    SELECT a.doc_id AS doc_id,
+           coalesce(string_agg(CASE WHEN c.pos IS NULL THEN a.tok END,
+                               ' ' ORDER BY a.pos), '') AS scrubbed,
+           CAST(count(CASE WHEN c.pos IS NULL THEN 1 END) AS BIGINT) AS n_kept
+    FROM alltok a
+    JOIN (SELECT DISTINCT doc_id FROM spans) s ON a.doc_id = s.doc_id
+    LEFT JOIN covered c ON a.doc_id = c.doc_id AND a.pos = c.pos
+    GROUP BY a.doc_id
+    """,
+    tags=("U4", "U5", "curation"),
+)
+def q_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level scrub: rebuild each affected doc's text with every
+    duplicated span removed (the remove-all-but-nothing policy — a real
+    pipeline keeps one canonical occurrence via MIN(doc_id, pos)
+    routing, but the scrub mechanics are identical).  Docs whose text is
+    ENTIRELY duplicated come back as the empty string with n_kept = 0 —
+    the left-join + conditional-aggregate keeps them in the result,
+    where an anti-join would silently drop exactly the docs most worth
+    flagging.
+
+    Scale: token and covered-position rows are both linear in doc
+    length and co-partitioned by doc_id from the spans stage, so the
+    scrub adds one doc-keyed join and one doc-keyed aggregate to
+    duplicate_token_spans' two shuffles; per-doc collect_list is
+    bounded by the doc's own token count.
+    """
+    return scrub_duplicate_spans(load_table(spark, sf_dir, "documents"), 10)
+
+
+def scrub_duplicate_spans(d: DataFrame, n: int = 10) -> DataFrame:
+    """Library form of q_dup_span_scrub over any (doc_id, text) frame —
+    see that query's docstring for semantics and scale shape."""
+    spans = duplicate_token_spans(d, n)
+    covered = spans.select(
+        "doc_id", F.explode(F.sequence("start_tok", "end_tok")).alias("pos")
+    ).withColumn("cov", F.lit(1))
+    span_docs = spans.select("doc_id").distinct()
+    alltok = d.select(
+        "doc_id", F.posexplode(_lower_tokens()).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    kept_tok = F.when(F.col("cov").isNull(), F.struct("pos", "tok"))
+    return (
+        alltok.join(span_docs, "doc_id")
+        .join(covered, ["doc_id", "pos"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_tok)), lambda s: s["tok"]
+                ),
+                " ",
+            ).alias("scrubbed"),
+            F.count(F.when(F.col("cov").isNull(), F.lit(1)))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )

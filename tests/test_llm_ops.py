@@ -1188,3 +1188,65 @@ def test_broadcast_bloom_parameter_guards(spark):
     # the documented maximum itself is accepted (bound is inclusive)
     words = [0] * (MAX_BITS // 64)
     BroadcastBloom(words, m=MAX_BITS, k=4)
+
+
+def test_duplicate_token_spans_merge_and_scrub(spark):
+    """Crafted-edge semantics for the ExactSubstr span family, pinned
+    independently of the corpus oracle: (a) a within-doc repeat marks
+    BOTH occurrences (total occurrence count > 1, not distinct-doc
+    count), (b) overlapping windows merge into one maximal span while
+    windows crossing the repeat boundary (unique grams) split it,
+    (c) an all-unique doc yields no spans."""
+    from consume_kafka_avro_data_spark.queries.curation import (
+        duplicate_token_spans,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(12))  # 12-token dup region
+    docs = spark.createDataFrame(
+        [
+            # doc 0: unique prefix + shared region -> one 12-token span
+            (0, "alpha beta gamma " + shared),
+            # doc 1: exactly the shared region -> fully covered
+            (1, shared),
+            # doc 2: the shared region REPEATED in one doc -> both
+            # occurrences covered; the boundary-crossing windows
+            # (…w11 w0…) are unique grams, so the two spans stay split
+            (2, shared + " " + shared),
+            # doc 3: all-unique -> no spans at all
+            (3, " ".join(f"u{i}" for i in range(15))),
+        ],
+        "doc_id long, text string",
+    )
+    spans: dict[int, list[tuple[int, int]]] = {}
+    for r in duplicate_token_spans(docs, n=10).collect():
+        spans.setdefault(r.doc_id, []).append((r.start_tok, r.end_tok))
+    for k in spans:
+        spans[k].sort()
+    assert spans[0] == [(4, 15)]  # after the 3-token prefix
+    assert spans[1] == [(1, 12)]
+    assert spans[2] == [(1, 12), (13, 24)]  # both repeats, split
+    assert 3 not in spans
+
+
+def test_scrub_duplicate_spans_keeps_fully_covered_docs(spark):
+    """A doc wholly made of duplicated text scrubs to the empty string
+    with n_kept = 0 instead of vanishing from the result, and partial
+    docs keep their unique tokens in original order."""
+    from consume_kafka_avro_data_spark.queries.curation import (
+        scrub_duplicate_spans,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma " + shared),
+            (1, shared),  # fully covered
+            (2, " ".join(f"u{i}" for i in range(15))),  # untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.scrubbed, r.n_kept)
+           for r in scrub_duplicate_spans(docs, n=10).collect()}
+    assert out[0] == ("alpha beta gamma", 3)
+    assert out[1] == ("", 0)
+    assert 2 not in out  # no spans -> not an affected doc
