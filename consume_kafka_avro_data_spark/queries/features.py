@@ -383,3 +383,57 @@ def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("df_a").cast("double") * F.col("df_b").cast("double"))
         ).alias("pmi_ratio"),
     )
+
+
+@query(
+    "q_udaf_wavg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)
+                    * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+           / CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+             AS wavg_price,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("U2", "A2"),
+)
+def q_udaf_wavg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted mean price per (returnflag, linestatus) through
+    a GROUPED_AGG pandas UDAF — the query-level certification of the
+    Arrow aggregate machinery (operator row U2; the library twin is
+    operators/similarity's per-cell centroid UDAF).  The UDAF sums in
+    scaled int64 (2-dp money values ×100 are exact integers), so the
+    result is order-independent and bit-identical to the oracle's
+    closed form: int sums are exact below 2⁶³ (corpus bound ~9e18:
+    row products are ~1e10, fine past sf100), and one final
+    correctly-rounded int→double division matches IEEE-exactly in both
+    engines.
+
+    Scale note: GROUPED_AGG ships each whole group to one Arrow batch —
+    for a pure sum-shape like this a production plan uses the JVM
+    decimal aggregates (functions/parity.dsum); the point here is
+    certifying the pandas-UDAF path end-to-end against an oracle, the
+    same role q_feature_scale plays for scalar pandas UDFs.
+    """
+    import pandas as pd
+
+    @F.pandas_udf("double", F.PandasUDFType.GROUPED_AGG)
+    def wavg(q: pd.Series, p: pd.Series) -> float:
+        qi = q.mul(100).round().astype("int64")
+        pi = p.mul(100).round().astype("int64")
+        return float(qi.mul(pi).sum()) / float(qi.sum())
+
+    # Catalyst refuses to mix GROUPED_AGG with JVM aggregates in one
+    # agg (INVALID_PANDAS_UDF_PLACEMENT), so the row count rides the
+    # same Arrow machinery
+    @F.pandas_udf("long", F.PandasUDFType.GROUPED_AGG)
+    def arrow_count(q: pd.Series) -> int:
+        return int(len(q))
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        wavg(F.col("l_quantity"), F.col("l_extendedprice")).alias("wavg_price"),
+        arrow_count(F.col("l_quantity")).alias("n_items"),
+    )
