@@ -710,7 +710,9 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def duplicate_token_spans(d: DataFrame, n: int = 10) -> DataFrame:
+def duplicate_token_spans(
+    d: DataFrame, n: int = 10, keep_first: bool = False
+) -> DataFrame:
     """Maximal duplicated token spans (ExactSubstr dedup, the word-level
     form of Lee et al. 2021 "Deduplicating Training Data Makes Language
     Models Better"): every word ``n``-gram window occurring more than
@@ -718,6 +720,10 @@ def duplicate_token_spans(d: DataFrame, n: int = 10) -> DataFrame:
     duplicated windows within a doc merge into maximal spans
     (gap-and-islands over window start positions).  Returns one row per
     (doc_id, span_id) with 1-based inclusive [start_tok, end_tok].
+    With ``keep_first`` the canonical occurrence of each duplicated
+    gram — lexicographic min (doc_id, pos) — is NOT marked, so exactly
+    one copy of every duplicated region survives a downstream scrub
+    (the remove-all default is the census/audit form).
 
     Scale shape: two shuffles, both linear in corpus tokens — (1) the
     occurrence count partitions by the gram STRING (n·avg_token bytes
@@ -731,11 +737,20 @@ def duplicate_token_spans(d: DataFrame, n: int = 10) -> DataFrame:
     wins = d.select(
         "doc_id", F.posexplode(word_grams(n)).alias("p0", "g")
     ).select("doc_id", (F.col("p0") + 1).alias("pos"), "g")
-    dup = (
-        wins.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("g")))
-        .where(F.col("c") > 1)
-        .select("doc_id", "pos")
-    )
+    wg = Window.partitionBy("g")
+    marked = wins.withColumn("c", F.count(F.lit(1)).over(wg))
+    if keep_first:
+        # canonical occurrence = lexicographic min (doc_id, pos),
+        # encoded arithmetically so the SQL oracle can state the same
+        # min in one window expression; the encoding is exact while
+        # pos < 1e6 (docs under a million tokens) and doc_id < 9e12
+        occ = F.col("doc_id") * 1_000_000 + F.col("pos")
+        marked = marked.withColumn("canon", F.min(occ).over(wg)).where(
+            (F.col("c") > 1) & (occ != F.col("canon"))
+        )
+    else:
+        marked = marked.where(F.col("c") > 1)
+    dup = marked.select("doc_id", "pos")
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -889,10 +904,14 @@ def q_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_duplicate_spans(load_table(spark, sf_dir, "documents"), 10)
 
 
-def scrub_duplicate_spans(d: DataFrame, n: int = 10) -> DataFrame:
+def scrub_duplicate_spans(
+    d: DataFrame, n: int = 10, keep_first: bool = False
+) -> DataFrame:
     """Library form of q_dup_span_scrub over any (doc_id, text) frame —
-    see that query's docstring for semantics and scale shape."""
-    spans = duplicate_token_spans(d, n)
+    see that query's docstring for semantics and scale shape.
+    ``keep_first`` scrubs every occurrence EXCEPT the canonical
+    min-(doc_id, pos) one — the policy a production pipeline runs."""
+    spans = duplicate_token_spans(d, n, keep_first=keep_first)
     covered = spans.select(
         "doc_id", F.explode(F.sequence("start_tok", "end_tok")).alias("pos")
     ).withColumn("cov", F.lit(1))
@@ -916,4 +935,64 @@ def scrub_duplicate_spans(d: DataFrame, n: int = 10) -> DataFrame:
             .cast("long")
             .alias("n_kept"),
         )
+    )
+
+
+@query(
+    "q_dup_spans_keep_one",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, i AS pos, array_to_string(t[i : i + 9], ' ') AS g
+      FROM toks, unnest(range(1, len(t) - 8)) AS u(i)
+    ),
+    marked AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY g) AS c,
+             min(doc_id * 1000000 + pos) OVER (PARTITION BY g) AS canon
+      FROM wins
+    ),
+    dup AS (
+      SELECT doc_id, pos FROM marked
+      WHERE c > 1 AND doc_id * 1000000 + pos <> canon
+    ),
+    spans AS (
+      SELECT doc_id, span_id, min(pos) AS start_tok, max(pos) + 9 AS end_tok
+      FROM (
+        SELECT doc_id, pos,
+               sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        FROM (
+          SELECT doc_id, pos,
+                 CASE WHEN pos > coalesce(max(pos + 9) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                      THEN 1 ELSE 0 END AS new_span
+          FROM dup)
+      ) GROUP BY doc_id, span_id
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(end_tok - start_tok + 1) AS BIGINT) AS dup_tokens,
+           CAST(max(end_tok - start_tok + 1) AS BIGINT) AS longest_span
+    FROM spans GROUP BY doc_id
+    """,
+    tags=("U4", "U5", "curation"),
+)
+def q_dup_spans_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dup_spans under the KEEP-ONE policy a production span-dedup
+    actually ships: the canonical occurrence of each duplicated gram
+    (lexicographic min (doc_id, pos)) is never marked, so the census
+    counts only the copies that a keep_first scrub would remove —
+    canonical-only docs drop out of the report entirely.  Same two
+    linear shuffles as q_dup_spans; the canonical min rides the same
+    gram-keyed window as the occurrence count, adding no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    spans = duplicate_token_spans(d, 10, keep_first=True)
+    ln = F.col("end_tok") - F.col("start_tok") + 1
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(ln).cast("long").alias("dup_tokens"),
+        F.max(ln).cast("long").alias("longest_span"),
     )

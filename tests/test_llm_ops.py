@@ -1250,3 +1250,24 @@ def test_scrub_duplicate_spans_keeps_fully_covered_docs(spark):
     assert out[0] == ("alpha beta gamma", 3)
     assert out[1] == ("", 0)
     assert 2 not in out  # no spans -> not an affected doc
+
+
+def test_duplicate_token_spans_keep_first_spares_canonical(spark):
+    """keep_first=True never marks the lexicographic-min (doc_id, pos)
+    occurrence: the lowest-id doc carrying the shared region survives
+    untouched while every later copy is still spanned."""
+    from consume_kafka_avro_data_spark.queries.curation import (
+        duplicate_token_spans,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma " + shared), (1, shared), (2, shared)],
+        "doc_id long, text string",
+    )
+    spans = {
+        r.doc_id: (r.start_tok, r.end_tok)
+        for r in duplicate_token_spans(docs, n=10, keep_first=True).collect()
+    }
+    assert 0 not in spans  # canonical occurrence spared
+    assert spans[1] == (1, 12) and spans[2] == (1, 12)
