@@ -68,6 +68,8 @@ HEADLINE = [
     "q_curation_pipeline",
     "q_decontaminate",
     "q_decontaminate_bloom",
+    "q_dup_spans",
+    "q_udaf_wavg",
 ]
 
 

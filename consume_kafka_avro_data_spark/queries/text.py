@@ -554,3 +554,117 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .withColumn("rank", F.row_number().over(w).cast("int"))
     )
+
+
+@query(
+    "q_gopher_rules",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS words,
+             string_split(text, chr(10)) AS lines,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', '')))
+               / 3 AS n_ellipsis,
+             list_sort(list_distinct(string_split(lower(text), ' '))) AS uniq
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             list_sum(list_transform(words, w -> length(w))) AS sum_len,
+             len(list_filter(words,
+                 w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha_words,
+             n_hash + n_ellipsis AS n_symbols,
+             len(lines) AS n_lines,
+             len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%'))
+               AS n_bullet,
+             len(list_filter(lines, l -> l LIKE '%...')) AS n_ell_end,
+             len(list_filter(uniq, u -> list_contains(
+                 ['the','be','to','of','and','that','have','with'], u)))
+               AS n_req_stop
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           n_words >= 50 AND n_words <= 100000        AS r_word_count,
+           sum_len >= 3 * n_words
+             AND sum_len <= 10 * n_words              AS r_mean_word_len,
+           10 * n_symbols < n_words                   AS r_symbol_ratio,
+           10 * n_bullet < 9 * n_lines                AS r_bullet_lines,
+           10 * n_ell_end < 3 * n_lines               AS r_ellipsis_lines,
+           5 * n_alpha_words >= 4 * n_words           AS r_alpha_words,
+           n_req_stop >= 2                            AS r_stop_words,
+           (n_words >= 50 AND n_words <= 100000)
+             AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+             AND (10 * n_symbols < n_words)
+             AND (10 * n_bullet < 9 * n_lines)
+             AND (10 * n_ell_end < 3 * n_lines)
+             AND (5 * n_alpha_words >= 4 * n_words)
+             AND (n_req_stop >= 2)                    AS keep
+    FROM m
+    """,
+    tags=("U7", "curation"),
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality-filter rule set (Rae et al. 2021,
+    table A1) as per-doc boolean gates: word count in [50, 100000],
+    mean word length in [3, 10], symbol-to-word ratio (# / ellipsis)
+    < 0.1, < 90% bullet-started lines, < 30% ellipsis-ended lines,
+    >= 80% words with an alphabetic char, and >= 2 of the 8 required
+    English stop words.  Every ratio test is cross-multiplied into
+    integer arithmetic (10·symbols < words, 5·alpha >= 4·words, …), so
+    each flag — and the hash comparison — is exact, with no float
+    division anywhere.  Map-only codegen over the scan: the filter a
+    100 TB pipeline runs at full scan speed ahead of any shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    lines = F.split(F.col("text"), "\n")
+    tlen = F.length("text")
+    n_hash = tlen - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        tlen - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+    ) / 3
+    uniq = F.array_distinct(F.split(F.lower(F.col("text")), " "))
+    req = F.array(*[F.lit(w) for w in
+                    ("the", "be", "to", "of", "and", "that", "have", "with")])
+    m = d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.aggregate(
+            words, F.lit(0), lambda a, w: a + F.length(w)
+        ).alias("sum_len"),
+        F.size(
+            F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+        ).alias("n_alpha_words"),
+        (n_hash + n_ellipsis).alias("n_symbols"),
+        F.size(lines).alias("n_lines"),
+        F.size(
+            F.filter(
+                lines,
+                lambda l: l.startswith("-") | l.startswith("*"),
+            )
+        ).alias("n_bullet"),
+        F.size(F.filter(lines, lambda l: l.endswith("..."))).alias("n_ell_end"),
+        F.size(F.array_intersect(uniq, req)).alias("n_req_stop"),
+    )
+    c = F.col
+    rules = {
+        "r_word_count": (c("n_words") >= 50) & (c("n_words") <= 100000),
+        "r_mean_word_len": (c("sum_len") >= 3 * c("n_words"))
+        & (c("sum_len") <= 10 * c("n_words")),
+        "r_symbol_ratio": 10 * c("n_symbols") < c("n_words"),
+        "r_bullet_lines": 10 * c("n_bullet") < 9 * c("n_lines"),
+        "r_ellipsis_lines": 10 * c("n_ell_end") < 3 * c("n_lines"),
+        "r_alpha_words": 5 * c("n_alpha_words") >= 4 * c("n_words"),
+        "r_stop_words": c("n_req_stop") >= 2,
+    }
+    keep = F.lit(True)
+    for expr in rules.values():
+        keep = keep & expr
+    return m.select(
+        "doc_id",
+        c("n_words").cast("long").alias("n_words"),
+        *[expr.alias(name) for name, expr in rules.items()],
+        keep.alias("keep"),
+    )
