@@ -996,3 +996,70 @@ def q_dup_spans_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(ln).cast("long").alias("dup_tokens"),
         F.max(ln).cast("long").alias("longest_span"),
     )
+
+
+@query(
+    "q_exact_k_per_group",
+    oracle="""
+    SELECT doc_id, lang, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 40
+    """,
+    tags=("U4", "W1", "curation"),
+)
+def q_exact_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic sampling per stratum (data-mixing's other
+    half): q_stratified_sample keeps a deterministic FRACTION per
+    language; this keeps an exact COUNT — rank docs inside each
+    language by a content-addressed hash and take the first 40, so the
+    sample is stable under re-runs, repartitioning, and corpus append
+    order (an appended doc can displace at most one ranked doc).
+    Scale: one shuffle on the group key; the rank is a running
+    window — Spark evaluates it per partition after the exchange, and
+    groups far larger than k could swap in a per-partition top-k
+    (groupBy + min_by heap) if a single stratum outgrows a task."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 40)
+        .select("doc_id", "lang", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+@query(
+    "q_shard_manifest",
+    oracle="""
+    SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                 AS INTEGER) % 8 AS INTEGER) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+    tags=("A2", "curation"),
+)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest: assign every doc to one of 8 output
+    shards by content-addressed hash and report per-shard doc/byte
+    totals — the manifest a dataloader consumes and the writer's
+    `.repartition(n, shard).write.partitionBy(shard)` plan derives
+    from.  Hash sharding (vs round-robin) keeps assignment stable
+    under corpus append and engine change; the manifest itself is one
+    partial+final aggregate over the scan, shard-count-sized output at
+    any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 8
+    ).cast("int")
+    return d.groupBy(shard.alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
