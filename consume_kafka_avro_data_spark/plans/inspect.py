@@ -76,37 +76,55 @@ def _split_top_level(text: str) -> list[str]:
     tracker at ``#``; pushed filters render functionally,
     ``GreaterThan(col, 5)``).  Closers only decrement when an opener
     is outstanding (depth never goes negative), and lambda arrows
-    (``->``) are ignored."""
+    (``->``) are ignored.  A false-open that survives the keyword
+    heuristic (a column literally NAMED ``array``/``map``/``struct``
+    spacelessly ``<``-compared to a value) leaves angles unbalanced at
+    end-of-text; the scan then disables the earliest outstanding
+    opener and rescans, so one bad ``<`` never suppresses comma
+    splitting for the rest of the payload while genuine type
+    applications elsewhere in the same payload still bracket-count."""
     type_words = ("array", "map", "struct")
-    out: list[str] = []
-    cur: list[str] = []
-    depth = angle = 0
-    word: list[str] = []
-    prev = ""
-    for i, ch in enumerate(text):
-        nxt = text[i + 1] if i + 1 < len(text) else ""
-        if ch in "([":
-            depth += 1
-        elif ch in ")]":
-            depth -= 1
-        elif (
-            ch == "<"
-            and "".join(word).lower() in type_words
-            and (nxt.isalnum() or nxt == "_")
-        ):
-            angle += 1
-        elif ch == ">" and angle > 0 and prev != "-":
-            angle -= 1
-        if ch.isalnum() or ch == "_":
-            word.append(ch)
-        else:
-            word.clear()
-        if ch == "," and depth == 0 and angle == 0:
-            out.append("".join(cur).strip())
-            cur = []
-        else:
-            cur.append(ch)
-        prev = ch
+    disabled: set[int] = set()
+    while True:
+        out: list[str] = []
+        cur: list[str] = []
+        depth = angle = 0
+        open_stack: list[int] = []  # indices of outstanding '<' openers
+        word: list[str] = []
+        prev = ""
+        for i, ch in enumerate(text):
+            nxt = text[i + 1] if i + 1 < len(text) else ""
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif (
+                ch == "<"
+                and i not in disabled
+                and "".join(word).lower() in type_words
+                and (nxt.isalnum() or nxt == "_")
+            ):
+                angle += 1
+                open_stack.append(i)
+            elif ch == ">" and angle > 0 and prev != "-":
+                angle -= 1
+                open_stack.pop()
+            if ch.isalnum() or ch == "_":
+                word.append(ch)
+            else:
+                word.clear()
+            if ch == "," and depth == 0 and angle == 0:
+                out.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+            prev = ch
+        if not open_stack:
+            break
+        # unbalanced: the earliest outstanding '<' was a comparison,
+        # not a type opener — disable it and rescan (terminates: each
+        # pass permanently removes one opener)
+        disabled.add(open_stack[0])
     if cur:
         out.append("".join(cur).strip())
     return [s for s in out if s]

@@ -679,6 +679,22 @@ def test_split_top_level_spaceless_comparison():
     assert got == ["(a > 5)", "(b -> c)", "d"]
 
 
+def test_split_top_level_false_open_rescan():
+    """A column literally NAMED array/map/struct (no #exprId) compared
+    spacelessly to a value passes the keyword heuristic but its '>'
+    never arrives — the end-of-scan rebalance must disable that opener
+    and rescan so commas after it still split, while genuine type
+    applications elsewhere in the SAME payload keep bracket-counting
+    their interior commas."""
+    got = I._split_top_level("(struct<5), a, b")
+    assert got == ["(struct<5)", "a", "b"]
+    got = I._split_top_level("(map<3), x:array<int>, y:struct<a:int,b:int>")
+    assert got == ["(map<3)", "x:array<int>", "y:struct<a:int,b:int>"]
+    # digit-led struct field names (CSV headers) still open correctly
+    got = I._split_top_level("s:struct<1a:int,b:string>, t:int")
+    assert got == ["s:struct<1a:int,b:string>", "t:int"]
+
+
 def test_decontaminate_bloom_prefilter_is_jvm_single_verify_join(q):
     """Phase 1 must be pure-JVM bit tests (xxhash64 conjunctions, no
     Python, no extra join): the plan carries exactly one broadcast
