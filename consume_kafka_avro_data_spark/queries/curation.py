@@ -1063,3 +1063,179 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@query(
+    "q_token_budget_mix",
+    oracle="""
+    SELECT doc_id, lang, n_tok, cum_tok
+    FROM (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(sum(len(string_split(text, ' ')))
+                    OVER (PARTITION BY lang
+                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+      FROM documents)
+    WHERE cum_tok <= 1500
+    """,
+    tags=("U4", "W3", "curation"),
+)
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture fill (data mixing's third leg, after
+    fraction-based ``q_stratified_sample`` and count-based
+    ``q_exact_k_per_group``): give each language a fixed TOKEN budget
+    and admit docs in content-addressed-hash order until the running
+    token total would pass it — how a training mix hits "1 B tokens of
+    French" exactly, stably under re-runs and corpus appends.  One
+    shuffle on the group key; the running sum is an explicit
+    ROWS-framed window so ties can't blur the frame, and the output is
+    budget-bounded (≈ budget/avg_doc_tokens rows per language), not
+    corpus-bounded — at 100 TB the result stays small even though the
+    scan is full."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            n_tok.alias("n_tok"),
+            F.sum(n_tok).over(w).cast("long").alias("cum_tok"),
+        )
+        .where(F.col("cum_tok") <= 1500)
+    )
+
+
+def corpus_drift(docs: DataFrame, head_k: int = 4096) -> DataFrame:
+    """Per-language corpus drift between two snapshots (here doc_id
+    parity; in production "yesterday's crawl vs today's"): head
+    total-variation distance between the snapshots' unigram
+    distributions, plus vocab churn counts.
+
+    Parity/scale design: per-term probabilities are exact double
+    ratios of integer counts (identical on any IEEE engine); the TVD
+    sum folds in term order (sort_array + F.aggregate, the
+    ``q_perplexity`` pattern) so double accumulation is
+    order-identical to the DuckDB twin; and the fold is capped at the
+    ``head_k`` highest-count terms per language (deterministic
+    cnt-then-term rank) so the collected array is head-bounded — at
+    100 TB the per-lang vocab may be 10 M+ terms, but the drift
+    monitor folds only the head, and the churn counts (n_new/n_gone)
+    still cover the full vocab via plain aggregation."""
+    tk = docs.select(
+        "lang",
+        (F.col("doc_id") % 2).alias("snap"),
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    tc = tk.groupBy("lang", "tok").agg(
+        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0)).alias("cnt_b"),
+    )
+    tot = tc.groupBy("lang").agg(
+        F.sum("cnt_a").cast("double").alias("tot_a"),
+        F.sum("cnt_b").cast("double").alias("tot_b"),
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(F.when(F.col("cnt_a") == 0, 1).otherwise(0)).alias("n_new"),
+        F.sum(F.when(F.col("cnt_b") == 0, 1).otherwise(0)).alias("n_gone"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            (F.col("cnt_a") + F.col("cnt_b")).desc(), "tok"
+        )
+    )
+    # tot is lang-count-sized (tiny at any corpus size): broadcast
+    d = (
+        tc.withColumn("rk", rk)
+        .where(F.col("rk") <= head_k)
+        .join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "tok",
+            F.abs(
+                F.col("cnt_a").cast("double") / F.col("tot_a")
+                - F.col("cnt_b").cast("double") / F.col("tot_b")
+            ).alias("diff"),
+        )
+    )
+    folded = d.groupBy("lang").agg(
+        (
+            F.lit(0.5)
+            * F.aggregate(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct(F.col("tok"), F.col("diff")))),
+                    lambda s: s["diff"],
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+        ).alias("head_tvd")
+    )
+    return folded.join(F.broadcast(tot), "lang").select(
+        "lang",
+        F.col("n_terms").cast("long").alias("n_terms"),
+        F.col("tot_a").cast("long").alias("tokens_a"),
+        F.col("tot_b").cast("long").alias("tokens_b"),
+        F.col("n_new").cast("long").alias("n_new"),
+        F.col("n_gone").cast("long").alias("n_gone"),
+        "head_tvd",
+    )
+
+
+@query(
+    "q_corpus_drift",
+    oracle="""
+    WITH tk AS (
+      SELECT lang, doc_id % 2 AS snap,
+             unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    tc AS (
+      SELECT lang, tok,
+             sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS cnt_a,
+             sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS cnt_b
+      FROM tk WHERE tok <> '' GROUP BY lang, tok
+    ),
+    hd AS (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY cnt_a + cnt_b DESC, tok) AS rk
+      FROM tc
+    ),
+    tot AS (
+      SELECT lang, CAST(sum(cnt_a) AS DOUBLE) AS tot_a,
+                   CAST(sum(cnt_b) AS DOUBLE) AS tot_b,
+             count(*) AS n_terms,
+             sum(CASE WHEN cnt_a = 0 THEN 1 ELSE 0 END) AS n_new,
+             sum(CASE WHEN cnt_b = 0 THEN 1 ELSE 0 END) AS n_gone
+      FROM tc GROUP BY lang
+    ),
+    d AS (
+      SELECT h.lang, h.tok,
+             abs(CAST(h.cnt_a AS DOUBLE) / t.tot_a
+                 - CAST(h.cnt_b AS DOUBLE) / t.tot_b) AS diff
+      FROM hd h JOIN tot t USING (lang)
+      WHERE h.rk <= 4096
+    )
+    SELECT t.lang,
+           CAST(t.n_terms AS BIGINT) AS n_terms,
+           CAST(t.tot_a AS BIGINT)   AS tokens_a,
+           CAST(t.tot_b AS BIGINT)   AS tokens_b,
+           CAST(t.n_new AS BIGINT)   AS n_new,
+           CAST(t.n_gone AS BIGINT)  AS n_gone,
+           0.5 * list_reduce(list(d.diff ORDER BY d.tok), (a, b) -> a + b)
+             AS head_tvd
+    FROM d JOIN tot t USING (lang)
+    GROUP BY t.lang, t.n_terms, t.tot_a, t.tot_b, t.n_new, t.n_gone
+    """,
+    tags=("U7", "A2", "curation"),
+)
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift census (see ``corpus_drift``): head-TVD between the
+    two snapshot unigram distributions per language + vocab churn —
+    the monitor that decides whether a new crawl shifted the mix
+    enough to re-tune sampling weights or re-train the quantizer."""
+    return corpus_drift(load_table(spark, sf_dir, "documents"), head_k=4096)

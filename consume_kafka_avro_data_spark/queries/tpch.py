@@ -205,3 +205,45 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+_Q2_SQL = """
+    SELECT p.p_partkey, p.p_type, s.s_suppkey, s.s_name,
+           l.l_extendedprice / l.l_quantity AS unit_price
+    FROM {part} p
+    JOIN {lineitem} l ON p.p_partkey = l.l_partkey
+    JOIN {supplier} s ON l.l_suppkey = s.s_suppkey
+    WHERE p.p_size <= 10
+      AND l.l_extendedprice / l.l_quantity =
+          (SELECT min(i.l_extendedprice / i.l_quantity)
+           FROM {lineitem} i WHERE i.l_partkey = p.p_partkey)
+"""
+
+
+@query(
+    "q_min_cost_supplier",
+    oracle=_Q2_SQL.format(part="part", lineitem="lineitem", supplier="supplier"),
+    tags=("J3", "A2"),
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 pattern (minimum-cost supplier, adapted: the testdata
+    has no partsupp, so observed lineitem unit price stands in for
+    supplycost): for each small part, the supplier(s) quoting the
+    per-part MINIMUM unit price, via a correlated MIN subquery.
+
+    The identical SQL text runs on DuckDB.  Catalyst decorrelates the
+    subquery into a per-partkey aggregate joined back on (partkey,
+    price) — no per-outer-row rescan survives in the plan (SURVEY §4;
+    plan-pinned in tests).  Parity: unit price is one IEEE division of
+    stored doubles (identical on both engines), MIN selects an
+    existing value, and the equality cut compares bit-identical
+    doubles — no rounding helper needed, unlike the SUM queries.
+    Scale: two shuffles on l_partkey (the aggregate and the join
+    back); ties return every minimum-price supplier, deterministically.
+    """
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_v")
+    return spark.sql(
+        _Q2_SQL.format(part="part_v", lineitem="lineitem_v", supplier="supplier_v")
+    )

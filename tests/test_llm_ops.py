@@ -1271,3 +1271,36 @@ def test_duplicate_token_spans_keep_first_spares_canonical(spark):
     }
     assert 0 not in spans  # canonical occurrence spared
     assert spans[1] == (1, 12) and spans[2] == (1, 12)
+
+
+def test_corpus_drift_head_cap_and_churn(spark):
+    """The TVD fold must cover only the head_k highest-count terms
+    (deterministic cnt-then-term rank) while the churn counts span the
+    FULL vocab; with head_k large enough the head TVD equals the exact
+    hand-computed total-variation distance."""
+    from consume_kafka_avro_data_spark.queries.curation import corpus_drift
+
+    # snapshot A = even doc_ids, B = odd.  Vocab: a (4+2), b (2+4),
+    # c (2+0, gone), d (0+2, new)  → totals 8 vs 8.
+    docs = spark.createDataFrame(
+        [
+            (0, "a a b c", "en"),
+            (2, "a a b c", "en"),
+            (1, "b b a d", "en"),
+            (3, "b b a d", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    full = {r.lang: r for r in corpus_drift(docs, head_k=100).collect()}
+    r = full["en"]
+    assert (r.n_terms, r.tokens_a, r.tokens_b) == (4, 8, 8)
+    assert (r.n_new, r.n_gone) == (1, 1)
+    # exact TVD: 0.5 * (|4/8-2/8| + |2/8-4/8| + |2/8-0| + |0-2/8|) = 0.5
+    assert abs(r.head_tvd - 0.5) < 1e-12
+    # head_k=2 keeps only the two highest-count terms (a, b — 6 each;
+    # tie broken by term) → 0.5 * (0.25 + 0.25)
+    capped = {r.lang: r for r in corpus_drift(docs, head_k=2).collect()}
+    r2 = capped["en"]
+    assert abs(r2.head_tvd - 0.25) < 1e-12
+    # churn/totals are NOT affected by the cap
+    assert (r2.n_terms, r2.n_new, r2.n_gone) == (4, 1, 1)

@@ -717,3 +717,46 @@ def test_dlq_recovery_no_row_python_jvm_recovery(q):
     assert "BatchEvalPython" not in plan
     assert 1 <= plan.count("ArrowEvalPython") <= 4
     assert "from_json" in plan
+
+
+def test_min_cost_supplier_decorrelates_to_aggregate_join(q):
+    """The correlated MIN subquery must decorrelate into ONE per-partkey
+    aggregate (partial+final) joined back as an EQUI hash join on
+    (unit_price, partkey) — never a nested-loop rescan per outer row —
+    with the p_size filter pushed into the part scan."""
+    df = q("q_min_cost_supplier")
+    plan = I.simple_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("partial_min") == 1, plan
+    assert any("p_size" in f for f in I.pushed_filters(df, "part")), (
+        I.pushed_filters(df, "part")
+    )
+    # lineitem scans are column-pruned (no returnflag/tax/dates)
+    cols = I.read_schema_columns(df, "lineitem")
+    assert "l_returnflag" not in cols and "l_shipdate" not in cols, cols
+
+
+def test_token_budget_mix_single_shuffle_rows_frame(q):
+    """The budget fill is ONE shuffle on the group key; the running sum
+    must use an explicit ROWS frame (ties can't blur the cut) and stay
+    entirely JVM-side."""
+    df = q("q_token_budget_mix")
+    plan = I.simple_plan(df)
+    assert I.exchange_count(df) == 1, plan
+    assert (
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())"
+        in I.formatted_plan(df)
+    ), I.formatted_plan(df)[:3000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_corpus_drift_no_python_no_cartesian(q):
+    """The drift census stays JVM-side (sort_array fold, no pandas) and
+    every join is an equi/broadcast join — lang-count-sized frames are
+    broadcast, never nested-looped."""
+    df = q("q_corpus_drift")
+    plan = I.simple_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
