@@ -31,6 +31,7 @@ from consume_kafka_avro_data_spark.registry import all_queries  # noqa: E402
 from consume_kafka_avro_data_spark.rotation import (  # noqa: E402
     exposure_order,
     freshest_green,
+    freshest_rows_only,
 )
 
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
@@ -41,7 +42,12 @@ def _ordered_queries():
     # provability from the registered oracle WITHOUT invoking factories
     # (factories may read data files; import must stay side-effect free)
     provable = {n: q.oracle is not None for n, q in qs.items()}
-    ordered = exposure_order(list(qs), provable, freshest_green(_REPO_DIR))
+    ordered = exposure_order(
+        list(qs),
+        provable,
+        freshest_green(_REPO_DIR),
+        freshest_rows_only(_REPO_DIR),
+    )
     return {n: qs[n] for n in ordered}
 
 

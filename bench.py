@@ -70,6 +70,9 @@ HEADLINE = [
     "q_decontaminate_bloom",
     "q_dup_spans",
     "q_udaf_wavg",
+    "q_min_cost_supplier",
+    "q_token_budget_mix",
+    "q_corpus_drift",
 ]
 
 

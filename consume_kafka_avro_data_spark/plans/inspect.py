@@ -76,20 +76,34 @@ def _split_top_level(text: str) -> list[str]:
     tracker at ``#``; pushed filters render functionally,
     ``GreaterThan(col, 5)``).  Closers only decrement when an opener
     is outstanding (depth never goes negative), and lambda arrows
-    (``->``) are ignored.  A false-open that survives the keyword
-    heuristic (a column literally NAMED ``array``/``map``/``struct``
-    spacelessly ``<``-compared to a value) leaves angles unbalanced at
-    end-of-text; the scan then disables the earliest outstanding
-    opener and rescans, so one bad ``<`` never suppresses comma
-    splitting for the rest of the payload while genuine type
-    applications elsewhere in the same payload still bracket-count."""
+    (``->``) are ignored.  Two guards catch a false-open that survives
+    the keyword heuristic (a column literally NAMED ``array``/``map``/
+    ``struct`` spacelessly ``<``-compared to a value):
+
+    * paren containment — a genuine type application never spans a
+      ``)``/``]`` closing a bracket opened BEFORE its ``<``, so a
+      closer that would drop the paren depth below the depth recorded
+      at the innermost outstanding opener proves that opener was a
+      comparison (``(struct<5), a`` — the ``)`` arrives with the
+      angle still open);
+    * end-of-text rebalance — any opener still outstanding when the
+      scan ends was a comparison whose ``>`` never arrived.
+
+    Either way the scan disables that opener and restarts, so one bad
+    ``<`` never suppresses comma splitting for the rest of the payload
+    while genuine type applications elsewhere in the same payload
+    still bracket-count.  Residual miss (accepted): a false opener
+    with no enclosing paren whose suppressed span contains a later
+    bare ``>`` — Spark-rendered payloads can't produce it (columns
+    carry ``#exprId``, which resets the word tracker)."""
     type_words = ("array", "map", "struct")
     disabled: set[int] = set()
     while True:
         out: list[str] = []
         cur: list[str] = []
         depth = angle = 0
-        open_stack: list[int] = []  # indices of outstanding '<' openers
+        open_stack: list[tuple[int, int]] = []  # (index, paren depth at open)
+        bad: int | None = None
         word: list[str] = []
         prev = ""
         for i, ch in enumerate(text):
@@ -98,6 +112,11 @@ def _split_top_level(text: str) -> list[str]:
                 depth += 1
             elif ch in ")]":
                 depth -= 1
+                if open_stack and depth < open_stack[-1][1]:
+                    # closes a paren opened before the innermost '<':
+                    # that opener was a comparison, not a type app
+                    bad = open_stack[-1][0]
+                    break
             elif (
                 ch == "<"
                 and i not in disabled
@@ -105,7 +124,7 @@ def _split_top_level(text: str) -> list[str]:
                 and (nxt.isalnum() or nxt == "_")
             ):
                 angle += 1
-                open_stack.append(i)
+                open_stack.append((i, depth))
             elif ch == ">" and angle > 0 and prev != "-":
                 angle -= 1
                 open_stack.pop()
@@ -119,12 +138,14 @@ def _split_top_level(text: str) -> list[str]:
             else:
                 cur.append(ch)
             prev = ch
-        if not open_stack:
+        if bad is None and open_stack:
+            # end-of-text with openers outstanding: earliest was false
+            bad = open_stack[0][0]
+        if bad is None:
             break
-        # unbalanced: the earliest outstanding '<' was a comparison,
-        # not a type opener — disable it and rescan (terminates: each
+        # disable the proven-false opener and rescan (terminates: each
         # pass permanently removes one opener)
-        disabled.add(open_stack[0])
+        disabled.add(bad)
     if cur:
         out.append("".join(cur).strip())
     return [s for s in out if s]

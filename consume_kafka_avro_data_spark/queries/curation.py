@@ -740,11 +740,12 @@ def duplicate_token_spans(
     wg = Window.partitionBy("g")
     marked = wins.withColumn("c", F.count(F.lit(1)).over(wg))
     if keep_first:
-        # canonical occurrence = lexicographic min (doc_id, pos),
-        # encoded arithmetically so the SQL oracle can state the same
-        # min in one window expression; the encoding is exact while
-        # pos < 1e6 (docs under a million tokens) and doc_id < 9e12
-        occ = F.col("doc_id") * 1_000_000 + F.col("pos")
+        # canonical occurrence = lexicographic min (doc_id, pos) as a
+        # STRUCT min (the oracle's ROW min) — injective for any doc
+        # length, unlike an arithmetic doc_id*K+pos encoding, which
+        # collides once pos reaches K and would silently spare BOTH
+        # colliding occurrences from the scrub
+        occ = F.struct("doc_id", "pos")
         marked = marked.withColumn("canon", F.min(occ).over(wg)).where(
             (F.col("c") > 1) & (occ != F.col("canon"))
         )
@@ -781,40 +782,69 @@ def duplicate_token_spans(
     )
 
 
-@query(
-    "q_dup_spans",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+def _o_span_ctes(n: int = 10, keep_first: bool = False) -> str:
+    """The toks→wins→dup→spans CTE chain shared by every span-dedup
+    oracle (census, scrub, keep-one census): ONE definition, so a fix
+    to the gram window or the island merge can never desynchronize the
+    three DuckDB twins.  ``keep_first`` inserts the canonical-
+    occurrence exclusion — lexicographic min (doc_id, pos) as a ROW
+    comparison, injective for ANY doc length (the earlier arithmetic
+    doc_id·10⁶+pos encoding collided for million-token docs)."""
+    k = n - 1
+    if keep_first:
+        mark = f"""
+    marked AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY g) AS c,
+             min(ROW(doc_id, pos)) OVER (PARTITION BY g) AS canon
+      FROM wins
     ),
-    wins AS (
-      SELECT doc_id, i AS pos, array_to_string(t[i : i + 9], ' ') AS g
-      FROM toks, unnest(range(1, len(t) - 8)) AS u(i)
-    ),
+    dup AS (
+      SELECT doc_id, pos FROM marked
+      WHERE c > 1 AND ROW(doc_id, pos) <> canon
+    ),"""
+    else:
+        mark = """
     dup AS (
       SELECT doc_id, pos
       FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS c FROM wins)
       WHERE c > 1
+    ),"""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
     ),
+    wins AS (
+      SELECT doc_id, i AS pos, array_to_string(t[i : i + {k}], ' ') AS g
+      FROM toks, unnest(range(1, len(t) - {k - 1})) AS u(i)
+    ),{mark}
     spans AS (
-      SELECT doc_id, span_id, min(pos) AS start_tok, max(pos) + 9 AS end_tok
+      SELECT doc_id, span_id, min(pos) AS start_tok, max(pos) + {k} AS end_tok
       FROM (
         SELECT doc_id, pos,
                sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
         FROM (
           SELECT doc_id, pos,
-                 CASE WHEN pos > coalesce(max(pos + 9) OVER (
+                 CASE WHEN pos > coalesce(max(pos + {k}) OVER (
                         PARTITION BY doc_id ORDER BY pos
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
                       THEN 1 ELSE 0 END AS new_span
           FROM dup)
       ) GROUP BY doc_id, span_id
-    )
+    )"""
+
+
+_O_SPAN_CENSUS = """
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
            CAST(sum(end_tok - start_tok + 1) AS BIGINT) AS dup_tokens,
            CAST(max(end_tok - start_tok + 1) AS BIGINT) AS longest_span
     FROM spans GROUP BY doc_id
-    """,
+    """
+
+
+@query(
+    "q_dup_spans",
+    oracle=_o_span_ctes() + _O_SPAN_CENSUS,
     tags=("U4", "U5", "curation"),
 )
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -840,33 +870,7 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dup_span_scrub",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
-    ),
-    wins AS (
-      SELECT doc_id, i AS pos, array_to_string(t[i : i + 9], ' ') AS g
-      FROM toks, unnest(range(1, len(t) - 8)) AS u(i)
-    ),
-    dup AS (
-      SELECT doc_id, pos
-      FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS c FROM wins)
-      WHERE c > 1
-    ),
-    spans AS (
-      SELECT doc_id, span_id, min(pos) AS start_tok, max(pos) + 9 AS end_tok
-      FROM (
-        SELECT doc_id, pos,
-               sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
-        FROM (
-          SELECT doc_id, pos,
-                 CASE WHEN pos > coalesce(max(pos + 9) OVER (
-                        PARTITION BY doc_id ORDER BY pos
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-                      THEN 1 ELSE 0 END AS new_span
-          FROM dup)
-      ) GROUP BY doc_id, span_id
-    ),
+    oracle=_o_span_ctes() + """,
     covered AS (
       SELECT doc_id, unnest(range(start_tok, end_tok + 1)) AS pos FROM spans
     ),
@@ -940,43 +944,7 @@ def scrub_duplicate_spans(
 
 @query(
     "q_dup_spans_keep_one",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
-    ),
-    wins AS (
-      SELECT doc_id, i AS pos, array_to_string(t[i : i + 9], ' ') AS g
-      FROM toks, unnest(range(1, len(t) - 8)) AS u(i)
-    ),
-    marked AS (
-      SELECT doc_id, pos,
-             count(*) OVER (PARTITION BY g) AS c,
-             min(doc_id * 1000000 + pos) OVER (PARTITION BY g) AS canon
-      FROM wins
-    ),
-    dup AS (
-      SELECT doc_id, pos FROM marked
-      WHERE c > 1 AND doc_id * 1000000 + pos <> canon
-    ),
-    spans AS (
-      SELECT doc_id, span_id, min(pos) AS start_tok, max(pos) + 9 AS end_tok
-      FROM (
-        SELECT doc_id, pos,
-               sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
-        FROM (
-          SELECT doc_id, pos,
-                 CASE WHEN pos > coalesce(max(pos + 9) OVER (
-                        PARTITION BY doc_id ORDER BY pos
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-                      THEN 1 ELSE 0 END AS new_span
-          FROM dup)
-      ) GROUP BY doc_id, span_id
-    )
-    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-           CAST(sum(end_tok - start_tok + 1) AS BIGINT) AS dup_tokens,
-           CAST(max(end_tok - start_tok + 1) AS BIGINT) AS longest_span
-    FROM spans GROUP BY doc_id
-    """,
+    oracle=_o_span_ctes(keep_first=True) + _O_SPAN_CENSUS,
     tags=("U4", "U5", "curation"),
 )
 def q_dup_spans_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -564,8 +564,7 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
              string_split(text, ' ') AS words,
              string_split(text, chr(10)) AS lines,
              length(text) - length(replace(text, '#', '')) AS n_hash,
-             (length(text) - length(replace(text, '...', '')))
-               / 3 AS n_ellipsis,
+             length(text) - length(replace(text, '...', '')) AS ell3,
              list_sort(list_distinct(string_split(lower(text), ' '))) AS uniq
       FROM documents
     ),
@@ -575,7 +574,7 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_sum(list_transform(words, w -> length(w))) AS sum_len,
              len(list_filter(words,
                  w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha_words,
-             n_hash + n_ellipsis AS n_symbols,
+             n_hash, ell3,
              len(lines) AS n_lines,
              len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%'))
                AS n_bullet,
@@ -590,16 +589,17 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_words >= 50 AND n_words <= 100000        AS r_word_count,
            sum_len >= 3 * n_words
              AND sum_len <= 10 * n_words              AS r_mean_word_len,
-           10 * n_symbols < n_words                   AS r_symbol_ratio,
-           10 * n_bullet < 9 * n_lines                AS r_bullet_lines,
-           10 * n_ell_end < 3 * n_lines               AS r_ellipsis_lines,
+           10 * n_hash <= n_words
+             AND 10 * ell3 <= 3 * n_words             AS r_symbol_ratio,
+           10 * n_bullet <= 9 * n_lines               AS r_bullet_lines,
+           10 * n_ell_end <= 3 * n_lines              AS r_ellipsis_lines,
            5 * n_alpha_words >= 4 * n_words           AS r_alpha_words,
            n_req_stop >= 2                            AS r_stop_words,
            (n_words >= 50 AND n_words <= 100000)
              AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
-             AND (10 * n_symbols < n_words)
-             AND (10 * n_bullet < 9 * n_lines)
-             AND (10 * n_ell_end < 3 * n_lines)
+             AND (10 * n_hash <= n_words AND 10 * ell3 <= 3 * n_words)
+             AND (10 * n_bullet <= 9 * n_lines)
+             AND (10 * n_ell_end <= 3 * n_lines)
              AND (5 * n_alpha_words >= 4 * n_words)
              AND (n_req_stop >= 2)                    AS keep
     FROM m
@@ -609,22 +609,27 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The published Gopher quality-filter rule set (Rae et al. 2021,
     table A1) as per-doc boolean gates: word count in [50, 100000],
-    mean word length in [3, 10], symbol-to-word ratio (# / ellipsis)
-    < 0.1, < 90% bullet-started lines, < 30% ellipsis-ended lines,
-    >= 80% words with an alphabetic char, and >= 2 of the 8 required
-    English stop words.  Every ratio test is cross-multiplied into
-    integer arithmetic (10·symbols < words, 5·alpha >= 4·words, …), so
-    each flag — and the hash comparison — is exact, with no float
-    division anywhere.  Map-only codegen over the scan: the filter a
-    100 TB pipeline runs at full scan speed ahead of any shuffle."""
+    mean word length in [3, 10], symbol-to-word ratio > 0.1 for
+    EITHER the hash symbol or the ellipsis (per-symbol, as published —
+    not pooled), > 90% bullet-started lines, > 30% ellipsis-ended
+    lines, < 80% words with an alphabetic char, and < 2 of the 8
+    required English stop words — each a REMOVAL when its
+    strictly-greater (resp. strictly-less) bound is crossed, so a doc
+    sitting exactly on a boundary is kept, matching the paper.  Every
+    ratio test is cross-multiplied into integer arithmetic
+    (10·hash <= words; the ellipsis count stays as its 3× character
+    form, 10·ell3 <= 3·words; 5·alpha >= 4·words, …), so each flag —
+    and the hash comparison — is exact, with no float division
+    anywhere.  Map-only codegen over the scan: the filter a 100 TB
+    pipeline runs at full scan speed ahead of any shuffle."""
     d = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     lines = F.split(F.col("text"), "\n")
     tlen = F.length("text")
     n_hash = tlen - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
-    n_ellipsis = (
-        tlen - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
-    ) / 3
+    # 3x the ellipsis count — kept unscaled so the ratio test stays
+    # integer: ell/words > 0.1  <=>  10*ell3 > 3*words
+    ell3 = tlen - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
     uniq = F.array_distinct(F.split(F.lower(F.col("text")), " "))
     req = F.array(*[F.lit(w) for w in
                     ("the", "be", "to", "of", "and", "that", "have", "with")])
@@ -637,7 +642,8 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(
             F.filter(words, lambda w: w.rlike("[A-Za-z]"))
         ).alias("n_alpha_words"),
-        (n_hash + n_ellipsis).alias("n_symbols"),
+        n_hash.alias("n_hash"),
+        ell3.alias("ell3"),
         F.size(lines).alias("n_lines"),
         F.size(
             F.filter(
@@ -653,9 +659,10 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_word_count": (c("n_words") >= 50) & (c("n_words") <= 100000),
         "r_mean_word_len": (c("sum_len") >= 3 * c("n_words"))
         & (c("sum_len") <= 10 * c("n_words")),
-        "r_symbol_ratio": 10 * c("n_symbols") < c("n_words"),
-        "r_bullet_lines": 10 * c("n_bullet") < 9 * c("n_lines"),
-        "r_ellipsis_lines": 10 * c("n_ell_end") < 3 * c("n_lines"),
+        "r_symbol_ratio": (10 * c("n_hash") <= c("n_words"))
+        & (10 * c("ell3") <= 3 * c("n_words")),
+        "r_bullet_lines": 10 * c("n_bullet") <= 9 * c("n_lines"),
+        "r_ellipsis_lines": 10 * c("n_ell_end") <= 3 * c("n_lines"),
         "r_alpha_words": 5 * c("n_alpha_words") >= 4 * c("n_words"),
         "r_stop_words": c("n_req_stop") >= 2,
     }

@@ -17,21 +17,25 @@ the NEXT round's exposure order shifts automatically.
 Policy (encoding exactly the hand rotation used in rounds 4-5):
 
 1. Provable queries (an oracle is registered) come first, ordered by
-   the round of their freshest GREEN row ascending — never-certified
-   queries (new additions, or rows that have only ever failed) sort
-   before everything, then the stalest certified rows.  Ties break by
-   name, which is deterministic across registration-order churn.
+   the round of their freshest HASH-GREEN row ascending —
+   never-certified queries (new additions, rows that have only ever
+   failed, or rows whose only evidence predates the query gaining an
+   oracle and is therefore rows-only) sort before everything, then
+   the stalest certified rows.  Ties break by name, which is
+   deterministic across registration-order churn.
 2. Rows-only-by-design queries (``oracle=None`` in the registry) are
    pinned after every provable query, staleness-ordered among
-   themselves: their weaker rows-only check must never displace a
-   provable query from the checked prefix.
+   themselves by their rows-only evidence: their weaker check must
+   never displace a provable query from the checked prefix.
 
-A row counts as GREEN when rows/schema/hash all matched with no error;
-a rows-only row counts when the driver recorded a row count without an
-execution error (``err == 'no_oracle'`` is the driver's marker for the
-weaker check, not a failure).  A query that FAILED in its latest
-exposure keeps the round of its last green row (or none), so failures
-re-queue near the front automatically.
+A row counts as HASH-GREEN when rows/schema/hash all matched with no
+error.  A rows-only row (``err == 'no_oracle'``, the driver's marker
+for the weaker check) counts as evidence ONLY for queries that are
+still rows-only by design: crediting it to a query that has since
+gained an oracle would hide the query from the never-certified block
+and its oracle might never be driver-exercised.  A query that FAILED
+in its latest exposure keeps the round of its last green row (or
+none), so failures re-queue near the front automatically.
 """
 
 from __future__ import annotations
@@ -61,12 +65,13 @@ def _row_is_rows_only_ok(row: dict) -> bool:
     return row.get("err") in (None, "no_oracle") and row.get("spark_rows") is not None
 
 
-def freshest_green(repo_dir: str) -> dict[str, int]:
-    """Map query name -> highest round with a green (or, for rows-only
-    rows, rows-only-ok) verdict, across every committed artifact.
+def _scan_artifacts(repo_dir: str) -> tuple[dict[str, int], dict[str, int]]:
+    """One pass over every committed artifact: (hash-green rounds,
+    rows-only-ok rounds), each query -> its highest such round.
     Unreadable/corrupt artifacts are skipped: a broken file must not
     take the driver contract down with it."""
-    out: dict[str, int] = {}
+    green: dict[str, int] = {}
+    rows_only: dict[str, int] = {}
     for path in glob.glob(os.path.join(repo_dir, ARTIFACT_GLOB)):
         m = _ROUND_RE.search(os.path.basename(path))
         if not m:
@@ -82,27 +87,49 @@ def freshest_green(repo_dir: str) -> dict[str, int]:
         for name, row in doc.items():
             if not isinstance(row, dict):
                 continue
-            if _row_is_green(row) or (
-                row.get("hash_match") is None and _row_is_rows_only_ok(row)
-            ):
-                if rnd > out.get(name, 0):
-                    out[name] = rnd
-    return out
+            if _row_is_green(row):
+                if rnd > green.get(name, 0):
+                    green[name] = rnd
+            elif row.get("hash_match") is None and _row_is_rows_only_ok(row):
+                if rnd > rows_only.get(name, 0):
+                    rows_only[name] = rnd
+    return green, rows_only
+
+
+def freshest_green(repo_dir: str) -> dict[str, int]:
+    """Map query name -> highest round with a HASH-GREEN verdict.
+    Rows-only evidence deliberately does not count here — see the
+    module policy."""
+    return _scan_artifacts(repo_dir)[0]
+
+
+def freshest_rows_only(repo_dir: str) -> dict[str, int]:
+    """Map query name -> highest round with a rows-only-ok verdict
+    (the driver's weaker no-oracle check)."""
+    return _scan_artifacts(repo_dir)[1]
 
 
 def exposure_order(
     names: list[str],
     provable: dict[str, bool],
     freshness: dict[str, int],
+    rows_only_freshness: dict[str, int] | None = None,
 ) -> list[str]:
     """Order ``names`` for driver exposure per the module policy.
 
     ``provable[name]`` — whether the query registers an oracle (design
     rows-only queries are pinned after all provable ones).
-    ``freshness[name]`` — round of freshest green evidence; absent =
-    never certified (sorts first within its provability class).
+    ``freshness[name]`` — round of freshest HASH-GREEN evidence;
+    absent = never certified (sorts first within its provability
+    class).  For provable queries this is the ONLY evidence that
+    counts; ``rows_only_freshness`` orders the rows-only-by-design
+    tail among itself.
     """
-    return sorted(
-        names,
-        key=lambda n: (not provable.get(n, True), freshness.get(n, 0), n),
-    )
+    ro = rows_only_freshness or {}
+
+    def _key(n: str):
+        if provable.get(n, True):
+            return (False, freshness.get(n, 0), n)
+        return (True, max(freshness.get(n, 0), ro.get(n, 0)), n)
+
+    return sorted(names, key=_key)

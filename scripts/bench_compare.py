@@ -64,7 +64,12 @@ def main() -> int:
             print(f"  NEW    {name}: {qn[name]:.2f}s (no previous sample)")
             continue
         prev, cur = qo[name], qn[name]
-        delta = (cur - prev) / prev if prev else 0.0
+        if not prev:
+            # a 0.00s previous sample is a recording artifact, not a
+            # baseline — surface it instead of treating delta as 0
+            print(f"  ODD    {name}: previous sample {prev}s — not comparable")
+            continue
+        delta = (cur - prev) / prev
         if delta > args.threshold:
             regressions.append((name, prev, cur, delta))
         elif delta < -args.threshold:
@@ -77,9 +82,12 @@ def main() -> int:
         if a and b:
             d = (b - a) / a
             word = "up" if d > 0 else "down"
-            good = (d >= 0) == higher
+            bad = d != 0 and (d > 0) != higher
             print(f"  RATE   {ck}: {a:,.1f} -> {b:,.1f} ({word} {abs(d):.0%}"
-                  f"{'' if good else ' — WORSE'})")
+                  f"{' — WORSE' if bad else ''})")
+            # rate regressions gate the exit code like query times do
+            if bad and abs(d) > args.threshold:
+                regressions.append((ck, a, b, d))
 
     total_o, total_n = old.get("value"), new.get("value")
     if total_o and total_n:
@@ -90,9 +98,11 @@ def main() -> int:
     if regressions:
         print(f"\n{len(regressions)} regression(s) > {args.threshold:.0%}:")
         for name, prev, cur, delta in regressions:
-            print(f"  REGRESS {name}: {prev:.2f}s -> {cur:.2f}s ({delta:+.0%})")
+            unit = "" if name in {ck for _, ck, _ in RATE_KEYS} else "s"
+            print(f"  REGRESS {name}: {prev:,.2f}{unit} -> {cur:,.2f}{unit} "
+                  f"({delta:+.0%})")
         return 1
-    print(f"\nno per-query regressions > {args.threshold:.0%}")
+    print(f"\nno per-query or rate regressions > {args.threshold:.0%}")
     return 0
 
 

@@ -693,6 +693,17 @@ def test_split_top_level_false_open_rescan():
     # digit-led struct field names (CSV headers) still open correctly
     got = I._split_top_level("s:struct<1a:int,b:string>, t:int")
     assert got == ["s:struct<1a:int,b:string>", "t:int"]
+    # a later bare '>' must NOT absorb the false opener (it would pop
+    # it from the stack and defeat the end-of-text rebalance): the
+    # paren-containment guard catches the opener at its closing ')'
+    got = I._split_top_level("(struct<5), a, (b > 3), c")
+    assert got == ["(struct<5)", "a", "(b > 3)", "c"]
+    got = I._split_top_level("(map<3), x > 1, y:array<int>, z")
+    assert got == ["(map<3)", "x > 1", "y:array<int>", "z"]
+    # genuine type application fully inside a paren opened earlier
+    # must still bracket-count (the type app closes before the paren)
+    got = I._split_top_level("cast(x as struct<a:int,b:int>), y")
+    assert got == ["cast(x as struct<a:int,b:int>)", "y"]
 
 
 def test_decontaminate_bloom_prefilter_is_jvm_single_verify_join(q):

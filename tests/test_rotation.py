@@ -2,10 +2,10 @@
 
 The correctness driver checks a ~50-query prefix of ``queries()`` per
 round; rotation.py orders the catalog so the prefix always re-certifies
-the stalest evidence first.  These tests pin the policy with synthetic
-artifacts and then check the real repo artifacts reproduce the round-5
-hand rotation (new additions + every provable row last certified by
-round 2 inside the prefix, rows-only pinned last).
+the stalest evidence first.  These tests pin the POLICY with synthetic
+artifacts, then check invariants over the real committed artifacts that
+must hold in EVERY round (deliberately not the concrete round-N order,
+which shifts each time a new artifact lands — that's the module's job).
 
 No SparkSession needed: rotation is pure artifact/metadata logic.
 """
@@ -16,9 +16,14 @@ import os
 from consume_kafka_avro_data_spark.rotation import (
     exposure_order,
     freshest_green,
+    freshest_rows_only,
 )
 
 REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# the driver evaluates roughly this many queries per round; the policy
+# invariants below size the never-certified budget against it
+DRIVER_PREFIX = 50
 
 
 def _green_row(rows=10):
@@ -77,11 +82,15 @@ class TestFreshestGreen:
         _write(tmp_path, 2, {"a": _failed_row()})
         assert freshest_green(str(tmp_path)) == {}
 
-    def test_rows_only_marker_counts(self, tmp_path):
+    def test_rows_only_marker_is_not_hash_green(self, tmp_path):
         # err == 'no_oracle' with a recorded row count is the weaker
-        # check PASSING, not a failure
+        # check passing — it must land in the rows-only map, NOT the
+        # hash-green one: a query that later gains an oracle would
+        # otherwise skip the never-certified block and its oracle
+        # might never be driver-exercised
         _write(tmp_path, 2, {"a": _rows_only_row()})
-        assert freshest_green(str(tmp_path)) == {"a": 2}
+        assert freshest_green(str(tmp_path)) == {}
+        assert freshest_rows_only(str(tmp_path)) == {"a": 2}
 
     def test_rows_only_with_error_does_not_count(self, tmp_path):
         row = _rows_only_row()
@@ -89,6 +98,7 @@ class TestFreshestGreen:
         row["err"] = "boom"
         _write(tmp_path, 2, {"a": row})
         assert freshest_green(str(tmp_path)) == {}
+        assert freshest_rows_only(str(tmp_path)) == {}
 
     def test_corrupt_artifact_skipped(self, tmp_path):
         (tmp_path / "CORRECTNESS_r01.json").write_text("{not json")
@@ -97,6 +107,7 @@ class TestFreshestGreen:
 
     def test_no_artifacts(self, tmp_path):
         assert freshest_green(str(tmp_path)) == {}
+        assert freshest_rows_only(str(tmp_path)) == {}
 
 
 class TestExposureOrder:
@@ -121,51 +132,46 @@ class TestExposureOrder:
         order = exposure_order(names, provable, fresh)
         assert order == ["fresh_provable", "stale_rows_only"]
 
+    def test_newly_oracled_query_treated_as_never_certified(self, tmp_path):
+        # a query whose only evidence is an old rows-only row (it was
+        # registered without an oracle back then, gained one since)
+        # must sort in the never-certified block, ahead of every
+        # hash-certified query
+        _write(tmp_path, 1, {"upgraded": _rows_only_row(), "cert": _green_row()})
+        fresh = freshest_green(str(tmp_path))
+        ro = freshest_rows_only(str(tmp_path))
+        names = ["cert", "upgraded"]
+        provable = {"cert": True, "upgraded": True}  # oracle added since r01
+        assert exposure_order(names, provable, fresh, ro) == ["upgraded", "cert"]
+
+    def test_rows_only_tail_staleness_ordered(self, tmp_path):
+        _write(tmp_path, 1, {"ro_old": _rows_only_row()})
+        _write(tmp_path, 3, {"ro_new": _rows_only_row()})
+        fresh = freshest_green(str(tmp_path))
+        ro = freshest_rows_only(str(tmp_path))
+        names = ["ro_new", "ro_old", "p"]
+        provable = {"ro_new": False, "ro_old": False, "p": True}
+        assert exposure_order(names, provable, fresh, ro) == ["p", "ro_old", "ro_new"]
+
 
 class TestRepoArtifacts:
-    """The computed order over the REAL committed artifacts must
-    reproduce the round-5 rotation the judge prescribed: round-5
-    additions plus all 37 provable rows last certified by round 2
-    inside the ~50-slot prefix, rows-only-by-design pinned last."""
+    """Invariants over the REAL committed artifacts that must hold in
+    every round — deliberately no concrete round-N query lists, which
+    would go stale the moment the next CORRECTNESS artifact lands."""
 
-    R02_STALE = {
-        "q_window_running", "q_union_except", "q_session_like",
-        "q_approx_distinct", "q_approx_percentile", "q_asof_tolerance",
-        "q_interval_count_binned", "q_local_supplier_volume",
-        "q_returned_items", "q_shipping_priority", "q_supply_chain_reach",
-        "q_trade_triangles", "q_zorder_layout", "q_text_tokens",
-        "q_containment", "q_ngram_jaccard", "q_simhash_neardup",
-        "q_simhash_signatures", "q_winnow_fingerprints", "q_minhash_est",
-        "q_minhash_neardup", "q_dedup_clusters", "q_dedup_pipeline",
-        "q_embedding_neardup", "q_embedding_norms", "q_label_centroids",
-        "q_neardup_lsh", "q_pq_adc", "q_pq_codes", "q_similarity_ann",
-        "q_similarity_ivf", "q_similarity_topk", "q_sq_quantize",
-        "q_frame_sample", "q_multimodal_features", "q_ppm_features",
-        "q_wav_features",
-    }
-
-    def test_round5_prefix(self):
+    @staticmethod
+    def _entry():
         import sys
 
         sys.path.insert(0, REPO_DIR)
         import __spark_entry__ as entry
 
-        names = list(entry.queries())
-        prefix = set(names[:50])
-        # the two round-5 additions have no driver row yet -> in prefix
-        assert {"q_ann_recall", "q_adc_rerank"} <= prefix
-        # every provable row whose freshest green evidence is round 2
-        assert self.R02_STALE <= prefix
-        # rows-only by design never displaces a provable query
-        assert names[-1] == "q_minhash_est_fast"
+        return entry
 
-    def test_order_is_nondecreasing_in_staleness(self):
-        import sys
-
-        sys.path.insert(0, REPO_DIR)
-        import __spark_entry__ as entry
+    def test_provable_staleness_nondecreasing(self):
         from consume_kafka_avro_data_spark.registry import all_queries
 
+        entry = self._entry()
         fresh = freshest_green(REPO_DIR)
         qs = all_queries()
         names = list(entry.queries())
@@ -173,3 +179,41 @@ class TestRepoArtifacts:
             fresh.get(n, 0) for n in names if qs[n].oracle is not None
         ]
         assert provable_rounds == sorted(provable_rounds)
+
+    def test_rows_only_by_design_pinned_last(self):
+        from consume_kafka_avro_data_spark.registry import all_queries
+
+        entry = self._entry()
+        qs = all_queries()
+        names = list(entry.queries())
+        seen_rows_only = False
+        for n in names:
+            if qs[n].oracle is None:
+                seen_rows_only = True
+            else:
+                assert not seen_rows_only, (
+                    f"provable {n} ordered after a rows-only-by-design query"
+                )
+
+    def test_never_certified_budget_fits_driver_prefix(self):
+        """Every never-hash-certified provable query must fit in the
+        driver's checked prefix — more new oracled queries than slots
+        means some would wait a full round uncertified AND displace
+        stale re-certifications.  This is the rotation's capacity
+        planning rule; it failing means: stop adding queries this
+        round."""
+        from consume_kafka_avro_data_spark.registry import all_queries
+
+        entry = self._entry()
+        fresh = freshest_green(REPO_DIR)
+        qs = all_queries()
+        names = list(entry.queries())
+        never = [
+            n for n in names if qs[n].oracle is not None and n not in fresh
+        ]
+        assert len(never) <= DRIVER_PREFIX, (
+            f"{len(never)} never-certified provable queries exceed the "
+            f"~{DRIVER_PREFIX}-slot driver prefix"
+        )
+        # and they all sort inside the prefix
+        assert set(never) <= set(names[:DRIVER_PREFIX])
