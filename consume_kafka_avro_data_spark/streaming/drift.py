@@ -1,0 +1,214 @@
+"""Streaming corpus-drift monitor — distribution shift detected AT
+INGEST, while the batch form (``queries/curation.corpus_drift``) is the
+offline census.
+
+Fourth member of the engine's ingest family, and the second watcher:
+``StreamingGraphIngest`` lands triples, ``StreamingDedupIngest`` lands
+signatures (rejecting low-quality / contaminated docs on the way in),
+``StreamingAnnIngest`` lands vectors AND watches quantizer-cell skew
+(``needs_rebuild``) — this one watches the arriving token distribution
+against the REFERENCE corpus the pipeline's knobs were tuned on
+(sampling weights, quality thresholds, the ANN quantizers themselves)
+and flips ``needs_retune`` when the head total-variation distance
+crosses the threshold.
+
+Design, mirroring the batch census's parity/scale choices:
+
+* The reference head — the top ``head_k`` terms per language by count —
+  is computed ONCE at construction with the same tokenizer as the
+  arriving stream and collected to the driver (bounded: ≤ head_k rows
+  per language, the stated ``.collect()`` bound of this module).
+* Each micro-batch's tokens are bucketed JVM-side into the reference
+  head terms plus a single out-of-vocabulary bucket (broadcast join
+  against the head LUT, one partial+final aggregate), so the per-batch
+  collect is ≤ (head_k + 1) rows per language regardless of batch
+  size — per-batch cost is head-bounded exactly like the ANN ingest's
+  parquet-footer reads.
+* Counts accumulate keyed BY BATCH ID, so a foreachBatch replay after
+  a crash REPLACES its own contribution instead of double-counting —
+  the same replay contract the other three ingests implement with
+  anti-joins / per-shard-id generations.
+* ``drift_tvd()`` is the coarsened total-variation distance over the
+  head-term partition (head terms + OOV): 0.5 · Σ |p_t − q_t| between
+  the reference distribution and the accumulated arrivals, per
+  language.  Coarsening over a fixed finite partition keeps the metric
+  exact and bounded-cost at any stream length; a language with no
+  arrivals yet reports no drift (there is nothing to compare).
+* ``needs_retune(threshold)`` is ADVISORY, like the ANN ingest's
+  ``needs_rebuild``: re-deriving sampling weights or retraining
+  quantizers mid-stream must be the operator's scheduled decision.
+
+The OOV bucket uses a key that cannot collide with a real token
+(tokens come from space-splitting, so they never contain a space).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from consume_kafka_avro_data_spark.streaming.lifecycle import BoundedReplayMixin
+
+#: bucket key for arrival mass outside the reference head — contains a
+#: space, which no space-split token can
+OOV = "<oov tail>"
+
+
+def _lang_tokens(docs: DataFrame) -> DataFrame:
+    """(lang, tok) token stream — the census tokenizer: lowercase,
+    space-split, empties dropped."""
+    return docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+
+
+@dataclass
+class DriftMetrics:
+    batches: int = 0
+    docs: int = 0
+    docs_by_batch: dict[int, int] = field(default_factory=dict)
+    #: per-batch {(lang, term_or_OOV): count} — keyed by batch id so a
+    #: replayed batch REPLACES its contribution
+    counts_by_batch: dict[int, dict[tuple[str, str], int]] = field(
+        default_factory=dict
+    )
+
+    def term_totals(self) -> dict[tuple[str, str], int]:
+        totals: dict[tuple[str, str], int] = {}
+        for counts in self.counts_by_batch.values():
+            for key, n in counts.items():
+                totals[key] = totals.get(key, 0) + n
+        return totals
+
+
+class StreamingDriftMonitor(BoundedReplayMixin):
+    """readStream(documents) → head-bucketed token counts per batch →
+    running head-TVD against the reference corpus (replay-idempotent)."""
+
+    _checkpoint_subdir = "drift"
+
+    def _new_metrics(self) -> DriftMetrics:
+        return DriftMetrics()
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        reference: DataFrame,
+        checkpoint_dir: str,
+        head_k: int = 256,
+    ):
+        self.spark = spark
+        self.checkpoint_dir = checkpoint_dir
+        self.head_k = head_k
+        self.metrics = DriftMetrics()
+        self._seen_batches: set[int] = set()
+
+        # reference head: top head_k terms per lang by count
+        # (deterministic cnt-then-term rank, as the batch census), plus
+        # the reference's own OOV (tail) mass so the comparison
+        # partition is identical on both sides.  collect() bounds:
+        # head ≤ head_k rows per language; tail ≤ 1 row per language.
+        tc = (
+            _lang_tokens(reference)
+            .groupBy("lang", "tok")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        rk = F.row_number().over(
+            Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "tok")
+        )
+        ranked = tc.withColumn("rk", rk)
+        head_rows = ranked.where(F.col("rk") <= head_k).collect()
+        tail_rows = (
+            ranked.where(F.col("rk") > head_k)
+            .groupBy("lang")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        self._ref_counts: dict[tuple[str, str], int] = {
+            (r.lang, r.tok): r.cnt for r in head_rows
+        }
+        for r in tail_rows:
+            self._ref_counts[(r.lang, OOV)] = r.cnt
+        self._ref_totals: dict[str, int] = {}
+        for (lang, _), n in self._ref_counts.items():
+            self._ref_totals[lang] = self._ref_totals.get(lang, 0) + n
+        #: (lang, term) head membership, broadcast to bucket arrivals
+        self._head_terms = {k for k in self._ref_counts if k[1] != OOV}
+
+    # -- foreachBatch ---------------------------------------------------------
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        counts: dict[tuple[str, str], int] = {}
+        # unlike the ANN ingest (which reads row counts from the shard
+        # it writes anyway), this monitor HAS no write to piggyback on:
+        # the doc tally is one count() over the micro-batch, small by
+        # construction, and doubles as the emptiness probe
+        n_docs = batch.count()
+        if n_docs:
+            lut = self.spark.createDataFrame(
+                [(lang, tok) for lang, tok in self._head_terms] or
+                [("", "")],
+                "lang string, tok string",
+            ).withColumn("in_head", F.lit(True))
+            rows = (
+                _lang_tokens(batch)
+                # head LUT is ≤ head_k x n_langs rows: broadcast is
+                # size-bounded by construction
+                .join(F.broadcast(lut), ["lang", "tok"], "left")
+                .select(
+                    "lang",
+                    F.when(F.col("in_head"), F.col("tok"))
+                    .otherwise(F.lit(OOV))
+                    .alias("term"),
+                )
+                .groupBy("lang", "term")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                # bounded: ≤ (head_k + 1) rows per language
+                .collect()
+            )
+            counts = {(r.lang, r.term): r.cnt for r in rows}
+        if batch_id not in self._seen_batches:
+            self.metrics.batches += 1
+            self.metrics.docs += n_docs
+            self.metrics.docs_by_batch[batch_id] = n_docs
+        # keyed by batch id: a replay overwrites (never double-counts)
+        self.metrics.counts_by_batch[batch_id] = counts
+        self._seen_batches.add(batch_id)
+
+    # -- drift metric ---------------------------------------------------------
+
+    def drift_tvd(self) -> dict[str, float]:
+        """Per-language coarsened head-TVD between the reference
+        distribution and the accumulated arrivals: 0.5 · Σ |p − q|
+        over the reference head terms plus the OOV bucket.  Languages
+        with no arrivals are absent; an arriving language unseen in the
+        reference reports 1.0 (everything it sends is OOV mass against
+        an empty reference)."""
+        arr = self.metrics.term_totals()
+        arr_totals: dict[str, int] = {}
+        for (lang, _), n in arr.items():
+            arr_totals[lang] = arr_totals.get(lang, 0) + n
+        out: dict[str, float] = {}
+        for lang, a_tot in arr_totals.items():
+            r_tot = self._ref_totals.get(lang)
+            if not r_tot:
+                out[lang] = 1.0
+                continue
+            terms = {t for (lg, t) in self._ref_counts if lg == lang}
+            terms |= {t for (lg, t) in arr if lg == lang}
+            s = 0.0
+            for t in sorted(terms):  # deterministic fold order
+                p = self._ref_counts.get((lang, t), 0) / r_tot
+                q = arr.get((lang, t), 0) / a_tot
+                s += abs(p - q)
+            out[lang] = 0.5 * s
+        return out
+
+    def needs_retune(self, threshold: float = 0.2) -> bool:
+        """True when ANY language's accumulated head-TVD crosses
+        ``threshold`` — the signal to re-derive sampling weights /
+        re-check quality thresholds against the shifted stream.
+        Advisory, like the ANN ingest's ``needs_rebuild``."""
+        return any(v > threshold for v in self.drift_tvd().values())

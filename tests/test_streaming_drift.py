@@ -1,0 +1,165 @@
+"""StreamingDriftMonitor: documents arriving as a file-backed stream
+must accumulate head-bucketed token counts batch-by-batch, the running
+head-TVD against the reference must flag a shifted stream (and stay
+quiet on a same-distribution one), and a checkpoint-less replay must
+REPLACE per-batch counts instead of double-counting."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from consume_kafka_avro_data_spark.streaming.drift import (
+    OOV,
+    StreamingDriftMonitor,
+)
+from consume_kafka_avro_data_spark.tables import load_table
+
+
+@pytest.fixture()
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _doc_stream(spark, tmp_path, frames):
+    path = str(tmp_path / "docs")
+    for df in frames:
+        df.select("doc_id", "text", "lang").coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    schema = frames[0].select("doc_id", "text", "lang").schema
+
+    def reader():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+
+    return reader
+
+
+def test_same_distribution_stream_reports_low_drift(spark, tmp_path, docs):
+    """Streaming one half of the corpus against the other half as
+    reference: same generator, so every language's head-TVD is small
+    and the advisory flag stays down."""
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    mon = StreamingDriftMonitor(spark, ref, str(tmp_path / "ck1"))
+    reader = _doc_stream(
+        spark,
+        tmp_path,
+        [
+            docs.where((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 4 == 1)),
+            docs.where((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 4 == 3)),
+        ],
+    )
+    m = mon.run_to_completion(reader())
+    assert m.batches == 2
+    assert m.docs == docs.where(F.col("doc_id") % 2 == 1).count()
+    tvd = mon.drift_tvd()
+    assert tvd, "no languages measured"
+    assert all(0.0 <= v < 0.2 for v in tvd.values()), tvd
+    assert not mon.needs_retune(threshold=0.2)
+
+
+def test_shifted_stream_flips_needs_retune(spark, tmp_path, docs):
+    """A batch whose vocabulary the reference has never seen lands
+    (almost) entirely in the OOV bucket: its language's TVD jumps and
+    the advisory flag flips — while the monitor keeps consuming."""
+    ref = docs.where(F.col("lang") == "en")
+    novel = spark.createDataFrame(
+        [(9000 + i, "zzq qqz zqz " * 30, "en") for i in range(8)],
+        "doc_id long, text string, lang string",
+    )
+    mon = StreamingDriftMonitor(spark, ref, str(tmp_path / "ck2"))
+    reader = _doc_stream(spark, tmp_path, [novel])
+    mon.run_to_completion(reader())
+    tvd = mon.drift_tvd()
+    assert tvd["en"] > 0.9, tvd
+    assert mon.needs_retune()
+    # the OOV bucket, not spurious head terms, carries the shift
+    arr = mon.metrics.term_totals()
+    assert arr[("en", OOV)] == sum(n for (lg, _), n in arr.items() if lg == "en")
+
+
+def test_unseen_language_reports_full_drift(spark, tmp_path, docs):
+    """A language absent from the reference has no distribution to
+    match: everything it sends is drift (TVD = 1.0)."""
+    ref = docs.where(F.col("lang") == "en")
+    stray = spark.createDataFrame(
+        [(9100, "bonjour le monde " * 20, "fr")],
+        "doc_id long, text string, lang string",
+    )
+    mon = StreamingDriftMonitor(spark, ref, str(tmp_path / "ck3"))
+    mon.run_to_completion(_doc_stream(spark, tmp_path, [stray])())
+    assert mon.drift_tvd()["fr"] == 1.0
+
+
+def test_replay_replaces_batch_counts(spark, tmp_path, docs):
+    """Replaying the SAME stream into the same monitor (fresh
+    checkpoint, reset_metrics=False — a crash-recovery double replay)
+    must leave every accumulated number unchanged: counts key by batch
+    id and REPLACE."""
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    arrivals = docs.where(F.col("doc_id") % 2 == 1)
+    mon = StreamingDriftMonitor(spark, ref, str(tmp_path / "ck4"))
+    reader = _doc_stream(
+        spark,
+        tmp_path,
+        [
+            arrivals.where(F.col("doc_id") % 4 == 1),
+            arrivals.where(F.col("doc_id") % 4 == 3),
+        ],
+    )
+    mon.run_to_completion(reader())
+    first = (
+        mon.metrics.docs,
+        dict(mon.metrics.docs_by_batch),
+        mon.metrics.term_totals(),
+        mon.drift_tvd(),
+    )
+    # second replay: new checkpoint dir (simulates a lost checkpoint),
+    # metrics deliberately NOT reset — idempotence must come from the
+    # batch-id keying, not from the reset
+    mon.checkpoint_dir = str(tmp_path / "ck4b")
+    mon.run_to_completion(reader(), reset_metrics=False)
+    second = (
+        mon.metrics.docs,
+        dict(mon.metrics.docs_by_batch),
+        mon.metrics.term_totals(),
+        mon.drift_tvd(),
+    )
+    assert first == second
+
+
+def test_head_bucketing_matches_batch_census_head(spark, docs, tmp_path):
+    """The monitor's reference head must be the same deterministic
+    cnt-then-term head the batch census (corpus_drift) ranks — spot
+    check: every head term's reference count equals a direct groupBy
+    over the same tokenizer."""
+    ref = docs.where(F.col("lang") == "en")
+    mon = StreamingDriftMonitor(spark, ref, str(tmp_path / "ck5"), head_k=5)
+    direct = {
+        (r.lang, r.tok): r.cnt
+        for r in (
+            ref.select(
+                "lang",
+                F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+            )
+            .where(F.col("tok") != "")
+            .groupBy("lang", "tok")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "tok")
+            .limit(5)
+            .collect()
+        )
+    }
+    head = {k: v for k, v in mon._ref_counts.items() if k[1] != OOV}
+    assert head == direct
+    # head + tail partition the full reference token count
+    total_tokens = (
+        ref.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("t"))
+        .where(F.col("t") != "")
+        .count()
+    )
+    assert sum(mon._ref_counts.values()) == total_tokens
