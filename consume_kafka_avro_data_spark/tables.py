@@ -100,6 +100,7 @@ def register_engine_views(
     graph=None,
     signatures=None,
     ann_index=None,
+    drift_monitor=None,
 ) -> list[str]:
     """Expose the ENGINE'S materialized state — not just the input
     tables — through the same ad-hoc SQL surface: the reference's graph
@@ -121,9 +122,15 @@ def register_engine_views(
     * ``ann_index`` (operators/ann_index.AnnIndex) → ``ann_cells``
       (the per-cell balance diagnostic) + ``ann_vectors`` (the live
       generations' rows: id, codes, cell — probe pruning still applies
-      to a ``WHERE _ivf_cell IN (...)``).
+      to a ``WHERE _ivf_cell IN (...)``);
+    * ``drift_monitor`` (streaming/drift.StreamingDriftMonitor) →
+      ``drift_tvd`` (lang, head_tvd over the accumulated arrivals) +
+      ``drift_terms`` (lang, term, arrivals — the head-bucketed
+      counts, OOV bucket included).  Head-bounded driver state
+      materialized as local relations, not a scan.
 
-    Views are lazy over the manifest/meta read at registration time:
+    Views are lazy over the manifest/meta read at registration time
+    (drift views snapshot the monitor's counters at registration):
     re-register after ingests/builds to see newer commits.  Returns the
     view names created."""
     created: list[str] = []
@@ -143,4 +150,17 @@ def register_engine_views(
         ann_index.cell_sizes().createOrReplaceTempView("ann_cells")
         ann_index._vectors().createOrReplaceTempView("ann_vectors")
         created += ["ann_cells", "ann_vectors"]
+    if drift_monitor is not None:
+        tvd_rows = sorted(drift_monitor.drift_tvd().items())
+        spark.createDataFrame(
+            tvd_rows, "lang string, head_tvd double"
+        ).createOrReplaceTempView("drift_tvd")
+        term_rows = sorted(
+            (lang, term, int(n))
+            for (lang, term), n in drift_monitor.metrics.term_totals().items()
+        )
+        spark.createDataFrame(
+            term_rows, "lang string, term string, arrivals long"
+        ).createOrReplaceTempView("drift_terms")
+        created += ["drift_tvd", "drift_terms"]
     return created

@@ -163,3 +163,27 @@ def test_head_bucketing_matches_batch_census_head(spark, docs, tmp_path):
         .count()
     )
     assert sum(mon._ref_counts.values()) == total_tokens
+
+
+def test_drift_views_reachable_from_sql(spark, tmp_path, docs):
+    """register_engine_views(drift_monitor=…) must expose the monitor's
+    head-TVD and bucketed counts as queryable views — including before
+    anything streamed (empty relations, correct schema)."""
+    from consume_kafka_avro_data_spark.tables import register_engine_views
+
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    mon = StreamingDriftMonitor(spark, ref, str(tmp_path / "ck6"))
+    created = register_engine_views(spark, drift_monitor=mon)
+    assert created == ["drift_tvd", "drift_terms"]
+    assert spark.sql("SELECT * FROM drift_tvd").count() == 0  # nothing streamed
+    mon.run_to_completion(
+        _doc_stream(spark, tmp_path, [docs.where(F.col("doc_id") % 2 == 1)])()
+    )
+    register_engine_views(spark, drift_monitor=mon)  # snapshot refresh
+    tvd = {
+        r.lang: r.head_tvd
+        for r in spark.sql("SELECT lang, head_tvd FROM drift_tvd").collect()
+    }
+    assert tvd == mon.drift_tvd()
+    total = spark.sql("SELECT sum(arrivals) AS s FROM drift_terms").collect()[0].s
+    assert total == sum(mon.metrics.term_totals().values())
