@@ -1124,9 +1124,18 @@ def corpus_drift(docs: DataFrame, head_k: int = 4096) -> DataFrame:
         .select(
             "lang",
             "tok",
+            # an EMPTY snapshot (a lang appearing only after — or only
+            # before — the cut) is the zero distribution, not a
+            # divide-by-zero (ANSI mode would otherwise fail the job)
             F.abs(
-                F.col("cnt_a").cast("double") / F.col("tot_a")
-                - F.col("cnt_b").cast("double") / F.col("tot_b")
+                F.when(
+                    F.col("tot_a") != 0,
+                    F.col("cnt_a").cast("double") / F.col("tot_a"),
+                ).otherwise(F.lit(0.0))
+                - F.when(
+                    F.col("tot_b") != 0,
+                    F.col("cnt_b").cast("double") / F.col("tot_b"),
+                ).otherwise(F.lit(0.0))
             ).alias("diff"),
         )
     )
@@ -1183,8 +1192,10 @@ def corpus_drift(docs: DataFrame, head_k: int = 4096) -> DataFrame:
     ),
     d AS (
       SELECT h.lang, h.tok,
-             abs(CAST(h.cnt_a AS DOUBLE) / t.tot_a
-                 - CAST(h.cnt_b AS DOUBLE) / t.tot_b) AS diff
+             abs(CASE WHEN t.tot_a = 0 THEN 0.0
+                      ELSE CAST(h.cnt_a AS DOUBLE) / t.tot_a END
+                 - CASE WHEN t.tot_b = 0 THEN 0.0
+                        ELSE CAST(h.cnt_b AS DOUBLE) / t.tot_b END) AS diff
       FROM hd h JOIN tot t USING (lang)
       WHERE h.rk <= 4096
     )

@@ -427,3 +427,110 @@ def test_incremental_dedup_agrees_with_intra_corpus_pipeline(spark, texts):
         for r in incremental_minhash_dedup(new, corpus).collect()
     }
     assert got == want
+
+
+DOC_TOKENS = st.lists(
+    st.lists(st.sampled_from("pqrs"), min_size=1, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=DOC_TOKENS)
+@SETTINGS
+def test_corpus_drift_matches_python_model(spark, texts):
+    """Law: corpus_drift (uncapped head) equals the textbook per-term
+    TVD computed by a pure-Python model over the same doc_id-parity
+    snapshots — contributions summed in the SAME sorted-term order, so
+    the float comparison is exact, and churn counts follow from plain
+    set algebra.  One-sided corpora (a lang with an empty snapshot)
+    are exercised too: q is the zero distribution and TVD folds |p|."""
+    from collections import Counter
+
+    from consume_kafka_avro_data_spark.queries.curation import corpus_drift
+
+    docs = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.lang: r for r in corpus_drift(docs, head_k=10_000).collect()}
+
+    cnt_a, cnt_b = Counter(), Counter()
+    for i, t in enumerate(texts):
+        (cnt_a if i % 2 == 0 else cnt_b).update(w for w in t.split(" ") if w)
+    vocab = set(cnt_a) | set(cnt_b)
+    tot_a, tot_b = sum(cnt_a.values()), sum(cnt_b.values())
+    s = 0.0
+    for t in sorted(vocab):
+        p = cnt_a[t] / tot_a if tot_a else 0.0
+        q = cnt_b[t] / tot_b if tot_b else 0.0
+        s += abs(p - q)
+    want_tvd = 0.5 * s
+
+    if not vocab:
+        assert got == {}
+        return
+    r = got["en"]
+    assert r.n_terms == len(vocab)
+    assert (r.tokens_a, r.tokens_b) == (tot_a, tot_b)
+    assert r.n_new == sum(1 for t in vocab if t not in cnt_a)
+    assert r.n_gone == sum(1 for t in vocab if t not in cnt_b)
+    assert r.head_tvd == want_tvd  # exact: same fold order, same IEEE ops
+    assert 0.0 <= r.head_tvd <= 1.0
+
+
+@given(texts=DOC_TOKENS)
+@SETTINGS
+def test_keep_one_spares_exactly_the_canonical_occurrence(spark, texts):
+    """Law: with keep_first, the marked positions are exactly the
+    all-occurrence marks MINUS each duplicated gram's lexicographic
+    min-(doc_id, pos) occurrence — modeled in pure Python over the
+    same 2-gram windows."""
+    from collections import defaultdict
+
+    from consume_kafka_avro_data_spark.queries.curation import (
+        duplicate_token_spans,
+    )
+
+    n = 2
+    docs = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string",
+    )
+
+    occs = defaultdict(list)  # gram -> [(doc_id, pos)], pos 1-based
+    for i, t in enumerate(texts):
+        toks = [w for w in t.lower().split(" ")]
+        for p in range(len(toks) - n + 1):
+            occs[" ".join(toks[p : p + n])].append((i, p + 1))
+    marked = set()
+    for positions in occs.values():
+        if len(positions) > 1:
+            marked |= set(positions) - {min(positions)}
+    # fold marked positions into maximal spans per doc (model form):
+    # a window joins the open span only when it OVERLAPS it (pos <=
+    # running end) — adjacent-but-disjoint windows start a new span,
+    # matching the engine's pinned island rule
+    want = set()
+    by_doc = defaultdict(list)
+    for d, p in marked:
+        by_doc[d].append(p)
+    for d, ps in by_doc.items():
+        ps.sort()
+        start = end = None
+        for p in ps:
+            if start is None:
+                start, end = p, p + n - 1
+            elif p <= end:
+                end = max(end, p + n - 1)
+            else:
+                want.add((d, start, end))
+                start, end = p, p + n - 1
+        if start is not None:
+            want.add((d, start, end))
+
+    got = {
+        (r.doc_id, r.start_tok, r.end_tok)
+        for r in duplicate_token_spans(docs, n=n, keep_first=True).collect()
+    }
+    assert got == want
