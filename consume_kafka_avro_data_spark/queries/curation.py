@@ -18,12 +18,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from consume_kafka_avro_data_spark.functions.textops import (
+    census_token_stream,
+    lower_tokens,
+)
 from consume_kafka_avro_data_spark.registry import query
 from consume_kafka_avro_data_spark.tables import load_table
 
 
 def _lower_tokens() -> F.Column:
-    return F.split(F.lower(F.col("text")), " ")
+    # the shared census tokenizer (functions/textops) — kept as a
+    # module-local alias for this file's many call sites
+    return lower_tokens()
 
 
 def word_grams(n: int = 8) -> F.Column:
@@ -1094,12 +1100,19 @@ def corpus_drift(docs: DataFrame, head_k: int = 4096) -> DataFrame:
     cnt-then-term rank) so the collected array is head-bounded — at
     100 TB the per-lang vocab may be 10 M+ terms, but the drift
     monitor folds only the head, and the churn counts (n_new/n_gone)
-    still cover the full vocab via plain aggregation."""
-    tk = docs.select(
+    still cover the full vocab via plain aggregation.
+
+    A language with an EMPTY snapshot on either side reports
+    head_tvd = 1.0 — disjoint supports are maximal drift by the TVD
+    convention, and the streaming twin
+    (``streaming/drift.StreamingDriftMonitor``) reports the same 1.0
+    for a language absent from its reference, so the offline census
+    and the ingest watcher agree at the loudest point."""
+    tk = census_token_stream(
+        docs.select((F.col("doc_id") % 2).alias("snap"), "lang", "text"),
         "lang",
-        (F.col("doc_id") % 2).alias("snap"),
-        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
-    ).where(F.col("tok") != "")
+        "snap",
+    )
     tc = tk.groupBy("lang", "tok").agg(
         F.sum(F.when(F.col("snap") == 0, 1).otherwise(0)).alias("cnt_a"),
         F.sum(F.when(F.col("snap") == 1, 1).otherwise(0)).alias("cnt_b"),
@@ -1159,7 +1172,12 @@ def corpus_drift(docs: DataFrame, head_k: int = 4096) -> DataFrame:
         F.col("tot_b").cast("long").alias("tokens_b"),
         F.col("n_new").cast("long").alias("n_new"),
         F.col("n_gone").cast("long").alias("n_gone"),
-        "head_tvd",
+        # disjoint supports (one snapshot empty) = maximal drift
+        F.when(
+            (F.col("tot_a") == 0) | (F.col("tot_b") == 0), F.lit(1.0)
+        )
+        .otherwise(F.col("head_tvd"))
+        .alias("head_tvd"),
     )
 
 
@@ -1205,8 +1223,9 @@ def corpus_drift(docs: DataFrame, head_k: int = 4096) -> DataFrame:
            CAST(t.tot_b AS BIGINT)   AS tokens_b,
            CAST(t.n_new AS BIGINT)   AS n_new,
            CAST(t.n_gone AS BIGINT)  AS n_gone,
-           0.5 * list_reduce(list(d.diff ORDER BY d.tok), (a, b) -> a + b)
-             AS head_tvd
+           CASE WHEN t.tot_a = 0 OR t.tot_b = 0 THEN 1.0
+                ELSE 0.5 * list_reduce(list(d.diff ORDER BY d.tok),
+                                       (a, b) -> a + b) END AS head_tvd
     FROM d JOIN tot t USING (lang)
     GROUP BY t.lang, t.n_terms, t.tot_a, t.tot_b, t.n_new, t.n_gone
     """,

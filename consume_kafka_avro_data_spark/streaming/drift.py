@@ -14,26 +14,42 @@ crosses the threshold.
 
 Design, mirroring the batch census's parity/scale choices:
 
+* The tokenizer is THE census tokenizer (``functions/textops``), the
+  same definition ``corpus_drift`` aggregates — structurally, not by
+  copy — so the monitor's reference head is byte-identical to what the
+  offline census would rank.
 * The reference head — the top ``head_k`` terms per language by count —
-  is computed ONCE at construction with the same tokenizer as the
-  arriving stream and collected to the driver (bounded: ≤ head_k rows
-  per language, the stated ``.collect()`` bound of this module).
+  is computed ONCE at construction (reference scanned once, persisted
+  across the head/tail collects) and collected to the driver (bounded:
+  ≤ head_k + 1 rows per language, the stated ``.collect()`` bound of
+  this module).  The head LUT DataFrame is also built once and reused
+  by every micro-batch.
 * Each micro-batch's tokens are bucketed JVM-side into the reference
   head terms plus a single out-of-vocabulary bucket (broadcast join
   against the head LUT, one partial+final aggregate), so the per-batch
   collect is ≤ (head_k + 1) rows per language regardless of batch
   size — per-batch cost is head-bounded exactly like the ANN ingest's
   parquet-footer reads.
-* Counts accumulate keyed BY BATCH ID, so a foreachBatch replay after
-  a crash REPLACES its own contribution instead of double-counting —
-  the same replay contract the other three ingests implement with
-  anti-joins / per-shard-id generations.
+* Counts accumulate keyed BY BATCH ID and the scalar tallies are
+  DERIVED from those maps, so a foreachBatch replay after a crash
+  REPLACES its own contribution consistently (counts and doc tallies
+  can never disagree) — batch ids are Structured Streaming's replay
+  key, unique within one checkpoint lineage.  Accumulating across
+  runs (``reset_metrics=False``) is therefore sound only for replays
+  of the SAME stream (crash recovery); a genuinely NEW stream restarts
+  batch ids at 0 and must go through a reset or a fresh monitor.
+* Metric reads (``drift_tvd`` / ``needs_retune`` / the SQL views) may
+  race the stream-execution thread in continuous (T1) mode, so the
+  per-batch map mutation and the totals snapshot share a lock.
 * ``drift_tvd()`` is the coarsened total-variation distance over the
   head-term partition (head terms + OOV): 0.5 · Σ |p_t − q_t| between
   the reference distribution and the accumulated arrivals, per
   language.  Coarsening over a fixed finite partition keeps the metric
   exact and bounded-cost at any stream length; a language with no
-  arrivals yet reports no drift (there is nothing to compare).
+  arrivals yet reports no drift (there is nothing to compare), and a
+  language ABSENT from the reference reports the maximal 1.0 —
+  disjoint supports, the same convention the batch census applies to
+  an empty snapshot.
 * ``needs_retune(threshold)`` is ADVISORY, like the ANN ingest's
   ``needs_rebuild``: re-deriving sampling weights or retraining
   quantizers mid-stream must be the operator's scheduled decision.
@@ -44,10 +60,12 @@ The OOV bucket uses a key that cannot collide with a real token
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from consume_kafka_avro_data_spark.functions.textops import census_token_stream
 from consume_kafka_avro_data_spark.streaming.lifecycle import BoundedReplayMixin
 
 #: bucket key for arrival mass outside the reference head — contains a
@@ -55,29 +73,28 @@ from consume_kafka_avro_data_spark.streaming.lifecycle import BoundedReplayMixin
 OOV = "<oov tail>"
 
 
-def _lang_tokens(docs: DataFrame) -> DataFrame:
-    """(lang, tok) token stream — the census tokenizer: lowercase,
-    space-split, empties dropped."""
-    return docs.select(
-        "lang",
-        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
-    ).where(F.col("tok") != "")
-
-
 @dataclass
 class DriftMetrics:
-    batches: int = 0
-    docs: int = 0
+    #: per-batch doc counts and {(lang, term_or_OOV): count} maps —
+    #: keyed by batch id so a replayed batch REPLACES its contribution;
+    #: the scalar tallies below are derived, so they can never disagree
+    #: with the maps after a replay
     docs_by_batch: dict[int, int] = field(default_factory=dict)
-    #: per-batch {(lang, term_or_OOV): count} — keyed by batch id so a
-    #: replayed batch REPLACES its contribution
     counts_by_batch: dict[int, dict[tuple[str, str], int]] = field(
         default_factory=dict
     )
 
+    @property
+    def batches(self) -> int:
+        return len(self.docs_by_batch)
+
+    @property
+    def docs(self) -> int:
+        return sum(self.docs_by_batch.values())
+
     def term_totals(self) -> dict[tuple[str, str], int]:
         totals: dict[tuple[str, str], int] = {}
-        for counts in self.counts_by_batch.values():
+        for counts in list(self.counts_by_batch.values()):
             for key, n in counts.items():
                 totals[key] = totals.get(key, 0) + n
         return totals
@@ -104,28 +121,35 @@ class StreamingDriftMonitor(BoundedReplayMixin):
         self.head_k = head_k
         self.metrics = DriftMetrics()
         self._seen_batches: set[int] = set()
+        self._lock = threading.Lock()
 
         # reference head: top head_k terms per lang by count
         # (deterministic cnt-then-term rank, as the batch census), plus
         # the reference's own OOV (tail) mass so the comparison
-        # partition is identical on both sides.  collect() bounds:
-        # head ≤ head_k rows per language; tail ≤ 1 row per language.
+        # partition is identical on both sides.  ONE reference scan:
+        # the counted relation is persisted across the head and tail
+        # collects, then released.  collect() bounds: head ≤ head_k
+        # rows per language; tail ≤ 1 row per language.
         tc = (
-            _lang_tokens(reference)
+            census_token_stream(reference, "lang")
             .groupBy("lang", "tok")
             .agg(F.count(F.lit(1)).alias("cnt"))
+            .persist()
         )
-        rk = F.row_number().over(
-            Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "tok")
-        )
-        ranked = tc.withColumn("rk", rk)
-        head_rows = ranked.where(F.col("rk") <= head_k).collect()
-        tail_rows = (
-            ranked.where(F.col("rk") > head_k)
-            .groupBy("lang")
-            .agg(F.sum("cnt").alias("cnt"))
-            .collect()
-        )
+        try:
+            rk = F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "tok")
+            )
+            ranked = tc.withColumn("rk", rk)
+            head_rows = ranked.where(F.col("rk") <= head_k).collect()
+            tail_rows = (
+                ranked.where(F.col("rk") > head_k)
+                .groupBy("lang")
+                .agg(F.sum("cnt").alias("cnt"))
+                .collect()
+            )
+        finally:
+            tc.unpersist()
         self._ref_counts: dict[tuple[str, str], int] = {
             (r.lang, r.tok): r.cnt for r in head_rows
         }
@@ -134,8 +158,14 @@ class StreamingDriftMonitor(BoundedReplayMixin):
         self._ref_totals: dict[str, int] = {}
         for (lang, _), n in self._ref_counts.items():
             self._ref_totals[lang] = self._ref_totals.get(lang, 0) + n
-        #: (lang, term) head membership, broadcast to bucket arrivals
+        #: (lang, term) head membership; the LUT frame is built once —
+        #: rebuilding it per micro-batch would re-serialize head_k ×
+        #: langs rows from the driver on every trigger forever
         self._head_terms = {k for k in self._ref_counts if k[1] != OOV}
+        self._lut = self.spark.createDataFrame(
+            sorted(self._head_terms) or [("", "")],
+            "lang string, tok string",
+        ).withColumn("in_head", F.lit(True))
 
     # -- foreachBatch ---------------------------------------------------------
 
@@ -147,16 +177,12 @@ class StreamingDriftMonitor(BoundedReplayMixin):
         # construction, and doubles as the emptiness probe
         n_docs = batch.count()
         if n_docs:
-            lut = self.spark.createDataFrame(
-                [(lang, tok) for lang, tok in self._head_terms] or
-                [("", "")],
-                "lang string, tok string",
-            ).withColumn("in_head", F.lit(True))
             rows = (
-                _lang_tokens(batch)
+                census_token_stream(batch, "lang")
                 # head LUT is ≤ head_k x n_langs rows: broadcast is
-                # size-bounded by construction
-                .join(F.broadcast(lut), ["lang", "tok"], "left")
+                # size-bounded by construction (the placeholder row of
+                # an empty head cannot match — tokens are never "")
+                .join(F.broadcast(self._lut), ["lang", "tok"], "left")
                 .select(
                     "lang",
                     F.when(F.col("in_head"), F.col("tok"))
@@ -169,13 +195,12 @@ class StreamingDriftMonitor(BoundedReplayMixin):
                 .collect()
             )
             counts = {(r.lang, r.term): r.cnt for r in rows}
-        if batch_id not in self._seen_batches:
-            self.metrics.batches += 1
-            self.metrics.docs += n_docs
+        # keyed by batch id: a replay overwrites (never double-counts);
+        # locked against concurrent drift_tvd() readers in T1 mode
+        with self._lock:
             self.metrics.docs_by_batch[batch_id] = n_docs
-        # keyed by batch id: a replay overwrites (never double-counts)
-        self.metrics.counts_by_batch[batch_id] = counts
-        self._seen_batches.add(batch_id)
+            self.metrics.counts_by_batch[batch_id] = counts
+            self._seen_batches.add(batch_id)
 
     # -- drift metric ---------------------------------------------------------
 
@@ -184,9 +209,10 @@ class StreamingDriftMonitor(BoundedReplayMixin):
         distribution and the accumulated arrivals: 0.5 · Σ |p − q|
         over the reference head terms plus the OOV bucket.  Languages
         with no arrivals are absent; an arriving language unseen in the
-        reference reports 1.0 (everything it sends is OOV mass against
-        an empty reference)."""
-        arr = self.metrics.term_totals()
+        reference reports 1.0 (disjoint supports — the batch census's
+        empty-snapshot convention)."""
+        with self._lock:
+            arr = self.metrics.term_totals()
         arr_totals: dict[str, int] = {}
         for (lang, _), n in arr.items():
             arr_totals[lang] = arr_totals.get(lang, 0) + n

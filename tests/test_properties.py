@@ -444,7 +444,8 @@ def test_corpus_drift_matches_python_model(spark, texts):
     snapshots — contributions summed in the SAME sorted-term order, so
     the float comparison is exact, and churn counts follow from plain
     set algebra.  One-sided corpora (a lang with an empty snapshot)
-    are exercised too: q is the zero distribution and TVD folds |p|."""
+    are exercised too: disjoint supports report the maximal 1.0, the
+    convention the streaming monitor shares."""
     from collections import Counter
 
     from consume_kafka_avro_data_spark.queries.curation import corpus_drift
@@ -460,12 +461,13 @@ def test_corpus_drift_matches_python_model(spark, texts):
         (cnt_a if i % 2 == 0 else cnt_b).update(w for w in t.split(" ") if w)
     vocab = set(cnt_a) | set(cnt_b)
     tot_a, tot_b = sum(cnt_a.values()), sum(cnt_b.values())
-    s = 0.0
-    for t in sorted(vocab):
-        p = cnt_a[t] / tot_a if tot_a else 0.0
-        q = cnt_b[t] / tot_b if tot_b else 0.0
-        s += abs(p - q)
-    want_tvd = 0.5 * s
+    if tot_a == 0 or tot_b == 0:
+        want_tvd = 1.0  # disjoint supports: maximal drift by convention
+    else:
+        s = 0.0
+        for t in sorted(vocab):
+            s += abs(cnt_a[t] / tot_a - cnt_b[t] / tot_b)
+        want_tvd = 0.5 * s
 
     if not vocab:
         assert got == {}
