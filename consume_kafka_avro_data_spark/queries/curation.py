@@ -717,7 +717,10 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def duplicate_token_spans(
-    d: DataFrame, n: int = 10, keep_first: bool = False
+    d: DataFrame,
+    n: int = 10,
+    keep_first: bool = False,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Maximal duplicated token spans (ExactSubstr dedup, the word-level
     form of Lee et al. 2021 "Deduplicating Training Data Makes Language
@@ -732,17 +735,25 @@ def duplicate_token_spans(
     (the remove-all default is the census/audit form).
 
     Scale shape: two shuffles, both linear in corpus tokens — (1) the
-    occurrence count partitions by the gram STRING (n·avg_token bytes
-    per row; a 100 TB deployment can pre-bucket on xxhash64(g) and
-    count hash cells instead, accepting ~2⁻⁶⁴·pairs false dup marks —
-    kept exact here for oracle parity), and (2) the island merge
+    occurrence count partitions by the gram, and (2) the island merge
     partitions by doc_id (bounded: one partition holds one doc's
     window starts).  No all-pairs stage anywhere — this is the property
     that lets suffix-array-style span dedup run on a corpus scan.
+
+    ``hash_grams`` is the 100 TB form of shuffle (1): the gram STRING
+    (n·avg_token bytes per row, ~70 B at n=10) is replaced by its
+    ``xxhash64`` (8 B) BEFORE the exchange, shrinking the heaviest
+    shuffle ~9× at the cost of ~2⁻⁶⁴·pairs false dup marks (a hash
+    collision marks both colliding windows duplicated — it can only
+    OVER-mark, never miss a real duplicate).  The exact (default) form
+    is what the SQL oracles certify; the equivalence of the two forms
+    on real data is pinned by pytest.
     """
     wins = d.select(
         "doc_id", F.posexplode(word_grams(n)).alias("p0", "g")
     ).select("doc_id", (F.col("p0") + 1).alias("pos"), "g")
+    if hash_grams:
+        wins = wins.select("doc_id", "pos", F.xxhash64("g").alias("g"))
     wg = Window.partitionBy("g")
     marked = wins.withColumn("c", F.count(F.lit(1)).over(wg))
     if keep_first:
@@ -915,13 +926,20 @@ def q_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def scrub_duplicate_spans(
-    d: DataFrame, n: int = 10, keep_first: bool = False
+    d: DataFrame,
+    n: int = 10,
+    keep_first: bool = False,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Library form of q_dup_span_scrub over any (doc_id, text) frame —
     see that query's docstring for semantics and scale shape.
     ``keep_first`` scrubs every occurrence EXCEPT the canonical
-    min-(doc_id, pos) one — the policy a production pipeline runs."""
-    spans = duplicate_token_spans(d, n, keep_first=keep_first)
+    min-(doc_id, pos) one — the policy a production pipeline runs;
+    ``hash_grams`` selects the hashed-gram shuffle (see
+    ``duplicate_token_spans``)."""
+    spans = duplicate_token_spans(
+        d, n, keep_first=keep_first, hash_grams=hash_grams
+    )
     covered = spans.select(
         "doc_id", F.explode(F.sequence("start_tok", "end_tok")).alias("pos")
     ).withColumn("cov", F.lit(1))

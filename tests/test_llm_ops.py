@@ -1304,3 +1304,34 @@ def test_corpus_drift_head_cap_and_churn(spark):
     assert abs(r2.head_tvd - 0.25) < 1e-12
     # churn/totals are NOT affected by the cap
     assert (r2.n_terms, r2.n_new, r2.n_gone) == (4, 1, 1)
+
+
+def test_duplicate_token_spans_hash_gram_form_equivalent(spark, sf_dir):
+    """The hashed-gram shuffle (the 100 TB form: xxhash64(g) replaces
+    the ~70 B gram string before the occurrence-count exchange) must
+    produce the SAME spans as the exact form on real data, in both the
+    census and keep-one policies — and the hash must actually be in
+    the plan (the exchange carries 8-byte keys, not strings)."""
+    from consume_kafka_avro_data_spark.plans import inspect as I
+    from consume_kafka_avro_data_spark.queries.curation import (
+        duplicate_token_spans,
+    )
+    from consume_kafka_avro_data_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for keep_first in (False, True):
+        exact = {
+            (r.doc_id, r.span_id, r.start_tok, r.end_tok)
+            for r in duplicate_token_spans(
+                docs, 10, keep_first=keep_first
+            ).collect()
+        }
+        hashed_df = duplicate_token_spans(
+            docs, 10, keep_first=keep_first, hash_grams=True
+        )
+        hashed = {
+            (r.doc_id, r.span_id, r.start_tok, r.end_tok)
+            for r in hashed_df.collect()
+        }
+        assert hashed == exact, f"keep_first={keep_first}"
+    assert "xxhash64" in I.simple_plan(hashed_df).lower()
