@@ -536,3 +536,51 @@ def test_keep_one_spares_exactly_the_canonical_occurrence(spark, texts):
         for r in duplicate_token_spans(docs, n=n, keep_first=True).collect()
     }
     assert got == want
+
+
+@given(texts=DOC_TOKENS)
+@SETTINGS
+def test_token_budget_mix_is_maximal_hash_prefix(spark, texts):
+    """Law: the budget fill selects exactly the maximal prefix of the
+    md5(doc_id)-ordered docs whose running token total stays within
+    budget — modeled with hashlib over the same ordering key, so the
+    query's stability-under-append claim is the model's prefix
+    property."""
+    import hashlib
+
+    from consume_kafka_avro_data_spark.queries.curation import (
+        q_token_budget_mix,  # noqa: F401 - the registered fn needs sf_dir
+    )
+    from pyspark.sql import Window, functions as F
+
+    budget = 12
+    docs = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string",
+    )
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        r.doc_id
+        for r in docs.select(
+            "doc_id", F.sum(n_tok).over(w).alias("cum")
+        )
+        .where(F.col("cum") <= budget)
+        .collect()
+    }
+
+    order = sorted(
+        range(len(texts)),
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+    )
+    want, cum = set(), 0
+    for i in order:
+        cum += len(texts[i].split(" "))
+        if cum > budget:
+            break  # running-sum cut: everything after is out too
+        want.add(i)
+    assert got == want
