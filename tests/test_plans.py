@@ -771,3 +771,22 @@ def test_corpus_drift_no_python_no_cartesian(q):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_shard_manifest_single_partial_final_agg(q):
+    """The shard manifest is one partial+final aggregate over the scan —
+    shard-count-sized output, exactly one exchange, no Python."""
+    df = q("q_shard_manifest")
+    plan = I.simple_plan(df)
+    assert I.exchange_count(df) == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_exact_k_per_group_single_shuffle(q):
+    """Exact-k sampling is one shuffle on the stratum key; the rank
+    filter stays inside the window stage."""
+    df = q("q_exact_k_per_group")
+    plan = I.simple_plan(df)
+    assert I.exchange_count(df) == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
