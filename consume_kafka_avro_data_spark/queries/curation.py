@@ -1103,9 +1103,22 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_drift_between(
+    snap_a: DataFrame, snap_b: DataFrame, head_k: int = 4096
+) -> DataFrame:
+    """``corpus_drift`` between two EXPLICIT document frames — the
+    production call shape ("yesterday's crawl vs today's"): tag, union,
+    and run the same census.  Both frames need (lang, text)."""
+    tagged = snap_a.select(
+        F.lit(0).alias("snap"), "lang", "text"
+    ).unionByName(snap_b.select(F.lit(1).alias("snap"), "lang", "text"))
+    return _corpus_drift_census(tagged, head_k)
+
+
 def corpus_drift(docs: DataFrame, head_k: int = 4096) -> DataFrame:
     """Per-language corpus drift between two snapshots (here doc_id
-    parity; in production "yesterday's crawl vs today's"): head
+    parity, the self-contained form the driver-checked query uses;
+    ``corpus_drift_between`` takes two explicit frames): head
     total-variation distance between the snapshots' unigram
     distributions, plus vocab churn counts.
 
@@ -1126,11 +1139,17 @@ def corpus_drift(docs: DataFrame, head_k: int = 4096) -> DataFrame:
     (``streaming/drift.StreamingDriftMonitor``) reports the same 1.0
     for a language absent from its reference, so the offline census
     and the ingest watcher agree at the loudest point."""
-    tk = census_token_stream(
+    return _corpus_drift_census(
         docs.select((F.col("doc_id") % 2).alias("snap"), "lang", "text"),
-        "lang",
-        "snap",
+        head_k,
     )
+
+
+def _corpus_drift_census(tagged: DataFrame, head_k: int) -> DataFrame:
+    """The census over a (snap ∈ {0,1}, lang, text) frame — shared by
+    the parity form (``corpus_drift``) and the two-frame form
+    (``corpus_drift_between``)."""
+    tk = census_token_stream(tagged, "lang", "snap")
     tc = tk.groupBy("lang", "tok").agg(
         F.sum(F.when(F.col("snap") == 0, 1).otherwise(0)).alias("cnt_a"),
         F.sum(F.when(F.col("snap") == 1, 1).otherwise(0)).alias("cnt_b"),

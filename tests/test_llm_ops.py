@@ -1335,3 +1335,27 @@ def test_duplicate_token_spans_hash_gram_form_equivalent(spark, sf_dir):
         }
         assert hashed == exact, f"keep_first={keep_first}"
     assert "xxhash64" in I.simple_plan(hashed_df).lower()
+
+
+def test_corpus_drift_between_matches_parity_form(spark, sf_dir):
+    """The two-frame census must equal the parity form when handed the
+    same split — and an identical-corpus comparison reports zero drift
+    with zero churn."""
+    from consume_kafka_avro_data_spark.queries.curation import (
+        corpus_drift,
+        corpus_drift_between,
+    )
+    from consume_kafka_avro_data_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    via_parity = {tuple(r) for r in corpus_drift(docs, head_k=50).collect()}
+    via_frames = {
+        tuple(r) for r in corpus_drift_between(a, b, head_k=50).collect()
+    }
+    assert via_frames == via_parity
+    self_cmp = corpus_drift_between(a, a, head_k=50).collect()
+    assert self_cmp, "identical corpora must still report every language"
+    for r in self_cmp:
+        assert (r.head_tvd, r.n_new, r.n_gone) == (0.0, 0, 0), r
