@@ -96,6 +96,7 @@ class StreamingDedupIngest(BoundedReplayMixin):
         contam_gram_n: int = 8,
         contam_min_hits: int = 1,
         contam_dir: str | None = None,
+        drift_monitor=None,
     ):
         """``id_type`` is the document-id column's Spark type (default
         LongType) — it shapes the persisted store schema, so a stream
@@ -129,7 +130,16 @@ class StreamingDedupIngest(BoundedReplayMixin):
         shuffle) so the gram explode only runs on quality survivors.
         Eval sets are bounded by construction — the bloom's
         ``MAX_BITS`` guard and the broadcast verify both refuse builds
-        past plan-shippable size."""
+        past plan-shippable size.
+
+        ``drift_monitor`` (a ``streaming/drift.StreamingDriftMonitor``)
+        rides the SAME foreachBatch: one stream scan drives dedup,
+        both gates, and the drift watch — no second consumer group, no
+        second checkpoint.  It observes each batch RAW, before any
+        gate (drift is about what's ARRIVING, not what survives), so
+        the stream must carry the monitor's expected columns
+        (``lang`` + ``text``).  Replay stays consistent: the monitor
+        keys by the same batch id this ingest's sinks key by."""
         n = bands * rows
         self.spark = spark
         self.checkpoint_dir = checkpoint_dir
@@ -185,6 +195,7 @@ class StreamingDedupIngest(BoundedReplayMixin):
         )
         self.metrics = DedupMetrics()
         self._seen_batches: set[int] = set()
+        self.drift_monitor = drift_monitor
 
     # -- building blocks -----------------------------------------------------
 
@@ -254,6 +265,10 @@ class StreamingDedupIngest(BoundedReplayMixin):
                 "id_type= so the persisted schema matches the stream"
             )
         replayed = batch_id in self._seen_batches
+        if self.drift_monitor is not None:
+            # RAW batch, before any gate: drift is about what's
+            # arriving; the monitor replaces its own counts on replay
+            self.drift_monitor.process_batch(batch, batch_id)
         n_rejected = 0
         rejects = None
         if self.quality_threshold is not None:
