@@ -187,3 +187,51 @@ def test_drift_views_reachable_from_sql(spark, tmp_path, docs):
     assert tvd == mon.drift_tvd()
     total = spark.sql("SELECT sum(arrivals) AS s FROM drift_terms").collect()[0].s
     assert total == sum(mon.metrics.term_totals().values())
+
+
+def test_continuous_mode_polling_is_safe(spark, tmp_path, docs):
+    """T1 watcher mode: with a processingTime trigger running, the
+    driver main thread polls drift_tvd()/needs_retune() WHILE batches
+    land — the reads must never crash on concurrent map mutation (the
+    lock) and must eventually reflect the arrivals."""
+    import time
+
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    arrivals = docs.where(F.col("doc_id") % 2 == 1)
+    mon = StreamingDriftMonitor(spark, ref, str(tmp_path / "ck7"))
+    path = str(tmp_path / "cdocs")
+    arrivals.where(F.col("doc_id") % 4 == 1).select(
+        "doc_id", "text", "lang"
+    ).coalesce(1).write.mode("append").parquet(path)
+    stream = (
+        spark.readStream.schema(
+            arrivals.select("doc_id", "text", "lang").schema
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    q = mon.start(stream, available_now=False, processing_time="1 second")
+    try:
+        deadline = time.time() + 60
+        seen_docs = 0
+        while time.time() < deadline:
+            # the poll under test: must never raise while batches land
+            tvd = mon.drift_tvd()
+            mon.needs_retune()
+            seen_docs = mon.metrics.docs
+            if seen_docs and tvd:
+                # feed a second file mid-stream and keep polling
+                arrivals.where(F.col("doc_id") % 4 == 3).select(
+                    "doc_id", "text", "lang"
+                ).coalesce(1).write.mode("append").parquet(path)
+                break
+            time.sleep(0.3)
+        assert seen_docs, "no batch landed within the deadline"
+        deadline = time.time() + 60
+        want = arrivals.count()
+        while time.time() < deadline and mon.metrics.docs < want:
+            mon.drift_tvd()  # keep polling concurrently
+            time.sleep(0.3)
+        assert mon.metrics.docs == want
+    finally:
+        q.stop()
