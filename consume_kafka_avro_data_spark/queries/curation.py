@@ -744,11 +744,23 @@ def duplicate_token_spans(
     (n·avg_token bytes per row, ~70 B at n=10) is replaced by its
     ``xxhash64`` (8 B) BEFORE the exchange, shrinking the heaviest
     shuffle ~9× at the cost of ~2⁻⁶⁴·pairs false dup marks (a hash
-    collision marks both colliding windows duplicated — it can only
-    OVER-mark, never miss a real duplicate).  The exact (default) form
-    is what the SQL oracles certify; the equivalence of the two forms
-    on real data is pinned by pytest.
+    collision marks both colliding windows duplicated — in the
+    census/remove-all policies it can only OVER-mark, never miss a
+    real duplicate).  The exact (default) form is what the SQL oracles
+    certify; the equivalence of the two forms on real data is pinned
+    by pytest.  ``hash_grams`` is REFUSED together with ``keep_first``:
+    a collision would merge two grams' canonical elections, and the
+    loser gram's own canonical occurrence — possibly the sole copy of
+    never-duplicated text — would be scrubbed, breaking the
+    exactly-one-copy-survives contract (over-marking is acceptable for
+    a census; silently deleting a canonical is not).
     """
+    if hash_grams and keep_first:
+        raise ValueError(
+            "hash_grams is incompatible with keep_first: a hash "
+            "collision merges two grams' canonical elections and can "
+            "scrub a gram's only copy; use the exact form for keep-one"
+        )
     wins = d.select(
         "doc_id", F.posexplode(word_grams(n)).alias("p0", "g")
     ).select("doc_id", (F.col("p0") + 1).alias("pos"), "g")
@@ -1076,16 +1088,21 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixture fill (data mixing's third leg, after
     fraction-based ``q_stratified_sample`` and count-based
-    ``q_exact_k_per_group``): give each language a fixed TOKEN budget
-    and admit docs in content-addressed-hash order until the running
-    token total would pass it — how a training mix hits "1 B tokens of
-    French" exactly, stably under re-runs and corpus appends.  One
-    shuffle on the group key; the running sum is an explicit
-    ROWS-framed window so ties can't blur the frame, and the output is
-    budget-bounded (≈ budget/avg_doc_tokens rows per language), not
-    corpus-bounded — at 100 TB the result stays small even though the
-    scan is full."""
-    d = load_table(spark, sf_dir, "documents")
+    ``q_exact_k_per_group``) — see ``token_budget_fill``, which this
+    query (and the property test) exercises with a 1,500-token budget
+    per language."""
+    return token_budget_fill(load_table(spark, sf_dir, "documents"), 1500)
+
+
+def token_budget_fill(d: DataFrame, budget: int) -> DataFrame:
+    """Admit docs per language in content-addressed-hash order until
+    the running token total would pass ``budget`` — how a training mix
+    hits "1 B tokens of French" exactly, stably under re-runs and
+    corpus appends.  One shuffle on the group key; the running sum is
+    an explicit ROWS-framed window so ties can't blur the frame, and
+    the output is budget-bounded (≈ budget/avg_doc_tokens rows per
+    language), not corpus-bounded — at 100 TB the result stays small
+    even though the scan is full."""
     n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
     w = (
         Window.partitionBy("lang")
@@ -1099,7 +1116,7 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_tok.alias("n_tok"),
             F.sum(n_tok).over(w).cast("long").alias("cum_tok"),
         )
-        .where(F.col("cum_tok") <= 1500)
+        .where(F.col("cum_tok") <= budget)
     )
 
 

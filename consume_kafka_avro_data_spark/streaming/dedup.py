@@ -197,6 +197,14 @@ class StreamingDedupIngest(BoundedReplayMixin):
         self._seen_batches: set[int] = set()
         self.drift_monitor = drift_monitor
 
+    def _reset(self) -> None:
+        # a monitor riding this ingest shares its run lifecycle: a new
+        # run's batch ids restart at 0, and stale monitor state keyed
+        # by the previous run's ids would blend two streams' drift
+        super()._reset()
+        if self.drift_monitor is not None:
+            self.drift_monitor._reset()
+
     # -- building blocks -----------------------------------------------------
 
     def _banded(self, sigs: DataFrame) -> DataFrame:

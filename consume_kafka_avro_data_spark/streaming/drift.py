@@ -39,8 +39,12 @@ Design, mirroring the batch census's parity/scale choices:
   of the SAME stream (crash recovery); a genuinely NEW stream restarts
   batch ids at 0 and must go through a reset or a fresh monitor.
 * Metric reads (``drift_tvd`` / ``needs_retune`` / the SQL views) may
-  race the stream-execution thread in continuous (T1) mode, so the
-  per-batch map mutation and the totals snapshot share a lock.
+  race the stream-execution thread in continuous (T1) mode, so ALL of
+  ``DriftMetrics``' readers and its writer share one lock, totals are
+  maintained incrementally (polls never re-fold the batch history),
+  and per-batch maps beyond ``compact_horizon`` are dropped so driver
+  memory stays bounded on week-long streams.  The SQL views read one
+  atomic ``snapshot()``.
 * ``drift_tvd()`` is the coarsened total-variation distance over the
   head-term partition (head terms + OOV): 0.5 · Σ |p_t − q_t| between
   the reference distribution and the accumulated arrivals, per
@@ -61,7 +65,6 @@ The OOV bucket uses a key that cannot collide with a real token
 from __future__ import annotations
 
 import threading
-from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -73,31 +76,88 @@ from consume_kafka_avro_data_spark.streaming.lifecycle import BoundedReplayMixin
 OOV = "<oov tail>"
 
 
-@dataclass
 class DriftMetrics:
-    #: per-batch doc counts and {(lang, term_or_OOV): count} maps —
-    #: keyed by batch id so a replayed batch REPLACES its contribution;
-    #: the scalar tallies below are derived, so they can never disagree
-    #: with the maps after a replay
-    docs_by_batch: dict[int, int] = field(default_factory=dict)
-    counts_by_batch: dict[int, dict[tuple[str, str], int]] = field(
-        default_factory=dict
-    )
+    """Thread-safe, replay-consistent drift counters.
+
+    Per-batch maps key by batch id so a replayed batch REPLACES its
+    contribution; the running totals are maintained INCREMENTALLY on
+    record (subtract the replaced batch, add the new one), so a poll
+    is O(current totals) — never a re-fold over every batch — and the
+    scalar tallies can never disagree with the maps.  Every reader and
+    the writer share one lock: in continuous (T1) mode the driver
+    polls while the stream-execution thread records.
+
+    ``compact_horizon`` bounds driver memory on long-running streams:
+    per-batch maps older than the horizon below the newest batch id
+    are dropped (their mass stays in the running totals).  Structured
+    Streaming replays only the most recent uncommitted batch after a
+    crash, so a horizon in the hundreds is conservatively safe; a
+    record() for an already-compacted batch id raises loudly rather
+    than silently double-counting."""
+
+    def __init__(self, compact_horizon: int = 1024):
+        self._lock = threading.Lock()
+        self.compact_horizon = compact_horizon
+        self.docs_by_batch: dict[int, int] = {}
+        self.counts_by_batch: dict[int, dict[tuple[str, str], int]] = {}
+        self._totals: dict[tuple[str, str], int] = {}
+        self._total_docs = 0
+        self._compacted_batches = 0
+        self._compacted_max: int | None = None
 
     @property
     def batches(self) -> int:
-        return len(self.docs_by_batch)
+        with self._lock:
+            return self._compacted_batches + len(self.docs_by_batch)
 
     @property
     def docs(self) -> int:
-        return sum(self.docs_by_batch.values())
+        with self._lock:
+            return self._total_docs
 
     def term_totals(self) -> dict[tuple[str, str], int]:
-        totals: dict[tuple[str, str], int] = {}
-        for counts in list(self.counts_by_batch.values()):
+        with self._lock:
+            return dict(self._totals)
+
+    def record(
+        self,
+        batch_id: int,
+        n_docs: int,
+        counts: dict[tuple[str, str], int],
+    ) -> None:
+        with self._lock:
+            if (
+                self._compacted_max is not None
+                and batch_id <= self._compacted_max
+            ):
+                raise RuntimeError(
+                    f"batch {batch_id} was already compacted (horizon "
+                    f"{self.compact_horizon}); a replay this far back "
+                    "cannot be deduplicated — raise compact_horizon or "
+                    "reset the monitor"
+                )
+            old = self.counts_by_batch.get(batch_id)
+            if old is not None:
+                for key, n in old.items():
+                    left = self._totals[key] - n
+                    if left:
+                        self._totals[key] = left
+                    else:
+                        del self._totals[key]
+                self._total_docs -= self.docs_by_batch[batch_id]
+            self.docs_by_batch[batch_id] = n_docs
+            self.counts_by_batch[batch_id] = dict(counts)
             for key, n in counts.items():
-                totals[key] = totals.get(key, 0) + n
-        return totals
+                self._totals[key] = self._totals.get(key, 0) + n
+            self._total_docs += n_docs
+            if len(self.counts_by_batch) > self.compact_horizon:
+                cutoff = max(self.counts_by_batch) - self.compact_horizon
+                for bid in [b for b in self.counts_by_batch if b <= cutoff]:
+                    del self.counts_by_batch[bid]
+                    del self.docs_by_batch[bid]
+                    self._compacted_batches += 1
+                    if self._compacted_max is None or bid > self._compacted_max:
+                        self._compacted_max = bid
 
 
 class StreamingDriftMonitor(BoundedReplayMixin):
@@ -121,7 +181,6 @@ class StreamingDriftMonitor(BoundedReplayMixin):
         self.head_k = head_k
         self.metrics = DriftMetrics()
         self._seen_batches: set[int] = set()
-        self._lock = threading.Lock()
 
         # reference head: top head_k terms per lang by count
         # (deterministic cnt-then-term rank, as the batch census), plus
@@ -163,7 +222,10 @@ class StreamingDriftMonitor(BoundedReplayMixin):
         #: langs rows from the driver on every trigger forever
         self._head_terms = {k for k in self._ref_counts if k[1] != OOV}
         self._lut = self.spark.createDataFrame(
-            sorted(self._head_terms) or [("", "")],
+            # None-safe sort key: a reference row with lang=NULL must
+            # not crash construction (None < str is a TypeError)
+            sorted(self._head_terms, key=lambda k: (k[0] or "", k[1]))
+            or [("", "")],
             "lang string, tok string",
         ).withColumn("in_head", F.lit(True))
 
@@ -196,11 +258,9 @@ class StreamingDriftMonitor(BoundedReplayMixin):
             )
             counts = {(r.lang, r.term): r.cnt for r in rows}
         # keyed by batch id: a replay overwrites (never double-counts);
-        # locked against concurrent drift_tvd() readers in T1 mode
-        with self._lock:
-            self.metrics.docs_by_batch[batch_id] = n_docs
-            self.metrics.counts_by_batch[batch_id] = counts
-            self._seen_batches.add(batch_id)
+        # DriftMetrics locks internally against concurrent T1 readers
+        self.metrics.record(batch_id, n_docs, counts)
+        self._seen_batches.add(batch_id)
 
     # -- drift metric ---------------------------------------------------------
 
@@ -211,8 +271,20 @@ class StreamingDriftMonitor(BoundedReplayMixin):
         with no arrivals are absent; an arriving language unseen in the
         reference reports 1.0 (disjoint supports — the batch census's
         empty-snapshot convention)."""
-        with self._lock:
-            arr = self.metrics.term_totals()
+        return self._tvd_from(self.metrics.term_totals())
+
+    def snapshot(
+        self,
+    ) -> tuple[dict[str, float], dict[tuple[str, str], int]]:
+        """(drift_tvd, term_totals) computed from ONE atomic read of
+        the counters — consumers registering both as views (e.g. the
+        engine SQL views) must not see two different moments."""
+        totals = self.metrics.term_totals()
+        return self._tvd_from(totals), totals
+
+    def _tvd_from(
+        self, arr: dict[tuple[str, str], int]
+    ) -> dict[str, float]:
         arr_totals: dict[str, int] = {}
         for (lang, _), n in arr.items():
             arr_totals[lang] = arr_totals.get(lang, 0) + n

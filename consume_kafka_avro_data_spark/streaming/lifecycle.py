@@ -33,6 +33,15 @@ class BoundedReplayMixin:
     def _new_metrics(self):  # pragma: no cover - abstract
         raise NotImplementedError
 
+    def _reset(self) -> None:
+        """Fresh metrics + replay-guard state.  Ingests that CARRY
+        other stateful components (e.g. an attached drift monitor)
+        override this to reset them in the same breath — a composed
+        component left holding the previous run's batch-id-keyed
+        state would silently blend two streams' numbers."""
+        self.metrics = self._new_metrics()
+        self._seen_batches = set()
+
     def start(
         self,
         stream: DataFrame,
@@ -75,8 +84,7 @@ class BoundedReplayMixin:
         TimeoutError after stopping the query — silently returning
         partial counters as if final would understate every metric."""
         if reset_metrics:
-            self.metrics = self._new_metrics()
-            self._seen_batches = set()
+            self._reset()
         q = self.start(stream, available_now=True)
         finished = q.awaitTermination(timeout)
         if not finished:

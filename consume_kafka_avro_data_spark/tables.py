@@ -151,13 +151,14 @@ def register_engine_views(
         ann_index._vectors().createOrReplaceTempView("ann_vectors")
         created += ["ann_cells", "ann_vectors"]
     if drift_monitor is not None:
-        tvd_rows = sorted(drift_monitor.drift_tvd().items())
+        # ONE atomic snapshot: both views must describe the same moment
+        # even while a continuous-trigger stream keeps recording
+        tvd, totals = drift_monitor.snapshot()
         spark.createDataFrame(
-            tvd_rows, "lang string, head_tvd double"
+            sorted(tvd.items()), "lang string, head_tvd double"
         ).createOrReplaceTempView("drift_tvd")
         term_rows = sorted(
-            (lang, term, int(n))
-            for (lang, term), n in drift_monitor.metrics.term_totals().items()
+            (lang, term, int(n)) for (lang, term), n in totals.items()
         )
         spark.createDataFrame(
             term_rows, "lang string, term string, arrivals long"

@@ -1309,9 +1309,12 @@ def test_corpus_drift_head_cap_and_churn(spark):
 def test_duplicate_token_spans_hash_gram_form_equivalent(spark, sf_dir):
     """The hashed-gram shuffle (the 100 TB form: xxhash64(g) replaces
     the ~70 B gram string before the occurrence-count exchange) must
-    produce the SAME spans as the exact form on real data, in both the
-    census and keep-one policies — and the hash must actually be in
-    the plan (the exchange carries 8-byte keys, not strings)."""
+    produce the SAME spans as the exact census on real data, the hash
+    must actually be in the plan (the exchange carries 8-byte keys,
+    not strings), and the keep-one combination must be REFUSED — a
+    collision there could scrub a gram's canonical (sole) copy."""
+    import pytest as _pytest
+
     from consume_kafka_avro_data_spark.plans import inspect as I
     from consume_kafka_avro_data_spark.queries.curation import (
         duplicate_token_spans,
@@ -1319,22 +1322,19 @@ def test_duplicate_token_spans_hash_gram_form_equivalent(spark, sf_dir):
     from consume_kafka_avro_data_spark.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    for keep_first in (False, True):
-        exact = {
-            (r.doc_id, r.span_id, r.start_tok, r.end_tok)
-            for r in duplicate_token_spans(
-                docs, 10, keep_first=keep_first
-            ).collect()
-        }
-        hashed_df = duplicate_token_spans(
-            docs, 10, keep_first=keep_first, hash_grams=True
-        )
-        hashed = {
-            (r.doc_id, r.span_id, r.start_tok, r.end_tok)
-            for r in hashed_df.collect()
-        }
-        assert hashed == exact, f"keep_first={keep_first}"
+    exact = {
+        (r.doc_id, r.span_id, r.start_tok, r.end_tok)
+        for r in duplicate_token_spans(docs, 10).collect()
+    }
+    hashed_df = duplicate_token_spans(docs, 10, hash_grams=True)
+    hashed = {
+        (r.doc_id, r.span_id, r.start_tok, r.end_tok)
+        for r in hashed_df.collect()
+    }
+    assert hashed == exact
     assert "xxhash64" in I.simple_plan(hashed_df).lower()
+    with _pytest.raises(ValueError, match="keep_first"):
+        duplicate_token_spans(docs, 10, keep_first=True, hash_grams=True)
 
 
 def test_corpus_drift_between_matches_parity_form(spark, sf_dir):

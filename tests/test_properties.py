@@ -545,33 +545,20 @@ def test_token_budget_mix_is_maximal_hash_prefix(spark, texts):
     md5(doc_id)-ordered docs whose running token total stays within
     budget — modeled with hashlib over the same ordering key, so the
     query's stability-under-append claim is the model's prefix
-    property."""
+    property.  Exercises the PRODUCTION operator (token_budget_fill,
+    the body of q_token_budget_mix), not a reimplementation."""
     import hashlib
 
     from consume_kafka_avro_data_spark.queries.curation import (
-        q_token_budget_mix,  # noqa: F401 - the registered fn needs sf_dir
+        token_budget_fill,
     )
-    from pyspark.sql import Window, functions as F
 
     budget = 12
     docs = spark.createDataFrame(
         [(i, t, "en") for i, t in enumerate(texts)],
         "doc_id long, text string, lang string",
     )
-    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
-    w = (
-        Window.partitionBy("lang")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    got = {
-        r.doc_id
-        for r in docs.select(
-            "doc_id", F.sum(n_tok).over(w).alias("cum")
-        )
-        .where(F.col("cum") <= budget)
-        .collect()
-    }
+    got = {r.doc_id for r in token_budget_fill(docs, budget).collect()}
 
     order = sorted(
         range(len(texts)),

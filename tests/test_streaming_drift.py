@@ -235,3 +235,66 @@ def test_continuous_mode_polling_is_safe(spark, tmp_path, docs):
         assert mon.metrics.docs == want
     finally:
         q.stop()
+
+
+def test_metrics_compaction_bounds_memory_and_refuses_ancient_replay():
+    """DriftMetrics with a small horizon drops old per-batch maps while
+    keeping their mass in the running totals; replaying a compacted
+    batch id raises instead of silently double-counting."""
+    import pytest as _pytest
+
+    from consume_kafka_avro_data_spark.streaming.drift import DriftMetrics
+
+    m = DriftMetrics(compact_horizon=3)
+    for b in range(8):
+        m.record(b, 2, {("en", f"t{b}"): 5})
+    assert m.batches == 8 and m.docs == 16
+    assert sum(m.term_totals().values()) == 40  # mass survives compaction
+    assert len(m.counts_by_batch) <= 4  # maps beyond the horizon dropped
+    # a LIVE batch still replaces
+    m.record(7, 1, {("en", "t7"): 2})
+    assert m.docs == 15 and m.term_totals()[("en", "t7")] == 2
+    # a compacted batch id refuses
+    with _pytest.raises(RuntimeError, match="compacted"):
+        m.record(0, 2, {("en", "t0"): 5})
+
+
+def test_ingest_reset_resets_attached_monitor(spark, tmp_path, docs):
+    """A monitor riding the dedup ingest must be reset WITH it: a new
+    run's batch ids restart at 0, and stale monitor state would blend
+    two streams' drift (the lifecycle reset hook covers the composed
+    component)."""
+    from consume_kafka_avro_data_spark.streaming.dedup import (
+        StreamingDedupIngest,
+    )
+
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    mon = StreamingDriftMonitor(spark, ref, str(tmp_path / "mck"))
+    ingest = StreamingDedupIngest(
+        spark,
+        store_dir=str(tmp_path / "store"),
+        checkpoint_dir=str(tmp_path / "ck_a"),
+        drift_monitor=mon,
+    )
+    a = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text", "lang")
+    pa = str(tmp_path / "stream_a")
+    a.coalesce(1).write.parquet(pa)
+    ingest.run_to_completion(
+        spark.readStream.schema(a.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(pa)
+    )
+    docs_a = mon.metrics.docs
+    assert docs_a == a.count()
+    # second run over a DIFFERENT stream with default reset: the
+    # monitor must start from zero, not blend run A's batches
+    b = docs.where(F.col("doc_id") % 4 == 0).select("doc_id", "text", "lang")
+    pb = str(tmp_path / "stream_b")
+    b.coalesce(1).write.parquet(pb)
+    ingest.checkpoint_dir = str(tmp_path / "ck_b")
+    ingest.run_to_completion(
+        spark.readStream.schema(b.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(pb)
+    )
+    assert mon.metrics.docs == b.count()  # not docs_a + b.count()
