@@ -70,6 +70,12 @@ class StreamingDedupIngest(BoundedReplayMixin):
     """readStream(docs) → sign → LSH vs store → route → merge novel."""
 
     _checkpoint_subdir = "dedup"
+    #: bound on the intra-run replay-guard set and the per-batch dupe
+    #: map — far above the only replay distance Structured Streaming
+    #: produces within a run (the most recent uncommitted batch), small
+    #: enough that week-long 1s-trigger streams don't grow driver state
+    #: one entry per trigger forever
+    replay_guard_horizon: int = 1024
 
     def _new_metrics(self) -> DedupMetrics:
         return DedupMetrics()
@@ -193,7 +199,7 @@ class StreamingDedupIngest(BoundedReplayMixin):
             ),
             keys=["_id"],
         )
-        self.metrics = DedupMetrics()
+        self.metrics = self._new_metrics()
         self._seen_batches: set[int] = set()
         self.drift_monitor = drift_monitor
 
@@ -415,6 +421,24 @@ class StreamingDedupIngest(BoundedReplayMixin):
                 self.metrics.contaminated_docs += n_contam
                 self.metrics.dup_pairs_by_batch[batch_id] = n_dupes
             self._seen_batches.add(batch_id)
+            # bound the per-batch driver state on week-long continuous
+            # streams: the replay guard exists for intra-run foreachBatch
+            # retries, which Structured Streaming only issues for the
+            # most recent uncommitted batch — entries a horizon behind
+            # the head can never be consulted again within this run.
+            # (The data side never depends on this: sinks anti-join /
+            # replace by id.)
+            if len(self._seen_batches) > self.replay_guard_horizon:
+                cutoff = max(self._seen_batches) - self.replay_guard_horizon
+                self._seen_batches = {
+                    b for b in self._seen_batches if b > cutoff
+                }
+                for bid in [
+                    b
+                    for b in self.metrics.dup_pairs_by_batch
+                    if b <= cutoff
+                ]:
+                    del self.metrics.dup_pairs_by_batch[bid]
             # append-per-batch grows the store's file count linearly
             # (the small-file problem); periodic compaction is safe at
             # any point — it rewrites the same rows behind an atomic

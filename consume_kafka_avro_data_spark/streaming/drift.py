@@ -93,7 +93,16 @@ class DriftMetrics:
     Streaming replays only the most recent uncommitted batch after a
     crash, so a horizon in the hundreds is conservatively safe; a
     record() for an already-compacted batch id raises loudly rather
-    than silently double-counting."""
+    than silently double-counting.
+
+    That raise is also the boundary of the fresh-checkpoint recovery
+    pattern (``run_to_completion(reset_metrics=False)`` with a new
+    checkpoint dir): batch ids restart at 0 there, so replace-by-id
+    keeps the numbers unchanged only while the first run stayed within
+    ``compact_horizon`` batches.  Beyond it the monitor refuses (batch
+    0 is already folded into the compacted totals and cannot be
+    replaced) — reset the monitor, or construct it with a horizon
+    sized to the stream."""
 
     def __init__(self, compact_horizon: int = 1024):
         self._lock = threading.Lock()
@@ -167,7 +176,7 @@ class StreamingDriftMonitor(BoundedReplayMixin):
     _checkpoint_subdir = "drift"
 
     def _new_metrics(self) -> DriftMetrics:
-        return DriftMetrics()
+        return DriftMetrics(compact_horizon=self.compact_horizon)
 
     def __init__(
         self,
@@ -175,11 +184,19 @@ class StreamingDriftMonitor(BoundedReplayMixin):
         reference: DataFrame,
         checkpoint_dir: str,
         head_k: int = 256,
+        compact_horizon: int = 1024,
     ):
         self.spark = spark
         self.checkpoint_dir = checkpoint_dir
         self.head_k = head_k
-        self.metrics = DriftMetrics()
+        #: per-batch map retention (see DriftMetrics) — configurable
+        #: here because the ancient-replay error's remedy ("raise
+        #: compact_horizon") must be reachable through the public API,
+        #: and _reset()/run_to_completion rebuild metrics via
+        #: _new_metrics(), which would silently discard a horizon set
+        #: only on a hand-installed DriftMetrics
+        self.compact_horizon = compact_horizon
+        self.metrics = self._new_metrics()
         self._seen_batches: set[int] = set()
 
         # reference head: top head_k terms per lang by count
@@ -240,14 +257,27 @@ class StreamingDriftMonitor(BoundedReplayMixin):
         n_docs = batch.count()
         if n_docs:
             rows = (
-                census_token_stream(batch, "lang")
+                census_token_stream(batch, "lang").alias("s")
                 # head LUT is ≤ head_k x n_langs rows: broadcast is
                 # size-bounded by construction (the placeholder row of
-                # an empty head cannot match — tokens are never "")
-                .join(F.broadcast(self._lut), ["lang", "tok"], "left")
+                # an empty head cannot match — tokens are never "").
+                # lang joins NULL-SAFELY: a NULL-lang reference head
+                # must match NULL-lang arrivals, or every such arrival
+                # buckets to OOV and the lang reports near-1.0 drift
+                # against an identical distribution.  Spark extracts
+                # <=> as a hash-join key, so this stays a broadcast
+                # hash join.
+                .join(
+                    F.broadcast(self._lut.alias("h")),
+                    [
+                        F.col("s.lang").eqNullSafe(F.col("h.lang")),
+                        F.col("s.tok") == F.col("h.tok"),
+                    ],
+                    "left",
+                )
                 .select(
-                    "lang",
-                    F.when(F.col("in_head"), F.col("tok"))
+                    F.col("s.lang").alias("lang"),
+                    F.when(F.col("h.in_head"), F.col("s.tok"))
                     .otherwise(F.lit(OOV))
                     .alias("term"),
                 )
@@ -261,6 +291,15 @@ class StreamingDriftMonitor(BoundedReplayMixin):
         # DriftMetrics locks internally against concurrent T1 readers
         self.metrics.record(batch_id, n_docs, counts)
         self._seen_batches.add(batch_id)
+        # bound the replay guard by the same horizon as the metrics
+        # maps: ids at or below the compacted max are refused by
+        # record() anyway, so retaining them only grows driver memory
+        # one entry per trigger on week-long streams
+        if len(self._seen_batches) > self.compact_horizon:
+            cutoff = max(self._seen_batches) - self.compact_horizon
+            self._seen_batches = {
+                b for b in self._seen_batches if b > cutoff
+            }
 
     # -- drift metric ---------------------------------------------------------
 

@@ -154,11 +154,16 @@ def register_engine_views(
         # ONE atomic snapshot: both views must describe the same moment
         # even while a continuous-trigger stream keeps recording
         tvd, totals = drift_monitor.snapshot()
+        # None-safe sort keys: a NULL-lang document stream yields None
+        # keys, and None < str is a TypeError (same guard as the
+        # monitor's own head-LUT construction)
         spark.createDataFrame(
-            sorted(tvd.items()), "lang string, head_tvd double"
+            sorted(tvd.items(), key=lambda kv: kv[0] or ""),
+            "lang string, head_tvd double",
         ).createOrReplaceTempView("drift_tvd")
         term_rows = sorted(
-            (lang, term, int(n)) for (lang, term), n in totals.items()
+            ((lang, term, int(n)) for (lang, term), n in totals.items()),
+            key=lambda r: (r[0] or "", r[1]),
         )
         spark.createDataFrame(
             term_rows, "lang string, term string, arrivals long"

@@ -983,7 +983,6 @@ def test_pq_adc_matches_numpy_reference(spark):
 def test_malformed_media_raises_valueerror_contract(spark):
     """Every malformed-media shape must fail inside the ValueError/DLQ
     contract — never a ZeroDivisionError/TypeError/garbage row."""
-    import pytest as _pytest
     import struct as _struct
 
     from consume_kafka_avro_data_spark.operators.multimodal import (
@@ -991,7 +990,7 @@ def test_malformed_media_raises_valueerror_contract(spark):
         decode_wav,
     )
 
-    with _pytest.raises(ValueError, match="PPM dimensions"):
+    with pytest.raises(ValueError, match="PPM dimensions"):
         decode_ppm(b"P6\n-3 2\n255\n" + b"\x00" * 64)
     # structurally valid header with sample_rate=0
     fmt = _struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
@@ -1000,7 +999,7 @@ def test_malformed_media_raises_valueerror_contract(spark):
         + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
         + b"data" + _struct.pack("<I", 4) + b"\x00\x00\x00\x00"
     )
-    with _pytest.raises(ValueError, match="sample rate"):
+    with pytest.raises(ValueError, match="sample rate"):
         decode_wav(wav)
 
 
@@ -1168,7 +1167,6 @@ def test_broadcast_bloom_parameter_guards(spark):
     return None (a confusing error far from the call site), and a bit
     array past MAX_BITS would ship >16 MB of longs inside every task
     binary — build() refuses before running its distributed pass."""
-    import pytest as _pytest
 
     from consume_kafka_avro_data_spark.operators.bloom import (
         MAX_BITS,
@@ -1176,14 +1174,14 @@ def test_broadcast_bloom_parameter_guards(spark):
     )
 
     df = spark.createDataFrame([("x",)], ["g"])
-    with _pytest.raises(ValueError, match="k must be >= 1"):
+    with pytest.raises(ValueError, match="k must be >= 1"):
         BroadcastBloom.build(df, "g", k=0)
-    with _pytest.raises(ValueError, match="k must be >= 1"):
+    with pytest.raises(ValueError, match="k must be >= 1"):
         BroadcastBloom([0, 0], m=128, k=0)
-    with _pytest.raises(ValueError, match="m must be >= 64"):
+    with pytest.raises(ValueError, match="m must be >= 64"):
         BroadcastBloom([], m=0, k=4)
     # sized past the plan-literal bound: refused without a Spark job
-    with _pytest.raises(ValueError, match="MAX_BITS"):
+    with pytest.raises(ValueError, match="MAX_BITS"):
         BroadcastBloom.build(df, "g", n_bits=MAX_BITS + 64)
     # the documented maximum itself is accepted (bound is inclusive)
     words = [0] * (MAX_BITS // 64)
@@ -1313,7 +1311,6 @@ def test_duplicate_token_spans_hash_gram_form_equivalent(spark, sf_dir):
     must actually be in the plan (the exchange carries 8-byte keys,
     not strings), and the keep-one combination must be REFUSED — a
     collision there could scrub a gram's canonical (sole) copy."""
-    import pytest as _pytest
 
     from consume_kafka_avro_data_spark.plans import inspect as I
     from consume_kafka_avro_data_spark.queries.curation import (
@@ -1333,7 +1330,7 @@ def test_duplicate_token_spans_hash_gram_form_equivalent(spark, sf_dir):
     }
     assert hashed == exact
     assert "xxhash64" in I.simple_plan(hashed_df).lower()
-    with _pytest.raises(ValueError, match="keep_first"):
+    with pytest.raises(ValueError, match="keep_first"):
         duplicate_token_spans(docs, 10, keep_first=True, hash_grams=True)
 
 

@@ -323,3 +323,19 @@ def test_drift_monitor_rides_the_dedup_ingest(spark, tmp_path):
     ingest.run_to_completion(reader(), reset_metrics=False)
     assert dict(mon.metrics.docs_by_batch) == mon_docs_before
     assert mon.drift_tvd() == tvd1
+
+
+def test_dedup_replay_guard_is_bounded(spark, tmp_path, ingest):
+    """The intra-run replay-guard set and the per-batch dupe map must
+    not grow one entry per trigger forever: entries beyond
+    replay_guard_horizon are pruned (Structured Streaming only retries
+    the most recent uncommitted batch within a run, so distant entries
+    can never be consulted again)."""
+    ingest.replay_guard_horizon = 2
+    batches = [[(10 * b + 1, f"unique text {b} " + BASE)] for b in range(5)]
+    stream = _doc_stream(spark, tmp_path, batches)
+    m = ingest.run_to_completion(stream)
+    assert m.batches == 5 and m.docs == 5
+    assert len(ingest._seen_batches) <= 3
+    assert max(ingest._seen_batches) == 4  # newest kept
+    assert len(m.dup_pairs_by_batch) <= 3

@@ -241,7 +241,6 @@ def test_metrics_compaction_bounds_memory_and_refuses_ancient_replay():
     """DriftMetrics with a small horizon drops old per-batch maps while
     keeping their mass in the running totals; replaying a compacted
     batch id raises instead of silently double-counting."""
-    import pytest as _pytest
 
     from consume_kafka_avro_data_spark.streaming.drift import DriftMetrics
 
@@ -255,7 +254,7 @@ def test_metrics_compaction_bounds_memory_and_refuses_ancient_replay():
     m.record(7, 1, {("en", "t7"): 2})
     assert m.docs == 15 and m.term_totals()[("en", "t7")] == 2
     # a compacted batch id refuses
-    with _pytest.raises(RuntimeError, match="compacted"):
+    with pytest.raises(RuntimeError, match="compacted"):
         m.record(0, 2, {("en", "t0"): 5})
 
 
@@ -298,3 +297,65 @@ def test_ingest_reset_resets_attached_monitor(spark, tmp_path, docs):
         .parquet(pb)
     )
     assert mon.metrics.docs == b.count()  # not docs_a + b.count()
+
+
+def test_null_lang_stream_matches_null_lang_reference(spark, tmp_path, docs):
+    """A NULL-lang corpus must behave like any other language: the
+    reference head's NULL-lang rows join NULL-lang arrivals (null-safe
+    lang key — a plain equi-join would bucket every arrival to OOV and
+    report near-1.0 drift on an identical distribution), and the SQL
+    views must register without a None-vs-str sort crash."""
+    from consume_kafka_avro_data_spark.tables import register_engine_views
+
+    nodocs = docs.withColumn("lang", F.lit(None).cast("string"))
+    ref = nodocs.where(F.col("doc_id") % 2 == 0)
+    mon = StreamingDriftMonitor(spark, ref, str(tmp_path / "cknull"))
+    assert any(k[0] is None for k in mon._ref_counts), "no NULL-lang head"
+    mon.run_to_completion(
+        _doc_stream(spark, tmp_path, [nodocs.where(F.col("doc_id") % 2 == 1)])()
+    )
+    tvd = mon.drift_tvd()
+    assert None in tvd
+    assert tvd[None] < 0.2, f"identical NULL-lang distribution drifted: {tvd}"
+    # head terms actually matched (not everything swept into OOV)
+    totals = mon.metrics.term_totals()
+    head_mass = sum(n for (lg, t), n in totals.items() if t != OOV)
+    assert head_mass > 0
+    created = register_engine_views(spark, drift_monitor=mon)
+    assert "drift_tvd" in created
+    rows = spark.sql(
+        "SELECT lang, head_tvd FROM drift_tvd WHERE lang IS NULL"
+    ).collect()
+    assert len(rows) == 1 and rows[0].head_tvd == tvd[None]
+
+
+def test_monitor_horizon_is_configurable_and_survives_reset(
+    spark, tmp_path, docs
+):
+    """compact_horizon set at construction must reach DriftMetrics and
+    survive _reset()/run_to_completion — the ancient-replay error tells
+    the operator to raise it, so the knob must be real."""
+    ref = docs.where(F.col("doc_id") % 2 == 0).limit(20)
+    mon = StreamingDriftMonitor(
+        spark, ref, str(tmp_path / "ckh"), compact_horizon=7
+    )
+    assert mon.metrics.compact_horizon == 7
+    mon._reset()
+    assert mon.metrics.compact_horizon == 7  # not silently back to default
+
+
+def test_monitor_replay_guard_is_bounded(spark, tmp_path, docs):
+    """The intra-run replay-guard set must not grow one entry per
+    trigger forever on a continuous stream: entries beyond the
+    compaction horizon are pruned (record() refuses them anyway)."""
+    ref = docs.where(F.col("doc_id") % 2 == 0).limit(20)
+    mon = StreamingDriftMonitor(
+        spark, ref, str(tmp_path / "ckg"), compact_horizon=3
+    )
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string"
+    )
+    for b in range(12):
+        mon.process_batch(empty, b)
+    assert len(mon._seen_batches) <= 4
+    assert max(mon._seen_batches) == 11  # newest entries kept
