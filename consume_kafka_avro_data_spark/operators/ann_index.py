@@ -163,6 +163,12 @@ class AnnIndex:
             "shards": {},  # rebuild re-indexes everything: ids reset
             "centroids": centroids.tolist(),
             "codebooks": codebooks.tolist(),
+            # persisted: the grace window is a property of the INDEX
+            # (sized to its longest reader scan), not of whichever
+            # process happens to open it — a later load() + add_shard
+            # must not revert to the class default and prune dirs a
+            # still-running long scan references
+            "grace_seconds": grace_seconds,
         }
         cls._commit_meta(io, path, meta)  # the ONLY commit point
         # GC everything the committed meta does not reference: grace-
@@ -246,6 +252,7 @@ class AnnIndex:
             "shards": shards,
             "centroids": self.centroids.tolist(),
             "codebooks": self.codebooks.tolist(),
+            "grace_seconds": self.grace_seconds,  # see build()
         }
         self._commit_meta(self._io, self.path, meta)
         # sweep grace-EXPIRED dirs + crash orphans only
@@ -336,16 +343,24 @@ class AnnIndex:
     def load(cls, spark: SparkSession, path: str) -> "AnnIndex":
         io = fs_for(spark, path)
         meta = json.loads(io.read_bytes(os.path.join(path, META)))
-        dirs = meta.get("vectors_dirs") or [meta.get("vectors_dir", VECTORS)]
-        return cls(
+        # the live-dirs (and legacy-layout) parsing lives ONLY in
+        # _read_meta_doc — a second hand-rolled copy here drifted once
+        doc = cls._read_meta_doc(io, path)
+        idx = cls(
             spark,
             path,
             np.asarray(meta["centroids"], dtype=np.float64),
             np.asarray(meta["codebooks"], dtype=np.float64),
             meta["id_col"],
             meta["vec_col"],
-            vectors_dirs=list(dirs),
+            vectors_dirs=doc["live"],
         )
+        # restore the persisted grace window (legacy metas without the
+        # field keep the class default)
+        idx.grace_seconds = float(
+            meta.get("grace_seconds", cls.grace_seconds)
+        )
+        return idx
 
     # -- query ---------------------------------------------------------------
 

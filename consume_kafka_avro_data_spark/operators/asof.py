@@ -63,6 +63,10 @@ def asof_join(
     rows are dropped before the union, and null-ts left rows bypass the
     window (NULL sorts FIRST under asc / LAST under desc in Spark, so
     inside the window they would adopt a spurious running match).
+    NULL join keys are no-match rows too — SQL equi-joins and
+    ``merge_asof`` never match NULL to NULL, but ``Window.partitionBy``
+    groups NULL keys into ONE partition, so without the guard a
+    NULL-key left row would adopt a NULL-key right row as its match.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if direction not in ("backward", "forward"):
@@ -82,10 +86,16 @@ def asof_join(
         *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
     )
 
-    # NULL-ts guards (see docstring)
-    left_null = left.where(F.col(left_ts).isNull())
-    left = left.where(F.col(left_ts).isNotNull())
-    right = right.where(F.col(right_ts).isNotNull())
+    # NULL-ts / NULL-key guards (see docstring): such left rows ride
+    # along unmatched; such right rows can never be anyone's match
+    no_match = F.col(left_ts).isNull()
+    droppable = F.col(right_ts).isNull()
+    for k in keys:
+        no_match = no_match | F.col(k).isNull()
+        droppable = droppable | F.col(k).isNull()
+    left_null = left.where(no_match)
+    left = left.where(~no_match)
+    right = right.where(~droppable)
 
     # Inclusive match ⇒ an equal-ts right row must already be inside the
     # running frame when the left row is evaluated ⇒ right sorts first.

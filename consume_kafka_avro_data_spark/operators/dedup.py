@@ -511,17 +511,19 @@ def incremental_minhash_dedup(
     cb = _minhash_base(
         corpus, id_col, text_col, shingle_k, bands, rows, hash_fn
     )
-    _, bh_new = _minhash_agg_components(hash_fn, "_sig", bands, rows)
-    _, bh_cor = _minhash_agg_components(hash_fn, "_sig", bands, rows)
+    # ONE band expression for both sides — two independently-built
+    # copies could be edited apart, which is exactly the silent
+    # false-negative drift _minhash_agg_components warns about
+    _, bh = _minhash_agg_components(hash_fn, "_sig", bands, rows)
     nbanded = nb.select(
         F.col("_id").alias("new_id"),
         F.col("_shingles").alias("_sa"),
-        F.explode(bh_new).alias("_block"),
+        F.explode(bh).alias("_block"),
     )
     cbanded = cb.select(
         F.col("_id").alias("corpus_id"),
         F.col("_shingles").alias("_sb"),
-        F.explode(bh_cor).alias("_block"),
+        F.explode(bh).alias("_block"),
     )
     hot = (
         cbanded.groupBy("_block")
@@ -659,6 +661,12 @@ def _bucket_candidate_pairs(
     return (
         buckets.select(F.explode(pair_arr).alias("p"))
         .select("p.id_a", "p.id_b", "p._sa", "p._sb")
+        # a duplicated input id lands twice in the same bucket and the
+        # positional expansion pairs the two copies — (x, x) must not
+        # reach downstream keep-one / connected-components as a
+        # self-duplicate (the applyInPandas siblings guard lo != hi for
+        # exactly this; SRP callers don't pre-collapse by id)
+        .where(F.col("id_a") != F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])  # same pair from multiple blocks
     )
 

@@ -146,6 +146,10 @@ def decode_wav(data: bytes) -> dict:
         # a zero rate would later ZeroDivisionError out of the
         # duration computation, escaping the ValueError/DLQ contract
         raise ValueError(f"invalid WAV sample rate {rate}")
+    if channels < 1:
+        # same contract: channels=0 would ZeroDivisionError out of the
+        # frames-per-channel duration computation downstream
+        raise ValueError(f"invalid WAV channel count {channels}")
     samples = np.frombuffer(raw[: len(raw) - (len(raw) % 2)], dtype="<i2")
     return {
         "sample_rate": rate,
@@ -324,9 +328,15 @@ def wav_feature_table(media: DataFrame) -> DataFrame:
                 rows.append(
                     {
                         "asset_id": aid,
+                        # n_samples / peak / sum_sq / rms are over ALL
+                        # interleaved samples; duration is wall-clock,
+                        # so it counts FRAMES (samples per channel) —
+                        # a stereo file is not twice as long as a mono
+                        # one with the same frame count
                         "n_samples": n,
                         "sample_rate": w["sample_rate"],
-                        "duration_ms": n * 1000 // w["sample_rate"],
+                        "duration_ms": (n // w["channels"]) * 1000
+                        // w["sample_rate"],
                         "peak": int(np.abs(s).max()) if n else 0,
                         "sum_sq": ssq,
                         "rms": float(np.sqrt(ssq / n)) if n else 0.0,

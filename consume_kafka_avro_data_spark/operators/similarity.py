@@ -277,12 +277,7 @@ def blocked_allpairs_cosine(
     DuckDB's list_dot_product produce bit-identical doubles and the
     τ-cut sets match exactly."""
     import pandas as pd
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
-    )
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
     gcols = [group_col] if group_col is not None else []
     blk = (F.crc32(F.col(id_col).cast("string")) % n_blocks).cast("int")
@@ -304,10 +299,15 @@ def blocked_allpairs_cosine(
         id_col, vec_col, "_blk", *gcols, F.explode(pair_structs).alias("_bp")
     ).select(id_col, vec_col, "_blk", *gcols, "_bp.ba", "_bp.bb")
 
+    # pair ids inherit the source id type — the family is id-generic
+    # (brute_force_topk, knn_join, AnnIndex rerank all accept string
+    # ids), so a hardcoded long here would make Arrow choke on the
+    # default string doc-id shape of operators/dedup
+    id_type = corpus.schema[id_col].dataType
     out_schema = StructType(
         [
-            StructField("id_a", LongType(), False),
-            StructField("id_b", LongType(), False),
+            StructField("id_a", id_type, False),
+            StructField("id_b", id_type, False),
             StructField("cosine", DoubleType(), False),
         ]
     )
@@ -684,11 +684,17 @@ def semantic_dedup(
         .select(id_col, vec_col, "_ivf_cell", "_blk", "_bp.ba", "_bp.bb")
     )
 
+    # id columns inherit the source type (string doc ids work); the
+    # nullable dup_of column needs a pandas dtype that carries NA —
+    # "Int64" for integral ids (fast path), object otherwise
+    id_type = corpus.schema[id_col].dataType
+    integral_id = isinstance(id_type, (LongType, IntegerType))
+    na_dtype = "Int64" if integral_id else object
     mid_schema = StructType(
         [
-            StructField(id_col, LongType(), False),
+            StructField(id_col, id_type, False),
             StructField("cell", IntegerType(), False),
-            StructField("dup_of", LongType(), True),
+            StructField("dup_of", id_type, True),
         ]
     )
     tau = float(threshold)
@@ -707,7 +713,7 @@ def semantic_dedup(
                     {
                         id_col: ids,
                         "cell": np.full(len(ids), cell, dtype=np.int32),
-                        "dup_of": pd.array([pd.NA] * len(ids), dtype="Int64"),
+                        "dup_of": pd.array([pd.NA] * len(ids), dtype=na_dtype),
                     }
                 )
             )
@@ -732,7 +738,7 @@ def semantic_dedup(
                 {
                     id_col: hi[keep],
                     "cell": np.full(int(keep.sum()), cell, dtype=np.int32),
-                    "dup_of": pd.array(lo[keep], dtype="Int64"),
+                    "dup_of": pd.array(lo[keep], dtype=na_dtype),
                 }
             )
         )

@@ -47,10 +47,24 @@ def salted_join(
     sub-keys and the small side replicated to every sub-key.
 
     Equivalent row-for-row to ``skewed.join(small, on, how)`` for
-    how ∈ {inner, left}: every (key, salt) pair on the left finds the
-    same matches it would on key alone, because the right side carries
-    all salts of every key.
+    how ∈ {inner, left, leftsemi, leftanti}: every (key, salt) pair on
+    the left finds the same matches it would on key alone, because the
+    right side carries all salts of every key.  Right/full joins are
+    REFUSED: an unmatched small-side key would surface once per salted
+    copy (salt_buckets spurious NULL-padded rows), so the equivalence
+    silently breaks — use the small side as the probe side instead.
     """
+    allowed = {
+        "inner", "left", "leftouter", "left_outer",
+        "semi", "leftsemi", "left_semi",
+        "anti", "leftanti", "left_anti",
+    }
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports how in {sorted(allowed)}, got {how!r}: "
+            "right/full joins would emit one unmatched row per salted "
+            "copy of the small side"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     lhs = skewed.withColumn(SALT, _row_salt(skewed, salt_buckets))
     rhs = small.withColumn(

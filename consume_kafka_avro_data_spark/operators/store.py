@@ -237,6 +237,10 @@ class ManifestTable:
         """
         old_files = self.files()
         if not old_files:
+            # still sweep crash orphans: a merge_new that staged files
+            # and died before its first publish leaves unreferenced
+            # parquet in an officially-empty table
+            self._gc_orphans(keep=set())
             return 0
         df = self.read()
         # size from parquet FOOTERS, not a df.count() job: the count
@@ -249,16 +253,31 @@ class ManifestTable:
         n_files = max(1, -(-n_rows // target_rows_per_file))  # ceil
         staged = self.stage(df, n_files=n_files)
         self.publish(staged)
-        for name in old_files:  # GC only after the commit point
-            self._io.delete(os.path.join(self.path, name))
         # prune time-travel history: the data files every older snapshot
-        # references were just deleted, so keeping their manifests would
-        # advertise unreadable versions (Delta's VACUUM makes the same
-        # trade)
+        # references are deleted just below, so keeping their manifests
+        # would advertise unreadable versions (Delta's VACUUM makes the
+        # same trade)
         current = self.version()
         for v in self.versions():
             if v < current:
                 self._io.delete(
                     os.path.join(self.path, f"_manifest.v{v}.json")
                 )
+        # GC only after the commit point: the superseded files AND any
+        # crash orphans (staged by a merge_new that died before its
+        # publish — the replayed batch re-stages fresh uuid-named files,
+        # so without this sweep every crash-retry leaks a batch of
+        # invisible parquet forever; AnnIndex sweeps the same way)
+        self._gc_orphans(keep=set(staged))
         return len(staged)
+
+    def _gc_orphans(self, keep: set[str]) -> None:
+        """Delete every parquet file in the table dir that no surviving
+        manifest references.  Only called from compact(), AFTER history
+        is pruned to the current snapshot — so ``keep`` is exactly the
+        current file list, and everything else is superseded data or a
+        stage()-then-crash leftover.  Safe under the single-writer
+        contract: no other stage() can be in flight."""
+        for name in self._io.list_names(self.path):
+            if name.endswith(".parquet") and name not in keep:
+                self._io.delete(os.path.join(self.path, name))

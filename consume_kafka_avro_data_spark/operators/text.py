@@ -135,6 +135,11 @@ def _winnow(text: str | Column, k: int, window: int, gram_hash) -> Column:
     consecutive hashes, deduplicated.  One implementation for both hash
     families so the windowing/clamping logic cannot drift."""
     c = F.col(text) if isinstance(text, str) else text
+    # corpus-wide NULL convention (as tokens_col / the counts table):
+    # NULL text fingerprints like empty text — without this, substr on
+    # NULL yields a [NULL] fingerprint array in the HOF forms while the
+    # table form coalesces, and the two 'value-identical' paths drift
+    c = F.coalesce(c, F.lit(""))
     n_hashes = F.length(c) - k + 1
     hashes = F.transform(
         F.sequence(F.lit(1), F.greatest(n_hashes, F.lit(1))),

@@ -285,3 +285,23 @@ def test_adc_rerank_recovers_recall_over_plain_adc(spark, sf_dir, index, qvec):
     )
     pushed = pushed_filters(cand, "vectors")
     assert any("vec_id" in f and "In" in f for f in pushed), pushed
+
+
+def test_grace_seconds_persists_through_load(spark, sf_dir, tmp_path):
+    """The GC grace window is a property of the INDEX (sized to its
+    longest reader scan), so it must survive load() in a different
+    process — reverting to the class default would let add_shard prune
+    generation dirs a still-running long scan references."""
+    from consume_kafka_avro_data_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(64)
+    path = str(tmp_path / "graceidx")
+    idx = AnnIndex.build(
+        spark, emb, path, n_cells=4, m=4, k_codes=8, grace_seconds=86400.0
+    )
+    assert idx.grace_seconds == 86400.0
+    loaded = AnnIndex.load(spark, path)
+    assert loaded.grace_seconds == 86400.0  # not the 3600 class default
+    # and a shard commit through the LOADED handle re-persists it
+    loaded.add_shard(emb.limit(8), shard_id="s1")
+    assert AnnIndex.load(spark, path).grace_seconds == 86400.0

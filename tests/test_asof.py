@@ -163,3 +163,32 @@ def test_asof_tolerance_nulls_stale_matches(spark):
                         left_on="ts", right_on="rts", by="k",
                         tolerance=pd.Timedelta(seconds=60))
     assert (ref["v"].isna().tolist() == [r.asof_v is None for r in out])
+
+
+def test_asof_null_keys_never_match(spark):
+    """NULL join keys are no-match rows (SQL equi-join / merge_asof
+    semantics) — Window.partitionBy would otherwise group NULL keys
+    into one partition and let a NULL-key left row adopt a NULL-key
+    right row as its match."""
+    left = spark.createDataFrame(
+        [(None, 20, "null-key"), ("a", 20, "real-key")],
+        "k string, ts long, lv string",
+    )
+    right = spark.createDataFrame(
+        [(None, 10, "R-null"), ("a", 10, "R-a")],
+        "k string, ts long, rv string",
+    )
+    out = {r.lv: r for r in asof_join(left, right, "k", "ts", "ts").collect()}
+    assert len(out) == 2  # both left rows survive
+    assert out["real-key"].asof_rv == "R-a"
+    assert out["null-key"].asof_rv is None  # NULL never equals NULL
+    assert out["null-key"].asof_ts is None
+    # multi-key: one NULL in a composite key is enough to bar the match
+    left2 = spark.createDataFrame(
+        [("a", None, 20, "part-null")], "k1 string, k2 string, ts long, lv string"
+    )
+    right2 = spark.createDataFrame(
+        [("a", None, 10, "R")], "k1 string, k2 string, ts long, rv string"
+    )
+    got = asof_join(left2, right2, ["k1", "k2"], "ts", "ts").collect()
+    assert len(got) == 1 and got[0].asof_rv is None

@@ -423,3 +423,37 @@ def test_manifest_table_time_travel(spark, tmp_path):
     assert t.versions() == [t.version()]  # history pruned
     with pytest.raises(FileNotFoundError, match="pruned|not available"):
         t.read(1)
+
+
+def test_manifest_table_compact_sweeps_crash_orphans(spark, tmp_path):
+    """A merge_new that staged files but crashed before publish leaves
+    unreferenced parquet in the table dir; the replayed batch stages
+    FRESH uuid-named files, so without a sweep every crash-retry leaks
+    a batch of invisible data forever.  compact() collects them."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from consume_kafka_avro_data_spark.operators.store import ManifestTable
+
+    schema = StructType(
+        [
+            StructField("k", LongType(), True),
+            StructField("v", StringType(), True),
+        ]
+    )
+    t = ManifestTable(spark, str(tmp_path / "t"), schema, keys=["k"])
+    t.merge_new(spark.createDataFrame([(1, "a"), (2, "b")], schema))
+    # simulate the crash window: stage() ran, publish() never did
+    orphans = t.stage(spark.createDataFrame([(3, "lost")], schema))
+    assert orphans
+    committed = set(t.files())
+    assert committed.isdisjoint(orphans)  # staged ⇒ still invisible
+    t.compact()
+    names = set(t._io.list_names(t.path))
+    assert not (names & set(orphans))  # orphans swept
+    assert sorted(r.k for r in t.read().collect()) == [1, 2]  # data intact
+    # empty-table path: orphans swept even when nothing was ever committed
+    t2 = ManifestTable(spark, str(tmp_path / "t2"), schema, keys=["k"])
+    t2._io.mkdirs(t2.path)
+    orphans2 = t2.stage(spark.createDataFrame([(9, "x")], schema))
+    assert t2.compact() == 0
+    assert not (set(t2._io.list_names(t2.path)) & set(orphans2))

@@ -1356,3 +1356,121 @@ def test_corpus_drift_between_matches_parity_form(spark, sf_dir):
     assert self_cmp, "identical corpora must still report every language"
     for r in self_cmp:
         assert (r.head_tvd, r.n_new, r.n_gone) == (0.0, 0, 0), r
+
+
+def test_stereo_wav_duration_counts_frames_not_samples(spark):
+    """duration_ms is wall-clock, so it must divide interleaved samples
+    by the channel count (decode_wav accepts any PCM-16 channel
+    layout): a stereo file is not twice as long as the mono file with
+    the same frame count.  channels=0 fails inside the ValueError/DLQ
+    contract."""
+    import struct as _struct
+
+    import numpy as np
+
+    from consume_kafka_avro_data_spark.operators.multimodal import (
+        decode_wav,
+        wav_feature_table,
+    )
+
+    def pcm16(channels, frames, rate):
+        data = np.arange(frames * channels, dtype="<i2").tobytes()
+        fmt = _struct.pack(
+            "<HHIIHH", 1, channels, rate, rate * 2 * channels,
+            2 * channels, 16,
+        )
+        return (
+            b"RIFF" + _struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+            + b"data" + _struct.pack("<I", len(data)) + data
+        )
+
+    media = spark.createDataFrame(
+        [(1, pcm16(1, 500, 1000)), (2, pcm16(2, 500, 1000))],
+        "asset_id LONG, media BINARY",
+    )
+    rows = {r.asset_id: r for r in wav_feature_table(media).collect()}
+    assert rows[1].duration_ms == 500  # mono: 500 frames at 1 kHz
+    assert rows[2].duration_ms == 500  # stereo: SAME wall-clock length
+    assert rows[2].n_samples == 1000  # interleaved total, as documented
+    with pytest.raises(ValueError, match="channel count"):
+        decode_wav(pcm16(0, 4, 1000))
+
+
+def test_bucket_pairs_never_emit_self_pairs_on_duplicate_ids(spark):
+    """A duplicated input id meets itself in every bucket it lands in;
+    the pair expansion must drop (x, x) before it reaches keep-one /
+    connected-components as a self-duplicate.  Exercised through the
+    SRP path, which (unlike the minhash/simhash *_table forms) does no
+    per-id collapse."""
+    import numpy as np
+
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    v1 = rng.normal(size=8).tolist()
+    v2 = rng.normal(size=8).tolist()
+    emb = spark.createDataFrame(
+        [(7, v1), (7, v1), (9, v2)],  # vec_id 7 appears twice
+        "vec_id long, embedding array<double>",
+    )
+    pairs = embedding_neardup_pairs(
+        emb, cosine_threshold=0.99, dim=8, nbits=4, seed=3
+    ).collect()
+    assert all(r.id_a != r.id_b for r in pairs), pairs
+
+
+def test_blocked_allpairs_accepts_string_ids(spark):
+    """The exact pair sweep inherits the source id type — string doc
+    ids (the operators/dedup default shape) must work end to end, not
+    die in an Arrow long cast."""
+    import numpy as np
+
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        blocked_allpairs_cosine,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=8)
+    emb = spark.createDataFrame(
+        [
+            ("doc-a", base.tolist()),
+            ("doc-b", (base * 2.0).tolist()),  # same direction: cos = 1
+            ("doc-c", rng.normal(size=8).tolist()),
+        ],
+        "doc_id string, embedding array<double>",
+    )
+    pairs = blocked_allpairs_cosine(
+        emb, threshold=0.999, id_col="doc_id", n_blocks=2
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {("doc-a", "doc-b")}
+
+
+def test_winnow_null_text_equals_empty_text(spark):
+    """NULL text follows the corpus-wide coalesce convention in BOTH
+    winnowing hash families: identical fingerprints to empty text, no
+    [NULL] arrays, and the HOF form agrees with the counts table."""
+    from consume_kafka_avro_data_spark.operators.text import (
+        winnow_fingerprint_counts,
+        winnow_fingerprints,
+        winnow_fingerprints_md5,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "identical text body")],
+        "doc_id long, text string",
+    )
+    got = docs.select(
+        "doc_id",
+        winnow_fingerprints("text").alias("xx"),
+        winnow_fingerprints_md5("text").alias("md"),
+    ).collect()
+    by_id = {r.doc_id: r for r in got}
+    assert by_id[1].xx == by_id[2].xx  # NULL ≡ empty, xxhash family
+    assert by_id[1].md == by_id[2].md  # NULL ≡ empty, md5 family
+    assert None not in by_id[1].xx and None not in by_id[1].md
+    counts = winnow_fingerprint_counts(docs).groupBy("doc_id").count()
+    tbl = {r.doc_id: r["count"] for r in counts.collect()}
+    assert tbl.get(1) == tbl.get(2)  # table form agrees on the convention

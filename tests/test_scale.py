@@ -243,3 +243,17 @@ def test_ivf_cells_as_partition_column_prune_probes(spark, sf_dir, tmp_path):
                 index.groupBy("_ivf_cell").agg(F.count("*").alias("n")).collect()}
     want = per_cell.get(1, 0) + per_cell.get(2, 0)
     assert probed.count() == want
+
+
+def test_salted_join_refuses_right_and_full(spark, skewed, dim):
+    """right/full joins would surface one unmatched row per salted copy
+    of the small side — the guard refuses instead of silently breaking
+    the equivalence; semi/anti stay accepted (the right side carries
+    all salts of every key, so existence checks are unaffected)."""
+    for how in ("right", "full", "outer", "cross"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(skewed, dim, "key", how=how)
+    plain_semi = skewed.join(dim, "key", "leftsemi").count()
+    assert salted_join(skewed, dim, "key", how="leftsemi").count() == plain_semi
+    plain_anti = skewed.join(dim, "key", "leftanti").count()
+    assert salted_join(skewed, dim, "key", how="leftanti").count() == plain_anti
