@@ -28,6 +28,7 @@ fatal — decode returns a null record plus an ``_error`` string
 
 from __future__ import annotations
 
+import math as _math
 import struct as _struct
 
 import pandas as pd
@@ -74,11 +75,14 @@ def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
         pos += 1
         acc |= (b & 0x7F) << shift
         if not b & 0x80:
-            # mask to 64 bits (mirrors _write_long): a corrupt 10-byte
-            # varint can set bits above 63, and the un-masked Python int
-            # would later crash the Arrow int64 conversion instead of
-            # staying inside the ValueError/_error decode contract
-            acc &= 0xFFFFFFFFFFFFFFFF
+            # a corrupt 10-byte varint can set bits above 63; no legal
+            # Avro encoder produces that (the 10th byte carries only
+            # bit 63), so it must ROUTE TO THE DLQ as a ValueError —
+            # masking would accept plausible wrong values as clean
+            # rows, and the un-guarded Python int would crash the
+            # Arrow int64 conversion outside the decode contract
+            if acc > 0xFFFFFFFFFFFFFFFF:
+                raise ValueError("varint overflows 64 bits")
             return _zigzag_decode(acc), pos
         shift += 7
         if shift > 63:
@@ -109,7 +113,17 @@ def encode_record(fields: list[tuple[str, str]], values: dict) -> bytes:
                 f"null value for field {name!r}: schema has no null union"
             )
         if typ in ("int", "long"):
-            _write_long(out, int(v))
+            iv = int(v)
+            # range-check BEFORE the wire write: _write_long masks to 64
+            # bits, so an out-of-range long would silently wrap (2**63
+            # encodes as -1 — undetectable corruption, the exact failure
+            # the null check above exists to prevent), and an
+            # out-of-int32 'int' would encode a frame every decode then
+            # rejects
+            lo, hi = (-(2**31), 2**31) if typ == "int" else (-(2**63), 2**63)
+            if not lo <= iv < hi:
+                raise ValueError(f"{typ} field {name!r} out of range: {iv}")
+            _write_long(out, iv)
         elif typ == "float":
             out += _struct.pack("<f", float(v))
         elif typ == "double":
@@ -386,6 +400,14 @@ def _from_confluent_avro_native(
     from pyspark.sql.avro.functions import from_avro
 
     fields = _schema_fields(schema_config)
+    _guard_decode_columns(
+        df,
+        value_col,
+        out_names=["_error", "_schema_id"]
+        + (["_raw_value"] if keep_raw else [])
+        + [n for n, _ in fields],
+        tmp_names=["_dec", "_err", "_sid"],
+    )
     v = F.col(value_col)
     sid_signed = _cp1_sid_signed(v)
     header_err = _cp1_header_error(v, sid_signed, expected_schema_id)
@@ -449,6 +471,14 @@ def from_confluent_avro(
             df, schema_config, expected_schema_id, value_col, keep_raw
         )
     fields = _schema_fields(schema_config)
+    _guard_decode_columns(
+        df,
+        value_col,
+        out_names=["_error", "_schema_id"]
+        + (["_raw_value"] if keep_raw else [])
+        + [n for n, _ in fields],
+        tmp_names=["_rec"],
+    )
     out_type = StructType(
         [StructField(n, _AVRO_TO_SPARK[t], True) for n, t in fields]
         + [
@@ -490,10 +520,75 @@ def from_confluent_avro(
     )
 
 
+def _guard_decode_columns(
+    df: DataFrame,
+    value_col: str,
+    out_names: list[str],
+    tmp_names: list[str],
+) -> None:
+    """Fail fast when a passthrough input column collides with a decode
+    output column (the select would emit two same-named columns — every
+    later reference becomes ambiguous) or with an internal temp column
+    (withColumn would silently REPLACE the user's data).  Same policy as
+    jsonl's _corrupt_record guard."""
+    passthrough = [c for c in df.columns if c != value_col]
+    clash = [c for c in passthrough if c in out_names]
+    if clash:
+        raise ValueError(
+            f"input column(s) {clash} collide with decode output "
+            "columns; rename them before decoding"
+        )
+    clash = [c for c in passthrough if c in tmp_names]
+    if clash:
+        raise ValueError(
+            f"input column(s) {clash} collide with the decoder's "
+            "internal temp columns; rename them before decoding"
+        )
+
+
+def _validate_defaults(
+    reader_fields: list[tuple[str, str]], defaults: dict[str, object]
+) -> None:
+    """Eager driver-side type check of reader defaults: a wrong-typed
+    default otherwise surfaces mid-job as an unhelpful Arrow cast error
+    (Python tier) or a spark-avro schema-parse failure (native tier)."""
+    types = dict(reader_fields)
+    for name, v in defaults.items():
+        typ = types.get(name)
+        if typ is None:
+            continue  # default for a field the reader doesn't declare
+        ok = (
+            isinstance(v, int) and not isinstance(v, bool)
+            if typ in ("int", "long")
+            else isinstance(v, (int, float)) and not isinstance(v, bool)
+            if typ in ("float", "double")
+            else isinstance(v, str)
+        )
+        if not ok:
+            raise ValueError(
+                f"default for {typ} field {name!r} has incompatible "
+                f"type {type(v).__name__}: {v!r}"
+            )
+
+
+def _json_scalar(v):
+    """RFC-compliant JSON value for one decoded Avro scalar: non-finite
+    floats serialize as the STRINGS "NaN"/"Infinity"/"-Infinity" —
+    Spark's own to_json convention (Jackson quotes non-numeric
+    numbers), and unlike json.dumps' bare NaN token it stays parseable
+    by strict consumers of the interchange column."""
+    if isinstance(v, float) and not _math.isfinite(v):
+        if v != v:
+            return "NaN"
+        return "Infinity" if v > 0 else "-Infinity"
+    return v
+
+
 def from_confluent_avro_multi(
     df: DataFrame,
     configs: dict[int, SchemaConfig],
     value_col: str = "value",
+    keep_raw: bool = False,
 ) -> DataFrame:
     """Decode a MULTI-schema topic (SURVEY §7 hard part): each frame
     carries its writer-schema id in the CP1 header, so a single topic
@@ -511,6 +606,13 @@ def from_confluent_avro_multi(
     import json as _json
 
     fields_by_id = {i: _schema_fields(c) for i, c in configs.items()}
+    _guard_decode_columns(
+        df,
+        value_col,
+        out_names=["json", "_schema_id", "_error"]
+        + (["_raw_value"] if keep_raw else []),
+        tmp_names=["_rec"],
+    )
     out_type = StructType(
         [
             StructField("json", StringType(), True),
@@ -531,16 +633,30 @@ def from_confluent_avro_multi(
                 if fields is None:
                     raise ValueError(f"unknown schema id {sid}")
                 rec = decode_record(fields, body)
+                # allow_nan=False + _json_scalar: a NaN float is a
+                # legal Avro value this codec round-trips, but
+                # json.dumps' bare NaN token is not RFC JSON — strict
+                # consumers of the interchange column would reject the
+                # row even though _error is null
                 rows.append(
-                    {"json": _json.dumps(rec), "_schema_id": sid, "_error": None}
+                    {
+                        "json": _json.dumps(
+                            {k: _json_scalar(x) for k, x in rec.items()},
+                            allow_nan=False,
+                        ),
+                        "_schema_id": sid,
+                        "_error": None,
+                    }
                 )
             except (ValueError, UnicodeDecodeError) as e:
                 rows.append({"json": None, "_schema_id": None, "_error": str(e)})
         return pd.DataFrame(rows, columns=["json", "_schema_id", "_error"])
 
     decoded = df.withColumn("_rec", dec(F.col(value_col)))
+    raw = [F.col(value_col).alias("_raw_value")] if keep_raw else []
     return decoded.select(
         *[c for c in df.columns if c != value_col],
+        *raw,
         F.col("_rec.json").alias("json"),
         F.col("_rec._schema_id").alias("_schema_id"),
         F.col("_rec._error").alias("_error"),
@@ -635,18 +751,32 @@ def from_confluent_avro_resolved(
     reader_config: SchemaConfig,
     defaults: dict[str, object] | None = None,
     value_col: str = "value",
+    keep_raw: bool = False,
 ) -> DataFrame:
     """Decode a topic whose frames may carry OLDER writer schemas into
     the evolved reader schema: the CP1 header's schema id selects the
     writer field list per message, then :func:`resolve_record` applies
     the spec's promotion/default rules.  PERMISSIVE like
     :func:`from_confluent_avro`: unresolvable or malformed frames yield
-    null fields + ``_error`` for DLQ routing."""
+    null fields + ``_error`` for DLQ routing.  ``keep_raw=True``
+    carries the undecoded frame as ``_raw_value`` — ESSENTIAL here: a
+    frame dead-lettered for 'unknown writer schema id N' is exactly the
+    one you re-decode after adding the missing writer config, which an
+    error-string-only DLQ cannot do."""
     defaults = defaults or {}
     writer_fields = {
         sid: _schema_fields(sc) for sid, sc in writer_configs.items()
     }
     reader_fields = _schema_fields(reader_config)
+    _validate_defaults(reader_fields, defaults)
+    _guard_decode_columns(
+        df,
+        value_col,
+        out_names=["_error", "_schema_id"]
+        + (["_raw_value"] if keep_raw else [])
+        + [n for n, _ in reader_fields],
+        tmp_names=["_rec"],
+    )
     out_type = StructType(
         [StructField(n, _AVRO_TO_SPARK[t], True) for n, t in reader_fields]
         + [
@@ -676,8 +806,10 @@ def from_confluent_avro_resolved(
         return pd.DataFrame(rows, columns=[f.name for f in out_type.fields])
 
     decoded = df.withColumn("_rec", dec(F.col(value_col)))
+    raw = [F.col(value_col).alias("_raw_value")] if keep_raw else []
     return decoded.select(
         *[c for c in df.columns if c != value_col],
+        *raw,
         F.col("_rec._error").alias("_error"),
         F.col("_rec._schema_id").alias("_schema_id"),
         *[F.col(f"_rec.{n}").alias(n) for n, _ in reader_fields],
@@ -714,6 +846,12 @@ def recover_json_frames(
     Pure-JVM plan: one ``from_json`` (PERMISSIVE — unparseable input
     yields a null struct) over the frame cast to string."""
     fields = _schema_fields(schema_config)
+    _guard_decode_columns(
+        dlq,
+        value_col,
+        out_names=[n for n, _ in fields] + ["_recovered", "_complete"],
+        tmp_names=["_rec"],
+    )
     json_schema = StructType(
         [StructField(n, _AVRO_TO_SPARK[t], True) for n, t in fields]
     )

@@ -31,7 +31,7 @@ Semantics:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from consume_kafka_avro_data_spark.config import JobConfig, SchemaConfig
 
@@ -76,4 +76,10 @@ def read_csv_input(
             f"CSV header {raw.columns} is missing configured columns "
             f"{missing} for topic {topic!r}"
         )
-    return raw.select(*sc.columns)
+    # backtick-quote the projection: a CSV header containing a dot
+    # ('user.id') passes the membership check above, but an unquoted
+    # select would parse the dot as struct navigation and fail
+    # resolution (embedded backticks escape by doubling, per Spark)
+    return raw.select(
+        *[F.col("`" + c.replace("`", "``") + "`") for c in sc.columns]
+    )

@@ -15,7 +15,7 @@ over ``spark.read.json``:
   vanishing (DROPMALFORMED).  ``read_jsonl_with_dlq`` splits the scan
   into (clean rows, dlq rows) where each DLQ row carries the raw line
   and a stable error tag — mirroring the shape of the Avro decode DLQ
-  (``sources/avro_codec.decode_with_dlq``).
+  (``sources/avro_codec.from_confluent_avro(keep_raw=True)``).
 * **text scan + ``from_json``, not ``spark.read.json``**: the JSON
   reader refuses plans that reference only its internal corrupt column
   ([UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN] — the

@@ -30,7 +30,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from consume_kafka_avro_data_spark.config import JobConfig
+from consume_kafka_avro_data_spark.config import ConfigError, JobConfig
 
 # the kafka datasource's fixed output schema (subset we model)
 KAFKA_SHAPE = StructType(
@@ -92,8 +92,16 @@ def kafka_reader_options(
     bound, src/SafeQueue.h:55); ``failOnDataLoss=false`` is the live
     choice for retention-expired replays (the reference logs and keeps
     consuming; a fail-fast deployment passes True)."""
+    if not config.bootstrap_servers:
+        # fail HERE with the config-layer error, not at stream start
+        # with the Kafka client's cryptic 'no resolvable bootstrap
+        # urls' — the same eager-validation policy config.py applies
+        raise ConfigError(
+            "kafka.bootstrap.servers is not set in the job config; "
+            "the Kafka reader cannot be assembled without it"
+        )
     opts = {
-        "kafka.bootstrap.servers": config.bootstrap_servers or "",
+        "kafka.bootstrap.servers": config.bootstrap_servers,
         "subscribe": topic,
         "startingOffsets": starting_offsets,
     }

@@ -351,9 +351,14 @@ def read_ocf(
     import pandas as pd
 
     from consume_kafka_avro_data_spark.sources.avro_codec import (
+        _validate_defaults,
         native_avro_available,
     )
 
+    # eager driver-side check: a wrong-typed default otherwise dies
+    # mid-job in an Arrow cast (Python tier) or a spark-avro schema
+    # parse (native tier), neither naming the offending config entry
+    _validate_defaults(_schema_fields(reader_config), defaults or {})
     if use_native is None:
         use_native = native_avro_available(spark)
     if use_native:

@@ -92,7 +92,17 @@ class SchemaRegistryClient:
             )
             sid = int(doc["id"])
         else:
-            sid = max(self._by_id, default=0) + 1
+            # idempotent like the real Confluent API: re-registering an
+            # IDENTICAL schema returns the existing id — a fresh id per
+            # call would rebind the subject and orphan frames already
+            # written under the old id (their decode would DLQ on
+            # expected_schema_id mismatch after a mere producer restart)
+            sid = next(
+                (i for i, s in self._by_id.items() if s == schema_json),
+                None,
+            )
+            if sid is None:
+                sid = max(self._by_id, default=0) + 1
         self._by_subject[subject] = (sid, schema_json)
         self._by_id[sid] = schema_json
         return sid

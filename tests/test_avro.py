@@ -291,12 +291,16 @@ def test_encode_rejects_null_fields():
 
 
 def test_corrupt_varint_overflow_is_value_error():
-    """A 10-byte varint with high bits set must stay inside int64 (the
-    decode contract) instead of producing an unbounded Python int that
-    crashes the Arrow conversion later."""
+    """A 10-byte varint with bits above 63 set is produced by no legal
+    Avro encoder — it must raise ValueError (→ DLQ) rather than mask to
+    a plausible wrong value or crash the Arrow conversion later.  The
+    legal extreme (-2**63, whose 10th byte is exactly 0x01) must still
+    round-trip."""
     body = bytes([0xFF] * 9 + [0x7F])
-    val = decode_record([("n", "long")], body)["n"]
-    assert -(2**63) <= val < 2**63
+    with pytest.raises(ValueError, match="overflows 64 bits"):
+        decode_record([("n", "long")], body)
+    legal = encode_record([("n", "long")], {"n": -(2**63)})
+    assert decode_record([("n", "long")], legal)["n"] == -(2**63)
 
 
 def test_schema_id_is_signed_int32():
@@ -538,3 +542,168 @@ def test_null_fold_any_every_jarless(spark):
     assert out[3] == (True, True, False, False)
     with _pytest.raises(ValueError, match="empty field list"):
         _null_fold("s", [], null=True, every=True)
+
+
+def test_encode_rejects_out_of_range_ints():
+    """Out-of-int64 longs would silently WRAP on the wire (2**63 zigzag
+    masks to 1, decoding as -1 — undetectable corruption); out-of-int32
+    ints would encode frames every decode rejects.  Both must fail at
+    encode time, like the null check."""
+    with pytest.raises(ValueError, match="long field 'n' out of range"):
+        encode_record([("n", "long")], {"n": 2**63})
+    with pytest.raises(ValueError, match="long field 'n' out of range"):
+        encode_record([("n", "long")], {"n": -(2**63) - 1})
+    with pytest.raises(ValueError, match="int field 'n' out of range"):
+        encode_record([("n", "int")], {"n": 2**40})
+    # boundary values still round-trip
+    for v in (2**63 - 1, -(2**63)):
+        assert decode_record(
+            [("n", "long")], encode_record([("n", "long")], {"n": v})
+        )["n"] == v
+
+
+def test_decode_output_column_collisions_fail_fast(spark):
+    """A passthrough input column that collides with a decode output
+    (two same-named columns → every later reference ambiguous) or with
+    an internal temp column (withColumn silently replaces user data)
+    must raise at plan time — the jsonl _corrupt_record policy."""
+    from pyspark.sql import functions as F
+
+    from consume_kafka_avro_data_spark.sources.avro_codec import (
+        from_confluent_avro,
+        from_confluent_avro_multi,
+    )
+
+    sc = parse_config(SPO_DOC).schema_for("spo")
+    framed = to_confluent_avro(
+        spark.createDataFrame([("s", "p", "o")], ["S", "P", "O"]), sc, schema_id=2
+    )
+    with pytest.raises(ValueError, match="decode output"):
+        from_confluent_avro(
+            framed.withColumn("subject", F.lit("clash")), sc
+        )
+    with pytest.raises(ValueError, match="internal temp"):
+        from_confluent_avro(framed.withColumn("_rec", F.lit(1)), sc)
+    with pytest.raises(ValueError, match="decode output"):
+        from_confluent_avro_multi(
+            framed.withColumn("json", F.lit("clash")), {2: sc}
+        )
+
+
+def test_resolved_and_multi_keep_raw_for_dlq_replay(spark):
+    """The evolution entry points must retain the undecoded frame on
+    request: a frame dead-lettered for 'unknown writer schema id N' is
+    exactly the one re-decoded after the missing config is added, which
+    an error-string-only DLQ cannot do."""
+    from pyspark.sql import functions as F
+
+    from consume_kafka_avro_data_spark.sources.avro_codec import (
+        from_confluent_avro_multi,
+        from_confluent_avro_resolved,
+    )
+
+    sc = parse_config(SPO_DOC).schema_for("spo")
+    framed = to_confluent_avro(
+        spark.createDataFrame([("s", "p", "o")], ["S", "P", "O"]), sc, schema_id=7
+    )
+    dlq = (
+        from_confluent_avro_resolved(
+            framed, writer_configs={2: sc}, reader_config=sc, keep_raw=True
+        )
+        .where(F.col("_error").isNotNull())
+        .select(F.col("_raw_value").alias("value"))
+    )
+    assert dlq.count() == 1
+    # replay after the fix: register id 7 and the dead letter decodes
+    replay = from_confluent_avro_resolved(
+        dlq, writer_configs={7: sc}, reader_config=sc
+    ).collect()
+    assert replay[0]._error is None and replay[0].subject == "s"
+    multi = from_confluent_avro_multi(framed, {2: sc}, keep_raw=True)
+    row = multi.collect()[0]
+    assert "unknown schema id 7" in row._error
+    assert bytes(row._raw_value) == bytes(framed.collect()[0].value)
+
+
+def test_multi_json_is_rfc_compliant_for_nan(spark):
+    """NaN/Infinity doubles are legal Avro values this codec round-
+    trips, but bare NaN tokens are not RFC JSON — the interchange
+    column serializes them as the quoted strings Spark's own to_json
+    emits, so strict consumers can parse every _error-null row."""
+    import json
+    import math
+
+    from consume_kafka_avro_data_spark.sources.avro_codec import (
+        from_confluent_avro_multi,
+    )
+
+    doc = {
+        "kafka": {},
+        "type_map": {"m": {"key_column": "name", "columns": ["name", "val"]}},
+        "column_type_transforms": {"val": "double"},
+    }
+    met = parse_config(doc).schema_for("m")
+    framed = to_confluent_avro(
+        spark.createDataFrame(
+            [("nan", float("nan")), ("inf", float("inf")), ("ok", 1.5)],
+            ["name", "val"],
+        ),
+        met,
+        schema_id=3,
+    )
+    out = {r.key: r for r in from_confluent_avro_multi(framed, {3: met}).collect()}
+    assert all(r._error is None for r in out.values())
+    parsed = {k: json.loads(r.json) for k, r in out.items()}  # strict parse
+    assert parsed["nan"]["val"] == "NaN"
+    assert parsed["inf"]["val"] == "Infinity"
+    assert parsed["ok"]["val"] == 1.5
+
+
+def test_reader_defaults_are_type_checked_eagerly(spark, tmp_path):
+    """A wrong-typed reader default must fail driver-side with the
+    offending entry named — not mid-job in an Arrow cast (Python tier)
+    or a spark-avro schema parse (native tier)."""
+    from consume_kafka_avro_data_spark.sources.avro_codec import (
+        from_confluent_avro_resolved,
+    )
+    from consume_kafka_avro_data_spark.sources.ocf import read_ocf
+
+    doc = {
+        "kafka": {},
+        "type_map": {"m": {"key_column": "name", "columns": ["name", "score"]}},
+        "column_type_transforms": {"score": "double"},
+    }
+    cfg = parse_config(doc).schema_for("m")
+    df = spark.createDataFrame([(bytearray(b"\x00" * 6),)], ["value"])
+    with pytest.raises(ValueError, match="default for double field 'score'"):
+        from_confluent_avro_resolved(
+            df, writer_configs={1: cfg}, reader_config=cfg,
+            defaults={"score": "unknown"},
+        )
+    with pytest.raises(ValueError, match="default for double field 'score'"):
+        read_ocf(spark, str(tmp_path), cfg, defaults={"score": "unknown"})
+    # a well-typed default passes the gate (int is fine for a double)
+    from consume_kafka_avro_data_spark.sources.avro_codec import (
+        _validate_defaults,
+    )
+
+    _validate_defaults([("score", "double"), ("n", "long")], {"score": 0, "n": 3})
+    with pytest.raises(ValueError, match="long field 'n'"):
+        _validate_defaults([("n", "long")], {"n": 1.5})
+
+
+def test_offline_registry_reregistration_is_idempotent():
+    """Re-registering an identical schema must return the existing id
+    (the Confluent behavior): a fresh id per call would rebind the
+    subject and orphan frames already written under the old id."""
+    from consume_kafka_avro_data_spark.sources.schema_registry import (
+        SchemaRegistryClient,
+    )
+
+    reg = SchemaRegistryClient(url=None)
+    s1 = '{"type":"record","name":"r","fields":[]}'
+    id_a = reg.register_value_schema("t", s1)
+    id_b = reg.register_value_schema("t", s1)  # producer restart
+    assert id_a == id_b
+    id_c = reg.register_value_schema("t", s1.replace("r", "r2"))
+    assert id_c != id_a  # a genuinely new schema still gets a new id

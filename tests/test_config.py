@@ -301,3 +301,25 @@ def test_csv_input_reads_and_shapes_per_config(spark, tmp_path):
     cfg2 = parse_config({**doc, "input_type": "parquet"})
     with _pytest.raises(ConfigError, match="not csv"):
         read_csv_input(spark, str(csv_dir), cfg2, "spo")
+
+
+def test_csv_header_with_dot_resolves(spark, tmp_path):
+    """A CSV header containing a dot must survive the projection: a
+    name-string select would parse 'user.id' as struct navigation and
+    fail resolution even though the membership check passed."""
+    from consume_kafka_avro_data_spark.config import parse_config
+    from consume_kafka_avro_data_spark.sources.csv_input import read_csv_input
+
+    doc = {
+        "kafka": {},
+        "type_map": {
+            "t": {"key_column": "user.id", "columns": ["user.id", "v"]}
+        },
+    }
+    cfg = parse_config(doc)
+    d = tmp_path / "csv"
+    d.mkdir()
+    (d / "part.csv").write_text("user.id,v,extra\nu1,hello,x\n")
+    out = read_csv_input(spark, str(d), cfg, "t")
+    assert out.columns == ["user.id", "v"]
+    assert out.collect()[0]["v"] == "hello"

@@ -694,3 +694,21 @@ def test_dlq_json_recovery_feeds_back_into_graph(spark, tmp_path):
     nv, ne = store.ingest_triples(triples, created_at="2024-01-01")
     assert (nv, ne) == (1, 1)
     assert store.objects().count() == nv_before + 1
+
+
+def test_kafka_reader_options_require_bootstrap_servers():
+    """A job config without kafka.bootstrap.servers must fail at option
+    assembly with the config-layer error, not at stream start with the
+    Kafka client's cryptic no-resolvable-urls message."""
+    from consume_kafka_avro_data_spark.config import ConfigError, parse_config
+    from consume_kafka_avro_data_spark.sources.kafka import kafka_reader_options
+
+    cfg = parse_config(
+        {
+            "kafka": {},
+            "type_map": {"t": {"key_column": "k", "columns": ["k"]}},
+            "column_map": {"k": "k"},
+        }
+    )
+    with pytest.raises(ConfigError, match="bootstrap.servers"):
+        kafka_reader_options(cfg, "t")
