@@ -34,7 +34,7 @@ scheduled decision, not a mid-stream surprise).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -42,22 +42,84 @@ from consume_kafka_avro_data_spark.operators.ann_index import AnnIndex
 from consume_kafka_avro_data_spark.streaming.lifecycle import BoundedReplayMixin
 
 
-@dataclass
 class AnnIngestMetrics:
-    batches: int = 0
-    vectors: int = 0
-    vectors_by_batch: dict[int, int] = field(default_factory=dict)
-    #: per-batch {cell: rows} from the committed shard's parquet
-    #: footers — keyed by batch id so a replayed batch REPLACES its
-    #: contribution (the shard generation it re-commits does the same)
-    cells_by_batch: dict[int, dict[int, int]] = field(default_factory=dict)
+    """Replay-consistent ANN ingest counters, DriftMetrics-shaped:
+    per-batch maps key by batch id so a replay REPLACES its
+    contribution (the shard generation it re-commits does the same),
+    the cell totals are maintained INCREMENTALLY so a
+    ``drift_ratio``/``needs_rebuild`` poll is O(cells) — never a
+    re-fold over the whole batch history — and maps beyond
+    ``compact_horizon`` are dropped (their mass stays in the totals)
+    so week-long continuous streams don't grow driver state per
+    trigger.  Readers and the writer share one lock: polls run on the
+    driver concurrently with the stream-execution thread in continuous
+    mode."""
+
+    def __init__(self, compact_horizon: int = 1024):
+        self._lock = threading.Lock()
+        self.compact_horizon = compact_horizon
+        self.vectors_by_batch: dict[int, int] = {}
+        self.cells_by_batch: dict[int, dict[int, int]] = {}
+        self._cell_totals: dict[int, int] = {}
+        self._vectors = 0
+        self._compacted_batches = 0
+        self._compacted_max: int | None = None
+
+    @property
+    def batches(self) -> int:
+        with self._lock:
+            return self._compacted_batches + len(self.cells_by_batch)
+
+    @property
+    def vectors(self) -> int:
+        with self._lock:
+            return self._vectors
 
     def cell_totals(self) -> dict[int, int]:
-        totals: dict[int, int] = {}
-        for cells in self.cells_by_batch.values():
-            for c, n in cells.items():
-                totals[c] = totals.get(c, 0) + n
-        return totals
+        with self._lock:
+            return dict(self._cell_totals)
+
+    def record(
+        self, batch_id: int, n: int, cells: dict[int, int]
+    ) -> None:
+        with self._lock:
+            if (
+                self._compacted_max is not None
+                and batch_id <= self._compacted_max
+            ):
+                # same contract as DriftMetrics: a replay this far back
+                # cannot be deduplicated once its map is compacted —
+                # refuse loudly rather than silently double-count
+                raise RuntimeError(
+                    f"batch {batch_id} was already compacted (horizon "
+                    f"{self.compact_horizon}); raise compact_horizon or "
+                    "reset the ingest"
+                )
+            old = self.cells_by_batch.get(batch_id)
+            if old is not None:  # replay: subtract the replaced batch
+                for c, k in old.items():
+                    left = self._cell_totals[c] - k
+                    if left:
+                        self._cell_totals[c] = left
+                    else:
+                        del self._cell_totals[c]
+                self._vectors -= self.vectors_by_batch[batch_id]
+            self.cells_by_batch[batch_id] = dict(cells)
+            self.vectors_by_batch[batch_id] = n
+            for c, k in cells.items():
+                self._cell_totals[c] = self._cell_totals.get(c, 0) + k
+            self._vectors += n
+            if len(self.cells_by_batch) > self.compact_horizon:
+                cutoff = max(self.cells_by_batch) - self.compact_horizon
+                for bid in [b for b in self.cells_by_batch if b <= cutoff]:
+                    del self.cells_by_batch[bid]
+                    del self.vectors_by_batch[bid]
+                    self._compacted_batches += 1
+                    if (
+                        self._compacted_max is None
+                        or bid > self._compacted_max
+                    ):
+                        self._compacted_max = bid
 
 
 class StreamingAnnIngest(BoundedReplayMixin):
@@ -78,7 +140,7 @@ class StreamingAnnIngest(BoundedReplayMixin):
         self.spark = spark
         self.index = index
         self.checkpoint_dir = checkpoint_dir
-        self.metrics = AnnIngestMetrics()
+        self.metrics = self._new_metrics()
         self._seen_batches: set[int] = set()
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
@@ -92,13 +154,10 @@ class StreamingAnnIngest(BoundedReplayMixin):
             self.index.add_shard(batch, shard_id=f"b{batch_id}")
             n = self.index.last_shard_rows
             cells = self.index.last_shard_cell_counts
-        if batch_id not in self._seen_batches:
-            self.metrics.batches += 1
-            self.metrics.vectors += n
-            self.metrics.vectors_by_batch[batch_id] = n
-        # keyed by batch id, so a replay overwrites (never double-counts)
-        self.metrics.cells_by_batch[batch_id] = cells
-        self._seen_batches.add(batch_id)
+        # keyed by batch id, so a replay REPLACES (never double-counts);
+        # AnnIngestMetrics locks internally against concurrent polls
+        self.metrics.record(batch_id, n, cells)
+        self._mark_batch(batch_id)  # mixin contract; bounded trim
 
     # -- rebuild trigger -----------------------------------------------------
 

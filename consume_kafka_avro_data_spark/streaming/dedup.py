@@ -29,6 +29,7 @@ of the graph tables.
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass, field
 
@@ -70,12 +71,6 @@ class StreamingDedupIngest(BoundedReplayMixin):
     """readStream(docs) → sign → LSH vs store → route → merge novel."""
 
     _checkpoint_subdir = "dedup"
-    #: bound on the intra-run replay-guard set and the per-batch dupe
-    #: map — far above the only replay distance Structured Streaming
-    #: produces within a run (the most recent uncommitted batch), small
-    #: enough that week-long 1s-trigger streams don't grow driver state
-    #: one entry per trigger forever
-    replay_guard_horizon: int = 1024
 
     def _new_metrics(self) -> DedupMetrics:
         return DedupMetrics()
@@ -199,6 +194,35 @@ class StreamingDedupIngest(BoundedReplayMixin):
             ),
             keys=["_id"],
         )
+        # persist the signature hyperparameters beside the store and
+        # validate on reopen: the id_type guard protects the schema,
+        # but reopening with different bands/rows/shingle_k/hash_fn
+        # would recompute band keys and zip_with agreements against
+        # arrays shaped by the OLD parameters — near-dups of stored
+        # docs silently stop matching and merge as novel, permanently
+        # un-deduping the corpus with no signal
+        params = {
+            "shingle_k": shingle_k,
+            "bands": self.bands,
+            "rows": self.rows,
+            "hash_fn": hash_fn,
+        }
+        pf = os.path.join(store_dir, "_signature_params.json")
+        io = self.store._io
+        if io.is_file(pf):
+            stored = json.loads(io.read_bytes(pf))
+            if stored != params:
+                raise ValueError(
+                    f"signature store at {store_dir!r} was built with "
+                    f"{stored}, but this ingest was configured with "
+                    f"{params}; matching across mismatched signature "
+                    "parameters silently finds nothing — reuse the "
+                    "stored parameters or rebuild the store"
+                )
+        else:
+            io.mkdirs(store_dir)
+            io.write_bytes(pf + ".tmp", json.dumps(params).encode())
+            io.rename_overwrite(pf + ".tmp", pf)
         self.metrics = self._new_metrics()
         self._seen_batches: set[int] = set()
         self.drift_monitor = drift_monitor
@@ -212,6 +236,20 @@ class StreamingDedupIngest(BoundedReplayMixin):
             self.drift_monitor._reset()
 
     # -- building blocks -----------------------------------------------------
+
+    def _anti_by_id(self, batch: DataFrame, flagged: DataFrame) -> DataFrame:
+        """NULL-SAFE anti-join on the id column — merge_new's NULLS NOT
+        DISTINCT policy, applied at the gates: a NULL-id document that
+        fails a gate must actually LEAVE the batch (plain EqualTo never
+        matches NULL, so the rejected doc would be signed, merged, and
+        double-counted in metrics.docs, breaking the
+        rejected+contaminated+dup+novel == docs invariant)."""
+        f = flagged.select(F.col(self.id_col).alias("_gate_id"))
+        return batch.join(
+            f,
+            on=F.col(self.id_col).eqNullSafe(F.col("_gate_id")),
+            how="left_anti",
+        )
 
     def _banded(self, sigs: DataFrame) -> DataFrame:
         """(_id, _sim, _block) — band keys recomputed from signatures
@@ -313,9 +351,7 @@ class StreamingDedupIngest(BoundedReplayMixin):
                 )
             n_rejected = rejects.count()
             if n_rejected:
-                batch = batch.join(
-                    rejects.select(self.id_col), self.id_col, "left_anti"
-                )
+                batch = self._anti_by_id(batch, rejects)
         n_contam = 0
         contam = None
         if self._eval_grams is not None:
@@ -354,9 +390,7 @@ class StreamingDedupIngest(BoundedReplayMixin):
                 )
             n_contam = contam.count()
             if n_contam:
-                batch = batch.join(
-                    contam.select(self.id_col), self.id_col, "left_anti"
-                )
+                batch = self._anti_by_id(batch, contam)
         sigs = minhash_sig_table(
             batch,
             self.id_col,
@@ -369,7 +403,22 @@ class StreamingDedupIngest(BoundedReplayMixin):
         dup_map = None
         try:
             banded = self._banded(sigs)
-            vs_store = self._matches(banded, self._banded(self.store.read()))
+            # REPLAY DETERMINISM: probe the store MINUS this batch's own
+            # ids.  After a post-merge crash the store already holds the
+            # batch's novel docs; beyond the self-pair exclusion in
+            # _matches, their presence could push a band bucket past
+            # max_bucket_size on the retry, silently dropping matches
+            # the first attempt found (a previously-detected duplicate
+            # would re-route as novel and merge — permanent un-dedup).
+            # Excluding the batch's ids restores the exact store view
+            # the first attempt probed.  Null-safe, as everywhere ids
+            # are compared; the anti side is batch-sized (broadcastable).
+            store_rows = self.store.read().join(
+                sigs.select(F.col("_id").alias("_bid")),
+                on=F.col("_id").eqNullSafe(F.col("_bid")),
+                how="left_anti",
+            )
+            vs_store = self._matches(banded, self._banded(store_rows))
             # intra-batch: earlier id is canonical, so only (dup > match)
             # pairs count — a batch's first copy of a new document stays
             # novel and becomes the stored canonical
@@ -420,19 +469,10 @@ class StreamingDedupIngest(BoundedReplayMixin):
                 self.metrics.rejected_docs += n_rejected
                 self.metrics.contaminated_docs += n_contam
                 self.metrics.dup_pairs_by_batch[batch_id] = n_dupes
-            self._seen_batches.add(batch_id)
-            # bound the per-batch driver state on week-long continuous
-            # streams: the replay guard exists for intra-run foreachBatch
-            # retries, which Structured Streaming only issues for the
-            # most recent uncommitted batch — entries a horizon behind
-            # the head can never be consulted again within this run.
-            # (The data side never depends on this: sinks anti-join /
-            # replace by id.)
-            if len(self._seen_batches) > self.replay_guard_horizon:
-                cutoff = max(self._seen_batches) - self.replay_guard_horizon
-                self._seen_batches = {
-                    b for b in self._seen_batches if b > cutoff
-                }
+            # bounded replay guard (mixin-shared trim); the per-batch
+            # dupe map prunes to the same horizon
+            cutoff = self._mark_batch(batch_id)
+            if cutoff is not None:
                 for bid in [
                     b
                     for b in self.metrics.dup_pairs_by_batch
@@ -444,7 +484,14 @@ class StreamingDedupIngest(BoundedReplayMixin):
             # any point — it rewrites the same rows behind an atomic
             # manifest swap, so a crash or replay never observes a
             # partial store
-            if self.compact_every and self.metrics.batches % self.compact_every == 0:
+            # gate on `not replayed`: batches does not advance on a
+            # replay, so a batch retried while the modulus sits at 0
+            # would otherwise rewrite the whole store once per retry
+            if (
+                not replayed
+                and self.compact_every
+                and self.metrics.batches % self.compact_every == 0
+            ):
                 self.store.compact()
         finally:
             # localCheckpoint blocks are freed with the DataFrame; make

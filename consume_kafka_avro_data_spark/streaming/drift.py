@@ -196,6 +196,9 @@ class StreamingDriftMonitor(BoundedReplayMixin):
         #: _new_metrics(), which would silently discard a horizon set
         #: only on a hand-installed DriftMetrics
         self.compact_horizon = compact_horizon
+        # the mixin replay guard trims at the same horizon the metrics
+        # maps compact at — one knob for all per-batch driver state
+        self.replay_guard_horizon = compact_horizon
         self.metrics = self._new_metrics()
         self._seen_batches: set[int] = set()
 
@@ -238,6 +241,15 @@ class StreamingDriftMonitor(BoundedReplayMixin):
         #: rebuilding it per micro-batch would re-serialize head_k ×
         #: langs rows from the driver on every trigger forever
         self._head_terms = {k for k in self._ref_counts if k[1] != OOV}
+        #: lang → reference partition terms (head + OOV), precomputed:
+        #: the reference side is immutable after construction, and
+        #: rebuilding these sets per poll would rescan the whole
+        #: _ref_counts dict once PER LANGUAGE on every drift_tvd() /
+        #: needs_retune() call (polled concurrently with ingestion in
+        #: continuous mode)
+        self._ref_terms_by_lang: dict[str, set[str]] = {}
+        for lg, t in self._ref_counts:
+            self._ref_terms_by_lang.setdefault(lg, set()).add(t)
         self._lut = self.spark.createDataFrame(
             # None-safe sort key: a reference row with lang=NULL must
             # not crash construction (None < str is a TypeError)
@@ -290,16 +302,7 @@ class StreamingDriftMonitor(BoundedReplayMixin):
         # keyed by batch id: a replay overwrites (never double-counts);
         # DriftMetrics locks internally against concurrent T1 readers
         self.metrics.record(batch_id, n_docs, counts)
-        self._seen_batches.add(batch_id)
-        # bound the replay guard by the same horizon as the metrics
-        # maps: ids at or below the compacted max are refused by
-        # record() anyway, so retaining them only grows driver memory
-        # one entry per trigger on week-long streams
-        if len(self._seen_batches) > self.compact_horizon:
-            cutoff = max(self._seen_batches) - self.compact_horizon
-            self._seen_batches = {
-                b for b in self._seen_batches if b > cutoff
-            }
+        self._mark_batch(batch_id)  # mixin contract; bounded trim
 
     # -- drift metric ---------------------------------------------------------
 
@@ -324,21 +327,24 @@ class StreamingDriftMonitor(BoundedReplayMixin):
     def _tvd_from(
         self, arr: dict[tuple[str, str], int]
     ) -> dict[str, float]:
-        arr_totals: dict[str, int] = {}
-        for (lang, _), n in arr.items():
-            arr_totals[lang] = arr_totals.get(lang, 0) + n
+        # ONE pass over the arrivals (not one scan per language): a
+        # poll runs on the driver concurrently with ingestion in
+        # continuous mode, so its cost must stay O(|arr| + head)
+        arr_by_lang: dict[str, dict[str, int]] = {}
+        for (lang, t), n in arr.items():
+            arr_by_lang.setdefault(lang, {})[t] = n
         out: dict[str, float] = {}
-        for lang, a_tot in arr_totals.items():
+        for lang, terms_n in arr_by_lang.items():
+            a_tot = sum(terms_n.values())
             r_tot = self._ref_totals.get(lang)
             if not r_tot:
                 out[lang] = 1.0
                 continue
-            terms = {t for (lg, t) in self._ref_counts if lg == lang}
-            terms |= {t for (lg, t) in arr if lg == lang}
+            terms = self._ref_terms_by_lang.get(lang, set()) | set(terms_n)
             s = 0.0
             for t in sorted(terms):  # deterministic fold order
                 p = self._ref_counts.get((lang, t), 0) / r_tot
-                q = arr.get((lang, t), 0) / a_tot
+                q = terms_n.get(t, 0) / a_tot
                 s += abs(p - q)
             out[lang] = 0.5 * s
         return out

@@ -160,7 +160,8 @@ class StreamingGraphIngest(BoundedReplayMixin):
                         self.metrics.errors_by_reason.get(reason, 0) + cnt
                     )
             # success: only now does a replay of this id skip counters
-            self._seen_batches.add(batch_id)
+            # (mixin-shared bounded trim — see BoundedReplayMixin)
+            self._mark_batch(batch_id)
         finally:
             decoded.unpersist()
 

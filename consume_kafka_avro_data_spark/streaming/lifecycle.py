@@ -29,9 +29,32 @@ class BoundedReplayMixin:
     """``start`` / ``run_to_completion`` for foreachBatch ingests."""
 
     _checkpoint_subdir: str = "ingest"
+    #: bound on the intra-run replay-guard set — far above the only
+    #: replay distance Structured Streaming produces within a run (the
+    #: most recent uncommitted batch), small enough that week-long
+    #: 1s-trigger streams don't grow driver state one entry per trigger
+    #: forever.  ONE definition here so the four ingests cannot drift.
+    replay_guard_horizon: int = 1024
 
     def _new_metrics(self):  # pragma: no cover - abstract
         raise NotImplementedError
+
+    def _mark_batch(self, batch_id: int) -> int | None:
+        """Record ``batch_id`` in the replay guard and trim entries a
+        horizon behind the head (they can never be consulted again
+        within this run).  Returns the trim cutoff when one applied, so
+        subclasses can prune their own per-batch maps to the same
+        horizon.  Ingests whose idempotence is entirely data-side
+        (replace-by-batch-id sinks) never read the set — they still
+        call this so the mixin contract's attribute stays bounded."""
+        self._seen_batches.add(batch_id)
+        if len(self._seen_batches) > self.replay_guard_horizon:
+            cutoff = max(self._seen_batches) - self.replay_guard_horizon
+            self._seen_batches = {
+                b for b in self._seen_batches if b > cutoff
+            }
+            return cutoff
+        return None
 
     def _reset(self) -> None:
         """Fresh metrics + replay-guard state.  Ingests that CARRY

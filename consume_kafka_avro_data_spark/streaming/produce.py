@@ -50,11 +50,19 @@ class DeliveryReport:
     batches: int = 0
     delivered: int = 0
     by_batch: dict[int, int] = field(default_factory=dict)
+    #: per-batch map retention — the running batches/delivered tallies
+    #: are unaffected; only the diagnostic map is bounded, so week-long
+    #: continuous produce streams don't grow driver state per trigger
+    compact_horizon: int = 1024
 
     def record(self, batch_id: int, n: int) -> None:
         self.batches += 1
         self.delivered += n
         self.by_batch[batch_id] = self.by_batch.get(batch_id, 0) + n
+        if len(self.by_batch) > self.compact_horizon:
+            cutoff = max(self.by_batch) - self.compact_horizon
+            for bid in [b for b in self.by_batch if b <= cutoff]:
+                del self.by_batch[bid]
 
 
 class AvroProducer:
@@ -112,7 +120,13 @@ class AvroProducer:
         # state, so concurrent queries off one producer need the lock
         # (metrics.py locks the same producer/consumer boundary)
         self._lock = threading.Lock()
-        self._seen_batches: set[int] = set()
+        #: replay guards keyed BY CHECKPOINT DIR: batch ids are unique
+        #: only within one checkpoint lineage, so a producer-wide set
+        #: would silently skip the early batches of a SECOND stream
+        #: (fresh checkpoint, ids restarting at 0) — at-most-once data
+        #: loss.  Same-process restarts of the SAME checkpoint reuse
+        #: their set, preserving effectively-once delivery.
+        self._seen_by_ckpt: dict[str, set[int]] = {}
         if stand_in is None and not kafka_source_available(spark):
             raise RuntimeError(
                 "no Kafka datasource on the classpath and no stand-in "
@@ -194,7 +208,11 @@ class AvroProducer:
         into the topic — strictly stronger than the reference's
         fire-and-log callback and than a non-transactional Kafka
         producer, and it keeps the stand-in's dense-offset replayable-
-        topic invariant intact."""
+        topic invariant intact.  The guard is scoped PER CHECKPOINT
+        (batch ids are only unique within one checkpoint lineage): a
+        second stream through the same producer with a fresh checkpoint
+        restarts at batch 0 and must not be skipped as 'seen'."""
+        seen = self._seen_by_ckpt.setdefault(checkpoint_dir, set())
 
         def _deliver(batch: DataFrame, batch_id: int) -> None:
             # Membership check WITHOUT inserting: the id is marked seen
@@ -204,7 +222,7 @@ class AvroProducer:
             # would be skipped though it was never delivered (the exact
             # inverse-ordering bug ingest.py process_batch fixed).
             with self._lock:
-                if batch_id in self._seen_batches:
+                if batch_id in seen:
                     return
             n = batch.count()  # input pre-count; see produce_batch
             framed = self.frame(batch)
@@ -217,7 +235,15 @@ class AvroProducer:
                     "kafka.bootstrap.servers", self.bootstrap_servers or ""
                 ).option("topic", self.topic).save()
             with self._lock:
-                self._seen_batches.add(batch_id)
+                seen.add(batch_id)
+                if len(seen) > self.report.compact_horizon:
+                    # same bound as the ingest replay guards: intra-run
+                    # retries only ever target the most recent
+                    # uncommitted batch
+                    cutoff = max(seen) - self.report.compact_horizon
+                    seen.difference_update(
+                        [b for b in seen if b <= cutoff]
+                    )
                 self.report.record(batch_id, n)
 
         writer = stream.writeStream.foreachBatch(_deliver)

@@ -151,3 +151,28 @@ def test_fresh_producer_resumes_offsets_on_existing_topic(spark, tmp_path):
         for r in FileStreamStandIn(spark, topic_dir).read_batch().collect()
     )
     assert offs == [0, 1, 2]  # dense, no duplicates
+
+
+def test_second_stream_on_same_producer_delivers(spark, tmp_path):
+    """The replay guard is scoped PER CHECKPOINT: a second stream
+    through the same producer (fresh checkpoint, batch ids restarting
+    at 0) must deliver — a producer-wide seen-set would silently skip
+    its early batches (at-most-once data loss)."""
+    prod, sc, stand_in = _producer(spark, tmp_path)
+
+    def one_stream(rows, name, ckpt):
+        src = str(tmp_path / name)
+        df = spark.createDataFrame(rows, ["S", "P", "O"])
+        df.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        q = prod.produce_stream(stream, checkpoint_dir=str(tmp_path / ckpt))
+        q.awaitTermination(120)
+
+    one_stream([("a", "p", "b")], "src1", "ck1")
+    assert prod.report.delivered == 1
+    one_stream([("c", "p", "d"), ("e", "p", "f")], "src2", "ck2")
+    assert prod.report.delivered == 3  # second stream actually delivered
+    frames = stand_in.read_batch()
+    assert frames.count() == 3
+    offsets = sorted(r.offset for r in frames.collect())
+    assert offsets == [0, 1, 2]  # dense offsets preserved across streams

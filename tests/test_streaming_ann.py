@@ -139,3 +139,25 @@ def test_drift_metric_flags_skewed_arrivals(spark, sf_dir, tmp_path, emb):
     ingest2.run_to_completion(stream2)
     assert ingest2.drift_ratio() < 4.0
     assert not ingest2.needs_rebuild(threshold=4.0)
+
+
+def test_ann_ingest_metrics_incremental_and_bounded():
+    """AnnIngestMetrics must replace a replayed batch's contribution
+    (totals never double-count), answer cell_totals incrementally, and
+    compact per-batch maps beyond the horizon while keeping their mass
+    — the DriftMetrics contract applied to the ANN ingest."""
+    from consume_kafka_avro_data_spark.streaming.ann import AnnIngestMetrics
+
+    m = AnnIngestMetrics(compact_horizon=3)
+    for b in range(6):
+        m.record(b, 10, {0: 10})
+    assert m.batches == 6 and m.vectors == 60
+    assert m.cell_totals() == {0: 60}  # compacted mass survives
+    assert len(m.cells_by_batch) <= 4
+    # a LIVE batch replay replaces, never adds
+    m.record(5, 4, {1: 4})
+    assert m.vectors == 54
+    assert m.cell_totals() == {0: 50, 1: 4}
+    # an already-compacted batch id refuses (cannot be deduplicated)
+    with pytest.raises(RuntimeError, match="compacted"):
+        m.record(0, 10, {0: 10})

@@ -339,3 +339,113 @@ def test_dedup_replay_guard_is_bounded(spark, tmp_path, ingest):
     assert len(ingest._seen_batches) <= 3
     assert max(ingest._seen_batches) == 4  # newest kept
     assert len(m.dup_pairs_by_batch) <= 3
+
+
+def test_null_id_docs_are_gated_null_safely(spark, tmp_path):
+    """A NULL-id document that fails a gate must actually LEAVE the
+    batch (plain EqualTo never matches NULL in an anti-join): without
+    the null-safe gate join it would be counted rejected AND signed/
+    merged, double-counting docs and breaking the
+    rejected+contaminated+dup+novel == docs invariant."""
+    ingest = StreamingDedupIngest(
+        spark,
+        store_dir=str(tmp_path / "store"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        quality_threshold=0.5,
+    )
+    good = (
+        "a perfectly reasonable document with plenty of distinct "
+        "alphabetic words to sail through the quality gate nicely"
+    )
+    batches = [[(1, good), (None, "x! x! x! x! x! x! x! x! x! x!")]]
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        batches[0], "doc_id long, text string"
+    ).coalesce(1).write.parquet(path)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    m = ingest.run_to_completion(stream)
+    assert m.rejected_docs == 1
+    assert m.docs == 2  # not 3: the NULL-id reject is not double-counted
+    assert m.novel_docs + m.dup_docs + m.rejected_docs == m.docs
+    stored = [r["_id"] for r in ingest.store.read().collect()]
+    assert stored == [1]  # the NULL-id reject never entered the store
+
+
+def test_store_rejects_mismatched_signature_params(spark, tmp_path):
+    """Reopening a signature store with different bands/rows/shingle_k
+    silently finds nothing (band keys and zip_with agreements recompute
+    against arrays shaped by the OLD parameters) — it must refuse with
+    a clear error instead, like the id_type guard."""
+    store_dir = str(tmp_path / "store")
+    StreamingDedupIngest(
+        spark, store_dir=store_dir, checkpoint_dir=str(tmp_path / "ck1"),
+        bands=8, rows=4,
+    )
+    # same params reopen fine
+    StreamingDedupIngest(
+        spark, store_dir=store_dir, checkpoint_dir=str(tmp_path / "ck2"),
+        bands=8, rows=4,
+    )
+    with pytest.raises(ValueError, match="signature store .* was built"):
+        StreamingDedupIngest(
+            spark, store_dir=store_dir,
+            checkpoint_dir=str(tmp_path / "ck3"), bands=4, rows=4,
+        )
+
+
+def test_replay_after_merge_keeps_dup_routing_stable(spark, tmp_path):
+    """Post-merge crash replay: the store already holds the batch's
+    novel docs, and with max_bucket_size=1 their presence would push
+    the shared band bucket over the cap and silently drop the match —
+    the store probe excludes the batch's own ids, so the replay routes
+    the SAME duplicates as the first attempt."""
+    ingest = StreamingDedupIngest(
+        spark,
+        store_dir=str(tmp_path / "store"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        dupes_dir=str(tmp_path / "dupes"),
+        max_bucket_size=1,
+    )
+    seed = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(2, NEAR), (3, FAR)], "doc_id long, text string"
+    )
+    # seed the store with the canonical, then ingest the batch once
+    ingest.process_batch(seed, 0)
+    ingest.process_batch(batch, 1)
+    first = {
+        (r.dup_id, r.match_id)
+        for r in spark.read.parquet(str(tmp_path / "dupes")).collect()
+    }
+    assert first == {(2, 1)}
+    # post-merge crash replay: batch 1's novel doc (3) is in the store,
+    # and doc 2 remains a dup of 1 — the bucket cap must not flip it
+    ingest.process_batch(batch, 1)
+    replay = {
+        (r.dup_id, r.match_id)
+        for r in spark.read.parquet(str(tmp_path / "dupes")).collect()
+    }
+    assert replay == first
+    stored = sorted(r["_id"] for r in ingest.store.read().collect())
+    assert stored == [1, 3]  # 2 never merged as novel
+
+
+def test_compaction_not_rerun_on_replayed_batch(spark, tmp_path):
+    """Compaction triggers on batches % compact_every == 0, and batches
+    does not advance on a replay — a retried batch must not rewrite the
+    whole store once per retry."""
+    ingest = StreamingDedupIngest(
+        spark,
+        store_dir=str(tmp_path / "store"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        compact_every=1,
+    )
+    batch = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
+    ingest.process_batch(batch, 0)
+    v = ingest.store.version()
+    ingest.process_batch(batch, 0)  # replay
+    assert ingest.store.version() == v  # no extra compaction commit
