@@ -30,8 +30,7 @@ from consume_kafka_avro_data_spark.registry import all_queries  # noqa: E402
 # round's new artifact automatically shifts the next round's order.
 from consume_kafka_avro_data_spark.rotation import (  # noqa: E402
     exposure_order,
-    freshest_green,
-    freshest_rows_only,
+    freshest_evidence,
 )
 
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
@@ -42,12 +41,8 @@ def _ordered_queries():
     # provability from the registered oracle WITHOUT invoking factories
     # (factories may read data files; import must stay side-effect free)
     provable = {n: q.oracle is not None for n, q in qs.items()}
-    ordered = exposure_order(
-        list(qs),
-        provable,
-        freshest_green(_REPO_DIR),
-        freshest_rows_only(_REPO_DIR),
-    )
+    green, rows_only = freshest_evidence(_REPO_DIR)  # one artifact scan
+    ordered = exposure_order(list(qs), provable, green, rows_only)
     return {n: qs[n] for n in ordered}
 
 

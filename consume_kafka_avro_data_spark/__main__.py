@@ -30,6 +30,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("-c", "--config", required=True, help="YAML job config")
     p.add_argument(
+        "--topic",
+        help="which type_map topic to run when the config declares "
+        "several (default: the first; the others are reported, never "
+        "silently dropped)",
+    )
+    p.add_argument(
         "--dry-run",
         action="store_true",
         help="validate config + schema assembly and exit",
@@ -82,21 +88,41 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         config = load_config(args.config)
-        topic = config.schemas[0].name
+        topics = [s.name for s in config.schemas]
+        topic = args.topic if args.topic is not None else topics[0]
+        if topic not in topics:
+            raise ConfigError(
+                f"--topic {topic!r} is not in the config's type_map "
+                f"{topics}"
+            )
         sc = config.schema_for(topic)
+        # schema ASSEMBLY is part of what --dry-run validates — an
+        # Avro-invalid field name from column_map surfaces here, and
+        # must exit 2 with the config-error message like every other
+        # config problem, not an uncaught traceback
+        avro_json = sc.to_avro_schema_json()
     except ConfigError as e:
         print(f"invalid config: {e}", file=sys.stderr)
         return 2
 
+    if len(topics) > 1:
+        # one topic per run (the reference binary's shape); the others
+        # must be VISIBLE, not silently dropped
+        others = [t for t in topics if t != topic]
+        print(
+            f"note: config declares {len(topics)} topics; running "
+            f"{topic!r} only — rerun with --topic for {others}"
+        )
     print(f"topic={topic} key={sc.key_column} fields={sc.columns}")
-    print(f"schema={sc.to_avro_schema_json()}")
+    print(f"schema={avro_json}")
     if args.dry_run:
         return 0
 
     import yaml
 
     with open(args.config) as f:
-        engine = yaml.safe_load(f).get("engine", {})
+        # `or {}`: a bare `engine:` placeholder line parses as None
+        engine = yaml.safe_load(f).get("engine") or {}
     graph_dir = engine.get("graph_dir", "/tmp/cka_spark/graph")
     ckpt_dir = engine.get("checkpoint_dir", "/tmp/cka_spark/checkpoints")
 
@@ -108,6 +134,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     from consume_kafka_avro_data_spark.streaming.ingest import StreamingGraphIngest
 
+    if args.ocf and len(sc.columns) != 3:
+        # same guard StreamingGraphIngest enforces for the stream path:
+        # a 2-column config would TypeError mid-run and a 4-column one
+        # would silently drop the fourth field.  Checked BEFORE the
+        # session is built — no cluster needed to reject a bad config.
+        print(
+            "--ocf graph ingest needs exactly 3 configured columns "
+            f"(subject, predicate, object); got {sc.columns}",
+            file=sys.stderr,
+        )
+        return 2
     if args.produce_csv and args.sql:
         # producer mode populates a TOPIC, not the graph — there is no
         # engine state to query; silently dropping the flag would read
@@ -169,7 +206,7 @@ def main(argv: list[str] | None = None) -> int:
         rows = read_ocf(spark, args.ocf, sc)
         names = [sc.field_name(c) for c in sc.columns]
         store = GraphStore(spark, graph_dir)
-        nv, ne = store.ingest_triples(triples_from(rows, *names[:3]))
+        nv, ne = store.ingest_triples(triples_from(rows, *names))
         print(f"ocf_ingest new_vertices={nv} new_edges={ne}")
         if args.sql:
             _run_sql(spark, store, args.sql)

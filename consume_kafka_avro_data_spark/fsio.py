@@ -88,13 +88,19 @@ class LocalIO:
         os.makedirs(p, exist_ok=True)
 
     def delete(self, p: str, recursive: bool = False) -> None:
-        if recursive:
-            shutil.rmtree(p, ignore_errors=True)
-        else:
-            try:
+        # match HadoopIO.delete's contract exactly: missing-ok, a
+        # recursive delete also removes a REGULAR file at the path, and
+        # real IO/permission errors RAISE — rmtree(ignore_errors=True)
+        # would silently leave data behind (a GC sweep that 'succeeds'
+        # while unreferenced files accumulate), backend-dependent
+        # behavior for the same nine-primitive contract
+        try:
+            if recursive and os.path.isdir(p):
+                shutil.rmtree(p)
+            else:
                 os.remove(p)
-            except FileNotFoundError:
-                pass
+        except FileNotFoundError:
+            pass
 
     def rename(self, src: str, dst: str) -> None:
         os.rename(src, dst)

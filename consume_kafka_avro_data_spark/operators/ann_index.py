@@ -378,6 +378,12 @@ class AnnIndex:
         ]
         return reduce(DataFrame.unionByName, dfs)
 
+    def vectors(self) -> DataFrame:
+        """Public accessor for the live generations' rows (id, codes,
+        cell, vector) — the engine SQL views register this as
+        ``ann_vectors``; cell filters still prune per generation."""
+        return self._vectors()
+
     def _probe(self, query_vec, nprobe: int) -> DataFrame:
         """Rows of the ``nprobe`` cells nearest the query — the cell
         filter hits the partition column, so unprobed cells' files are

@@ -502,11 +502,14 @@ def _o_curation_pipeline(
     centroids with the shared numpy Lloyd's routine, and inlines them
     as literals.  Degrades to rows-only (None) when the parquet is
     unreadable or the survivor set is empty."""
-    import os
+    from consume_kafka_avro_data_spark.queries.similarity import (
+        _O_QUALITY,
+        ORACLE_SAMPLE_LIMIT as _OSL,
+        oracle_sf_dir,
+        vec_sql,
+    )
 
-    from consume_kafka_avro_data_spark.queries.similarity import _O_QUALITY
-
-    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    sf_dir = oracle_sf_dir()
     stages = _O_CURATION_STAGES.format(qt=repr(_CURATION_QT))
     try:
         import duckdb
@@ -528,7 +531,7 @@ def _o_curation_pipeline(
             WITH feats AS ({_O_QUALITY}), {stages}
             SELECT e.embedding FROM embeddings e
             JOIN surv ON e.vec_id = surv.doc_id
-            ORDER BY e.vec_id LIMIT 4096
+            ORDER BY e.vec_id LIMIT {_OSL}
             """
         ).fetchall()
         (n_surv,) = con.sql(
@@ -552,9 +555,6 @@ def _o_curation_pipeline(
         o_quantize,
         quantize_np,
     )
-
-    def vec_sql(c) -> str:
-        return "[" + ", ".join(repr(float(v)) for v in c) + "]::DOUBLE[]"
 
     scores = ", ".join(
         f"list_dot_product(qv, {vec_sql(qc)})" for qc in quantize_np(cent)

@@ -246,7 +246,13 @@ def q_butterfly_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-engagement wedge join.  Everything is integer arithmetic —
     exact at any scale and partitioning."""
     ev = load_table(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct().persist()
+    # NO persist: a cached frame referenced by the RETURNED plan would
+    # leak its blocks for the session (the driver runs the whole
+    # catalog in one SparkSession).  Instead, n_edges derives from
+    # tdeg (Σ d == |ut|), so ut has two consumers — the degree agg and
+    # the self-join, whose two sides share one exchange under reuse —
+    # and no subtree needs caching.
+    ut = ev.select("user_id", "event_type").distinct()
     tdeg = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("d"))
     a, b = ut.alias("a"), ut.alias("b")
     pairs = (
@@ -258,9 +264,9 @@ def q_butterfly_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.user_id").alias("u1"), F.col("b.user_id").alias("u2"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    n_edges = ut.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-    n_wedges = tdeg.agg(
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+    edge_wedge = tdeg.agg(
+        F.sum("d").cast("long").alias("n_edges"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
     )
     pair_stats = pairs.agg(
         F.count(F.lit(1)).cast("long").alias("n_connected_pairs"),
@@ -268,7 +274,7 @@ def q_butterfly_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_butterflies"),
     )
-    return n_edges.crossJoin(n_wedges).crossJoin(pair_stats)
+    return edge_wedge.crossJoin(pair_stats)
 
 
 @query(

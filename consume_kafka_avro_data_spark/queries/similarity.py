@@ -149,6 +149,33 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_lsh_topk(emb, rows[0]["embedding"], k=10)
 
 
+# -- shared oracle-factory context: the data-dependent oracle factories
+# (IVF/semantic-dedup/PQ here, the curation funnel in curation.py) all
+# sample the corpus the oracle will run against and inline derived
+# centroids/codebooks as literals.  ONE definition of the sf-dir
+# resolution, the sample size, and the vector-literal format — a
+# drifted copy would derive centroids from a DIFFERENT corpus than the
+# query runs on, a hard-to-diagnose parity failure.
+
+#: deterministic driver-side sample size for centroid/codebook training
+ORACLE_SAMPLE_LIMIT = 4096
+
+
+def oracle_sf_dir() -> str:
+    """The sf directory the DuckDB oracle will run against:
+    $SPARK_GRAFT_TEST_SF_DIR when the local harness sets it, else the
+    driver's documented sf0.01."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+def vec_sql(c) -> str:
+    """DuckDB DOUBLE[] literal for one vector (centroid inlining);
+    repr() keeps full float precision on both engines."""
+    return "[" + ", ".join(repr(float(v)) for v in c) + "]::DOUBLE[]"
+
+
 def _ivf_oracle_ctx(n_centroids=16, seed=42):
     """Shared context for the IVF-family oracle factories: re-derive the
     deterministic centroids from the sf the oracle will run against
@@ -156,9 +183,7 @@ def _ivf_oracle_ctx(n_centroids=16, seed=42):
     driver's documented sf0.01) and return ``(centroids, unit query
     vector, cell-scores SQL fragment)`` — or None to degrade the query
     to rows-only (unreadable/empty parquet, missing vec_id=0 row)."""
-    import os
-
-    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    sf_dir = oracle_sf_dir()
     path = f"{sf_dir}/embeddings.parquet"
     try:
         import duckdb
@@ -171,7 +196,7 @@ def _ivf_oracle_ctx(n_centroids=16, seed=42):
         con = duckdb.connect()
         rows = con.sql(
             f"SELECT embedding FROM read_parquet('{path}') "
-            "ORDER BY vec_id LIMIT 4096"
+            f"ORDER BY vec_id LIMIT {ORACLE_SAMPLE_LIMIT}"
         ).fetchall()
         qrow = con.sql(
             f"SELECT embedding FROM read_parquet('{path}') WHERE vec_id = 0"
@@ -191,9 +216,6 @@ def _ivf_oracle_ctx(n_centroids=16, seed=42):
     from consume_kafka_avro_data_spark.operators.similarity import (
         quantize_np,
     )
-
-    def vec_sql(c) -> str:
-        return "[" + ", ".join(repr(float(v)) for v in c) + "]::DOUBLE[]"
 
     # cell assignment under q20 fixed-point dots — exact integer-valued
     # doubles, so list_indexof(list_max) here ≡ numpy argmax (first max)
@@ -416,28 +438,49 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# -- shared minhash-oracle builders: the hash-DEFINING expressions of the
+# four minhash DuckDB twins (_o_minhash, _o_minhash_est,
+# _o_incremental_dedup, _o_dedup_pipeline).  ONE definition each, so a
+# fix to the seed-hash format, the band layout, or the <3-token shingle
+# fallback can never desynchronize one oracle from the others (the same
+# rationale as curation._o_span_ctes / _o_simhash_sig_cte).
+
+def _o_minhash_mins(n: int) -> str:
+    """Per-seed md5 minima over the shingle set (column ``sh``)."""
+    return ", ".join(
+        f"list_min(list_transform(sh, s -> substr(md5('{i}:' || s), 1, 16)))"
+        for i in range(n)
+    )
+
+
+def _o_minhash_bands(bands: int, rows: int) -> str:
+    """Band bucket keys over the signature array (column ``sig``)."""
+    return ", ".join(
+        f"md5('{b}:' || array_to_string(sig[{b * rows + 1} : {b * rows + rows}], ','))"
+        for b in range(bands)
+    )
+
+
+#: the 3-shingle set with the <3-token whole-text fallback, over ``toks``
+_O_SHINGLE_SET = """list_distinct(CASE WHEN len(toks) < 3
+                  THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks) - 1),
+                                      i -> array_to_string(toks[i : i + 2], ' '))
+             END)"""
+
+
 def _o_minhash(bands: int = 8, rows: int = 4, threshold: float = 0.5) -> str:
     """DuckDB twin of minhash_lsh_pairs(hash_fn="md5"): rebuilds the same
     distinct shingle sets, the same per-seed md5 hex-prefix minima
     (fixed-width lowercase hex → string-min ≡ uint64-min in both
     engines), the same band hashes, and verifies with the same exact-int
     Jaccard division — so candidates AND scores match bit-for-bit."""
-    mins = ", ".join(
-        f"list_min(list_transform(sh, s -> substr(md5('{i}:' || s), 1, 16)))"
-        for i in range(bands * rows)
-    )
-    bexprs = ", ".join(
-        f"md5('{b}:' || array_to_string(sig[{b * rows + 1} : {b * rows + rows}], ','))"
-        for b in range(bands)
-    )
+    mins = _o_minhash_mins(bands * rows)
+    bexprs = _o_minhash_bands(bands, rows)
     return rf"""
     WITH base AS (
       SELECT doc_id AS _id,
-             list_distinct(CASE WHEN len(toks) < 3
-                  THEN [array_to_string(toks, ' ')]
-                  ELSE list_transform(range(1, len(toks) - 1),
-                                      i -> array_to_string(toks[i : i + 2], ' '))
-             END) AS sh
+             {_O_SHINGLE_SET} AS sh
       FROM (SELECT doc_id, string_split_regex(lower(coalesce(text, '')), '\s+') AS toks
             FROM documents)
     ),
@@ -465,23 +508,13 @@ def _o_minhash_est(bands: int = 8, rows: int = 4) -> str:
     estimator instead of exact Jaccard — the shingle sets are never
     re-read after signature computation, exactly like the Spark plan."""
     n = bands * rows
-    mins = ", ".join(
-        f"list_min(list_transform(sh, s -> substr(md5('{i}:' || s), 1, 16)))"
-        for i in range(n)
-    )
-    bexprs = ", ".join(
-        f"md5('{b}:' || array_to_string(sig[{b * rows + 1} : {b * rows + rows}], ','))"
-        for b in range(bands)
-    )
+    mins = _o_minhash_mins(n)
+    bexprs = _o_minhash_bands(bands, rows)
     matches = f"len(list_filter(range(1, {n} + 1), i -> sa[i] = sb[i]))"
     return rf"""
     WITH base AS (
       SELECT doc_id AS _id,
-             list_distinct(CASE WHEN len(toks) < 3
-                  THEN [array_to_string(toks, ' ')]
-                  ELSE list_transform(range(1, len(toks) - 1),
-                                      i -> array_to_string(toks[i : i + 2], ' '))
-             END) AS sh
+             {_O_SHINGLE_SET} AS sh
       FROM (SELECT doc_id, string_split_regex(lower(coalesce(text, '')), '\s+') AS toks
             FROM documents)
     ),
@@ -539,22 +572,12 @@ def _o_incremental_dedup(
     as _o_minhash, but candidates come from a new-side × corpus-side
     band join — corpus×corpus pairs are structurally impossible, which
     is the operator's whole contract."""
-    mins = ", ".join(
-        f"list_min(list_transform(sh, s -> substr(md5('{i}:' || s), 1, 16)))"
-        for i in range(bands * rows)
-    )
-    bexprs = ", ".join(
-        f"md5('{b}:' || array_to_string(sig[{b * rows + 1} : {b * rows + rows}], ','))"
-        for b in range(bands)
-    )
+    mins = _o_minhash_mins(bands * rows)
+    bexprs = _o_minhash_bands(bands, rows)
     return rf"""
     WITH base AS (
       SELECT doc_id AS _id,
-             list_distinct(CASE WHEN len(toks) < 3
-                  THEN [array_to_string(toks, ' ')]
-                  ELSE list_transform(range(1, len(toks) - 1),
-                                      i -> array_to_string(toks[i : i + 2], ' '))
-             END) AS sh
+             {_O_SHINGLE_SET} AS sh
       FROM (SELECT doc_id, string_split_regex(lower(coalesce(text, '')), '\s+') AS toks
             FROM documents)
     ),
@@ -803,9 +826,7 @@ def _o_semantic_dedup(threshold=0.35, n_centroids=None, seed=42) -> str | None:
     lower-id cell-mate at q20 cosine ≥ τ.  Factory, resolved lazily:
     reads $SPARK_GRAFT_TEST_SF_DIR (driver default sf0.01) and degrades
     to rows-only (None) when the parquet is unreadable or empty."""
-    import os
-
-    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    sf_dir = oracle_sf_dir()
     path = f"{sf_dir}/embeddings.parquet"
     try:
         import duckdb
@@ -819,7 +840,7 @@ def _o_semantic_dedup(threshold=0.35, n_centroids=None, seed=42) -> str | None:
         con = duckdb.connect()
         rows = con.sql(
             f"SELECT embedding FROM read_parquet('{path}') "
-            "ORDER BY vec_id LIMIT 4096"
+            f"ORDER BY vec_id LIMIT {ORACLE_SAMPLE_LIMIT}"
         ).fetchall()
         (n_corpus,) = con.sql(
             f"SELECT count(*) FROM read_parquet('{path}')"
@@ -838,9 +859,6 @@ def _o_semantic_dedup(threshold=0.35, n_centroids=None, seed=42) -> str | None:
         o_quantize,
         quantize_np,
     )
-
-    def vec_sql(c) -> str:
-        return "[" + ", ".join(repr(float(v)) for v in c) + "]::DOUBLE[]"
 
     scores = ", ".join(
         f"list_dot_product(qv, {vec_sql(qc)})" for qc in quantize_np(cent)
@@ -891,14 +909,8 @@ def _o_dedup_pipeline(bands: int = 8, rows: int = 4) -> str:
     survivors only → recursive-CTE clustering → per-document
     (canonical, cluster, survivor) assignment."""
     n = bands * rows
-    mins = ", ".join(
-        f"list_min(list_transform(sh, s -> substr(md5('{i}:' || s), 1, 16)))"
-        for i in range(n)
-    )
-    bexprs = ", ".join(
-        f"md5('{b}:' || array_to_string(sig[{b * rows + 1} : {b * rows + rows}], ','))"
-        for b in range(bands)
-    )
+    mins = _o_minhash_mins(n)
+    bexprs = _o_minhash_bands(bands, rows)
     matches = f"len(list_filter(range(1, {n} + 1), i -> sa[i] = sb[i]))"
     return rf"""
     WITH RECURSIVE
@@ -908,11 +920,7 @@ def _o_dedup_pipeline(bands: int = 8, rows: int = 4) -> str:
             FROM fp f JOIN canon c ON f.fp = c.fp),
     base AS (
       SELECT doc_id AS _id,
-             list_distinct(CASE WHEN len(toks) < 3
-                  THEN [array_to_string(toks, ' ')]
-                  ELSE list_transform(range(1, len(toks) - 1),
-                                      i -> array_to_string(toks[i : i + 2], ' '))
-             END) AS sh
+             {_O_SHINGLE_SET} AS sh
       FROM (SELECT d.doc_id,
                    string_split_regex(lower(coalesce(d.text, '')), '\s+') AS toks
             FROM documents d JOIN canon c ON d.doc_id = c.canonical_id)
@@ -1122,7 +1130,11 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _o_lang_id() -> str:
-    toks = "string_split(lower(text), ' ')"
+    # THE census tokenization (operators/dedup.tokens_col): regex \s+
+    # split with NULL→'' — a single-space split would disagree with the
+    # Spark side on tabs/newlines/NULL text (the exact divergence the
+    # q_sentiment oracle documents)
+    toks = "string_split_regex(lower(coalesce(text, '')), '\\s+')"
     score_cols = ",\n           ".join(
         f"len(list_intersect({toks}, {list(words)}))::DOUBLE / len({toks}) AS s_{lang}"
         for lang, words in STOPWORDS.items()
@@ -1593,13 +1605,11 @@ def _pq_codebooks_np():
     take down the whole parity run.  Cached per sf_dir: the two PQ
     oracle factories plus the CTE builder would otherwise rerun the
     2-scan + 8-Lloyd's derivation three times per process."""
-    import os
-
     import numpy as np
 
     from consume_kafka_avro_data_spark.operators.similarity import lloyd_l2_kmeans
 
-    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    sf_dir = oracle_sf_dir()
     if sf_dir in _PQ_NP_CACHE:
         return _PQ_NP_CACHE[sf_dir]
     result = None
@@ -1609,7 +1619,7 @@ def _pq_codebooks_np():
         con = duckdb.connect()
         rows = con.sql(
             f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
-            "ORDER BY vec_id LIMIT 4096"
+            f"ORDER BY vec_id LIMIT {ORACLE_SAMPLE_LIMIT}"
         ).fetchall()
         qrow = con.sql(
             f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "

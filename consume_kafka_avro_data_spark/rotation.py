@@ -96,6 +96,15 @@ def _scan_artifacts(repo_dir: str) -> tuple[dict[str, int], dict[str, int]]:
     return green, rows_only
 
 
+def freshest_evidence(
+    repo_dir: str,
+) -> tuple[dict[str, int], dict[str, int]]:
+    """(hash-green rounds, rows-only-ok rounds) in ONE artifact scan —
+    the standard caller needs both, and two separate accessors would
+    re-open and re-parse every round's artifact twice per ordering."""
+    return _scan_artifacts(repo_dir)
+
+
 def freshest_green(repo_dir: str) -> dict[str, int]:
     """Map query name -> highest round with a HASH-GREEN verdict.
     Rows-only evidence deliberately does not count here — see the

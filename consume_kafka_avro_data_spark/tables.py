@@ -139,8 +139,23 @@ def register_engine_views(
         graph.relationships().createOrReplaceTempView("relationships")
         created += ["objects", "relationships"]
     if signatures is not None:
+        import re
+
         signatures.read().createOrReplaceTempView("signatures")
         created.append("signatures")
+        live = {f"signatures_v{v}" for v in signatures.versions()}
+        # drop STALE version views from a previous registration:
+        # compact() prunes snapshot history, and a lingering
+        # signatures_v{k} would lazily reference deleted parquet —
+        # failing mid-query (or reading partial data) instead of the
+        # honest unknown-view error
+        for t in spark.catalog.listTables():
+            if (
+                re.fullmatch(r"signatures_v\d+", t.name)
+                and t.isTemporary
+                and t.name not in live
+            ):
+                spark.catalog.dropTempView(t.name)
         for v in signatures.versions():
             signatures.read(version=v).createOrReplaceTempView(
                 f"signatures_v{v}"
@@ -148,7 +163,7 @@ def register_engine_views(
             created.append(f"signatures_v{v}")
     if ann_index is not None:
         ann_index.cell_sizes().createOrReplaceTempView("ann_cells")
-        ann_index._vectors().createOrReplaceTempView("ann_vectors")
+        ann_index.vectors().createOrReplaceTempView("ann_vectors")
         created += ["ann_cells", "ann_vectors"]
     if drift_monitor is not None:
         # ONE atomic snapshot: both views must describe the same moment

@@ -194,3 +194,100 @@ def test_cli_produce_csv_then_consume_full_loop(spark, tmp_path):
     assert "valid=2" in cons.stdout and "errors=0" in cons.stdout
     graph = spark.read.parquet(str(tmp_path / "graph" / "objects"))
     assert sorted(r.object_name for r in graph.collect()) == ["a", "b", "c"]
+
+
+def _write_cfg(tmp_path, doc, name="cfg.yaml"):
+    import yaml
+
+    p = tmp_path / name
+    p.write_text(yaml.safe_dump(doc))
+    return str(p)
+
+
+def test_cli_dry_run_catches_bad_avro_field_name(tmp_path, capsys):
+    """Schema ASSEMBLY is part of --dry-run's contract: a column_map
+    producing an Avro-invalid field name must exit 2 with the config-
+    error message, not escape as an uncaught traceback."""
+    cfg = _write_cfg(
+        tmp_path,
+        {
+            "kafka": {"bootstrap.servers": "b:9092"},
+            "type_map": {"t": {"key_column": "a", "columns": ["a", "b"]}},
+            "column_map": {"a": "a", "b": "my-field"},
+        },
+    )
+    assert main(["-c", cfg, "--dry-run"]) == 2
+    assert "invalid config" in capsys.readouterr().err
+
+
+def test_cli_empty_engine_section_uses_defaults(tmp_path, capsys):
+    """A bare `engine:` placeholder line parses as None; the CLI must
+    treat it as an empty section, not crash on None.get."""
+    import yaml
+
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        yaml.safe_dump(
+            {
+                "kafka": {"bootstrap.servers": "b:9092"},
+                "type_map": {
+                    "t": {"key_column": "s", "columns": ["a", "b", "c"]}
+                },
+                "column_map": {"a": "s", "b": "p", "c": "o"},
+            }
+        )
+        + "engine:\n"
+    )
+    # --ocf over an empty dir exercises the engine-section parse and a
+    # full (empty) ingest without a broker.  Subprocess: the CLI stops
+    # its SparkSession on exit, which would kill the shared fixture.
+    empty = tmp_path / "lake"
+    empty.mkdir()
+    assert main(["-c", str(cfg), "--dry-run"]) == 0  # None engine parses
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "consume_kafka_avro_data_spark",
+            "-c", str(cfg), "--ocf", str(empty),
+        ],
+        capture_output=True, text=True, timeout=300, cwd=str(REPO),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "ocf_ingest" in out.stdout
+
+
+def test_cli_multi_topic_note_and_selection(tmp_path, capsys):
+    """A multi-topic type_map must be VISIBLE: the default run names
+    the topics it is not ingesting, and --topic selects one; an unknown
+    --topic is a config error."""
+    doc = {
+        "kafka": {"bootstrap.servers": "b:9092"},
+        "type_map": {
+            "t1": {"key_column": "a", "columns": ["a", "b"]},
+            "t2": {"key_column": "x", "columns": ["x", "y"]},
+        },
+    }
+    cfg = _write_cfg(tmp_path, doc)
+    assert main(["-c", cfg, "--dry-run"]) == 0
+    out = capsys.readouterr().out
+    assert "running 't1' only" in out and "t2" in out
+    assert main(["-c", cfg, "--topic", "t2", "--dry-run"]) == 0
+    assert "topic=t2" in capsys.readouterr().out
+    assert main(["-c", cfg, "--topic", "nope", "--dry-run"]) == 2
+    assert "not in the config" in capsys.readouterr().err
+
+
+def test_cli_ocf_requires_three_columns(tmp_path, capsys):
+    """The --ocf graph path enforces the same 3-column SPO guard the
+    stream ingest does: a 2-column config must exit 2 with a clear
+    message (not TypeError), a 4-column one must not silently drop the
+    fourth field."""
+    for cols in (["a", "b"], ["a", "b", "c", "d"]):
+        doc = {
+            "kafka": {"bootstrap.servers": "b:9092"},
+            "type_map": {"t": {"key_column": "a", "columns": cols}},
+        }
+        cfg = _write_cfg(tmp_path, doc, name=f"cfg{len(cols)}.yaml")
+        lake = tmp_path / f"lake{len(cols)}"
+        lake.mkdir()
+        assert main(["-c", cfg, "--ocf", str(lake)]) == 2
+        assert "exactly 3 configured columns" in capsys.readouterr().err

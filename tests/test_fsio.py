@@ -240,3 +240,24 @@ def test_hadoop_io_byte_roundtrip_exact(spark, tmp_path, payload):
     assert hd.read_bytes(p) == payload
     # the POSIX backend reads the same physical file identically
     assert LocalIO().read_bytes(str(tmp_path / "blob.bin")) == payload
+
+
+def test_local_delete_matches_hadoop_contract(spark, tmp_path):
+    """LocalIO.delete must behave like HadoopIO.delete: missing-ok, a
+    recursive delete also removes a REGULAR file at the path, and real
+    errors raise instead of being swallowed (a GC sweep that silently
+    leaves data behind 'succeeds' while unreferenced files pile up)."""
+    from consume_kafka_avro_data_spark.fsio import fs_for
+
+    io = fs_for(spark, str(tmp_path))
+    f = tmp_path / "stray.parquet"
+    f.write_bytes(b"x")
+    io.delete(str(f), recursive=True)  # regular file + recursive: removed
+    assert not f.exists()
+    io.delete(str(tmp_path / "missing"), recursive=True)  # missing-ok
+    io.delete(str(tmp_path / "missing"))  # missing-ok, non-recursive
+    d = tmp_path / "dir"
+    (d / "sub").mkdir(parents=True)
+    (d / "sub" / "f").write_bytes(b"y")
+    io.delete(str(d), recursive=True)
+    assert not d.exists()

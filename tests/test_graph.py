@@ -457,3 +457,35 @@ def test_manifest_table_compact_sweeps_crash_orphans(spark, tmp_path):
     orphans2 = t2.stage(spark.createDataFrame([(9, "x")], schema))
     assert t2.compact() == 0
     assert not (set(t2._io.list_names(t2.path)) & set(orphans2))
+
+
+def test_stale_signature_version_views_are_dropped(spark, tmp_path):
+    """Re-registering after compact() must DROP version views whose
+    snapshots were pruned: a lingering signatures_v{k} would lazily
+    reference deleted parquet and fail mid-query instead of giving the
+    honest unknown-view error."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from consume_kafka_avro_data_spark.operators.store import ManifestTable
+    from consume_kafka_avro_data_spark.tables import register_engine_views
+
+    schema = StructType(
+        [
+            StructField("k", LongType(), True),
+            StructField("v", StringType(), True),
+        ]
+    )
+    t = ManifestTable(spark, str(tmp_path / "t"), schema, keys=["k"])
+    t.merge_new(spark.createDataFrame([(1, "a")], schema))
+    t.merge_new(spark.createDataFrame([(2, "b")], schema))
+    created = register_engine_views(spark, signatures=t)
+    assert "signatures_v1" in created and "signatures_v2" in created
+    t.compact()  # prunes history to the (new) current version only
+    created = register_engine_views(spark, signatures=t)
+    live = [c for c in created if c.startswith("signatures_v")]
+    assert live == [f"signatures_v{t.version()}"]
+    assert not spark.catalog.tableExists("signatures_v1")  # stale: gone
+    assert not spark.catalog.tableExists("signatures_v2")
+    # the remaining view still answers
+    n = spark.sql(f"SELECT count(*) AS n FROM {live[0]}").collect()[0].n
+    assert n == 2
