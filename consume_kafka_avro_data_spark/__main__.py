@@ -224,12 +224,20 @@ def main(argv: list[str] | None = None) -> int:
 
         registry = SchemaRegistryClient(url=config.schema_registry_url)
         expected_id, _ = registry.fetch_value_schema(topic)
-        stream = kafka_reader(
-            spark,
-            config,
-            topic,
-            max_offsets_per_trigger=engine.get("max_offsets_per_trigger"),
-        )
+        try:
+            stream = kafka_reader(
+                spark,
+                config,
+                topic,
+                max_offsets_per_trigger=engine.get("max_offsets_per_trigger"),
+            )
+        except ConfigError as e:
+            # e.g. missing kafka.bootstrap.servers — only the live
+            # reader needs it, so load_config cannot catch it earlier;
+            # still the config-error contract: message + exit 2
+            print(f"invalid config: {e}", file=sys.stderr)
+            spark.stop()
+            return 2
 
     store = GraphStore(spark, graph_dir)
     ingest = StreamingGraphIngest(

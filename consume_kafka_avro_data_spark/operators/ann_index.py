@@ -265,17 +265,21 @@ class AnnIndex:
     # -- meta / generation plumbing -----------------------------------------
 
     @staticmethod
-    def _read_meta_doc(io, path: str) -> dict:
+    def _read_meta_doc(io, path: str, meta: dict | None = None) -> dict:
         """{live, superseded, shards} from the current meta (defaults
         for a fresh index; legacy single-``vectors_dir`` metas read as
         a one-element live list).  ``superseded`` entries normalize to
         ``{"dir", "at"}`` — legacy bare strings get stamped NOW, so a
         meta written before timestamped grace earns one fresh window
-        rather than being deleted immediately."""
-        mf = os.path.join(path, META)
-        if not io.is_file(mf):
-            return {"live": [], "superseded": [], "shards": {}}
-        meta = json.loads(io.read_bytes(mf))
+        rather than being deleted immediately.  Pass an already-parsed
+        ``meta`` to skip the sidecar read (load() reads it once for
+        centroids/codebooks and must not pay a second remote-FS
+        round-trip for the same bytes)."""
+        if meta is None:
+            mf = os.path.join(path, META)
+            if not io.is_file(mf):
+                return {"live": [], "superseded": [], "shards": {}}
+            meta = json.loads(io.read_bytes(mf))
         live = meta.get("vectors_dirs") or [meta.get("vectors_dir", VECTORS)]
         now = _time.time()
         superseded = [
@@ -344,8 +348,9 @@ class AnnIndex:
         io = fs_for(spark, path)
         meta = json.loads(io.read_bytes(os.path.join(path, META)))
         # the live-dirs (and legacy-layout) parsing lives ONLY in
-        # _read_meta_doc — a second hand-rolled copy here drifted once
-        doc = cls._read_meta_doc(io, path)
+        # _read_meta_doc — a second hand-rolled copy here drifted once;
+        # the parsed meta is passed through so the sidecar is read once
+        doc = cls._read_meta_doc(io, path, meta=meta)
         idx = cls(
             spark,
             path,

@@ -665,8 +665,11 @@ def _bucket_candidate_pairs(
         # positional expansion pairs the two copies — (x, x) must not
         # reach downstream keep-one / connected-components as a
         # self-duplicate (the applyInPandas siblings guard lo != hi for
-        # exactly this; SRP callers don't pre-collapse by id)
-        .where(F.col("id_a") != F.col("id_b"))
+        # exactly this; SRP callers don't pre-collapse by id).
+        # NULL-SAFE: a plain != is NULL for any pair involving a
+        # NULL id, which would silently drop (NULL, x) candidates —
+        # NULL ids are in the threat model (PERMISSIVE decode output)
+        .where(~F.col("id_a").eqNullSafe(F.col("id_b")))
         .dropDuplicates(["id_a", "id_b"])  # same pair from multiple blocks
     )
 

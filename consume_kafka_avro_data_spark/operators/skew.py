@@ -54,12 +54,11 @@ def salted_join(
     copy (salt_buckets spurious NULL-padded rows), so the equivalence
     silently breaks — use the small side as the probe side instead.
     """
-    allowed = {
-        "inner", "left", "leftouter", "left_outer",
-        "semi", "leftsemi", "left_semi",
-        "anti", "leftanti", "left_anti",
-    }
-    if how not in allowed:
+    # normalize the way Spark's own JoinType does (lowercase, strip
+    # underscores) so 'Inner'/'LEFT_OUTER' keep working
+    allowed = {"inner", "left", "leftouter", "semi", "leftsemi", "anti",
+               "leftanti"}
+    if how.lower().replace("_", "") not in allowed:
         raise ValueError(
             f"salted_join supports how in {sorted(allowed)}, got {how!r}: "
             "right/full joins would emit one unmatched row per salted "

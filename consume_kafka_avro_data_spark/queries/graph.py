@@ -265,7 +265,9 @@ def q_butterfly_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     edge_wedge = tdeg.agg(
-        F.sum("d").cast("long").alias("n_edges"),
+        # coalesce: Σd over an EMPTY tdeg is NULL, but the oracle's
+        # count(*) over ut is 0 — the empty-corpus edge must agree
+        F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("n_edges"),
         F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
     )
     pair_stats = pairs.agg(

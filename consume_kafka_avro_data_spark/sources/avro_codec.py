@@ -569,6 +569,17 @@ def _validate_defaults(
                 f"default for {typ} field {name!r} has incompatible "
                 f"type {type(v).__name__}: {v!r}"
             )
+        if typ in ("int", "long"):
+            # range too, not just type: an out-of-int32 'int' default
+            # passes isinstance but dies in the Arrow cast mid-job —
+            # the exact failure this eager check exists to surface
+            lo, hi = (
+                (-(2**31), 2**31) if typ == "int" else (-(2**63), 2**63)
+            )
+            if not lo <= v < hi:
+                raise ValueError(
+                    f"default for {typ} field {name!r} out of range: {v!r}"
+                )
 
 
 def _json_scalar(v):

@@ -129,17 +129,24 @@ class StreamingAnnIngest(BoundedReplayMixin):
     _checkpoint_subdir = "ann"
 
     def _new_metrics(self) -> AnnIngestMetrics:
-        return AnnIngestMetrics()
+        return AnnIngestMetrics(compact_horizon=self.compact_horizon)
 
     def __init__(
         self,
         spark: SparkSession,
         index: AnnIndex,
         checkpoint_dir: str,
+        compact_horizon: int = 1024,
     ):
         self.spark = spark
         self.index = index
         self.checkpoint_dir = checkpoint_dir
+        # constructor-reachable (the ancient-replay error says 'raise
+        # compact_horizon', and _reset()/run_to_completion rebuild
+        # metrics via _new_metrics(), discarding a hand-installed one);
+        # the mixin replay guard trims at the same horizon
+        self.compact_horizon = compact_horizon
+        self.replay_guard_horizon = compact_horizon
         self.metrics = self._new_metrics()
         self._seen_batches: set[int] = set()
 

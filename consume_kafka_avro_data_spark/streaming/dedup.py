@@ -413,18 +413,52 @@ class StreamingDedupIngest(BoundedReplayMixin):
             # Excluding the batch's ids restores the exact store view
             # the first attempt probed.  Null-safe, as everywhere ids
             # are compared; the anti side is batch-sized (broadcastable).
-            store_rows = self.store.read().join(
-                sigs.select(F.col("_id").alias("_bid")),
+            bids = sigs.select(F.col("_id").alias("_bid"))
+            store_df = self.store.read()
+            store_rows = store_df.join(
+                bids,
                 on=F.col("_id").eqNullSafe(F.col("_bid")),
                 how="left_anti",
             )
             vs_store = self._matches(banded, self._banded(store_rows))
-            # intra-batch: earlier id is canonical, so only (dup > match)
-            # pairs count — a batch's first copy of a new document stays
-            # novel and becomes the stored canonical
-            vs_batch = self._matches(banded, banded).where(
-                F.col("dup_id") > F.col("match_id")
+            # intra-batch canonical rule: a doc whose id is ALREADY
+            # STORED is canonical regardless of id order (the exclusion
+            # above removed its store copy from the probe target, so a
+            # re-delivered stored doc must still win against a new
+            # same-batch near-dup with a smaller id); between two
+            # unstored (or two stored) docs the earlier id is
+            # canonical, so the batch's first copy of a new document
+            # stays novel and becomes the stored canonical
+            redelivered = store_df.select("_id").join(
+                bids,
+                on=F.col("_id").eqNullSafe(F.col("_bid")),
+                how="left_semi",
             )
+            rd_d = redelivered.select(
+                F.col("_id").alias("_d_id"), F.lit(True).alias("_ds")
+            )
+            rd_m = redelivered.select(
+                F.col("_id").alias("_m_id"), F.lit(True).alias("_ms")
+            )
+            vb = (
+                self._matches(banded, banded)
+                .join(
+                    rd_d,
+                    on=F.col("dup_id").eqNullSafe(F.col("_d_id")),
+                    how="left",
+                )
+                .join(
+                    rd_m,
+                    on=F.col("match_id").eqNullSafe(F.col("_m_id")),
+                    how="left",
+                )
+            )
+            ds = F.coalesce(F.col("_ds"), F.lit(False))
+            ms = F.coalesce(F.col("_ms"), F.lit(False))
+            vs_batch = vb.where(
+                (ms & ~ds)
+                | ((ds == ms) & (F.col("dup_id") > F.col("match_id")))
+            ).select("dup_id", "match_id", "matches")
             # checkpointed like sigs: dup_map has up to three consumers
             # (dupes write, count, the novel anti-join feeding
             # merge_new) — uncached, each would re-run the store scan +

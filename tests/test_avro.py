@@ -707,3 +707,18 @@ def test_offline_registry_reregistration_is_idempotent():
     assert id_a == id_b
     id_c = reg.register_value_schema("t", s1.replace("r", "r2"))
     assert id_c != id_a  # a genuinely new schema still gets a new id
+
+
+def test_reader_defaults_are_range_checked():
+    """Type alone is not enough: an out-of-int32 'int' default passes
+    isinstance but dies in the Arrow cast mid-job — the eager check
+    covers range too."""
+    from consume_kafka_avro_data_spark.sources.avro_codec import (
+        _validate_defaults,
+    )
+
+    with pytest.raises(ValueError, match="out of range"):
+        _validate_defaults([("n", "int")], {"n": 2**40})
+    with pytest.raises(ValueError, match="out of range"):
+        _validate_defaults([("n", "long")], {"n": 2**63})
+    _validate_defaults([("n", "int")], {"n": 2**31 - 1})  # boundary ok

@@ -1474,3 +1474,25 @@ def test_winnow_null_text_equals_empty_text(spark):
     counts = winnow_fingerprint_counts(docs).groupBy("doc_id").count()
     tbl = {r.doc_id: r["count"] for r in counts.collect()}
     assert tbl.get(1) == tbl.get(2)  # table form agrees on the convention
+
+
+def test_bucket_pairs_keep_null_id_partners(spark):
+    """The self-pair guard must be null-safe: a plain != is NULL for
+    any pair involving a NULL id, silently dropping (NULL, x)
+    candidates — NULL ids survive PERMISSIVE decode and are in the
+    family's threat model.  (NULL, NULL) self-pairs stay excluded."""
+    from consume_kafka_avro_data_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(None, text), (5, text), (None, text)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.9).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (None, 5) in got or (5, None) in got  # NULL partner kept
+    assert all(
+        not (a is None and b is None) for a, b in got
+    )  # no NULL self-pair

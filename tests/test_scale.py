@@ -257,3 +257,12 @@ def test_salted_join_refuses_right_and_full(spark, skewed, dim):
     assert salted_join(skewed, dim, "key", how="leftsemi").count() == plain_semi
     plain_anti = skewed.join(dim, "key", "leftanti").count()
     assert salted_join(skewed, dim, "key", how="leftanti").count() == plain_anti
+
+
+def test_salted_join_accepts_spark_style_how_spellings(spark, skewed, dim):
+    """The allowlist normalizes like Spark's JoinType (lowercase,
+    underscores stripped): spellings Spark itself accepts must not be
+    refused."""
+    plain = skewed.join(dim, "key").count()
+    for how in ("Inner", "LEFT_OUTER", "Left"):
+        assert salted_join(skewed, dim, "key", how=how).count() >= plain

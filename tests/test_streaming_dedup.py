@@ -449,3 +449,31 @@ def test_compaction_not_rerun_on_replayed_batch(spark, tmp_path):
     v = ingest.store.version()
     ingest.process_batch(batch, 0)  # replay
     assert ingest.store.version() == v  # no extra compaction commit
+
+
+def test_redelivered_stored_doc_still_wins_as_canonical(spark, tmp_path):
+    """A stored doc re-delivered in the same batch as a NEW smaller-id
+    near-dup: the store probe excludes the batch's ids (replay
+    determinism), so the intra-batch pass must prefer the STORED doc as
+    canonical regardless of id order — otherwise the new doc routes
+    novel and the corpus un-dedups."""
+    ingest = StreamingDedupIngest(
+        spark,
+        store_dir=str(tmp_path / "store"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        dupes_dir=str(tmp_path / "dupes"),
+    )
+    seed = spark.createDataFrame([(9, BASE)], "doc_id long, text string")
+    ingest.process_batch(seed, 0)
+    # batch: re-delivery of stored 9 + NEW near-dup with a SMALLER id
+    batch = spark.createDataFrame(
+        [(3, NEAR), (9, BASE)], "doc_id long, text string"
+    )
+    ingest.process_batch(batch, 1)
+    stored = sorted(r["_id"] for r in ingest.store.read().collect())
+    assert stored == [9]  # the new near-dup was routed dup, not merged
+    dupes = {
+        (r.dup_id, r.match_id)
+        for r in spark.read.parquet(str(tmp_path / "dupes")).collect()
+    }
+    assert (3, 9) in dupes  # canonical preference: stored id wins
