@@ -180,14 +180,21 @@ def main(argv: list[str] | None = None) -> int:
                 topic, sc.to_avro_schema_json()
             )
             stand_in = None
-        producer = AvroProducer(
-            spark,
-            sc,
-            schema_id=schema_id,
-            topic=topic,
-            bootstrap_servers=config.bootstrap_servers,
-            stand_in=stand_in,
-        )
+        try:
+            producer = AvroProducer(
+                spark,
+                sc,
+                schema_id=schema_id,
+                topic=topic,
+                bootstrap_servers=config.bootstrap_servers,
+                stand_in=stand_in,
+            )
+        except ConfigError as e:
+            # live produce without kafka.bootstrap.servers — the same
+            # config-error contract as the consumer path: message + 2
+            print(f"invalid config: {e}", file=sys.stderr)
+            spark.stop()
+            return 2
         n = producer.produce_batch(rows)
         r = producer.report
         print(

@@ -670,7 +670,20 @@ def _bucket_candidate_pairs(
         # NULL id, which would silently drop (NULL, x) candidates —
         # NULL ids are in the threat model (PERMISSIVE decode output)
         .where(~F.col("id_a").eqNullSafe(F.col("id_b")))
-        .dropDuplicates(["id_a", "id_b"])  # same pair from multiple blocks
+        # one row per pair, DETERMINISTIC payload: distinct docs can
+        # share an id (NULLs group together), so dropDuplicates would
+        # keep an arbitrary (_sa, _sb) and make the downstream exact
+        # verify flap across runs — min over the orderable struct pins
+        # the survivor (identical payloads in the common unique-id case,
+        # so this is dropDuplicates-equivalent there)
+        .groupBy("id_a", "id_b")
+        .agg(F.min(F.struct("_sa", "_sb")).alias("_p"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("_p._sa").alias("_sa"),
+            F.col("_p._sb").alias("_sb"),
+        )
     )
 
 

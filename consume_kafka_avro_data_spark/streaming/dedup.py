@@ -299,7 +299,12 @@ class StreamingDedupIngest(BoundedReplayMixin):
         t = t.join(hot, "_block", "left_anti")
         cand = (
             p.join(t, "_block")
-            .where(F.col("dup_id") != F.col("match_id"))
+            # NULL-SAFE self-exclusion: a plain != is NULL for any pair
+            # involving a NULL id, which would silently drop (NULL, x)
+            # candidates — NULL ids survive PERMISSIVE decode and the
+            # store treats them as one identity (NULLS NOT DISTINCT),
+            # so NULL-vs-NULL is correctly a self-pair here too
+            .where(~F.col("dup_id").eqNullSafe(F.col("match_id")))
             .dropDuplicates(["dup_id", "match_id"])
         )
         return cand.select(
@@ -401,6 +406,7 @@ class StreamingDedupIngest(BoundedReplayMixin):
             self.hash_fn,
         ).localCheckpoint(eager=True)  # signed once; used by 3 consumers
         dup_map = None
+        redelivered = None
         try:
             banded = self._banded(sigs)
             # REPLAY DETERMINISM: probe the store MINUS this batch's own
@@ -429,10 +435,17 @@ class StreamingDedupIngest(BoundedReplayMixin):
             # unstored (or two stored) docs the earlier id is
             # canonical, so the batch's first copy of a new document
             # stays novel and becomes the stored canonical
-            redelivered = store_df.select("_id").join(
-                bids,
-                on=F.col("_id").eqNullSafe(F.col("_bid")),
-                how="left_semi",
+            # checkpointed: referenced TWICE in the dup_map plan (the
+            # dup-side and match-side flag joins) — uncached, each
+            # branch would re-scan the store's _id column per batch
+            redelivered = (
+                store_df.select("_id")
+                .join(
+                    bids,
+                    on=F.col("_id").eqNullSafe(F.col("_bid")),
+                    how="left_semi",
+                )
+                .localCheckpoint(eager=True)
             )
             rd_d = redelivered.select(
                 F.col("_id").alias("_d_id"), F.lit(True).alias("_ds")
@@ -455,9 +468,16 @@ class StreamingDedupIngest(BoundedReplayMixin):
             )
             ds = F.coalesce(F.col("_ds"), F.lit(False))
             ms = F.coalesce(F.col("_ms"), F.lit(False))
+            # NULL-as-earliest id order: a plain > is NULL (→ dropped)
+            # for any NULL-id pair, and the store collapses NULL ids to
+            # one identity, so the NULL-id doc is the stored canonical
+            # and a non-null near-dup must route as its dup
+            d_id, m_id = F.col("dup_id"), F.col("match_id")
+            later = (m_id.isNull() & d_id.isNotNull()) | (
+                d_id.isNotNull() & m_id.isNotNull() & (d_id > m_id)
+            )
             vs_batch = vb.where(
-                (ms & ~ds)
-                | ((ds == ms) & (F.col("dup_id") > F.col("match_id")))
+                (ms & ~ds) | ((ds == ms) & later)
             ).select("dup_id", "match_id", "matches")
             # checkpointed like sigs: dup_map has up to three consumers
             # (dupes write, count, the novel anti-join feeding
@@ -539,4 +559,6 @@ class StreamingDedupIngest(BoundedReplayMixin):
                 rejects.unpersist()
             if contam is not None:
                 contam.unpersist()
+            if redelivered is not None:
+                redelivered.unpersist()
 

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.window import Window
 
-from consume_kafka_avro_data_spark.config import SchemaConfig
+from consume_kafka_avro_data_spark.config import ConfigError, SchemaConfig
 from consume_kafka_avro_data_spark.sources.avro_codec import to_confluent_avro
 from consume_kafka_avro_data_spark.sources.kafka import (
     FileStreamStandIn,
@@ -127,6 +127,15 @@ class AvroProducer:
         #: loss.  Same-process restarts of the SAME checkpoint reuse
         #: their set, preserving effectively-once delivery.
         self._seen_by_ckpt: dict[str, set[int]] = {}
+        if stand_in is None and not bootstrap_servers:
+            # same eager contract as kafka_reader_options: fail at
+            # construction with the config-layer error, not mid-job
+            # with the Kafka writer's unresolvable-broker traceback
+            raise ConfigError(
+                "kafka.bootstrap.servers is not set; the live producer "
+                "cannot be assembled without it (pass stand_in=... for "
+                "brokerless runs)"
+            )
         if stand_in is None and not kafka_source_available(spark):
             raise RuntimeError(
                 "no Kafka datasource on the classpath and no stand-in "

@@ -262,7 +262,8 @@ def test_salted_join_refuses_right_and_full(spark, skewed, dim):
 def test_salted_join_accepts_spark_style_how_spellings(spark, skewed, dim):
     """The allowlist normalizes like Spark's JoinType (lowercase,
     underscores stripped): spellings Spark itself accepts must not be
-    refused."""
-    plain = skewed.join(dim, "key").count()
+    refused, AND the salted result must stay row-for-row equal to the
+    plain join under each spelling (>= would mask salt-replication)."""
     for how in ("Inner", "LEFT_OUTER", "Left"):
-        assert salted_join(skewed, dim, "key", how=how).count() >= plain
+        plain = skewed.join(dim, "key", how).count()
+        assert salted_join(skewed, dim, "key", how=how).count() == plain

@@ -477,3 +477,30 @@ def test_redelivered_stored_doc_still_wins_as_canonical(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "dupes")).collect()
     }
     assert (3, 9) in dupes  # canonical preference: stored id wins
+
+
+def test_null_id_doc_dedups_against_batch_and_store(spark, tmp_path):
+    """NULL-id docs participate in matching (null-safe self-exclusion,
+    NULL-as-earliest canonical order): a non-null near-dup in the same
+    batch routes as the NULL doc's dup, and the store holds ONE NULL
+    identity plus no near-dup copies."""
+    ingest = StreamingDedupIngest(
+        spark,
+        store_dir=str(tmp_path / "store"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        dupes_dir=str(tmp_path / "dupes"),
+    )
+    batch = spark.createDataFrame(
+        [(None, BASE), (7, NEAR), (8, FAR)], "doc_id long, text string"
+    )
+    ingest.process_batch(batch, 0)
+    stored = sorted(
+        (r["_id"] is None, r["_id"]) for r in ingest.store.read().collect()
+    )
+    # NULL canonical + the unrelated doc; the near-dup 7 routed dup
+    assert [x[1] for x in stored] == [8, None]
+    dupes = {
+        (r.dup_id, r.match_id)
+        for r in spark.read.parquet(str(tmp_path / "dupes")).collect()
+    }
+    assert dupes == {(7, None)}
