@@ -171,6 +171,18 @@ def main(argv: list[str] | None = None) -> int:
             stand_in = FileStreamStandIn(spark, args.batch)
             schema_id = int(engine.get("schema_id", 1))
         else:  # live: register the assembled schema like the reference
+            if not config.bootstrap_servers:
+                # check BEFORE the registry call: registering a schema
+                # version is a mutating network side effect, and an
+                # eager-validation contract that fires after it isn't
+                # eager
+                print(
+                    "invalid config: kafka.bootstrap.servers is not set; "
+                    "the live producer cannot be assembled without it",
+                    file=sys.stderr,
+                )
+                spark.stop()
+                return 2
             from consume_kafka_avro_data_spark.sources.schema_registry import (
                 SchemaRegistryClient,
             )

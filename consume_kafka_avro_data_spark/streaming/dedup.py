@@ -305,11 +305,24 @@ class StreamingDedupIngest(BoundedReplayMixin):
             # store treats them as one identity (NULLS NOT DISTINCT),
             # so NULL-vs-NULL is correctly a self-pair here too
             .where(~F.col("dup_id").eqNullSafe(F.col("match_id")))
-            .dropDuplicates(["dup_id", "match_id"])
         )
-        return cand.select(
-            "dup_id", "match_id", self._agreement().alias("matches")
-        ).where(F.col("matches") >= self.min_matches)
+        return (
+            # agreement computed BEFORE the pair collapse, then ONE
+            # narrow-key aggregate: MAX over instances makes a pair a
+            # duplicate if ANY of its doc instances agrees —
+            # deterministic AND monotone even when distinct docs share
+            # a NULL id (a pair-keyed dropDuplicates would keep an
+            # arbitrary payload and the verdict would flap across
+            # runs).  The zip_with re-runs per band collision, but
+            # it's 32 codegen'd comparisons — far cheaper than keying
+            # the exchange on the signature arrays themselves.
+            cand.select(
+                "dup_id", "match_id", self._agreement().alias("matches")
+            )
+            .groupBy("dup_id", "match_id")
+            .agg(F.max("matches").alias("matches"))
+            .where(F.col("matches") >= self.min_matches)
+        )
 
     # -- per-micro-batch body ------------------------------------------------
 
@@ -406,7 +419,6 @@ class StreamingDedupIngest(BoundedReplayMixin):
             self.hash_fn,
         ).localCheckpoint(eager=True)  # signed once; used by 3 consumers
         dup_map = None
-        redelivered = None
         try:
             banded = self._banded(sigs)
             # REPLAY DETERMINISM: probe the store MINUS this batch's own
@@ -435,17 +447,24 @@ class StreamingDedupIngest(BoundedReplayMixin):
             # unstored (or two stored) docs the earlier id is
             # canonical, so the batch's first copy of a new document
             # stays novel and becomes the stored canonical
-            # checkpointed: referenced TWICE in the dup_map plan (the
-            # dup-side and match-side flag joins) — uncached, each
-            # branch would re-scan the store's _id column per batch
-            redelivered = (
-                store_df.select("_id")
-                .join(
-                    bids,
-                    on=F.col("_id").eqNullSafe(F.col("_bid")),
-                    how="left_semi",
-                )
-                .localCheckpoint(eager=True)
+            # LAZY, referenced twice (dup-side and match-side flag
+            # joins): the two subtree evaluations are parquet
+            # _id-column scans inside the one dup_map job — measured
+            # ~2% of batch time, while an eager checkpoint + emptiness
+            # probe here costs two extra scheduled jobs per micro-batch
+            # (~13% — the cure was worse than the disease)
+            redelivered = store_df.select("_id").join(
+                bids,
+                on=F.col("_id").eqNullSafe(F.col("_bid")),
+                how="left_semi",
+            )
+            # NULL-as-earliest id order: a plain > is NULL (→ dropped)
+            # for any NULL-id pair, and the store collapses NULL ids to
+            # one identity, so the NULL-id doc is the stored canonical
+            # and a non-null near-dup must route as its dup
+            d_id, m_id = F.col("dup_id"), F.col("match_id")
+            later = (m_id.isNull() & d_id.isNotNull()) | (
+                d_id.isNotNull() & m_id.isNotNull() & (d_id > m_id)
             )
             rd_d = redelivered.select(
                 F.col("_id").alias("_d_id"), F.lit(True).alias("_ds")
@@ -468,14 +487,6 @@ class StreamingDedupIngest(BoundedReplayMixin):
             )
             ds = F.coalesce(F.col("_ds"), F.lit(False))
             ms = F.coalesce(F.col("_ms"), F.lit(False))
-            # NULL-as-earliest id order: a plain > is NULL (→ dropped)
-            # for any NULL-id pair, and the store collapses NULL ids to
-            # one identity, so the NULL-id doc is the stored canonical
-            # and a non-null near-dup must route as its dup
-            d_id, m_id = F.col("dup_id"), F.col("match_id")
-            later = (m_id.isNull() & d_id.isNotNull()) | (
-                d_id.isNotNull() & m_id.isNotNull() & (d_id > m_id)
-            )
             vs_batch = vb.where(
                 (ms & ~ds) | ((ds == ms) & later)
             ).select("dup_id", "match_id", "matches")
@@ -483,18 +494,32 @@ class StreamingDedupIngest(BoundedReplayMixin):
             # (dupes write, count, the novel anti-join feeding
             # merge_new) — uncached, each would re-run the store scan +
             # both LSH band joins, tripling the dominant per-batch cost.
-            # MIN(match_id) per dup_id (not dropDuplicates, which keeps
-            # an arbitrary witness): the dupes_dir contract is that a
-            # replayed batch rewrites IDENTICAL rows, so the witness
-            # choice must be deterministic.  In an intra-batch chain
+            # ONE deterministic min over (notnull, match_id, matches):
+            # the dupes_dir contract is that a replayed batch rewrites
+            # IDENTICAL rows, so the witness choice must be
+            # deterministic — and a bare MIN(match_id)/min_by both
+            # NULL-SKIP, which would lose the NULL canonical's witness
+            # row (and its agreement count) entirely; the notnull flag
+            # sorts the NULL identity first, matching the
+            # NULL-as-earliest order above.  In an intra-batch chain
             # (a<b<c, c matching only b) the recorded match_id is a
             # witness, not necessarily the stored canonical.
             dup_map = (
                 vs_store.unionByName(vs_batch)
                 .groupBy("dup_id")
                 .agg(
-                    F.min("match_id").alias("match_id"),
-                    F.min_by("matches", "match_id").alias("matches"),
+                    F.min(
+                        F.struct(
+                            m_id.isNotNull().alias("_nn"),
+                            m_id.alias("match_id"),
+                            F.col("matches").alias("matches"),
+                        )
+                    ).alias("_w")
+                )
+                .select(
+                    "dup_id",
+                    F.col("_w.match_id").alias("match_id"),
+                    F.col("_w.matches").alias("matches"),
                 )
                 .localCheckpoint(eager=True)
             )
@@ -511,8 +536,14 @@ class StreamingDedupIngest(BoundedReplayMixin):
                     .parquet(self.dupes_dir)
                 )
             n_dupes = dup_map.count()
+            # NULL-SAFE novel split: a USING-column left_anti never
+            # matches NULL, so a NULL-id doc routed dup would stay in
+            # `novel` and merge anyway — the one id comparison on this
+            # path that wasn't null-safe
             novel = sigs.join(
-                dup_map.select(F.col("dup_id").alias("_id")), "_id", "left_anti"
+                dup_map.select(F.col("dup_id").alias("_did")),
+                on=F.col("_id").eqNullSafe(F.col("_did")),
+                how="left_anti",
             )
             self.store.merge_new(novel)
             if not replayed:
@@ -559,6 +590,4 @@ class StreamingDedupIngest(BoundedReplayMixin):
                 rejects.unpersist()
             if contam is not None:
                 contam.unpersist()
-            if redelivered is not None:
-                redelivered.unpersist()
 

@@ -500,7 +500,38 @@ def test_null_id_doc_dedups_against_batch_and_store(spark, tmp_path):
     # NULL canonical + the unrelated doc; the near-dup 7 routed dup
     assert [x[1] for x in stored] == [8, None]
     dupes = {
+        (r.dup_id, r.match_id, r.matches)
+        for r in spark.read.parquet(str(tmp_path / "dupes")).collect()
+    }
+    assert len(dupes) == 1
+    (d, m, k) = next(iter(dupes))
+    assert (d, m) == (7, None)
+    # the witness row keeps its agreement count even for the NULL
+    # canonical (a bare MIN/min_by would null-skip it away)
+    assert k is not None and k >= ingest.min_matches
+
+
+def test_null_id_dup_is_not_merged(spark, tmp_path):
+    """The inverse direction: a NULL-id doc routed as a DUP of a stored
+    canonical must not merge — the novel split's anti-join has to be
+    null-safe, or the NULL row sails through EqualTo and lands in the
+    store despite its dupes record."""
+    ingest = StreamingDedupIngest(
+        spark,
+        store_dir=str(tmp_path / "store"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        dupes_dir=str(tmp_path / "dupes"),
+    )
+    seed = spark.createDataFrame([(5, BASE)], "doc_id long, text string")
+    ingest.process_batch(seed, 0)
+    batch = spark.createDataFrame(
+        [(None, NEAR)], "doc_id long, text string"
+    )
+    ingest.process_batch(batch, 1)
+    dupes = {
         (r.dup_id, r.match_id)
         for r in spark.read.parquet(str(tmp_path / "dupes")).collect()
     }
-    assert dupes == {(7, None)}
+    assert dupes == {(None, 5)}
+    stored = [r["_id"] for r in ingest.store.read().collect()]
+    assert stored == [5]  # the NULL-id dup never entered the store
