@@ -145,6 +145,17 @@ def main(argv: list[str] | None = None) -> int:
             file=sys.stderr,
         )
         return 2
+    if args.produce_csv and not args.batch and not config.bootstrap_servers:
+        # live produce needs a broker, and registering the schema is a
+        # MUTATING registry side effect — reject before the session is
+        # built and before anything touches the network (pre-session,
+        # like the --ocf guard above)
+        print(
+            "invalid config: kafka.bootstrap.servers is not set; the "
+            "live producer cannot be assembled without it",
+            file=sys.stderr,
+        )
+        return 2
     if args.produce_csv and args.sql:
         # producer mode populates a TOPIC, not the graph — there is no
         # engine state to query; silently dropping the flag would read
@@ -171,18 +182,6 @@ def main(argv: list[str] | None = None) -> int:
             stand_in = FileStreamStandIn(spark, args.batch)
             schema_id = int(engine.get("schema_id", 1))
         else:  # live: register the assembled schema like the reference
-            if not config.bootstrap_servers:
-                # check BEFORE the registry call: registering a schema
-                # version is a mutating network side effect, and an
-                # eager-validation contract that fires after it isn't
-                # eager
-                print(
-                    "invalid config: kafka.bootstrap.servers is not set; "
-                    "the live producer cannot be assembled without it",
-                    file=sys.stderr,
-                )
-                spark.stop()
-                return 2
             from consume_kafka_avro_data_spark.sources.schema_registry import (
                 SchemaRegistryClient,
             )
@@ -192,21 +191,16 @@ def main(argv: list[str] | None = None) -> int:
                 topic, sc.to_avro_schema_json()
             )
             stand_in = None
-        try:
-            producer = AvroProducer(
-                spark,
-                sc,
-                schema_id=schema_id,
-                topic=topic,
-                bootstrap_servers=config.bootstrap_servers,
-                stand_in=stand_in,
-            )
-        except ConfigError as e:
-            # live produce without kafka.bootstrap.servers — the same
-            # config-error contract as the consumer path: message + 2
-            print(f"invalid config: {e}", file=sys.stderr)
-            spark.stop()
-            return 2
+        # bootstrap servers already validated pre-session (above), so
+        # the constructor's own ConfigError cannot fire here
+        producer = AvroProducer(
+            spark,
+            sc,
+            schema_id=schema_id,
+            topic=topic,
+            bootstrap_servers=config.bootstrap_servers,
+            stand_in=stand_in,
+        )
         n = producer.produce_batch(rows)
         r = producer.report
         print(

