@@ -508,6 +508,60 @@ def ann_index_bench(spark, sf_dir: str) -> dict:
                 for i, v in q_vecs.items()
             )
             recall_rerank[f"sl{sl}"] = round(hits_r / (10 * len(q_vecs)), 3)
+
+        # --- recall-TUNED build: the round-6 knobs (replicas=4 multiple
+        # assignment, 8-bit PQ, more Lloyd iterations).  Kept as a
+        # separate row so the default build's numbers stay comparable
+        # across rounds; the honest cost — ×replicas index rows, so
+        # ×replicas scanned bytes at equal nprobe, and the build-time
+        # delta — is all recorded here.  (OPQ is available but off: on
+        # this isotropic synthetic corpus it is a measured no-op; the
+        # anisotropic win is pinned by pytest instead.)
+        t0 = time.perf_counter()
+        tuned = AnnIndex.build(
+            spark,
+            emb,
+            os.path.join(tmp, "idx_tuned"),
+            n_cells=16,
+            k_codes=256,
+            replicas=4,
+            quantizer_iters=15,
+        )
+        tuned.add_shard(shard)
+        t_build_tuned = time.perf_counter() - t0
+        t_exact_t = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            tuned.query_exact(qv, k=10, nprobe=4).collect()
+            t_exact_t = min(t_exact_t, time.perf_counter() - t0)
+        recall_t = {}
+        for nprobe in (1, 2, 4, 8):
+            hits = sum(
+                len(
+                    {
+                        r["vec_id"]
+                        for r in tuned.query_exact(v, 10, nprobe).collect()
+                    }
+                    & truth[i]
+                )
+                for i, v in q_vecs.items()
+            )
+            recall_t[f"nprobe{nprobe}"] = round(hits / (10 * len(q_vecs)), 3)
+        recall_t_adc = {}
+        for nprobe in (4, 8):
+            hits = sum(
+                len(
+                    {
+                        r["vec_id"]
+                        for r in tuned.query_adc(v, 10, nprobe).collect()
+                    }
+                    & truth[i]
+                )
+                for i, v in q_vecs.items()
+            )
+            recall_t_adc[f"nprobe{nprobe}"] = round(
+                hits / (10 * len(q_vecs)), 3
+            )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return {
@@ -518,6 +572,17 @@ def ann_index_bench(spark, sf_dir: str) -> dict:
         "recall_at_10": recall,
         "recall_at_10_adc": recall_adc,
         "recall_at_10_adc_rerank": recall_rerank,
+        "tuned": {
+            "params": {
+                "replicas": 4,
+                "k_codes": 256,
+                "quantizer_iters": 15,
+            },
+            "build_sec": round(t_build_tuned, 4),  # build + shard
+            "query_exact_sec": round(t_exact_t, 4),
+            "recall_at_10": recall_t,
+            "recall_at_10_adc": recall_t_adc,
+        },
     }
 
 
@@ -810,6 +875,10 @@ def main() -> None:
             "ann_recall_at_10": ann["recall_at_10"],
             "ann_recall_at_10_adc": ann["recall_at_10_adc"],
             "ann_recall_at_10_adc_rerank": ann["recall_at_10_adc_rerank"],
+            # round-6 recall-tuned build (replicas=4, 8-bit PQ): the
+            # low-nprobe answer; full params/costs in BENCH_local.json
+            "ann_recall_at_10_tuned": ann["tuned"]["recall_at_10"],
+            "ann_tuned_build_sec": ann["tuned"]["build_sec"],
             "bloom_crossover_mult": bloom_x["crossover_mult"],
             "drift_docs_per_sec": drift["docs_per_sec"],
             "baseline_reference_msgs_per_sec": 770,

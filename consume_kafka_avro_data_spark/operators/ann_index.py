@@ -46,6 +46,9 @@ from consume_kafka_avro_data_spark.operators.similarity import (
     brute_force_topk,
     ivf_assign,
     kmeans_centroids,
+    kmeans_sample,
+    multi_ivf_assign,
+    opq_train,
     pq_adc_lut,
     pq_codebooks,
     pq_encode,
@@ -98,6 +101,8 @@ class AnnIndex:
         id_col: str,
         vec_col: str,
         vectors_dirs: list[str] | None = None,
+        replicas: int = 1,
+        rotation: np.ndarray | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -106,6 +111,13 @@ class AnnIndex:
         self.id_col = id_col
         self.vec_col = vec_col
         self.vectors_dirs = list(vectors_dirs or [VECTORS])
+        #: IVF multiple-assignment factor: each vector lives in its
+        #: `replicas` nearest cells (frozen at build, like the
+        #: quantizers — add_shard must replicate identically or probe
+        #: recall silently differs between old and new generations)
+        self.replicas = int(replicas)
+        #: optional OPQ rotation the codes were encoded under
+        self.rotation = rotation
         # metadata IO backend resolved from the index URI (fsio): POSIX
         # for local paths, Hadoop FileSystem for file://-and-beyond
         self._io = fs_for(spark, path)
@@ -125,6 +137,10 @@ class AnnIndex:
         vec_col: str = "embedding",
         seed: int = 42,
         grace_seconds: float | None = None,
+        replicas: int = 1,
+        opq_sweeps: int = 0,
+        quantizer_iters: int = 5,
+        quantizer_init: str = "random",
     ) -> "AnnIndex":
         """Train (driver-sized sample) → assign + encode (two map-only
         Arrow passes) → write a fresh generation directory → atomically
@@ -132,23 +148,54 @@ class AnnIndex:
         never shuffled; the only driver traffic is the centroid/codebook
         matrices.  Superseded directories enter the timestamped grace
         list (class docstring); only grace-EXPIRED entries and crash
-        orphans are deleted here."""
+        orphans are deleted here.
+
+        Recall knobs (all frozen into the meta so load/add_shard reuse
+        them; measured in bench.py's ``ann_index.tuned`` row):
+
+        * ``replicas`` — IVF multiple assignment: index each vector in
+          its R nearest cells.  THE low-nprobe recall lever on corpora
+          whose neighbors straddle cell boundaries (measured here:
+          nprobe1 recall 0.40 → 0.64 at R=4); costs ×R index rows.
+        * ``opq_sweeps`` — >0 trains an OPQ rotation (Ge et al. 2013)
+          on the codebook sample to cut ADC quantization loss.  Helps
+          anisotropic corpora; measured no-op on isotropic ones.
+        * ``k_codes=256`` (8-bit PQ, the standard) materially cuts ADC
+          loss vs the compact default 16.
+        * ``quantizer_iters`` / ``quantizer_init="kmeanspp"`` — Lloyd's
+          convergence knobs; measured near-no-op on the synthetic
+          corpus (the quantizer was already at the partition ceiling)
+          but cheap insurance on clustered data."""
         if grace_seconds is None:
             grace_seconds = cls.grace_seconds
         io = fs_for(spark, path)
         centroids = kmeans_centroids(
-            corpus, k=n_cells, id_col=id_col, vec_col=vec_col, seed=seed
+            corpus,
+            k=n_cells,
+            iters=quantizer_iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            seed=seed,
+            init=quantizer_init,
         )
-        codebooks = pq_codebooks(
-            corpus, m=m, k=k_codes, id_col=id_col, vec_col=vec_col, seed=seed
-        )
-        assigned = ivf_assign(corpus, centroids, vec_col)
+        rotation = None
+        if opq_sweeps > 0:
+            sample = kmeans_sample(corpus, id_col=id_col, vec_col=vec_col)
+            rotation, codebooks = opq_train(
+                sample, m=m, k=k_codes, sweeps=opq_sweeps, seed=seed
+            )
+        else:
+            codebooks = pq_codebooks(
+                corpus, m=m, k=k_codes, id_col=id_col, vec_col=vec_col, seed=seed
+            )
+        assigned = cls._assign(corpus, centroids, vec_col, replicas)
         rows = pq_encode(
             assigned,
             codebooks,
             id_col,
             vec_col,
             keep_cols=[vec_col, "_ivf_cell"],
+            rotation=rotation,
         )
         doc = cls._read_meta_doc(io, path)
         gen = cls._write_generation(rows, path)
@@ -163,6 +210,8 @@ class AnnIndex:
             "shards": {},  # rebuild re-indexes everything: ids reset
             "centroids": centroids.tolist(),
             "codebooks": codebooks.tolist(),
+            "replicas": int(replicas),
+            "opq_rotation": None if rotation is None else rotation.tolist(),
             # persisted: the grace window is a property of the INDEX
             # (sized to its longest reader scan), not of whichever
             # process happens to open it — a later load() + add_shard
@@ -180,10 +229,22 @@ class AnnIndex:
         )
         idx = cls(
             spark, path, centroids, codebooks, id_col, vec_col,
-            vectors_dirs=[gen],
+            vectors_dirs=[gen], replicas=replicas, rotation=rotation,
         )
         idx.grace_seconds = grace_seconds
         return idx
+
+    @staticmethod
+    def _assign(
+        corpus: DataFrame, centroids: np.ndarray, vec_col: str, replicas: int
+    ) -> DataFrame:
+        """Cell assignment honoring the index's multiple-assignment
+        factor — ``replicas=1`` stays on the single-assign fast path
+        (identical output; multi_ivf_assign's rank-0 is pinned to
+        ivf_assign's argmax by a pytest)."""
+        if replicas <= 1:
+            return ivf_assign(corpus, centroids, vec_col)
+        return multi_ivf_assign(corpus, centroids, replicas, vec_col)
 
     def add_shard(
         self, shard: DataFrame, shard_id: str | None = None
@@ -212,10 +273,11 @@ class AnnIndex:
         (class docstring).  ``last_shard_rows`` is set from the written
         generation's parquet footers (driver-side metadata, no extra
         scan)."""
-        assigned = ivf_assign(
+        assigned = self._assign(
             shard.select(self.id_col, self.vec_col),
             self.centroids,
             self.vec_col,
+            self.replicas,
         )
         rows = pq_encode(
             assigned,
@@ -223,6 +285,7 @@ class AnnIndex:
             self.id_col,
             self.vec_col,
             keep_cols=[self.vec_col, "_ivf_cell"],
+            rotation=self.rotation,
         )
         doc = self._read_meta_doc(self._io, self.path)
         live, shards = doc["live"], doc["shards"]
@@ -252,6 +315,10 @@ class AnnIndex:
             "shards": shards,
             "centroids": self.centroids.tolist(),
             "codebooks": self.codebooks.tolist(),
+            "replicas": self.replicas,
+            "opq_rotation": (
+                None if self.rotation is None else self.rotation.tolist()
+            ),
             "grace_seconds": self.grace_seconds,  # see build()
         }
         self._commit_meta(self._io, self.path, meta)
@@ -351,6 +418,7 @@ class AnnIndex:
         # _read_meta_doc — a second hand-rolled copy here drifted once;
         # the parsed meta is passed through so the sidecar is read once
         doc = cls._read_meta_doc(io, path, meta=meta)
+        rot = meta.get("opq_rotation")
         idx = cls(
             spark,
             path,
@@ -359,6 +427,9 @@ class AnnIndex:
             meta["id_col"],
             meta["vec_col"],
             vectors_dirs=doc["live"],
+            # legacy metas (pre-replication) are single-assignment
+            replicas=int(meta.get("replicas", 1)),
+            rotation=None if rot is None else np.asarray(rot, dtype=np.float64),
         )
         # restore the persisted grace window (legacy metas without the
         # field keep the class default)
@@ -405,8 +476,27 @@ class AnnIndex:
         probed = self._probe(query_vec, nprobe).select(
             self.id_col, self.vec_col
         )
-        return brute_force_topk(
-            probed, query_vec, k, self.id_col, self.vec_col
+        return self._dedup_topk(probed, query_vec, k)
+
+    def _dedup_topk(self, cand: DataFrame, query_vec, k: int) -> DataFrame:
+        """Exact cosine top-k over candidate rows that may contain up to
+        ``replicas`` IDENTICAL copies of an id (multiple assignment puts
+        a vector in R cells; a probe can hit several of them).  Dedupe
+        AFTER the top-(k·R) cut, not before: copies tie on (score, id),
+        so the k·R ordered rows provably contain the k distinct leaders,
+        and the dedupe shuffles k·R rows instead of the whole candidate
+        set (which is ~nprobe·R/n_cells of the corpus at scale)."""
+        if self.replicas <= 1:
+            return brute_force_topk(
+                cand, query_vec, k, self.id_col, self.vec_col
+            )
+        wide = brute_force_topk(
+            cand, query_vec, k * self.replicas, self.id_col, self.vec_col
+        )
+        return (
+            wide.dropDuplicates([self.id_col])
+            .orderBy(F.desc("score"), F.asc(self.id_col))
+            .limit(k)
         )
 
     def query_adc(self, query_vec, k: int = 10, nprobe: int = 4) -> DataFrame:
@@ -414,21 +504,31 @@ class AnnIndex:
         only (id, pq_codes); the float vectors stay on disk.  Ascending
         distance + id tie-break keeps the cut deterministic."""
         lut = self.spark.createDataFrame(
-            pq_adc_lut(query_vec, self.codebooks),
+            pq_adc_lut(query_vec, self.codebooks, rotation=self.rotation),
             "pq_sub INT, pq_code INT, partial DOUBLE",
         )
         probed = self._probe(query_vec, nprobe).select(self.id_col, "pq_codes")
         exploded = probed.select(
             self.id_col, F.posexplode("pq_codes").alias("_pos", "pq_code")
         ).select(self.id_col, (F.col("_pos") + 1).alias("pq_sub"), "pq_code")
-        return (
-            # the LUT is m·k rows for ANY corpus — always broadcast-safe
-            exploded.join(F.broadcast(lut), ["pq_sub", "pq_code"], "inner")
-            .groupBy(self.id_col)
-            .agg(F.sum("partial").alias("adc_dist"))
-            .orderBy(F.asc("adc_dist"), F.asc(self.id_col))
-            .limit(k)
+        joined = exploded.join(  # LUT is m·k rows at ANY corpus: broadcast
+            F.broadcast(lut), ["pq_sub", "pq_code"], "inner"
         )
+        if self.replicas <= 1:
+            dist = F.sum("partial").alias("adc_dist")
+            agg = joined.groupBy(self.id_col).agg(dist)
+        else:
+            # multiple assignment: an id probed in c cells contributes c
+            # IDENTICAL m-partial sets, so sum = c·dist and count = c·m —
+            # dist = sum·m/count, recovered inside the SAME single
+            # aggregation (no pre-dedupe shuffle of the candidate set)
+            m = int(self.codebooks.shape[0])
+            agg = joined.groupBy(self.id_col).agg(
+                (
+                    F.sum("partial") * F.lit(float(m)) / F.count(F.lit(1))
+                ).alias("adc_dist")
+            )
+        return agg.orderBy(F.asc("adc_dist"), F.asc(self.id_col)).limit(k)
 
     def query_adc_rerank(
         self,
@@ -469,9 +569,8 @@ class AnnIndex:
             .where(F.col(self.id_col).isin(ids))
             .select(self.id_col, self.vec_col)
         )
-        return brute_force_topk(
-            cand, query_vec, k, self.id_col, self.vec_col
-        )
+        # a shortlisted id's row may appear once per probed replica cell
+        return self._dedup_topk(cand, query_vec, k)
 
     def cell_sizes(self) -> DataFrame:
         """(_ivf_cell, n) — the balance diagnostic for probe planning

@@ -1,0 +1,329 @@
+"""Round-6 ANN recall levers: IVF multiple assignment (replicas),
+k-means++ init, and the OPQ rotation.
+
+Measured context (sf0.1, pinned in bench.py's ``ann_index.tuned`` row):
+the single-assignment quantizer already probes the best-possible cell
+at nprobe=1 — the truth is SPLIT across cells, so init/iteration
+tweaks cannot move low-nprobe recall (verified: k-means++ and 50 Lloyd
+iterations are both no-ops there).  Multiple assignment raises the
+ceiling itself (0.40 → 0.64 recall@10 at nprobe=1 with replicas=4) at
+the honest cost of ×R index rows.  OPQ cuts ADC quantization loss on
+ANISOTROPIC data and is a measured no-op on the isotropic synthetic
+corpus — so its win is pinned here on a constructed anisotropic
+sample, not on the test tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from consume_kafka_avro_data_spark.operators.ann_index import AnnIndex
+from consume_kafka_avro_data_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    kmeans_centroids,
+    lloyd_l2_kmeans,
+    lloyd_unit_kmeans,
+    multi_ivf_assign,
+    opq_train,
+    pq_codebooks,
+    pq_encode,
+)
+from consume_kafka_avro_data_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return emb.where(F.col("vec_id") == 1).collect()[0]["embedding"]
+
+
+# -- k-means++ init ----------------------------------------------------------
+
+
+def test_kmeanspp_init_deterministic_and_unit_norm():
+    """Same seed → bit-identical centroids; different seed → different
+    pick; all centroids unit-norm (the Lloyd's M-step renormalizes)."""
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(512, 16))
+    a = lloyd_unit_kmeans(x, k=8, seed=42, init="kmeanspp")
+    b = lloyd_unit_kmeans(x, k=8, seed=42, init="kmeanspp")
+    c = lloyd_unit_kmeans(x, k=8, seed=43, init="kmeanspp")
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+
+def test_kmeanspp_default_path_unchanged():
+    """The oracle contract: the DEFAULT init must still produce the
+    exact centroids the DuckDB oracles re-derive — adding the init
+    parameter must not perturb the default code path."""
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(256, 8))
+    assert np.array_equal(
+        lloyd_unit_kmeans(x, k=4, seed=42),
+        lloyd_unit_kmeans(x, k=4, seed=42, init="random"),
+    )
+    with pytest.raises(ValueError):
+        lloyd_unit_kmeans(x, k=4, init="bogus")
+
+
+def test_kmeanspp_spreads_seeds_on_clustered_data():
+    """On well-separated clusters, k-means++ seeding lands one center
+    per cluster (the property it exists for), so Lloyd's converges to
+    the true centroids — while uniform seeding from a tight sample can
+    collapse two clusters.  Deterministic: fixed seed and data."""
+    rng = np.random.default_rng(0)
+    true = np.eye(4)  # 4 orthogonal unit centroids
+    x = np.vstack(
+        [t + rng.normal(scale=0.01, size=(64, 4)) for t in true]
+    )
+    cent = lloyd_unit_kmeans(x, k=4, iters=10, seed=42, init="kmeanspp")
+    # every true centroid has a learned centroid at cosine > 0.99
+    sims = (true / np.linalg.norm(true, axis=1, keepdims=True)) @ cent.T
+    assert (sims.max(axis=1) > 0.99).all()
+
+
+# -- multiple assignment -----------------------------------------------------
+
+
+def test_multi_assign_rank0_equals_single_assign(spark, emb):
+    """replicas=1 must be EXACTLY ivf_assign (the stable argsort's rank
+    0 ≡ argmax first-max tie-break), and replicas=2's pair set must
+    contain it."""
+    cent = kmeans_centroids(emb, k=8, seed=42)
+    single = {
+        (r.vec_id, r._ivf_cell)
+        for r in ivf_assign(emb, cent).select("vec_id", "_ivf_cell").collect()
+    }
+    r1 = {
+        (r.vec_id, r._ivf_cell)
+        for r in multi_ivf_assign(emb, cent, 1)
+        .select("vec_id", "_ivf_cell")
+        .collect()
+    }
+    assert r1 == single
+    r2 = multi_ivf_assign(emb, cent, 2).select("vec_id", "_ivf_cell").collect()
+    pairs2 = {(r.vec_id, r._ivf_cell) for r in r2}
+    assert single <= pairs2
+    # exactly 2 DISTINCT cells per vector (top-2 of >=2 centroids)
+    from collections import Counter
+
+    per_id = Counter(r.vec_id for r in r2)
+    assert set(per_id.values()) == {2}
+    assert len(pairs2) == len(r2)  # no (id, cell) duplicates
+
+
+def test_multi_assign_validates_replicas(spark, emb):
+    cent = kmeans_centroids(emb, k=4, seed=42)
+    with pytest.raises(ValueError):
+        multi_ivf_assign(emb, cent, 0)
+    # replicas beyond n_cells clamps to n_cells instead of failing
+    rows = (
+        multi_ivf_assign(emb.limit(4), cent, 99)
+        .groupBy("vec_id")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] == 4 for r in rows)
+
+
+def test_replicated_index_full_probe_equals_brute_force(
+    spark, emb, qvec, tmp_path
+):
+    """Probing every cell of a replicas=3 index must return the exact
+    brute-force top-k ONCE per id — the post-cut dedupe removes the
+    replica copies without disturbing scores or tie-breaks."""
+    idx = AnnIndex.build(
+        spark, emb, str(tmp_path / "r3"), n_cells=8, replicas=3
+    )
+    want = [
+        (r.vec_id, r.score) for r in brute_force_topk(emb, qvec, 10).collect()
+    ]
+    got = [
+        (r.vec_id, r.score)
+        for r in idx.query_exact(qvec, 10, nprobe=8).collect()
+    ]
+    assert got == want
+
+
+def test_replicated_index_partial_probe_distinct_and_not_worse(
+    spark, emb, qvec, tmp_path
+):
+    """At partial probes the replicated index must (a) never emit a
+    duplicate id, and (b) recall at least as much of the truth as the
+    single-assignment index at every nprobe — each vector's cell set is
+    a superset of its single-assignment cell, so the probed candidate
+    set can only grow."""
+    truth = {r.vec_id for r in brute_force_topk(emb, qvec, 10).collect()}
+    i1 = AnnIndex.build(spark, emb, str(tmp_path / "i1"), n_cells=8)
+    i4 = AnnIndex.build(
+        spark, emb, str(tmp_path / "i4"), n_cells=8, replicas=4
+    )
+    for nprobe in (1, 2, 4):
+        got = [r.vec_id for r in i4.query_exact(qvec, 10, nprobe).collect()]
+        assert len(got) == len(set(got)), f"dup ids at nprobe={nprobe}"
+        base = {
+            r.vec_id for r in i1.query_exact(qvec, 10, nprobe).collect()
+        }
+        assert len(set(got) & truth) >= len(base & truth)
+
+
+def test_replicated_adc_distances_equal_single_assignment(
+    spark, emb, qvec, tmp_path
+):
+    """The sum·m/count correction: a replicated index's ADC distances
+    at full probe must EQUAL the single-assignment index's (copies
+    carry identical codes, so the correction is exact division)."""
+    i1 = AnnIndex.build(spark, emb, str(tmp_path / "a1"), n_cells=8)
+    i3 = AnnIndex.build(
+        spark, emb, str(tmp_path / "a3"), n_cells=8, replicas=3
+    )
+    d1 = {
+        r.vec_id: r.adc_dist
+        for r in i1.query_adc(qvec, 50, nprobe=8).collect()
+    }
+    d3 = {
+        r.vec_id: r.adc_dist
+        for r in i3.query_adc(qvec, 50, nprobe=8).collect()
+    }
+    assert d1 == d3
+
+
+def test_replicas_and_rotation_survive_load_and_add_shard(
+    spark, emb, qvec, tmp_path
+):
+    """The replication factor and OPQ rotation are FROZEN index
+    properties: load() must restore them and add_shard must apply them
+    to new generations (else old and new shards disagree on layout)."""
+    path = str(tmp_path / "frozen")
+    idx = AnnIndex.build(
+        spark, emb, path, n_cells=8, replicas=2, opq_sweeps=2, k_codes=8
+    )
+    loaded = AnnIndex.load(spark, path)
+    assert loaded.replicas == 2
+    assert loaded.rotation is not None
+    assert np.array_equal(loaded.rotation, idx.rotation)
+
+    n = emb.count()
+    loaded.add_shard(
+        emb.withColumn("vec_id", F.col("vec_id") + 10_000_000), shard_id="s1"
+    )
+    # both generations replicated: 2 gens × 2 replicas × n rows
+    assert loaded.vectors().count() == 4 * n
+    # rerank stays EXACT through rotated codes + replicated rows: the
+    # shortlist orders by (approximate) ADC but the final scores are
+    # true cosines, so the query vector re-ranks first at cosine 1
+    top = loaded.query_adc_rerank(qvec, 5, nprobe=8, shortlist=64).collect()
+    assert top[0].vec_id == 1 and abs(top[0].score - 1.0) < 1e-12
+    ids = [r.vec_id for r in top]
+    assert len(ids) == len(set(ids))
+
+
+def test_legacy_meta_without_replicas_loads_as_single_assignment(
+    spark, emb, tmp_path
+):
+    """Metas written before the replication feature lack the fields —
+    they must load as replicas=1 / no rotation, not crash."""
+    import json
+    import os
+
+    path = str(tmp_path / "legacy")
+    AnnIndex.build(spark, emb, path, n_cells=4, m=4, k_codes=8)
+    mf = os.path.join(path, "_ann_meta.json")
+    with open(mf) as f:
+        meta = json.load(f)
+    del meta["replicas"], meta["opq_rotation"]
+    with open(mf, "w") as f:
+        json.dump(meta, f)
+    loaded = AnnIndex.load(spark, path)
+    assert loaded.replicas == 1 and loaded.rotation is None
+
+
+# -- OPQ ---------------------------------------------------------------------
+
+
+def _anisotropic_sample(n=1024, dim=16, seed=3):
+    """Correlated, unevenly-scaled data — the regime OPQ exists for:
+    plain PQ wastes code budget on high-variance subspaces while
+    starving others; the learned rotation rebalances them."""
+    rng = np.random.default_rng(seed)
+    scales = np.geomspace(8.0, 0.1, dim)
+    basis = np.linalg.qr(rng.normal(size=(dim, dim)))[0]
+    return (rng.normal(size=(n, dim)) * scales) @ basis
+
+
+def _pq_mse(x, codebooks, rotation=None):
+    m, _k, sub = codebooks.shape
+    xr = x if rotation is None else x @ rotation
+    err = 0.0
+    for i in range(m):
+        sv = xr[:, i * sub : (i + 1) * sub]
+        cb = codebooks[i]
+        d2 = (
+            (sv * sv).sum(axis=1, keepdims=True)
+            - 2.0 * (sv @ cb.T)
+            + (cb * cb).sum(axis=1)
+        )
+        err += d2.min(axis=1).sum()
+    return err / len(x)
+
+
+def test_opq_train_deterministic_and_orthogonal():
+    x = _anisotropic_sample()
+    r1, cb1 = opq_train(x, m=4, k=8, sweeps=4)
+    r2, cb2 = opq_train(x, m=4, k=8, sweeps=4)
+    assert np.array_equal(r1, r2) and np.array_equal(cb1, cb2)
+    assert np.allclose(r1.T @ r1, np.eye(x.shape[1]), atol=1e-10)
+    with pytest.raises(ValueError):
+        opq_train(x, m=5, k=8)  # 16 % 5 != 0
+
+
+def test_opq_cuts_quantization_mse_on_anisotropic_data():
+    """The operator's reason to exist, pinned as a number: on
+    anisotropic data the rotated codebooks reconstruct strictly better
+    than plain PQ trained on the same sample (>10% MSE cut here).
+    (On the isotropic synthetic corpus the rotation is a measured
+    no-op — that finding lives in the bench/SCALING notes.)"""
+    x = _anisotropic_sample()
+    plain = np.stack(
+        [
+            lloyd_l2_kmeans(x[:, i * 4 : (i + 1) * 4], k=8, seed=42 + i)
+            for i in range(4)
+        ]
+    )
+    rot, cb = opq_train(x, m=4, k=8, sweeps=8)
+    mse_plain = _pq_mse(x, plain)
+    mse_opq = _pq_mse(x, cb, rotation=rot)
+    assert mse_opq < 0.9 * mse_plain, (mse_opq, mse_plain)
+
+
+def test_pq_encode_rotation_matches_numpy(spark, emb):
+    """Plumbing exactness: codes from pq_encode(rotation=R) must equal
+    a driver-side numpy encode of (x @ R) under the same q20 grid."""
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        kmeans_sample,
+        quantize_np,
+    )
+
+    sample = kmeans_sample(emb)
+    rot, cb = opq_train(sample, m=8, k=8, sweeps=2)
+    got = {
+        r.vec_id: list(r.pq_codes)
+        for r in pq_encode(emb, cb, rotation=rot).collect()
+    }
+    raw = {r.vec_id: np.asarray(r.embedding) for r in emb.collect()}
+    m, _k, sub = cb.shape
+    for vid, codes in got.items():
+        xr = quantize_np(raw[vid].astype(np.float64) @ rot)
+        for i in range(m):
+            sv = xr[i * sub : (i + 1) * sub]
+            qc = quantize_np(cb[i])
+            d2 = (sv * sv).sum() - 2.0 * (qc @ sv) + (qc * qc).sum(axis=1)
+            assert codes[i] == int(d2.argmin()) + 1
