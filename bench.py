@@ -312,6 +312,171 @@ def streaming_dedup_bench(spark, sf_dir: str) -> dict:
     }
 
 
+def ingest_compaction_ab_bench(spark, sf_dir: str) -> dict:
+    """Round-6 knob parity: ``compact_every`` now exists on all three
+    file-growing ingests.  The dedup ingest's A/B lives in
+    streaming_dedup_bench; this measures the other two — graph and ANN —
+    with the same design: many 1-file micro-batches (the worst-case
+    small-file regime), compaction OFF vs ON, reporting end-of-stream
+    file/directory counts, head-vs-tail per-batch wall (does per-batch
+    cost grow as files accumulate?), and the POST-ingest read cost the
+    file growth actually taxes (a store scan / a full-probe query)."""
+    from pyspark.sql import functions as F
+
+    from consume_kafka_avro_data_spark.config import parse_config
+    from consume_kafka_avro_data_spark.operators.ann_index import AnnIndex
+    from consume_kafka_avro_data_spark.operators.graph import GraphStore
+    from consume_kafka_avro_data_spark.sources.avro_codec import to_confluent_avro
+    from consume_kafka_avro_data_spark.sources.kafka import FileStreamStandIn
+    from consume_kafka_avro_data_spark.streaming.ann import StreamingAnnIngest
+    from consume_kafka_avro_data_spark.streaming.ingest import StreamingGraphIngest
+    from consume_kafka_avro_data_spark.tables import load_table
+
+    def timed_batches(ingest):
+        secs: list[float] = []
+        inner = ingest.process_batch
+
+        def timed(batch, batch_id):
+            t0 = time.perf_counter()
+            inner(batch, batch_id)
+            secs.append(time.perf_counter() - t0)
+
+        ingest.process_batch = timed  # instance attr shadows the method
+        return secs
+
+    def head_tail(secs):
+        head, tail = secs[:8], secs[-8:]
+        return (
+            round(sum(head) / max(len(head), 1), 4),
+            round(sum(tail) / max(len(tail), 1), 4),
+        )
+
+    # -- graph arm ------------------------------------------------------
+    doc = {
+        "kafka": {},
+        "type_map": {"spo": {"key_column": "subject", "columns": ["S", "P", "O"]}},
+        "column_map": {"S": "subject", "P": "predicate", "O": "object"},
+    }
+    sc = parse_config(doc).schema_for("spo")
+
+    def graph_run(compact_every: int | None) -> dict:
+        tmp = tempfile.mkdtemp(prefix="graph_compact_ab_")
+        try:
+            rows = (
+                load_table(spark, sf_dir, "events")
+                .limit(20000)
+                .select(
+                    F.col("user_id").cast("string").alias("S"),
+                    F.col("event_type").alias("P"),
+                    F.col("props").alias("O"),
+                )
+            )
+            framed = (
+                to_confluent_avro(rows, sc, schema_id=2)
+                .select(
+                    F.col("key").cast("binary").alias("key"),
+                    "value",
+                    F.lit("spo").alias("topic"),
+                    F.lit(0).cast("int").alias("partition"),
+                    F.monotonically_increasing_id().alias("offset"),
+                )
+                .repartition(24)
+            )
+            topic = FileStreamStandIn(spark, os.path.join(tmp, "topic"))
+            topic.write_batch(framed)
+            store = GraphStore(spark, os.path.join(tmp, "graph"))
+            ingest = StreamingGraphIngest(
+                spark,
+                store,
+                sc,
+                checkpoint_dir=os.path.join(tmp, "ckpt"),
+                expected_schema_id=2,
+                created_at="2024-01-01",
+                compact_every=compact_every,
+            )
+            secs = timed_batches(ingest)
+            t0 = time.perf_counter()
+            m = ingest.run_to_completion(
+                topic.read_stream(max_files_per_trigger=1)
+            )
+            dt = time.perf_counter() - t0
+            first8, last8 = head_tail(secs)
+            t0 = time.perf_counter()
+            store.objects().count(), store.relationships().count()
+            scan = time.perf_counter() - t0
+            files = sum(
+                len(t.files()) for t in store._tables.values()
+            )
+            return {
+                "compact_every": compact_every,
+                "rows": m.valid_rows,
+                "batches": m.batches,
+                "sec": round(dt, 4),
+                "rows_per_sec": round(m.valid_rows / dt, 1),
+                "first8_batch_sec": first8,
+                "last8_batch_sec": last8,
+                "store_files": files,
+                "post_scan_sec": round(scan, 4),
+            }
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    # -- ANN arm ---------------------------------------------------------
+    def ann_run(compact_every: int | None) -> dict:
+        tmp = tempfile.mkdtemp(prefix="ann_compact_ab_")
+        try:
+            emb = load_table(spark, sf_dir, "embeddings")
+            qv = emb.where(F.col("vec_id") == 1).collect()[0]["embedding"]
+            idx = AnnIndex.build(
+                spark, emb, os.path.join(tmp, "idx"), n_cells=16
+            )
+            arrivals = (
+                emb.select(
+                    (F.col("vec_id") + 10_000_000).alias("vec_id"),
+                    "embedding",
+                ).repartition(24)
+            )
+            topic = os.path.join(tmp, "vecs")
+            arrivals.write.parquet(topic)
+            ingest = StreamingAnnIngest(
+                spark,
+                idx,
+                os.path.join(tmp, "ckpt"),
+                compact_every=compact_every,
+            )
+            secs = timed_batches(ingest)
+            stream = (
+                spark.readStream.schema(arrivals.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(topic)
+            )
+            t0 = time.perf_counter()
+            m = ingest.run_to_completion(stream)
+            dt = time.perf_counter() - t0
+            first8, last8 = head_tail(secs)
+            t0 = time.perf_counter()
+            idx.query_exact(qv, k=10, nprobe=16).collect()
+            q = time.perf_counter() - t0
+            return {
+                "compact_every": compact_every,
+                "vectors": m.vectors,
+                "batches": m.batches,
+                "sec": round(dt, 4),
+                "vectors_per_sec": round(m.vectors / dt, 1),
+                "first8_batch_sec": first8,
+                "last8_batch_sec": last8,
+                "generation_dirs": len(idx.vectors_dirs),
+                "post_query_sec": round(q, 4),
+            }
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    return {
+        "graph": {"off": graph_run(None), "on": graph_run(8)},
+        "ann": {"off": ann_run(None), "on": ann_run(8)},
+    }
+
+
 def drift_monitor_bench(spark, sf_dir: str) -> dict:
     """Corpus-drift monitoring overhead (streaming/drift.
     StreamingDriftMonitor, round 5): reference head built from half the
@@ -825,6 +990,7 @@ def main() -> None:
     cc = cc_distributed_bench(spark, sf_dir)
     skew = skew_stress_bench(spark, sf_dir)
     ann = ann_index_bench(spark, sf_dir)
+    compaction = ingest_compaction_ab_bench(spark, sf_dir)
     bloom_x = bloom_crossover_bench(spark, sf_dir)
     drift = drift_monitor_bench(spark, sf_dir)
 
@@ -842,6 +1008,7 @@ def main() -> None:
             "cc_distributed": cc,
             "skew_stress": skew,
             "ann_index": ann,
+            "ingest_compaction_ab": compaction,
             "bloom_crossover": bloom_x,
             "drift_monitor": drift,
             "baseline_reference_msgs_per_sec": 770,
@@ -880,6 +1047,19 @@ def main() -> None:
             "ann_recall_at_10_tuned": ann["tuned"]["recall_at_10"],
             "ann_tuned_build_sec": ann["tuned"]["build_sec"],
             "bloom_crossover_mult": bloom_x["crossover_mult"],
+            # compact_every A/B, post-ingest read cost [off, on] — the
+            # tax the small-file growth levies; full arms in
+            # BENCH_local.json ingest_compaction_ab
+            "compaction_post_read_sec": {
+                "graph": [
+                    compaction["graph"]["off"]["post_scan_sec"],
+                    compaction["graph"]["on"]["post_scan_sec"],
+                ],
+                "ann": [
+                    compaction["ann"]["off"]["post_query_sec"],
+                    compaction["ann"]["on"]["post_query_sec"],
+                ],
+            },
             "drift_docs_per_sec": drift["docs_per_sec"],
             "baseline_reference_msgs_per_sec": 770,
         },

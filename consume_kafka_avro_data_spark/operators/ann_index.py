@@ -92,6 +92,15 @@ class AnnIndex:
     #: must exceed the longest concurrent reader scan
     grace_seconds: float = 3600.0
 
+    #: how many folded-away shard ids compact() remembers (newest kept).
+    #: A replay of a remembered id is a safe no-op (its rows already
+    #: live in the compacted generation); a replay DEEPER than this is
+    #: indistinguishable from a new shard and would double-count — the
+    #: bound must exceed the stream's replay horizon (foreachBatch
+    #: replays only the last uncommitted batch; StreamingAnnIngest's
+    #: metrics additionally refuse ancient replays loudly).
+    max_compacted_shards: int = 4096
+
     def __init__(
         self,
         spark: SparkSession,
@@ -103,6 +112,7 @@ class AnnIndex:
         vectors_dirs: list[str] | None = None,
         replicas: int = 1,
         rotation: np.ndarray | None = None,
+        compacted_shards: list[str] | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -118,6 +128,10 @@ class AnnIndex:
         self.replicas = int(replicas)
         #: optional OPQ rotation the codes were encoded under
         self.rotation = rotation
+        #: shard ids folded into a compacted generation, newest last —
+        #: an add_shard replay of one of these is a no-op (see
+        #: ``max_compacted_shards``)
+        self.compacted_shards: list[str] = list(compacted_shards or [])
         # metadata IO backend resolved from the index URI (fsio): POSIX
         # for local paths, Hadoop FileSystem for file://-and-beyond
         self._io = fs_for(spark, path)
@@ -208,6 +222,7 @@ class AnnIndex:
             "vectors_dirs": [gen],
             "superseded": grace,
             "shards": {},  # rebuild re-indexes everything: ids reset
+            "compacted_shards": [],  # ditto
             "centroids": centroids.tolist(),
             "codebooks": codebooks.tolist(),
             "replicas": int(replicas),
@@ -273,6 +288,15 @@ class AnnIndex:
         (class docstring).  ``last_shard_rows`` is set from the written
         generation's parquet footers (driver-side metadata, no extra
         scan)."""
+        if shard_id is not None and shard_id in self.compacted_shards:
+            # replay of a shard already FOLDED into a compacted
+            # generation: its rows are in the index (inside the merged
+            # directory, no longer separable) and foreachBatch replays
+            # carry the same data — committing it again would
+            # double-count, so the replay is a no-op
+            self.last_shard_cell_counts = {}
+            self.last_shard_rows = 0
+            return self
         assigned = self._assign(
             shard.select(self.id_col, self.vec_col),
             self.centroids,
@@ -313,6 +337,7 @@ class AnnIndex:
             "vectors_dirs": live + [gen],
             "superseded": grace,
             "shards": shards,
+            "compacted_shards": self.compacted_shards,
             "centroids": self.centroids.tolist(),
             "codebooks": self.codebooks.tolist(),
             "replicas": self.replicas,
@@ -328,6 +353,84 @@ class AnnIndex:
         )
         self.vectors_dirs = live + [gen]
         return self
+
+    def compact(self, target_rows_per_file: int = 4_000_000) -> dict:
+        """Merge the live generation directories into ONE — the
+        small-file fix for append-per-micro-batch ingest, same rationale
+        as ``ManifestTable.compact``: one directory (and up to n_cells ×
+        ceil(rows/target) files) per index instead of one directory per
+        committed batch, whose per-file open/footer overhead degrades
+        every probe scan as the stream runs (measured in bench.py's
+        ``ann_ingest.compaction_ab`` row).
+
+        Atomic like every other commit here: the merged generation is
+        written FIRST, the META replace is the only commit point, and
+        the superseded directories enter the timestamped grace list so
+        concurrent readers holding the old meta finish their scans.
+
+        Replay safety: the folded shard ids move from ``shards`` to
+        ``compacted_shards`` (bounded, newest-kept —
+        ``max_compacted_shards``); an ``add_shard`` replay of one of
+        them becomes a no-op instead of a double-count.  Returns
+        ``{"dirs_before", "dirs_after", "rows"}``; fewer than two live
+        directories is a no-op (nothing to merge)."""
+        doc = self._read_meta_doc(self._io, self.path)
+        live, shards = doc["live"], doc["shards"]
+        if len(live) <= 1:
+            return {
+                "dirs_before": len(live),
+                "dirs_after": len(live),
+                "rows": None,
+            }
+        # row count from parquet FOOTERS (driver-side metadata) — a
+        # count() job would scan the very files this merge exists to
+        # clean up
+        n_rows = sum(
+            sum(
+                self._dir_cell_counts(
+                    self._io, os.path.join(self.path, d)
+                ).values()
+            )
+            for d in live
+        )
+        n_files = max(1, -(-n_rows // target_rows_per_file))  # ceil
+        # hash-cluster by cell into ~n_files tasks: each task writes one
+        # file per cell it holds, so the merged generation lands near
+        # the size target while partitionBy keeps the per-cell pruning
+        # layout.  (A single hot cell stays one task per hash bucket —
+        # at 100 TB raise target granularity via more files, the same
+        # trade ManifestTable.compact makes.)
+        rows = self._vectors().repartition(n_files, F.col("_ivf_cell"))
+        gen = self._write_generation(rows, self.path)
+        now = _time.time()
+        grace = self._grace_surviving(
+            doc["superseded"], now, self.grace_seconds
+        )
+        grace += [{"dir": d, "at": now} for d in live]
+        folded = doc["compacted_shards"] + sorted(shards)
+        folded = folded[-self.max_compacted_shards :]
+        meta = {
+            "id_col": self.id_col,
+            "vec_col": self.vec_col,
+            "vectors_dirs": [gen],
+            "superseded": grace,
+            "shards": {},  # all folded into the merged generation
+            "compacted_shards": folded,
+            "centroids": self.centroids.tolist(),
+            "codebooks": self.codebooks.tolist(),
+            "replicas": self.replicas,
+            "opq_rotation": (
+                None if self.rotation is None else self.rotation.tolist()
+            ),
+            "grace_seconds": self.grace_seconds,
+        }
+        self._commit_meta(self._io, self.path, meta)
+        self._gc_unreferenced(
+            self._io, self.path, keep={gen, *(e["dir"] for e in grace)}
+        )
+        self.vectors_dirs = [gen]
+        self.compacted_shards = folded
+        return {"dirs_before": len(live), "dirs_after": 1, "rows": n_rows}
 
     # -- meta / generation plumbing -----------------------------------------
 
@@ -357,6 +460,7 @@ class AnnIndex:
             "live": list(live),
             "superseded": superseded,
             "shards": dict(meta.get("shards", {})),
+            "compacted_shards": list(meta.get("compacted_shards", [])),
         }
 
     @staticmethod
@@ -430,6 +534,7 @@ class AnnIndex:
             # legacy metas (pre-replication) are single-assignment
             replicas=int(meta.get("replicas", 1)),
             rotation=None if rot is None else np.asarray(rot, dtype=np.float64),
+            compacted_shards=doc["compacted_shards"],
         )
         # restore the persisted grace window (legacy metas without the
         # field keep the class default)

@@ -79,22 +79,34 @@ class AnnIngestMetrics:
         with self._lock:
             return dict(self._cell_totals)
 
+    def _reject_ancient_locked(self, batch_id: int) -> None:
+        if (
+            self._compacted_max is not None
+            and batch_id <= self._compacted_max
+        ):
+            # same contract as DriftMetrics: a replay this far back
+            # cannot be deduplicated once its map is compacted —
+            # refuse loudly rather than silently double-count
+            raise RuntimeError(
+                f"batch {batch_id} was already compacted (horizon "
+                f"{self.compact_horizon}); raise compact_horizon or "
+                "reset the ingest"
+            )
+
+    def reject_ancient(self, batch_id: int) -> None:
+        """Public pre-write guard: process_batch calls this BEFORE
+        add_shard so an ancient replay fails before touching the index
+        — once the INDEX has compacted past its own shard-id memory,
+        an ancient add_shard would silently double-count, so the
+        refusal must precede the write, not follow it."""
+        with self._lock:
+            self._reject_ancient_locked(batch_id)
+
     def record(
         self, batch_id: int, n: int, cells: dict[int, int]
     ) -> None:
         with self._lock:
-            if (
-                self._compacted_max is not None
-                and batch_id <= self._compacted_max
-            ):
-                # same contract as DriftMetrics: a replay this far back
-                # cannot be deduplicated once its map is compacted —
-                # refuse loudly rather than silently double-count
-                raise RuntimeError(
-                    f"batch {batch_id} was already compacted (horizon "
-                    f"{self.compact_horizon}); raise compact_horizon or "
-                    "reset the ingest"
-                )
+            self._reject_ancient_locked(batch_id)
             old = self.cells_by_batch.get(batch_id)
             if old is not None:  # replay: subtract the replaced batch
                 for c, k in old.items():
@@ -137,6 +149,7 @@ class StreamingAnnIngest(BoundedReplayMixin):
         index: AnnIndex,
         checkpoint_dir: str,
         compact_horizon: int = 1024,
+        compact_every: int | None = None,
     ):
         self.spark = spark
         self.index = index
@@ -147,10 +160,28 @@ class StreamingAnnIngest(BoundedReplayMixin):
         # the mixin replay guard trims at the same horizon
         self.compact_horizon = compact_horizon
         self.replay_guard_horizon = compact_horizon
+        #: merge the index's generation directories every N batches
+        #: (None = manual only) — one dir per committed batch is the
+        #: small-file problem on every probe scan; the A/B cost is in
+        #: bench.py's ann_ingest row, same knob as StreamingDedupIngest
+        self.compact_every = compact_every
         self.metrics = self._new_metrics()
         self._seen_batches: set[int] = set()
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        # ancient-replay refusal BEFORE the index write: once the index
+        # has compacted past its shard-id memory, an ancient add_shard
+        # is indistinguishable from a new shard (silent double-count) —
+        # so the guard must run first, not inside the later record()
+        self.metrics.reject_ancient(batch_id)
+        replayed = batch_id in self._seen_batches
+        if f"b{batch_id}" in self.index.compacted_shards:
+            # replay of a batch already FOLDED into a merged generation:
+            # the index would no-op the add_shard, and recording its
+            # 0-row result would REPLACE the batch's original metrics
+            # contribution — keep both exactly as committed
+            self._mark_batch(batch_id)
+            return
         # isEmpty is a cheap limit-1 probe; the real row count comes
         # from the written generation's parquet footers (driver-side
         # metadata) — a batch.count() here would add a full extra scan
@@ -165,6 +196,16 @@ class StreamingAnnIngest(BoundedReplayMixin):
         # AnnIngestMetrics locks internally against concurrent polls
         self.metrics.record(batch_id, n, cells)
         self._mark_batch(batch_id)  # mixin contract; bounded trim
+        # periodic generation merge — gated on `not replayed` exactly
+        # like StreamingDedupIngest's store compaction: `batches` does
+        # not advance on a replay, so a batch retried while the modulus
+        # sits at 0 would otherwise rewrite the index once per retry
+        if (
+            not replayed
+            and self.compact_every
+            and self.metrics.batches % self.compact_every == 0
+        ):
+            self.index.compact()
 
     # -- rebuild trigger -----------------------------------------------------
 

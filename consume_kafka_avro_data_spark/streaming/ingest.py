@@ -78,6 +78,7 @@ class StreamingGraphIngest(BoundedReplayMixin):
         dlq_dir: str | None = None,
         expected_schema_id: int | None = None,
         created_at: str | None = None,
+        compact_every: int | None = None,
     ):
         if len(schema_config.columns) != 3:
             # fail at construction, not at the first micro-batch: the
@@ -95,6 +96,13 @@ class StreamingGraphIngest(BoundedReplayMixin):
         self.dlq_dir = dlq_dir
         self.expected_schema_id = expected_schema_id
         self.created_at = created_at
+        #: compact the graph store every N batches (None = manual only):
+        #: the per-batch merge appends files to both vertex and edge
+        #: ManifestTables, and file counts grow linearly with stream
+        #: length (the small-file problem the dedup ingest measured at
+        #: 17× scan cost for 32 vs 1 files) — same knob as
+        #: StreamingDedupIngest.compact_every; A/B in bench.py
+        self.compact_every = compact_every
         self.metrics = IngestMetrics()
         self._seen_batches: set[int] = set()
 
@@ -162,6 +170,19 @@ class StreamingGraphIngest(BoundedReplayMixin):
             # success: only now does a replay of this id skip counters
             # (mixin-shared bounded trim — see BoundedReplayMixin)
             self._mark_batch(batch_id)
+            # periodic store compaction: safe at any point — the
+            # ManifestTables rewrite the same rows behind an atomic
+            # manifest swap, and the graph merge is content-idempotent,
+            # so a crash or replay across the boundary never observes a
+            # partial store.  Gated on `not replayed` (the dedup
+            # ingest's rationale: batches does not advance on a replay,
+            # so a retry at modulus 0 would recompact per attempt).
+            if (
+                not replayed
+                and self.compact_every
+                and self.metrics.batches % self.compact_every == 0
+            ):
+                self.store.compact()
         finally:
             decoded.unpersist()
 

@@ -712,3 +712,61 @@ def test_kafka_reader_options_require_bootstrap_servers():
     )
     with pytest.raises(ConfigError, match="bootstrap.servers"):
         kafka_reader_options(cfg, "t")
+
+
+def test_graph_ingest_auto_compaction_replay_safe(spark, tmp_path):
+    """compact_every=1 keeps the graph tables at one file each instead
+    of one per merged batch, with contents intact — and a full replay
+    (fresh checkpoint) across the compaction boundary stays idempotent
+    (the merge is content-based, so compaction cannot confuse it)."""
+    topic, sc = _framed_topic(spark, tmp_path, with_corrupt=False)
+    store = GraphStore(spark, str(tmp_path / "graph"))
+    ing = StreamingGraphIngest(
+        spark,
+        store,
+        sc,
+        checkpoint_dir=str(tmp_path / "ckpt_a"),
+        created_at="2024-01-01",
+        compact_every=1,
+    )
+    m = ing.run_to_completion(topic.read_stream(max_files_per_trigger=1))
+    assert m.valid_rows == 4
+    obj_t = store._tables[store.objects_path]
+    rel_t = store._tables[store.relationships_path]
+    assert len(obj_t.files()) == 1
+    assert len(rel_t.files()) == 1
+    assert store.objects().count() == 6
+    assert store.relationships().count() == 4
+
+    # full replay with a fresh checkpoint over the compacted store
+    ing2 = StreamingGraphIngest(
+        spark,
+        store,
+        sc,
+        checkpoint_dir=str(tmp_path / "ckpt_b"),
+        created_at="2024-01-01",
+        compact_every=1,
+    )
+    m2 = ing2.run_to_completion(topic.read_stream(max_files_per_trigger=1))
+    assert (m2.new_vertices, m2.new_edges) == (0, 0)
+    assert store.objects().count() == 6
+    assert store.relationships().count() == 4
+
+
+def test_graph_compaction_not_rerun_on_replayed_batch(spark, tmp_path):
+    """A retried batch must not rewrite the graph store once per retry
+    (batches does not advance on a replay — dedup-ingest gating)."""
+    topic, sc = _framed_topic(spark, tmp_path, with_corrupt=False)
+    store = GraphStore(spark, str(tmp_path / "graph"))
+    ing = StreamingGraphIngest(
+        spark,
+        store,
+        sc,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        compact_every=1,
+    )
+    batch = spark.read.parquet(str(tmp_path / "topic"))
+    ing.process_batch(batch, 0)
+    v = store._tables[store.objects_path].version()
+    ing.process_batch(batch, 0)  # replay
+    assert store._tables[store.objects_path].version() == v

@@ -161,3 +161,160 @@ def test_ann_ingest_metrics_incremental_and_bounded():
     # an already-compacted batch id refuses (cannot be deduplicated)
     with pytest.raises(RuntimeError, match="compacted"):
         m.record(0, 10, {0: 10})
+
+
+def test_index_compact_merges_generations_and_noops_folded_replays(
+    spark, sf_dir, tmp_path, emb
+):
+    """AnnIndex.compact() must merge every live generation into one
+    (same rows, same query answers), move the folded shard ids into the
+    bounded compacted_shards memory, and turn an add_shard REPLAY of a
+    folded id into a no-op instead of a double-count — while genuinely
+    NEW shards still commit."""
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    qvec = emb.where(F.col("vec_id") == 1).collect()[0]["embedding"]
+    idx = AnnIndex.build(
+        spark, emb, str(tmp_path / "idx"), n_cells=8, m=8, k_codes=16
+    )
+    s1 = emb.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    s2 = emb.withColumn("vec_id", F.col("vec_id") + 2_000_000)
+    idx.add_shard(s1, shard_id="s1")
+    idx.add_shard(s2, shard_id="s2")
+    n = emb.count()
+    assert len(idx.vectors_dirs) == 3
+
+    want = [
+        (r.vec_id, r.score)
+        for r in idx.query_exact(qvec, 10, nprobe=8).collect()
+    ]
+    stats = idx.compact()
+    assert stats == {"dirs_before": 3, "dirs_after": 1, "rows": 3 * n}
+    assert len(idx.vectors_dirs) == 1
+    assert idx.vectors().count() == 3 * n
+    got = [
+        (r.vec_id, r.score)
+        for r in idx.query_exact(qvec, 10, nprobe=8).collect()
+    ]
+    assert got == want  # contents identical through the merge
+
+    # replay of a folded shard: no-op (rows already in the merged gen)
+    idx.add_shard(s1, shard_id="s1")
+    assert idx.vectors().count() == 3 * n
+    assert idx.last_shard_rows == 0
+    # a NEW shard still commits, and load() restores the folded memory
+    s3 = emb.withColumn("vec_id", F.col("vec_id") + 3_000_000)
+    idx.add_shard(s3, shard_id="s3")
+    assert idx.vectors().count() == 4 * n
+    loaded = AnnIndex.load(spark, idx.path)
+    assert loaded.compacted_shards == ["s1", "s2"]
+    loaded.add_shard(s2, shard_id="s2")  # folded replay via a fresh handle
+    assert loaded.vectors().count() == 4 * n
+    # a second compact folds s3 too, keeping newest-last order
+    loaded.compact()
+    assert AnnIndex.load(spark, idx.path).compacted_shards == [
+        "s1",
+        "s2",
+        "s3",
+    ]
+    # the merged index still answers exactly (full probe == brute force
+    # over the union of corpus + shards)
+    full = emb
+    for s in (s1, s2, s3):
+        full = full.unionByName(s)
+    want_full = [
+        (r.vec_id, r.score)
+        for r in brute_force_topk(full, qvec, 10).collect()
+    ]
+    got_full = [
+        (r.vec_id, r.score)
+        for r in loaded.query_exact(qvec, 10, nprobe=8).collect()
+    ]
+    assert got_full == want_full
+
+
+def test_streaming_ann_auto_compaction_replay_safe(
+    spark, sf_dir, tmp_path, emb
+):
+    """compact_every=2 on a 4-batch stream: generation directories stay
+    bounded instead of one-per-batch, totals are exact, and a full
+    REPLAY with a fresh checkpoint (the OFFSET_BEGINNING restart) over
+    the compacted index neither double-counts nor fails — folded shard
+    ids no-op, live ones replace."""
+    qvec = emb.where(F.col("vec_id") == 1).collect()[0]["embedding"]
+    seed = emb.where(F.col("vec_id") % 2 == 0)
+    idx = AnnIndex.build(
+        spark, seed, str(tmp_path / "idx"), n_cells=8, m=8, k_codes=16
+    )
+    parts = [
+        (F.col("vec_id") % 2 == 1) & (F.col("vec_id") % 8 == r)
+        for r in (1, 3, 5, 7)
+    ]
+    reader = _vector_stream(spark, tmp_path, emb, parts)
+    ingest = StreamingAnnIngest(
+        spark, idx, str(tmp_path / "ckpt"), compact_every=2
+    )
+    m = ingest.run_to_completion(reader())
+    n = emb.count()
+    assert m.batches == 4
+    assert m.vectors == emb.where(F.col("vec_id") % 2 == 1).count()
+    # 2 compactions fired: seed+b0+b1 merged, then (merged)+b2+b3 merged
+    assert len(idx.vectors_dirs) == 1
+    sizes = {r._ivf_cell: r.n for r in idx.cell_sizes().collect()}
+    assert sum(sizes.values()) == n
+
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    want = [
+        (r.vec_id, r.score) for r in brute_force_topk(emb, qvec, 10).collect()
+    ]
+    got = [
+        (r.vec_id, r.score)
+        for r in idx.query_exact(qvec, 10, nprobe=8).collect()
+    ]
+    assert got == want
+
+    # full replay, fresh checkpoint: every batch re-arrives; all were
+    # folded by compaction, so each replay is a no-op
+    replay = StreamingAnnIngest(
+        spark, idx, str(tmp_path / "ckpt2"), compact_every=2
+    )
+    replay.run_to_completion(reader())
+    assert idx.vectors().count() == n
+    got2 = [
+        (r.vec_id, r.score)
+        for r in idx.query_exact(qvec, 10, nprobe=8).collect()
+    ]
+    assert got2 == want
+
+
+def test_streaming_ann_compaction_not_rerun_on_replayed_batch(
+    spark, sf_dir, tmp_path, emb
+):
+    """batches does not advance on a replay, so a batch retried while
+    the modulus sits at 0 must not re-merge the index per retry (the
+    dedup ingest's gating, applied here)."""
+    idx = AnnIndex.build(
+        spark, emb, str(tmp_path / "idx"), n_cells=4, m=4, k_codes=8
+    )
+    ingest = StreamingAnnIngest(
+        spark, idx, str(tmp_path / "ckpt"), compact_every=1
+    )
+    batch = emb.withColumn("vec_id", F.col("vec_id") + 1_000_000).select(
+        "vec_id", "embedding"
+    )
+    ingest.process_batch(batch, 0)
+    assert len(idx.vectors_dirs) == 1  # compaction fired once
+    import json as _json
+    import os as _os
+
+    meta_path = _os.path.join(idx.path, "_ann_meta.json")
+    stamp = _os.path.getmtime(meta_path)
+    before = _json.load(open(meta_path))
+    ingest.process_batch(batch, 0)  # replay: folded id -> no-op
+    assert _json.load(open(meta_path)) == before
+    assert _os.path.getmtime(meta_path) == stamp
