@@ -477,6 +477,64 @@ def ingest_compaction_ab_bench(spark, sf_dir: str) -> dict:
     }
 
 
+def bloom_steady_state_bench(spark, sf_dir: str) -> dict:
+    """Split q_decontaminate_bloom's cost into BUILD vs PROBE: the
+    headline timing pays the bloom build (eval checkpoint + count +
+    positions collect + bit-array literal codegen) on every run, but a
+    deployed decontamination pipeline builds the eval bloom ONCE and
+    probes every training shard with it — the steady-state cost is the
+    probe.  Reported: one-time build_sec, then best-of-2 probe+verify
+    runs reusing the prebuilt filter (the honest cold number stays in
+    the headline q_decontaminate_bloom row)."""
+    from consume_kafka_avro_data_spark.operators.bloom import (
+        BITS_PER_ITEM,
+        BroadcastBloom,
+    )
+    from consume_kafka_avro_data_spark.queries.curation import word_grams
+    from consume_kafka_avro_data_spark.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select("doc_id", "source", F.explode(word_grams(8)).alias("g"))
+    eval_g = grams.where(F.col("source") == "src0").select("g").distinct()
+
+    t0 = time.perf_counter()
+    eval_ck = eval_g.localCheckpoint(eager=True)
+    try:
+        n_eval = eval_ck.count()
+        bloom = BroadcastBloom.build(
+            eval_ck, "g", n_bits=BITS_PER_ITEM * max(n_eval, 8)
+        )
+    finally:
+        eval_ck.unpersist()
+    t_build = time.perf_counter() - t0
+
+    t_probe = float("inf")
+    n_docs = 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        cand = (
+            grams.where(F.col("source") != "src0")
+            .where(bloom.might_contain("g"))
+            .select("doc_id", "g")
+            .distinct()
+        )
+        out = (
+            cand.join(F.broadcast(eval_g), "g")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        )
+        n_docs = out.count()
+        t_probe = min(t_probe, time.perf_counter() - t0)
+    return {
+        "build_sec": round(t_build, 4),
+        "probe_sec": round(t_probe, 4),
+        "eval_grams": n_eval,
+        "contaminated_docs": n_docs,
+    }
+
+
 def drift_monitor_bench(spark, sf_dir: str) -> dict:
     """Corpus-drift monitoring overhead (streaming/drift.
     StreamingDriftMonitor, round 5): reference head built from half the
@@ -992,6 +1050,7 @@ def main() -> None:
     ann = ann_index_bench(spark, sf_dir)
     compaction = ingest_compaction_ab_bench(spark, sf_dir)
     bloom_x = bloom_crossover_bench(spark, sf_dir)
+    bloom_ss = bloom_steady_state_bench(spark, sf_dir)
     drift = drift_monitor_bench(spark, sf_dir)
 
     total = round(sum(timings.values()), 4)
@@ -1010,6 +1069,7 @@ def main() -> None:
             "ann_index": ann,
             "ingest_compaction_ab": compaction,
             "bloom_crossover": bloom_x,
+            "bloom_steady_state": bloom_ss,
             "drift_monitor": drift,
             "baseline_reference_msgs_per_sec": 770,
         },
@@ -1047,6 +1107,11 @@ def main() -> None:
             "ann_recall_at_10_tuned": ann["tuned"]["recall_at_10"],
             "ann_tuned_build_sec": ann["tuned"]["build_sec"],
             "bloom_crossover_mult": bloom_x["crossover_mult"],
+            # build-once/probe-many split: [one-time build, steady probe]
+            "bloom_build_probe_sec": [
+                bloom_ss["build_sec"],
+                bloom_ss["probe_sec"],
+            ],
             # compact_every A/B, post-ingest read cost [off, on] — the
             # tax the small-file growth levies; full arms in
             # BENCH_local.json ingest_compaction_ab

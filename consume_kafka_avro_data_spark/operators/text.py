@@ -325,3 +325,198 @@ def tf_idf(
     return tf.join(dfreq, "term").select(
         id_col, "term", "tf", (F.col("tf") * F.col("idf")).alias("tfidf")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (Sennrich, Haddow & Birch 2016, "Neural Machine
+# Translation of Rare Words with Subword Units" — public algorithm).
+# q_bpe_tokens applies the fixed GPT-2-style PRE-tokenization; this is
+# the other half of the tokenizer story: LEARNING the merge table from
+# a corpus, as a bounded iterative Spark operator.
+#
+# Scale shape (the connected_components loop discipline):
+#   1. ONE corpus-sized pass aggregates pre-tokens to (word_type, count)
+#      — from here on, every round works on the WORD-TYPE table, which
+#      is vocabulary-bounded (≪ corpus; Sennrich trains on exactly this
+#      dictionary for the same reason).
+#   2. Per merge round: adjacent-pair counts (explode + groupBy over the
+#      word-type table — a vocab-bounded shuffle), ONE driver row for
+#      the argmax (the merge table is n_merges entries, driver-sized by
+#      construction), then a map-only greedy-leftmost fold applies the
+#      merge to the symbol arrays inside whole-stage codegen (the
+#      F.aggregate fold — no Python in the loop).
+#   3. localCheckpoint every few rounds cuts the growing plan, exactly
+#      like the iterative graph operators.
+# ---------------------------------------------------------------------------
+
+#: Sennrich's end-of-word marker, appended to a word's final character
+#: so merges can't cross word boundaries and word-final units stay
+#: distinct from word-internal ones.
+BPE_EOW = "</w>"
+
+#: the GPT-2-style pre-token splitter shared by training (JVM regex,
+#: bpe_ish_tokens) and encoding (Python re) — one pattern, two engines,
+#: pinned equal by pytest
+BPE_PRETOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def _bpe_word_types(corpus: DataFrame, text_col: str) -> DataFrame:
+    """(word, cnt, syms) — the word-type dictionary with each word as
+    its initial symbol sequence (characters, EOW glued to the last)."""
+    word = F.explode(bpe_ish_tokens(text_col)).alias("word")
+    types = (
+        corpus.select(word)
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    chars = F.split(F.col("word"), "")
+    n = F.size(chars)
+    syms = F.transform(
+        chars,
+        lambda c, i: F.when(i == n - 1, F.concat(c, F.lit(BPE_EOW))).otherwise(c),
+    )
+    return types.select("word", "cnt", syms.alias("syms"))
+
+
+def _merge_pair_expr(syms: Column, a: str, b: str) -> Column:
+    """Greedy-leftmost replacement of adjacent (a, b) with a+b inside a
+    symbol array, as ONE codegen'd left fold (accumulator = emitted
+    prefix + one pending symbol): 'aaa' under (a,a) → [aa, a], the
+    reference behavior.  No UDF — the merge loop stays JVM-side."""
+    merged = a + b
+    return F.aggregate(
+        syms,
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("pend"),
+        ),
+        lambda acc, x: F.when(
+            acc["pend"].isNull(),
+            F.struct(acc["out"].alias("out"), x.alias("pend")),
+        )
+        .when(
+            (acc["pend"] == F.lit(a)) & (x == F.lit(b)),
+            F.struct(acc["out"].alias("out"), F.lit(merged).alias("pend")),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(acc["out"], F.array(acc["pend"])).alias("out"),
+                x.alias("pend"),
+            )
+        ),
+        lambda acc: F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pend"]))
+        ),
+    )
+
+
+def bpe_train(
+    corpus: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 50,
+    min_pair_count: int = 2,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """Learn a BPE merge table from a corpus (Sennrich 2016).  Returns
+    the merges in training order — the driver-sized artifact
+    (``n_merges`` string pairs) a deployment persists next to its
+    tokenizer config; apply with :func:`bpe_segment`.
+
+    Deterministic: pair argmax tie-breaks on (count desc, a asc, b asc),
+    so equal-frequency corpora train identical tables on any cluster
+    layout (counts are exact integers).  Stops early when the best
+    pair's count drops below ``min_pair_count`` (merging hapax pairs
+    memorizes the corpus instead of learning units)."""
+    types = _bpe_word_types(corpus, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    try:
+        for r in range(n_merges):
+            s = F.col("syms")
+            pairs = (
+                types.where(F.size(s) > 1)
+                .select(
+                    "cnt",
+                    F.explode(
+                        F.zip_with(
+                            F.slice(s, 1, F.size(s) - 1),
+                            F.slice(s, 2, F.size(s) - 1),
+                            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                        )
+                    ).alias("p"),
+                )
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("cnt").alias("n"))
+                # vocab-bounded argmax: ONE driver row per round
+                .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not pairs or pairs[0]["n"] < min_pair_count:
+                break
+            a, b = pairs[0]["a"], pairs[0]["b"]
+            merges.append((a, b))
+            nxt = types.select(
+                "word", "cnt", _merge_pair_expr(s, a, b).alias("syms")
+            )
+            # cut the fold-upon-fold plan periodically (iterative-
+            # operator discipline; per-round checkpoints would pay an
+            # eager materialization per merge for nothing)
+            if (r + 1) % checkpoint_every == 0:
+                old = types
+                types = nxt.localCheckpoint(eager=True)
+                old.unpersist()
+            else:
+                types = nxt
+        return merges
+    finally:
+        types.unpersist()
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_pieces",
+) -> DataFrame:
+    """Encode text with a learned merge table: pre-tokenize with the
+    shared splitter, then per word repeatedly merge the LOWEST-RANK
+    adjacent pair (the canonical BPE encode order).  Arrow-batched
+    pandas UDF — the per-word merge loop is inherently sequential
+    per row, and n_merges rank lookups per pair beat any SQL encoding
+    of an m-step fold; the merge table broadcasts as a closure (it is
+    n_merges pairs, driver-sized)."""
+    import re
+
+    import pandas as pd
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    pretoken = re.compile(BPE_PRETOKEN_RE)
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word[:-1]) + [word[-1] + BPE_EOW]
+        while len(syms) > 1:
+            best_i, best_r = -1, len(ranks)
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]), len(ranks))
+                if r < best_r:
+                    best_i, best_r = i, r
+            if best_i < 0:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        return syms
+
+    # explicit functionType, not type hints: PEP 563 string annotations
+    # + closure-local pandas make hint inference raise
+    # UNSUPPORTED_SIGNATURE (the repo-wide pandas_udf pattern)
+    @F.pandas_udf("array<string>", F.PandasUDFType.SCALAR)
+    def seg(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            pieces: list[str] = []
+            for w in pretoken.findall(t or ""):
+                pieces.extend(encode_word(w))
+            out.append(pieces)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, seg(F.col(text_col)))
