@@ -393,6 +393,16 @@ class AnnIndex:
             )
             for d in live
         )
+        if n_rows == 0:
+            # all-empty generations: a merged zero-row partitionBy write
+            # produces a FILELESS directory that breaks every later read
+            # (parquet schema inference needs at least one footer) —
+            # leave the index as is
+            return {
+                "dirs_before": len(live),
+                "dirs_after": len(live),
+                "rows": 0,
+            }
         n_files = max(1, -(-n_rows // target_rows_per_file))  # ceil
         # hash-cluster by cell into ~n_files tasks: each task writes one
         # file per cell it holds, so the merged generation lands near
@@ -400,7 +410,19 @@ class AnnIndex:
         # layout.  (A single hot cell stays one task per hash bucket —
         # at 100 TB raise target granularity via more files, the same
         # trade ManifestTable.compact makes.)
-        rows = self._vectors().repartition(n_files, F.col("_ivf_cell"))
+        # Read from the META's live list, not self.vectors_dirs: the
+        # grace/GC bookkeeping below is keyed to the committed doc, and
+        # the two must name the same directories or a divergent handle
+        # would merge one set while retiring another.
+        from functools import reduce
+
+        rows = reduce(
+            DataFrame.unionByName,
+            [
+                self.spark.read.parquet(os.path.join(self.path, d))
+                for d in live
+            ],
+        ).repartition(n_files, F.col("_ivf_cell"))
         gen = self._write_generation(rows, self.path)
         now = _time.time()
         grace = self._grace_surviving(

@@ -485,6 +485,8 @@ def _kmeanspp_init(x: np.ndarray, k: int, rng) -> np.ndarray:
     their re-derived centroid literals never move."""
     n = len(x)
     k = min(k, n)
+    if k == 0:  # empty sample: mirror the random path's empty result
+        return np.empty((0, x.shape[1] if x.ndim == 2 else 0))
     cent = np.empty((k, x.shape[1]), dtype=np.float64)
     cent[0] = x[int(rng.integers(n))]
     d2 = np.full(n, np.inf)
@@ -516,6 +518,11 @@ def lloyd_unit_kmeans(
     deterministic under the seed; an AnnIndex.build quality option that
     must NOT become the default while oracles re-derive literals from
     the default path)."""
+    if len(x) == 0 or k <= 0:
+        # empty sample / degenerate k: empty centroid matrix instead of
+        # an argmax-of-empty ValueError inside the Lloyd loop (both
+        # init paths previously raised here)
+        return np.empty((0, x.shape[1] if x.ndim == 2 else 0))
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     if init == "kmeanspp":

@@ -429,6 +429,11 @@ def bpe_train(
     pair's count drops below ``min_pair_count`` (merging hapax pairs
     memorizes the corpus instead of learning units)."""
     types = _bpe_word_types(corpus, text_col).localCheckpoint(eager=True)
+    # the ROOT holding checkpoint blocks: intermediate (non-checkpoint)
+    # rounds derive from it lazily, so unpersisting the immediate
+    # predecessor would release nothing — track and release the root
+    # each time a new checkpoint supersedes it
+    ck_root = types
     merges: list[tuple[str, str]] = []
     try:
         for r in range(n_merges):
@@ -463,14 +468,14 @@ def bpe_train(
             # operator discipline; per-round checkpoints would pay an
             # eager materialization per merge for nothing)
             if (r + 1) % checkpoint_every == 0:
-                old = types
                 types = nxt.localCheckpoint(eager=True)
-                old.unpersist()
+                ck_root.unpersist()
+                ck_root = types
             else:
                 types = nxt
         return merges
     finally:
-        types.unpersist()
+        ck_root.unpersist()
 
 
 def bpe_segment(

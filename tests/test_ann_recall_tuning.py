@@ -327,3 +327,12 @@ def test_pq_encode_rotation_matches_numpy(spark, emb):
             qc = quantize_np(cb[i])
             d2 = (sv * sv).sum() - 2.0 * (qc @ sv) + (qc * qc).sum(axis=1)
             assert codes[i] == int(d2.argmin()) + 1
+
+
+def test_kmeanspp_empty_sample_matches_random_path():
+    """Hardening: an empty training sample must return an empty
+    centroid matrix on BOTH init paths (kmeanspp seeded from
+    rng.integers(0) would raise instead)."""
+    x = np.empty((0, 8))
+    assert lloyd_unit_kmeans(x, k=4, init="kmeanspp").shape[0] == 0
+    assert lloyd_unit_kmeans(x, k=4, init="random").shape[0] == 0
