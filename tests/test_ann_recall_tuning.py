@@ -336,3 +336,78 @@ def test_kmeanspp_empty_sample_matches_random_path():
     x = np.empty((0, 8))
     assert lloyd_unit_kmeans(x, k=4, init="kmeanspp").shape[0] == 0
     assert lloyd_unit_kmeans(x, k=4, init="random").shape[0] == 0
+
+
+# -- batch ANN search (index-backed knn_join) ---------------------------------
+
+
+def _mk_queries(spark, emb, ids):
+    return (
+        emb.where(F.col("vec_id").isin(ids))
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+    )
+
+
+def test_index_knn_join_full_probe_equals_brute_force(spark, emb, tmp_path):
+    """With every cell probed the index-backed batch search must return
+    EXACTLY the brute-force knn_join's rows — same HOF-fold scoring
+    expressions on both paths, so scores match bit-for-bit."""
+    from consume_kafka_avro_data_spark.operators.similarity import knn_join
+
+    idx = AnnIndex.build(spark, emb, str(tmp_path / "kj"), n_cells=8)
+    qs = _mk_queries(spark, emb, [1, 2, 3])
+    want = sorted(
+        (r.q_id, r.rank, r.vec_id, r.score)
+        for r in knn_join(qs, emb, k=5).collect()
+    )
+    got = sorted(
+        (r.q_id, r.rank, r.vec_id, r.score)
+        for r in idx.knn_join(qs, k=5, nprobe=8).collect()
+    )
+    assert got == want
+
+
+def test_index_knn_join_partial_probe_matches_per_query_path(
+    spark, emb, tmp_path
+):
+    """At nprobe < n_cells each query's id set must equal the driver
+    per-vector query_exact's over the same index (probe selection is
+    the same ranked assignment), on the replicated index too — with no
+    duplicate (query, id) pairs."""
+    for replicas, sub in ((1, "r1"), (3, "r3")):
+        idx = AnnIndex.build(
+            spark, emb, str(tmp_path / sub), n_cells=8, replicas=replicas
+        )
+        qs = _mk_queries(spark, emb, [1, 2, 5])
+        rows = idx.knn_join(qs, k=5, nprobe=2).collect()
+        pairs = [(r.q_id, r.vec_id) for r in rows]
+        assert len(pairs) == len(set(pairs))
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.q_id, []).append((r.rank, r.vec_id))
+        for q_id, got in by_q.items():
+            qv = (
+                emb.where(F.col("vec_id") == q_id)
+                .collect()[0]["embedding"]
+            )
+            want = [
+                r.vec_id
+                for r in idx.query_exact(qv, 5, nprobe=2).collect()
+            ]
+            assert [v for _, v in sorted(got)] == want, q_id
+
+
+def test_index_knn_join_shape_and_rank_bounds(spark, emb, tmp_path):
+    idx = AnnIndex.build(spark, emb, str(tmp_path / "shape"), n_cells=8)
+    qs = _mk_queries(spark, emb, [1, 2])
+    out = idx.knn_join(qs, k=3, nprobe=1)
+    assert set(out.columns) == {"q_id", "vec_id", "score", "rank"}
+    rows = out.collect()
+    assert {r.q_id for r in rows} == {1, 2}
+    assert all(1 <= r.rank <= 3 for r in rows)
+    # each query's own vector ranks first at cosine 1
+    firsts = {r.q_id: (r.vec_id, r.score) for r in rows if r.rank == 1}
+    for q_id, (vid, score) in firsts.items():
+        assert vid == q_id and abs(score - 1.0) < 1e-12
