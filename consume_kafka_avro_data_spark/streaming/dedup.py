@@ -93,6 +93,9 @@ class StreamingDedupIngest(BoundedReplayMixin):
         id_type: DataType | None = None,
         quality_threshold: float | None = None,
         rejects_dir: str | None = None,
+        quality_model=None,
+        quality_model_threshold: float = 0.5,
+        model_rejects_dir: str | None = None,
         eval_docs: DataFrame | None = None,
         contam_gram_n: int = 8,
         contam_min_hits: int = 1,
@@ -113,6 +116,18 @@ class StreamingDedupIngest(BoundedReplayMixin):
         to ``rejects_dir`` (same partition-by-batch dynamic-overwrite
         replay contract as ``dupes_dir``).  The gate is map-only JVM
         expressions — it adds no shuffle to the per-batch plan.
+
+        ``quality_model`` (a fitted ``operators/quality`` PipelineModel)
+        enables the LEARNED gate at ingest — the GPT-3/CCNet classifier
+        tier above the heuristic one: docs with
+        P(quality) < ``quality_model_threshold`` are rejected before
+        signing, counted into the same ``rejected_docs`` metric, and
+        optionally persisted with their probabilities to
+        ``model_rejects_dir`` (its own directory — the heuristic gate's
+        rejects carry a different schema).  Scoring is map-only JVM
+        (tokenize → hash → LR transform; no Python workers), so this
+        gate too adds no shuffle.  Gate order: heuristic first (cheaper
+        expressions), model second, decontamination last.
 
         ``eval_docs`` enables DECONTAMINATION AT INGEST (the streaming
         form of q_decontaminate/q_decontaminate_bloom): a static frame
@@ -156,6 +171,17 @@ class StreamingDedupIngest(BoundedReplayMixin):
         self.compact_every = compact_every
         self.quality_threshold = quality_threshold
         self.rejects_dir = rejects_dir
+        if quality_model is not None and not hasattr(quality_model, "transform"):
+            # eager, config-layer error: a merges-list or a path here
+            # would otherwise AttributeError mid-stream at batch 0
+            raise TypeError(
+                "quality_model must be a fitted Spark ML model (has "
+                ".transform) — train one with operators/quality."
+                "train_quality_classifier"
+            )
+        self.quality_model = quality_model
+        self.quality_model_threshold = quality_model_threshold
+        self.model_rejects_dir = model_rejects_dir
         self.contam_gram_n = contam_gram_n
         self.contam_min_hits = contam_min_hits
         self.contam_dir = contam_dir
@@ -372,6 +398,40 @@ class StreamingDedupIngest(BoundedReplayMixin):
             n_rejected = rejects.count()
             if n_rejected:
                 batch = self._anti_by_id(batch, rejects)
+        model_rejects = None
+        if self.quality_model is not None:
+            from consume_kafka_avro_data_spark.operators.quality import (
+                quality_probability,
+            )
+
+            scored_m = quality_probability(
+                self.quality_model,
+                batch.select(self.id_col, self.text_col),
+                self.text_col,
+            )
+            # checkpointed for the same three consumers as the
+            # heuristic gate (dir write, count, anti-join)
+            model_rejects = (
+                scored_m.where(
+                    F.col("quality_prob") < self.quality_model_threshold
+                )
+                .select(self.id_col, "quality_prob")
+                .localCheckpoint(eager=True)
+            )
+            if self.model_rejects_dir:
+                # partition by batch id + dynamic overwrite: a replayed
+                # batch REPLACES its own rows (same contract as rejects)
+                (
+                    model_rejects.withColumn("batch_id", F.lit(batch_id))
+                    .write.partitionBy("batch_id")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .mode("overwrite")
+                    .parquet(self.model_rejects_dir)
+                )
+            n_model_rejected = model_rejects.count()
+            if n_model_rejected:
+                batch = self._anti_by_id(batch, model_rejects)
+            n_rejected += n_model_rejected
         n_contam = 0
         contam = None
         if self._eval_grams is not None:
@@ -590,6 +650,8 @@ class StreamingDedupIngest(BoundedReplayMixin):
                 dup_map.unpersist()
             if rejects is not None:
                 rejects.unpersist()
+            if model_rejects is not None:
+                model_rejects.unpersist()
             if contam is not None:
                 contam.unpersist()
 

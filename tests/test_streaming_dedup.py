@@ -535,3 +535,100 @@ def test_null_id_dup_is_not_merged(spark, tmp_path):
     assert dupes == {(None, 5)}
     stored = [r["_id"] for r in ingest.store.read().collect()]
     assert stored == [5]  # the NULL-id dup never entered the store
+
+
+def test_learned_quality_gate_at_ingest(spark, tmp_path):
+    """The model gate (operators/quality classifier riding the dedup
+    ingest): spam-vocabulary docs are rejected BEFORE signing — never
+    enter the store, never witness a duplicate — with probabilities
+    persisted to model_rejects_dir under the replay contract, counted
+    into rejected_docs, and a full fresh-checkpoint replay leaves
+    everything byte-stable."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from consume_kafka_avro_data_spark.operators.quality import (
+        quality_training_frame,
+        train_quality_classifier,
+    )
+
+    rng = random.Random(3)
+    clean_words = BASE.split()
+    spam_words = "zzz buy click winn free xxx qqq promo".split()
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    doc = lambda ws: " ".join(rng.choice(ws) for _ in range(30))
+    model = train_quality_classifier(
+        quality_training_frame(
+            mk([(i, doc(clean_words)) for i in range(60)]),
+            mk([(100 + i, doc(spam_words)) for i in range(60)]),
+        ),
+        n_features=1 << 12,
+        max_iter=25,
+    )
+
+    spam_doc = doc(spam_words)
+    batches = [
+        [(1, BASE), (2, spam_doc)],
+        [(3, BASE), (4, spam_doc), (5, doc(clean_words))],
+    ]
+
+    def build(tag):
+        return StreamingDedupIngest(
+            spark,
+            store_dir=str(tmp_path / "store"),
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+            dupes_dir=str(tmp_path / "dupes"),
+            quality_model=model,
+            model_rejects_dir=str(tmp_path / "model_rejects"),
+        )
+
+    stream = _doc_stream(spark, tmp_path, batches)
+    m = build("a").run_to_completion(stream)
+    assert m.docs == 5
+    assert m.rejected_docs == 2  # both spam docs gated
+    # spam never signed: doc 4 (a dup of the REJECTED doc 2's text)
+    # cannot witness a duplicate, and the store holds only clean docs
+    assert m.dup_docs == 1  # doc 3 duplicates stored doc 1; 4 was gated
+    stored = sorted(
+        r["_id"]
+        for r in StreamingDedupIngest(
+            spark,
+            store_dir=str(tmp_path / "store"),
+            checkpoint_dir=str(tmp_path / "ckpt_probe"),
+        ).store.read().collect()
+    )
+    assert stored == [1, 5]
+    rej = spark.read.parquet(str(tmp_path / "model_rejects"))
+    got = {(r.doc_id, r.batch_id) for r in rej.collect()}
+    assert got == {(2, 0), (4, 1)}
+    assert all(0.0 <= r.quality_prob < 0.5 for r in rej.collect())
+
+    # full replay, fresh checkpoint: gates re-fire identically, the
+    # rejects REPLACE their partitions, nothing new merges
+    stream2 = _doc_stream(spark, tmp_path, [])
+    m2 = build("b").run_to_completion(stream2)
+    # novel_docs counts ROUTING (docs not gated and not matched), not
+    # store growth — the idempotence proof is the store staying
+    # byte-stable below, same convention as the base replay test
+    assert m2.rejected_docs == 2 and m2.dup_docs == 1
+    assert spark.read.parquet(str(tmp_path / "model_rejects")).count() == 2
+    stored2 = sorted(
+        r["_id"]
+        for r in StreamingDedupIngest(
+            spark,
+            store_dir=str(tmp_path / "store"),
+            checkpoint_dir=str(tmp_path / "ckpt_probe2"),
+        ).store.read().collect()
+    )
+    assert stored2 == [1, 5]
+
+
+def test_quality_model_validated_eagerly(spark, tmp_path):
+    with pytest.raises(TypeError, match="transform"):
+        StreamingDedupIngest(
+            spark,
+            store_dir=str(tmp_path / "store"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            quality_model="/some/path",  # a path, not a fitted model
+        )
