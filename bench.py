@@ -477,6 +477,53 @@ def ingest_compaction_ab_bench(spark, sf_dir: str) -> dict:
     }
 
 
+def learned_ops_bench(spark, sf_dir: str) -> dict:
+    """Round-6 learned operators, measured: BPE merge training (16
+    rounds over the documents table — per-round cost is one
+    vocab-bounded pair aggregate + a map-only fold, so merges/sec is
+    the number to watch as the corpus grows) and the quality
+    classifier (train on the source weak-label split, then the
+    map-only scoring pass's docs/sec — the deployed filter's
+    steady-state cost)."""
+    from consume_kafka_avro_data_spark.operators.quality import (
+        quality_probability,
+        quality_training_frame,
+        train_quality_classifier,
+    )
+    from consume_kafka_avro_data_spark.operators.text import bpe_train
+    from consume_kafka_avro_data_spark.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    t0 = time.perf_counter()
+    merges = bpe_train(docs.select("text"), n_merges=16, checkpoint_every=8)
+    t_bpe = time.perf_counter() - t0
+
+    labeled = quality_training_frame(
+        docs.where(F.col("source") == "src0"),
+        docs.where(F.col("source") != "src0"),
+    )
+    t0 = time.perf_counter()
+    model = train_quality_classifier(labeled, max_iter=25)
+    t_train = time.perf_counter() - t0
+    t_score = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        quality_probability(model, docs.select("doc_id", "text")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t_score = min(t_score, time.perf_counter() - t0)
+    return {
+        "bpe_merges": len(merges),
+        "bpe_train_sec": round(t_bpe, 4),
+        "quality_train_sec": round(t_train, 4),
+        "quality_score_sec": round(t_score, 4),
+        "quality_score_docs_per_sec": round(n_docs / t_score, 1),
+    }
+
+
 def bloom_steady_state_bench(spark, sf_dir: str) -> dict:
     """Split q_decontaminate_bloom's cost into BUILD vs PROBE: the
     headline timing pays the bloom build (eval checkpoint + count +
@@ -1081,6 +1128,7 @@ def main() -> None:
     compaction = ingest_compaction_ab_bench(spark, sf_dir)
     bloom_x = bloom_crossover_bench(spark, sf_dir)
     bloom_ss = bloom_steady_state_bench(spark, sf_dir)
+    learned = learned_ops_bench(spark, sf_dir)
     drift = drift_monitor_bench(spark, sf_dir)
 
     total = round(sum(timings.values()), 4)
@@ -1100,6 +1148,7 @@ def main() -> None:
             "ingest_compaction_ab": compaction,
             "bloom_crossover": bloom_x,
             "bloom_steady_state": bloom_ss,
+            "learned_ops": learned,
             "drift_monitor": drift,
             "baseline_reference_msgs_per_sec": 770,
         },
@@ -1141,6 +1190,10 @@ def main() -> None:
             "bloom_build_probe_sec": [
                 bloom_ss["build_sec"],
                 bloom_ss["probe_sec"],
+            ],
+            "bpe_train16_sec": learned["bpe_train_sec"],
+            "quality_score_docs_per_sec": learned[
+                "quality_score_docs_per_sec"
             ],
             # compact_every A/B, post-ingest read cost [off, on] — the
             # tax the small-file growth levies; full arms in
