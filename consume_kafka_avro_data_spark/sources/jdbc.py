@@ -55,6 +55,39 @@ def jdbc_driver_available(
     return jvm_class_available(spark, driver_class)
 
 
+def libpq_to_jdbc(conninfo: str) -> tuple[str, str | None, str | None]:
+    """Translate a libpq key=value conninfo — the reference's EXACT
+    connection-string shape, hardcoded at ``src/main.cpp:188``
+    (``hostaddr=127.0.0.1 port=5432 dbname=odynet user=postgres
+    password=example``) — into ``(jdbc_url, user, password)``, so a
+    deployment can paste the reference's string into
+    :meth:`JdbcGraphSink.from_libpq` unchanged.
+
+    Recognized keys: host/hostaddr (hostaddr wins, libpq's precedence),
+    port (default 5432), dbname (required), user, password; unknown
+    keys are ignored (libpq accepts dozens — connect_timeout etc. —
+    that have JDBC equivalents a caller can pass as extra options)."""
+    kv: dict[str, str] = {}
+    for part in conninfo.split():
+        if "=" not in part:
+            raise ConfigError(
+                f"malformed libpq conninfo fragment {part!r} — expected "
+                "space-separated key=value pairs"
+            )
+        k, _, v = part.partition("=")
+        kv[k] = v
+    dbname = kv.get("dbname")
+    if not dbname:
+        raise ConfigError("libpq conninfo has no dbname — cannot form a JDBC URL")
+    host = kv.get("hostaddr") or kv.get("host") or "localhost"
+    port = kv.get("port", "5432")
+    return (
+        f"jdbc:postgresql://{host}:{port}/{dbname}",
+        kv.get("user"),
+        kv.get("password"),
+    )
+
+
 def jdbc_writer_options(
     url: str,
     table: str,
@@ -180,6 +213,13 @@ class JdbcGraphSink:
                 f"{POSTGRES_JDBC_PACKAGE} package (--packages), or use "
                 "the parquet-native GraphStore for jar-less runs"
             )
+
+    @classmethod
+    def from_libpq(cls, spark: SparkSession, conninfo: str, **kwargs):
+        """Construct from the reference's libpq conninfo string
+        verbatim (src/main.cpp:188) — see :func:`libpq_to_jdbc`."""
+        url, user, password = libpq_to_jdbc(conninfo)
+        return cls(spark, url, user=user, password=password, **kwargs)
 
     # -- the per-batch body ---------------------------------------------
 

@@ -126,3 +126,46 @@ def test_live_roundtrip_env_gated(spark):
     triples = triples_from(df, "S", "P", "O")
     sink.process_batch(triples, batch_id=0)
     sink.process_batch(triples, batch_id=0)  # replay: DO NOTHING absorbs
+
+
+def test_libpq_conninfo_translates_to_jdbc():
+    """The reference's EXACT hardcoded conninfo (src/main.cpp:188) must
+    translate verbatim; hostaddr beats host (libpq precedence), port
+    defaults, unknown keys tolerated, missing dbname refused."""
+    from consume_kafka_avro_data_spark.sources.jdbc import libpq_to_jdbc
+
+    assert libpq_to_jdbc(
+        "hostaddr=127.0.0.1 port=5432 dbname=odynet user=postgres password=example"
+    ) == ("jdbc:postgresql://127.0.0.1:5432/odynet", "postgres", "example")
+    assert libpq_to_jdbc("host=db hostaddr=10.0.0.9 dbname=g") == (
+        "jdbc:postgresql://10.0.0.9:5432/g",
+        None,
+        None,
+    )
+    assert libpq_to_jdbc("dbname=g connect_timeout=10") == (
+        "jdbc:postgresql://localhost:5432/g",
+        None,
+        None,
+    )
+    with pytest.raises(ConfigError, match="dbname"):
+        libpq_to_jdbc("host=db user=u")
+    with pytest.raises(ConfigError, match="key=value"):
+        libpq_to_jdbc("host=db oops")
+
+
+def test_from_libpq_threads_credentials(spark):
+    """from_libpq must reach the same eager validation path; in the
+    jar-less sandbox that's the driver RuntimeError AFTER the options
+    (incl. parsed credentials) assembled cleanly."""
+    from consume_kafka_avro_data_spark.sources.jdbc import (
+        jdbc_driver_available,
+    )
+
+    if jdbc_driver_available(spark):
+        pytest.skip("postgres JDBC driver unexpectedly on classpath")
+    with pytest.raises(RuntimeError, match="postgresql"):
+        JdbcGraphSink.from_libpq(
+            spark,
+            "hostaddr=127.0.0.1 port=5432 dbname=odynet user=postgres "
+            "password=example",
+        )
