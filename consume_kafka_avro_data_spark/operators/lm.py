@@ -83,12 +83,25 @@ class BigramKN:
         cont: DataFrame,
         discount: float,
         n_bigram_types: int,
+        _bg: DataFrame | None = None,
     ):
         self.probs = probs
         self.contexts = contexts
         self.cont = cont
         self.discount = discount
         self.n_bigram_types = n_bigram_types
+        # the checkpointed bigram-count table every model table derives
+        # from — the model's resident state, released by unpersist()
+        self._bg = _bg
+
+    def unpersist(self) -> None:
+        """Release the fitted model's checkpointed bigram table (its
+        only resident state).  The model's DataFrames re-derive from
+        lineage after this but every action re-runs the corpus
+        tokenize+count — call when done with the model, the same
+        lifecycle discipline as the iterative operators' checkpoints."""
+        if self._bg is not None:
+            self._bg.unpersist()
 
     # -- fit -------------------------------------------------------------
 
@@ -108,10 +121,12 @@ class BigramKN:
             doc_bigrams(corpus, text_col)
             .groupBy("w1", "w2")
             .agg(F.count(F.lit(1)).alias("c12"))
-            # every derived table below re-reads this: checkpoint so the
-            # tokenize+pair+count subtree runs once, then release (the
-            # returned tables re-derive from lineage lazily — the fit's
-            # eager aggregates are the expensive part)
+            # every derived table (and every later score) re-reads
+            # this: checkpoint so the tokenize+pair+count subtree runs
+            # once.  The blocks are the MODEL's resident state —
+            # BigramKN.unpersist() releases them when the caller is
+            # done (a fit-scoped unpersist would silently re-run the
+            # corpus count on every score action)
             .localCheckpoint(eager=True)
         )
         ctx = bg.groupBy("w1").agg(
@@ -143,7 +158,7 @@ class BigramKN:
                 ).alias("p"),
             )
         )
-        return cls(probs, contexts.drop("c1"), cont, discount, n_types)
+        return cls(probs, contexts.drop("c1"), cont, discount, n_types, _bg=bg)
 
     # -- score -----------------------------------------------------------
 
@@ -187,10 +202,17 @@ class BigramKN:
             (-F.sum(F.log("_p")) / F.count(F.lit(1))).alias("avg_nll"),
         )
         # <2-token docs emitted no bigram rows: restore them with NULL
-        # scores so the output covers every input document
+        # scores so the output covers every input document.  NULL-SAFE
+        # id join — the corpus-wide id convention (a NULL-id doc's
+        # score must reach its row, not vanish into an unmatched left
+        # side; groupBy above already grouped NULL ids together)
         ids = docs.select(id_col).distinct()
-        return ids.join(scored, id_col, "left").select(
-            id_col,
+        return ids.join(
+            scored,
+            on=ids[id_col].eqNullSafe(scored[id_col]),
+            how="left",
+        ).select(
+            ids[id_col].alias(id_col),
             F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
             "avg_nll",
         )

@@ -184,3 +184,25 @@ def test_score_on_documents_table(spark, sf_dir):
         & (F.col("avg_nll").isNull() | (F.col("avg_nll") <= 0))
     )
     assert bad.count() == 0
+
+
+def test_null_id_doc_keeps_its_score(spark, model):
+    """The corpus-wide NULL-id convention: a NULL-id doc's bigrams are
+    grouped together and its score reaches its output row (a plain
+    equality restore-join would orphan it to n_bigrams=0)."""
+    docs = spark.createDataFrame(
+        [(None, "the cat"), (7, "the cat")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in model.score(docs).collect()}
+    assert rows[None].n_bigrams == 1
+    assert rows[None].avg_nll == pytest.approx(rows[7].avg_nll)
+
+
+def test_unpersist_releases_model_state(corpus_df):
+    """The fitted model's only resident state is the checkpointed
+    bigram table; unpersist() releases it and the tables still answer
+    (re-derived from lineage)."""
+    m = BigramKN.fit(corpus_df)
+    n = m.probs.count()
+    m.unpersist()
+    assert m.probs.count() == n  # lazily re-derivable, just uncached
