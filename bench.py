@@ -1181,10 +1181,14 @@ def main() -> None:
             "ann_recall_at_10": ann["recall_at_10"],
             "ann_recall_at_10_adc": ann["recall_at_10_adc"],
             "ann_recall_at_10_adc_rerank": ann["recall_at_10_adc_rerank"],
-            # round-6 recall-tuned build (replicas=4, 8-bit PQ): the
-            # low-nprobe answer; full params/costs in BENCH_local.json
-            "ann_recall_at_10_tuned": ann["tuned"]["recall_at_10"],
-            "ann_tuned_build_sec": ann["tuned"]["build_sec"],
+            # round-6 recall-tuned build (replicas=4, 8-bit PQ) at
+            # nprobe 1/2/4/8 as a LIST — the compact line is budgeted
+            # (assert below) and the dict form + build cost live in
+            # BENCH_local.json
+            "ann_recall_tuned": [
+                ann["tuned"]["recall_at_10"][f"nprobe{p}"]
+                for p in (1, 2, 4, 8)
+            ],
             "bloom_crossover_mult": bloom_x["crossover_mult"],
             # build-once/probe-many split: [one-time build, steady probe]
             "bloom_build_probe_sec": [
@@ -1192,13 +1196,11 @@ def main() -> None:
                 bloom_ss["probe_sec"],
             ],
             "bpe_train16_sec": learned["bpe_train_sec"],
-            "quality_score_docs_per_sec": learned[
-                "quality_score_docs_per_sec"
-            ],
+            "quality_docs_per_sec": learned["quality_score_docs_per_sec"],
             # compact_every A/B, post-ingest read cost [off, on] — the
             # tax the small-file growth levies; full arms in
             # BENCH_local.json ingest_compaction_ab
-            "compaction_post_read_sec": {
+            "compact_read_sec": {
                 "graph": [
                     compaction["graph"]["off"]["post_scan_sec"],
                     compaction["graph"]["on"]["post_scan_sec"],
@@ -1213,9 +1215,29 @@ def main() -> None:
         },
         separators=(",", ":"),
     )
+    # Over-budget DEGRADES instead of dying (round-6 lesson: the assert
+    # fired after a 20-minute run and the driver recorded NOTHING —
+    # worse than a slightly thinner line).  Drop optional keys in
+    # priority order until the line fits; everything dropped is still
+    # in BENCH_local.json.  The assert remains as the can't-happen
+    # backstop after all droppables are gone.
+    droppable = [
+        "bloom_build_probe_sec",
+        "bpe_train16_sec",
+        "quality_docs_per_sec",
+        "compact_read_sec",
+        "ann_recall_at_10_adc",
+        "ann_recall_tuned",
+        "ann_recall_at_10_adc_rerank",
+    ]
+    doc = json.loads(compact)
+    while len(compact) >= 1900 and droppable:
+        doc.pop(droppable.pop(0), None)
+        compact = json.dumps(doc, separators=(",", ":"))
     assert len(compact) < 1900, (
-        f"final bench line is {len(compact)} chars — exceeds the "
-        "driver's ~2 KB stdout tail capture; trim the compact payload"
+        f"final bench line is {len(compact)} chars even with every "
+        "optional key dropped — exceeds the driver's ~2 KB stdout tail "
+        "capture; trim the per-query set"
     )
     print(compact, flush=True)
 
