@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from collections import Counter
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 ROWS = st.lists(
@@ -571,3 +573,89 @@ def test_token_budget_mix_is_maximal_hash_prefix(spark, texts):
             break  # running-sum cut: everything after is out too
         want.add(i)
     assert got == want
+
+
+# -- round-6 operators: packing and KN over generated corpora ----------------
+
+PACK_DOCS = st.lists(
+    st.integers(min_value=1, max_value=30),  # per-doc token counts
+    min_size=0,
+    max_size=24,
+)
+
+
+@given(toks=PACK_DOCS, seq_len=st.integers(min_value=1, max_value=40))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pack_sequences_models_driver_prefix_sum(spark, toks, seq_len):
+    """pack_sequences == the obvious driver loop, for ANY corpus and
+    seq_len, and independent of partition count (the distributed
+    prefix sum's defining laws)."""
+    from consume_kafka_avro_data_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    rows = [(i, n) for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows or [(0, 1)], "doc_id long, toks long").limit(
+        len(rows)
+    )
+    want, cum = {}, 0
+    for i, n in rows:
+        want[i] = (n, cum, cum // seq_len, cum % seq_len)
+        cum += n
+    for parts in (1, 3):
+        got = {
+            r.doc_id: (r.n_tokens, r.cum_before, r.pack_id, r.pack_offset)
+            for r in pack_sequences(
+                df, seq_len, n_tokens_col="toks", text_col="toks",
+                partitions=parts,
+            ).collect()
+        }
+        assert got == want, (parts, seq_len)
+
+
+KN_DOCS = st.lists(
+    st.lists(st.sampled_from("abcd"), min_size=0, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=KN_DOCS)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_kn_per_context_mass_is_one(spark, texts):
+    """For ANY corpus with at least one bigram: Pcont is a probability
+    distribution and every seen context's total probability mass over
+    the w2 vocabulary is exactly 1 — discount taken equals discount
+    redistributed (the KN invariant, as a law rather than an example)."""
+    from consume_kafka_avro_data_spark.operators.lm import BigramKN
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    m = BigramKN.fit(df)
+    try:
+        cont = {r.w2: r.pcont for r in m.cont.collect()}
+        if not cont:  # corpus of <2-token docs: no bigrams, no model
+            assert m.probs.count() == 0
+            return
+        assert sum(cont.values()) == pytest.approx(1.0)
+        lam = {r.w1: r.lam for r in m.contexts.collect()}
+        seen = {
+            (r.w1, r.w2) for r in m.probs.select("w1", "w2").collect()
+        }
+        from pyspark.sql import functions as F
+
+        obs = m.probs.groupBy("w1").agg(F.sum("p").alias("s")).collect()
+        for r in obs:
+            unseen = sum(
+                pc for w2, pc in cont.items() if (r.w1, w2) not in seen
+            )
+            assert r.s + lam[r.w1] * unseen == pytest.approx(1.0, abs=1e-9)
+    finally:
+        m.unpersist()
