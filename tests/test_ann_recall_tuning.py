@@ -411,3 +411,18 @@ def test_index_knn_join_shape_and_rank_bounds(spark, emb, tmp_path):
     firsts = {r.q_id: (r.vec_id, r.score) for r in rows if r.rank == 1}
     for q_id, (vid, score) in firsts.items():
         assert vid == q_id and abs(score - 1.0) < 1e-12
+
+
+def test_replicated_probe_still_partition_prunes(spark, emb, qvec, tmp_path):
+    """Multiple assignment changes the layout's row count, not its
+    pruning: a replicated index's probe must still carry the
+    planning-time PartitionFilter on _ivf_cell."""
+    from consume_kafka_avro_data_spark.plans.inspect import (
+        partition_filters,
+    )
+
+    idx = AnnIndex.build(
+        spark, emb, str(tmp_path / "pp"), n_cells=8, replicas=3
+    )
+    pf = partition_filters(idx._probe(qvec, nprobe=2))
+    assert pf and any("_ivf_cell" in f for f in pf), pf
