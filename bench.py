@@ -515,12 +515,35 @@ def learned_ops_bench(spark, sf_dir: str) -> dict:
             "noop"
         ).mode("overwrite").save()
         t_score = min(t_score, time.perf_counter() - t0)
+
+    # KN bigram LM (the perplexity-filter tier): fit on half the
+    # corpus, score the other half — the deployed fit-once/score-many
+    # split, like the classifier's
+    from consume_kafka_avro_data_spark.operators.lm import BigramKN
+
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    held = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    n_held = held.count()
+    t0 = time.perf_counter()
+    lm = BigramKN.fit(train)
+    t_kn_fit = time.perf_counter() - t0
+    t_kn = float("inf")
+    try:
+        for _ in range(2):
+            t0 = time.perf_counter()
+            lm.score(held).write.format("noop").mode("overwrite").save()
+            t_kn = min(t_kn, time.perf_counter() - t0)
+    finally:
+        lm.unpersist()
     return {
         "bpe_merges": len(merges),
         "bpe_train_sec": round(t_bpe, 4),
         "quality_train_sec": round(t_train, 4),
         "quality_score_sec": round(t_score, 4),
         "quality_score_docs_per_sec": round(n_docs / t_score, 1),
+        "kn_fit_sec": round(t_kn_fit, 4),
+        "kn_score_sec": round(t_kn, 4),
+        "kn_score_docs_per_sec": round(n_held / t_kn, 1),
     }
 
 
