@@ -500,6 +500,20 @@ def learned_ops_bench(spark, sf_dir: str) -> dict:
     t0 = time.perf_counter()
     merges = bpe_train(docs.select("text"), n_merges=16, checkpoint_every=8)
     t_bpe = time.perf_counter() - t0
+    # round 7: batched merge rounds — same merge table (pinned by
+    # pytest), fewer driver round-trips (the vocab-size scale cap)
+    stats: dict = {}
+    t0 = time.perf_counter()
+    merges_b = bpe_train(
+        docs.select("text"),
+        n_merges=16,
+        checkpoint_every=8,
+        merges_per_round=8,
+        stats=stats,
+    )
+    t_bpe_batched = time.perf_counter() - t0
+    bpe_rounds_batched = stats.get("rounds", -1)
+    bpe_batched_identical = merges_b == merges
 
     labeled = quality_training_frame(
         docs.where(F.col("source") == "src0"),
@@ -535,9 +549,30 @@ def learned_ops_bench(spark, sf_dir: str) -> dict:
             t_kn = min(t_kn, time.perf_counter() - t0)
     finally:
         lm.unpersist()
+    # round 7: the order-3 generalization (CCNet's published filter is
+    # an n-gram KenLM) — same fit-once/score-many split
+    from consume_kafka_avro_data_spark.operators.lm import NgramKN
+
+    t0 = time.perf_counter()
+    lm3 = NgramKN.fit(train, order=3)
+    t_kn3_fit = time.perf_counter() - t0
+    t_kn3 = float("inf")
+    try:
+        for _ in range(2):
+            t0 = time.perf_counter()
+            lm3.score(held).write.format("noop").mode("overwrite").save()
+            t_kn3 = min(t_kn3, time.perf_counter() - t0)
+    finally:
+        lm3.unpersist()
     return {
         "bpe_merges": len(merges),
         "bpe_train_sec": round(t_bpe, 4),
+        "bpe_train_batched_sec": round(t_bpe_batched, 4),
+        "bpe_batched_rounds": bpe_rounds_batched,
+        "bpe_batched_identical": bpe_batched_identical,
+        "kn3_fit_sec": round(t_kn3_fit, 4),
+        "kn3_score_sec": round(t_kn3, 4),
+        "kn3_score_docs_per_sec": round(n_held / t_kn3, 1),
         "quality_train_sec": round(t_train, 4),
         "quality_score_sec": round(t_score, 4),
         "quality_score_docs_per_sec": round(n_docs / t_score, 1),
@@ -882,6 +917,19 @@ def ann_index_bench(spark, sf_dir: str) -> dict:
             "noop"
         ).mode("overwrite").save()
         t_batch_bf = time.perf_counter() - t0
+        # round 7: the codes-only batch tiers — ADC scoring never reads
+        # the float column (the 100 TB IO trade: m bytes/candidate vs
+        # dim×4), and rerank=50 re-reads floats for 50 ids/query only
+        t0 = time.perf_counter()
+        idx.knn_join_adc(qbatch, k=10, nprobe=4).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t_batch_adc = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        idx.knn_join_adc(qbatch, k=10, nprobe=4, rerank=50).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t_batch_adc_rr = time.perf_counter() - t0
         qbatch.unpersist()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -895,6 +943,8 @@ def ann_index_bench(spark, sf_dir: str) -> dict:
         "recall_at_10_adc_rerank": recall_rerank,
         "knn_join_64q_nprobe4_sec": round(t_batch, 4),
         "knn_join_64q_bruteforce_sec": round(t_batch_bf, 4),
+        "knn_join_adc_64q_sec": round(t_batch_adc, 4),
+        "knn_join_adc_rerank50_64q_sec": round(t_batch_adc_rr, 4),
         "tuned": {
             "params": {
                 "replicas": 4,
@@ -1219,7 +1269,19 @@ def main() -> None:
                 bloom_ss["probe_sec"],
             ],
             "bpe_train16_sec": learned["bpe_train_sec"],
+            # [sequential, batched merges_per_round=8] — same table
+            "bpe_batched_sec": [
+                learned["bpe_train_sec"],
+                learned["bpe_train_batched_sec"],
+            ],
             "quality_docs_per_sec": learned["quality_score_docs_per_sec"],
+            "kn3_docs_per_sec": learned["kn3_score_docs_per_sec"],
+            # batch ANN [exact knn_join, codes-only ADC, ADC+rerank50]
+            "knn_batch_sec": [
+                ann["knn_join_64q_nprobe4_sec"],
+                ann["knn_join_adc_64q_sec"],
+                ann["knn_join_adc_rerank50_64q_sec"],
+            ],
             # compact_every A/B, post-ingest read cost [off, on] — the
             # tax the small-file growth levies; full arms in
             # BENCH_local.json ingest_compaction_ab
@@ -1246,6 +1308,9 @@ def main() -> None:
     # backstop after all droppables are gone.
     droppable = [
         "bloom_build_probe_sec",
+        "bpe_batched_sec",
+        "kn3_docs_per_sec",
+        "knn_batch_sec",
         "bpe_train16_sec",
         "quality_docs_per_sec",
         "compact_read_sec",

@@ -57,6 +57,34 @@ from consume_kafka_avro_data_spark.operators.similarity import (
 META = "_ann_meta.json"
 VECTORS = "vectors"
 
+#: The recall-tuned build preset (measured in bench.py's
+#: ``ann_index.tuned`` row): IVF multiple assignment R=4 + 8-bit PQ +
+#: converged quantizer lifts recall@10 from 0.40/0.48/0.56/0.84 to
+#: 0.60/0.84/1.0/1.0 at nprobe 1/2/4/8 on the isotropic test corpus.
+#: Costs: ×4 index rows (storage and probed bytes) and a slower build
+#: (more Lloyd iterations + 256-row codebooks) — the trade a deployment
+#: should start from when recall matters more than index size; see
+#: SCALING.md.  Exposed as :meth:`AnnIndex.build_tuned`.
+TUNED_BUILD_PARAMS: dict = {
+    "replicas": 4,
+    "k_codes": 256,
+    "quantizer_iters": 15,
+}
+
+
+def _shard_commit_key(shard_id: str) -> tuple:
+    """Natural-order key for shard ids: digit runs compare numerically
+    ('b2' < 'b10'), so compact()'s newest-kept truncation of the
+    replay no-op list follows COMMIT order for the numeric batch ids
+    streaming ingest uses, not string order."""
+    import re
+
+    return tuple(
+        (0, int(part), "") if part.isdigit() else (1, 0, part)
+        for part in re.split(r"(\d+)", shard_id)
+        if part
+    )
+
 
 class AnnIndex:
     """Persisted IVF-PQ index over an embedding corpus.
@@ -249,6 +277,16 @@ class AnnIndex:
         idx.grace_seconds = grace_seconds
         return idx
 
+    @classmethod
+    def build_tuned(cls, spark, corpus, path, **overrides) -> "AnnIndex":
+        """:meth:`build` with the measured recall preset
+        (:data:`TUNED_BUILD_PARAMS`) pre-applied — so a deployment gets
+        the bench's tuned recall curve without rediscovering the knobs.
+        Any explicit keyword overrides the preset.  The oracled queries
+        stay on the default deterministic build; this preset is the
+        serving-path recommendation."""
+        return cls.build(spark, corpus, path, **{**TUNED_BUILD_PARAMS, **overrides})
+
     @staticmethod
     def _assign(
         corpus: DataFrame, centroids: np.ndarray, vec_col: str, replicas: int
@@ -373,7 +411,14 @@ class AnnIndex:
         ``max_compacted_shards``); an ``add_shard`` replay of one of
         them becomes a no-op instead of a double-count.  Returns
         ``{"dirs_before", "dirs_after", "rows"}``; fewer than two live
-        directories is a no-op (nothing to merge)."""
+        directories is a no-op (nothing to merge).
+
+        Single-writer contract (class docstring) applies WITHIN one
+        index across methods too: compact() and add_shard() both
+        read-modify-write the meta with no CAS, so running them
+        concurrently can silently drop the other's generation entry —
+        serialize them (StreamingAnnIngest does: compaction runs
+        inline in its foreachBatch, never beside it)."""
         doc = self._read_meta_doc(self._io, self.path)
         live, shards = doc["live"], doc["shards"]
         if len(live) <= 1:
@@ -429,7 +474,13 @@ class AnnIndex:
             doc["superseded"], now, self.grace_seconds
         )
         grace += [{"dir": d, "at": now} for d in live]
-        folded = doc["compacted_shards"] + sorted(shards)
+        # commit-order sort, NOT lexicographic: shard ids are usually
+        # numeric batch ids, and 'b10' < 'b2' string-sorting would let
+        # the newest-kept truncation below evict numerically NEWER ids
+        # first, shrinking the replay no-op window out of order
+        folded = doc["compacted_shards"] + sorted(
+            shards, key=_shard_commit_key
+        )
         folded = folded[-self.max_compacted_shards :]
         meta = {
             "id_col": self.id_col,
@@ -787,6 +838,192 @@ class AnnIndex:
             .dropDuplicates([query_id, self.id_col])
         )
         return wide.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= k
+        )
+
+    def _assign_queries_with_lut(
+        self, queries: DataFrame, query_id: str, query_vec: str, nprobe: int
+    ) -> DataFrame:
+        """(query_id, _ivf_cell, _adc_lut) — each query row fans out to
+        its ``nprobe`` nearest cells AND carries its m×k ADC lookup
+        table, all computed in ONE Arrow pass (cell ranking exactly as
+        :func:`multi_ivf_assign` — q20 dots, stable argsort — and LUT
+        entries exactly as :func:`pq_adc_lut`, batched: same rotate →
+        quantize → ||q_sub − code||² arithmetic, so per-query rows are
+        value-identical to the driver-side table).  The LUT column is
+        m·k doubles per row — query-side volume, never candidate-side;
+        the scoring projection consumes and drops it before anything
+        shuffles further."""
+        import pandas as pd
+        from pyspark.sql.types import (
+            ArrayType,
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        from consume_kafka_avro_data_spark.operators.similarity import (
+            quantize_np,
+        )
+
+        r = min(nprobe, len(self.centroids))
+        qcent = quantize_np(self.centroids)
+        m, _k, sub = self.codebooks.shape
+        qcb = [quantize_np(self.codebooks[i]) for i in range(m)]
+        rot = self.rotation
+        schema = StructType(
+            [
+                queries.schema[query_id],
+                StructField("_ivf_cell", IntegerType(), False),
+                StructField(
+                    "_adc_lut",
+                    ArrayType(ArrayType(DoubleType(), False), False),
+                    False,
+                ),
+            ]
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf[query_vec].map(np.asarray)).astype(np.float64)
+                xq = quantize_np(x)
+                proj = xq @ qcent.T
+                top = np.argsort(-proj, axis=1, kind="stable")[:, :r]
+                xr = quantize_np(x @ rot) if rot is not None else xq
+                luts = np.stack(
+                    [
+                        (
+                            (xr[:, i * sub : (i + 1) * sub] ** 2).sum(
+                                axis=1, keepdims=True
+                            )
+                            - 2.0 * (xr[:, i * sub : (i + 1) * sub] @ qcb[i].T)
+                            + (qcb[i] ** 2).sum(axis=1)
+                        )
+                        for i in range(m)
+                    ],
+                    axis=1,
+                )  # (n, m, k) exact integer-valued float64
+                idx = np.repeat(np.arange(len(pdf)), r)
+                yield pd.DataFrame(
+                    {
+                        query_id: pdf[query_id].iloc[idx].reset_index(drop=True),
+                        "_ivf_cell": (top.reshape(-1) + 1).astype(np.int32),
+                        "_adc_lut": [luts[i].tolist() for i in idx],
+                    }
+                )
+
+        return queries.select(query_id, query_vec).mapInPandas(
+            gen, schema=schema
+        )
+
+    def knn_join_adc(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        query_id: str = "q_id",
+        query_vec: str = "q_vec",
+        rerank: int | None = None,
+    ) -> DataFrame:
+        """Batch ANN over CODES ONLY — :meth:`knn_join`'s IVF-PQ
+        serving tier.  The exact batch path scores true cosines over
+        the probed float vectors; at 100 TB that reads dim×4 bytes per
+        candidate where the codes-resident index needs just m bytes —
+        this path keeps the candidate scan on (id, pq_codes) and the
+        float column stays on disk (column pruning), the same IO trade
+        :meth:`query_adc` makes per query.
+
+        Plan shape: one Arrow pass fans each query to its ``nprobe``
+        cells AND builds its ADC LUT (:meth:`_assign_queries_with_lut`);
+        an equi-join on the cell PARTITION column pairs queries with
+        candidate codes (DPP-prunable, like knn_join); the distance is
+        a codegen'd fold Σᵢ lut[i][code_i] over the codes array —
+        element lookups, never a float dot; per-query top-k rides a
+        ranked window (WindowGroupLimit).  Replica copies of an id tie
+        exactly on (adc_dist, id) — the k·R-cut + dedupe argument —
+        because q20 partials are integer-valued doubles, so every sum
+        order agrees.
+
+        ``rerank=None`` returns (query_id, id, adc_dist, rank ≤ k) —
+        pinned per-query equal to :meth:`query_adc`.  ``rerank=s``
+        appends the standard exact re-rank: the per-query top-``s`` ADC
+        shortlist joins back to its float vectors on (cell, id) — the
+        shortlist side is queries×s rows, broadcastable, and the cell
+        key keeps partition pruning — then true cosines re-rank to
+        (query_id, id, score, rank ≤ k), pinned per-query equal to
+        :meth:`query_adc_rerank`.  Float IO drops from |probed| to s
+        vectors per query."""
+        from pyspark.sql import Window
+
+        from consume_kafka_avro_data_spark.operators.similarity import (
+            cosine,
+        )
+
+        n_short = k if rerank is None else rerank
+        probed = self._assign_queries_with_lut(
+            queries, query_id, query_vec, nprobe
+        )
+        cand = self._vectors().select(
+            self.id_col, "pq_codes", "_ivf_cell"
+        )
+        scored = cand.join(probed, "_ivf_cell").select(
+            F.col(query_id),
+            F.col(self.id_col),
+            F.col("_ivf_cell"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("pq_codes"),
+                    F.col("_adc_lut"),
+                    lambda c, l: F.element_at(l, c),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adc_dist"),
+        )
+        w = Window.partitionBy(query_id).orderBy(
+            F.asc("adc_dist"), F.asc(self.id_col)
+        )
+        if self.replicas <= 1:
+            short = scored.withColumn("rank", F.row_number().over(w)).where(
+                F.col("rank") <= n_short
+            )
+        else:
+            short = (
+                scored.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= n_short * self.replicas)
+                .drop("rank")
+                .dropDuplicates([query_id, self.id_col])
+                .withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= n_short)
+            )
+        if rerank is None:
+            return short.select(query_id, self.id_col, "adc_dist", "rank")
+        # exact re-rank: fetch each shortlisted id's float vector via
+        # (cell, id) — any surviving replica row's cell holds an
+        # identical copy — and its query vector by query id
+        vecs = self._vectors().select(
+            "_ivf_cell", self.id_col, self.vec_col
+        )
+        qv = queries.select(query_id, query_vec)
+        rescored = (
+            short.select(query_id, self.id_col, "_ivf_cell")
+            .join(qv, query_id)
+            .join(vecs, ["_ivf_cell", self.id_col])
+            .select(
+                F.col(query_id),
+                F.col(self.id_col),
+                cosine(
+                    F.col(self.vec_col), F.col(query_vec), dim=None
+                ).alias("score"),
+            )
+        )
+        w2 = Window.partitionBy(query_id).orderBy(
+            F.desc("score"), F.asc(self.id_col)
+        )
+        return rescored.withColumn("rank", F.row_number().over(w2)).where(
             F.col("rank") <= k
         )
 

@@ -68,6 +68,277 @@ def doc_bigrams(
     )
 
 
+def doc_ngrams(
+    docs: DataFrame,
+    order: int,
+    text_col: str = "text",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """(…keep_cols, w1 … w{order}) — one row per length-``order``
+    token window per doc, tokenized by the corpus-wide convention.
+    Map-only like :func:`doc_bigrams`: the window index array is
+    generated per row and every ``element_at`` stays in bounds (docs
+    with < order tokens take the NULL branch, which ``explode`` drops
+    — no rows, same as the bigram convention)."""
+    if order < 1:
+        raise ValueError(f"ngram order must be >= 1, got {order}")
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    gram = F.when(
+        n >= F.lit(order),
+        F.transform(
+            F.sequence(F.lit(1), n - (order - 1)),
+            lambda i: F.struct(
+                *[
+                    F.element_at(toks, i + j).alias(f"w{j + 1}")
+                    for j in range(order)
+                ]
+            ),
+        ),
+    )  # no otherwise: NULL, and explode(NULL) emits nothing
+    keep = list(keep_cols or [])
+    return docs.select(*keep, F.explode(gram).alias("_g")).select(
+        *keep, *[F.col(f"_g.w{i + 1}").alias(f"w{i + 1}") for i in range(order)]
+    )
+
+
+class NgramKN:
+    """Interpolated Kneser-Ney at arbitrary order n ≥ 2 — the
+    generalization CCNet's published filter actually deploys (a KenLM
+    5-gram; Wenzek et al. 2020), recursing exactly per the Chen &
+    Goodman (1999) equation family:
+
+        P_k(w | ctx) = max(num_k(ctx w) − D, 0) / denom_k(ctx)
+                       + λ_k(ctx) · P_{k−1}(w | suffix(ctx))
+        λ_k(ctx)     = D · N1+(ctx ·) / denom_k(ctx)
+        P_1(w)       = N1+(· w) / N1+(· ·)
+
+    with num_n = RAW n-gram counts at the top order and num_k =
+    CONTINUATION counts N1+(· g) (distinct predecessors, computed from
+    the (k+1)-gram TYPE table) at every lower order — the defining KN
+    move.  Everything is relational:
+
+    * doc → gram expansion is map-only per order;
+    * the corpus-sized shuffles are exactly the per-order gram
+      aggregations (one raw count at order n, one distinct at each
+      order 2..n−1 — irreducible: doc-edge grams mean lower-order
+      types are NOT derivable from the top-order table alone);
+    * every derived table (continuation counts, context totals, λ,
+      interpolated probs) is gram-type-bounded, and nothing
+      model-sized ever lives on the driver.
+
+    Scoring left-joins each doc n-gram against the per-order prob/λ
+    tables once each (2n−1 joins, all against type-bounded tables) and
+    folds the backoff cascade in ONE expression:
+    P̂_k = coalesce(p_k, coalesce(λ_k, 1) · P̂_{k−1}) — observed gram →
+    full interpolated mass; unseen gram, seen context → λ·lower;
+    unseen context → lower unweighted; fully-OOV floors.  For n=2
+    this reproduces :class:`BigramKN` value-for-value (pinned in
+    tests), and the per-context Σ_w P_k(w|ctx) = 1 invariant holds at
+    EVERY order (pinned against a pure-Python reference)."""
+
+    def __init__(
+        self,
+        order: int,
+        probs: dict[int, DataFrame],
+        lams: dict[int, DataFrame],
+        p1: DataFrame,
+        discount: float,
+        _resident: list[DataFrame] | None = None,
+    ):
+        self.order = order
+        self.probs = probs  # k -> (w1..wk, p)
+        self.lams = lams  # k -> (w1..w{k-1}, lam)
+        self.p1 = p1  # (w1, p1)
+        self.discount = discount
+        self._resident = _resident or []
+
+    def unpersist(self) -> None:
+        """Release the fitted model's checkpointed count tables (its
+        resident state) — same lifecycle contract as BigramKN."""
+        for df in self._resident:
+            df.unpersist()
+
+    # -- fit -------------------------------------------------------------
+
+    @classmethod
+    def fit(
+        cls,
+        corpus: DataFrame,
+        order: int = 3,
+        text_col: str = "text",
+        discount: float = DEFAULT_DISCOUNT,
+    ) -> "NgramKN":
+        if order < 2:
+            raise ValueError(f"NgramKN order must be >= 2, got {order}")
+        if not 0.0 < discount < 1.0:
+            raise ValueError(f"KN discount must be in (0, 1), got {discount}")
+        d = F.lit(float(discount))
+
+        def keys(k: int) -> list[str]:
+            return [f"w{i + 1}" for i in range(k)]
+
+        resident: list[DataFrame] = []
+        # top order: RAW counts — the one table that sees occurrence
+        # multiplicity.  Checkpointed: it feeds the numerator, the
+        # context totals, AND the order-(n−1) continuation counts.
+        cnt_n = (
+            doc_ngrams(corpus, order, text_col)
+            .groupBy(*keys(order))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        resident.append(cnt_n)
+        if cnt_n.limit(1).count() == 0:  # cheap: checkpointed table
+            for df in resident:
+                df.unpersist()
+            raise ValueError(
+                f"corpus has no length-{order} token windows — every "
+                "doc is shorter than the model order; lower `order` or "
+                "fit on real text"
+            )
+        # continuation counts per lower order, top-down: num_k(g) =
+        # N1+(· g) = distinct-predecessor count of g among (k+1)-gram
+        # TYPES.  The (k+1)-gram types come from the corpus for
+        # 2 ≤ k+1 < n (distinct over the map-only expansion) and from
+        # cnt_n's keys at k+1 = n.  Each adj_k is checkpointed — it
+        # has two consumers (numerator + context aggregate) and its
+        # lineage reaches back to a corpus scan.
+        adj: dict[int, DataFrame] = {}
+        for k in range(order - 1, 0, -1):
+            types_up = (
+                cnt_n.select(*keys(order))
+                if k + 1 == order
+                else doc_ngrams(corpus, k + 1, text_col).distinct()
+            )
+            adj[k] = (
+                types_up.groupBy(
+                    *[
+                        F.col(f"w{i + 2}").alias(f"w{i + 1}")
+                        for i in range(k)
+                    ]
+                )
+                .agg(F.count(F.lit(1)).alias("c"))
+                .localCheckpoint(eager=True)
+            )
+            resident.append(adj[k])
+        # unigram continuation distribution: N1+(· w) / N1+(· ·)
+        # (non-empty: the top-order guard above implies bigram types)
+        n1_total = adj[1].agg(F.sum("c")).collect()[0][0]  # one scalar
+        p1 = adj[1].select(
+            "w1", (F.col("c") / F.lit(float(n1_total))).alias("p1")
+        )
+        # per order k: context totals + λ from num_k, then the
+        # interpolated prob table bottom-up (the suffix of an observed
+        # k-gram is always an observed (k−1)-gram — it occurs with a
+        # predecessor — so the recursion join is inner and lossless)
+        num = {k: adj[k] for k in range(2, order)}
+        num[order] = cnt_n
+        lams: dict[int, DataFrame] = {}
+        probs: dict[int, DataFrame] = {}
+        prev = p1.select(F.col("w1").alias("_s1"), F.col("p1").alias("_pp"))
+        for k in range(2, order + 1):
+            ctx = num[k].groupBy(*keys(k - 1)).agg(
+                F.sum("c").alias("_denom"),
+                F.count(F.lit(1)).alias("_n1"),
+            )
+            lams[k] = ctx.select(
+                *keys(k - 1),
+                (d * F.col("_n1") / F.col("_denom")).alias("lam"),
+            )
+            suffix_cond = [
+                num[k][f"w{i + 2}"] == prev[f"_s{i + 1}"]
+                for i in range(k - 1)
+            ]
+            probs[k] = (
+                num[k]
+                .join(ctx, keys(k - 1))
+                .join(prev, suffix_cond)
+                .select(
+                    *keys(k),
+                    (
+                        F.greatest(F.col("c") - d, F.lit(0.0))
+                        / F.col("_denom")
+                        + (d * F.col("_n1") / F.col("_denom"))
+                        * F.col("_pp")
+                    ).alias("p"),
+                )
+            )
+            prev = probs[k].select(
+                *[F.col(f"w{i + 1}").alias(f"_s{i + 1}") for i in range(k)],
+                F.col("p").alias("_pp"),
+            )
+        return cls(order, probs, lams, p1, discount, _resident=resident)
+
+    # -- score -----------------------------------------------------------
+
+    def score(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        p_floor: float = 1e-9,
+    ) -> DataFrame:
+        """(id_col, n_ngrams, avg_nll) — per-document mean negative
+        log-likelihood of its order-n token windows, the CCNet-style
+        quality signal.  Docs with < order tokens report n_ngrams=0
+        and NULL avg_nll (no evidence ≠ perfect fluency), and NULL-id
+        docs keep their scores — both the BigramKN conventions."""
+        n = self.order
+        grams = doc_ngrams(docs, n, text_col, keep_cols=[id_col])
+        j = grams
+        # one left join per prob/λ table; at order k the evaluated
+        # suffix of the query gram is (w{n-k+1} … wn)
+        for k in range(2, n + 1):
+            lo = n - k  # 0-based offset of the order-k suffix
+            pk = self.probs[k].select(
+                *[
+                    F.col(f"w{i + 1}").alias(f"w{lo + i + 1}")
+                    for i in range(k)
+                ],
+                F.col("p").alias(f"_p{k}"),
+            )
+            j = j.join(pk, [f"w{lo + i + 1}" for i in range(k)], "left")
+            lk = self.lams[k].select(
+                *[
+                    F.col(f"w{i + 1}").alias(f"w{lo + i + 1}")
+                    for i in range(k - 1)
+                ],
+                F.col("lam").alias(f"_lam{k}"),
+            )
+            j = j.join(lk, [f"w{lo + i + 1}" for i in range(k - 1)], "left")
+        j = j.join(
+            self.p1.select(F.col("w1").alias(f"w{n}"), "p1"), [f"w{n}"], "left"
+        )
+        phat: Column = F.coalesce(F.col("p1"), F.lit(0.0))
+        for k in range(2, n + 1):
+            phat = F.coalesce(
+                F.col(f"_p{k}"),
+                F.coalesce(F.col(f"_lam{k}"), F.lit(1.0)) * phat,
+            )
+        scored = (
+            j.select(
+                id_col,
+                F.greatest(phat, F.lit(float(p_floor))).alias("_p"),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_ngrams"),
+                (-F.sum(F.log("_p")) / F.count(F.lit(1))).alias("avg_nll"),
+            )
+        )
+        ids = docs.select(id_col).distinct()
+        return ids.join(
+            scored,
+            on=ids[id_col].eqNullSafe(scored[id_col]),
+            how="left",
+        ).select(
+            ids[id_col].alias(id_col),
+            F.coalesce(F.col("n_ngrams"), F.lit(0)).alias("n_ngrams"),
+            "avg_nll",
+        )
+
+
 class BigramKN:
     """Fitted interpolated-KN bigram model: three driverless tables —
     ``probs`` (w1, w2, p) for observed bigrams, ``contexts`` (w1, lam)

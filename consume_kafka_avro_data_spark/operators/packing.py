@@ -79,7 +79,17 @@ def pack_sequences(
         .orderBy(F.asc_nulls_first(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = part.withColumn("_local_cum", F.sum("n_tokens").over(w))
+    # Pin ONE physical partition assignment before fanning out to two
+    # consumers (the totals collect below, then the final join):
+    # repartitionByRange re-samples its range bounds per job and
+    # spark_partition_id is whatever the re-run produced, so without
+    # this the second job could assign rows to different _pid values
+    # than the offsets were computed from — silently wrong cum_before
+    # on real data (sampled bounds), invisible on tiny corpora where
+    # sampling degenerates to exact bounds.
+    local = part.withColumn(
+        "_local_cum", F.sum("n_tokens").over(w)
+    ).localCheckpoint(eager=True)
     # pass 3: per-partition totals -> exclusive prefix offsets.  One
     # row per partition: driver-sized by construction at ANY corpus
     # size (this collect is the whole trick — the naive global window

@@ -109,13 +109,24 @@ def quality_probability(
     """Score documents with a fitted classifier: appends ``out_col`` =
     P(label=1 | text) and drops the pipeline's intermediate columns.
     NULL text scores as empty text (the corpus-wide NULL convention) —
-    the transformer would otherwise throw on nulls mid-scan."""
+    the transformer would otherwise throw on nulls mid-scan.
+
+    The caller's columns come back UNTOUCHED (NULL text stays NULL; a
+    pre-existing ``text`` column is never clobbered when scoring some
+    other ``text_col``): the originals ride through the transform
+    packed in a struct, and the model's fixed ``text`` input column is
+    a derived coalesced copy that never escapes."""
     from pyspark.ml.functions import vector_to_array
 
-    prepped = docs.withColumn("text", F.coalesce(F.col(text_col), F.lit("")))
+    orig = "_orig"
+    while orig in docs.columns:
+        orig += "_"
+    prepped = docs.select(
+        F.struct(*docs.columns).alias(orig),
+        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
+    )
     scored = model.transform(prepped)
     return scored.select(
-        *[c for c in docs.columns if c != text_col],
-        F.col(text_col),
+        *[F.col(orig).getField(c).alias(c) for c in docs.columns],
         vector_to_array(F.col("probability")).getItem(1).alias(out_col),
     )

@@ -873,20 +873,27 @@ def cell_centroids(
     reducer (no partial combine), so this is right when cells fit a
     task.  For the partial-aggregating scale path use
     ``cell_centroids_jvm``, which this is tested equal to."""
+    import pandas as pd
     from pyspark.sql.types import ArrayType, DoubleType
 
-    # explicit GROUPED_AGG: the type-hint path can't express a
-    # Series → array-scalar aggregate signature
-    @F.pandas_udf(ArrayType(DoubleType()), F.PandasUDFType.GROUPED_AGG)
+    # GROUPED_AGG selected by REAL __annotations__ objects (a
+    # Series → scalar signature; `list` is the array-scalar return) —
+    # inline hints are PEP 563 strings here and the PandasUDFType enum
+    # is deprecated
     def mean_vec(vecs):
         m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs]).mean(axis=0)
         return (m / max(float(np.linalg.norm(m)), 1e-12)).tolist()
 
+    mean_vec.__annotations__ = {"vecs": pd.Series, "return": list}
+    mean_vec = F.pandas_udf(mean_vec, ArrayType(DoubleType()))
+
     # pandas aggregates cannot mix with JVM aggregates in one agg(),
     # so the member count is a pandas aggregate too
-    @F.pandas_udf("long", F.PandasUDFType.GROUPED_AGG)
     def n_vec(vecs):
         return len(vecs)
+
+    n_vec.__annotations__ = {"vecs": pd.Series, "return": int}
+    n_vec = F.pandas_udf(n_vec, "long")
 
     return assigned.groupBy(cell_col).agg(
         mean_vec(F.col(vec_col)).alias("centroid"),

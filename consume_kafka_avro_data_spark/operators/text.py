@@ -411,12 +411,55 @@ def _merge_pair_expr(syms: Column, a: str, b: str) -> Column:
     )
 
 
+def _safe_merge_batch(
+    rows, limit: int, min_pair_count: int
+) -> list[tuple[str, str]]:
+    """From the round's ranked pair counts (desc count, asc a, asc b),
+    pick the longest PREFIX that provably trains identically to
+    sequential one-merge rounds, so callers can apply the whole batch
+    between recounts:
+
+    * prefix, not skip-and-continue: a skipped pair's count CHANGES
+      once an earlier overlapping merge applies, so everything ranked
+      after it must be re-ranked by a fresh count;
+    * symbol-disjoint: merging (a,b) only perturbs counts of pairs
+      touching a, b, or the created symbol a+b — a later batch member
+      whose symbols avoid every earlier member's {a, b, a+b} keeps its
+      exact count through the earlier applications;
+    * strict-drop trim: pairs the prefix EXCLUDED (and any new pairs
+      merges create, whose counts are bounded by an excluded parent's)
+      compete at ≤ the first excluded count — batch members at that
+      same count could lose the lexicographic tie-break sequentially,
+      so trim them and let the next recount decide.
+
+    The argmax itself (rows[0]) is always exact.  Returns [] when the
+    round should stop (no pairs / argmax under min_pair_count)."""
+    batch: list[tuple[str, str]] = []
+    used: set[str] = set()
+    for r in rows:
+        if len(batch) == limit or r["n"] < min_pair_count:
+            break
+        a, b = r["a"], r["b"]
+        if a in used or b in used:
+            break
+        batch.append((a, b))
+        used.update((a, b, a + b))
+    c_stop = rows[len(batch)]["n"] if len(batch) < len(rows) else None
+    if c_stop is not None:
+        counts = {(r["a"], r["b"]): r["n"] for r in rows}
+        while len(batch) > 1 and counts[batch[-1]] <= c_stop:
+            batch.pop()
+    return batch
+
+
 def bpe_train(
     corpus: DataFrame,
     text_col: str = "text",
     n_merges: int = 50,
     min_pair_count: int = 2,
     checkpoint_every: int = 8,
+    merges_per_round: int = 1,
+    stats: dict | None = None,
 ) -> list[tuple[str, str]]:
     """Learn a BPE merge table from a corpus (Sennrich 2016).  Returns
     the merges in training order — the driver-sized artifact
@@ -427,7 +470,22 @@ def bpe_train(
     so equal-frequency corpora train identical tables on any cluster
     layout (counts are exact integers).  Stops early when the best
     pair's count drops below ``min_pair_count`` (merging hapax pairs
-    memorizes the corpus instead of learning units)."""
+    memorizes the corpus instead of learning units).
+
+    ``merges_per_round`` batches Spark jobs, not semantics: each round
+    recounts once, then applies up to that many merges — restricted by
+    :func:`_safe_merge_batch` to the provably-sequential-identical
+    prefix — as chained fold expressions in ONE map pass.  The output
+    is pinned equal to ``merges_per_round=1`` (pytest); the win is the
+    driver round-trip count, the practical cap on vocab size (a 32k
+    production table at one job per merge ≈ 32k driver jobs).
+
+    ``stats``, when passed, receives ``{"rounds": <recount rounds>}``
+    so benchmarks can report the job-count saving directly."""
+    if merges_per_round < 1:
+        raise ValueError(
+            f"merges_per_round must be >= 1, got {merges_per_round}"
+        )
     types = _bpe_word_types(corpus, text_col).localCheckpoint(eager=True)
     # the ROOT holding checkpoint blocks: intermediate (non-checkpoint)
     # rounds derive from it lazily, so unpersisting the immediate
@@ -435,10 +493,14 @@ def bpe_train(
     # each time a new checkpoint supersedes it
     ck_root = types
     merges: list[tuple[str, str]] = []
+    folds_since_ck = 0
+    rounds = 0
     try:
-        for r in range(n_merges):
+        while len(merges) < n_merges:
+            rounds += 1
+            want = min(merges_per_round, n_merges - len(merges))
             s = F.col("syms")
-            pairs = (
+            rows = (
                 types.where(F.size(s) > 1)
                 .select(
                     "cnt",
@@ -452,29 +514,38 @@ def bpe_train(
                 )
                 .groupBy("p.a", "p.b")
                 .agg(F.sum("cnt").alias("n"))
-                # vocab-bounded argmax: ONE driver row per round
+                # vocab-bounded argmax (+ the tie-guard row): a few
+                # driver rows per ROUND, not per merge
                 .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-                .limit(1)
+                .limit(want + 1)
                 .collect()
             )
-            if not pairs or pairs[0]["n"] < min_pair_count:
-                break
-            a, b = pairs[0]["a"], pairs[0]["b"]
-            merges.append((a, b))
-            nxt = types.select(
-                "word", "cnt", _merge_pair_expr(s, a, b).alias("syms")
+            batch = (
+                _safe_merge_batch(rows, want, min_pair_count) if rows else []
             )
+            if not batch:
+                break
+            merges.extend(batch)
+            expr = s
+            for a, b in batch:  # chained folds: one map pass, rank order
+                expr = _merge_pair_expr(expr, a, b)
+            nxt = types.select("word", "cnt", expr.alias("syms"))
             # cut the fold-upon-fold plan periodically (iterative-
             # operator discipline; per-round checkpoints would pay an
-            # eager materialization per merge for nothing)
-            if (r + 1) % checkpoint_every == 0:
+            # eager materialization per merge for nothing).  Cadence
+            # counts FOLDS, not rounds — plan depth is what grows
+            folds_since_ck += len(batch)
+            if folds_since_ck >= checkpoint_every:
                 types = nxt.localCheckpoint(eager=True)
                 ck_root.unpersist()
                 ck_root = types
+                folds_since_ck = 0
             else:
                 types = nxt
         return merges
     finally:
+        if stats is not None:
+            stats["rounds"] = rounds
         ck_root.unpersist()
 
 
@@ -511,17 +582,29 @@ def bpe_segment(
             syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
         return syms
 
-    # explicit functionType, not type hints: PEP 563 string annotations
-    # + closure-local pandas make hint inference raise
-    # UNSUPPORTED_SIGNATURE (the repo-wide pandas_udf pattern)
-    @F.pandas_udf("array<string>", F.PandasUDFType.SCALAR)
-    def seg(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            pieces: list[str] = []
-            for w in pretoken.findall(t or ""):
-                pieces.extend(encode_word(w))
-            out.append(pieces)
-        return pd.Series(out)
+    # Iterator-of-series form (amortizes the closure/rank-table setup
+    # once per partition, not per Arrow batch).  The eval type comes
+    # from type hints — but this module uses PEP 563 string annotations
+    # and pandas is a local import, so inline hints would not resolve;
+    # assigning REAL type objects to __annotations__ sidesteps both
+    # (typing.get_type_hints returns non-string annotations verbatim)
+    # without the deprecated PandasUDFType enum.
+    from typing import Iterator
 
-    return df.withColumn(out_col, seg(F.col(text_col)))
+    def seg(batches):
+        for texts in batches:
+            out = []
+            for t in texts:
+                pieces: list[str] = []
+                for w in pretoken.findall(t or ""):
+                    pieces.extend(encode_word(w))
+                out.append(pieces)
+            yield pd.Series(out)
+
+    seg.__annotations__ = {
+        "batches": Iterator[pd.Series],
+        "return": Iterator[pd.Series],
+    }
+    seg_udf = F.pandas_udf(seg, returnType="array<string>")
+
+    return df.withColumn(out_col, seg_udf(F.col(text_col)))

@@ -419,18 +419,26 @@ def q_udaf_wavg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    @F.pandas_udf("double", F.PandasUDFType.GROUPED_AGG)
-    def wavg(q: pd.Series, p: pd.Series) -> float:
+    # eval type from REAL __annotations__ objects (PEP 563 string
+    # hints + the local pandas import defeat inline hints; the
+    # deprecated PandasUDFType enum is the thing being avoided) —
+    # series-to-scalar signature selects GROUPED_AGG
+    def wavg(q, p):
         qi = q.mul(100).round().astype("int64")
         pi = p.mul(100).round().astype("int64")
         return float(qi.mul(pi).sum()) / float(qi.sum())
 
+    wavg.__annotations__ = {"q": pd.Series, "p": pd.Series, "return": float}
+    wavg = F.pandas_udf(wavg, "double")
+
     # Catalyst refuses to mix GROUPED_AGG with JVM aggregates in one
     # agg (INVALID_PANDAS_UDF_PLACEMENT), so the row count rides the
     # same Arrow machinery
-    @F.pandas_udf("long", F.PandasUDFType.GROUPED_AGG)
-    def arrow_count(q: pd.Series) -> int:
+    def arrow_count(q):
         return int(len(q))
+
+    arrow_count.__annotations__ = {"q": pd.Series, "return": int}
+    arrow_count = F.pandas_udf(arrow_count, "long")
 
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(

@@ -88,6 +88,30 @@ def libpq_to_jdbc(conninfo: str) -> tuple[str, str | None, str | None]:
     )
 
 
+import re
+
+#: Strict SQL identifier shape for config-supplied table names — each
+#: dot-separated part (schema.table allowed) must be a plain unquoted
+#: identifier.  Names are interpolated into driver-side SQL text, so
+#: anything looser is an injection surface; the eager-validation policy
+#: (ConfigError at assembly, not a database error at the first batch)
+#: applies here exactly as it does to URLs.
+_IDENTIFIER_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _validate_table_name(name: str, what: str) -> str:
+    if not name:
+        raise ConfigError(f"JDBC {what} table name must be non-empty")
+    if not all(_IDENTIFIER_RE.match(part) for part in name.split(".")):
+        raise ConfigError(
+            f"JDBC {what} table name {name!r} is not a plain SQL "
+            "identifier (letters/digits/underscores, optionally "
+            "schema-qualified) — names are embedded in SQL statements, "
+            "so quoted or special-character names are refused"
+        )
+    return name
+
+
 def jdbc_writer_options(
     url: str,
     table: str,
@@ -109,8 +133,7 @@ def jdbc_writer_options(
             "reference's libpq URL (postgresql://…) maps to "
             "jdbc:postgresql://host:port/db"
         )
-    if not table:
-        raise ConfigError("JDBC staging table name must be non-empty")
+    _validate_table_name(table, "staging")
     opts = {
         "url": url,
         "dbtable": table,
@@ -133,6 +156,8 @@ def upsert_objects_sql(
     reference's exact conflict clause.  ``ON CONFLICT … DO NOTHING``
     also absorbs duplicates WITHIN the statement, so the UNION (itself
     a dedup across the two name columns) needs no further care."""
+    _validate_table_name(staging_table, "staging")
+    _validate_table_name(objects_table, "objects")
     return (
         f"INSERT INTO {objects_table}(object_name, object_type, created_at) "
         f"SELECT name, object_type, CAST(created_at AS date) FROM ("
@@ -152,6 +177,9 @@ def upsert_relationships_sql(
     with the reference's per-row ``get_object_id`` round-trips
     (Database.cpp:26-39) folded into joins: the database resolves every
     name→id in one pass instead of 2 SELECTs per triple."""
+    _validate_table_name(staging_table, "staging")
+    _validate_table_name(objects_table, "objects")
+    _validate_table_name(relationships_table, "relationships")
     return (
         f"INSERT INTO {relationships_table}"
         f"(source_id, target_id, relationship_name) "
@@ -161,6 +189,37 @@ def upsert_relationships_sql(
         f"JOIN {objects_table} tgt ON tgt.object_name = s.object "
         f"ON CONFLICT ON CONSTRAINT relationships_unique_constraint "
         f"DO NOTHING"
+    )
+
+
+def staged_triples(
+    triples: DataFrame, object_type: str, created_at: str | None
+) -> DataFrame:
+    """The staging projection, as a pure function so the databaseless
+    tier can pin its schema and defaults.
+
+    ``created_at`` defaults to the batch date (``current_date()``) —
+    the parquet ``GraphStore``'s default (operators/graph.py) and the
+    reference's behavior of stamping wall clock per record
+    (``src/KafkaConsumerCallback.cpp:94-99``).  Both paths stage a
+    DateType column: a provided string is cast eagerly (a NullType or
+    bare-string literal has no/fragile JDBC mapping, so the staging
+    write would otherwise throw at the first micro-batch), and the
+    upsert SQL's ``CAST(created_at AS date)`` — the reference's
+    ``$3::date`` — then passes a date through unchanged."""
+    from pyspark.sql import functions as F
+
+    created = (
+        F.current_date()
+        if created_at is None
+        else F.lit(created_at).cast("date")
+    )
+    return triples.select(
+        "subject",
+        "predicate",
+        "object",
+        F.lit(object_type).alias("object_type"),
+        created.alias("created_at"),
     )
 
 
@@ -227,15 +286,7 @@ class JdbcGraphSink:
         """Stage the batch's (subject, predicate, object) triples, then
         merge — the foreachBatch body (pass bound: ``writeStream.
         foreachBatch(sink.process_batch)``)."""
-        from pyspark.sql import functions as F
-
-        staged = triples.select(
-            "subject",
-            "predicate",
-            "object",
-            F.lit(self.object_type).alias("object_type"),
-            F.lit(self.created_at).alias("created_at"),
-        )
+        staged = staged_triples(triples, self.object_type, self.created_at)
         (
             staged.write.format("jdbc")
             .options(**self.options)

@@ -426,3 +426,121 @@ def test_replicated_probe_still_partition_prunes(spark, emb, qvec, tmp_path):
     )
     pf = partition_filters(idx._probe(qvec, nprobe=2))
     assert pf and any("_ivf_cell" in f for f in pf), pf
+
+
+# -- batch ADC serving tier (knn_join_adc) -------------------------------------
+
+
+def test_knn_join_adc_matches_per_query_adc(spark, emb, tmp_path):
+    """The codes-only batch path must return each query's query_adc
+    rows exactly — same probe cells (ranked q20 assignment), same LUT
+    values (both exact integer-valued doubles on the q20 grid), same
+    (adc_dist, id) ordering — on the replicated index too, with no
+    duplicate (query, id) pairs."""
+    for replicas, sub in ((1, "a1"), (3, "a3")):
+        idx = AnnIndex.build(
+            spark, emb, str(tmp_path / sub), n_cells=8, replicas=replicas
+        )
+        qs = _mk_queries(spark, emb, [1, 2, 5])
+        rows = idx.knn_join_adc(qs, k=5, nprobe=2).collect()
+        pairs = [(r.q_id, r.vec_id) for r in rows]
+        assert len(pairs) == len(set(pairs))
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.q_id, []).append(r)
+        assert set(by_q) == {1, 2, 5}
+        for q_id, got in by_q.items():
+            qv = (
+                emb.where(F.col("vec_id") == q_id).collect()[0]["embedding"]
+            )
+            want = idx.query_adc(qv, 5, nprobe=2).collect()
+            got = sorted(got, key=lambda r: r.rank)
+            assert [r.vec_id for r in got] == [r.vec_id for r in want], q_id
+            for g, w in zip(got, want):
+                assert g.adc_dist == pytest.approx(w.adc_dist, abs=1e-9)
+
+
+def test_knn_join_adc_rerank_matches_per_query_rerank(spark, emb, tmp_path):
+    """rerank=s must reproduce query_adc_rerank(shortlist=s) per query:
+    same ADC shortlist, same exact-cosine re-rank, same tie-breaks."""
+    for replicas, sub in ((1, "rr1"), (3, "rr3")):
+        idx = AnnIndex.build(
+            spark, emb, str(tmp_path / sub), n_cells=8, replicas=replicas
+        )
+        qs = _mk_queries(spark, emb, [1, 3, 7])
+        rows = idx.knn_join_adc(qs, k=5, nprobe=2, rerank=20).collect()
+        assert set(r.q_id for r in rows) == {1, 3, 7}
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.q_id, []).append(r)
+        for q_id, got in by_q.items():
+            qv = (
+                emb.where(F.col("vec_id") == q_id).collect()[0]["embedding"]
+            )
+            want = idx.query_adc_rerank(
+                qv, k=5, nprobe=2, shortlist=20
+            ).collect()
+            got = sorted(got, key=lambda r: r.rank)
+            assert [r.vec_id for r in got] == [r.vec_id for r in want], q_id
+            for g, w in zip(got, want):
+                assert g.score == pytest.approx(w.score, abs=1e-12)
+
+
+def test_knn_join_adc_scan_is_codes_only(spark, emb, tmp_path):
+    """The IO contract: with rerank=None the index scan reads
+    (id, codes [, partition col]) — the float embedding column must be
+    absent from the batch plan's ReadSchema."""
+    from consume_kafka_avro_data_spark.plans.inspect import (
+        read_schema_columns,
+    )
+
+    idx = AnnIndex.build(spark, emb, str(tmp_path / "io"), n_cells=8)
+    qs = _mk_queries(spark, emb, [1, 2])
+    out = idx.knn_join_adc(qs, k=5, nprobe=2)
+    cols = read_schema_columns(out, "vectors")
+    assert cols, "expected a parquet scan of the index in the plan"
+    assert "embedding" not in cols, cols
+    assert "pq_codes" in cols, cols
+
+
+def test_build_tuned_preset_applies_and_overrides(spark, emb, tmp_path):
+    """build_tuned = build + TUNED_BUILD_PARAMS (replicas=4, 8-bit PQ,
+    converged quantizer), reloadable, queryable — and an explicit
+    keyword wins over the preset."""
+    from consume_kafka_avro_data_spark.operators.ann_index import (
+        TUNED_BUILD_PARAMS,
+    )
+
+    idx = AnnIndex.build_tuned(
+        spark, emb, str(tmp_path / "tuned"), n_cells=8
+    )
+    assert idx.replicas == TUNED_BUILD_PARAMS["replicas"] == 4
+    assert idx.codebooks.shape[1] == TUNED_BUILD_PARAMS["k_codes"] == 256
+    got = idx.query_exact(
+        emb.where(F.col("vec_id") == 1).collect()[0]["embedding"], 5
+    ).collect()
+    assert got[0].vec_id == 1  # self-match survives the preset
+    reloaded = AnnIndex.load(spark, str(tmp_path / "tuned"))
+    assert reloaded.replicas == 4
+    over = AnnIndex.build_tuned(
+        spark, emb, str(tmp_path / "tuned_o"), n_cells=8, replicas=2
+    )
+    assert over.replicas == 2
+
+
+def test_shard_commit_key_sorts_numerically():
+    """compact()'s newest-kept truncation must follow commit order for
+    numeric batch ids ('b2' before 'b10'), not string order, and not
+    crash on heterogeneous id shapes."""
+    from consume_kafka_avro_data_spark.operators.ann_index import (
+        _shard_commit_key,
+    )
+
+    ids = ["b10", "b2", "10", "2", "init"]
+    assert sorted(ids, key=_shard_commit_key) == [
+        "2",
+        "10",
+        "b2",
+        "b10",
+        "init",
+    ]

@@ -90,6 +90,71 @@ def test_trainer_matches_reference_implementation(spark, corpus_df):
     assert "the" + BPE_EOW in joined or "the" in joined
 
 
+def test_batched_rounds_train_identical_table(spark, corpus_df):
+    """merges_per_round batches Spark jobs, not semantics: the safe
+    (prefix-disjoint, tie-trimmed) batch rule must produce the EXACT
+    sequential merge list at every batch size, incl. one larger than
+    the whole budget."""
+    want = bpe_train(corpus_df, n_merges=24, checkpoint_every=4)
+    for m in (2, 4, 8, 64):
+        got = bpe_train(
+            corpus_df, n_merges=24, checkpoint_every=4, merges_per_round=m
+        )
+        assert got == want, m
+    with pytest.raises(ValueError, match="merges_per_round"):
+        bpe_train(corpus_df, n_merges=4, merges_per_round=0)
+
+
+def test_batched_rounds_on_real_documents(spark, sf_dir):
+    """Same identity on real text at test SF — messier symbol overlap
+    structure than the toy corpus."""
+    from consume_kafka_avro_data_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("text").limit(64)
+    want = bpe_train(docs, n_merges=12)
+    assert bpe_train(docs, n_merges=12, merges_per_round=6) == want
+
+
+def test_safe_merge_batch_rules():
+    """The batch selector in isolation: prefix stop at the first
+    symbol-sharing pair (never skip-and-continue), overlap via the
+    CREATED symbol counts as sharing, and members tying the first
+    excluded count are trimmed (they could lose the sequential
+    lexicographic tie-break)."""
+    from consume_kafka_avro_data_spark.operators.text import (
+        _safe_merge_batch,
+    )
+
+    def rows(*triples):
+        return [{"a": a, "b": b, "n": n} for a, b, n in triples]
+
+    # plain disjoint prefix, all accepted
+    assert _safe_merge_batch(
+        rows(("a", "b", 9), ("c", "d", 7), ("e", "f", 5)), 2, 2
+    ) == [("a", "b"), ("c", "d")]
+    # second pair shares 'b' -> stop AT it, don't skip to (e,f)
+    assert _safe_merge_batch(
+        rows(("a", "b", 9), ("b", "c", 7), ("e", "f", 5)), 3, 2
+    ) == [("a", "b")]
+    # sharing via the merged output: 'ab' is created by the first merge
+    assert _safe_merge_batch(
+        rows(("a", "b", 9), ("ab", "c", 7)), 2, 2
+    ) == [("a", "b")]
+    # tie with the first excluded count trims the tying member...
+    assert _safe_merge_batch(
+        rows(("a", "b", 9), ("c", "d", 7), ("x", "a", 7)), 2, 2
+    ) == [("a", "b")]
+    # ...but the argmax itself is never trimmed
+    assert _safe_merge_batch(
+        rows(("a", "b", 7), ("x", "a", 7)), 2, 2
+    ) == [("a", "b")]
+    # min_pair_count stops acceptance; argmax below it means no batch
+    assert _safe_merge_batch(
+        rows(("a", "b", 9), ("c", "d", 1)), 2, 2
+    ) == [("a", "b")]
+    assert _safe_merge_batch(rows(("a", "b", 1)), 2, 2) == []
+
+
 def test_trainer_on_real_documents(spark, sf_dir):
     """Same contract on the documents table at test SF: Spark trainer ==
     reference trainer on identical text (pins the JVM/Python regex

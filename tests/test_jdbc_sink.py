@@ -89,6 +89,53 @@ def test_custom_table_names_thread_through():
     assert "INSERT INTO rel(" in sql and sql.count("JOIN obj") == 2
 
 
+def test_table_names_validated_as_identifiers():
+    """Config-supplied table names are interpolated into driver-side
+    SQL text, so anything that isn't a plain (optionally
+    schema-qualified) identifier must be refused eagerly — in the
+    writer options AND in both statement builders."""
+    for bad in ("t; DROP TABLE objects", 'a"b', "t name", "", "1t", "t-x"):
+        with pytest.raises(ConfigError):
+            jdbc_writer_options(URL, bad)
+        with pytest.raises(ConfigError):
+            upsert_objects_sql(bad)
+        with pytest.raises(ConfigError):
+            upsert_relationships_sql("s", relationships_table=bad)
+    # schema-qualified names are fine
+    assert "graph.objects" in upsert_objects_sql(
+        "etl.staging", objects_table="graph.objects"
+    )
+
+
+def test_staged_triples_created_at_defaults_to_batch_date(spark):
+    """The reference stamps wall-clock created_at per record
+    (src/KafkaConsumerCallback.cpp:94-99) and the parquet GraphStore
+    defaults to current_date(); the JDBC staging projection must do the
+    same — NOT a NULL literal, which (a) diverges from both and (b) is
+    a NullType Spark's JDBC writer cannot map.  Both paths must stage
+    DateType so the staging DDL is stable across configs."""
+    import datetime
+
+    from consume_kafka_avro_data_spark.operators.graph import triples_from
+    from consume_kafka_avro_data_spark.sources.jdbc import staged_triples
+
+    df = spark.createDataFrame([("a", "knows", "b")], ["S", "P", "O"])
+    triples = triples_from(df, "S", "P", "O")
+
+    defaulted = staged_triples(triples, "MyObjectType", None)
+    pinned = staged_triples(triples, "MyObjectType", "2024-01-01")
+    assert [f.name for f in defaulted.schema.fields] == [
+        "subject", "predicate", "object", "object_type", "created_at",
+    ]
+    for frame in (defaulted, pinned):
+        assert frame.schema["created_at"].dataType.simpleString() == "date"
+    row = defaulted.select("object_type", "created_at").first()
+    assert row["object_type"] == "MyObjectType"
+    # tolerate a session-timezone day-boundary skew vs the OS clock
+    assert abs((row["created_at"] - datetime.date.today()).days) <= 1
+    assert pinned.select("created_at").first()[0] == datetime.date(2024, 1, 1)
+
+
 def test_sink_requires_driver_jar(spark):
     """Jar-less sandbox: construction must fail fast with the pinned
     --packages coordinate in the message (not at the first batch)."""

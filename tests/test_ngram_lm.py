@@ -1,0 +1,267 @@
+"""Order-n interpolated Kneser-Ney (operators/lm.NgramKN): the Spark
+fit must reproduce a pure-Python implementation of the Chen & Goodman
+recursion value-for-value at every order, satisfy the per-context
+Σ_w P_k(w|ctx) = 1 mass law at EVERY backoff tier, reproduce BigramKN
+exactly at order 2, back off per the formula at score time, and score
+the documents table end to end."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from consume_kafka_avro_data_spark.operators.lm import (
+    BigramKN,
+    NgramKN,
+    doc_ngrams,
+)
+
+CORPUS = [
+    "the cat sat on the mat",
+    "the dog sat on the rug",
+    "a cat and a dog sat",
+    "the cat saw the dog run",
+    "a dog saw the cat",
+]
+
+
+def _ref_ngram_kn(texts, order, discount=0.75):
+    """The published interpolated-KN recursion, computed the slow
+    obvious way: raw counts at the top order, continuation counts
+    N1+(· g) (distinct predecessors among (k+1)-gram types) below,
+    unigram = continuation distribution.  Returns (phat, tables) where
+    phat(gram) evaluates the full backoff cascade for ANY n-tuple and
+    tables = (num, denom, n1, lam, p1) keyed per order for
+    value-for-value pinning."""
+    raw = {k: Counter() for k in range(2, order + 1)}
+    for t in texts:
+        toks = t.lower().split()
+        for k in range(2, order + 1):
+            raw[k].update(
+                tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)
+            )
+    # continuation counts: adj[k][g] = |{w0 : (w0 + g) is a (k+1)-gram type}|
+    adj = {k: Counter() for k in range(1, order)}
+    for k in range(1, order):
+        for g in raw[k + 1]:
+            adj[k][g[1:]] += 1
+    num = {k: adj[k] for k in range(2, order)}
+    num[order] = raw[order]
+    n1_total = sum(adj[1].values())
+    p1 = {g[0]: c / n1_total for g, c in adj[1].items()}
+    denom, n1, lam = {}, {}, {}
+    for k in range(2, order + 1):
+        denom[k], n1[k] = Counter(), Counter()
+        for g, c in num[k].items():
+            denom[k][g[:-1]] += c
+            n1[k][g[:-1]] += 1
+        lam[k] = {
+            ctx: discount * n1[k][ctx] / denom[k][ctx] for ctx in denom[k]
+        }
+
+    def phat(gram):  # full backoff cascade for an order-len(gram) query
+        k = len(gram)
+        if k == 1:
+            return p1.get(gram[0], 0.0)
+        lower = phat(gram[1:])
+        ctx = gram[:-1]
+        if gram in num[k]:
+            return (
+                max(num[k][gram] - discount, 0.0) / denom[k][ctx]
+                + lam[k][ctx] * lower
+            )
+        if ctx in denom[k]:
+            return lam[k][ctx] * lower
+        return lower
+
+    return phat, num, denom, n1, lam, p1
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame([(t,) for t in CORPUS], "text string")
+
+
+@pytest.fixture(scope="module")
+def tri(corpus_df):
+    m = NgramKN.fit(corpus_df, order=3)
+    yield m
+    m.unpersist()
+
+
+def test_fit_matches_reference_at_every_order(tri):
+    """Every observed gram's interpolated probability and every
+    context's λ, at BOTH orders, plus the continuation unigram — equal
+    to the pure-Python recursion (same integer counts, same
+    divisions)."""
+    phat, num, denom, n1, lam, p1 = _ref_ngram_kn(CORPUS, order=3)
+    got_p1 = {r.w1: r.p1 for r in tri.p1.collect()}
+    assert got_p1 == pytest.approx(p1)
+    for k in (2, 3):
+        got_lam = {
+            tuple(r[f"w{i + 1}"] for i in range(k - 1)): r.lam
+            for r in tri.lams[k].collect()
+        }
+        assert got_lam == pytest.approx(lam[k]), k
+        got_p = {
+            tuple(r[f"w{i + 1}"] for i in range(k)): r.p
+            for r in tri.probs[k].collect()
+        }
+        assert set(got_p) == set(num[k]), k
+        for g, got in got_p.items():
+            assert got == pytest.approx(phat(g), abs=1e-15), g
+
+
+def test_mass_law_at_every_tier(tri):
+    """Σ_w P̂_k(w | ctx) = 1 for every SEEN context at every order —
+    the signature KN invariant, evaluated over the full continuation
+    vocabulary with the same backoff cascade the scorer uses."""
+    phat, num, denom, n1, lam, p1 = _ref_ngram_kn(CORPUS, order=3)
+    vocab = list(p1)
+    for k in (2, 3):
+        for ctx in denom[k]:
+            total = sum(phat(ctx + (w,)) for w in vocab)
+            assert total == pytest.approx(1.0, abs=1e-12), (k, ctx)
+
+
+def test_order2_reproduces_bigram_model(corpus_df):
+    """NgramKN(order=2) must equal BigramKN value-for-value — same
+    prob table, same λ, same continuation distribution, same doc
+    scores (the generalization is a strict superset)."""
+    big = BigramKN.fit(corpus_df)
+    gen = NgramKN.fit(corpus_df, order=2)
+    try:
+        want = {(r.w1, r.w2): r.p for r in big.probs.collect()}
+        got = {(r.w1, r.w2): r.p for r in gen.probs[2].collect()}
+        assert got == pytest.approx(want, abs=1e-15)
+        want_lam = {r.w1: r.lam for r in big.contexts.collect()}
+        got_lam = {r.w1: r.lam for r in gen.lams[2].collect()}
+        assert got_lam == pytest.approx(want_lam)
+        spark = corpus_df.sparkSession
+        docs = spark.createDataFrame(
+            [(1, "the cat sat"), (2, "zzz qqq"), (3, "solo")],
+            "doc_id long, text string",
+        )
+        want_s = {r.doc_id: r for r in big.score(docs).collect()}
+        got_s = {r.doc_id: r for r in gen.score(docs).collect()}
+        for i in (1, 2, 3):
+            assert got_s[i].n_ngrams == want_s[i].n_bigrams, i
+            if want_s[i].avg_nll is None:
+                assert got_s[i].avg_nll is None
+            else:
+                assert got_s[i].avg_nll == pytest.approx(want_s[i].avg_nll)
+    finally:
+        big.unpersist()
+        gen.unpersist()
+
+
+def test_score_backoff_tiers(spark, tri):
+    """One doc per backoff tier of the trigram cascade, pinned against
+    the reference cascade: observed trigram; unseen trigram in a seen
+    trigram context; unseen trigram context falling to an observed
+    bigram; fully-OOV (floored); and a 2-token doc (no trigrams →
+    NULL score)."""
+    phat, *_ = _ref_ngram_kn(CORPUS, order=3)
+    floor = 1e-9
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),  # observed trigram
+            (2, "the cat run"),  # seen ctx (the,cat), unseen trigram
+            (3, "mat a cat"),  # unseen ctx (mat,a) -> bigram tier
+            (4, "zzz qqq xxx"),  # fully OOV -> floor
+            (5, "the cat"),  # < order tokens: no evidence
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in tri.score(docs, p_floor=floor).collect()}
+    assert got[1].avg_nll == pytest.approx(
+        -math.log(phat(("the", "cat", "sat")))
+    )
+    assert got[2].avg_nll == pytest.approx(
+        -math.log(phat(("the", "cat", "run")))
+    )
+    assert got[3].avg_nll == pytest.approx(
+        -math.log(phat(("mat", "a", "cat")))
+    )
+    assert got[4].avg_nll == pytest.approx(-math.log(floor))
+    assert got[5].n_ngrams == 0 and got[5].avg_nll is None
+    assert all(got[i].n_ngrams == 1 for i in (1, 2, 3, 4))
+
+
+def test_doc_ngrams_shape_and_shuffle_freedom(spark, corpus_df):
+    """doc→gram expansion stays map-only (no Exchange); short/NULL
+    docs emit nothing; a doc with exactly `order` tokens emits one
+    row; window count is len−order+1."""
+    tg = doc_ngrams(corpus_df, 3)
+    plan = tg._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        tg._jdf.queryExecution(), "simple"
+    )
+    assert "Exchange" not in plan
+    docs = spark.createDataFrame(
+        [(None,), ("",), ("a b",), ("a b c",), ("a b c d",)], "text string"
+    )
+    assert doc_ngrams(docs, 3).count() == 3  # 0+0+0+1+2
+    row = doc_ngrams(spark.createDataFrame([("x y z",)], "text string"), 3).first()
+    assert (row.w1, row.w2, row.w3) == ("x", "y", "z")
+    with pytest.raises(ValueError, match="order"):
+        doc_ngrams(docs, 0)
+
+
+def test_fit_validates(corpus_df):
+    with pytest.raises(ValueError, match="order"):
+        NgramKN.fit(corpus_df, order=1)
+    with pytest.raises(ValueError, match="discount"):
+        NgramKN.fit(corpus_df, order=3, discount=1.0)
+
+
+def test_fit_refuses_corpus_with_no_windows(spark):
+    """Every doc shorter than the order → no top-order evidence at all:
+    fail loudly at fit (the alternative is a model of NULL divisions
+    that scores everything at the floor)."""
+    docs = spark.createDataFrame([("a b",), ("x",)], "text string")
+    with pytest.raises(ValueError, match="no length-3"):
+        NgramKN.fit(docs, order=3)
+
+
+def test_natural_order_beats_shuffled(spark, tri):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "mat the on sat cat the")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.avg_nll for r in tri.score(docs).collect()}
+    assert got[1] < got[2]
+
+
+def test_null_id_doc_keeps_its_score(spark, tri):
+    docs = spark.createDataFrame(
+        [(None, "the cat sat"), (7, "the cat sat")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in tri.score(docs).collect()}
+    assert rows[None].n_ngrams == 1
+    assert rows[None].avg_nll == pytest.approx(rows[7].avg_nll)
+
+
+def test_trigram_on_documents_table(spark, sf_dir):
+    """End-to-end smoke at test SF: fit a trigram on half the corpus,
+    score the other half — every doc gets a row, docs with trigram
+    evidence get finite positive NLL."""
+    from consume_kafka_avro_data_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    held = docs.where(F.col("doc_id") % 2 == 1)
+    lm = NgramKN.fit(train, order=3)
+    try:
+        out = lm.score(held)
+        assert out.count() == held.count()
+        bad = out.where(
+            (F.col("n_ngrams") > 0)
+            & (F.col("avg_nll").isNull() | (F.col("avg_nll") <= 0))
+        )
+        assert bad.count() == 0
+    finally:
+        lm.unpersist()

@@ -80,6 +80,26 @@ def test_output_shape_and_null_text(spark, model):
     rows = {r.doc_id: r for r in out.collect()}
     assert 0.0 <= rows[1].quality_prob <= 1.0
     assert 0.0 <= rows[2].quality_prob <= 1.0  # NULL text did not throw
+    # caller columns come back UNTOUCHED: the coalesced scoring copy
+    # must not leak — NULL text stays NULL in the output
+    assert rows[1].text == "the quick brown fox"
+    assert rows[2].text is None
+
+
+def test_scoring_other_column_leaves_text_alone(spark, model):
+    """Scoring text_col='body' on a frame that ALSO has a 'text' column
+    must not clobber it (the model's fixed input column is an internal
+    derived copy, never the caller's)."""
+    docs = spark.createDataFrame(
+        [(1, "great clean prose", "KEEP ME")],
+        "doc_id long, body string, text string",
+    )
+    out = quality_probability(model, docs, text_col="body")
+    assert out.columns == ["doc_id", "body", "text", "quality_prob"]
+    row = out.first()
+    assert row.text == "KEEP ME"
+    assert row.body == "great clean prose"
+    assert 0.0 <= row.quality_prob <= 1.0
 
 
 def test_training_frame_validates_and_hides_leaky_columns(spark, corpora):
