@@ -39,6 +39,9 @@ per seen context — the signature KN invariant.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from consume_kafka_avro_data_spark.operators.dedup import tokens_col
@@ -269,6 +272,62 @@ class NgramKN:
                 F.col("p").alias("_pp"),
             )
         return cls(order, probs, lams, p1, discount, _resident=resident)
+
+    # -- persistence -------------------------------------------------------
+
+    #: model sidecar name (fsio-addressed, like AnnIndex's)
+    META = "_kn_meta.json"
+
+    def save(self, path: str) -> None:
+        """Persist the fitted model: per-order prob/λ tables and the
+        continuation unigram as parquet directories plus one JSON
+        sidecar (order/discount) whose atomic replace is the commit
+        point — the deployed fit-once/score-many shape (CCNet ships its
+        filter as a KenLM artifact; this is the relational analog).
+        Probabilities are exact float64 through parquet, so a loaded
+        model scores BIT-IDENTICALLY (pinned by pytest).  Overwrites
+        any model previously saved at ``path`` IN PLACE — handles
+        loaded before the overwrite go stale (standard overwritten-
+        parquet semantics); for concurrent-reader safety save to a
+        fresh path and swap the pointer, the AnnIndex generation
+        pattern."""
+        from consume_kafka_avro_data_spark.fsio import fs_for
+
+        spark = self.p1.sparkSession
+        io = fs_for(spark, path)
+        for k in range(2, self.order + 1):
+            self.probs[k].write.mode("overwrite").parquet(
+                os.path.join(path, f"probs_{k}")
+            )
+            self.lams[k].write.mode("overwrite").parquet(
+                os.path.join(path, f"lams_{k}")
+            )
+        self.p1.write.mode("overwrite").parquet(os.path.join(path, "p1"))
+        meta = {"order": self.order, "discount": self.discount}
+        tmp = os.path.join(path, self.META + ".tmp")
+        io.write_bytes(tmp, json.dumps(meta).encode())
+        io.rename_overwrite(tmp, os.path.join(path, self.META))
+
+    @classmethod
+    def load(cls, spark, path: str) -> "NgramKN":
+        """Reopen a saved model: tables read lazily from parquet (no
+        corpus, no fit pass, no resident checkpoint state — unpersist()
+        is a no-op on a loaded model)."""
+        from consume_kafka_avro_data_spark.fsio import fs_for
+
+        io = fs_for(spark, path)
+        meta = json.loads(io.read_bytes(os.path.join(path, cls.META)))
+        order = int(meta["order"])
+        probs = {
+            k: spark.read.parquet(os.path.join(path, f"probs_{k}"))
+            for k in range(2, order + 1)
+        }
+        lams = {
+            k: spark.read.parquet(os.path.join(path, f"lams_{k}"))
+            for k in range(2, order + 1)
+        }
+        p1 = spark.read.parquet(os.path.join(path, "p1"))
+        return cls(order, probs, lams, p1, float(meta["discount"]))
 
     # -- score -----------------------------------------------------------
 

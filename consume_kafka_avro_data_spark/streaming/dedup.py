@@ -96,6 +96,9 @@ class StreamingDedupIngest(BoundedReplayMixin):
         quality_model=None,
         quality_model_threshold: float = 0.5,
         model_rejects_dir: str | None = None,
+        lm_model=None,
+        lm_threshold: float | None = None,
+        lm_rejects_dir: str | None = None,
         eval_docs: DataFrame | None = None,
         contam_gram_n: int = 8,
         contam_min_hits: int = 1,
@@ -128,6 +131,22 @@ class StreamingDedupIngest(BoundedReplayMixin):
         (tokenize → hash → LR transform; no Python workers), so this
         gate too adds no shuffle.  Gate order: heuristic first (cheaper
         expressions), model second, decontamination last.
+
+        ``lm_model`` (+ required ``lm_threshold``) enables the
+        PERPLEXITY gate at ingest — the CCNet deployment shape (Wenzek
+        et al. 2020 filter web text by LM perplexity under a model fit
+        on trusted text): a fitted ``operators/lm`` model
+        (``NgramKN``/``BigramKN``, typically ``NgramKN.load``-ed once
+        at stream start) scores each batch and docs with
+        ``avg_nll > lm_threshold`` are rejected before signing,
+        counted into ``rejected_docs``, optionally persisted with
+        their scores to ``lm_rejects_dir`` (same replay contract).
+        Docs too short for the model's order (``n_ngrams=0``, NULL
+        score) PASS — no evidence is not evidence of junk; pair with
+        the heuristic gate's length features to cut shorts.  Unlike
+        the two quality gates this one shuffles (the score is a
+        per-doc aggregate over joined n-grams), so it runs after
+        them, on their survivors only.
 
         ``eval_docs`` enables DECONTAMINATION AT INGEST (the streaming
         form of q_decontaminate/q_decontaminate_bloom): a static frame
@@ -182,6 +201,23 @@ class StreamingDedupIngest(BoundedReplayMixin):
         self.quality_model = quality_model
         self.quality_model_threshold = quality_model_threshold
         self.model_rejects_dir = model_rejects_dir
+        if lm_model is not None:
+            if not hasattr(lm_model, "score"):
+                raise TypeError(
+                    "lm_model must be a fitted operators/lm model (has "
+                    ".score) — fit with NgramKN.fit or reopen with "
+                    "NgramKN.load"
+                )
+            if lm_threshold is None:
+                # an LM gate with no threshold silently rejects nothing
+                # — demand the deployment choose its cut
+                raise ValueError(
+                    "lm_model requires lm_threshold (the avg_nll cut; "
+                    "calibrate on a held-out slice of the trusted corpus)"
+                )
+        self.lm_model = lm_model
+        self.lm_threshold = lm_threshold
+        self.lm_rejects_dir = lm_rejects_dir
         self.contam_gram_n = contam_gram_n
         self.contam_min_hits = contam_min_hits
         self.contam_dir = contam_dir
@@ -432,6 +468,35 @@ class StreamingDedupIngest(BoundedReplayMixin):
             if n_model_rejected:
                 batch = self._anti_by_id(batch, model_rejects)
             n_rejected += n_model_rejected
+        lm_rejects = None
+        if self.lm_model is not None:
+            # CCNet-style perplexity cut on the cheaper gates'
+            # survivors; avg_nll NULL (doc shorter than the model
+            # order) never exceeds the threshold, so shorts pass
+            scored_lm = self.lm_model.score(
+                batch.select(self.id_col, self.text_col),
+                text_col=self.text_col,
+                id_col=self.id_col,
+            )
+            lm_rejects = (
+                scored_lm.where(F.col("avg_nll") > self.lm_threshold)
+                .select(self.id_col, "n_ngrams", "avg_nll")
+                .localCheckpoint(eager=True)  # dir write + count + anti-join
+            )
+            if self.lm_rejects_dir:
+                # partition by batch id + dynamic overwrite: a replayed
+                # batch REPLACES its own rows (same contract as rejects)
+                (
+                    lm_rejects.withColumn("batch_id", F.lit(batch_id))
+                    .write.partitionBy("batch_id")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .mode("overwrite")
+                    .parquet(self.lm_rejects_dir)
+                )
+            n_lm_rejected = lm_rejects.count()
+            if n_lm_rejected:
+                batch = self._anti_by_id(batch, lm_rejects)
+            n_rejected += n_lm_rejected
         n_contam = 0
         contam = None
         if self._eval_grams is not None:
@@ -652,6 +717,8 @@ class StreamingDedupIngest(BoundedReplayMixin):
                 rejects.unpersist()
             if model_rejects is not None:
                 model_rejects.unpersist()
+            if lm_rejects is not None:
+                lm_rejects.unpersist()
             if contam is not None:
                 contam.unpersist()
 

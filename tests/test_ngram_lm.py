@@ -265,3 +265,67 @@ def test_trigram_on_documents_table(spark, sf_dir):
         assert bad.count() == 0
     finally:
         lm.unpersist()
+
+
+def test_save_load_scores_identically(spark, tmp_path, tri):
+    """The deployed shape: persist the fitted tables, reopen in a
+    fresh handle with NO corpus access, and score BIT-IDENTICALLY
+    (probabilities are exact float64 through parquet)."""
+    path = str(tmp_path / "kn3")
+    tri.save(path)
+    loaded = NgramKN.load(spark, path)
+    assert loaded.order == 3
+    assert loaded.discount == tri.discount
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "mat a cat zzz"), (3, "hi")],
+        "doc_id long, text string",
+    )
+    want = {r.doc_id: (r.n_ngrams, r.avg_nll) for r in tri.score(docs).collect()}
+    got = {
+        r.doc_id: (r.n_ngrams, r.avg_nll) for r in loaded.score(docs).collect()
+    }
+    assert got == want
+    loaded.unpersist()  # no-op on a loaded model; must not raise
+    # save is an overwrite: saving again on top round-trips cleanly
+    # for handles opened AFTER the overwrite (pre-overwrite handles go
+    # stale, as with any overwritten parquet path — see save()'s note)
+    tri.save(path)
+    re_loaded = NgramKN.load(spark, path)
+    assert re_loaded.order == 3
+    assert re_loaded.p1.count() == tri.p1.count()
+
+
+def test_order4_matches_reference(spark):
+    """The recursion at depth: order-4 fit pinned value-for-value
+    against the pure-Python reference at every tier (the CCNet filter
+    is a 5-gram; 4 exercises >1 continuation-count hop)."""
+    corpus = [t + " and then some more words follow here" for t in CORPUS]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    m = NgramKN.fit(df, order=4)
+    try:
+        phat, num, denom, n1, lam, p1 = _ref_ngram_kn(corpus, order=4)
+        got_p1 = {r.w1: r.p1 for r in m.p1.collect()}
+        assert got_p1 == pytest.approx(p1)
+        for k in (2, 3, 4):
+            got_p = {
+                tuple(r[f"w{i + 1}"] for i in range(k)): r.p
+                for r in m.probs[k].collect()
+            }
+            assert set(got_p) == set(num[k]), k
+            for g, got in got_p.items():
+                assert got == pytest.approx(phat(g), abs=1e-15), g
+        # spot-check the 4-tier score cascade
+        docs = spark.createDataFrame(
+            [(1, corpus[0]), (2, "zzz qqq xxx www")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in m.score(docs).collect()}
+        toks = corpus[0].split()
+        want = sum(
+            -math.log(max(phat(tuple(toks[i : i + 4])), 1e-9))
+            for i in range(len(toks) - 3)
+        ) / (len(toks) - 3)
+        assert rows[1].avg_nll == pytest.approx(want)
+        assert rows[2].avg_nll == pytest.approx(-math.log(1e-9))
+    finally:
+        m.unpersist()

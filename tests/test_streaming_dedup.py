@@ -632,3 +632,97 @@ def test_quality_model_validated_eagerly(spark, tmp_path):
             checkpoint_dir=str(tmp_path / "ckpt"),
             quality_model="/some/path",  # a path, not a fitted model
         )
+
+
+def test_lm_perplexity_gate_at_ingest(spark, tmp_path):
+    """The CCNet-shaped perplexity gate (operators/lm model riding the
+    dedup ingest): word-salad docs score high avg_nll and are rejected
+    BEFORE signing; in-domain docs and docs too short for the model
+    order (NULL score) pass; scores land in lm_rejects_dir under the
+    replay contract; a full fresh-checkpoint replay is byte-stable."""
+    from pyspark.sql import functions as F
+
+    from consume_kafka_avro_data_spark.operators.lm import NgramKN
+
+    trusted = [
+        (i, BASE) for i in range(20)
+    ] + [(100 + i, FAR) for i in range(20)]
+    lm = NgramKN.fit(
+        spark.createDataFrame(trusted, "doc_id long, text string"), order=2
+    )
+    # calibrate the cut between in-domain and scrambled text
+    probe = spark.createDataFrame(
+        [(1, BASE), (2, " ".join(reversed(BASE.split())))],
+        "doc_id long, text string",
+    )
+    nll = {r.doc_id: r.avg_nll for r in lm.score(probe).collect()}
+    assert nll[1] < nll[2]
+    cut = (nll[1] + nll[2]) / 2
+
+    salad = " ".join(reversed(BASE.split()))
+    batches = [
+        [(1, BASE), (2, salad)],
+        [(3, FAR), (4, salad), (5, "hi")],  # 5: 1 token < order → passes
+    ]
+
+    def build(tag):
+        return StreamingDedupIngest(
+            spark,
+            store_dir=str(tmp_path / "store"),
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+            dupes_dir=str(tmp_path / "dupes"),
+            lm_model=lm,
+            lm_threshold=cut,
+            lm_rejects_dir=str(tmp_path / "lm_rejects"),
+        )
+
+    stream = _doc_stream(spark, tmp_path, batches)
+    m = build("a").run_to_completion(stream)
+    assert m.docs == 5
+    assert m.rejected_docs == 2  # both salad docs gated
+    assert m.dup_docs == 0  # doc 4 (dup of REJECTED 2) never signed
+    stored = sorted(
+        r["_id"]
+        for r in StreamingDedupIngest(
+            spark,
+            store_dir=str(tmp_path / "store"),
+            checkpoint_dir=str(tmp_path / "ckpt_probe"),
+        ).store.read().collect()
+    )
+    assert stored == [1, 3, 5]  # the short doc passed the gate
+    rej = spark.read.parquet(str(tmp_path / "lm_rejects"))
+    got = {(r.doc_id, r.batch_id) for r in rej.collect()}
+    assert got == {(2, 0), (4, 1)}
+    assert all(r.avg_nll > cut for r in rej.collect())
+
+    # full replay, fresh checkpoint: byte-stable
+    m2 = build("b").run_to_completion(_doc_stream(spark, tmp_path, []))
+    assert m2.rejected_docs == 2 and m2.dup_docs == 0
+    assert spark.read.parquet(str(tmp_path / "lm_rejects")).count() == 2
+    lm.unpersist()
+
+
+def test_lm_gate_validated_eagerly(spark, tmp_path):
+    from consume_kafka_avro_data_spark.operators.lm import NgramKN
+
+    with pytest.raises(TypeError, match="score"):
+        StreamingDedupIngest(
+            spark,
+            store_dir=str(tmp_path / "s1"),
+            checkpoint_dir=str(tmp_path / "c1"),
+            lm_model="/a/path",
+        )
+    lm = NgramKN.fit(
+        spark.createDataFrame([(1, BASE)], "doc_id long, text string"),
+        order=2,
+    )
+    try:
+        with pytest.raises(ValueError, match="lm_threshold"):
+            StreamingDedupIngest(
+                spark,
+                store_dir=str(tmp_path / "s2"),
+                checkpoint_dir=str(tmp_path / "c2"),
+                lm_model=lm,  # threshold missing
+            )
+    finally:
+        lm.unpersist()
