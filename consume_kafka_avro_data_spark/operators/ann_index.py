@@ -477,9 +477,14 @@ class AnnIndex:
         # commit-order sort, NOT lexicographic: shard ids are usually
         # numeric batch ids, and 'b10' < 'b2' string-sorting would let
         # the newest-kept truncation below evict numerically NEWER ids
-        # first, shrinking the replay no-op window out of order
-        folded = doc["compacted_shards"] + sorted(
-            shards, key=_shard_commit_key
+        # first, shrinking the replay no-op window out of order.  The
+        # INHERITED list is re-sorted too (a meta written by an older
+        # lexicographic version keeps a misordered tail otherwise) —
+        # batch ids are monotone per stream, so natural order IS commit
+        # order across the union
+        folded = sorted(
+            set(doc["compacted_shards"]) | set(shards),
+            key=_shard_commit_key,
         )
         folded = folded[-self.max_compacted_shards :]
         meta = {
@@ -641,10 +646,21 @@ class AnnIndex:
     def _probe(self, query_vec, nprobe: int) -> DataFrame:
         """Rows of the ``nprobe`` cells nearest the query — the cell
         filter hits the partition column, so unprobed cells' files are
-        skipped at planning time."""
-        qv = np.asarray(query_vec, dtype=np.float64)
-        qv = qv / max(np.linalg.norm(qv), 1e-12)
-        order = np.argsort(-(self.centroids @ qv))[:nprobe]
+        skipped at planning time.
+
+        Cell ranking uses the SAME q20-quantized dots + stable argsort
+        as ``multi_ivf_assign`` (dot ranking is query-scale-invariant,
+        so skipping normalization changes nothing): the per-query and
+        batch paths (``knn_join``/``knn_join_adc``) must pick identical
+        probe sets or their pinned per-query equality would flake on
+        centroid near-ties."""
+        from consume_kafka_avro_data_spark.operators.similarity import (
+            quantize_np,
+        )
+
+        q = quantize_np(np.asarray(query_vec, dtype=np.float64))
+        scores = quantize_np(self.centroids) @ q
+        order = np.argsort(-scores, kind="stable")[:nprobe]
         cells = [int(c) + 1 for c in order]  # 1-based, as ivf_assign
         return self._vectors().where(F.col("_ivf_cell").isin(cells))
 

@@ -280,33 +280,44 @@ class NgramKN:
 
     def save(self, path: str) -> None:
         """Persist the fitted model: per-order prob/λ tables and the
-        continuation unigram as parquet directories plus one JSON
-        sidecar (order/discount) whose atomic replace is the commit
+        continuation unigram as parquet under a FRESH generation
+        subdirectory (``tables-<token>``), plus one JSON sidecar
+        (order/discount/generation) whose atomic replace is the commit
         point — the deployed fit-once/score-many shape (CCNet ships its
         filter as a KenLM artifact; this is the relational analog).
         Probabilities are exact float64 through parquet, so a loaded
-        model scores BIT-IDENTICALLY (pinned by pytest).  Overwrites
-        any model previously saved at ``path`` IN PLACE — handles
-        loaded before the overwrite go stale (standard overwritten-
-        parquet semantics); for concurrent-reader safety save to a
-        fresh path and swap the pointer, the AnnIndex generation
-        pattern."""
+        model scores BIT-IDENTICALLY (pinned by pytest).
+
+        Re-saving over ``path`` commits a new generation and then
+        deletes superseded ones — safe even when this very model was
+        LOADED from ``path`` (the write reads the old generation before
+        anything is deleted; an in-place overwrite would instead refuse
+        with 'cannot overwrite a path being read from').  Handles
+        loaded BEFORE the re-save go stale once the old generation is
+        swept — single-writer, reopen-after-commit, the AnnIndex
+        contract without its grace window (LM models swap rarely; add
+        one if a deployment re-saves under long concurrent scans)."""
+        import uuid
+
         from consume_kafka_avro_data_spark.fsio import fs_for
 
         spark = self.p1.sparkSession
         io = fs_for(spark, path)
+        gen = f"tables-{uuid.uuid4().hex[:8]}"
+        base = os.path.join(path, gen)
         for k in range(2, self.order + 1):
-            self.probs[k].write.mode("overwrite").parquet(
-                os.path.join(path, f"probs_{k}")
-            )
-            self.lams[k].write.mode("overwrite").parquet(
-                os.path.join(path, f"lams_{k}")
-            )
-        self.p1.write.mode("overwrite").parquet(os.path.join(path, "p1"))
-        meta = {"order": self.order, "discount": self.discount}
+            self.probs[k].write.parquet(os.path.join(base, f"probs_{k}"))
+            self.lams[k].write.parquet(os.path.join(base, f"lams_{k}"))
+        self.p1.write.parquet(os.path.join(base, "p1"))
+        meta = {"order": self.order, "discount": self.discount, "dir": gen}
         tmp = os.path.join(path, self.META + ".tmp")
         io.write_bytes(tmp, json.dumps(meta).encode())
         io.rename_overwrite(tmp, os.path.join(path, self.META))
+        # sweep superseded generations + crash leftovers (uncommitted
+        # writes from a save that died before its sidecar replace)
+        for name in io.list_names(path):
+            if name.startswith("tables-") and name != gen:
+                io.delete(os.path.join(path, name), recursive=True)
 
     @classmethod
     def load(cls, spark, path: str) -> "NgramKN":
@@ -318,15 +329,18 @@ class NgramKN:
         io = fs_for(spark, path)
         meta = json.loads(io.read_bytes(os.path.join(path, cls.META)))
         order = int(meta["order"])
+        # legacy sidecars (pre-generation layout) stored tables at the
+        # model root
+        base = os.path.join(path, meta["dir"]) if meta.get("dir") else path
         probs = {
-            k: spark.read.parquet(os.path.join(path, f"probs_{k}"))
+            k: spark.read.parquet(os.path.join(base, f"probs_{k}"))
             for k in range(2, order + 1)
         }
         lams = {
-            k: spark.read.parquet(os.path.join(path, f"lams_{k}"))
+            k: spark.read.parquet(os.path.join(base, f"lams_{k}"))
             for k in range(2, order + 1)
         }
-        p1 = spark.read.parquet(os.path.join(path, "p1"))
+        p1 = spark.read.parquet(os.path.join(base, "p1"))
         return cls(order, probs, lams, p1, float(meta["discount"]))
 
     # -- score -----------------------------------------------------------

@@ -57,7 +57,12 @@ def pack_sequences(
     Caller contract: ``id_col`` values are unique (the global order is
     ORDER BY id — duplicate ids would make the running sum ambiguous
     between the copies).  NULL ids sort first, as range partitioning
-    and the window agree on NULLS FIRST."""
+    and the window agree on NULLS FIRST.
+
+    The call is EAGER (the offset pass runs jobs) and the returned
+    frame is checkpointed — ``.unpersist()`` it when done to release
+    its blocks (the internal partition-pinning checkpoint is released
+    before returning)."""
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
     n_tok = (
@@ -106,7 +111,7 @@ def pack_sequences(
         offsets or [(0, 0)], "_pid int, _offset long"
     )
     cum_before = F.col("_offset") + F.col("_local_cum") - F.col("n_tokens")
-    return (
+    out = (
         local.join(F.broadcast(off_df), "_pid")
         .select(
             id_col,
@@ -115,4 +120,14 @@ def pack_sequences(
             F.floor(cum_before / F.lit(seq_len)).cast("long").alias("pack_id"),
             (cum_before % F.lit(seq_len)).alias("pack_offset"),
         )
+        # checkpoint the RESULT, then release the internal pinned
+        # frame: the operator is already eager (the totals collect
+        # above runs jobs), and without this hand-off the internal
+        # checkpoint would sit in executor storage with no release
+        # handle for the session's lifetime.  The caller owns the
+        # returned frame's blocks — .unpersist() it when done, the
+        # standard cached-DataFrame lifecycle.
+        .localCheckpoint(eager=True)
     )
+    local.unpersist()
+    return out

@@ -265,6 +265,28 @@ class JdbcGraphSink:
         self.password = password
         self.driver = driver
         self.object_type = object_type
+        if created_at is not None:
+            # eager, config-layer: the staging projection casts this to
+            # DATE, and a malformed string would otherwise surface
+            # mid-stream at the first micro-batch (ANSI: throw;
+            # non-ANSI: silent NULL dates).  FULL-string match against
+            # the two supported shapes — a prefix check would pass
+            # strings like '2024-01-015' that Spark's date cast rejects
+            import datetime
+
+            for fmt in ("%Y-%m-%d", "%Y-%m-%d %H:%M:%S"):
+                try:
+                    datetime.datetime.strptime(str(created_at), fmt)
+                    break
+                except ValueError:
+                    continue
+            else:
+                raise ConfigError(
+                    f"created_at {created_at!r} is not 'YYYY-MM-DD' or "
+                    "'YYYY-MM-DD HH:MM:SS' — the reference stamps "
+                    "'%Y-%m-%d %H:%M:%S' and the graph schema casts to "
+                    "DATE"
+                )
         self.created_at = created_at
         if not jdbc_driver_available(spark, driver):
             raise RuntimeError(

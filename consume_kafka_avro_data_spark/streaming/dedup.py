@@ -478,9 +478,19 @@ class StreamingDedupIngest(BoundedReplayMixin):
                 text_col=self.text_col,
                 id_col=self.id_col,
             )
+            # evidence-count column name differs per model generation
+            # (NgramKN: n_ngrams; BigramKN: n_bigrams) — normalize so
+            # the audit trail has ONE schema either way
+            count_col = (
+                "n_ngrams" if "n_ngrams" in scored_lm.columns else "n_bigrams"
+            )
             lm_rejects = (
                 scored_lm.where(F.col("avg_nll") > self.lm_threshold)
-                .select(self.id_col, "n_ngrams", "avg_nll")
+                .select(
+                    self.id_col,
+                    F.col(count_col).alias("n_ngrams"),
+                    "avg_nll",
+                )
                 .localCheckpoint(eager=True)  # dir write + count + anti-join
             )
             if self.lm_rejects_dir:

@@ -136,6 +136,24 @@ def test_staged_triples_created_at_defaults_to_batch_date(spark):
     assert pinned.select("created_at").first()[0] == datetime.date(2024, 1, 1)
 
 
+def test_created_at_validated_eagerly(spark):
+    """A malformed created_at must fail at construction (ConfigError,
+    before even the driver-jar probe) — the staging projection casts
+    it to DATE, and under ANSI mode a bad string would otherwise throw
+    mid-stream at the first micro-batch.  The reference's wall-clock
+    format ('%Y-%m-%d %H:%M:%S') passes."""
+    # full-string match: prefix-valid typos ('2024-01-015') and compact
+    # forms Spark mis-parses must be refused too
+    for bad in ("not-a-date", "2024-01-015", "20240101", "2024-01-01T12:00"):
+        with pytest.raises(ConfigError, match="YYYY-MM-DD"):
+            JdbcGraphSink(spark, URL, created_at=bad)
+    # valid shapes reach the (sandbox) driver-jar failure instead
+    for ok in ("2024-01-01", "2024-01-01 13:45:00"):
+        with pytest.raises((RuntimeError, Exception)) as ei:
+            JdbcGraphSink(spark, URL, created_at=ok)
+        assert "YYYY-MM-DD" not in str(ei.value)
+
+
 def test_sink_requires_driver_jar(spark):
     """Jar-less sandbox: construction must fail fast with the pinned
     --packages coordinate in the message (not at the first batch)."""

@@ -267,6 +267,46 @@ def test_trigram_on_documents_table(spark, sf_dir):
         lm.unpersist()
 
 
+def test_degenerate_repeated_token_corpus(spark):
+    """Adversarial shape for the recursion: runs of one token make the
+    same word its own context, predecessor, and successor — counts,
+    continuation counts, and the cascade must still match the
+    reference exactly (self-loops are where off-by-one gram windows
+    or suffix-join mistakes would surface)."""
+    corpus = ["a a a a b", "b b a a", "a b a b a"]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    m = NgramKN.fit(df, order=3)
+    try:
+        phat, num, denom, n1, lam, p1 = _ref_ngram_kn(corpus, order=3)
+        for k in (2, 3):
+            got_p = {
+                tuple(r[f"w{i + 1}"] for i in range(k)): r.p
+                for r in m.probs[k].collect()
+            }
+            assert set(got_p) == set(num[k]), k
+            for g, got in got_p.items():
+                assert got == pytest.approx(phat(g), abs=1e-15), g
+        vocab = list(p1)
+        for ctx in denom[3]:
+            assert sum(phat(ctx + (w,)) for w in vocab) == pytest.approx(
+                1.0, abs=1e-12
+            ), ctx
+        rows = {
+            r.doc_id: r
+            for r in m.score(
+                spark.createDataFrame(
+                    [(1, "a a a"), (2, "b b b")], "doc_id long, text string"
+                )
+            ).collect()
+        }
+        assert rows[1].avg_nll == pytest.approx(-math.log(phat(("a", "a", "a"))))
+        assert rows[2].avg_nll == pytest.approx(
+            -math.log(max(phat(("b", "b", "b")), 1e-9))
+        )
+    finally:
+        m.unpersist()
+
+
 def test_save_load_scores_identically(spark, tmp_path, tri):
     """The deployed shape: persist the fitted tables, reopen in a
     fresh handle with NO corpus access, and score BIT-IDENTICALLY

@@ -726,3 +726,37 @@ def test_lm_gate_validated_eagerly(spark, tmp_path):
             )
     finally:
         lm.unpersist()
+
+
+def test_lm_gate_accepts_bigram_model(spark, tmp_path):
+    """BigramKN is an advertised lm_model too — its evidence column is
+    n_bigrams, which the gate must normalize into the audit trail's
+    n_ngrams schema instead of crashing on the first micro-batch."""
+    from consume_kafka_avro_data_spark.operators.lm import BigramKN
+
+    lm = BigramKN.fit(
+        spark.createDataFrame(
+            [(i, BASE) for i in range(10)], "doc_id long, text string"
+        )
+    )
+    salad = " ".join(reversed(BASE.split()))
+    probe = spark.createDataFrame(
+        [(1, BASE), (2, salad)], "doc_id long, text string"
+    )
+    nll = {r.doc_id: r.avg_nll for r in lm.score(probe).collect()}
+    cut = (nll[1] + nll[2]) / 2
+    ingest = StreamingDedupIngest(
+        spark,
+        store_dir=str(tmp_path / "store"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        lm_model=lm,
+        lm_threshold=cut,
+        lm_rejects_dir=str(tmp_path / "lm_rejects"),
+    )
+    stream = _doc_stream(spark, tmp_path, [[(1, BASE), (2, salad)]])
+    m = ingest.run_to_completion(stream)
+    assert m.docs == 2 and m.rejected_docs == 1
+    rej = spark.read.parquet(str(tmp_path / "lm_rejects")).collect()
+    assert [r.doc_id for r in rej] == [2]
+    assert rej[0].n_ngrams >= 1  # normalized column name
+    lm.unpersist()
