@@ -79,29 +79,28 @@ def doc_ngrams(
 ) -> DataFrame:
     """(…keep_cols, w1 … w{order}) — one row per length-``order``
     token window per doc, tokenized by the corpus-wide convention.
-    Map-only like :func:`doc_bigrams`: the window index array is
-    generated per row and every ``element_at`` stays in bounds (docs
-    with < order tokens take the NULL branch, which ``explode`` drops
-    — no rows, same as the bigram convention)."""
+    Map-only like :func:`doc_bigrams`, and built the same way: zip
+    ``order`` shifted slices of the token array (``arrays_zip`` — a
+    native expression, where a transform-over-indexes lambda is
+    interpreted at ~tens of µs per element and measured ~9× slower at
+    order 3).  Docs with < order tokens take the NULL branch, which
+    ``explode`` drops — no rows, the bigram convention."""
     if order < 1:
         raise ValueError(f"ngram order must be >= 1, got {order}")
     toks = tokens_col(text_col)
     n = F.size(toks)
+    m = n - (order - 1)  # window count (≥ 1 on the non-NULL branch)
     gram = F.when(
         n >= F.lit(order),
-        F.transform(
-            F.sequence(F.lit(1), n - (order - 1)),
-            lambda i: F.struct(
-                *[
-                    F.element_at(toks, i + j).alias(f"w{j + 1}")
-                    for j in range(order)
-                ]
-            ),
-        ),
+        F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(order)]),
     )  # no otherwise: NULL, and explode(NULL) emits nothing
     keep = list(keep_cols or [])
     return docs.select(*keep, F.explode(gram).alias("_g")).select(
-        *keep, *[F.col(f"_g.w{i + 1}").alias(f"w{i + 1}") for i in range(order)]
+        *keep,
+        *[
+            F.col("_g").getField(str(i)).alias(f"w{i + 1}")
+            for i in range(order)
+        ],
     )
 
 
@@ -171,11 +170,25 @@ class NgramKN:
         order: int = 3,
         text_col: str = "text",
         discount: float = DEFAULT_DISCOUNT,
+        min_count: int = 1,
     ) -> "NgramKN":
+        """``min_count`` > 1 prunes top-order grams seen fewer times
+        before anything derives — the standard count-pruning move
+        (KenLM ships its 5-grams pruned the same way): the model is
+        EXACTLY the KN model of the pruned count table (pruned grams
+        back off like unseen ones; every derived table, λ, and the
+        per-context mass law stay self-consistent — pinned against a
+        reference implementing the same pruning).  This is the lever
+        that keeps the model tables broadcastable when fitting on a
+        large trusted corpus (singleton top-order grams dominate table
+        size by Zipf), enabling ``score(broadcast_model=True)``'s
+        map-only sweep."""
         if order < 2:
             raise ValueError(f"NgramKN order must be >= 2, got {order}")
         if not 0.0 < discount < 1.0:
             raise ValueError(f"KN discount must be in (0, 1), got {discount}")
+        if min_count < 1:
+            raise ValueError(f"min_count must be >= 1, got {min_count}")
         d = F.lit(float(discount))
 
         def keys(k: int) -> list[str]:
@@ -189,6 +202,7 @@ class NgramKN:
             doc_ngrams(corpus, order, text_col)
             .groupBy(*keys(order))
             .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= F.lit(int(min_count)))
             .localCheckpoint(eager=True)
         )
         resident.append(cnt_n)
@@ -196,9 +210,15 @@ class NgramKN:
             for df in resident:
                 df.unpersist()
             raise ValueError(
-                f"corpus has no length-{order} token windows — every "
-                "doc is shorter than the model order; lower `order` or "
-                "fit on real text"
+                f"corpus has no length-{order} token windows"
+                + (
+                    f" surviving min_count={min_count}"
+                    if min_count > 1
+                    else ""
+                )
+                + " — every doc is shorter than the model order (or "
+                "pruning removed everything); lower `order`/`min_count` "
+                "or fit on real text"
             )
         # continuation counts per lower order, top-down: num_k(g) =
         # N1+(· g) = distinct-predecessor count of g among (k+1)-gram
@@ -351,13 +371,25 @@ class NgramKN:
         text_col: str = "text",
         id_col: str = "doc_id",
         p_floor: float = 1e-9,
+        broadcast_model: bool = False,
     ) -> DataFrame:
         """(id_col, n_ngrams, avg_nll) — per-document mean negative
         log-likelihood of its order-n token windows, the CCNet-style
         quality signal.  Docs with < order tokens report n_ngrams=0
         and NULL avg_nll (no evidence ≠ perfect fluency), and NULL-id
-        docs keep their scores — both the BigramKN conventions."""
+        docs keep their scores — both the BigramKN conventions.
+
+        ``broadcast_model=True`` hints every model table into the
+        joins' build side, making the whole score MAP-ONLY up to the
+        final per-doc aggregate — the deployed CCNet shape, where the
+        filter model is fit once on a bounded trusted corpus (possibly
+        pruned, see ``fit(min_count=…)``) and then sweeps petabytes:
+        without the hint, each of the 2n−1 joins can sort-merge, which
+        shuffles the corpus-sized gram table once PER ORDER.  Leave
+        False when the model's gram-type tables rival executor memory
+        (an unpruned model fit on a huge corpus)."""
         n = self.order
+        hint = F.broadcast if broadcast_model else (lambda df: df)
         grams = doc_ngrams(docs, n, text_col, keep_cols=[id_col])
         j = grams
         # one left join per prob/λ table; at order k the evaluated
@@ -371,7 +403,7 @@ class NgramKN:
                 ],
                 F.col("p").alias(f"_p{k}"),
             )
-            j = j.join(pk, [f"w{lo + i + 1}" for i in range(k)], "left")
+            j = j.join(hint(pk), [f"w{lo + i + 1}" for i in range(k)], "left")
             lk = self.lams[k].select(
                 *[
                     F.col(f"w{i + 1}").alias(f"w{lo + i + 1}")
@@ -379,9 +411,13 @@ class NgramKN:
                 ],
                 F.col("lam").alias(f"_lam{k}"),
             )
-            j = j.join(lk, [f"w{lo + i + 1}" for i in range(k - 1)], "left")
+            j = j.join(
+                hint(lk), [f"w{lo + i + 1}" for i in range(k - 1)], "left"
+            )
         j = j.join(
-            self.p1.select(F.col("w1").alias(f"w{n}"), "p1"), [f"w{n}"], "left"
+            hint(self.p1.select(F.col("w1").alias(f"w{n}"), "p1")),
+            [f"w{n}"],
+            "left",
         )
         phat: Column = F.coalesce(F.col("p1"), F.lit(0.0))
         for k in range(2, n + 1):
