@@ -484,3 +484,36 @@ def test_broadcast_model_scoring_is_mapside_and_identical(
     # is the final doc-sized id-restore join (both sides doc-keyed)
     assert plan.count("BroadcastHashJoin") >= 5, plan
     assert plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_order5_matches_reference(spark):
+    """CCNet's published filter order.  Fit a 5-gram on a corpus with
+    enough length-5 windows and pin the top-order probs + the score of
+    an observed 5-gram and a mid-tier backoff against the reference
+    recursion (orders 2/3/4 are pinned exhaustively elsewhere; this
+    closes the deployed-order loop)."""
+    corpus = [t + " so it goes on and on again" for t in CORPUS] * 2
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    m = NgramKN.fit(df, order=5)
+    try:
+        phat, num, denom, n1, lam, p1 = _ref_ngram_kn(corpus, order=5)
+        got_p = {
+            tuple(r[f"w{i + 1}"] for i in range(5)): r.p
+            for r in m.probs[5].collect()
+        }
+        assert set(got_p) == set(num[5])
+        for g, got in got_p.items():
+            assert got == pytest.approx(phat(g), abs=1e-15), g
+        toks = corpus[0].split()
+        obs = tuple(toks[:5])
+        docs = spark.createDataFrame(
+            [(1, " ".join(obs)), (2, "zzz " + " ".join(obs[1:]))],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in m.score(docs).collect()}
+        assert rows[1].avg_nll == pytest.approx(-math.log(phat(obs)))
+        assert rows[2].avg_nll == pytest.approx(
+            -math.log(max(phat(("zzz",) + obs[1:]), 1e-9))
+        )
+    finally:
+        m.unpersist()
