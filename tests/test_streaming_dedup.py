@@ -760,3 +760,110 @@ def test_lm_gate_accepts_bigram_model(spark, tmp_path):
     assert [r.doc_id for r in rej] == [2]
     assert rej[0].n_ngrams >= 1  # normalized column name
     lm.unpersist()
+
+
+def test_all_gates_compose_on_one_stream(spark, tmp_path):
+    """Round-7 integration: the learned classifier gate, the LM
+    perplexity gate, the decontamination gate, and dedup all ride ONE
+    foreachBatch — each gate catches exactly its designed doc, the
+    audit trails stay disjoint, the counters sum to docs, and a full
+    fresh-checkpoint replay leaves every artifact byte-stable."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from consume_kafka_avro_data_spark.operators.lm import NgramKN
+    from consume_kafka_avro_data_spark.operators.quality import (
+        quality_training_frame,
+        train_quality_classifier,
+    )
+
+    new_text = (
+        "fresh prose about manifest tables and replay safe commit "
+        "protocols in streaming systems"
+    )
+    trusted = [BASE, FAR, ALSO_FAR, new_text]
+    rng = random.Random(11)
+    spam_words = "zzz buy click winn free xxx qqq promo".split()
+    clean_words = " ".join(trusted).split()
+    doc = lambda ws: " ".join(rng.choice(ws) for _ in range(30))
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    clf = train_quality_classifier(
+        quality_training_frame(
+            mk([(i, doc(clean_words)) for i in range(60)]),
+            mk([(100 + i, doc(spam_words)) for i in range(60)]),
+        ),
+        n_features=1 << 12,
+        max_iter=25,
+    )
+    lm = NgramKN.fit(
+        mk([(i, t) for i, t in enumerate(trusted * 5)]), order=2
+    )
+    salad = " ".join(reversed(BASE.split()))
+    nll = {
+        r.doc_id: r.avg_nll
+        for r in lm.score(
+            mk([(0, BASE), (1, FAR), (2, ALSO_FAR), (3, new_text), (9, salad)])
+        ).collect()
+    }
+    cut = (max(nll[i] for i in (0, 1, 2, 3)) + nll[9]) / 2
+    assert nll[9] > cut  # the salad doc is the LM gate's target
+
+    spam_doc = doc(spam_words)
+    b1 = [(1, BASE), (2, spam_doc), (3, salad), (4, ALSO_FAR), (5, FAR)]
+    b2 = [(6, BASE), (7, new_text)]
+
+    def make(tag):
+        return StreamingDedupIngest(
+            spark,
+            store_dir=str(tmp_path / "store"),
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+            dupes_dir=str(tmp_path / "dupes"),
+            quality_model=clf,
+            model_rejects_dir=str(tmp_path / "model_rejects"),
+            lm_model=lm,
+            lm_threshold=cut,
+            lm_rejects_dir=str(tmp_path / "lm_rejects"),
+            eval_docs=mk([(0, ALSO_FAR)]).select("text"),
+            contam_dir=str(tmp_path / "contam"),
+        )
+
+    stream = _doc_stream(spark, tmp_path, [b1, b2])
+    m = make("a").run_to_completion(stream)
+    assert m.docs == 7
+    assert m.rejected_docs == 2  # classifier (2) + LM (3)
+    assert m.contaminated_docs == 1  # eval overlap (4)
+    assert m.dup_docs == 1 and m.novel_docs == 3
+    assert (
+        m.rejected_docs + m.contaminated_docs + m.dup_docs + m.novel_docs
+        == m.docs
+    )
+    # disjoint audit trails, each holding exactly its gate's doc
+    assert [
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "model_rejects")).collect()
+    ] == [2]
+    assert [
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "lm_rejects")).collect()
+    ] == [3]
+    assert [
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "contam")).collect()
+    ] == [4]
+    dupes = {
+        r.dup_id: r.match_id
+        for r in spark.read.parquet(str(tmp_path / "dupes")).collect()
+    }
+    assert dupes == {6: 1}
+    stored = sorted(r["_id"] for r in make("probe").store.read().collect())
+    assert stored == [1, 5, 7]
+
+    # full replay, fresh checkpoint: everything byte-stable
+    m2 = make("b").run_to_completion(_doc_stream(spark, tmp_path, []))
+    assert m2.rejected_docs == 2 and m2.contaminated_docs == 1
+    assert m2.dup_docs == 1
+    assert sorted(
+        r["_id"] for r in make("probe2").store.read().collect()
+    ) == stored
+    lm.unpersist()
