@@ -96,6 +96,9 @@ class StreamingDedupIngest(BoundedReplayMixin):
         quality_model=None,
         quality_model_threshold: float = 0.5,
         model_rejects_dir: str | None = None,
+        dsir_model=None,
+        dsir_threshold: float | None = None,
+        dsir_rejects_dir: str | None = None,
         lm_model=None,
         lm_threshold: float | None = None,
         lm_rejects_dir: str | None = None,
@@ -131,6 +134,23 @@ class StreamingDedupIngest(BoundedReplayMixin):
         (tokenize → hash → LR transform; no Python workers), so this
         gate too adds no shuffle.  Gate order: heuristic first (cheaper
         expressions), model second, decontamination last.
+
+        ``dsir_model`` (+ required ``dsir_threshold``) enables the
+        DISTRIBUTION-MATCHING gate at ingest — the streaming adaptation
+        of DSIR (Xie et al. 2023; ``operators/dsir``): each doc's
+        hashed-n-gram importance log-weight (how much more likely its
+        bag is under the target corpus than under raw crawl) is scored
+        by an Arrow-batched map-only pass, and docs with
+        ``dsir_logw < dsir_threshold`` are rejected before signing,
+        counted into ``rejected_docs``, optionally persisted with their
+        weights to ``dsir_rejects_dir`` (same replay contract).  The
+        batch operator samples a corpus-level top-k with Gumbel noise;
+        at ingest a deterministic weight cut replaces the sample so the
+        audit trail is replay-stable — calibrate τ from the weight
+        distribution of a held-out slice (e.g. its median for a
+        keep-half policy).  Runs after the classifier gate (both are
+        map-only; this one crosses into Python workers, so it goes
+        second) and before the LM gate (which shuffles).
 
         ``lm_model`` (+ required ``lm_threshold``) enables the
         PERPLEXITY gate at ingest — the CCNet deployment shape (Wenzek
@@ -218,6 +238,23 @@ class StreamingDedupIngest(BoundedReplayMixin):
         self.lm_model = lm_model
         self.lm_threshold = lm_threshold
         self.lm_rejects_dir = lm_rejects_dir
+        if dsir_model is not None:
+            if not hasattr(dsir_model, "log_ratio"):
+                raise TypeError(
+                    "dsir_model must be a fitted operators/dsir DsirModel "
+                    "(has .log_ratio) — fit with dsir_fit"
+                )
+            if dsir_threshold is None:
+                # a DSIR gate with no threshold silently rejects nothing
+                # — demand the deployment choose its cut
+                raise ValueError(
+                    "dsir_model requires dsir_threshold (the log-weight "
+                    "cut; calibrate on a held-out slice's weight "
+                    "distribution)"
+                )
+        self.dsir_model = dsir_model
+        self.dsir_threshold = dsir_threshold
+        self.dsir_rejects_dir = dsir_rejects_dir
         self.contam_gram_n = contam_gram_n
         self.contam_min_hits = contam_min_hits
         self.contam_dir = contam_dir
@@ -468,6 +505,38 @@ class StreamingDedupIngest(BoundedReplayMixin):
             if n_model_rejected:
                 batch = self._anti_by_id(batch, model_rejects)
             n_rejected += n_model_rejected
+        dsir_rejects = None
+        if self.dsir_model is not None:
+            from consume_kafka_avro_data_spark.operators.dsir import (
+                dsir_log_weights,
+            )
+
+            # distribution-matching cut on the classifier survivors —
+            # map-only Arrow pass, no shuffle added to the batch plan
+            scored_d = dsir_log_weights(
+                self.dsir_model,
+                batch.select(self.id_col, self.text_col),
+                self.text_col,
+            )
+            dsir_rejects = (
+                scored_d.where(F.col("dsir_logw") < self.dsir_threshold)
+                .select(self.id_col, "dsir_logw")
+                .localCheckpoint(eager=True)  # dir write + count + anti-join
+            )
+            if self.dsir_rejects_dir:
+                # partition by batch id + dynamic overwrite: a replayed
+                # batch REPLACES its own rows (same contract as rejects)
+                (
+                    dsir_rejects.withColumn("batch_id", F.lit(batch_id))
+                    .write.partitionBy("batch_id")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .mode("overwrite")
+                    .parquet(self.dsir_rejects_dir)
+                )
+            n_dsir_rejected = dsir_rejects.count()
+            if n_dsir_rejected:
+                batch = self._anti_by_id(batch, dsir_rejects)
+            n_rejected += n_dsir_rejected
         lm_rejects = None
         if self.lm_model is not None:
             # CCNet-style perplexity cut on the cheaper gates'
@@ -727,6 +796,8 @@ class StreamingDedupIngest(BoundedReplayMixin):
                 rejects.unpersist()
             if model_rejects is not None:
                 model_rejects.unpersist()
+            if dsir_rejects is not None:
+                dsir_rejects.unpersist()
             if lm_rejects is not None:
                 lm_rejects.unpersist()
             if contam is not None:

@@ -762,6 +762,93 @@ def test_lm_gate_accepts_bigram_model(spark, tmp_path):
     lm.unpersist()
 
 
+def test_dsir_gate_at_ingest(spark, tmp_path):
+    """The DSIR distribution-matching gate (operators/dsir model riding
+    the dedup ingest): off-target docs weigh below the cut and are
+    rejected BEFORE signing, target-like docs pass, weights land in
+    dsir_rejects_dir under the replay contract, and a full
+    fresh-checkpoint replay is byte-stable."""
+    from consume_kafka_avro_data_spark.operators.dsir import (
+        dsir_fit,
+        dsir_log_weights,
+    )
+
+    target = spark.createDataFrame([(BASE,)] * 6, "text string")
+    raw = spark.createDataFrame(
+        [(BASE,), (FAR,), (ALSO_FAR,)] * 2, "text string"
+    )
+    model = dsir_fit(target, raw, buckets=512)
+    # calibrate the cut between in-distribution and off-target text
+    probe = spark.createDataFrame(
+        [(1, BASE), (2, FAR)], "doc_id long, text string"
+    )
+    w = {
+        r.doc_id: r.dsir_logw for r in dsir_log_weights(model, probe).collect()
+    }
+    assert w[1] > w[2]
+    cut = (w[1] + w[2]) / 2
+
+    batches = [
+        [(1, BASE), (2, FAR)],
+        [(3, BASE.replace("lazy dog", "sleepy dog")), (4, ALSO_FAR)],
+    ]
+
+    def build(tag):
+        return StreamingDedupIngest(
+            spark,
+            store_dir=str(tmp_path / "store"),
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+            dupes_dir=str(tmp_path / "dupes"),
+            dsir_model=model,
+            dsir_threshold=cut,
+            dsir_rejects_dir=str(tmp_path / "dsir_rejects"),
+        )
+
+    stream = _doc_stream(spark, tmp_path, batches)
+    m = build("a").run_to_completion(stream)
+    assert m.docs == 4
+    assert m.rejected_docs == 2  # both off-target docs gated
+    assert m.dup_docs == 1  # 3 is a near-dup of surviving 1
+    stored = sorted(
+        r["_id"]
+        for r in StreamingDedupIngest(
+            spark,
+            store_dir=str(tmp_path / "store"),
+            checkpoint_dir=str(tmp_path / "ckpt_probe"),
+        ).store.read().collect()
+    )
+    assert stored == [1]
+    rej = spark.read.parquet(str(tmp_path / "dsir_rejects"))
+    got = {(r.doc_id, r.batch_id) for r in rej.collect()}
+    assert got == {(2, 0), (4, 1)}
+    assert all(r.dsir_logw < cut for r in rej.collect())
+
+    # full replay, fresh checkpoint: byte-stable
+    m2 = build("b").run_to_completion(_doc_stream(spark, tmp_path, []))
+    assert m2.rejected_docs == 2 and m2.dup_docs == 1
+    assert spark.read.parquet(str(tmp_path / "dsir_rejects")).count() == 2
+
+
+def test_dsir_gate_validated_eagerly(spark, tmp_path):
+    from consume_kafka_avro_data_spark.operators.dsir import DsirModel
+
+    with pytest.raises(TypeError, match="log_ratio"):
+        StreamingDedupIngest(
+            spark,
+            store_dir=str(tmp_path / "s1"),
+            checkpoint_dir=str(tmp_path / "c1"),
+            dsir_model="/a/path",
+        )
+    model = DsirModel(log_ratio=(0.0,) * 16, buckets=16, smoothing=1.0)
+    with pytest.raises(ValueError, match="dsir_threshold"):
+        StreamingDedupIngest(
+            spark,
+            store_dir=str(tmp_path / "s2"),
+            checkpoint_dir=str(tmp_path / "c2"),
+            dsir_model=model,  # threshold missing
+        )
+
+
 def test_all_gates_compose_on_one_stream(spark, tmp_path):
     """Round-7 integration: the learned classifier gate, the LM
     perplexity gate, the decontamination gate, and dedup all ride ONE
