@@ -564,6 +564,60 @@ def learned_ops_bench(spark, sf_dir: str) -> dict:
             t_kn3 = min(t_kn3, time.perf_counter() - t0)
     finally:
         lm3.unpersist()
+    # round 7 (continued): the unigram-LM tokenizer family (Kudo 2018)
+    # — train a small vocab over the corpus (per-round cost is one
+    # distributed E-step pass over the word-type table), then the
+    # Viterbi encode pass's docs/sec (the deployed steady-state cost,
+    # like bpe_segment's)
+    from consume_kafka_avro_data_spark.operators.unigram import (
+        unigram_segment,
+        unigram_train,
+    )
+
+    uni_stats: dict = {}
+    t0 = time.perf_counter()
+    uni_model = unigram_train(
+        docs.select("text"),
+        vocab_size=200,
+        seed_size=800,
+        max_piece_len=6,
+        stats=uni_stats,
+    )
+    t_uni_train = time.perf_counter() - t0
+    t_uni_seg = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        unigram_segment(docs.select("doc_id", "text"), uni_model).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t_uni_seg = min(t_uni_seg, time.perf_counter() - t0)
+
+    # DSIR (Xie 2023): fit the hashed-n-gram importance model on the
+    # trusted-vs-raw split, then the map-only weigher's docs/sec and
+    # one Gumbel top-k resample of 1000 docs
+    from consume_kafka_avro_data_spark.operators.dsir import (
+        dsir_fit,
+        dsir_log_weights,
+        dsir_resample,
+    )
+
+    t0 = time.perf_counter()
+    dsir_model = dsir_fit(
+        docs.where(F.col("source") == "src0"),
+        docs.where(F.col("source") != "src0"),
+    )
+    t_dsir_fit = time.perf_counter() - t0
+    t_dsir = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        dsir_log_weights(dsir_model, docs.select("doc_id", "text")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t_dsir = min(t_dsir, time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    n_sampled = dsir_resample(dsir_model, docs, k=1000, seed=1).count()
+    t_dsir_sample = time.perf_counter() - t0
+
     return {
         "bpe_merges": len(merges),
         "bpe_train_sec": round(t_bpe, 4),
@@ -579,6 +633,16 @@ def learned_ops_bench(spark, sf_dir: str) -> dict:
         "kn_fit_sec": round(t_kn_fit, 4),
         "kn_score_sec": round(t_kn, 4),
         "kn_score_docs_per_sec": round(n_held / t_kn, 1),
+        "unigram_vocab": len(uni_model),
+        "unigram_e_steps": uni_stats.get("e_steps", -1),
+        "unigram_train_sec": round(t_uni_train, 4),
+        "unigram_segment_sec": round(t_uni_seg, 4),
+        "unigram_segment_docs_per_sec": round(n_docs / t_uni_seg, 1),
+        "dsir_fit_sec": round(t_dsir_fit, 4),
+        "dsir_score_sec": round(t_dsir, 4),
+        "dsir_score_docs_per_sec": round(n_docs / t_dsir, 1),
+        "dsir_resample_sec": round(t_dsir_sample, 4),
+        "dsir_resampled_docs": n_sampled,
     }
 
 

@@ -120,6 +120,41 @@ class DsirModel:
     buckets: int
     smoothing: float
 
+    def save(self, spark, path: str) -> None:
+        """Persist as ONE JSON file (the model is a B-vector — 80 KB
+        at the default), tmp-then-rename atomic commit via fsio;
+        floats round-trip bit-identically through json's repr
+        encoding (pinned by pytest)."""
+        import json
+
+        from consume_kafka_avro_data_spark.fsio import fs_for
+
+        io = fs_for(spark, path)
+        payload = {
+            "version": 1,
+            "buckets": self.buckets,
+            "smoothing": self.smoothing,
+            "log_ratio": list(self.log_ratio),
+        }
+        tmp = path + ".tmp"
+        io.write_bytes(tmp, json.dumps(payload).encode())
+        io.rename_overwrite(tmp, path)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "DsirModel":
+        """Reopen a saved model — see ``save``."""
+        import json
+
+        from consume_kafka_avro_data_spark.fsio import fs_for
+
+        io = fs_for(spark, path)
+        payload = json.loads(io.read_bytes(path))
+        return cls(
+            log_ratio=tuple(float(x) for x in payload["log_ratio"]),
+            buckets=int(payload["buckets"]),
+            smoothing=float(payload["smoothing"]),
+        )
+
 
 def _smoothed_log_probs(
     counts: dict[int, int], buckets: int, smoothing: float

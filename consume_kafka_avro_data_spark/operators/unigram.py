@@ -72,6 +72,8 @@ from .text import BPE_PRETOKEN_RE, bpe_ish_tokens
 __all__ = [
     "unigram_train",
     "unigram_segment",
+    "unigram_save",
+    "unigram_load",
     "viterbi_pieces",
     "corpus_nll",
 ]
@@ -311,6 +313,35 @@ def unigram_train(
         types.unpersist()
 
 
+def unigram_save(spark, model: list[tuple[str, float]], path: str) -> None:
+    """Persist a trained piece table as ONE JSON file (the model is
+    vocab-bounded — driver-sized by construction), written tmp-then-
+    rename so the commit is atomic (the fsio contract every persisted
+    artifact here follows).  Python's json emits float64 via repr, so a
+    reload is BIT-IDENTICAL (pinned by pytest) — the fit-once/
+    encode-many deployment shape, like ``NgramKN.save``."""
+    import json
+
+    from consume_kafka_avro_data_spark.fsio import fs_for
+
+    io = fs_for(spark, path)
+    payload = {"version": 1, "pieces": [[p, lp] for p, lp in model]}
+    tmp = path + ".tmp"
+    io.write_bytes(tmp, json.dumps(payload).encode())
+    io.rename_overwrite(tmp, path)
+
+
+def unigram_load(spark, path: str) -> list[tuple[str, float]]:
+    """Reopen a saved piece table — see ``unigram_save``."""
+    import json
+
+    from consume_kafka_avro_data_spark.fsio import fs_for
+
+    io = fs_for(spark, path)
+    payload = json.loads(io.read_bytes(path))
+    return [(p, float(lp)) for p, lp in payload["pieces"]]
+
+
 def viterbi_pieces(
     word: str, logp: dict[str, float], max_piece_len: int
 ) -> list[str]:
@@ -342,18 +373,99 @@ def viterbi_pieces(
     return out
 
 
+def _forward_lattice(
+    word: str, logp: dict[str, float], max_piece_len: int, alpha: float
+) -> list[float]:
+    """Forward log-mass under the α-scaled piece distribution:
+    a[i] = logΣ_j exp(a[j] + α·logp(w[j:i])) — shared by the sampler;
+    α = 1 gives the true lattice."""
+    ln = len(word)
+    a = [_NEG_INF] * (ln + 1)
+    a[0] = 0.0
+    for i in range(1, ln + 1):
+        for j in range(max(0, i - max_piece_len), i):
+            if a[j] == _NEG_INF:
+                continue
+            p = logp.get(word[j:i])
+            if p is not None:
+                a[i] = _logaddexp(a[i], a[j] + alpha * p)
+    return a
+
+
+def _sample_pieces(
+    word: str,
+    logp: dict[str, float],
+    max_piece_len: int,
+    alpha: float,
+    fwd: list[float],
+    uniform,
+) -> list[str]:
+    """Backward sampling (the FFBS recipe): from position i, pick
+    predecessor j with probability ∝ exp(a[j] + α·logp(w[j:i]) − a[i])
+    — an EXACT draw from p(segmentation)^α, Kudo 2018 §4's subword
+    regularization distribution.  ``uniform`` supplies one u ∈ (0,1)
+    per backward step (deterministic stream — see unigram_segment)."""
+    ln = len(word)
+    if fwd[ln] == _NEG_INF:  # no path (char missing from vocab)
+        return [word]
+    out: list[str] = []
+    i = ln
+    step = 0
+    while i > 0:
+        cands: list[tuple[int, float]] = []
+        total = 0.0
+        for j in range(max(0, i - max_piece_len), i):
+            if fwd[j] == _NEG_INF:
+                continue
+            p = logp.get(word[j:i])
+            if p is not None:
+                w = math.exp(fwd[j] + alpha * p - fwd[i])
+                cands.append((j, w))
+                total += w
+        u = uniform(step) * total
+        step += 1
+        acc = 0.0
+        pick = cands[-1][0]  # float-slack fallback: the last candidate
+        for j, w in cands:
+            acc += w
+            if u <= acc:
+                pick = j
+                break
+        out.append(word[pick:i])
+        i = pick
+    out.reverse()
+    return out
+
+
 def unigram_segment(
     df: DataFrame,
     model: list[tuple[str, float]],
     text_col: str = "text",
     out_col: str = "unigram_pieces",
+    sample_alpha: float | None = None,
+    seed: int = 0,
 ) -> DataFrame:
     """Encode text with a trained unigram model: pre-tokenize with the
-    shared splitter, Viterbi-segment each word, concatenate.  Arrow-
-    batched pandas UDF (iterator-of-series form, the ``bpe_segment``
+    shared splitter, segment each word, concatenate.  Arrow-batched
+    pandas UDF (iterator-of-series form, the ``bpe_segment``
     convention) with a per-partition word→pieces memo — natural text
     repeats word types heavily, so most rows hit the cache.  The model
-    broadcasts as a closure (vocab-bounded, driver-sized)."""
+    broadcasts as a closure (vocab-bounded, driver-sized).
+
+    Default (``sample_alpha=None``) is the deterministic Viterbi
+    one-best.  ``sample_alpha=α`` enables SUBWORD REGULARIZATION (Kudo
+    2018 §4 — the paper's headline use): each word occurrence's
+    segmentation is SAMPLED from p(seg)^α by forward-filtering
+    backward-sampling, so repeated training epochs see diverse
+    segmentations.  Smaller α → closer to uniform over segmentations;
+    large α → concentrates on the Viterbi path.  The randomness is
+    derived, not drawn: u = (md5("{seed}:{doc_md5}:{word_idx}:{step}")
+    first 8 bytes + 0.5) / 2⁶⁴ — reproducible for a fixed seed,
+    independent of partition layout, identical docs sample identically
+    (pinned by pytest against a pure-Python FFBS reference).  The word
+    memo only caches the α-scaled FORWARD lattices (occurrence-
+    independent); the backward draw runs per occurrence."""
+    import hashlib
     import re
 
     import pandas as pd
@@ -361,19 +473,47 @@ def unigram_segment(
     logp = dict(model)
     max_piece_len = max((len(p) for p in logp), default=1)
     pretoken = re.compile(BPE_PRETOKEN_RE)
+    if sample_alpha is not None and sample_alpha <= 0.0:
+        raise ValueError("sample_alpha must be > 0")
+    alpha = sample_alpha
 
     def seg(batches: Iterator["pd.Series"]) -> Iterator["pd.Series"]:
-        memo: dict[str, list[str]] = {}
+        memo: dict[str, list] = {}
         for texts in batches:
             out = []
             for t in texts:
                 pieces: list[str] = []
-                for w in pretoken.findall(t or ""):
-                    got = memo.get(w)
-                    if got is None:
-                        got = viterbi_pieces(w, logp, max_piece_len)
-                        memo[w] = got
-                    pieces.extend(got)
+                words = pretoken.findall(t or "")
+                if alpha is None:
+                    for w in words:
+                        got = memo.get(w)
+                        if got is None:
+                            got = viterbi_pieces(w, logp, max_piece_len)
+                            memo[w] = got
+                        pieces.extend(got)
+                else:
+                    doc_md5 = hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                    for widx, w in enumerate(words):
+                        fwd = memo.get(w)
+                        if fwd is None:
+                            fwd = _forward_lattice(
+                                w, logp, max_piece_len, alpha
+                            )
+                            memo[w] = fwd
+
+                        def uniform(step, _w=widx):
+                            h = hashlib.md5(
+                                f"{seed}:{doc_md5}:{_w}:{step}".encode()
+                            ).digest()
+                            return (
+                                int.from_bytes(h[:8], "big") + 0.5
+                            ) / 2.0**64
+
+                        pieces.extend(
+                            _sample_pieces(
+                                w, logp, max_piece_len, alpha, fwd, uniform
+                            )
+                        )
                 out.append(pieces)
             yield pd.Series(out)
 

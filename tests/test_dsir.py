@@ -210,3 +210,20 @@ def test_invalid_inputs_raise_eagerly(spark, frames):
     model = DsirModel(log_ratio=(0.0,) * B, buckets=B, smoothing=1.0)
     with pytest.raises(ValueError, match="k must be"):
         dsir_resample(model, raw, k=0)
+
+
+def test_save_load_bit_identical(spark, frames, tmp_path):
+    """A reloaded model is EXACTLY the fitted one (json floats
+    round-trip via repr) and weighs documents identically."""
+    target, raw = frames
+    model = dsir_fit(target, raw, buckets=B)
+    path = str(tmp_path / "dsir_model.json")
+    model.save(spark, path)
+    loaded = DsirModel.load(spark, path)
+    assert loaded == model  # frozen dataclass equality — bit-identical
+    a = dsir_log_weights(model, raw).collect()
+    b = dsir_log_weights(loaded, raw).collect()
+    assert [r["dsir_logw"] for r in a] == [r["dsir_logw"] for r in b]
+    # re-save over the same path is an atomic overwrite, not an error
+    loaded.save(spark, path)
+    assert DsirModel.load(spark, path) == model

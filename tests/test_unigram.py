@@ -250,3 +250,135 @@ def test_degenerate_and_invalid_inputs(spark):
         unigram_train(df, vocab_size=1, seed_size=10)
     with pytest.raises(ValueError, match="shrink"):
         unigram_train(df, vocab_size=3, shrink=1.0)
+
+
+def test_save_load_bit_identical(spark, corpus_df, tmp_path):
+    """The fit-once/encode-many deployment contract: a reloaded model
+    is EXACTLY the trained one (json floats round-trip via repr), and
+    encodes identically."""
+    from consume_kafka_avro_data_spark.operators.unigram import (
+        unigram_load,
+        unigram_save,
+    )
+
+    model = unigram_train(corpus_df, vocab_size=40, seed_size=120)
+    path = str(tmp_path / "unigram_model.json")
+    unigram_save(spark, model, path)
+    loaded = unigram_load(spark, path)
+    assert loaded == model  # bit-identical, not approx
+    a = unigram_segment(corpus_df, model).collect()
+    b = unigram_segment(corpus_df, loaded).collect()
+    assert [r["unigram_pieces"] for r in a] == [r["unigram_pieces"] for r in b]
+    # re-save over the same path is an atomic overwrite, not an error
+    unigram_save(spark, loaded, path)
+    assert unigram_load(spark, path) == model
+
+
+def _ref_sample(text, model, alpha, seed, max_piece_len=None):
+    """Independent FFBS: forward pass under α-scaled log-probs, then
+    backward draws using the operator's documented RNG derivation."""
+    import hashlib
+
+    logp = dict(model)
+    if max_piece_len is None:
+        max_piece_len = max(len(p) for p in logp)
+    pretoken = re.compile(BPE_PRETOKEN_RE)
+    doc_md5 = hashlib.md5(text.encode()).hexdigest()
+    pieces = []
+    for widx, w in enumerate(pretoken.findall(text)):
+        ln = len(w)
+        a = [NEG_INF] * (ln + 1)
+        a[0] = 0.0
+        for i in range(1, ln + 1):
+            for j in range(max(0, i - max_piece_len), i):
+                p = logp.get(w[j:i])
+                if p is not None and a[j] != NEG_INF:
+                    a[i] = _lae(a[i], a[j] + alpha * p)
+        if a[ln] == NEG_INF:
+            pieces.append(w)
+            continue
+        out, i, step = [], ln, 0
+        while i > 0:
+            cands, total = [], 0.0
+            for j in range(max(0, i - max_piece_len), i):
+                p = logp.get(w[j:i])
+                if p is not None and a[j] != NEG_INF:
+                    wt = math.exp(a[j] + alpha * p - a[i])
+                    cands.append((j, wt))
+                    total += wt
+            h = hashlib.md5(f"{seed}:{doc_md5}:{widx}:{step}".encode()).digest()
+            u = ((int.from_bytes(h[:8], "big") + 0.5) / 2.0**64) * total
+            step += 1
+            acc, pick = 0.0, cands[-1][0]
+            for j, wt in cands:
+                acc += wt
+                if u <= acc:
+                    pick = j
+                    break
+            out.append(w[pick:i])
+            i = pick
+        pieces.extend(reversed(out))
+    return pieces
+
+
+def test_sampled_segmentation_matches_ffbs_reference(spark, corpus_df):
+    """sample_alpha draws EXACTLY the segmentations the independent
+    FFBS reference draws (same α-lattice, same documented RNG chain)."""
+    model = unigram_train(corpus_df, vocab_size=50, seed_size=120)
+    got = unigram_segment(corpus_df, model, sample_alpha=0.5, seed=11).collect()
+    for row in got:
+        want = _ref_sample(row["text"], model, alpha=0.5, seed=11)
+        assert row["unigram_pieces"] == want
+
+
+def test_sampling_is_deterministic_and_diverse(spark, corpus_df):
+    """Same seed → identical output across partition layouts; the
+    sampler actually regularizes (two seeds disagree somewhere); every
+    sample still concatenates back to the pre-tokenized text."""
+    model = unigram_train(corpus_df, vocab_size=50, seed_size=120)
+    a = unigram_segment(corpus_df, model, sample_alpha=0.3, seed=1).collect()
+    b = unigram_segment(
+        corpus_df.repartition(7), model, sample_alpha=0.3, seed=1
+    ).collect()
+    by_text = lambda rows: {r["text"]: r["unigram_pieces"] for r in rows}
+    assert by_text(a) == by_text(b)
+    # diversity across seeds: the sampler must not be degenerate.
+    # EM on a tiny corpus concentrates the lattice hard (at α=0.3 the
+    # one-best carries ~all the α-scaled mass — verified with the
+    # reference sampler), so probe diversity in the flat regime:
+    # at α=0.05 among eight seeds at least two segmentations differ.
+    outcomes = {
+        tuple(
+            tuple(r["unigram_pieces"])
+            for r in sorted(
+                unigram_segment(
+                    corpus_df, model, sample_alpha=0.05, seed=s
+                ).collect(),
+                key=lambda r: r["text"],
+            )
+        )
+        for s in range(8)
+    }
+    assert len(outcomes) >= 2
+    pretoken = re.compile(BPE_PRETOKEN_RE)
+    vocab = {p for p, _ in model}
+    for r in a:
+        assert "".join(r["unigram_pieces"]) == "".join(pretoken.findall(r["text"]))
+        assert all(p in vocab for p in r["unigram_pieces"])
+
+
+def test_large_alpha_concentrates_on_viterbi(spark, corpus_df):
+    """As α grows the sampling distribution collapses onto the one-best
+    path — at α=50 every draw equals the Viterbi segmentation."""
+    model = unigram_train(corpus_df, vocab_size=50, seed_size=120)
+    vit = unigram_segment(corpus_df, model).collect()
+    smp = unigram_segment(corpus_df, model, sample_alpha=50.0, seed=9).collect()
+    assert [r["unigram_pieces"] for r in vit] == [
+        r["unigram_pieces"] for r in smp
+    ]
+
+
+def test_sample_alpha_validated(spark, corpus_df):
+    model = [("a", -1.0)]
+    with pytest.raises(ValueError, match="sample_alpha"):
+        unigram_segment(corpus_df, model, sample_alpha=0.0)
