@@ -850,17 +850,23 @@ def test_dsir_gate_validated_eagerly(spark, tmp_path):
 
 
 def test_all_gates_compose_on_one_stream(spark, tmp_path):
-    """Round-7 integration: the learned classifier gate, the LM
-    perplexity gate, the decontamination gate, and dedup all ride ONE
-    foreachBatch — each gate catches exactly its designed doc, the
-    audit trails stay disjoint, the counters sum to docs, and a full
-    fresh-checkpoint replay leaves every artifact byte-stable."""
+    """Round-7 integration: the learned classifier gate, the DSIR
+    distribution gate, the LM perplexity gate, the decontamination
+    gate, and dedup all ride ONE foreachBatch — each gate catches
+    exactly its designed doc, the audit trails stay disjoint, the
+    counters sum to docs, and a full fresh-checkpoint replay leaves
+    every artifact byte-stable."""
     import random
 
     from pyspark.sql import functions as F
 
+    from consume_kafka_avro_data_spark.operators.dsir import (
+        dsir_fit,
+        dsir_log_weights,
+    )
     from consume_kafka_avro_data_spark.operators.lm import NgramKN
     from consume_kafka_avro_data_spark.operators.quality import (
+        quality_probability,
         quality_training_frame,
         train_quality_classifier,
     )
@@ -897,8 +903,70 @@ def test_all_gates_compose_on_one_stream(spark, tmp_path):
     assert nll[9] > cut  # the salad doc is the LM gate's target
 
     spam_doc = doc(spam_words)
+    # the DSIR gate's designed victim: fluent but OFF-DISTRIBUTION —
+    # no spam vocabulary (classifier must pass it), no eval overlap,
+    # content words disjoint from the trusted corpus
+    astro_doc = (
+        "telescopes observe distant galaxies while planetary nebulae "
+        "glow between spiral arms and comets trace long orbits past "
+        "frozen moons"
+    )
+    dsir = dsir_fit(
+        mk([(i, t) for i, t in enumerate(trusted)]),
+        mk(
+            [(i, t) for i, t in enumerate(trusted)]
+            + [(50, spam_doc), (51, astro_doc)]
+        ),
+        buckets=512,
+    )
+    w = {
+        r.doc_id: r.dsir_logw
+        for r in dsir_log_weights(
+            dsir,
+            mk(
+                [
+                    (0, BASE),
+                    (1, FAR),
+                    (2, ALSO_FAR),
+                    (3, new_text),
+                    (8, astro_doc),
+                    (9, salad),
+                ]
+            ),
+        ).collect()
+    }
+    # astro must weigh below every doc that has to pass the gate
+    must_pass_min = min(w[i] for i in (0, 1, 2, 3, 9))
+    assert w[8] < must_pass_min
+    dsir_cut = (w[8] + must_pass_min) / 2
+    # calibration: the classifier must catch ONLY the spam doc — set
+    # its threshold between the spam prob and the lowest prob among
+    # docs every later gate needs to see (incl. astro, which an
+    # L2-regularized LR scores low-ish on: no trusted n-grams)
+    probs = {
+        r.doc_id: r.quality_prob
+        for r in quality_probability(
+            clf,
+            mk(
+                [
+                    (1, BASE),
+                    (2, spam_doc),
+                    (3, salad),
+                    (4, ALSO_FAR),
+                    (5, FAR),
+                    (7, new_text),
+                    (8, astro_doc),
+                ]
+            ),
+            "text",
+        ).collect()
+    }
+    pass_min = min(v for i, v in probs.items() if i != 2)
+    assert probs[2] < pass_min
+    clf_threshold = (probs[2] + pass_min) / 2
+
     b1 = [(1, BASE), (2, spam_doc), (3, salad), (4, ALSO_FAR), (5, FAR)]
-    b2 = [(6, BASE), (7, new_text)]
+    b2 = [(6, BASE), (7, new_text), (8, astro_doc)]
 
     def make(tag):
         return StreamingDedupIngest(
@@ -907,7 +975,11 @@ def test_all_gates_compose_on_one_stream(spark, tmp_path):
             checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
             dupes_dir=str(tmp_path / "dupes"),
             quality_model=clf,
+            quality_model_threshold=clf_threshold,
             model_rejects_dir=str(tmp_path / "model_rejects"),
+            dsir_model=dsir,
+            dsir_threshold=dsir_cut,
+            dsir_rejects_dir=str(tmp_path / "dsir_rejects"),
             lm_model=lm,
             lm_threshold=cut,
             lm_rejects_dir=str(tmp_path / "lm_rejects"),
@@ -917,8 +989,8 @@ def test_all_gates_compose_on_one_stream(spark, tmp_path):
 
     stream = _doc_stream(spark, tmp_path, [b1, b2])
     m = make("a").run_to_completion(stream)
-    assert m.docs == 7
-    assert m.rejected_docs == 2  # classifier (2) + LM (3)
+    assert m.docs == 8
+    assert m.rejected_docs == 3  # classifier (2) + DSIR (8) + LM (3)
     assert m.contaminated_docs == 1  # eval overlap (4)
     assert m.dup_docs == 1 and m.novel_docs == 3
     assert (
@@ -930,6 +1002,10 @@ def test_all_gates_compose_on_one_stream(spark, tmp_path):
         r.doc_id
         for r in spark.read.parquet(str(tmp_path / "model_rejects")).collect()
     ] == [2]
+    assert [
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "dsir_rejects")).collect()
+    ] == [8]
     assert [
         r.doc_id
         for r in spark.read.parquet(str(tmp_path / "lm_rejects")).collect()
@@ -948,7 +1024,7 @@ def test_all_gates_compose_on_one_stream(spark, tmp_path):
 
     # full replay, fresh checkpoint: everything byte-stable
     m2 = make("b").run_to_completion(_doc_stream(spark, tmp_path, []))
-    assert m2.rejected_docs == 2 and m2.contaminated_docs == 1
+    assert m2.rejected_docs == 3 and m2.contaminated_docs == 1
     assert m2.dup_docs == 1
     assert sorted(
         r["_id"] for r in make("probe2").store.read().collect()
