@@ -242,11 +242,20 @@ def gumbel_key_expr(
     """log w + Gumbel(0,1) with the noise derived deterministically
     from (seed, id): u = (xxhash64(seed-salted id) as uniform in (0,1)),
     g = −log(−log u).  Pure JVM expression — codegen, reproducible,
-    layout-independent."""
-    # xxhash64 → signed 64-bit; map to (0,1) strictly (offset by 0.5
-    # inside the 2^64 grid so u is never 0 or 1)
+    layout-independent.
+
+    The noise is a pure function of (seed, id), so ``id_col`` must be
+    unique per row (NULL counts as one value): duplicate ids share one
+    Gumbel draw and would enter a top-k all-or-nothing instead of
+    independently."""
     h = F.xxhash64(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    # map to (0,1) STRICTLY: offset by 0.5 inside the 2^64 grid, then
+    # clamp below 1 — cast('double') rounds the top ~2^10 hash values
+    # up to 2^63 exactly (ulp there is 1024), which would make u = 1.0
+    # and log(-log(1.0)) NULL, silently excluding the doc from any
+    # desc-ordered top-k
     u = (h.cast("double") + F.lit(2.0**63) + F.lit(0.5)) / F.lit(2.0**64)
+    u = F.least(u, F.lit(1.0 - 2.0**-53))
     return F.col(logw_col) - F.log(-F.log(u))
 
 
@@ -264,15 +273,26 @@ def dsir_resample(
     2014).  Plan: map-only weigh + TakeOrdered(k) — no global sort, no
     shuffle of the corpus.  Returns the caller's columns plus
     ``dsir_logw``; selection is reproducible for a fixed seed and
-    independent of partition layout."""
+    independent of partition layout.  ``id_col`` must be unique per
+    row — the noise derives from it (see ``gumbel_key_expr``), so
+    duplicated ids would be selected all-or-nothing."""
     if k < 1:
         raise ValueError("k must be positive")
     weighted = dsir_log_weights(model, df, text_col)
     key = gumbel_key_expr("dsir_logw", id_col, seed)
-    out_cols = [c for c in df.columns] + ["dsir_logw"]
+    # column hygiene: re-selecting an input that already carries
+    # dsir_logw must not produce a duplicate-named column, and the
+    # internal sort key must not clobber (then leak back) a caller
+    # column of the same name
+    out_cols = list(df.columns)
+    if "dsir_logw" not in out_cols:
+        out_cols.append("dsir_logw")
+    key_col = "_dsir_key"
+    while key_col in df.columns:
+        key_col += "_"
     return (
-        weighted.withColumn("_dsir_key", key)
-        .orderBy(F.col("_dsir_key").desc())
+        weighted.withColumn(key_col, key)
+        .orderBy(F.col(key_col).desc())
         .limit(k)
         .select(*out_cols)
     )

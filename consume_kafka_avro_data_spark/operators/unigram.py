@@ -259,27 +259,51 @@ def unigram_train(
         raise ValueError("vocab_size must be positive")
     if not 0.0 < shrink < 1.0:
         raise ValueError("shrink must be in (0, 1)")
+    if em_iters < 1:
+        raise ValueError("em_iters must be >= 1")
 
     types = _word_types(corpus, text_col).localCheckpoint(eager=True)
     try:
-        seed = _seed_counts(types, max_piece_len).collect()
-
-        chars = sorted(r["piece"] for r in seed if r["is_char"])
-        if not chars:
-            raise ValueError("empty corpus: no word types to train on")
-        if vocab_size <= len(chars):
-            raise ValueError(
-                f"vocab_size={vocab_size} must exceed the corpus alphabet "
-                f"({len(chars)} single characters, which are always kept)"
+        seeds = _seed_counts(types, max_piece_len).localCheckpoint(eager=True)
+        try:
+            # alphabet-bounded collect
+            chars = sorted(
+                r["piece"] for r in seeds.where(F.col("is_char")).collect()
             )
-        multi = sorted(
-            ((r["piece"], _sig9(r["weight"])) for r in seed if not r["is_char"]),
-            key=lambda kv: (-kv[1], kv[0]),
-        )[: max(0, seed_size - len(chars))]
+            if not chars:
+                raise ValueError("empty corpus: no word types to train on")
+            if vocab_size <= len(chars):
+                raise ValueError(
+                    f"vocab_size={vocab_size} must exceed the corpus "
+                    f"alphabet ({len(chars)} single characters, which are "
+                    "always kept)"
+                )
+            # the seed-size cut runs CLUSTER-side (TakeOrdered) — only
+            # seed_size rows ever reach the driver, not the full
+            # substring table (word-type-bounded but huge at scale).
+            # Seed weights are exact integer counts (sums of word
+            # frequencies), so no float-jitter rounding is needed for
+            # this ranking — ties break by piece ascending.
+            multi = [
+                (r["piece"], r["weight"])
+                for r in (
+                    seeds.where(~F.col("is_char"))
+                    .orderBy(F.desc("weight"), F.asc("piece"))
+                    .limit(max(0, seed_size - len(chars)))
+                    .collect()
+                )
+            ]
+            char_weights = {
+                r["piece"]: r["weight"]
+                for r in seeds.where(F.col("is_char")).collect()
+            }
+        finally:
+            seeds.unpersist()
 
         # init: piece prob ∝ seeded substring weight (chars included),
         # normalized in sorted-piece order for determinism
-        weights = {r["piece"]: _sig9(r["weight"]) for r in seed}
+        weights = dict(multi)
+        weights.update(char_weights)
         pieces = chars + [p for p, _ in multi]
         logp = _m_step(weights, pieces)
 
@@ -530,14 +554,24 @@ def corpus_nll(
     model: list[tuple[str, float]],
     max_piece_len: int | None = None,
     text_col: str = "text",
+    on_unsegmentable: str = "error",
 ) -> float:
     """Total corpus negative log-likelihood under the model's FULL
     lattice (−Σ_words cnt·log Z_word) — the quantity EM monotonically
     improves; exposed so tests can pin the EM law and deployments can
     compare tokenizers on held-out text.  One word-type pass, scalar
-    result."""
+    result.
+
+    A held-out word containing characters outside the model's vocab
+    has NO lattice path; silently skipping it would bias comparisons
+    TOWARD models with smaller coverage (they'd drop the words they
+    can't pay for).  Default ``on_unsegmentable="error"`` refuses with
+    the skipped token count; pass ``"skip"`` to accept the documented
+    bias (the skipped-mass caveat is then on the caller)."""
     import pandas as pd
 
+    if on_unsegmentable not in ("error", "skip"):
+        raise ValueError('on_unsegmentable must be "error" or "skip"')
     types = _word_types(corpus, text_col)
     logp = dict(model)
     if max_piece_len is None:
@@ -549,6 +583,7 @@ def corpus_nll(
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         m = bc.value
         total = 0.0
+        skipped = 0.0
         for pdf in batches:
             for word, cnt in zip(pdf["word"], pdf["cnt"]):
                 ln = len(word)
@@ -563,14 +598,27 @@ def corpus_nll(
                             alpha[i] = _logaddexp(alpha[i], alpha[j] + p)
                 if alpha[ln] != _NEG_INF:
                     total -= alpha[ln] * float(cnt)
-        yield pd.DataFrame({"nll": [total]})
+                else:
+                    skipped += float(cnt)
+        yield pd.DataFrame({"nll": [total], "skipped": [skipped]})
 
     try:
         row = (
-            types.mapInPandas(gen, schema="nll double")
-            .agg(F.sum("nll").alias("nll"))
+            types.mapInPandas(gen, schema="nll double, skipped double")
+            .agg(
+                F.sum("nll").alias("nll"),
+                F.sum("skipped").alias("skipped"),
+            )
             .collect()[0]
         )
     finally:
         bc.unpersist()
+    n_skipped = float(row["skipped"] or 0.0)
+    if n_skipped and on_unsegmentable == "error":
+        raise ValueError(
+            f"{int(n_skipped)} word tokens have no lattice path under "
+            "this model (characters outside its vocab); pass "
+            'on_unsegmentable="skip" to exclude them (biases '
+            "cross-model comparisons toward smaller coverage)"
+        )
     return float(row["nll"] or 0.0)

@@ -227,3 +227,19 @@ def test_save_load_bit_identical(spark, frames, tmp_path):
     # re-save over the same path is an atomic overwrite, not an error
     loaded.save(spark, path)
     assert DsirModel.load(spark, path) == model
+
+
+def test_resample_column_hygiene(spark, frames):
+    """Re-sampling a frame that already carries dsir_logw (or a
+    _dsir_key column) must not emit duplicate-named columns or leak
+    the internal sort key."""
+    target, raw = frames
+    model = dsir_fit(target, raw, buckets=B)
+    pre = dsir_log_weights(model, raw).withColumn("_dsir_key", F.lit(9.9))
+    out = dsir_resample(model, pre, k=3, seed=7)
+    assert out.columns == ["doc_id", "text", "dsir_logw", "_dsir_key"]
+    rows = out.collect()
+    assert all(r["_dsir_key"] == 9.9 for r in rows)  # caller column intact
+    # and the selection still matches the same-seed run on the raw frame
+    want = {r["doc_id"] for r in dsir_resample(model, raw, k=3, seed=7).collect()}
+    assert {r["doc_id"] for r in rows} == want

@@ -382,3 +382,25 @@ def test_sample_alpha_validated(spark, corpus_df):
     model = [("a", -1.0)]
     with pytest.raises(ValueError, match="sample_alpha"):
         unigram_segment(corpus_df, model, sample_alpha=0.0)
+
+
+def test_em_iters_validated(spark, corpus_df):
+    with pytest.raises(ValueError, match="em_iters"):
+        unigram_train(corpus_df, vocab_size=40, seed_size=120, em_iters=0)
+
+
+def test_corpus_nll_unsegmentable_policy(spark):
+    """Held-out words with out-of-vocab characters must not silently
+    vanish from the NLL (that would bias comparisons toward models
+    with SMALLER coverage): default errors with the skipped count,
+    opt-in skip excludes them."""
+    df = spark.createDataFrame([("ab ab xq",)], "text string")
+    model = [("a", math.log(0.4)), ("b", math.log(0.4)), ("ab", math.log(0.2))]
+    with pytest.raises(ValueError, match="no lattice path"):
+        corpus_nll(df, model)
+    got = corpus_nll(df, model, on_unsegmentable="skip")
+    # 2 × -log Z("ab"); Z = p(a)p(b) + p(ab)
+    want = -2.0 * math.log(0.4 * 0.4 + 0.2)
+    assert got == pytest.approx(want, abs=1e-9)
+    with pytest.raises(ValueError, match="on_unsegmentable"):
+        corpus_nll(df, model, on_unsegmentable="maybe")
