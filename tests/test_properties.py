@@ -659,3 +659,125 @@ def test_kn_per_context_mass_is_one(spark, texts):
             assert r.s + lam[r.w1] * unseen == pytest.approx(1.0, abs=1e-9)
     finally:
         m.unpersist()
+
+
+# --- unigram tokenizer laws (operators/unigram) ---------------------------
+
+UNI_DOCS = st.lists(
+    st.text(alphabet="abcd ", min_size=1, max_size=24).filter(
+        lambda t: t.strip()
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(texts=UNI_DOCS)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_unigram_model_is_distribution_with_full_coverage(spark, texts):
+    """For ANY corpus: the trained piece table is a probability
+    distribution (Σ exp(logp) = 1 over pieces with mass), every corpus
+    character is in the vocab, and every word type Viterbi-segments
+    back to itself (coverage = 1 — the invariant pruning must never
+    break)."""
+    import math as _math
+    import re as _re
+
+    from consume_kafka_avro_data_spark.operators.text import BPE_PRETOKEN_RE
+    from consume_kafka_avro_data_spark.operators.unigram import (
+        unigram_train,
+        viterbi_pieces,
+    )
+
+    words = {
+        w
+        for t in texts
+        for w in _re.compile(BPE_PRETOKEN_RE).findall(t)
+        if w
+    }
+    if not words:
+        return
+    chars = {c for w in words for c in w}
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    model = unigram_train(
+        df, vocab_size=len(chars) + 4, seed_size=len(chars) + 10,
+        max_piece_len=4,
+    )
+    mass = sum(_math.exp(lp) for _, lp in model if lp > -1e8)
+    assert mass == pytest.approx(1.0, abs=1e-9)
+    vocab = {p for p, _ in model}
+    assert chars <= vocab
+    logp = dict(model)
+    for w in words:
+        assert "".join(viterbi_pieces(w, logp, 4)) == w
+
+
+# --- DSIR weight law (operators/dsir) --------------------------------------
+
+DSIR_DOCS = st.lists(
+    st.lists(
+        st.sampled_from("aa bb cc dd ee ff".split()), min_size=1, max_size=8
+    ).map(" ".join),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(target=DSIR_DOCS, raw=DSIR_DOCS)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dsir_weights_model_the_likelihood_ratio(spark, target, raw):
+    """For ANY corpus pair: every document's operator weight equals the
+    pure-Python bag-of-hashed-ngrams likelihood ratio — fit and weigh
+    as a law, not just on the fixed example corpora."""
+    import hashlib as _hashlib
+    import math as _math
+    import re as _re
+    from collections import Counter as _Counter
+
+    from consume_kafka_avro_data_spark.operators.dsir import (
+        dsir_fit,
+        dsir_log_weights,
+    )
+
+    B = 64
+
+    def buckets_of(text):
+        toks = _re.findall(r"[a-z0-9']+", text.lower())
+        grams = toks + [
+            toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+        ]
+        return [
+            int.from_bytes(
+                _hashlib.md5(g.encode()).digest()[:8], "big"
+            ) % B
+            for g in grams
+        ]
+
+    def logp(texts):
+        c = _Counter(b for t in texts for b in buckets_of(t))
+        total = sum(c.values())
+        denom = _math.log(total + B)
+        return [_math.log(c.get(b, 0) + 1) - denom for b in range(B)]
+
+    lt, lr = logp(target), logp(raw)
+    ratio = [a - b for a, b in zip(lt, lr)]
+    t_df = spark.createDataFrame([(t,) for t in target], "text string")
+    r_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(raw)], "doc_id long, text string"
+    )
+    model = dsir_fit(t_df, r_df, buckets=B)
+    got = {
+        r.doc_id: r.dsir_logw
+        for r in dsir_log_weights(model, r_df).collect()
+    }
+    for i, t in enumerate(raw):
+        want = sum(ratio[b] for b in buckets_of(t))
+        assert got[i] == pytest.approx(want, abs=1e-9)
