@@ -646,6 +646,68 @@ def learned_ops_bench(spark, sf_dir: str) -> dict:
     }
 
 
+def sketches_bench(spark, sf_dir: str) -> dict:
+    """Mergeable sketches, measured on the decontamination question
+    asked SKETCH-style: how much do the eval corpus's 8-gram set and
+    the training corpus's overlap?  Two independent KMV sketches (one
+    distinct exchange + TakeOrdered each — the corpora are never
+    co-shuffled) answer distinct counts + Jaccard + intersection;
+    the exact numbers come from one count_distinct pass for the
+    honesty column.  Plus Misra-Gries heavy hitters over the token
+    stream vs the exact top-k."""
+    from consume_kafka_avro_data_spark.operators.sketches import (
+        heavy_hitters,
+        kmv_jaccard,
+        kmv_sketch,
+    )
+    from consume_kafka_avro_data_spark.queries.curation import word_grams
+    from consume_kafka_avro_data_spark.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select("source", F.explode(word_grams(8)).alias("g"))
+    eval_g = grams.where(F.col("source") == "src0").select("g")
+    train_g = grams.where(F.col("source") != "src0").select("g")
+
+    t0 = time.perf_counter()
+    sk_e = kmv_sketch(eval_g, "g", k=4096)
+    sk_t = kmv_sketch(train_g, "g", k=4096)
+    overlap = kmv_jaccard(sk_e, sk_t)
+    t_kmv = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    exact_inter = eval_g.intersect(train_g).count()
+    exact_union = eval_g.unionAll(train_g).distinct().count()
+    t_exact = time.perf_counter() - t0
+
+    toks = d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("t"))
+    t0 = time.perf_counter()
+    hh = heavy_hitters(toks, "t", k=64)
+    t_hh = time.perf_counter() - t0
+    top_true = {
+        r["t"]
+        for r in toks.groupBy("t")
+        .count()
+        .orderBy(F.desc("count"), "t")
+        .limit(10)
+        .collect()
+    }
+    return {
+        "kmv_sec": round(t_kmv, 4),
+        "exact_sec": round(t_exact, 4),
+        "kmv_intersection": round(overlap["intersection"], 1),
+        "exact_intersection": exact_inter,
+        "kmv_union": round(overlap["union"], 1),
+        "exact_union": exact_union,
+        "hh_sec": round(t_hh, 4),
+        "hh_top10_recall": round(
+            len(top_true & set(hh.items)) / max(len(top_true), 1), 3
+        ),
+        "hh_error_bound": round(hh.error_bound, 1),
+    }
+
+
 def bloom_steady_state_bench(spark, sf_dir: str) -> dict:
     """Split q_decontaminate_bloom's cost into BUILD vs PROBE: the
     headline timing pays the bloom build (eval checkpoint + count +
@@ -1266,6 +1328,7 @@ def main() -> None:
     bloom_x = bloom_crossover_bench(spark, sf_dir)
     bloom_ss = bloom_steady_state_bench(spark, sf_dir)
     learned = learned_ops_bench(spark, sf_dir)
+    sketches = sketches_bench(spark, sf_dir)
     drift = drift_monitor_bench(spark, sf_dir)
 
     total = round(sum(timings.values()), 4)
@@ -1286,6 +1349,7 @@ def main() -> None:
             "bloom_crossover": bloom_x,
             "bloom_steady_state": bloom_ss,
             "learned_ops": learned,
+            "sketches": sketches,
             "drift_monitor": drift,
             "baseline_reference_msgs_per_sec": 770,
         },
