@@ -42,6 +42,7 @@ from consume_kafka_avro_data_spark.operators.store import ManifestTable
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     DateType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -269,6 +270,91 @@ def connected_components(
             break
         prev_sum = new_sum
     return labels
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: list,
+    src: str = "source_id",
+    dst: str = "target_id",
+    directed: bool = False,
+    max_hops: int = 30,
+) -> DataFrame:
+    """Multi-source BFS over an unweighted graph: (node, dist) with
+    dist = minimum hop count from the NEAREST source (the Pregel-style
+    SSSP specialization for unit weights; standard MapReduce/Pregel
+    recipe — Malewicz et al. 2010).  Nodes unreachable within
+    ``max_hops`` are absent.  Answers "how many hops from entity X"
+    over the SPO graph the reference materializes
+    (src/Database.cpp:41-78's relationships table).
+
+    Scale shape per round (the ``connected_components`` discipline):
+    the FRONTIER (nodes first reached last round — vanishingly small
+    against the graph after a few hops) joins edges on the source key,
+    and discoveries anti-join the settled set; both are keyed by node
+    id so AQE reuses the hash partitioning, and with unit weights a
+    node's first discovery is already its final distance (no re-
+    relaxation rounds, unlike weighted SSSP).  ``localCheckpoint``
+    per round cuts the growing plan; the empty-frontier stop is one
+    cheap count per round.  Distances only settle once, so the loop
+    runs eccentricity(sources) rounds, not max_hops, on real graphs."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not directed:
+        e = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    e = e.distinct().localCheckpoint(eager=True)
+
+    spark = edges.sparkSession
+    node_type = e.schema["a"].dataType
+    schema = StructType(
+        [StructField("node", node_type), StructField("dist", IntegerType())]
+    )
+    # checkpoint HANDLES are kept separate from the re-aliased selects
+    # fed back into the loop (unpersist must target the checkpointed
+    # frame itself; the fresh aliases mint new expression ids — the
+    # connected_components LogicalRDD/Union constraint dodge)
+    settled_ck = spark.createDataFrame(
+        [(s, 0) for s in sources], schema
+    ).localCheckpoint(eager=True)
+    frontier_ck = None  # round 0's frontier IS the settled sources
+    try:
+        for hop in range(1, max_hops + 1):
+            frontier = (frontier_ck or settled_ck).select(
+                F.col("node").alias("_f")
+            )
+            discovered = (
+                e.join(frontier, on=F.col("a").eqNullSafe(F.col("_f")))
+                .select(F.col("b").alias("node"))
+                .distinct()
+                .join(
+                    settled_ck.select(F.col("node").alias("_s")),
+                    on=F.col("node").eqNullSafe(F.col("_s")),
+                    how="left_anti",
+                )
+                .select("node", F.lit(hop).alias("dist"))
+            )
+            new_frontier_ck = discovered.localCheckpoint(eager=True)
+            if frontier_ck is not None:
+                frontier_ck.unpersist()
+            frontier_ck = new_frontier_ck
+            if frontier_ck.count() == 0:
+                break
+            new_settled_ck = (
+                settled_ck.select("node", "dist")
+                .unionAll(frontier_ck.select("node", "dist"))
+                .localCheckpoint(eager=True)
+            )
+            settled_ck.unpersist()
+            settled_ck = new_settled_ck
+        # the result stays checkpointed (internal frames above are
+        # freed); the caller owns the final unpersist, the
+        # pack_sequences contract
+        return settled_ck.select(
+            F.col("node").alias("node"), F.col("dist").alias("dist")
+        )
+    finally:
+        if frontier_ck is not None:
+            frontier_ck.unpersist()
+        e.unpersist()
 
 
 class GraphStore:

@@ -549,6 +549,33 @@ def bpe_train(
         ck_root.unpersist()
 
 
+def bpe_save(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a trained merge table as ONE JSON file (n_merges string
+    pairs — driver-sized by construction), tmp-then-rename atomic
+    commit via fsio: the train-once/encode-many artifact, matching the
+    unigram/DSIR persistence contract."""
+    import json
+
+    from consume_kafka_avro_data_spark.fsio import fs_for
+
+    io = fs_for(spark, path)
+    payload = {"version": 1, "merges": [[a, b] for a, b in merges]}
+    tmp = path + ".tmp"
+    io.write_bytes(tmp, json.dumps(payload).encode())
+    io.rename_overwrite(tmp, path)
+
+
+def bpe_load(spark, path: str) -> list[tuple[str, str]]:
+    """Reopen a saved merge table — see ``bpe_save``."""
+    import json
+
+    from consume_kafka_avro_data_spark.fsio import fs_for
+
+    io = fs_for(spark, path)
+    payload = json.loads(io.read_bytes(path))
+    return [(a, b) for a, b in payload["merges"]]
+
+
 def bpe_segment(
     df: DataFrame,
     merges: list[tuple[str, str]],

@@ -1,0 +1,130 @@
+"""Multi-source BFS (operators/graph.shortest_paths): distances must
+model a pure-Python BFS exactly — fixed examples (path, diamond,
+directed vs undirected, multi-source min) plus a hypothesis law over
+generated digraphs — with unreachable nodes absent and the frontier
+loop stopping at graph eccentricity, not max_hops."""
+
+from __future__ import annotations
+
+from collections import deque
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from consume_kafka_avro_data_spark.operators.graph import shortest_paths
+
+
+def _ref_bfs(edges, sources, directed):
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        if not directed:
+            adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in sources}
+    q = deque(sources)
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(
+        edges or [(0, 0)], "source_id long, target_id long"
+    ).limit(len(edges))
+
+
+def test_path_graph_and_eccentricity_stop(spark):
+    """A 12-node path from one end: dist i == i, and the loop must
+    terminate by frontier exhaustion (max_hops far above need)."""
+    edges = [(i, i + 1) for i in range(11)]
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(_edges_df(spark, edges), [0]).collect()
+    }
+    assert got == {i: i for i in range(12)}
+
+
+def test_directed_vs_undirected_and_unreachable_absent(spark):
+    edges = [(1, 2), (2, 3), (5, 1)]
+    df = _edges_df(spark, edges)
+    directed = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(df, [1], directed=True).collect()
+    }
+    assert directed == {1: 0, 2: 1, 3: 2}  # 5 unreachable forward
+    undirected = {
+        r["node"]: r["dist"] for r in shortest_paths(df, [1]).collect()
+    }
+    assert undirected == {1: 0, 2: 1, 5: 1, 3: 2}
+
+
+def test_multi_source_takes_nearest(spark):
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(_edges_df(spark, edges), [0, 4]).collect()
+    }
+    assert got == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}
+
+
+def test_max_hops_truncates(spark):
+    edges = [(i, i + 1) for i in range(10)]
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(
+            _edges_df(spark, edges), [0], max_hops=3
+        ).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=1,
+    max_size=18,
+)
+
+
+@given(edges=EDGES, directed=st.booleans())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bfs_models_reference_on_any_graph(spark, edges, directed):
+    """For ANY small digraph (self-loops and multi-edges included) the
+    distances equal a queue-based pure-Python BFS from source 0."""
+    df = _edges_df(spark, edges)
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(df, [0], directed=directed).collect()
+    }
+    assert got == _ref_bfs(edges, [0], directed)
+
+
+def test_bpe_save_load_round_trip(spark, tmp_path):
+    """BPE merge tables persist like the other learned artifacts:
+    bit-identical reload, atomic overwrite."""
+    from consume_kafka_avro_data_spark.operators.text import (
+        bpe_load,
+        bpe_save,
+        bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [("low lower lowest low low",)] * 3, "text string"
+    )
+    merges = bpe_train(df, n_merges=6)
+    assert merges  # trained something
+    path = str(tmp_path / "bpe_merges.json")
+    bpe_save(spark, merges, path)
+    assert bpe_load(spark, path) == merges
+    bpe_save(spark, merges[:2], path)  # atomic overwrite
+    assert bpe_load(spark, path) == merges[:2]
