@@ -272,6 +272,88 @@ def connected_components(
     return labels
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = "source_id",
+    dst: str = "target_id",
+    max_iter: int = 5,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007; the GraphFrames-style deterministic variant): every
+    node starts as its own label, and each round adopts the MOST
+    FREQUENT label among its neighbors, ties broken by smallest label —
+    fully deterministic, layout-independent (exact integer counts).
+    Returns (node, label); isolated nodes don't appear (no edges — no
+    community evidence).
+
+    Synchronous LPA can oscillate on bipartite structures (the
+    published caveat), so the loop runs a FIXED ``max_iter`` budget
+    with an early stop when no label changes; callers wanting
+    convergence diagnostics can compare two budgets.  Scale shape per
+    round: one join keyed by the neighbor id + one (node, label) count
+    aggregate + one per-node argmax — all hash-partitioned by node id
+    so AQE reuses the exchange, with ``localCheckpoint`` cutting the
+    per-round plan growth (the connected_components discipline)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    e = e.where(F.col("a") != F.col("b")).distinct()
+    e = e.localCheckpoint(eager=True)
+
+    labels_ck = (
+        e.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iter):
+            neigh = e.join(
+                labels_ck.select(
+                    F.col("node").alias("_n"), F.col("label").alias("_l")
+                ),
+                on=F.col("b") == F.col("_n"),
+            ).select(F.col("a").alias("node"), F.col("_l").alias("label"))
+            # per-node mode with (count desc, label asc) tie-break as
+            # ONE deterministic min over (-count, label) structs
+            new_labels = (
+                neigh.groupBy("node", "label")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .groupBy("node")
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("cnt")).alias("_neg"),
+                            F.col("label").alias("label"),
+                        )
+                    ).alias("_w")
+                )
+                .select("node", F.col("_w.label").alias("label"))
+            )
+            new_ck = new_labels.localCheckpoint(eager=True)
+            changed = (
+                new_ck.alias("x")
+                .join(
+                    labels_ck.select(
+                        F.col("node").alias("_pn"),
+                        F.col("label").alias("_pl"),
+                    ),
+                    on=F.col("x.node") == F.col("_pn"),
+                )
+                .where(F.col("x.label") != F.col("_pl"))
+                .count()
+            )
+            labels_ck.unpersist()
+            labels_ck = new_ck
+            if changed == 0:
+                break
+        # result stays checkpointed; caller owns the final unpersist
+        return labels_ck.select(
+            F.col("node").alias("node"), F.col("label").alias("label")
+        )
+    finally:
+        e.unpersist()
+
+
 def shortest_paths(
     edges: DataFrame,
     sources: list,
@@ -282,8 +364,9 @@ def shortest_paths(
 ) -> DataFrame:
     """Multi-source BFS over an unweighted graph: (node, dist) with
     dist = minimum hop count from the NEAREST source (the Pregel-style
-    SSSP specialization for unit weights; standard MapReduce/Pregel
-    recipe — Malewicz et al. 2010).  Nodes unreachable within
+    SSSP specialization for unit weights — Malewicz et al. 2010,
+    "Pregel: A System for Large-Scale Graph Processing"; public
+    recipe).  Nodes unreachable within
     ``max_hops`` are absent.  Answers "how many hops from entity X"
     over the SPO graph the reference materializes
     (src/Database.cpp:41-78's relationships table).
