@@ -845,10 +845,34 @@ def cc_distributed_bench(spark, sf_dir: str) -> dict:
     dt = time.perf_counter() - t0
     driver = connected_components(pairs, "id_a", "id_b")
     driver_rows = sorted((r["node"], r["comp"]) for r in driver.collect())
+    # round 7 (continued): the other two iterative graph operators on
+    # the same pair graph — BFS hops from the smallest node and one
+    # LPA community pass — same loop discipline, comparable rounds
+    from consume_kafka_avro_data_spark.operators.graph import (
+        label_propagation,
+        shortest_paths,
+    )
+    from pyspark.sql import functions as F
+
+    src0 = pairs.agg(F.min("id_a").alias("m")).collect()[0]["m"]
+    t0 = time.perf_counter()
+    bfs = shortest_paths(pairs, [src0], src="id_a", dst="id_b")
+    n_reached = bfs.count()
+    t_bfs = time.perf_counter() - t0
+    bfs.unpersist()
+    t0 = time.perf_counter()
+    lpa = label_propagation(pairs, src="id_a", dst="id_b", max_iter=5)
+    n_communities = lpa.select("label").distinct().count()
+    t_lpa = time.perf_counter() - t0
+    lpa.unpersist()
     return {
         "sec": round(dt, 4),
         "n_nodes": len(dist_rows),
         "matches_driver_path": dist_rows == driver_rows,
+        "bfs_sec": round(t_bfs, 4),
+        "bfs_reached": n_reached,
+        "lpa_sec": round(t_lpa, 4),
+        "lpa_communities": n_communities,
     }
 
 

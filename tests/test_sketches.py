@@ -153,3 +153,21 @@ def test_heavy_hitters_guarantee_law(spark, values, k):
 def test_heavy_hitters_dataclass_contract():
     hh = HeavyHitters(items={"a": 3}, n=10, k=4)
     assert hh.error_bound == 2.0
+
+
+def test_kmv_plan_shape(spark):
+    """The sketch's lazy plan is distinct + TakeOrdered — the driver
+    receives k rows; no global sort materializes the corpus."""
+    df = spark.range(1000).select(F.concat(F.lit("v"), "id").alias("v"))
+    plan = (
+        df.select(F.xxhash64(F.col("v")).alias("h"))
+        .where(F.col("v").isNotNull())
+        .distinct()
+        .orderBy("h")
+        .limit(32)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") == 1  # the distinct's — nothing else

@@ -404,3 +404,18 @@ def test_corpus_nll_unsegmentable_policy(spark):
     assert got == pytest.approx(want, abs=1e-9)
     with pytest.raises(ValueError, match="on_unsegmentable"):
         corpus_nll(df, model, on_unsegmentable="maybe")
+
+
+def test_segment_is_map_only(spark, corpus_df):
+    """Encoding (Viterbi and sampling alike) adds no Exchange — at
+    100 TB it runs at parquet scan speed like the other per-doc
+    featurizers."""
+    model = [("a", -1.0), ("t", -1.0), ("h", -1.0), ("e", -1.0)]
+    for kwargs in ({}, {"sample_alpha": 0.5, "seed": 3}):
+        plan = (
+            unigram_segment(corpus_df, model, **kwargs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
