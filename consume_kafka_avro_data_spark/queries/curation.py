@@ -17,6 +17,7 @@ F.aggregate ≡ DuckDB list(ORDER BY) + list_reduce) are bit-identical;
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 from consume_kafka_avro_data_spark.functions.textops import (
     census_token_stream,
@@ -1117,6 +1118,101 @@ def token_budget_fill(d: DataFrame, budget: int) -> DataFrame:
             F.sum(n_tok).over(w).cast("long").alias("cum_tok"),
         )
         .where(F.col("cum_tok") <= budget)
+    )
+
+
+def temperature_quotas(
+    counts: dict[str, int], alpha: float, budget: int
+) -> dict[str, int]:
+    """Per-group document quotas ∝ n_g^α summing EXACTLY to ``budget``
+    (largest-remainder apportionment over the group-bounded counts —
+    pure driver math), with quotas capped at group size and the excess
+    re-apportioned among uncapped groups until stable.  α < 1 is the
+    published temperature-sampling upweighting of small groups
+    (Conneau & Lample 2019, XLM; Xue et al. 2021, mT5); α = 1 is
+    proportional, α = 0 uniform."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    if budget < 0:
+        raise ValueError("budget must be non-negative")
+    if budget > sum(counts.values()):
+        raise ValueError(
+            f"budget {budget} exceeds the corpus ({sum(counts.values())} docs)"
+        )
+    quotas = {g: 0 for g in counts}
+    open_groups = {g for g, n in counts.items() if n > 0}
+    remaining = budget
+    while remaining and open_groups:
+        mass = {g: counts[g] ** alpha for g in open_groups}
+        total = sum(mass.values())
+        shares = {g: remaining * mass[g] / total for g in open_groups}
+        floors = {g: int(shares[g]) for g in open_groups}
+        leftover = remaining - sum(floors.values())
+        # largest remainder, ties by group name — deterministic
+        order = sorted(
+            open_groups, key=lambda g: (-(shares[g] - floors[g]), g)
+        )
+        alloc = {
+            g: floors[g] + (1 if i < leftover else 0)
+            for i, g in enumerate(order)
+        }
+        for g in list(open_groups):
+            room = counts[g] - quotas[g]
+            take = min(alloc[g], room)
+            quotas[g] += take
+            remaining -= take
+            if quotas[g] == counts[g]:
+                open_groups.discard(g)
+        if all(alloc[g] == 0 for g in alloc):  # budget < group count
+            # hand out singletons in deterministic order
+            for g in sorted(open_groups):
+                if not remaining:
+                    break
+                quotas[g] += 1
+                remaining -= 1
+            break
+    return quotas
+
+
+def temperature_mix(
+    d: DataFrame, group_col: str, alpha: float, budget: int
+) -> DataFrame:
+    """Temperature-sampled training mix: select ``budget`` documents
+    with per-group quotas ∝ n_g^α (small groups upweighted at α < 1 —
+    the multilingual-pretraining recipe), filled deterministically in
+    content-addressed-hash order so the mix is stable under re-runs,
+    cluster layouts, and corpus appends (the ``token_budget_fill``
+    convention).  Plan: one group-bounded count aggregate (quotas are
+    driver math over it), then one shuffle on the group key for the
+    rank-and-cut; output is budget-bounded, not corpus-bounded."""
+    counts = {
+        r["g"]: r["n"]
+        for r in d.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    quotas = temperature_quotas(counts, alpha, budget)
+    spark = d.sparkSession
+    qdf = spark.createDataFrame(
+        [(g, q) for g, q in quotas.items()],
+        StructType(
+            [
+                StructField("g", d.schema[group_col].dataType),
+                StructField("quota", LongType()),
+            ]
+        ),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("_rk", F.row_number().over(w))
+        .join(
+            F.broadcast(qdf),  # group-bounded by construction
+            on=F.col(group_col).eqNullSafe(F.col("g")),
+        )
+        .where(F.col("_rk") <= F.col("quota"))
+        .drop("_rk", "g", "quota")
     )
 
 
