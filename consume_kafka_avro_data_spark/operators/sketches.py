@@ -46,6 +46,7 @@ __all__ = [
     "kmv_jaccard",
     "HeavyHitters",
     "heavy_hitters",
+    "mg_merge",
 ]
 
 #: xxhash64 is signed; the sketch math wants uniform u ∈ [0, 1), so
@@ -166,6 +167,23 @@ def _mg_fold(counters: dict, value: Any, k: int) -> None:
                 del counters[key]
 
 
+def mg_merge(summaries, k: int) -> dict:
+    """Merge Misra–Gries summaries (Agarwal et al. 2012): sum counts
+    per item, then subtract the (k+1)-th largest combined count from
+    every item and drop the non-positive — associative in the sense
+    that any merge tree preserves the global n/(k+1) guarantee."""
+    combined: dict = {}
+    for summary in summaries:
+        for item, c in summary.items():
+            combined[item] = combined.get(item, 0) + c
+    if len(combined) > k:
+        cut = sorted(combined.values(), reverse=True)[k]
+        combined = {
+            item: c - cut for item, c in combined.items() if c - cut > 0
+        }
+    return combined
+
+
 def heavy_hitters(df: DataFrame, col: str, k: int = 64) -> HeavyHitters:
     """Deterministic heavy hitters in ONE pass: a Misra–Gries summary
     of k counters per partition (``mapInPandas`` emitting ≤ k rows
@@ -200,14 +218,10 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 64) -> HeavyHitters:
         gen, schema="item string, cnt long, n long"
     ).collect()
     n_total = sum(r["n"] for r in rows)
-    combined: dict = {}
+    per_partition: dict = {}
     for r in rows:
         if r["item"] is not None:
-            combined[r["item"]] = combined.get(r["item"], 0) + r["cnt"]
-    if len(combined) > k:
-        # the (k+1)-th largest combined count is the merge decrement
-        cut = sorted(combined.values(), reverse=True)[k]
-        combined = {
-            item: c - cut for item, c in combined.items() if c - cut > 0
-        }
-    return HeavyHitters(items=combined, n=n_total, k=k)
+            per_partition[r["item"]] = (
+                per_partition.get(r["item"], 0) + r["cnt"]
+            )
+    return HeavyHitters(items=mg_merge([per_partition], k), n=n_total, k=k)
