@@ -346,10 +346,11 @@ def label_propagation(
             labels_ck = new_ck
             if changed == 0:
                 break
-        # result stays checkpointed; caller owns the final unpersist
-        return labels_ck.select(
-            F.col("node").alias("node"), F.col("label").alias("label")
-        )
+        # the CHECKPOINTED frame itself is returned (a re-aliased
+        # projection would make the caller's unpersist a no-op against
+        # the checkpoint blocks); caller owns the final unpersist —
+        # the pack_sequences contract
+        return labels_ck
     finally:
         e.unpersist()
 
@@ -428,12 +429,12 @@ def shortest_paths(
             )
             settled_ck.unpersist()
             settled_ck = new_settled_ck
-        # the result stays checkpointed (internal frames above are
-        # freed); the caller owns the final unpersist, the
-        # pack_sequences contract
-        return settled_ck.select(
-            F.col("node").alias("node"), F.col("dist").alias("dist")
-        )
+        # the CHECKPOINTED frame itself is returned (internal frames
+        # above are freed; a re-aliased projection would make the
+        # caller's unpersist a no-op against the checkpoint blocks);
+        # the caller owns the final unpersist — the pack_sequences
+        # contract
+        return settled_ck
     finally:
         if frontier_ck is not None:
             frontier_ck.unpersist()

@@ -88,8 +88,11 @@ def kmv_sketch(df: DataFrame, col: str, k: int = 1024) -> KmvSketch:
     if k < 2:
         raise ValueError("k must be >= 2 (the estimator divides by k-1)")
     rows = (
-        df.select(F.xxhash64(F.col(col)).alias("h"))
-        .where(F.col(col).isNotNull())
+        # NULL filter BEFORE the hash projection: after it, a sketched
+        # column literally named like the alias would re-bind the
+        # predicate to the (never-NULL) hash column
+        df.where(F.col(col).isNotNull())
+        .select(F.xxhash64(F.col(col)).alias("h"))
         .distinct()
         .orderBy("h")
         .limit(k)

@@ -1156,6 +1156,10 @@ def temperature_quotas(
             g: floors[g] + (1 if i < leftover else 0)
             for i, g in enumerate(order)
         }
+        # Σ alloc == remaining by construction (floors + exactly
+        # `leftover` largest-remainder +1s), so every iteration either
+        # exhausts the budget or caps (and closes) at least one group
+        # — termination without any fallback branch
         for g in list(open_groups):
             room = counts[g] - quotas[g]
             take = min(alloc[g], room)
@@ -1163,14 +1167,6 @@ def temperature_quotas(
             remaining -= take
             if quotas[g] == counts[g]:
                 open_groups.discard(g)
-        if all(alloc[g] == 0 for g in alloc):  # budget < group count
-            # hand out singletons in deterministic order
-            for g in sorted(open_groups):
-                if not remaining:
-                    break
-                quotas[g] += 1
-                remaining -= 1
-            break
     return quotas
 
 

@@ -64,6 +64,10 @@ class SketchMetrics:
         self._folded_n = 0
         self._compacted_batches = 0
         self._compacted_max: int | None = None
+        #: merged-view cache, invalidated by record(): dashboard reads
+        #: (three public getters per tick) must not each rebuild an
+        #: O(batches · k) merge while holding the writer's lock
+        self._merged_cache: tuple[KmvSketch, HeavyHitters] | None = None
 
     @property
     def batches(self) -> int:
@@ -92,6 +96,7 @@ class SketchMetrics:
                     "reset the monitor"
                 )
             self._by_batch[batch_id] = (hashes, mg, n_rows)
+            self._merged_cache = None
             if len(self._by_batch) > self.compact_horizon:
                 cutoff = max(self._by_batch) - self.compact_horizon
                 for bid in [b for b in self._by_batch if b <= cutoff]:
@@ -113,16 +118,28 @@ class SketchMetrics:
 
     def merged(self) -> tuple[KmvSketch, HeavyHitters]:
         with self._lock:
-            sk = self._folded_sketch
+            if self._merged_cache is not None:
+                return self._merged_cache
+            # one set-union + one sort over all live hashes (not a
+            # pairwise re-sorting fold), then one MG multi-merge
+            all_hashes = set(self._folded_sketch.hashes)
             summaries = [self._folded_mg]
             n = self._folded_n
             for h, m, nb in self._by_batch.values():
-                sk = kmv_union(sk, KmvSketch(hashes=h, k=self.k_kmv))
+                all_hashes.update(h)
                 summaries.append(m)
                 n += nb
-            return sk, HeavyHitters(
-                items=mg_merge(summaries, self.k_hh), n=n, k=self.k_hh
+            sk = KmvSketch(
+                hashes=tuple(sorted(all_hashes)[: self.k_kmv]),
+                k=self.k_kmv,
             )
+            self._merged_cache = (
+                sk,
+                HeavyHitters(
+                    items=mg_merge(summaries, self.k_hh), n=n, k=self.k_hh
+                ),
+            )
+            return self._merged_cache
 
 
 class StreamingSketchMonitor(BoundedReplayMixin):
@@ -162,8 +179,14 @@ class StreamingSketchMonitor(BoundedReplayMixin):
     # -- foreachBatch ---------------------------------------------------------
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        sk = kmv_sketch(batch, self.col, k=self.k_kmv)
-        hh = heavy_hitters(batch, self.col, k=self.k_hh)
+        # materialize the (key-column) batch ONCE — the two sketch
+        # jobs would otherwise each rescan the micro-batch's source
+        b = batch.select(self.col).localCheckpoint(eager=True)
+        try:
+            sk = kmv_sketch(b, self.col, k=self.k_kmv)
+            hh = heavy_hitters(b, self.col, k=self.k_hh)
+        finally:
+            b.unpersist()
         self.metrics.record(batch_id, sk.hashes, hh.items, hh.n)
         self._mark_batch(batch_id)
 

@@ -160,8 +160,8 @@ def test_kmv_plan_shape(spark):
     receives k rows; no global sort materializes the corpus."""
     df = spark.range(1000).select(F.concat(F.lit("v"), "id").alias("v"))
     plan = (
-        df.select(F.xxhash64(F.col("v")).alias("h"))
-        .where(F.col("v").isNotNull())
+        df.where(F.col("v").isNotNull())
+        .select(F.xxhash64(F.col("v")).alias("h"))
         .distinct()
         .orderBy("h")
         .limit(32)
