@@ -107,6 +107,7 @@ class StreamingDedupIngest(BoundedReplayMixin):
         contam_min_hits: int = 1,
         contam_dir: str | None = None,
         drift_monitor=None,
+        sketch_monitor=None,
     ):
         """``id_type`` is the document-id column's Spark type (default
         LongType) — it shapes the persisted store schema, so a stream
@@ -194,7 +195,15 @@ class StreamingDedupIngest(BoundedReplayMixin):
         gate (drift is about what's ARRIVING, not what survives), so
         the stream must carry the monitor's expected columns
         (``lang`` + ``text``).  Replay stays consistent: the monitor
-        keys by the same batch id this ingest's sinks key by."""
+        keys by the same batch id this ingest's sinks key by.
+
+        ``sketch_monitor`` (a ``streaming/sketches.
+        StreamingSketchMonitor``) rides the same foreachBatch under
+        the same raw-batch / replay contract: it watches its
+        configured key column's cardinality, duplication factor, and
+        heavy hitters over what ARRIVES — so the pipeline can compare
+        "duplicates delivered" (sketch view) against "duplicates this
+        ingest actually removed" (dup_docs) from one stream scan."""
         n = bands * rows
         self.spark = spark
         self.checkpoint_dir = checkpoint_dir
@@ -325,6 +334,7 @@ class StreamingDedupIngest(BoundedReplayMixin):
         self.metrics = self._new_metrics()
         self._seen_batches: set[int] = set()
         self.drift_monitor = drift_monitor
+        self.sketch_monitor = sketch_monitor
 
     def _reset(self) -> None:
         # a monitor riding this ingest shares its run lifecycle: a new
@@ -333,6 +343,8 @@ class StreamingDedupIngest(BoundedReplayMixin):
         super()._reset()
         if self.drift_monitor is not None:
             self.drift_monitor._reset()
+        if self.sketch_monitor is not None:
+            self.sketch_monitor._reset()
 
     # -- building blocks -----------------------------------------------------
 
@@ -440,6 +452,9 @@ class StreamingDedupIngest(BoundedReplayMixin):
             # RAW batch, before any gate: drift is about what's
             # arriving; the monitor replaces its own counts on replay
             self.drift_monitor.process_batch(batch, batch_id)
+        if self.sketch_monitor is not None:
+            # same raw-batch / replace-on-replay contract
+            self.sketch_monitor.process_batch(batch, batch_id)
         n_rejected = 0
         rejects = None
         if self.quality_threshold is not None:

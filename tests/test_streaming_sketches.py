@@ -115,3 +115,67 @@ def test_column_choice_and_empty_state(spark, tmp_path):
     assert mon.distinct_estimate() == 4.0  # x, y, z, w
     hh = mon.heavy_hitters()
     assert "x" in hh.items  # 5 of 9 rows — always above n/(k+1)=3
+
+
+def test_sketch_monitor_rides_the_dedup_ingest(spark, tmp_path):
+    """One stream scan drives dedup AND the sketch watch: the monitor
+    sees RAW arrivals (duplication factor reads the redeliveries the
+    ingest then removes), and a fresh-checkpoint replay leaves both
+    byte-stable."""
+    from consume_kafka_avro_data_spark.streaming.dedup import (
+        StreamingDedupIngest,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps in the warm sun near the old barn door"
+    )
+    far = "completely different content about spark query engines"
+    batches = [
+        [(1, base), (2, far)],
+        [(1, base), (3, base)],  # 1 redelivered; 3 near-dups 1
+    ]
+    path = str(tmp_path / "docs")
+    for rows in batches:
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(path)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+
+    def build(tag):
+        mon = StreamingSketchMonitor(
+            spark,
+            str(tmp_path / f"ckpt_{tag}"),
+            col="doc_id",
+            k_kmv=64,
+            k_hh=4,
+        )
+        ingest = StreamingDedupIngest(
+            spark,
+            store_dir=str(tmp_path / "store"),
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+            sketch_monitor=mon,
+        )
+        return mon, ingest
+
+    mon, ingest = build("a")
+    m = ingest.run_to_completion(stream)
+    assert m.docs == 4
+    # the monitor saw 4 raw rows over 3 distinct ids (1 arrived twice)
+    assert mon.heavy_hitters().n == 4
+    assert mon.distinct_estimate() == 3.0
+    assert mon.duplication_factor() == pytest.approx(4 / 3)
+    first = mon.metrics.merged()
+    # fresh-checkpoint replay: monitor state reproduced exactly
+    mon2, ingest2 = build("b")
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    ingest2.run_to_completion(stream2)
+    assert mon2.metrics.merged() == first
