@@ -42,6 +42,7 @@ from consume_kafka_avro_data_spark.operators.store import ManifestTable
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     DateType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -437,6 +438,111 @@ def shortest_paths(
         return settled_ck
     finally:
         if frontier_ck is not None:
+            frontier_ck.unpersist()
+        e.unpersist()
+
+
+def shortest_paths_weighted(
+    edges: DataFrame,
+    sources: list,
+    weight: str,
+    src: str = "source_id",
+    dst: str = "target_id",
+    directed: bool = False,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Multi-source shortest paths with NON-NEGATIVE edge weights:
+    (node, dist) with dist = minimum total weight from the nearest
+    source — frontier-based Bellman–Ford (the Pregel SSSP of Malewicz
+    et al. 2010): only nodes IMPROVED last round propagate, so rounds
+    track the shortest-path hop diameter, not |V|.  Unlike the
+    unit-weight ``shortest_paths``, a settled distance can improve
+    later (a longer-hop but lighter path), which is exactly what the
+    per-round min-merge handles.  Negative weights are rejected
+    eagerly (Bellman–Ford detects negative cycles only with |V|
+    rounds — out of scope for the SPO graph's cost semantics).
+
+    Scale shape per round (the iterative-graph discipline): one join
+    keyed by the frontier node + one min-aggregate + one full-outer
+    min-merge with the running table, all hash-partitioned by node id;
+    ``localCheckpoint`` per round, empty-frontier stop, checkpointed
+    result returned (caller owns the final unpersist)."""
+    e = edges.select(
+        F.col(src).alias("a"),
+        F.col(dst).alias("b"),
+        F.col(weight).cast("double").alias("w"),
+    )
+    if not directed:
+        e = e.unionAll(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+        )
+    # parallel edges: only the lightest matters
+    e = e.groupBy("a", "b").agg(F.min("w").alias("w"))
+    e = e.localCheckpoint(eager=True)
+    neg = e.where(F.col("w") < 0).count()
+    if neg:
+        e.unpersist()
+        raise ValueError(
+            f"{neg} negative-weight edges; shortest_paths_weighted "
+            "requires non-negative weights"
+        )
+
+    spark = edges.sparkSession
+    node_type = e.schema["a"].dataType
+    schema = StructType(
+        [StructField("node", node_type), StructField("dist", DoubleType())]
+    )
+    dist_ck = spark.createDataFrame(
+        [(s, 0.0) for s in sources], schema
+    ).localCheckpoint(eager=True)
+    frontier_ck = dist_ck
+    try:
+        for _ in range(max_iter):
+            cand = (
+                e.join(
+                    frontier_ck.select(
+                        F.col("node").alias("_f"), F.col("dist").alias("_fd")
+                    ),
+                    on=F.col("a").eqNullSafe(F.col("_f")),
+                )
+                .select(
+                    F.col("b").alias("node"),
+                    (F.col("_fd") + F.col("w")).alias("dist"),
+                )
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+            )
+            # improved = candidates strictly better than the running
+            # table (or reaching a brand-new node)
+            improved = (
+                cand.join(
+                    dist_ck.select(
+                        F.col("node").alias("_n"), F.col("dist").alias("_d")
+                    ),
+                    on=F.col("node").eqNullSafe(F.col("_n")),
+                    how="left",
+                )
+                .where(F.col("_d").isNull() | (F.col("dist") < F.col("_d")))
+                .select("node", "dist")
+            )
+            new_frontier_ck = improved.localCheckpoint(eager=True)
+            if frontier_ck is not dist_ck:
+                frontier_ck.unpersist()
+            frontier_ck = new_frontier_ck
+            if frontier_ck.count() == 0:
+                break
+            merged = (
+                dist_ck.select("node", "dist")
+                .unionAll(frontier_ck.select("node", "dist"))
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+            )
+            new_dist_ck = merged.localCheckpoint(eager=True)
+            dist_ck.unpersist()
+            dist_ck = new_dist_ck
+        return dist_ck
+    finally:
+        if frontier_ck is not dist_ck:
             frontier_ck.unpersist()
         e.unpersist()
 

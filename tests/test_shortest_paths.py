@@ -128,3 +128,103 @@ def test_bpe_save_load_round_trip(spark, tmp_path):
     assert bpe_load(spark, path) == merges
     bpe_save(spark, merges[:2], path)  # atomic overwrite
     assert bpe_load(spark, path) == merges[:2]
+
+
+# --- weighted tier ---------------------------------------------------------
+
+import heapq
+
+from consume_kafka_avro_data_spark.operators.graph import (
+    shortest_paths_weighted,
+)
+
+
+def _ref_dijkstra(edges, sources, directed):
+    adj: dict = {}
+    for a, b, w in edges:
+        adj.setdefault(a, []).append((b, w))
+        if not directed:
+            adj.setdefault(b, []).append((a, w))
+    dist = {s: 0.0 for s in sources}
+    heap = [(0.0, s) for s in sources]
+    heapq.heapify(heap)
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, ()):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    return dist
+
+
+def _wedges_df(spark, edges):
+    return spark.createDataFrame(
+        edges or [(0, 0, 0.0)],
+        "source_id long, target_id long, w double",
+    ).limit(len(edges))
+
+
+def test_weighted_prefers_lighter_longer_path(spark):
+    """The case unit-weight BFS gets wrong: a 3-hop path of weight 3
+    beats the 1-hop weight-10 edge, and the running table must let a
+    settled distance improve."""
+    edges = [(0, 9, 10.0), (0, 1, 1.0), (1, 2, 1.0), (2, 9, 1.0)]
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths_weighted(
+            _wedges_df(spark, edges), [0], weight="w", directed=True
+        ).collect()
+    }
+    assert got == {0: 0.0, 1: 1.0, 2: 2.0, 9: 3.0}
+
+
+def test_weighted_parallel_edges_and_multi_source(spark):
+    edges = [(0, 1, 5.0), (0, 1, 2.0), (1, 2, 1.0), (3, 2, 1.5)]
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths_weighted(
+            _wedges_df(spark, edges), [0, 3], weight="w"
+        ).collect()
+    }
+    assert got == _ref_dijkstra(edges, [0, 3], directed=False)
+    assert got[2] == 1.5  # via source 3, not via 0
+
+
+def test_weighted_rejects_negative(spark):
+    with pytest.raises(ValueError, match="negative-weight"):
+        shortest_paths_weighted(
+            _wedges_df(spark, [(0, 1, -1.0)]), [0], weight="w"
+        )
+
+
+WEDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=0, max_value=7),
+        st.sampled_from([1.0, 2.0, 3.0, 5.0]),
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(edges=WEDGES, directed=st.booleans())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_weighted_models_dijkstra_on_any_graph(spark, edges, directed):
+    """For ANY small weighted graph (self-loops, parallel edges) the
+    distances equal a heap Dijkstra from source 0 — exact float
+    equality (weights sum identically on both sides)."""
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths_weighted(
+            _wedges_df(spark, edges), [0], weight="w", directed=directed
+        ).collect()
+    }
+    assert got == _ref_dijkstra(edges, [0], directed)
