@@ -397,8 +397,11 @@ def shortest_paths(
     # fed back into the loop (unpersist must target the checkpointed
     # frame itself; the fresh aliases mint new expression ids — the
     # connected_components LogicalRDD/Union constraint dodge)
+    # dedupe sources: settled is row-per-source and discoveries only
+    # ever anti-join it, so a repeated source would emit duplicate
+    # (node, 0) result rows
     settled_ck = spark.createDataFrame(
-        [(s, 0) for s in sources], schema
+        [(s, 0) for s in dict.fromkeys(sources)], schema
     ).localCheckpoint(eager=True)
     frontier_ck = None  # round 0's frontier IS the settled sources
     try:
@@ -479,12 +482,15 @@ def shortest_paths_weighted(
     # parallel edges: only the lightest matters
     e = e.groupBy("a", "b").agg(F.min("w").alias("w"))
     e = e.localCheckpoint(eager=True)
-    neg = e.where(F.col("w") < 0).count()
-    if neg:
+    # NULL weights must fail the same eager gate as negatives — `< 0`
+    # is NULL for them, and a NULL admitted here would propagate
+    # through `_fd + w` and silently poison every downstream distance
+    bad = e.where((F.col("w") < 0) | F.col("w").isNull()).count()
+    if bad:
         e.unpersist()
         raise ValueError(
-            f"{neg} negative-weight edges; shortest_paths_weighted "
-            "requires non-negative weights"
+            f"{bad} negative- or NULL-weight edges; "
+            "shortest_paths_weighted requires non-negative weights"
         )
 
     spark = edges.sparkSession
@@ -492,11 +498,15 @@ def shortest_paths_weighted(
     schema = StructType(
         [StructField("node", node_type), StructField("dist", DoubleType())]
     )
+    # dedupe sources: the initial table is row-per-source and no merge
+    # round runs when nothing improves, so a repeated source would
+    # otherwise emit duplicate (node, 0.0) result rows
     dist_ck = spark.createDataFrame(
-        [(s, 0.0) for s in sources], schema
+        [(s, 0.0) for s in dict.fromkeys(sources)], schema
     ).localCheckpoint(eager=True)
     frontier_ck = dist_ck
     try:
+        converged = False
         for _ in range(max_iter):
             cand = (
                 e.join(
@@ -530,6 +540,7 @@ def shortest_paths_weighted(
                 frontier_ck.unpersist()
             frontier_ck = new_frontier_ck
             if frontier_ck.count() == 0:
+                converged = True
                 break
             merged = (
                 dist_ck.select("node", "dist")
@@ -540,6 +551,17 @@ def shortest_paths_weighted(
             new_dist_ck = merged.localCheckpoint(eager=True)
             dist_ck.unpersist()
             dist_ck = new_dist_ck
+        if not converged:
+            # unlike the unit-weight BFS (where max_hops truncation
+            # only makes far nodes ABSENT), stopping here with a live
+            # frontier would return PRESENT-BUT-WRONG distances —
+            # refuse instead of silently under-relaxing
+            dist_ck.unpersist()
+            raise ValueError(
+                f"did not converge within max_iter={max_iter} rounds "
+                "(frontier still improving); raise max_iter — rounds "
+                "track the shortest-path hop diameter"
+            )
         return dist_ck
     finally:
         if frontier_ck is not dist_ck:

@@ -578,11 +578,22 @@ def c4_clean(
     codegen over the scan, no Python, no shuffle (Exchange-free plan
     pinned) — at 100 TB this runs at full scan speed ahead of any
     other stage, which is exactly where C4 runs it."""
-    lines = F.split(F.col(text_col), "\n")
-    trimmed = F.transform(lines, F.trim)
-    ends_ok = lambda ln: F.array_contains(  # noqa: E731
-        F.array(*[F.lit(t) for t in C4_TERMINALS]),
-        F.substring(ln, -1, 1),
+    # NULL text = empty doc (auditable rejection, not NULL poison);
+    # split on \r?\n so CRLF web text — exactly what this stage exists
+    # to clean — doesn't hide a trailing \r from the terminal check
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(text, r"\r?\n")
+    # full whitespace trim (F.trim strips only spaces — tabs would
+    # survive and both defeat the terminal check and inflate the
+    # \s+ word count)
+    trimmed = F.transform(
+        lines,
+        lambda ln: F.regexp_replace(
+            F.regexp_replace(ln, r"^\s+", ""), r"\s+$", ""
+        ),
+    )
+    ends_ok = lambda ln: F.substring(ln, -1, 1).isin(  # noqa: E731
+        *C4_TERMINALS
     )
     long_enough = lambda ln: (  # noqa: E731
         F.size(F.split(ln, r"\s+")) >= F.lit(min_line_words)
@@ -595,18 +606,15 @@ def c4_clean(
         lambda ln: (ln != "") & ends_ok(ln) & long_enough(ln) & no_js(ln),
     )
     clean = F.array_join(kept, "\n")
-    # sentence proxy: terminal marks in the retained lines
+    # sentence proxy: terminal marks in the retained lines, counted by
+    # length difference (no per-character array churn in the full-scan
+    # hot path)
     n_sentences = F.aggregate(
         kept,
         F.lit(0),
         lambda acc, ln: acc
-        + F.size(
-            F.filter(
-                F.split(ln, ""),
-                lambda ch: F.array_contains(
-                    F.array(*[F.lit(t) for t in (".", "!", "?")]), ch
-                ),
-            )
+        + (
+            F.length(ln) - F.length(F.regexp_replace(ln, r"[.!?]", ""))
         ),
     )
     doc_ok = (

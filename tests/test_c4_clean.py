@@ -36,8 +36,10 @@ DOCS = [
 
 def _ref_c4(text, min_line_words=5, min_sentences=3):
     kept = []
-    for raw in text.split("\n"):
-        ln = raw.strip()
+    for raw in (text or "").replace("\r\n", "\n").split("\n"):
+        # ASCII whitespace only — Java's \s class, which the operator's
+        # regex trim uses
+        ln = raw.strip(" \t\r\n\x0b\x0c")
         if (
             ln
             and ln[-1] in C4_TERMINALS
@@ -52,7 +54,8 @@ def _ref_c4(text, min_line_words=5, min_sentences=3):
         and "{" not in clean
         and n_sent >= min_sentences
     )
-    return clean, len(text.split("\n")), len(kept), keep
+    n_lines = len((text or "").replace("\r\n", "\n").split("\n"))
+    return clean, n_lines, len(kept), keep
 
 
 @pytest.fixture(scope="module")
@@ -94,7 +97,7 @@ def test_is_map_only(spark, docs_df):
 
 TEXTS = st.lists(
     st.text(
-        alphabet='abc .!?"\n{j', min_size=0, max_size=60
+        alphabet='abc .!?"\n\r\t{j', min_size=0, max_size=60
     ),
     min_size=1,
     max_size=5,
@@ -120,4 +123,39 @@ def test_models_reference_on_any_text(spark, texts):
         assert got[i]["text"] == clean
         assert got[i]["n_lines"] == n_lines
         assert got[i]["n_lines_kept"] == n_kept
+        assert got[i]["c4_keep"] == keep
+
+
+def test_crlf_tabs_and_null_text(spark):
+    """The web-text realities the first cut missed (review findings):
+    CRLF docs must clean exactly like LF docs, tab-padded lines must
+    trim before the word count, and NULL text is an empty REJECTED doc
+    (countable), never NULL-poisoned counts."""
+    crlf = (
+        "This is a perfectly reasonable sentence about data pipelines.\r\n"
+        "Another long and fully punctuated sentence follows right here!\r\n"
+        "is this line long enough and does it end with a question mark?"
+    )
+    lf = crlf.replace("\r\n", "\n")
+    tabbed = "\tfive words are in here.\n" + crlf
+    df = spark.createDataFrame(
+        [(1, crlf), (2, lf), (3, tabbed), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in c4_clean(df).collect()}
+    assert got[1]["text"] == got[2]["text"] != ""
+    assert got[1]["c4_keep"] is True and got[2]["c4_keep"] is True
+    assert got[1]["n_lines_kept"] == 3
+    # the tab-padded 5-word line survives (trim before word count)
+    assert got[3]["n_lines_kept"] == 4
+    assert got[3]["text"].startswith("five words are in here.")
+    # NULL text: one empty line, nothing kept, keep flag FALSE not NULL
+    assert got[4]["text"] == ""
+    assert got[4]["n_lines"] == 1 and got[4]["n_lines_kept"] == 0
+    assert got[4]["c4_keep"] is False
+    # and the pure-Python reference agrees on all non-NULL docs
+    for i, t in ((1, crlf), (2, lf), (3, tabbed)):
+        clean, n_lines, n_kept, keep = _ref_c4(t)
+        assert got[i]["text"] == clean
+        assert (got[i]["n_lines"], got[i]["n_lines_kept"]) == (n_lines, n_kept)
         assert got[i]["c4_keep"] == keep

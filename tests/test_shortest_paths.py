@@ -194,7 +194,7 @@ def test_weighted_parallel_edges_and_multi_source(spark):
 
 
 def test_weighted_rejects_negative(spark):
-    with pytest.raises(ValueError, match="negative-weight"):
+    with pytest.raises(ValueError, match="negative- or NULL-weight"):
         shortest_paths_weighted(
             _wedges_df(spark, [(0, 1, -1.0)]), [0], weight="w"
         )
@@ -228,3 +228,28 @@ def test_weighted_models_dijkstra_on_any_graph(spark, edges, directed):
         ).collect()
     }
     assert got == _ref_dijkstra(edges, [0], directed)
+
+
+def test_weighted_guards(spark):
+    """Review-finding guards: NULL weights rejected like negatives,
+    non-convergence at max_iter raises instead of returning
+    present-but-wrong distances, duplicate sources collapse."""
+    with pytest.raises(ValueError, match="NULL-weight"):
+        shortest_paths_weighted(
+            _wedges_df(spark, [(0, 1, None), (1, 2, 1.0)]), [0], weight="w"
+        )
+    chain = [(i, i + 1, 1.0) for i in range(6)] + [(0, 6, 100.0)]
+    with pytest.raises(ValueError, match="did not converge"):
+        shortest_paths_weighted(
+            _wedges_df(spark, chain), [0], weight="w", directed=True,
+            max_iter=3,
+        )
+    got = shortest_paths_weighted(
+        _wedges_df(spark, [(5, 6, 1.0)]), [0, 0], weight="w"
+    ).collect()
+    assert [(r["node"], r["dist"]) for r in got] == [(0, 0.0)]
+    # unit-weight twin: duplicate sources collapse there too
+    got2 = shortest_paths(
+        _edges_df(spark, [(5, 6)]), [0, 0]
+    ).collect()
+    assert [(r["node"], r["dist"]) for r in got2] == [(0, 0)]
