@@ -241,6 +241,7 @@ def unigram_train(
     max_piece_len: int = 8,
     em_iters: int = 2,
     shrink: float = 0.75,
+    min_word_count: int = 1,
     text_col: str = "text",
     stats: dict | None = None,
 ) -> list[tuple[str, float]]:
@@ -254,6 +255,17 @@ def unigram_train(
 
     ``stats`` (optional dict) receives ``n_chars``, ``n_seed``,
     ``prune_rounds``, ``e_steps`` for bench/inspection.
+
+    ``min_word_count`` is the standard scale lever (the ``NgramKN.fit
+    (min_count=…)`` move): every E-step's cost is proportional to the
+    WORD-TYPE table, and Zipf makes hapax types dominate it at corpus
+    scale while contributing almost no probability mass — pruning
+    types below the floor keeps the per-round pass bounded.  The
+    result is EXACTLY the unigram model of the pruned word-type table
+    (pinned against a reference implementing the same pruning);
+    characters appearing only in pruned types leave the alphabet with
+    them, and encode-time coverage degrades gracefully (a word with an
+    out-of-vocab character returns whole, the documented fallback).
     """
     if vocab_size < 1:
         raise ValueError("vocab_size must be positive")
@@ -261,8 +273,13 @@ def unigram_train(
         raise ValueError("shrink must be in (0, 1)")
     if em_iters < 1:
         raise ValueError("em_iters must be >= 1")
+    if min_word_count < 1:
+        raise ValueError("min_word_count must be >= 1")
 
-    types = _word_types(corpus, text_col).localCheckpoint(eager=True)
+    types = _word_types(corpus, text_col)
+    if min_word_count > 1:
+        types = types.where(F.col("cnt") >= min_word_count)
+    types = types.localCheckpoint(eager=True)
     try:
         seeds = _seed_counts(types, max_piece_len).localCheckpoint(eager=True)
         try:

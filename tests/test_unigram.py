@@ -463,3 +463,25 @@ def test_segmentation_stats_compare_tokenizers(spark, corpus_df):
     ).collect()[0]
     assert bpe_row["total_words"] == words
     assert bpe_row["fertility"] >= 1.0 or bpe_row["total_pieces"] <= words
+
+
+def test_min_word_count_prunes_exactly(spark, corpus_df):
+    """The scale lever: the min_word_count model IS the model of the
+    pruned word-type table — pinned against the reference fed the
+    pruned corpus — and default 1 changes nothing."""
+    types = _ref_word_types(CORPUS)
+    # rebuild a corpus whose word types are exactly those with cnt >= 2
+    kept = [w for w, c in types.items() for _ in range(c) if c >= 2]
+    pruned_corpus = [" ".join(kept)]
+    want = _ref_unigram_train(pruned_corpus, vocab_size=30, seed_size=80)
+    got = unigram_train(
+        corpus_df, vocab_size=30, seed_size=80, min_word_count=2
+    )
+    assert [p for p, _ in got] == [p for p, _ in want]
+    for (_, g), (_, w) in zip(got, want):
+        assert g == pytest.approx(w, abs=1e-6)
+    assert unigram_train(
+        corpus_df, vocab_size=40, seed_size=120, min_word_count=1
+    ) == unigram_train(corpus_df, vocab_size=40, seed_size=120)
+    with pytest.raises(ValueError, match="min_word_count"):
+        unigram_train(corpus_df, vocab_size=30, min_word_count=0)
