@@ -253,3 +253,62 @@ def test_weighted_guards(spark):
         _edges_df(spark, [(5, 6)]), [0, 0]
     ).collect()
     assert [(r["node"], r["dist"]) for r in got2] == [(0, 0)]
+
+
+def test_graph_suite_over_spo_edges(spark, sf_dir):
+    """Integration over the reference's own graph shape: build the SPO
+    edge table the engine materializes (xxhash64 ids, the
+    Database.cpp:26-78 stand-in), then run BFS, weighted SSSP, LPA,
+    and CC over it — hop-0/1 sets must match the raw triples, BFS ≤
+    weighted distances with unit weights scaled, and every BFS-reached
+    node shares its source's connected component."""
+    from pyspark.sql import functions as F
+
+    from consume_kafka_avro_data_spark.operators.graph import (
+        connected_components,
+        edges_from_triples,
+        label_propagation,
+        triples_from,
+    )
+    from consume_kafka_avro_data_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(300)
+    triples = triples_from(
+        ev,
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")),
+        F.lit("did"),
+        F.concat(F.lit("t:"), F.col("event_type")),
+    )
+    e = edges_from_triples(triples).localCheckpoint(eager=True)
+    try:
+        src = e.select(F.min("source_id").alias("m")).collect()[0]["m"]
+        bfs = shortest_paths(e, [src])
+        dists = {r["node"]: r["dist"] for r in bfs.collect()}
+        # hop-1 set == the source's direct neighbors in the edge table
+        nbrs = {
+            r["target_id"]
+            for r in e.where(F.col("source_id") == src).collect()
+        } | {
+            r["source_id"]
+            for r in e.where(F.col("target_id") == src).collect()
+        }
+        assert {n for n, d in dists.items() if d == 1} == nbrs - {src}
+        # unit weights: weighted distances == BFS hop counts exactly
+        w = shortest_paths_weighted(
+            e.withColumn("w", F.lit(2.0)), [src], weight="w"
+        )
+        wdists = {r["node"]: r["dist"] for r in w.collect()}
+        assert wdists == {n: 2.0 * d for n, d in dists.items()}
+        w.unpersist()
+        # every reached node lives in the source's component
+        comps = connected_components(e)
+        comp_of = {r["node"]: r["comp"] for r in comps.collect()}
+        assert {comp_of[n] for n in dists} == {comp_of[src]}
+        # LPA runs and labels every connected node
+        lpa = label_propagation(e, max_iter=3)
+        labeled = {r["node"] for r in lpa.collect()}
+        lpa.unpersist()
+        assert set(dists) <= labeled
+        bfs.unpersist()
+    finally:
+        e.unpersist()
