@@ -243,3 +243,29 @@ def test_resample_column_hygiene(spark, frames):
     # and the selection still matches the same-seed run on the raw frame
     want = {r["doc_id"] for r in dsir_resample(model, raw, k=3, seed=7).collect()}
     assert {r["doc_id"] for r in rows} == want
+
+
+def test_ess_diagnostic(spark, frames):
+    """ESS = (Σw)²/Σw² against a numpy recompute of the same weights;
+    flat weights give ESS == n, a dominant doc collapses it."""
+    import math as _math
+
+    target, raw = frames
+    model = dsir_fit(target, raw, buckets=B)
+    from consume_kafka_avro_data_spark.operators.dsir import dsir_ess
+
+    got = dsir_ess(model, raw)
+    ratio = _ref_log_ratio(TARGET, RAW, B)
+    logw = [_ref_logw(t, ratio, B) for t in RAW]
+    mx = max(logw)
+    w = [_math.exp(x - mx) for x in logw]
+    want = sum(w) ** 2 / sum(x * x for x in w)
+    assert got["n"] == len(RAW)
+    assert got["ess"] == pytest.approx(want, rel=1e-9)
+    assert 0.0 < got["ess_fraction"] <= 1.0
+    # flat-weight identity: a zero model weighs everything equally
+    flat = DsirModel(log_ratio=(0.0,) * B, buckets=B, smoothing=1.0)
+    assert dsir_ess(flat, raw)["ess"] == pytest.approx(len(RAW))
+    # empty pool
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert dsir_ess(flat, empty) == {"ess": 0.0, "n": 0, "ess_fraction": 0.0}
