@@ -445,6 +445,121 @@ def shortest_paths(
         e.unpersist()
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: list,
+    damping: float = 0.85,
+    iters: int = 10,
+    src: str = "source_id",
+    dst: str = "target_id",
+) -> DataFrame:
+    """Personalized PageRank (Page et al. 1999 §6; the random surfer
+    restarts at the SOURCE set instead of uniformly): the standard
+    "entities related to X" ranking over the SPO graph the reference
+    materializes.  Power iteration with the textbook conventions:
+    rank' = (1−d)·p + d·(Aᵀ D⁻¹ rank + dangling_mass·p), where p is
+    uniform over ``sources`` and dangling (out-degree-0) mass restarts
+    through p — so Σ rank = 1 holds at every round (pinned as an
+    invariant alongside the pure-Python model).  Directed edges, fixed
+    ``iters`` rounds (power iteration converges geometrically at rate
+    d; 10 rounds ≈ 1e-1·d¹⁰ residual — callers wanting tighter
+    tolerances raise it).
+
+    Scale shape per round: one join keyed on the rank node + one
+    dst-keyed sum + one broadcast-sized restart merge; the dangling
+    mass is ONE scalar aggregate; ``localCheckpoint`` per round cuts
+    plan growth (the iterative-graph discipline).  Result is
+    checkpoint-free (final select), node set = every vertex incident
+    to an edge plus the sources."""
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    e = e.localCheckpoint(eager=True)
+
+    spark = edges.sparkSession
+    node_type = e.schema["a"].dataType
+    uniq_sources = list(dict.fromkeys(sources))
+    p_each = 1.0 / len(uniq_sources)
+    restart = spark.createDataFrame(
+        [(s, p_each) for s in uniq_sources],
+        StructType(
+            [StructField("node", node_type), StructField("p", DoubleType())]
+        ),
+    ).localCheckpoint(eager=True)
+
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .unionAll(restart.select("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = (
+        e.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).cast("double").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+
+    rank_ck = restart.select("node", F.col("p").alias("rank")).localCheckpoint(
+        eager=True
+    )
+    try:
+        for _ in range(iters):
+            with_deg = rank_ck.join(
+                outdeg.select(F.col("node").alias("_n"), "deg"),
+                on=F.col("node").eqNullSafe(F.col("_n")),
+                how="left",
+            )
+            # dangling mass: rank sitting on out-degree-0 nodes
+            dangling = (
+                with_deg.where(F.col("deg").isNull())
+                .agg(F.sum("rank").alias("s"))
+                .collect()[0]["s"]
+                or 0.0
+            )
+            contrib = (
+                e.join(
+                    with_deg.where(F.col("deg").isNotNull()).select(
+                        F.col("node").alias("_r"),
+                        (F.col("rank") / F.col("deg")).alias("c"),
+                    ),
+                    on=F.col("a").eqNullSafe(F.col("_r")),
+                )
+                .groupBy(F.col("b").alias("node"))
+                .agg(F.sum("c").alias("flow"))
+            )
+            new_rank = (
+                nodes.join(contrib, "node", "left")
+                .join(
+                    restart.select(F.col("node").alias("_p"), "p"),
+                    on=F.col("node").eqNullSafe(F.col("_p")),
+                    how="left",
+                )
+                .select(
+                    "node",
+                    (
+                        F.lit(damping)
+                        * (
+                            F.coalesce(F.col("flow"), F.lit(0.0))
+                            + F.lit(dangling) * F.coalesce(F.col("p"), F.lit(0.0))
+                        )
+                        + F.lit(1.0 - damping) * F.coalesce(F.col("p"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
+            new_ck = new_rank.localCheckpoint(eager=True)
+            rank_ck.unpersist()
+            rank_ck = new_ck
+        return rank_ck
+    finally:
+        e.unpersist()
+        restart.unpersist()
+        nodes.unpersist()
+        outdeg.unpersist()
+
+
 def shortest_paths_weighted(
     edges: DataFrame,
     sources: list,
