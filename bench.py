@@ -557,13 +557,90 @@ def learned_ops_bench(spark, sf_dir: str) -> dict:
     lm3 = NgramKN.fit(train, order=3)
     t_kn3_fit = time.perf_counter() - t0
     t_kn3 = float("inf")
+    lm_gate_ab: dict = {}
     try:
         for _ in range(2):
             t0 = time.perf_counter()
             lm3.score(held).write.format("noop").mode("overwrite").save()
             t_kn3 = min(t_kn3, time.perf_counter() - t0)
+        # round 8: the INGEST LM gate's broadcast A/B — the same model
+        # riding StreamingDedupIngest over a 4-batch stream of the held
+        # split, threshold set above every score so the arms do
+        # identical routing work; the only difference is whether each
+        # micro-batch's 2n−1 model joins broadcast (map-only gate) or
+        # sort-merge (per-batch shuffles)
+        from consume_kafka_avro_data_spark.streaming.dedup import (
+            StreamingDedupIngest,
+        )
+
+        def lm_gate_run(broadcast: bool) -> dict:
+            tmp = tempfile.mkdtemp(prefix="lmgate_bench_")
+            try:
+                topic = os.path.join(tmp, "docs")
+                held.repartition(4).write.parquet(topic)
+                ingest = StreamingDedupIngest(
+                    spark,
+                    store_dir=os.path.join(tmp, "store"),
+                    checkpoint_dir=os.path.join(tmp, "ckpt"),
+                    lm_model=lm3,
+                    lm_threshold=1e9,
+                    lm_broadcast=broadcast,
+                )
+                stream = (
+                    spark.readStream.schema(held.schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(topic)
+                )
+                t0 = time.perf_counter()
+                m = ingest.run_to_completion(stream)
+                dt = time.perf_counter() - t0
+                return {
+                    "docs": m.docs,
+                    "batches": m.batches,
+                    "sec": round(dt, 4),
+                    "docs_per_sec": round(m.docs / dt, 1),
+                }
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+
+        lm_gate_ab = {
+            "off": lm_gate_run(False),
+            "on": lm_gate_run(True),
+        }
     finally:
         lm3.unpersist()
+    # round 8: CCNet's DEPLOYED order — kn5 at bench scale, with the
+    # min_count pruning A/B that decides broadcastability: the pruned
+    # arm is the deployed shape (fit once on trusted text, tables small
+    # enough to broadcast, then score map-only via broadcast_model),
+    # the unpruned arm records what pruning saves in model rows
+    def _model_rows(m) -> int:
+        return (
+            sum(df.count() for df in m.probs.values())
+            + sum(df.count() for df in m.lams.values())
+            + m.p1.count()
+        )
+
+    t0 = time.perf_counter()
+    lm5 = NgramKN.fit(train, order=5, min_count=2)
+    t_kn5_fit = time.perf_counter() - t0
+    kn5_rows_pruned = _model_rows(lm5)
+    t_kn5 = float("inf")
+    try:
+        for _ in range(2):
+            t0 = time.perf_counter()
+            lm5.score(held, broadcast_model=True).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t_kn5 = min(t_kn5, time.perf_counter() - t0)
+    finally:
+        lm5.unpersist()
+    t0 = time.perf_counter()
+    lm5u = NgramKN.fit(train, order=5)
+    t_kn5_fit_unpruned = time.perf_counter() - t0
+    kn5_rows_unpruned = _model_rows(lm5u)
+    lm5u.unpersist()
+
     # round 7 (continued): the unigram-LM tokenizer family (Kudo 2018)
     # — train a small vocab over the corpus (per-round cost is one
     # distributed E-step pass over the word-type table), then the
@@ -614,6 +691,54 @@ def learned_ops_bench(spark, sf_dir: str) -> dict:
             "noop"
         ).mode("overwrite").save()
         t_dsir = min(t_dsir, time.perf_counter() - t0)
+    # round 8: the all-JVM tier — xxhash64 bucket family fit AND scored
+    # as pure codegen'd expressions (no Python workers, no Arrow, no
+    # hex-string round-trips; the md5-compatible JVM path exists too
+    # but conv-parses hex per gram — measured slower than Arrow).  The
+    # one-row broadcast ratio frame carries the 80 KB model.
+    t0 = time.perf_counter()
+    dsir_xxh = dsir_fit(
+        docs.where(F.col("source") == "src0"),
+        docs.where(F.col("source") != "src0"),
+        engine="jvm",
+        hash_fn="xxhash64",
+    )
+    t_dsir_jvm_fit = time.perf_counter() - t0
+    t_dsir_jvm = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        dsir_log_weights(
+            dsir_xxh, docs.select("doc_id", "text"), engine="jvm"
+        ).write.format("noop").mode("overwrite").save()
+        t_dsir_jvm = min(t_dsir_jvm, time.perf_counter() - t0)
+    # the tiers' cost STRUCTURE differs: the JVM weigher pays a fixed
+    # per-job plan cost (nested HOF analysis) but a lower per-row cost;
+    # at sf-scale doc counts the fixed cost dominates, so measure both
+    # tiers once more on a 10×-replicated corpus to show the crossover
+    # the 100 TB deployment actually lives on
+    big = (
+        docs.select("doc_id", "text")
+        .withColumn("_rep", F.explode(F.sequence(F.lit(1), F.lit(10))))
+        .select(
+            (F.col("doc_id") * 10 + F.col("_rep")).alias("doc_id"), "text"
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_big = big.count()
+    scaleup = {"n_docs": n_big}
+    for label, m, eng in (
+        ("pandas", dsir_model, "pandas"),
+        ("jvm", dsir_xxh, "jvm"),
+    ):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            dsir_log_weights(m, big, engine=eng).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        scaleup[f"{label}_docs_per_sec"] = round(n_big / best, 1)
+    big.unpersist()
     t0 = time.perf_counter()
     n_sampled = dsir_resample(dsir_model, docs, k=1000, seed=1).count()
     t_dsir_sample = time.perf_counter() - t0
@@ -627,6 +752,13 @@ def learned_ops_bench(spark, sf_dir: str) -> dict:
         "kn3_fit_sec": round(t_kn3_fit, 4),
         "kn3_score_sec": round(t_kn3, 4),
         "kn3_score_docs_per_sec": round(n_held / t_kn3, 1),
+        "kn5_fit_sec": round(t_kn5_fit, 4),
+        "kn5_fit_unpruned_sec": round(t_kn5_fit_unpruned, 4),
+        "kn5_model_rows": kn5_rows_pruned,
+        "kn5_model_rows_unpruned": kn5_rows_unpruned,
+        "kn5_score_sec": round(t_kn5, 4),
+        "kn5_docs_per_sec": round(n_held / t_kn5, 1),
+        "lm_gate_broadcast_ab": lm_gate_ab,
         "quality_train_sec": round(t_train, 4),
         "quality_score_sec": round(t_score, 4),
         "quality_score_docs_per_sec": round(n_docs / t_score, 1),
@@ -641,6 +773,10 @@ def learned_ops_bench(spark, sf_dir: str) -> dict:
         "dsir_fit_sec": round(t_dsir_fit, 4),
         "dsir_score_sec": round(t_dsir, 4),
         "dsir_score_docs_per_sec": round(n_docs / t_dsir, 1),
+        "dsir_jvm_fit_sec": round(t_dsir_jvm_fit, 4),
+        "dsir_jvm_score_sec": round(t_dsir_jvm, 4),
+        "dsir_jvm_docs_per_sec": round(n_docs / t_dsir_jvm, 1),
+        "dsir_weigh_scaleup": scaleup,
         "dsir_resample_sec": round(t_dsir_sample, 4),
         "dsir_resampled_docs": n_sampled,
     }
@@ -1080,6 +1216,30 @@ def ann_index_bench(spark, sf_dir: str) -> dict:
             "noop"
         ).mode("overwrite").save()
         t_batch_adc_rr = time.perf_counter() - t0
+        # round 8: the PROMOTED preset's serving story — codes-only
+        # batch ADC + exact re-rank on the TUNED index, with recall@10
+        # against the same 64-query brute-force truth the batch timing
+        # computes (what the preset actually serves, not folklore)
+        truth64: dict = {}
+        for r in _bf_knn(qbatch, emb.unionByName(shard), k=10).collect():
+            truth64.setdefault(r["q_id"], set()).add(r["vec_id"])
+        tuned_batch = {}
+        for rr in (50, 200):
+            t0 = time.perf_counter()
+            rows = tuned.knn_join_adc(
+                qbatch, k=10, nprobe=8, rerank=rr
+            ).collect()
+            dt = time.perf_counter() - t0
+            got: dict = {}
+            for r in rows:
+                got.setdefault(r["q_id"], set()).add(r["vec_id"])
+            hits = sum(
+                len(got.get(q, set()) & t) for q, t in truth64.items()
+            )
+            tuned_batch[f"rr{rr}"] = {
+                "sec": round(dt, 4),
+                "recall_at_10": round(hits / (10 * len(truth64)), 3),
+            }
         qbatch.unpersist()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1105,6 +1265,9 @@ def ann_index_bench(spark, sf_dir: str) -> dict:
             "query_exact_sec": round(t_exact_t, 4),
             "recall_at_10": recall_t,
             "recall_at_10_adc": recall_t_adc,
+            # 64-query knn_join_adc at nprobe=8 with exact re-rank —
+            # the serving shape on the promoted preset
+            "knn_join_adc_rerank": tuned_batch,
         },
     }
 
@@ -1324,8 +1487,9 @@ def main() -> None:
     # minimum is the steady-state cost a deployed job sees (plans are
     # rebuilt per run, so plan construction is still included)
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in names:
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(3):
             # iterative queries persist() intermediates; clear them so
             # each query is timed cold-cache and earlier queries' leftover
@@ -1339,8 +1503,13 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            runs.append(time.perf_counter() - t0)
+        # headline = MIN (steady-state cost); the raw samples ride along
+        # in BENCH_local.json so round-over-round comparisons can tell a
+        # plan regression (all three samples shift) from box variance
+        # (the spread widens but the min holds) without re-litigating it
+        timings[name] = round(min(runs), 4)
+        samples[name] = [round(r, 4) for r in runs]
 
     spo = spo_ingest_throughput(spark, sf_dir)
     stream = streaming_ingest_throughput(spark, sf_dir)
@@ -1362,6 +1531,7 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "query_samples": samples,
             "sf": sf,
             "spo_ingest": spo,
             "streaming_ingest": stream,
@@ -1414,6 +1584,11 @@ def main() -> None:
                 ann["tuned"]["recall_at_10"][f"nprobe{p}"]
                 for p in (1, 2, 4, 8)
             ],
+            # tuned-index batch ADC recall@10 at [rerank50, rerank200]
+            "ann_tuned_adc_rr_recall": [
+                ann["tuned"]["knn_join_adc_rerank"]["rr50"]["recall_at_10"],
+                ann["tuned"]["knn_join_adc_rerank"]["rr200"]["recall_at_10"],
+            ],
             "bloom_crossover_mult": bloom_x["crossover_mult"],
             # build-once/probe-many split: [one-time build, steady probe]
             "bloom_build_probe_sec": [
@@ -1428,6 +1603,17 @@ def main() -> None:
             ],
             "quality_docs_per_sec": learned["quality_score_docs_per_sec"],
             "kn3_docs_per_sec": learned["kn3_score_docs_per_sec"],
+            "kn5_docs_per_sec": learned["kn5_docs_per_sec"],
+            # DSIR weigher docs/s: [Arrow tier, all-JVM tier]
+            "dsir_docs_per_sec": [
+                learned["dsir_score_docs_per_sec"],
+                learned["dsir_jvm_docs_per_sec"],
+            ],
+            # ingest LM gate docs/s: [sort-merge, broadcast_model]
+            "lm_gate_docs_per_sec": [
+                learned["lm_gate_broadcast_ab"]["off"]["docs_per_sec"],
+                learned["lm_gate_broadcast_ab"]["on"]["docs_per_sec"],
+            ],
             # batch ANN [exact knn_join, codes-only ADC, ADC+rerank50]
             "knn_batch_sec": [
                 ann["knn_join_64q_nprobe4_sec"],
@@ -1459,6 +1645,10 @@ def main() -> None:
     # in BENCH_local.json.  The assert remains as the can't-happen
     # backstop after all droppables are gone.
     droppable = [
+        "dsir_docs_per_sec",
+        "lm_gate_docs_per_sec",
+        "kn5_docs_per_sec",
+        "ann_tuned_adc_rr_recall",
         "bloom_build_probe_sec",
         "bpe_batched_sec",
         "kn3_docs_per_sec",
