@@ -194,11 +194,24 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 64) -> HeavyHitters:
     merged by the Agarwal et al. 2012 rule (sum counts, subtract the
     (k+1)-th largest, drop non-positive), which preserves the single-
     pass n/(k+1) guarantee.  NULLs are excluded and counted out of n,
-    mirroring count_distinct semantics."""
+    mirroring count_distinct semantics.
+
+    Key identity: items are reported as STRINGS (the summary schema is
+    typed ``item string``), so values are keyed by their rendered form.
+    pandas widens a NULLABLE integer column to float64, which would
+    render ``2`` as ``'2.0'`` and silently split/merge keys depending on
+    batch nullability — so int-like values (numpy ints, and floats with
+    no fractional part arriving from an integer Spark column) are
+    normalized to their integer rendering before folding.  True float
+    columns with fractional values are unaffected."""
     import pandas as pd
 
     if k < 1:
         raise ValueError("k must be positive")
+
+    int_like = df.select(col).schema[0].dataType.simpleString() in (
+        "tinyint", "smallint", "int", "bigint"
+    )
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         counters: dict = {}
@@ -207,6 +220,11 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 64) -> HeavyHitters:
             for v in pdf[col]:
                 if v is None or (isinstance(v, float) and v != v):
                     continue
+                # integer Spark column arriving as float64 (pandas
+                # nullable widening): restore the integer identity so
+                # the string key matches the non-nullable batches'
+                if int_like and isinstance(v, float):
+                    v = int(v)
                 n += 1
                 _mg_fold(counters, v, k)
         yield pd.DataFrame(

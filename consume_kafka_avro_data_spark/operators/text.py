@@ -606,16 +606,16 @@ def c4_clean(
         lambda ln: (ln != "") & ends_ok(ln) & long_enough(ln) & no_js(ln),
     )
     clean = F.array_join(kept, "\n")
-    # sentence proxy: terminal marks in the retained lines, counted by
-    # length difference (no per-character array churn in the full-scan
-    # hot path)
+    # sentence proxy: terminal marks FOLLOWED BY whitespace or line end
+    # in the retained lines — counting every [.!?] character would let
+    # abbreviations and ellipses ('e.g.', '...') inflate the count and
+    # weaken the min_sentences gate relative to C4's sentence-split
+    # semantics (each kept line carries no newline, so $ is the line
+    # boundary; joined-doc interior boundaries become \s matches)
     n_sentences = F.aggregate(
         kept,
         F.lit(0),
-        lambda acc, ln: acc
-        + (
-            F.length(ln) - F.length(F.regexp_replace(ln, r"[.!?]", ""))
-        ),
+        lambda acc, ln: acc + F.regexp_count(ln, F.lit(r"[.!?](\s|$)")),
     )
     doc_ok = (
         ~F.contains(F.lower(clean), F.lit("lorem ipsum"))

@@ -1178,12 +1178,26 @@ def temperature_mix(
     the multilingual-pretraining recipe), filled deterministically in
     content-addressed-hash order so the mix is stable under re-runs,
     cluster layouts, and corpus appends (the ``token_budget_fill``
-    convention).  Plan: one group-bounded count aggregate (quotas are
-    driver math over it), then one shuffle on the group key for the
-    rank-and-cut; output is budget-bounded, not corpus-bounded."""
+    convention).  Requires a ``doc_id`` column — it is the hash input
+    and tie-break that makes the fill order content-addressed.  Plan:
+    one group-bounded count aggregate (quotas are driver math over
+    it), then one shuffle on the group key for the rank-and-cut;
+    output is budget-bounded, not corpus-bounded."""
+    if "doc_id" not in d.columns:
+        raise ValueError(
+            "temperature_mix needs a doc_id column (the deterministic "
+            "content-addressed fill key)"
+        )
+    # internal working columns must not collide with caller columns
+    # (a frame already carrying 'g' or 'quota' would make the join and
+    # the final drop ambiguous) — suffix-uniquify, the dsir_resample
+    # '_dsir_key' pattern
+    rk_c, g_c, q_c = "_rk", "_g", "_quota"
+    while rk_c in d.columns or g_c in d.columns or q_c in d.columns:
+        rk_c, g_c, q_c = rk_c + "_", g_c + "_", q_c + "_"
     counts = {
-        r["g"]: r["n"]
-        for r in d.groupBy(F.col(group_col).alias("g"))
+        r[g_c]: r["n"]
+        for r in d.groupBy(F.col(group_col).alias(g_c))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
@@ -1193,8 +1207,8 @@ def temperature_mix(
         [(g, q) for g, q in quotas.items()],
         StructType(
             [
-                StructField("g", d.schema[group_col].dataType),
-                StructField("quota", LongType()),
+                StructField(g_c, d.schema[group_col].dataType),
+                StructField(q_c, LongType()),
             ]
         ),
     )
@@ -1202,13 +1216,13 @@ def temperature_mix(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
     )
     return (
-        d.withColumn("_rk", F.row_number().over(w))
+        d.withColumn(rk_c, F.row_number().over(w))
         .join(
             F.broadcast(qdf),  # group-bounded by construction
-            on=F.col(group_col).eqNullSafe(F.col("g")),
+            on=F.col(group_col).eqNullSafe(F.col(g_c)),
         )
-        .where(F.col("_rk") <= F.col("quota"))
-        .drop("_rk", "g", "quota")
+        .where(F.col(rk_c) <= F.col(q_c))
+        .drop(rk_c, g_c, q_c)
     )
 
 

@@ -5,6 +5,8 @@ flags, counts), stay map-only, and preserve caller columns."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
@@ -48,7 +50,12 @@ def _ref_c4(text, min_line_words=5, min_sentences=3):
         ):
             kept.append(ln)
     clean = "\n".join(kept)
-    n_sent = sum(clean.count(t) for t in (".", "!", "?"))
+    # terminal mark followed by whitespace or line end (per kept line —
+    # lines carry no newline, so $ is the line boundary), matching the
+    # operator's abbreviation/ellipsis-resistant proxy
+    n_sent = sum(
+        len(re.findall(r"[.!?](\s|$)", ln)) for ln in kept
+    )
     keep = (
         "lorem ipsum" not in clean.lower()
         and "{" not in clean

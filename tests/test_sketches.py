@@ -171,3 +171,16 @@ def test_kmv_plan_shape(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Exchange") == 1  # the distinct's — nothing else
+
+
+def test_heavy_hitters_nullable_int_keys_keep_integer_identity(spark):
+    """Round-8 fix: pandas widens a NULLABLE integer column to float64,
+    which used to render 2 as '2.0' — splitting the key from the '2'
+    that non-null batches produce.  Int-like floats from an integer
+    Spark column must normalize to the integer rendering, NULLs stay
+    excluded, and counts stay exact."""
+    rows = [(1, 7)] * 5 + [(2, 9)] * 3 + [(3, None)] * 2
+    df = spark.createDataFrame(rows, "doc_id long, v int")
+    hh = heavy_hitters(df.repartition(4), "v", k=8)
+    assert hh.items == {"7": 5, "9": 3}  # '7', never '7.0'
+    assert hh.n == 8  # NULLs counted out

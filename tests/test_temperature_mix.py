@@ -90,3 +90,30 @@ def test_mix_is_deterministic_and_quota_exact(spark):
     # (exact append-invariance holds per group only if quotas repeat).
     sub = temperature_mix(df, "lang", alpha=0.5, budget=30)
     assert sorted(r["doc_id"] for r in sub.collect()) == got
+
+
+def test_mix_column_hygiene_and_doc_id_requirement(spark):
+    """Round-8 hardening: a frame already carrying 'g'/'quota'/'_rk'
+    columns must mix cleanly (internal working columns uniquify), and
+    a frame WITHOUT doc_id — the content-addressed fill key — fails
+    eagerly with a clear error, not mid-plan."""
+    rows = [(i, "en", 7, 8, 9) for i in range(40)] + [
+        (100 + i, "sw", 7, 8, 9) for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, g int, quota int, _rk int"
+    )
+    out = temperature_mix(df, "lang", alpha=0.5, budget=20)
+    assert out.columns == ["doc_id", "lang", "g", "quota", "_rk"]
+    got = out.collect()
+    assert len(got) == 20
+    assert all(r["g"] == 7 and r["quota"] == 8 and r["_rk"] == 9 for r in got)
+    by_lang = {}
+    for r in got:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    assert by_lang == temperature_quotas({"en": 40, "sw": 10}, 0.5, 20)
+
+    with pytest.raises(ValueError, match="doc_id"):
+        temperature_mix(
+            df.drop("doc_id"), "lang", alpha=0.5, budget=5
+        )
