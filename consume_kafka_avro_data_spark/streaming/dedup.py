@@ -29,6 +29,7 @@ of the graph tables.
 
 from __future__ import annotations
 
+import inspect
 import json
 import os
 from dataclasses import dataclass, field
@@ -102,6 +103,11 @@ class StreamingDedupIngest(BoundedReplayMixin):
         lm_model=None,
         lm_threshold: float | None = None,
         lm_rejects_dir: str | None = None,
+        lm_broadcast: bool | None = None,
+        c4: bool = False,
+        c4_min_line_words: int = 5,
+        c4_min_sentences: int = 3,
+        c4_rejects_dir: str | None = None,
         eval_docs: DataFrame | None = None,
         contam_gram_n: int = 8,
         contam_min_hits: int = 1,
@@ -168,6 +174,37 @@ class StreamingDedupIngest(BoundedReplayMixin):
         the two quality gates this one shuffles (the score is a
         per-doc aggregate over joined n-grams), so it runs after
         them, on their survivors only.
+
+        ``lm_broadcast`` controls whether the LM gate scores with the
+        model tables hinted into the joins' build side
+        (``NgramKN.score(broadcast_model=True)``), which makes the
+        per-batch score MAP-ONLY up to the final per-doc aggregate —
+        the deployed CCNet shape, where the filter model is fit once
+        on a bounded (usually ``min_count``-pruned) trusted corpus and
+        then sweeps every arriving batch.  Default ``None`` = AUTO:
+        on whenever the model's ``score`` supports the hint (NgramKN;
+        BigramKN's two-table score has no such knob and broadcasts by
+        size like any small join).  Pass ``False`` explicitly when the
+        model was fit UNPRUNED on a corpus large enough that its
+        gram-type tables rival executor memory — otherwise every
+        micro-batch pays up to 2n−1 sort-merge shuffles against the
+        model tables, per batch, forever.
+
+        ``c4=True`` enables the C4 LINE-LEVEL cleaning stage (Raffel
+        et al. 2020 §2.2; ``operators/text.c4_clean``) as the FIRST
+        gate — the published pipeline runs line cleaning BELOW the
+        doc-level gates, and it is pure map-only JVM expressions, so
+        it is also the cheapest.  Each batch's text is line-cleaned
+        IN PLACE (downstream gates, signatures, and the store all see
+        the cleaned text — a doc deduped on boilerplate-stripped
+        content, which is the C4 intent), docs flagged unkept
+        (``c4_keep`` false: lorem ipsum, code braces, too few
+        sentences after cleaning) are rejected before any other gate,
+        counted into ``rejected_docs``, and optionally persisted with
+        their line counts to ``c4_rejects_dir`` (same
+        partition-by-batch dynamic-overwrite replay contract).
+        ``c4_min_line_words`` / ``c4_min_sentences`` pass through to
+        the operator.
 
         ``eval_docs`` enables DECONTAMINATION AT INGEST (the streaming
         form of q_decontaminate/q_decontaminate_bloom): a static frame
@@ -247,6 +284,26 @@ class StreamingDedupIngest(BoundedReplayMixin):
         self.lm_model = lm_model
         self.lm_threshold = lm_threshold
         self.lm_rejects_dir = lm_rejects_dir
+        # resolve the broadcast hint EAGERLY (config-layer, not batch 0):
+        # auto = on iff the model's score accepts the hint
+        supports_hint = lm_model is not None and (
+            "broadcast_model"
+            in inspect.signature(lm_model.score).parameters
+        )
+        if lm_broadcast and lm_model is not None and not supports_hint:
+            raise ValueError(
+                "lm_broadcast=True but this lm_model's score() has no "
+                "broadcast_model hint (BigramKN's two-table score "
+                "broadcasts by size on its own) — drop the flag or use "
+                "an NgramKN model"
+            )
+        self.lm_broadcast = (
+            supports_hint if lm_broadcast is None else bool(lm_broadcast)
+        )
+        self.c4 = c4
+        self.c4_min_line_words = c4_min_line_words
+        self.c4_min_sentences = c4_min_sentences
+        self.c4_rejects_dir = c4_rejects_dir
         if dsir_model is not None:
             if not hasattr(dsir_model, "log_ratio"):
                 raise TypeError(
@@ -437,6 +494,22 @@ class StreamingDedupIngest(BoundedReplayMixin):
             .where(F.col("matches") >= self.min_matches)
         )
 
+    def _lm_scored(self, batch: DataFrame) -> DataFrame:
+        """The LM gate's per-batch scoring frame — split out so tests
+        can pin its PLAN: with ``lm_broadcast`` resolved on (the NgramKN
+        auto default) every model-table join is a BroadcastHashJoin and
+        the batch side reaches the per-doc aggregate without an
+        Exchange — the map-only CCNet sweep shape, per micro-batch."""
+        kwargs = (
+            {"broadcast_model": True} if self.lm_broadcast else {}
+        )
+        return self.lm_model.score(
+            batch.select(self.id_col, self.text_col),
+            text_col=self.text_col,
+            id_col=self.id_col,
+            **kwargs,
+        )
+
     # -- per-micro-batch body ------------------------------------------------
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
@@ -456,6 +529,53 @@ class StreamingDedupIngest(BoundedReplayMixin):
             # same raw-batch / replace-on-replay contract
             self.sketch_monitor.process_batch(batch, batch_id)
         n_rejected = 0
+        c4_cleaned = None
+        if self.c4:
+            from consume_kafka_avro_data_spark.operators.text import c4_clean
+
+            # line-clean FIRST (the published C4 order: line rules below
+            # the doc gates) — map-only JVM, no shuffle added.  The
+            # cleaned text REPLACES text_col for everything downstream:
+            # gates, signatures, and the store all see boilerplate-
+            # stripped content.  Checkpointed: three consumers (rejects
+            # write, count, the surviving-batch split) would otherwise
+            # re-run the expression pipeline per consumer, and every
+            # later gate builds on the surviving slice.
+            clash = {"n_lines", "n_lines_kept", "c4_keep"} & set(
+                batch.columns
+            )
+            if clash:
+                # c4_clean appends these columns; duplicated names would
+                # make the downstream drop ambiguous — fail loudly
+                raise ValueError(
+                    f"c4 gate needs columns {sorted(clash)} free, but the "
+                    "stream already carries them"
+                )
+            c4_cleaned = c4_clean(
+                batch,
+                text_col=self.text_col,
+                min_line_words=self.c4_min_line_words,
+                min_sentences=self.c4_min_sentences,
+            ).localCheckpoint(eager=True)
+            c4_rejects = c4_cleaned.where(~F.col("c4_keep")).select(
+                self.id_col, "n_lines", "n_lines_kept"
+            )
+            if self.c4_rejects_dir:
+                # partition by batch id + dynamic overwrite: a replayed
+                # batch REPLACES its own rows (same contract as rejects)
+                (
+                    c4_rejects.withColumn("batch_id", F.lit(batch_id))
+                    .write.partitionBy("batch_id")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .mode("overwrite")
+                    .parquet(self.c4_rejects_dir)
+                )
+            n_rejected += c4_rejects.count()
+            # survivors carry the CLEANED text forward; the helper
+            # columns stop here (downstream gates own their schemas)
+            batch = c4_cleaned.where(F.col("c4_keep")).drop(
+                "n_lines", "n_lines_kept", "c4_keep"
+            )
         rejects = None
         if self.quality_threshold is not None:
             from consume_kafka_avro_data_spark.operators.text import (
@@ -557,11 +677,7 @@ class StreamingDedupIngest(BoundedReplayMixin):
             # CCNet-style perplexity cut on the cheaper gates'
             # survivors; avg_nll NULL (doc shorter than the model
             # order) never exceeds the threshold, so shorts pass
-            scored_lm = self.lm_model.score(
-                batch.select(self.id_col, self.text_col),
-                text_col=self.text_col,
-                id_col=self.id_col,
-            )
+            scored_lm = self._lm_scored(batch)
             # evidence-count column name differs per model generation
             # (NgramKN: n_ngrams; BigramKN: n_bigrams) — normalize so
             # the audit trail has ONE schema either way
@@ -817,4 +933,6 @@ class StreamingDedupIngest(BoundedReplayMixin):
                 lm_rejects.unpersist()
             if contam is not None:
                 contam.unpersist()
+            if c4_cleaned is not None:
+                c4_cleaned.unpersist()
 

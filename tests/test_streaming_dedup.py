@@ -762,6 +762,148 @@ def test_lm_gate_accepts_bigram_model(spark, tmp_path):
     lm.unpersist()
 
 
+def test_lm_gate_broadcast_auto_and_plan(spark, tmp_path):
+    """Round-8: the LM gate scores with the model tables BROADCAST by
+    default (NgramKN auto-detects the hint), so each micro-batch's
+    score plan is map-only up to the per-doc aggregate — without it,
+    every batch pays up to 2n−1 sort-merge shuffles against the model
+    tables.  Pinned on the deployed form (save/load-ed model: parquet
+    tables); BigramKN auto-resolves OFF (its score has no hint) and
+    forcing the flag on it is an eager config error."""
+    from consume_kafka_avro_data_spark.operators.lm import BigramKN, NgramKN
+
+    trusted = spark.createDataFrame(
+        [(i, BASE) for i in range(10)], "doc_id long, text string"
+    )
+    lm = NgramKN.fit(trusted, order=2)
+    lm.save(str(tmp_path / "m"))
+    lm.unpersist()
+    loaded = NgramKN.load(spark, str(tmp_path / "m"))
+
+    ingest = StreamingDedupIngest(
+        spark,
+        store_dir=str(tmp_path / "store"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        lm_model=loaded,
+        lm_threshold=5.0,
+    )
+    assert ingest.lm_broadcast is True  # auto: NgramKN supports the hint
+
+    batch = spark.createDataFrame(
+        [(1, BASE), (2, " ".join(reversed(BASE.split())))],
+        "doc_id long, text string",
+    )
+    scored = ingest._lm_scored(batch)
+    plan = scored._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        scored._jdf.queryExecution(), "simple"
+    )
+    # all 2n−1 = 3 model joins broadcast; the only sort-merge allowed
+    # is the final doc-sized id-restore join
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
+    # and the hinted scores are the plain path's scores, exactly
+    off = StreamingDedupIngest(
+        spark,
+        store_dir=str(tmp_path / "store2"),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        lm_model=loaded,
+        lm_threshold=5.0,
+        lm_broadcast=False,
+    )
+    assert off.lm_broadcast is False
+    want = {
+        r.doc_id: (r.n_ngrams, r.avg_nll)
+        for r in off._lm_scored(batch).collect()
+    }
+    got = {r.doc_id: (r.n_ngrams, r.avg_nll) for r in scored.collect()}
+    assert got == want
+
+    bg = BigramKN.fit(trusted)
+    try:
+        auto = StreamingDedupIngest(
+            spark,
+            store_dir=str(tmp_path / "store3"),
+            checkpoint_dir=str(tmp_path / "ckpt3"),
+            lm_model=bg,
+            lm_threshold=5.0,
+        )
+        assert auto.lm_broadcast is False  # BigramKN: no hint to turn on
+        with pytest.raises(ValueError, match="broadcast_model"):
+            StreamingDedupIngest(
+                spark,
+                store_dir=str(tmp_path / "store4"),
+                checkpoint_dir=str(tmp_path / "ckpt4"),
+                lm_model=bg,
+                lm_threshold=5.0,
+                lm_broadcast=True,
+            )
+    finally:
+        bg.unpersist()
+
+
+def test_c4_gate_cleans_text_before_downstream_gates(spark, tmp_path):
+    """Round-8: c4=True line-cleans each batch FIRST — boilerplate
+    lines are stripped so the signature (and everything downstream)
+    sees the cleaned text: a doc that differs from a stored doc only
+    by boilerplate lines dedups as its duplicate.  Unkept docs (code
+    braces here) are rejected before signing with their line counts
+    in c4_rejects_dir; replay is byte-stable; a stream already
+    carrying the helper columns errors eagerly."""
+    prose = (
+        "This line is a perfectly reasonable retained sentence one.\n"
+        "Another fully punctuated and long enough sentence two lands!\n"
+        "does sentence three end with a proper question mark as well?"
+    )
+    noisy = prose + "\nHome | About | Contact\nmenu"  # boilerplate lines
+    code = (
+        "A long retained line with a brace { inside it stays here.\n"
+        + prose
+    )
+    b1 = [(1, prose), (2, code)]
+    b2 = [(3, noisy)]  # cleans to exactly doc 1's text → dup
+
+    def build(tag):
+        return StreamingDedupIngest(
+            spark,
+            store_dir=str(tmp_path / "store"),
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+            dupes_dir=str(tmp_path / "dupes"),
+            c4=True,
+            c4_rejects_dir=str(tmp_path / "c4_rejects"),
+        )
+
+    m = build("a").run_to_completion(_doc_stream(spark, tmp_path, [b1, b2]))
+    assert m.docs == 3
+    assert m.rejected_docs == 1  # the brace doc
+    assert m.dup_docs == 1 and m.novel_docs == 1
+    dupes = {
+        r.dup_id: r.match_id
+        for r in spark.read.parquet(str(tmp_path / "dupes")).collect()
+    }
+    assert dupes == {3: 1}  # boilerplate stripped → exact near-dup
+    rej = spark.read.parquet(str(tmp_path / "c4_rejects")).collect()
+    assert [(r.doc_id, r.batch_id) for r in rej] == [(2, 0)]
+    assert rej[0].n_lines == 4 and rej[0].n_lines_kept == 4
+
+    # replay, fresh checkpoint: byte-stable
+    m2 = build("b").run_to_completion(_doc_stream(spark, tmp_path, []))
+    assert m2.rejected_docs == 1 and m2.dup_docs == 1
+    assert spark.read.parquet(str(tmp_path / "c4_rejects")).count() == 1
+
+    # helper-column clash errors eagerly at the batch, not mid-plan
+    clash = StreamingDedupIngest(
+        spark,
+        store_dir=str(tmp_path / "store_x"),
+        checkpoint_dir=str(tmp_path / "ckpt_x"),
+        c4=True,
+    )
+    bad = spark.createDataFrame(
+        [(1, prose, 9)], "doc_id long, text string, c4_keep int"
+    )
+    with pytest.raises(ValueError, match="c4_keep"):
+        clash.process_batch(bad, 0)
+
+
 def test_dsir_gate_at_ingest(spark, tmp_path):
     """The DSIR distribution-matching gate (operators/dsir model riding
     the dedup ingest): off-target docs weigh below the cut and are
@@ -850,12 +992,12 @@ def test_dsir_gate_validated_eagerly(spark, tmp_path):
 
 
 def test_all_gates_compose_on_one_stream(spark, tmp_path):
-    """Round-7 integration: the learned classifier gate, the DSIR
-    distribution gate, the LM perplexity gate, the decontamination
-    gate, and dedup all ride ONE foreachBatch — each gate catches
-    exactly its designed doc, the audit trails stay disjoint, the
-    counters sum to docs, and a full fresh-checkpoint replay leaves
-    every artifact byte-stable."""
+    """Round-7/8 integration: the C4 line-clean gate, the learned
+    classifier gate, the DSIR distribution gate, the LM perplexity
+    gate, the decontamination gate, and dedup all ride ONE
+    foreachBatch — each gate catches exactly its designed doc, the
+    audit trails stay disjoint, the counters sum to docs, and a full
+    fresh-checkpoint replay leaves every artifact byte-stable."""
     import random
 
     from pyspark.sql import functions as F
@@ -871,15 +1013,21 @@ def test_all_gates_compose_on_one_stream(spark, tmp_path):
         train_quality_classifier,
     )
 
-    new_text = (
+    # c4-formatted: every doc the later gates must SEE is one kept
+    # line (ends in a terminal, ≥5 words) = one sentence, so the c4
+    # gate (min_sentences=1) passes it through with the text intact
+    # and every calibration below runs on exactly the streamed bytes
+    P = lambda t: t + "."
+    new_text = P(
         "fresh prose about manifest tables and replay safe commit "
         "protocols in streaming systems"
     )
-    trusted = [BASE, FAR, ALSO_FAR, new_text]
+    pbase, pfar, palso = P(BASE), P(FAR), P(ALSO_FAR)
+    trusted = [pbase, pfar, palso, new_text]
     rng = random.Random(11)
     spam_words = "zzz buy click winn free xxx qqq promo".split()
     clean_words = " ".join(trusted).split()
-    doc = lambda ws: " ".join(rng.choice(ws) for _ in range(30))
+    doc = lambda ws: P(" ".join(rng.choice(ws) for _ in range(30)))
     mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
     clf = train_quality_classifier(
         quality_training_frame(
@@ -892,11 +1040,11 @@ def test_all_gates_compose_on_one_stream(spark, tmp_path):
     lm = NgramKN.fit(
         mk([(i, t) for i, t in enumerate(trusted * 5)]), order=2
     )
-    salad = " ".join(reversed(BASE.split()))
+    salad = P(" ".join(reversed(BASE.split())))
     nll = {
         r.doc_id: r.avg_nll
         for r in lm.score(
-            mk([(0, BASE), (1, FAR), (2, ALSO_FAR), (3, new_text), (9, salad)])
+            mk([(0, pbase), (1, pfar), (2, palso), (3, new_text), (9, salad)])
         ).collect()
     }
     cut = (max(nll[i] for i in (0, 1, 2, 3)) + nll[9]) / 2
@@ -906,7 +1054,7 @@ def test_all_gates_compose_on_one_stream(spark, tmp_path):
     # the DSIR gate's designed victim: fluent but OFF-DISTRIBUTION —
     # no spam vocabulary (classifier must pass it), no eval overlap,
     # content words disjoint from the trusted corpus
-    astro_doc = (
+    astro_doc = P(
         "telescopes observe distant galaxies while planetary nebulae "
         "glow between spiral arms and comets trace long orbits past "
         "frozen moons"
@@ -925,9 +1073,9 @@ def test_all_gates_compose_on_one_stream(spark, tmp_path):
             dsir,
             mk(
                 [
-                    (0, BASE),
-                    (1, FAR),
-                    (2, ALSO_FAR),
+                    (0, pbase),
+                    (1, pfar),
+                    (2, palso),
                     (3, new_text),
                     (8, astro_doc),
                     (9, salad),
@@ -949,11 +1097,11 @@ def test_all_gates_compose_on_one_stream(spark, tmp_path):
             clf,
             mk(
                 [
-                    (1, BASE),
+                    (1, pbase),
                     (2, spam_doc),
                     (3, salad),
-                    (4, ALSO_FAR),
-                    (5, FAR),
+                    (4, palso),
+                    (5, pfar),
                     (7, new_text),
                     (8, astro_doc),
                 ]
@@ -965,8 +1113,16 @@ def test_all_gates_compose_on_one_stream(spark, tmp_path):
     assert probs[2] < pass_min
     clf_threshold = (probs[2] + pass_min) / 2
 
-    b1 = [(1, BASE), (2, spam_doc), (3, salad), (4, ALSO_FAR), (5, FAR)]
-    b2 = [(6, BASE), (7, new_text), (8, astro_doc)]
+    # the C4 gate's designed victim: a properly punctuated long line
+    # (survives the LINE rules) whose cleaned text carries a curly
+    # brace — the DOC flag kills it before any other gate runs
+    code_doc = (
+        "the snippet function f() { return one; } ships inside this "
+        "long and properly terminated line."
+    )
+
+    b1 = [(1, pbase), (2, spam_doc), (3, salad), (4, palso), (5, pfar)]
+    b2 = [(6, pbase), (7, new_text), (8, astro_doc), (10, code_doc)]
 
     def make(tag):
         return StreamingDedupIngest(
@@ -974,6 +1130,9 @@ def test_all_gates_compose_on_one_stream(spark, tmp_path):
             store_dir=str(tmp_path / "store"),
             checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
             dupes_dir=str(tmp_path / "dupes"),
+            c4=True,
+            c4_min_sentences=1,
+            c4_rejects_dir=str(tmp_path / "c4_rejects"),
             quality_model=clf,
             quality_model_threshold=clf_threshold,
             model_rejects_dir=str(tmp_path / "model_rejects"),
@@ -983,14 +1142,15 @@ def test_all_gates_compose_on_one_stream(spark, tmp_path):
             lm_model=lm,
             lm_threshold=cut,
             lm_rejects_dir=str(tmp_path / "lm_rejects"),
-            eval_docs=mk([(0, ALSO_FAR)]).select("text"),
+            eval_docs=mk([(0, palso)]).select("text"),
             contam_dir=str(tmp_path / "contam"),
         )
 
     stream = _doc_stream(spark, tmp_path, [b1, b2])
     m = make("a").run_to_completion(stream)
-    assert m.docs == 8
-    assert m.rejected_docs == 3  # classifier (2) + DSIR (8) + LM (3)
+    assert m.docs == 9
+    # c4 (10) + classifier (2) + DSIR (8) + LM (3)
+    assert m.rejected_docs == 4
     assert m.contaminated_docs == 1  # eval overlap (4)
     assert m.dup_docs == 1 and m.novel_docs == 3
     assert (
@@ -998,6 +1158,10 @@ def test_all_gates_compose_on_one_stream(spark, tmp_path):
         == m.docs
     )
     # disjoint audit trails, each holding exactly its gate's doc
+    assert [
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "c4_rejects")).collect()
+    ] == [10]
     assert [
         r.doc_id
         for r in spark.read.parquet(str(tmp_path / "model_rejects")).collect()
@@ -1024,8 +1188,12 @@ def test_all_gates_compose_on_one_stream(spark, tmp_path):
 
     # full replay, fresh checkpoint: everything byte-stable
     m2 = make("b").run_to_completion(_doc_stream(spark, tmp_path, []))
-    assert m2.rejected_docs == 3 and m2.contaminated_docs == 1
+    assert m2.rejected_docs == 4 and m2.contaminated_docs == 1
     assert m2.dup_docs == 1
+    assert [
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "c4_rejects")).collect()
+    ] == [10]
     assert sorted(
         r["_id"] for r in make("probe2").store.read().collect()
     ) == stored
