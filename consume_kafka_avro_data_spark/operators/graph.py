@@ -452,6 +452,8 @@ def personalized_pagerank(
     iters: int = 10,
     src: str = "source_id",
     dst: str = "target_id",
+    tol: float | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Personalized PageRank (Page et al. 1999 §6; the random surfer
     restarts at the SOURCE set instead of uniformly): the standard
@@ -460,21 +462,36 @@ def personalized_pagerank(
     rank' = (1−d)·p + d·(Aᵀ D⁻¹ rank + dangling_mass·p), where p is
     uniform over ``sources`` and dangling (out-degree-0) mass restarts
     through p — so Σ rank = 1 holds at every round (pinned as an
-    invariant alongside the pure-Python model).  Directed edges, fixed
+    invariant alongside the pure-Python model).  Directed edges, up to
     ``iters`` rounds (power iteration converges geometrically at rate
     d; 10 rounds ≈ 1e-1·d¹⁰ residual — callers wanting tighter
     tolerances raise it).
 
+    ``tol`` (round 8) enables TOLERANCE-BASED EARLY STOP: each round's
+    rank vector carries the previous round's alongside it, and the L1
+    residual Σ|rank − prev| is folded into the SAME single-row driver
+    aggregate that already fetches the dangling mass — no extra job,
+    no extra collect — so the loop exits as soon as the residual meets
+    ``tol`` instead of running the full budget.  The returned vector
+    is bit-identical to the fixed-``iters`` run of however many rounds
+    actually executed (the early stop changes WHEN the loop exits,
+    never what a round computes).  ``stats`` (optional dict, the
+    ``bpe_train`` convention) reports ``rounds`` executed and the
+    ``final_residual`` observed at the last driver touch.
+
     Scale shape per round: one join keyed on the rank node + one
-    dst-keyed sum + one broadcast-sized restart merge; the dangling
-    mass is ONE scalar aggregate; ``localCheckpoint`` per round cuts
-    plan growth (the iterative-graph discipline).  Result is
-    checkpoint-free (final select), node set = every vertex incident
-    to an edge plus the sources."""
+    dst-keyed sum + one broadcast-sized restart merge; dangling mass
+    AND the stop residual are ONE single-row scalar aggregate;
+    ``localCheckpoint`` per round cuts plan growth (the
+    iterative-graph discipline).  Result is checkpoint-free (final
+    select), node set = every vertex incident to an edge plus the
+    sources."""
     if not sources:
         raise ValueError("sources must be non-empty")
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
+    if tol is not None and tol <= 0.0:
+        raise ValueError("tol must be positive (or None for fixed iters)")
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
     e = e.localCheckpoint(eager=True)
 
@@ -502,9 +519,25 @@ def personalized_pagerank(
         .localCheckpoint(eager=True)
     )
 
-    rank_ck = restart.select("node", F.col("p").alias("rank")).localCheckpoint(
-        eager=True
+    # node-COMPLETE initial vector (zeros off the source set, _prev=0):
+    # identical flows to the sources-only form — zero-rank nodes
+    # contribute zero everywhere — but it lets each round read the
+    # previous vector for the residual without any extra join
+    rank_ck = (
+        nodes.join(
+            restart.select(F.col("node").alias("_p"), "p"),
+            on=F.col("node").eqNullSafe(F.col("_p")),
+            how="left",
+        )
+        .select(
+            "node",
+            F.coalesce(F.col("p"), F.lit(0.0)).alias("rank"),
+            F.lit(0.0).alias("_prev"),
+        )
+        .localCheckpoint(eager=True)
     )
+    rounds = 0
+    residual = float("inf")
     try:
         for _ in range(iters):
             with_deg = rank_ck.join(
@@ -512,13 +545,21 @@ def personalized_pagerank(
                 on=F.col("node").eqNullSafe(F.col("_n")),
                 how="left",
             )
-            # dangling mass: rank sitting on out-degree-0 nodes
-            dangling = (
-                with_deg.where(F.col("deg").isNull())
-                .agg(F.sum("rank").alias("s"))
-                .collect()[0]["s"]
-                or 0.0
-            )
+            # ONE single-row driver touch per round: dangling mass
+            # (rank sitting on out-degree-0 nodes) + the L1 residual of
+            # the PREVIOUS round's update (the early-stop signal)
+            row = with_deg.agg(
+                F.sum(
+                    F.when(F.col("deg").isNull(), F.col("rank")).otherwise(
+                        F.lit(0.0)
+                    )
+                ).alias("s"),
+                F.sum(F.abs(F.col("rank") - F.col("_prev"))).alias("r"),
+            ).collect()[0]
+            dangling = row["s"] or 0.0
+            residual = row["r"] if row["r"] is not None else float("inf")
+            if tol is not None and rounds > 0 and residual <= tol:
+                break
             contrib = (
                 e.join(
                     with_deg.where(F.col("deg").isNotNull()).select(
@@ -531,7 +572,8 @@ def personalized_pagerank(
                 .agg(F.sum("c").alias("flow"))
             )
             new_rank = (
-                nodes.join(contrib, "node", "left")
+                rank_ck.select("node", F.col("rank").alias("_prev"))
+                .join(contrib, "node", "left")
                 .join(
                     restart.select(F.col("node").alias("_p"), "p"),
                     on=F.col("node").eqNullSafe(F.col("_p")),
@@ -547,13 +589,18 @@ def personalized_pagerank(
                         )
                         + F.lit(1.0 - damping) * F.coalesce(F.col("p"), F.lit(0.0))
                     ).alias("rank"),
+                    "_prev",
                 )
             )
             new_ck = new_rank.localCheckpoint(eager=True)
             rank_ck.unpersist()
             rank_ck = new_ck
-        return rank_ck
+            rounds += 1
+        return rank_ck.select("node", "rank")
     finally:
+        if stats is not None:
+            stats["rounds"] = rounds
+            stats["final_residual"] = residual
         e.unpersist()
         restart.unpersist()
         nodes.unpersist()

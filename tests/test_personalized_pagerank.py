@@ -83,6 +83,82 @@ def test_validation(spark):
         personalized_pagerank(df, [0], damping=1.0)
 
 
+def test_tol_early_stop_matches_fixed_iters(spark):
+    """Round-8: tol= stops as soon as the L1 residual meets the bound,
+    and the returned vector is EXACTLY the fixed-iters vector of
+    however many rounds actually ran — the early stop changes when the
+    loop exits, never what a round computes."""
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (9, 0)]
+    stats: dict = {}
+    # damping 0.35: residual decays ~0.35^k, so the 1e-5 stop fires
+    # well inside the 30-round budget (at 0.85 it would take ~100)
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(
+            _edges_df(spark, edges),
+            [0],
+            damping=0.35,
+            iters=30,
+            tol=1e-5,
+            stats=stats,
+        ).collect()
+    }
+    assert stats["rounds"] < 30  # fast-mixing setup: the stop fired
+    assert stats["final_residual"] <= 1e-5
+    # bit-identical to the fixed-budget run of the same round count
+    fixed = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(
+            _edges_df(spark, edges),
+            [0],
+            damping=0.35,
+            iters=stats["rounds"],
+        ).collect()
+    }
+    assert got == fixed
+    # and both match the reference recursion at that round count
+    want = _ref_ppr(edges, [0], 0.35, stats["rounds"])
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-9)
+
+
+def test_tol_validation(spark):
+    df = _edges_df(spark, [(0, 1)])
+    with pytest.raises(ValueError, match="tol"):
+        personalized_pagerank(df, [0], tol=0.0)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=5),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    tol=st.sampled_from([1e-1, 1e-3, 1e-6]),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_early_stop_never_fires_before_the_bound(spark, edges, tol):
+    """LAW: for ANY graph and tolerance, an early exit implies the
+    observed residual actually met the bound; otherwise the full
+    budget ran.  Either way Σ rank = 1 holds."""
+    stats: dict = {}
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(
+            _edges_df(spark, edges), [0], iters=6, tol=tol, stats=stats
+        ).collect()
+    }
+    assert stats["rounds"] == 6 or stats["final_residual"] <= tol
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
 EDGES = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=6),
