@@ -269,3 +269,166 @@ def test_ess_diagnostic(spark, frames):
     # empty pool
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert dsir_ess(flat, empty) == {"ess": 0.0, "n": 0, "ess_fraction": 0.0}
+
+
+# -- round 8: the JVM featurizer tier ---------------------------------------
+
+
+def test_jvm_bucket_counts_identical_to_pandas_tier(spark):
+    """The codegen'd bucket function (md5 → unsigned-64 conv → pmod)
+    is THE SAME function as the Python tier's: exact integer-count
+    equality over text with unicode, apostrophes, digits, NULLs, and
+    empties — so models fit on either tier are interchangeable."""
+    texts = [
+        "the theory of distributed computation",
+        "don't count unicode like café or 北京 as word chars",
+        "digits 42 and 7th mix in fine",
+        "",
+        None,
+        "repeat repeat repeat repeat",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    want = {
+        r["bucket"]: r["cnt"]
+        for r in hashed_ngram_counts(df, buckets=B).collect()
+    }
+    got = {
+        r["bucket"]: r["cnt"]
+        for r in hashed_ngram_counts(
+            df.repartition(3), buckets=B, engine="jvm"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_jvm_fit_and_weights_match_pandas_tier(spark, frames):
+    """fit(engine='jvm') returns the EXACT model (integer counts →
+    identical driver math), and the all-expression weigher agrees with
+    the Arrow tier to 1e-9 on every document — same gram order, no
+    Python workers."""
+    target, raw = frames
+    m_pd = dsir_fit(target, raw, buckets=B)
+    m_jvm = dsir_fit(target, raw, buckets=B, engine="jvm")
+    assert m_jvm == m_pd  # frozen dataclass: exact tuple equality
+    w_pd = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_log_weights(m_pd, raw).collect()
+    }
+    w_jvm = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_log_weights(m_jvm, raw, engine="jvm").collect()
+    }
+    assert set(w_jvm) == set(w_pd)
+    for i, v in w_pd.items():
+        assert w_jvm[i] == pytest.approx(v, abs=1e-9)
+
+
+def test_jvm_weigher_is_map_only_and_python_free(spark, frames):
+    """The JVM weigher's plan: no SHUFFLE exchange (the only exchange
+    is the single-row ratio frame's broadcast) and no Python
+    evaluation node — the fold is pure codegen and the 100 TB sweep
+    never starts an Arrow worker."""
+    target, raw = frames
+    model = dsir_fit(target, raw, buckets=B)
+    plan = (
+        dsir_log_weights(model, raw, engine="jvm")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan.replace("BroadcastExchange", "BX")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_engine_validated(spark, frames):
+    target, raw = frames
+    model = dsir_fit(target, raw, buckets=B)
+    with pytest.raises(ValueError, match="engine"):
+        dsir_log_weights(model, raw, engine="numpy")
+    with pytest.raises(ValueError, match="engine"):
+        hashed_ngram_counts(raw, engine="numpy")
+
+
+def test_xxh64_port_matches_spark_xxhash64(spark):
+    """The in-package XXH64 port (Collet's public spec) must agree
+    with Spark's seed-42 xxhash64 expression on UTF-8 bytes — empty,
+    short (<32B), exact block multiples, long (>32B), and unicode —
+    which is what makes the xxhash64 bucket family's two engines one
+    function."""
+    from consume_kafka_avro_data_spark.operators.dsir import _xxh64
+
+    texts = [
+        "",
+        "a",
+        "abcd",
+        "abcdefg",
+        "exactly8",
+        "0123456789abcdef0123456789abcdef",  # 32B: one full stripe
+        "the quick brown fox jumps over the lazy dog repeatedly and then some",
+        "café 北京 ünïcode ß",
+        "don't",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = {
+        r["t"]: r["h"]
+        for r in df.select("t", F.xxhash64("t").alias("h")).collect()
+    }
+    for t in texts:
+        assert got[t] == _xxh64(t.encode("utf-8")), t
+
+
+def test_xxhash64_family_counts_fit_and_weights_agree(spark, frames):
+    """The xxhash64 family: jvm and pandas engines produce identical
+    histograms and the identical model; weights agree to 1e-9; the
+    recorded hash_fn survives save/load; scoring always follows the
+    MODEL's family (an xxhash64 model scored through either engine
+    gives the same weights)."""
+    target, raw = frames
+    want = {
+        r["bucket"]: r["cnt"]
+        for r in hashed_ngram_counts(
+            raw, buckets=B, hash_fn="xxhash64"
+        ).collect()
+    }
+    got = {
+        r["bucket"]: r["cnt"]
+        for r in hashed_ngram_counts(
+            raw.repartition(3), buckets=B, engine="jvm", hash_fn="xxhash64"
+        ).collect()
+    }
+    assert got == want
+    m_pd = dsir_fit(target, raw, buckets=B, hash_fn="xxhash64")
+    m_jvm = dsir_fit(
+        target, raw, buckets=B, engine="jvm", hash_fn="xxhash64"
+    )
+    assert m_jvm == m_pd
+    assert m_jvm.hash_fn == "xxhash64"
+    w_pd = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_log_weights(m_pd, raw).collect()
+    }
+    w_jvm = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_log_weights(m_jvm, raw, engine="jvm").collect()
+    }
+    for i, v in w_pd.items():
+        assert w_jvm[i] == pytest.approx(v, abs=1e-9)
+    # the two families genuinely differ (different bucket functions)
+    m_md5 = dsir_fit(target, raw, buckets=B)
+    assert m_md5.hash_fn == "md5" and m_md5.log_ratio != m_jvm.log_ratio
+
+
+def test_xxhash64_model_save_load_round_trip(spark, frames, tmp_path):
+    from consume_kafka_avro_data_spark.operators.dsir import DsirModel
+
+    target, raw = frames
+    m = dsir_fit(target, raw, buckets=B, hash_fn="xxhash64", engine="jvm")
+    m.save(spark, str(tmp_path / "m.json"))
+    back = DsirModel.load(spark, str(tmp_path / "m.json"))
+    assert back == m and back.hash_fn == "xxhash64"
+
+
+def test_hash_fn_validated(spark, frames):
+    target, raw = frames
+    with pytest.raises(ValueError, match="hash_fn"):
+        dsir_fit(target, raw, buckets=B, hash_fn="sha1")
