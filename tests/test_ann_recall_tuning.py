@@ -544,3 +544,35 @@ def test_shard_commit_key_sorts_numerically():
         "b10",
         "init",
     ]
+
+
+def test_tuned_batch_adc_rerank_recall_floor(spark, emb, tmp_path):
+    """Round-8 serving-story pin: the PROMOTED preset (build_tuned)
+    composed with the codes-only batch path (knn_join_adc + exact
+    re-rank) must clear recall@10 ≥ 0.8 against brute force at
+    nprobe=8/16 cells, rerank=200 — the deployed configuration the
+    bench's ``ann_index.tuned.knn_join_adc_rerank`` row measures, so
+    the recall target is enforced, not just recorded."""
+    idx = AnnIndex.build_tuned(
+        spark, emb, str(tmp_path / "tuned"), n_cells=16
+    )
+    q_ids = [1, 2, 3, 5, 8]
+    qs = _mk_queries(spark, emb, q_ids)
+    truth = {
+        i: {
+            r["vec_id"]
+            for r in brute_force_topk(
+                emb,
+                emb.where(F.col("vec_id") == i).collect()[0]["embedding"],
+                10,
+            ).collect()
+        }
+        for i in q_ids
+    }
+    got: dict = {}
+    for r in idx.knn_join_adc(qs, k=10, nprobe=8, rerank=200).collect():
+        got.setdefault(r.q_id, set()).add(r.vec_id)
+    recall = sum(
+        len(got.get(i, set()) & truth[i]) for i in q_ids
+    ) / (10 * len(q_ids))
+    assert recall >= 0.8, recall
