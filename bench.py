@@ -1644,19 +1644,22 @@ def main() -> None:
     # priority order until the line fits; everything dropped is still
     # in BENCH_local.json.  The assert remains as the can't-happen
     # backstop after all droppables are gone.
+    # drop order: round-stable keys first (every dropped key still
+    # lives in BENCH_local.json) so each round's NEW evidence survives
+    # the ~2 KB stdout budget
     droppable = [
+        "bpe_batched_sec",
+        "bloom_build_probe_sec",
+        "compact_read_sec",
+        "knn_batch_sec",
+        "ann_recall_at_10_adc",
+        "bpe_train16_sec",
+        "kn3_docs_per_sec",
+        "quality_docs_per_sec",
         "dsir_docs_per_sec",
         "lm_gate_docs_per_sec",
         "kn5_docs_per_sec",
         "ann_tuned_adc_rr_recall",
-        "bloom_build_probe_sec",
-        "bpe_batched_sec",
-        "kn3_docs_per_sec",
-        "knn_batch_sec",
-        "bpe_train16_sec",
-        "quality_docs_per_sec",
-        "compact_read_sec",
-        "ann_recall_at_10_adc",
         "ann_recall_tuned",
         "ann_recall_at_10_adc_rerank",
     ]

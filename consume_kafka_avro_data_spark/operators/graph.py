@@ -477,7 +477,11 @@ def personalized_pagerank(
     actually executed (the early stop changes WHEN the loop exits,
     never what a round computes).  ``stats`` (optional dict, the
     ``bpe_train`` convention) reports ``rounds`` executed and the
-    ``final_residual`` observed at the last driver touch.
+    ``final_residual`` observed at the last driver touch.  The
+    residual is measured at the TOP of each round (it describes the
+    previous round's update), so on an early stop it is the value
+    that met ``tol``; when the budget exhausts instead, the final
+    round's own update is not re-measured (inf if no round ran).
 
     Scale shape per round: one join keyed on the rank node + one
     dst-keyed sum + one broadcast-sized restart merge; dangling mass
