@@ -28,6 +28,8 @@ methods.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 # ---------------------------------------------------------------------------
@@ -938,3 +940,112 @@ def ngram_containment_pairs(
     return joined.select(
         "id_a", "id_b", containment.alias("containment")
     ).where(F.col("containment") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# LSH parameter tuning (driver math; the banding knob's designer)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class LshParams:
+    """A tuned banding scheme plus its predicted operating point:
+    ``fp_area`` = ∫₀^t P(s) ds (expected false-positive mass below the
+    threshold under a uniform similarity prior), ``fn_area`` =
+    ∫_t^1 (1−P(s)) ds (missed mass above it), and ``s50`` — the
+    similarity at which the collision probability crosses 1/2 (the
+    scheme's effective knee)."""
+
+    bands: int
+    rows: int
+    fp_area: float
+    fn_area: float
+    s50: float
+
+    @property
+    def num_hashes(self) -> int:
+        return self.bands * self.rows
+
+
+def lsh_collision_prob(s: float, bands: int, rows: int) -> float:
+    """The banding S-curve (Leskovec/Rajaraman/Ullman, *Mining of
+    Massive Datasets* ch. 3 — public): the probability two documents
+    with MinHash similarity ``s`` share at least one band bucket,
+    P(s) = 1 − (1 − s^rows)^bands."""
+    return 1.0 - (1.0 - s**rows) ** bands
+
+
+def tune_lsh_params(
+    threshold: float,
+    num_hashes: int,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+    resolution: int = 1000,
+) -> LshParams:
+    """Pick (bands, rows) for a target Jaccard ``threshold`` — the
+    datasketch-style optimization (public method; implemented from the
+    published math): among every factorization bands·rows ≤
+    ``num_hashes`` (rows = num_hashes // bands, remainder hashes
+    unused), minimize
+
+        fp_weight·∫₀^t P(s) ds  +  fn_weight·∫_t^1 (1 − P(s)) ds
+
+    with P the banding S-curve — the weighted candidate-error mass
+    under a uniform similarity prior.  Midpoint quadrature at
+    ``resolution`` steps per side; deterministic tie-break on
+    (error, bands) so equal-error schemes prefer fewer, wider bands
+    (fewer band hashes to explode and shuffle).
+
+    Raising ``fn_weight`` buys recall (the knee s50 drops below the
+    threshold); raising ``fp_weight`` buys candidate precision.  The
+    returned scheme plugs straight into ``minhash_lsh_pairs`` /
+    ``StreamingDedupIngest(bands=, rows=)`` — at 100 TB the FP area is
+    the fraction of the uniform-prior pair stream that needlessly
+    enters the verify join, so this knob is the candidate-volume
+    designer, not a cosmetic."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if num_hashes < 1:
+        raise ValueError("num_hashes must be positive")
+    if fp_weight < 0 or fn_weight < 0 or fp_weight + fn_weight <= 0:
+        raise ValueError("weights must be non-negative and not both zero")
+    if resolution < 2:
+        raise ValueError("resolution must be >= 2")
+
+    def fp_area(b: int, r: int) -> float:
+        dx = threshold / resolution
+        return sum(
+            lsh_collision_prob((i + 0.5) * dx, b, r)
+            for i in range(resolution)
+        ) * dx
+
+    def fn_area(b: int, r: int) -> float:
+        dx = (1.0 - threshold) / resolution
+        return sum(
+            1.0 - lsh_collision_prob(threshold + (i + 0.5) * dx, b, r)
+            for i in range(resolution)
+        ) * dx
+
+    best: LshParams | None = None
+    best_key: tuple[float, int] | None = None
+    for bands in range(1, num_hashes + 1):
+        rows = num_hashes // bands
+        if rows < 1:
+            break
+        fp = fp_area(bands, rows)
+        fn = fn_area(bands, rows)
+        err = fp_weight * fp + fn_weight * fn
+        key = (err, bands)
+        if best_key is None or key < best_key:
+            best_key = key
+            # s50: 1 − (1 − s^r)^b = 1/2  ⇒  s = (1 − 2^(−1/b))^(1/r)
+            s50 = (1.0 - 0.5 ** (1.0 / bands)) ** (1.0 / rows)
+            best = LshParams(
+                bands=bands,
+                rows=rows,
+                fp_area=fp,
+                fn_area=fn,
+                s50=s50,
+            )
+    assert best is not None  # num_hashes >= 1 guarantees one candidate
+    return best

@@ -611,6 +611,73 @@ def personalized_pagerank(
         outdeg.unpersist()
 
 
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "source_id",
+    dst: str = "target_id",
+    stats: dict | None = None,
+) -> DataFrame:
+    """The k-core of the UNDIRECTED simple graph (Seidman 1983,
+    "Network structure and minimum degree" — public): the MAXIMAL
+    subgraph in which every node has degree ≥ k — the standard
+    dense-region extractor for the SPO graph the reference
+    materializes (spam rings, co-engagement clusters, hub cleanup
+    before community detection).  Directed input is symmetrized and
+    self-loops dropped, like ``label_propagation``.
+
+    Iterative peeling: drop every node of degree < k, recompute
+    degrees on the surviving subgraph, repeat to the fixed point —
+    each round removes at least one node, so rounds are bounded by the
+    peeling depth (≪ |V| on real graphs).  Returns (node, degree)
+    with degrees measured WITHIN the core; an empty frame when the
+    core is empty.  ``stats`` (optional dict) reports ``rounds``.
+
+    Scale shape per round: one degree aggregate keyed by node + two
+    node-keyed semi-joins to shrink the edge set (both sides shrink
+    monotonically; the join key is the same node id every round so
+    AQE reuses partitioning), ``localCheckpoint`` per round cuts plan
+    growth.  The returned frame is checkpointed — caller owns the
+    final unpersist (the ``label_propagation`` contract)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    e = e.where(F.col("a") != F.col("b")).distinct()
+    e = e.localCheckpoint(eager=True)
+    rounds = 0
+    try:
+        while True:
+            deg = e.groupBy(F.col("a").alias("node")).agg(
+                F.count(F.lit(1)).alias("degree")
+            )
+            n_low = deg.where(F.col("degree") < k).count()
+            if n_low == 0:
+                out = deg.localCheckpoint(eager=True)
+                return out
+            rounds += 1
+            keep = deg.where(F.col("degree") >= k).select("node")
+            survivors = (
+                e.join(
+                    keep.select(F.col("node").alias("_ka")),
+                    on=F.col("a") == F.col("_ka"),
+                    how="left_semi",
+                )
+                .join(
+                    keep.select(F.col("node").alias("_kb")),
+                    on=F.col("b") == F.col("_kb"),
+                    how="left_semi",
+                )
+            )
+            new_e = survivors.localCheckpoint(eager=True)
+            e.unpersist()
+            e = new_e
+    finally:
+        if stats is not None:
+            stats["rounds"] = rounds
+        e.unpersist()
+
+
 def shortest_paths_weighted(
     edges: DataFrame,
     sources: list,

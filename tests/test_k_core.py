@@ -1,0 +1,100 @@
+"""k-core extraction (operators/graph.k_core, Seidman 1983): the
+distributed peeling loop must return EXACTLY the maximal subgraph a
+pure-Python peeling reference produces — nodes and within-core
+degrees — on fixed examples and arbitrary generated graphs."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from consume_kafka_avro_data_spark.operators.graph import k_core
+
+
+def _ref_k_core(edges, k):
+    adj: dict = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = set(adj)
+    while True:
+        low = {n for n in nodes if len(adj[n] & nodes) < k}
+        if not low:
+            break
+        nodes -= low
+    return {n: len(adj[n] & nodes) for n in nodes}
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(
+        edges or [(0, 0)], "source_id long, target_id long"
+    ).limit(len(edges))
+
+
+def test_fixed_example_with_peeling_cascade(spark):
+    """A triangle (the 2-core) with a pendant path: peeling the path
+    tail cascades (removing 4 drops 3's degree below 2) — the classic
+    case where one low-degree sweep is NOT enough."""
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    stats: dict = {}
+    out = k_core(_edges_df(spark, edges), k=2, stats=stats)
+    got = {r["node"]: r["degree"] for r in out.collect()}
+    out.unpersist()
+    assert got == {0: 2, 1: 2, 2: 2}
+    assert stats["rounds"] == 2  # 4 peels first, then 3
+
+
+def test_k1_keeps_every_non_isolated_node(spark):
+    edges = [(1, 2), (3, 4), (5, 5)]  # self-loop never counts
+    out = k_core(_edges_df(spark, edges), k=1)
+    got = {r["node"]: r["degree"] for r in out.collect()}
+    out.unpersist()
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_empty_core(spark):
+    edges = [(0, 1), (1, 2)]  # a path has no 2-core
+    out = k_core(_edges_df(spark, edges), k=2)
+    assert out.count() == 0
+    out.unpersist()
+
+
+def test_directed_and_duplicate_edges_symmetrize(spark):
+    """(a,b) and (b,a) plus duplicates are ONE undirected edge."""
+    edges = [(0, 1), (1, 0), (0, 1), (1, 2), (2, 0)]
+    out = k_core(_edges_df(spark, edges), k=2)
+    got = {r["node"]: r["degree"] for r in out.collect()}
+    out.unpersist()
+    assert got == {0: 2, 1: 2, 2: 2}
+
+
+def test_validation(spark):
+    with pytest.raises(ValueError, match="k must be"):
+        k_core(_edges_df(spark, [(0, 1)]), k=0)
+
+
+EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=0, max_value=7),
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(edges=EDGES, k=st.integers(min_value=1, max_value=4))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_models_reference_on_any_graph(spark, edges, k):
+    """LAW: for ANY small graph and k, nodes AND within-core degrees
+    equal the pure-Python peeling reference exactly."""
+    out = k_core(_edges_df(spark, edges), k=k)
+    got = {r["node"]: r["degree"] for r in out.collect()}
+    out.unpersist()
+    assert got == _ref_k_core(edges, k)
