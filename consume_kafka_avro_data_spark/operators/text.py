@@ -718,3 +718,183 @@ def bpe_segment(
     seg_udf = F.pandas_udf(seg, returnType="array<string>")
 
     return df.withColumn(out_col, seg_udf(F.col(text_col)))
+
+
+#: The published Gopher REPETITION-removal thresholds (Rae et al. 2021,
+#: table A1 — public): a document is removed when any metric EXCEEDS
+#: its bound (strictly greater, the q_gopher_rules boundary
+#: convention).
+GOPHER_REP_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def _gopher_rep_metrics(text: str) -> dict[str, float]:
+    """One document's repetition metrics — the per-row kernel shared by
+    the operator and (independently re-derived) its tests.
+
+    Exact definitions (the paper names the metrics; these pin the
+    ambiguities the way public reimplementations commonly do):
+
+    * lines = '\\n'-split, trimmed, non-empty; paragraphs =
+      '\\n\\n'-split likewise.  ``dup_X_frac`` = occurrences beyond the
+      first of each repeated item / total items;
+      ``dup_X_char_frac`` = their characters / total item characters.
+    * words = lowercased whitespace split; the character universe for
+      every n-gram metric is ``" ".join(words)``.
+    * ``top_{n}gram_char_frac`` (n = 2..4): the most frequent word
+      n-gram's count × its character length / total characters —
+      ties broken by (longer gram, then lexicographic) so the metric
+      is deterministic; 0 when no n-gram repeats (a single occurrence
+      is no repetition evidence).
+    * ``dup_{n}gram_char_frac`` (n = 5..10): the UNION of character
+      spans covered by every occurrence of every n-gram that occurs
+      ≥ 2 times, / total characters — overlap-aware, so chained
+      repeats never count a character twice.
+
+    NULL/empty text ⇒ all metrics 0 (no repetition evidence)."""
+    from collections import Counter
+
+    out = {k: 0.0 for k in GOPHER_REP_THRESHOLDS}
+    t = text or ""
+
+    def dup_fracs(items: list[str]) -> tuple[float, float]:
+        if not items:
+            return 0.0, 0.0
+        seen = Counter(items)
+        extra = sum(c - 1 for c in seen.values())
+        extra_chars = sum((c - 1) * len(i) for i, c in seen.items())
+        total_chars = sum(len(i) for i in items)
+        return (
+            extra / len(items),
+            extra_chars / total_chars if total_chars else 0.0,
+        )
+
+    lines = [ln.strip() for ln in t.split("\n")]
+    lines = [ln for ln in lines if ln]
+    paras = [p.strip() for p in t.split("\n\n")]
+    paras = [p for p in paras if p]
+    out["dup_line_frac"], out["dup_line_char_frac"] = dup_fracs(lines)
+    out["dup_para_frac"], out["dup_para_char_frac"] = dup_fracs(paras)
+
+    words = t.lower().split()
+    norm = " ".join(words)
+    total = len(norm)
+    if total == 0:
+        return out
+    # char offset of word i in norm (words joined by single spaces)
+    starts = []
+    pos = 0
+    for w in words:
+        starts.append(pos)
+        pos += len(w) + 1
+    for n in (2, 3, 4):
+        grams = Counter(
+            tuple(words[i : i + n]) for i in range(len(words) - n + 1)
+        )
+        if not grams:
+            continue
+        top_g, top_c = max(
+            grams.items(),
+            key=lambda kv: (kv[1], len(" ".join(kv[0])), kv[0]),
+        )
+        if top_c >= 2:
+            out[f"top_{n}gram_char_frac"] = (
+                top_c * len(" ".join(top_g)) / total
+            )
+    for n in range(5, 11):
+        grams = Counter(
+            tuple(words[i : i + n]) for i in range(len(words) - n + 1)
+        )
+        covered = bytearray(total)
+        for i in range(len(words) - n + 1):
+            if grams[tuple(words[i : i + n])] >= 2:
+                a = starts[i]
+                b = starts[i + n - 1] + len(words[i + n - 1])
+                for j in range(a, b):
+                    covered[j] = 1
+        out[f"dup_{n}gram_char_frac"] = sum(covered) / total
+    return out
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """The OTHER half of Gopher's published filter (Rae et al. 2021
+    table A1 — repetition removal; ``q_gopher_rules`` certifies the
+    quality-rule half): per-document duplicate-line/paragraph
+    fractions, top n-gram character fractions (n = 2..4), and
+    duplicated n-gram character coverage (n = 5..10), plus the
+    ``gopher_rep_keep`` flag — False when ANY metric strictly exceeds
+    its published bound.  Metric definitions: see
+    ``_gopher_rep_metrics``; thresholds override via ``thresholds``.
+
+    Plan shape: ONE Arrow-batched ``mapInPandas`` pass appending the
+    13 metric columns — map-only, no shuffle, so at 100 TB this runs
+    at (Python-bounded) scan speed beside the other doc gates.  The
+    within-document counting is inherently per-row (Counter over the
+    doc's own n-grams); expressing it as self-gram HOF expressions
+    would be O(G²) interpreted per doc, and a doc-keyed gram shuffle
+    would turn a gate into a corpus shuffle — the Arrow kernel is the
+    scalable shape here, like DSIR's featurizer.  Rejected docs stay
+    auditable: the caller filters on the flag."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    th = dict(GOPHER_REP_THRESHOLDS)
+    if thresholds:
+        unknown = set(thresholds) - set(th)
+        if unknown:
+            raise ValueError(f"unknown threshold keys: {sorted(unknown)}")
+        th.update(thresholds)
+    names = list(GOPHER_REP_THRESHOLDS)
+    clash = (set(names) | {"gopher_rep_keep"}) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"gopher_repetition needs columns {sorted(clash)} free, but "
+            "the frame already carries them"
+        )
+    in_fields = df.schema.fields
+    out_schema = StructType(
+        list(in_fields)
+        + [StructField(n, DoubleType(), False) for n in names]
+        + [StructField("gopher_rep_keep", BooleanType(), False)]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [
+                _gopher_rep_metrics(t) for t in pdf[text_col]
+            ]
+            for n in names:
+                pdf[n] = pd.Series(
+                    [r[n] for r in rows], index=pdf.index, dtype="float64"
+                )
+            pdf["gopher_rep_keep"] = pd.Series(
+                [all(r[n] <= th[n] for n in names) for r in rows],
+                index=pdf.index,
+                dtype="bool",
+            )
+            yield pdf
+
+    return df.mapInPandas(gen, schema=out_schema)

@@ -108,6 +108,9 @@ class StreamingDedupIngest(BoundedReplayMixin):
         c4_min_line_words: int = 5,
         c4_min_sentences: int = 3,
         c4_rejects_dir: str | None = None,
+        gopher_rep: bool = False,
+        gopher_rep_thresholds: dict | None = None,
+        gopher_rep_rejects_dir: str | None = None,
         eval_docs: DataFrame | None = None,
         contam_gram_n: int = 8,
         contam_min_hits: int = 1,
@@ -205,6 +208,19 @@ class StreamingDedupIngest(BoundedReplayMixin):
         partition-by-batch dynamic-overwrite replay contract).
         ``c4_min_line_words`` / ``c4_min_sentences`` pass through to
         the operator.
+
+        ``gopher_rep=True`` enables Gopher's published REPETITION
+        removal (Rae et al. 2021 table A1's other half;
+        ``operators/text.gopher_repetition``): docs whose duplicate-
+        line/paragraph fractions, top n-gram character fractions, or
+        duplicated n-gram coverage exceed the published bounds are
+        rejected before signing, counted into ``rejected_docs``, and
+        optionally persisted WITH their 13 metrics to
+        ``gopher_rep_rejects_dir`` (same replay contract).  One
+        Arrow-batched map-only pass; runs after the JVM gates
+        (heuristic + classifier) and before DSIR — cheapest-first
+        among the Python-worker gates.  ``gopher_rep_thresholds``
+        overrides individual bounds.
 
         ``eval_docs`` enables DECONTAMINATION AT INGEST (the streaming
         form of q_decontaminate/q_decontaminate_bloom): a static frame
@@ -304,6 +320,22 @@ class StreamingDedupIngest(BoundedReplayMixin):
         self.c4_min_line_words = c4_min_line_words
         self.c4_min_sentences = c4_min_sentences
         self.c4_rejects_dir = c4_rejects_dir
+        if gopher_rep_thresholds is not None:
+            from consume_kafka_avro_data_spark.operators.text import (
+                GOPHER_REP_THRESHOLDS,
+            )
+
+            unknown = set(gopher_rep_thresholds) - set(
+                GOPHER_REP_THRESHOLDS
+            )
+            if unknown:
+                # config-layer error, not a batch-0 crash
+                raise ValueError(
+                    f"unknown gopher_rep threshold keys: {sorted(unknown)}"
+                )
+        self.gopher_rep = gopher_rep
+        self.gopher_rep_thresholds = gopher_rep_thresholds
+        self.gopher_rep_rejects_dir = gopher_rep_rejects_dir
         if dsir_model is not None:
             if not hasattr(dsir_model, "log_ratio"):
                 raise TypeError(
@@ -640,6 +672,40 @@ class StreamingDedupIngest(BoundedReplayMixin):
             if n_model_rejected:
                 batch = self._anti_by_id(batch, model_rejects)
             n_rejected += n_model_rejected
+        rep_rejects = None
+        if self.gopher_rep:
+            from consume_kafka_avro_data_spark.operators.text import (
+                GOPHER_REP_THRESHOLDS,
+                gopher_repetition,
+            )
+
+            # published repetition removal on the JVM gates' survivors
+            # — one Arrow map pass, no shuffle; audit rows carry every
+            # metric so a rejection is explainable
+            scored_rep = gopher_repetition(
+                batch.select(self.id_col, self.text_col),
+                text_col=self.text_col,
+                thresholds=self.gopher_rep_thresholds,
+            )
+            rep_rejects = (
+                scored_rep.where(~F.col("gopher_rep_keep"))
+                .select(self.id_col, *GOPHER_REP_THRESHOLDS)
+                .localCheckpoint(eager=True)  # dir write + count + anti-join
+            )
+            if self.gopher_rep_rejects_dir:
+                # partition by batch id + dynamic overwrite: a replayed
+                # batch REPLACES its own rows (same contract as rejects)
+                (
+                    rep_rejects.withColumn("batch_id", F.lit(batch_id))
+                    .write.partitionBy("batch_id")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .mode("overwrite")
+                    .parquet(self.gopher_rep_rejects_dir)
+                )
+            n_rep_rejected = rep_rejects.count()
+            if n_rep_rejected:
+                batch = self._anti_by_id(batch, rep_rejects)
+            n_rejected += n_rep_rejected
         dsir_rejects = None
         if self.dsir_model is not None:
             from consume_kafka_avro_data_spark.operators.dsir import (
@@ -935,4 +1001,6 @@ class StreamingDedupIngest(BoundedReplayMixin):
                 contam.unpersist()
             if c4_cleaned is not None:
                 c4_cleaned.unpersist()
+            if rep_rejects is not None:
+                rep_rejects.unpersist()
 

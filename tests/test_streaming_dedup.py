@@ -1198,3 +1198,56 @@ def test_all_gates_compose_on_one_stream(spark, tmp_path):
         r["_id"] for r in make("probe2").store.read().collect()
     ) == stored
     lm.unpersist()
+
+
+def test_gopher_repetition_gate_at_ingest(spark, tmp_path):
+    """Round-8: gopher_rep=True rejects loop-generated boilerplate
+    (Rae 2021's repetition rules) BEFORE signing, with the 13 metrics
+    in the audit trail; clean docs pass; replay is byte-stable; bad
+    threshold keys error at construction."""
+    loop = " ".join(["one two three four five six"] * 5)
+    b1 = [(1, BASE), (2, loop)]
+    b2 = [(3, FAR), (4, loop)]
+
+    def build(tag):
+        return StreamingDedupIngest(
+            spark,
+            store_dir=str(tmp_path / "store"),
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+            dupes_dir=str(tmp_path / "dupes"),
+            gopher_rep=True,
+            gopher_rep_rejects_dir=str(tmp_path / "rep_rejects"),
+        )
+
+    m = build("a").run_to_completion(_doc_stream(spark, tmp_path, [b1, b2]))
+    assert m.docs == 4
+    assert m.rejected_docs == 2  # both loop docs gated
+    assert m.dup_docs == 0  # doc 4 (dup of REJECTED 2) never signed
+    stored = sorted(
+        r["_id"]
+        for r in StreamingDedupIngest(
+            spark,
+            store_dir=str(tmp_path / "store"),
+            checkpoint_dir=str(tmp_path / "ckpt_probe"),
+        ).store.read().collect()
+    )
+    assert stored == [1, 3]
+    rej = spark.read.parquet(str(tmp_path / "rep_rejects"))
+    got = {(r.doc_id, r.batch_id) for r in rej.collect()}
+    assert got == {(2, 0), (4, 1)}
+    # the audit row explains itself: the binding metric rides along
+    assert all(r.dup_5gram_char_frac > 0.15 for r in rej.collect())
+
+    # full replay, fresh checkpoint: byte-stable
+    m2 = build("b").run_to_completion(_doc_stream(spark, tmp_path, []))
+    assert m2.rejected_docs == 2 and m2.dup_docs == 0
+    assert spark.read.parquet(str(tmp_path / "rep_rejects")).count() == 2
+
+    with pytest.raises(ValueError, match="gopher_rep threshold"):
+        StreamingDedupIngest(
+            spark,
+            store_dir=str(tmp_path / "s2"),
+            checkpoint_dir=str(tmp_path / "c2"),
+            gopher_rep=True,
+            gopher_rep_thresholds={"bogus": 1.0},
+        )
