@@ -678,6 +678,97 @@ def k_core(
         e.unpersist()
 
 
+def core_numbers(
+    edges: DataFrame,
+    src: str = "source_id",
+    dst: str = "target_id",
+    max_iter: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """FULL core decomposition — every node's coreness (the largest k
+    for which it sits in the k-core) — via the distributed h-index
+    iteration (Montresor et al. 2011, "Distributed k-Core
+    Decomposition"; Lü et al. 2016 — public): start each node at its
+    degree, then repeatedly replace a node's value with the H-INDEX of
+    its neighbors' values (the largest h such that ≥ h neighbors hold
+    value ≥ h).  Values are non-increasing integers bounded below, so
+    the iteration converges — exactly to the coreness — and stops at
+    the first unchanged round.
+
+    Scale shape per round: one neighbor-value join keyed by node + one
+    per-node h-index aggregate.  The h-index is computed from the
+    node's collected neighbor-value array (sorted desc, h = count of
+    positions where value ≥ rank) — per-node state is degree-bounded,
+    so an extreme hub implies a wide row; cap rounds with ``max_iter``
+    and fall back to repeated :func:`k_core` peels if a graph's max
+    degree breaks row limits.  ``localCheckpoint`` per round, caller
+    owns the returned frame's unpersist (the ``label_propagation``
+    contract).  ``stats`` reports ``rounds``.
+
+    Composition law (pinned in tests): ``k_core(edges, k)``'s node set
+    == the nodes with ``coreness ≥ k``, for every k."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    e = e.where(F.col("a") != F.col("b")).distinct()
+    e = e.localCheckpoint(eager=True)
+    vals_ck = (
+        e.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).cast("int").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    try:
+        while max_iter is None or rounds < max_iter:
+            # each node's neighbor values, h-indexed: sort desc, count
+            # ranks where value >= rank (prefix-true for a desc sort)
+            neigh = e.join(
+                vals_ck.select(F.col("node").alias("_n"), F.col("c")),
+                on=F.col("b") == F.col("_n"),
+            ).select(F.col("a").alias("node"), "c")
+            arr = F.sort_array(F.collect_list("c"), asc=False)
+            new_vals = neigh.groupBy("node").agg(
+                F.aggregate(
+                    F.zip_with(
+                        arr,
+                        F.sequence(F.lit(1), F.size(arr)),
+                        lambda v, i: F.when(v >= i, 1).otherwise(0),
+                    ),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                )
+                .cast("int")
+                .alias("c")
+            )
+            new_ck = new_vals.localCheckpoint(eager=True)
+            changed = (
+                new_ck.join(
+                    vals_ck.select(
+                        F.col("node").alias("_pn"), F.col("c").alias("_pc")
+                    ),
+                    on=F.col("node") == F.col("_pn"),
+                )
+                .where(F.col("c") != F.col("_pc"))
+                .count()
+            )
+            vals_ck.unpersist()
+            vals_ck = new_ck
+            rounds += 1
+            if changed == 0:
+                break
+        # re-checkpoint under the public schema so the RETURNED frame
+        # owns its blocks (a bare select child would make the caller's
+        # unpersist a no-op against the loop checkpoint)
+        out = vals_ck.select(
+            "node", F.col("c").alias("coreness")
+        ).localCheckpoint(eager=True)
+        vals_ck.unpersist()
+        return out
+    finally:
+        if stats is not None:
+            stats["rounds"] = rounds
+        e.unpersist()
+
+
 def shortest_paths_weighted(
     edges: DataFrame,
     sources: list,

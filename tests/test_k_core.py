@@ -98,3 +98,68 @@ def test_models_reference_on_any_graph(spark, edges, k):
     got = {r["node"]: r["degree"] for r in out.collect()}
     out.unpersist()
     assert got == _ref_k_core(edges, k)
+
+
+# -- full decomposition ------------------------------------------------------
+
+from consume_kafka_avro_data_spark.operators.graph import core_numbers  # noqa: E402
+
+
+def _ref_core_numbers(edges):
+    """Coreness via repeated peeling: max k with the node in the
+    k-core."""
+    out: dict = {}
+    k = 1
+    while True:
+        core = _ref_k_core(edges, k)
+        if not core:
+            break
+        for n in core:
+            out[n] = k
+        k += 1
+    return out
+
+
+def test_core_numbers_fixed_example(spark):
+    """Triangle (coreness 2) + pendant path (coreness 1) + an isolated
+    self-loop (absent)."""
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (9, 9)]
+    stats: dict = {}
+    out = core_numbers(_edges_df(spark, edges), stats=stats)
+    got = {r["node"]: r["coreness"] for r in out.collect()}
+    out.unpersist()
+    assert got == {0: 2, 1: 2, 2: 2, 3: 1, 4: 1}
+    assert stats["rounds"] >= 1
+
+
+@given(edges=EDGES)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_core_numbers_model_reference_and_kcore_law(spark, edges):
+    """LAWS: (a) the h-index iteration converges exactly to the
+    peeling reference's coreness on ANY graph; (b) k_core(k)'s node
+    set == {coreness ≥ k} for every k up to the max."""
+    out = core_numbers(_edges_df(spark, edges))
+    got = {r["node"]: r["coreness"] for r in out.collect()}
+    out.unpersist()
+    want = _ref_core_numbers(edges)
+    assert got == want
+    for k in range(1, max(want.values(), default=0) + 1):
+        core = k_core(_edges_df(spark, edges), k)
+        nodes = {r["node"] for r in core.collect()}
+        core.unpersist()
+        assert nodes == {n for n, c in want.items() if c >= k}
+
+
+def test_core_numbers_max_iter_caps_rounds(spark):
+    stats: dict = {}
+    out = core_numbers(
+        _edges_df(spark, [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]),
+        max_iter=1,
+        stats=stats,
+    )
+    out.unpersist()
+    assert stats["rounds"] == 1
