@@ -485,7 +485,10 @@ def gumbel_key_expr(
 
 
 def dsir_ess(
-    model: DsirModel, df: DataFrame, text_col: str = "text"
+    model: DsirModel,
+    df: DataFrame,
+    text_col: str = "text",
+    engine: str = "pandas",
 ) -> dict[str, float]:
     """Importance-sampling health check: effective sample size
     ESS = (Σw)²/Σw² over the candidate pool (Kong 1992's classic
@@ -497,7 +500,7 @@ def dsir_ess(
     aggregate; weights are exponentiated around their max for
     overflow-safe Σw and Σw² (the standard log-sum-exp shift —
     RELATIVE weights are all ESS needs)."""
-    w = dsir_log_weights(model, df, text_col)
+    w = dsir_log_weights(model, df, text_col, engine=engine)
     mx = w.agg(F.max("dsir_logw").alias("m")).collect()[0]["m"]
     if mx is None:
         return {"ess": 0.0, "n": 0, "ess_fraction": 0.0}
@@ -520,6 +523,7 @@ def dsir_resample(
     seed: int = 0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    engine: str = "pandas",
 ) -> DataFrame:
     """Select k documents WITHOUT replacement with probability ∝ w(x)
     — the Gumbel top-k trick: perturb each log-weight with deterministic
@@ -532,7 +536,7 @@ def dsir_resample(
     duplicated ids would be selected all-or-nothing."""
     if k < 1:
         raise ValueError("k must be positive")
-    weighted = dsir_log_weights(model, df, text_col)
+    weighted = dsir_log_weights(model, df, text_col, engine=engine)
     key = gumbel_key_expr("dsir_logw", id_col, seed)
     # column hygiene: re-selecting an input that already carries
     # dsir_logw must not produce a duplicate-named column, and the

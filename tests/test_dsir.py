@@ -432,3 +432,23 @@ def test_hash_fn_validated(spark, frames):
     target, raw = frames
     with pytest.raises(ValueError, match="hash_fn"):
         dsir_fit(target, raw, buckets=B, hash_fn="sha1")
+
+
+def test_resample_and_ess_accept_jvm_engine(spark, frames):
+    """engine='jvm' threads through selection and the ESS diagnostic:
+    identical selected set (weights agree to 1e-9 and Gumbel keys are
+    engine-independent) and matching ESS."""
+    target, raw = frames
+    m = dsir_fit(target, raw, buckets=B)
+    a = {r["doc_id"] for r in dsir_resample(m, raw, k=3, seed=7).collect()}
+    b = {
+        r["doc_id"]
+        for r in dsir_resample(m, raw, k=3, seed=7, engine="jvm").collect()
+    }
+    assert a == b
+    from consume_kafka_avro_data_spark.operators.dsir import dsir_ess
+
+    e_pd = dsir_ess(m, raw)
+    e_jvm = dsir_ess(m, raw, engine="jvm")
+    assert e_jvm["n"] == e_pd["n"]
+    assert e_jvm["ess"] == pytest.approx(e_pd["ess"], rel=1e-9)
