@@ -563,15 +563,20 @@ def learned_ops_bench(spark, sf_dir: str) -> dict:
             t0 = time.perf_counter()
             lm3.score(held).write.format("noop").mode("overwrite").save()
             t_kn3 = min(t_kn3, time.perf_counter() - t0)
-        # round 8: the INGEST LM gate's broadcast A/B — the same model
-        # riding StreamingDedupIngest over a 4-batch stream of the held
-        # split, threshold set above every score so the arms do
-        # identical routing work; the only difference is whether each
-        # micro-batch's 2n−1 model joins broadcast (map-only gate) or
-        # sort-merge (per-batch shuffles)
+        # round 8: the INGEST LM gate's broadcast A/B — a PRUNED
+        # deployed-shape model (min_count=2; the configuration the
+        # auto-broadcast default exists for — an unpruned sf-fit
+        # model's tables are exactly the case the docstring says to
+        # broadcast=False on) riding StreamingDedupIngest over a
+        # 4-batch stream of the held split, threshold set above every
+        # score so the arms do identical routing work; the only
+        # difference is whether each micro-batch's 2n−1 model joins
+        # broadcast (map-only gate) or sort-merge (per-batch shuffles)
         from consume_kafka_avro_data_spark.streaming.dedup import (
             StreamingDedupIngest,
         )
+
+        lm3g = NgramKN.fit(train, order=3, min_count=2)
 
         def lm_gate_run(broadcast: bool) -> dict:
             tmp = tempfile.mkdtemp(prefix="lmgate_bench_")
@@ -582,7 +587,7 @@ def learned_ops_bench(spark, sf_dir: str) -> dict:
                     spark,
                     store_dir=os.path.join(tmp, "store"),
                     checkpoint_dir=os.path.join(tmp, "ckpt"),
-                    lm_model=lm3,
+                    lm_model=lm3g,
                     lm_threshold=1e9,
                     lm_broadcast=broadcast,
                 )
@@ -603,10 +608,19 @@ def learned_ops_bench(spark, sf_dir: str) -> dict:
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
 
-        lm_gate_ab = {
-            "off": lm_gate_run(False),
-            "on": lm_gate_run(True),
-        }
+        try:
+            # best-of-2 per arm, arms interleaved: a single shot per
+            # arm lets one GC pause invert the comparison (observed)
+            arms: dict = {"off": [], "on": []}
+            for _ in range(2):
+                arms["off"].append(lm_gate_run(False))
+                arms["on"].append(lm_gate_run(True))
+            lm_gate_ab = {
+                k: max(v, key=lambda r: r["docs_per_sec"])
+                for k, v in arms.items()
+            }
+        finally:
+            lm3g.unpersist()
     finally:
         lm3.unpersist()
     # round 8: CCNet's DEPLOYED order — kn5 at bench scale, with the
