@@ -39,7 +39,7 @@ import os
 import time as _time
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from consume_kafka_avro_data_spark.fsio import fs_for
 from consume_kafka_avro_data_spark.operators.similarity import (
@@ -141,6 +141,7 @@ class AnnIndex:
         replicas: int = 1,
         rotation: np.ndarray | None = None,
         compacted_shards: list[str] | None = None,
+        meta_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -160,6 +161,11 @@ class AnnIndex:
         #: an add_shard replay of one of these is a no-op (see
         #: ``max_compacted_shards``)
         self.compacted_shards: list[str] = list(compacted_shards or [])
+        #: metadata columns carried on every index row (round 9) — the
+        #: filtered-search surface: ``knn_join(where=)`` predicates can
+        #: reference exactly these.  Frozen at build like the
+        #: quantizers; add_shard must supply them.
+        self.meta_cols: list[str] = list(meta_cols or [])
         # metadata IO backend resolved from the index URI (fsio): POSIX
         # for local paths, Hadoop FileSystem for file://-and-beyond
         self._io = fs_for(spark, path)
@@ -183,6 +189,7 @@ class AnnIndex:
         opq_sweeps: int = 0,
         quantizer_iters: int = 5,
         quantizer_init: str = "random",
+        meta_cols: list[str] | None = None,
     ) -> "AnnIndex":
         """Train (driver-sized sample) → assign + encode (two map-only
         Arrow passes) → write a fresh generation directory → atomically
@@ -207,9 +214,26 @@ class AnnIndex:
         * ``quantizer_iters`` / ``quantizer_init="kmeanspp"`` — Lloyd's
           convergence knobs; measured near-no-op on the synthetic
           corpus (the quantizer was already at the partition ceiling)
-          but cheap insurance on clustered data."""
+          but cheap insurance on clustered data.
+
+        ``meta_cols`` (round 9) carries the named corpus columns onto
+        every index row — the FILTERED-search surface: a
+        ``knn_join(where=F.col("lang") == "en")`` predicate can
+        reference exactly these, and it is applied INSIDE the
+        probed-cell scan (parquet PushedFilters under the cell
+        partition pruning), never as a post-filter that would return
+        fewer than k survivors.  Frozen into the meta like the
+        quantizers; every ``add_shard`` must supply the same columns."""
         if grace_seconds is None:
             grace_seconds = cls.grace_seconds
+        meta_cols = list(meta_cols or [])
+        reserved = {id_col, vec_col, "pq_codes", "_ivf_cell"}
+        bad = [c for c in meta_cols if c in reserved or c not in corpus.columns]
+        if bad:
+            raise ValueError(
+                f"meta_cols {bad} must be existing corpus columns distinct "
+                f"from {sorted(reserved)}"
+            )
         io = fs_for(spark, path)
         centroids = kmeans_centroids(
             corpus,
@@ -236,7 +260,7 @@ class AnnIndex:
             codebooks,
             id_col,
             vec_col,
-            keep_cols=[vec_col, "_ivf_cell"],
+            keep_cols=[vec_col, "_ivf_cell", *meta_cols],
             rotation=rotation,
         )
         doc = cls._read_meta_doc(io, path)
@@ -261,6 +285,7 @@ class AnnIndex:
             # must not revert to the class default and prune dirs a
             # still-running long scan references
             "grace_seconds": grace_seconds,
+            "meta_cols": meta_cols,
         }
         cls._commit_meta(io, path, meta)  # the ONLY commit point
         # GC everything the committed meta does not reference: grace-
@@ -273,6 +298,7 @@ class AnnIndex:
         idx = cls(
             spark, path, centroids, codebooks, id_col, vec_col,
             vectors_dirs=[gen], replicas=replicas, rotation=rotation,
+            meta_cols=meta_cols,
         )
         idx.grace_seconds = grace_seconds
         return idx
@@ -335,8 +361,16 @@ class AnnIndex:
             self.last_shard_cell_counts = {}
             self.last_shard_rows = 0
             return self
+        missing = [c for c in self.meta_cols if c not in shard.columns]
+        if missing:
+            raise ValueError(
+                f"index was built with meta_cols={self.meta_cols}; the "
+                f"shard is missing {missing} — filtered search reads "
+                "these from every generation, so every shard must "
+                "carry them"
+            )
         assigned = self._assign(
-            shard.select(self.id_col, self.vec_col),
+            shard.select(self.id_col, self.vec_col, *self.meta_cols),
             self.centroids,
             self.vec_col,
             self.replicas,
@@ -346,7 +380,7 @@ class AnnIndex:
             self.codebooks,
             self.id_col,
             self.vec_col,
-            keep_cols=[self.vec_col, "_ivf_cell"],
+            keep_cols=[self.vec_col, "_ivf_cell", *self.meta_cols],
             rotation=self.rotation,
         )
         doc = self._read_meta_doc(self._io, self.path)
@@ -383,6 +417,7 @@ class AnnIndex:
                 None if self.rotation is None else self.rotation.tolist()
             ),
             "grace_seconds": self.grace_seconds,  # see build()
+            "meta_cols": self.meta_cols,
         }
         self._commit_meta(self._io, self.path, meta)
         # sweep grace-EXPIRED dirs + crash orphans only
@@ -501,6 +536,7 @@ class AnnIndex:
                 None if self.rotation is None else self.rotation.tolist()
             ),
             "grace_seconds": self.grace_seconds,
+            "meta_cols": self.meta_cols,
         }
         self._commit_meta(self._io, self.path, meta)
         self._gc_unreferenced(
@@ -613,6 +649,8 @@ class AnnIndex:
             replicas=int(meta.get("replicas", 1)),
             rotation=None if rot is None else np.asarray(rot, dtype=np.float64),
             compacted_shards=doc["compacted_shards"],
+            # legacy metas (pre-filtered-search) carry no meta columns
+            meta_cols=meta.get("meta_cols") or [],
         )
         # restore the persisted grace window (legacy metas without the
         # field keep the class default)
@@ -773,6 +811,7 @@ class AnnIndex:
         nprobe: int = 4,
         query_id: str = "q_id",
         query_vec: str = "q_vec",
+        where: Column | None = None,
     ) -> DataFrame:
         """Batch ANN search: top-k neighbors for EVERY query row, IVF-
         accelerated — the deployed many-queries shape (the per-vector
@@ -807,7 +846,16 @@ class AnnIndex:
         bench corpus (32k rows: IVF 1.25 s vs brute 1.32 s, both
         best-of-2), and the candidate volume ratio (nprobe/n_cells of
         the corpus per query vs ALL of it) keeps widening the gap from
-        there — this operator exists for the 100 TB side of that line."""
+        there — this operator exists for the 100 TB side of that line.
+
+        ``where`` (round 9) — metadata predicate PUSHDOWN for filtered
+        search ("nearest within lang='en'"): a Column over the index's
+        ``meta_cols``, applied INSIDE the probed-cell candidate scan
+        (parquet PushedFilters beneath the ``_ivf_cell`` partition
+        pruning), BEFORE the per-query top-k — so every query still
+        gets k survivors of the filtered corpus (a post-filter on an
+        unfiltered top-k would return fewer), pinned equal to
+        post-filtering the FULL probed candidate set."""
         from pyspark.sql import Window
 
         from consume_kafka_avro_data_spark.operators.similarity import (
@@ -826,7 +874,10 @@ class AnnIndex:
             l2_norm(F.col(query_vec), dim=None).alias("_qn"),
             "_ivf_cell",
         )
-        cand = self._vectors().select(
+        base = self._vectors()
+        if where is not None:
+            base = base.where(where)
+        cand = base.select(
             self.id_col,
             self.vec_col,
             l2_norm(F.col(self.vec_col), dim=None).alias("_cn"),
@@ -943,6 +994,7 @@ class AnnIndex:
         query_id: str = "q_id",
         query_vec: str = "q_vec",
         rerank: int | None = None,
+        where: Column | None = None,
     ) -> DataFrame:
         """Batch ANN over CODES ONLY — :meth:`knn_join`'s IVF-PQ
         serving tier.  The exact batch path scores true cosines over
@@ -971,7 +1023,14 @@ class AnnIndex:
         key keeps partition pruning — then true cosines re-rank to
         (query_id, id, score, rank ≤ k), pinned per-query equal to
         :meth:`query_adc_rerank`.  Float IO drops from |probed| to s
-        vectors per query."""
+        vectors per query.
+
+        ``where`` (round 9) — metadata predicate pushdown exactly as
+        in :meth:`knn_join`: applied inside the codes-only candidate
+        scan (PushedFilters under the cell pruning, float column STILL
+        absent from the scan — pinned), before the shortlist cut, so k
+        is guaranteed post-filter; the rerank fetch inherits the
+        filter through the shortlisted ids."""
         from pyspark.sql import Window
 
         from consume_kafka_avro_data_spark.operators.similarity import (
@@ -982,7 +1041,10 @@ class AnnIndex:
         probed = self._assign_queries_with_lut(
             queries, query_id, query_vec, nprobe
         )
-        cand = self._vectors().select(
+        base = self._vectors()
+        if where is not None:
+            base = base.where(where)
+        cand = base.select(
             self.id_col, "pq_codes", "_ivf_cell"
         )
         scored = cand.join(probed, "_ivf_cell").select(

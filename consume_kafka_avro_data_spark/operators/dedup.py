@@ -548,16 +548,52 @@ def incremental_minhash_dedup(
     ).where(F.col("jaccard") >= jaccard_threshold)
 
 
+def resolve_banding(
+    bands: int | None,
+    rows: int | None,
+    tune_for: tuple[float, int] | None,
+    default: tuple[int, int] = (8, 4),
+) -> tuple[int, int]:
+    """The ONE deployment-path banding resolution (round 9), shared by
+    :func:`minhash_lsh_pairs` and ``StreamingDedupIngest``:
+
+    * explicit ``bands``/``rows`` pass through (both or neither);
+    * ``tune_for=(jaccard_threshold, num_hashes)`` designs the scheme
+      through :func:`tune_lsh_params` — deterministic, so a replay or
+      a store reopen configured with the same ``tune_for`` resolves to
+      the same scheme;
+    * neither → the pinned defaults (b=8, r=4 — the ~0.5-knee scheme
+      every pre-round-9 store was built with);
+    * both explicit AND ``tune_for`` is a config conflict, rejected
+      eagerly (silently preferring one would desynchronize a store
+      from its caller's intent)."""
+    if tune_for is not None:
+        if bands is not None or rows is not None:
+            raise ValueError(
+                "pass either explicit bands/rows or tune_for=(threshold, "
+                "num_hashes), not both"
+            )
+        threshold, num_hashes = tune_for
+        p = tune_lsh_params(float(threshold), int(num_hashes))
+        return p.bands, p.rows
+    if (bands is None) != (rows is None):
+        raise ValueError("bands and rows must be set together")
+    if bands is None:
+        return default
+    return int(bands), int(rows)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
-    bands: int = 8,
-    rows: int = 4,
+    bands: int | None = None,
+    rows: int | None = None,
     jaccard_threshold: float = 0.5,
     hash_fn: str = "xxhash64",
     max_bucket_size: int = MAX_BUCKET_SIZE,
+    tune_for: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH with exact-Jaccard verify.
 
@@ -566,8 +602,12 @@ def minhash_lsh_pairs(
     and the distinct shingle set per doc → explode band hashes →
     bucket-and-expand candidate pairs carrying the shingle sets →
     verify with exact Jaccard (array_intersect/union, native collection
-    expressions).  Banding (b=8, r=4) targets the ~0.5 similarity knee:
-    P(candidate) = 1-(1-s^r)^b.
+    expressions).  Default banding (b=8, r=4) targets the ~0.5
+    similarity knee: P(candidate) = 1-(1-s^r)^b; pass
+    ``tune_for=(threshold, num_hashes)`` to have
+    :func:`tune_lsh_params` design (bands, rows) for a different knee
+    instead (see :func:`resolve_banding` — at 100 TB the designed FP
+    area IS the candidate volume the verify join pays for).
 
     ``hash_fn``: "xxhash64" (default, fastest JVM hash — the 100 TB
     path) or "md5" (portable hex-prefix variant whose buckets a DuckDB
@@ -575,6 +615,7 @@ def minhash_lsh_pairs(
     The verify step is exact Jaccard either way, so the hash choice only
     moves candidate recall, never the correctness of emitted pairs.
     """
+    bands, rows = resolve_banding(bands, rows, tune_for)
     _, bh = _minhash_agg_components(hash_fn, "_sig", bands, rows)
     base = _minhash_base(df, id_col, text_col, shingle_k, bands, rows, hash_fn)
     banded = base.select(

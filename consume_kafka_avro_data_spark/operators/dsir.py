@@ -149,6 +149,22 @@ def _bucket(ngram: str, buckets: int, hash_fn: str = "md5") -> int:
     return int.from_bytes(h[:8], "big") % buckets
 
 
+def _check_buckets(buckets: int) -> None:
+    """Shared bound for every tier: ≥ 1 and < 2³¹ — the JVM md5
+    residue math and the int-typed bucket columns are exact only
+    below 2³¹, and a Python-tier fit at a larger B would produce a
+    model no JVM tier can score compatibly (advisor finding, r08)."""
+    if buckets < 1:
+        raise ValueError("buckets must be positive")
+    if buckets >= 1 << 31:
+        raise ValueError(
+            f"buckets must be < 2**31 (got {buckets}): the JVM bucket "
+            "expression and the int bucket columns are exact only below "
+            "2**31, and the Python tier's unbounded-int mod would "
+            "silently diverge from it"
+        )
+
+
 def _doc_buckets(
     text: str, buckets: int, hash_fn: str = "md5"
 ) -> list[int]:
@@ -175,12 +191,20 @@ def dsir_bucket_expr(
     is taken in residue arithmetic — (hi·2³² + lo) mod B =
     ((hi mod B)·(2³² mod B) + lo mod B) mod B — keeping everything in
     codegen'd LONG math (a DECIMAL(20,0) pmod would drop to BigDecimal
-    per gram).  Exact for B < 2³¹ (buckets is an int, so always).
+    per gram).
+
+    Exact ONLY for B < 2³¹: the residue identity needs
+    (B−1)·(2³² mod B) + (B−1) to stay under 2⁶³, and the bucket column
+    is a 32-bit int in both tiers — Python ints are unbounded, so a
+    larger B would silently diverge from the exact-big-int Python tier
+    instead of erroring.  Rejected eagerly here (and the pandas-only
+    paths validate at their own entry points).
 
     ``xxhash64``: ``pmod(xxhash64(gram), B)`` — one native expression
     straight off the UTF8 bytes, no hex-string round-trip; ~3× cheaper
     than the md5 chain (measured) and the family a throughput-bound
     deployment should fit with."""
+    _check_buckets(buckets)
     if hash_fn == "xxhash64":
         return F.pmod(F.xxhash64(gram), F.lit(buckets)).cast("int")
     hex32 = F.md5(gram)
@@ -247,6 +271,7 @@ def hashed_ngram_counts(
         raise ValueError(
             f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}"
         )
+    _check_buckets(buckets)
     if engine == "jvm":
         return (
             df.select(
@@ -363,8 +388,7 @@ def dsir_fit(
     identical model, pinned; no Python workers).  ``hash_fn``
     ("md5" default / "xxhash64" the fast JVM family) is recorded on
     the model and drives every later scoring pass."""
-    if buckets < 1:
-        raise ValueError("buckets must be positive")
+    _check_buckets(buckets)
     if smoothing <= 0.0:
         raise ValueError("smoothing must be > 0 (unsmoothed ratios diverge)")
     t_counts = {

@@ -39,7 +39,7 @@ from __future__ import annotations
 import os
 
 from consume_kafka_avro_data_spark.operators.store import ManifestTable
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.types import (
     DateType,
     DoubleType,
@@ -600,11 +600,17 @@ def personalized_pagerank(
             rank_ck.unpersist()
             rank_ck = new_ck
             rounds += 1
-        return rank_ck.select("node", "rank")
+        # re-checkpoint under the public schema so the RETURNED frame
+        # owns its blocks (a bare select over the loop checkpoint would
+        # make the caller's unpersist a no-op against it — the
+        # core_numbers contract, mirrored here per the r08 advisor)
+        out = rank_ck.select("node", "rank").localCheckpoint(eager=True)
+        return out
     finally:
         if stats is not None:
             stats["rounds"] = rounds
             stats["final_residual"] = residual
+        rank_ck.unpersist()
         e.unpersist()
         restart.unpersist()
         nodes.unpersist()
@@ -695,18 +701,38 @@ def core_numbers(
     the iteration converges — exactly to the coreness — and stops at
     the first unchanged round.
 
-    Scale shape per round: one neighbor-value join keyed by node + one
-    per-node h-index aggregate.  The h-index is computed from the
-    node's collected neighbor-value array (sorted desc, h = count of
-    positions where value ≥ rank) — per-node state is degree-bounded,
-    so an extreme hub implies a wide row; cap rounds with ``max_iter``
-    and fall back to repeated :func:`k_core` peels if a graph's max
-    degree breaks row limits.  ``localCheckpoint`` per round, caller
-    owns the returned frame's unpersist (the ``label_propagation``
-    contract).  ``stats`` reports ``rounds``.
+    Scale shape per round (WIDTH-FREE, round 9 — no per-node arrays):
+    the h-index of a node's neighbor values is rewritten as a pure
+    count identity, h = max over the DISTINCT neighbor values t of
+    min(t, N≥t) where N≥t = #{neighbors with value ≥ t} (take the
+    sorted-desc view a₁ ≥ a₂ ≥ …: for t = a_h the min is ≥ h, and any
+    t with min(t, N≥t) = m would put m neighbors at value ≥ m,
+    contradicting h's maximality for m > h).  Neighbor values are
+    first CAPPED at the node's own current value — sound because the
+    iteration is component-wise non-increasing from degrees (Montresor
+    et al. 2011), so h never exceeds the current value and counts
+    below it are unchanged; the cap bounds each node's distinct-value
+    domain by its shrinking current value.  Per round: one
+    neighbor-value join + one self join for the cap (both keyed by
+    node), one (node, value) count aggregate, one node-partitioned
+    running sum, one node-keyed max — every row narrow, no
+    ``collect_list``, so a 10⁵-degree hub costs rows, never row WIDTH.
+    ``localCheckpoint`` per round, caller owns the returned frame's
+    unpersist (the ``label_propagation`` contract).  ``stats`` reports
+    ``rounds``.
 
     Composition law (pinned in tests): ``k_core(edges, k)``'s node set
-    == the nodes with ``coreness ≥ k``, for every k."""
+    == the nodes with ``coreness ≥ k``, for every k.  The width-free
+    kernel is pinned value-identical to both the legacy collect_list
+    form and the pure-Python peeling reference, including on a
+    power-law graph with an extreme hub (tests/test_k_core.py)."""
+    if max_iter is not None and max_iter < 1:
+        # 0 rounds would return raw degrees labeled 'coreness' with no
+        # signal that the iteration never ran (advisor finding, r08)
+        raise ValueError(
+            f"max_iter must be >= 1 (or None for run-to-convergence), "
+            f"got {max_iter}"
+        )
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     e = e.where(F.col("a") != F.col("b")).distinct()
@@ -719,37 +745,62 @@ def core_numbers(
     rounds = 0
     try:
         while max_iter is None or rounds < max_iter:
-            # each node's neighbor values, h-indexed: sort desc, count
-            # ranks where value >= rank (prefix-true for a desc sort)
-            neigh = e.join(
-                vals_ck.select(F.col("node").alias("_n"), F.col("c")),
-                on=F.col("b") == F.col("_n"),
-            ).select(F.col("a").alias("node"), "c")
-            arr = F.sort_array(F.collect_list("c"), asc=False)
-            new_vals = neigh.groupBy("node").agg(
-                F.aggregate(
-                    F.zip_with(
-                        arr,
-                        F.sequence(F.lit(1), F.size(arr)),
-                        lambda v, i: F.when(v >= i, 1).otherwise(0),
+            # capped neighbor values: w = min(val(b), val(a))
+            capped = (
+                e.join(
+                    vals_ck.select(
+                        F.col("node").alias("_b"), F.col("c").alias("_nv")
                     ),
-                    F.lit(0),
-                    lambda acc, x: acc + x,
+                    on=F.col("b") == F.col("_b"),
                 )
-                .cast("int")
-                .alias("c")
+                .join(
+                    vals_ck.select(
+                        F.col("node").alias("_a"), F.col("c").alias("_cur")
+                    ),
+                    on=F.col("a") == F.col("_a"),
+                )
+                .select(
+                    F.col("a").alias("node"),
+                    F.least(F.col("_nv"), F.col("_cur")).alias("w"),
+                )
+            )
+            # N≥t per (node, distinct value): histogram + desc running
+            # sum; h = max min(t, N≥t) — all narrow rows, node-keyed
+            hist = capped.groupBy("node", "w").agg(
+                F.count(F.lit(1)).alias("_n")
+            )
+            win = (
+                Window.partitionBy("node")
+                .orderBy(F.col("w").desc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            new_vals = (
+                hist.select(
+                    "node", "w", F.sum("_n").over(win).alias("_ge")
+                )
+                .groupBy("node")
+                .agg(
+                    F.max(F.least(F.col("w").cast("long"), F.col("_ge")))
+                    .cast("int")
+                    .alias("c")
+                )
             )
             new_ck = new_vals.localCheckpoint(eager=True)
-            changed = (
-                new_ck.join(
-                    vals_ck.select(
-                        F.col("node").alias("_pn"), F.col("c").alias("_pc")
-                    ),
-                    on=F.col("node") == F.col("_pn"),
+            try:
+                changed = (
+                    new_ck.join(
+                        vals_ck.select(
+                            F.col("node").alias("_pn"),
+                            F.col("c").alias("_pc"),
+                        ),
+                        on=F.col("node") == F.col("_pn"),
+                    )
+                    .where(F.col("c") != F.col("_pc"))
+                    .count()
                 )
-                .where(F.col("c") != F.col("_pc"))
-                .count()
-            )
+            except Exception:
+                new_ck.unpersist()  # vals_ck is released by the finally
+                raise
             vals_ck.unpersist()
             vals_ck = new_ck
             rounds += 1
@@ -758,14 +809,13 @@ def core_numbers(
         # re-checkpoint under the public schema so the RETURNED frame
         # owns its blocks (a bare select child would make the caller's
         # unpersist a no-op against the loop checkpoint)
-        out = vals_ck.select(
+        return vals_ck.select(
             "node", F.col("c").alias("coreness")
         ).localCheckpoint(eager=True)
-        vals_ck.unpersist()
-        return out
     finally:
         if stats is not None:
             stats["rounds"] = rounds
+        vals_ck.unpersist()  # loop state — released on EVERY exit path
         e.unpersist()
 
 

@@ -40,7 +40,9 @@ per seen context — the signature KN invariant.
 from __future__ import annotations
 
 import json
+import math
 import os
+import re
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -48,6 +50,29 @@ from consume_kafka_avro_data_spark.operators.dedup import tokens_col
 
 #: Chen & Goodman's well-working fixed discount
 DEFAULT_DISCOUNT = 0.75
+
+#: Default model-row ceiling for collecting a fitted model into a
+#: worker-side dict (``NgramKN.local_tables`` / ``score_broadcast``).
+#: 2M rows of short gram strings ≈ low tens of MB pickled — comfortably
+#: a broadcast variable, far below anything that pressures executor
+#: heaps; an unpruned web-scale fit blows past this and should stay on
+#: the relational scorer (or be re-fit with ``min_count``).
+MAX_LOCAL_MODEL_ROWS = 2_000_000
+
+#: Java's ``\s`` is the ASCII class [ \t\n\x0B\f\r]; Python's ``\s``
+#: adds Unicode whitespace — the dict scorer must tokenize EXACTLY as
+#: the JVM ``split(lower(text), '\\s+')`` convention does, so it uses
+#: the explicit ASCII class (a NBSP stays inside a token in both
+#: engines).
+_JVM_WS_RE = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def _py_tokens(text: str | None) -> list[str]:
+    """The corpus tokenization convention (operators/dedup.tokens_col)
+    reproduced in Python: lowercase, split on the JVM ``\\s+`` class,
+    NULL → '' (which tokenizes to the single empty token, exactly as
+    ``F.split('', '\\s+')`` does)."""
+    return _JVM_WS_RE.split((text or "").lower())
 
 
 def doc_bigrams(
@@ -445,6 +470,167 @@ class NgramKN:
             ids[id_col].alias(id_col),
             F.coalesce(F.col("n_ngrams"), F.lit(0)).alias("n_ngrams"),
             "avg_nll",
+        )
+
+    # -- dict-scorer tier (round 9) ----------------------------------------
+
+    def model_rows(self) -> int:
+        """Total rows across every model table — THE broadcastability
+        number: bench reports it per pruning arm, ``local_tables``
+        guards on it, and the ingest gate's auto-broadcast resolution
+        compares it to ``MAX_LOCAL_MODEL_ROWS`` before defaulting the
+        per-batch joins onto executor heaps."""
+        return (
+            sum(df.count() for df in self.probs.values())
+            + sum(df.count() for df in self.lams.values())
+            + self.p1.count()
+        )
+
+    def local_tables(
+        self, max_rows: int = MAX_LOCAL_MODEL_ROWS
+    ) -> dict:
+        """Collect the fitted model into plain Python dicts — the
+        payload :meth:`score_broadcast` ships to workers as ONE
+        broadcast variable.  Guarded: refuses past ``max_rows`` total
+        model rows (count first, collect second), because an unpruned
+        web-scale fit belongs on the relational scorer, not in every
+        executor's heap.  Layout: ``probs[k]`` maps the k-token suffix
+        tuple → p, ``lams[k]`` maps the (k−1)-token context tuple → λ,
+        ``p1`` maps token → continuation unigram."""
+        total = self.model_rows()
+        if total > max_rows:
+            raise ValueError(
+                f"model has {total} rows, past the local-dict ceiling "
+                f"of {max_rows} — re-fit with min_count pruning (the "
+                "deployed shape) or score relationally"
+            )
+        n = self.order
+        probs = {
+            k: {
+                tuple(r[i] for i in range(k)): r[k]
+                for r in self.probs[k].collect()
+            }
+            for k in range(2, n + 1)
+        }
+        lams = {
+            k: {
+                tuple(r[i] for i in range(k - 1)): r[k - 1]
+                for r in self.lams[k].collect()
+            }
+            for k in range(2, n + 1)
+        }
+        p1 = {r[0]: r[1] for r in self.p1.collect()}
+        return {"order": n, "probs": probs, "lams": lams, "p1": p1}
+
+    def score_broadcast(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        p_floor: float = 1e-9,
+        max_model_rows: int = MAX_LOCAL_MODEL_ROWS,
+        _local: dict | None = None,
+    ) -> DataFrame:
+        """(id_col, n_ngrams, avg_nll) — :meth:`score`'s contract from
+        a BROADCAST-DICT Arrow kernel: the whole model rides to each
+        worker once as a broadcast variable and every document is
+        scored inside one ``mapInPandas`` pass — ZERO model joins per
+        scoring run, where the relational scorer pays 2n−1 per run
+        (per micro-batch, at ingest).  This is the deployed CCNet
+        shape taken to its end point: the filter model is a pruned
+        artifact small enough to live in worker memory, so the
+        petabyte sweep is map-only plus one narrow per-doc aggregate.
+
+        Value-identical to the relational scorer by construction —
+        same tokenization (``_py_tokens`` mirrors the JVM convention
+        including the ASCII ``\\s`` class and the NULL→'' single-empty-
+        token), same backoff cascade association
+        (P̂_k = p_k if observed else coalesce(λ_k, 1)·P̂_{k−1}), same
+        floor, same <order-token NULL-score convention — pinned by
+        pytest at every order against :meth:`score` (float agreement
+        to ~1 ulp: the only latitude is Math.log vs libm log).
+
+        Duplicate and NULL ids keep :meth:`score`'s semantics: grams
+        aggregate per DISTINCT id (NULLs one group) via the narrow
+        (id, count, Σlog) aggregate that follows the Arrow pass.
+
+        ``_local`` lets a long-lived caller (the ingest gate) collect
+        the dicts once and reuse them across scoring calls — pass the
+        result of :meth:`local_tables`, or an already-broadcast
+        ``Broadcast`` of it (the streaming shape: ONE broadcast for the
+        stream's whole life, instead of one fresh broadcast variable
+        per micro-batch waiting on the ContextCleaner)."""
+        import pandas as pd
+        from pyspark.broadcast import Broadcast
+
+        spark = docs.sparkSession
+        if isinstance(_local, Broadcast):
+            bc, local = _local, _local.value  # .value is driver-cached
+        else:
+            local = (
+                _local
+                if _local is not None
+                else self.local_tables(max_model_rows)
+            )
+            bc = spark.sparkContext.broadcast(local)
+        n = int(local["order"])
+        if n != self.order:
+            raise ValueError(
+                f"_local tables carry order {n}, model is order {self.order}"
+            )
+        floor = float(p_floor)
+        id_type = docs.schema[id_col].dataType.simpleString()
+
+        def gen(batches):
+            m = bc.value
+            probs, lams, p1 = m["probs"], m["lams"], m["p1"]
+            log = math.log
+            for pdf in batches:
+                counts, sums = [], []
+                for text in pdf[text_col]:
+                    toks = _py_tokens(text)
+                    w = len(toks) - (n - 1)
+                    s = 0.0
+                    if w <= 0:
+                        w = 0
+                    else:
+                        for i in range(w):
+                            g = toks[i : i + n]
+                            ph = p1.get(g[n - 1], 0.0)
+                            for k in range(2, n + 1):
+                                lo = n - k
+                                pk = probs[k].get(tuple(g[lo:n]))
+                                if pk is not None:
+                                    ph = pk
+                                else:
+                                    lam = lams[k].get(tuple(g[lo : n - 1]))
+                                    ph = (1.0 if lam is None else lam) * ph
+                            s += log(ph if ph > floor else floor)
+                    counts.append(w)
+                    sums.append(s)
+                # the id column passes through UNTOUCHED (same dtype,
+                # same null mask — rebuilding it from a Python list
+                # would widen nullable ints to float, the r08
+                # heavy-hitter identity bug class)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].reset_index(drop=True),
+                        "_n": counts,
+                        "_slp": sums,
+                    }
+                )
+
+        partials = docs.select(id_col, text_col).mapInPandas(
+            gen, schema=f"{id_col} {id_type}, _n long, _slp double"
+        )
+        # ONE narrow aggregate restores score()'s per-DISTINCT-id
+        # contract (duplicate ids merge their grams; groupBy puts every
+        # NULL id in one group, matching the relational eqNullSafe join)
+        return partials.groupBy(id_col).agg(
+            F.sum("_n").alias("n_ngrams"),
+            F.when(
+                F.sum("_n") > 0, -F.sum("_slp") / F.sum("_n")
+            ).alias("avg_nll"),
         )
 
 

@@ -815,17 +815,28 @@ def _gopher_rep_metrics(text: str) -> dict[str, float]:
                 top_c * len(" ".join(top_g)) / total
             )
     for n in range(5, 11):
-        grams = Counter(
-            tuple(words[i : i + n]) for i in range(len(words) - n + 1)
-        )
-        covered = bytearray(total)
-        for i in range(len(words) - n + 1):
-            if grams[tuple(words[i : i + n])] >= 2:
+        m = len(words) - n + 1
+        gram_at = [tuple(words[i : i + n]) for i in range(m)]
+        grams = Counter(gram_at)
+        # union of the dup-gram character spans via one merge sweep:
+        # span starts are strictly increasing in i, so the spans
+        # arrive pre-sorted and the union is O(#occurrences) span
+        # arithmetic — the r08 per-character bytearray loop was
+        # O(doc_len) per occurrence (pinned metric-identical to it
+        # in tests/test_gopher_repetition.py)
+        covered = 0
+        cur_a = cur_b = -1
+        for i in range(m):
+            if grams[gram_at[i]] >= 2:
                 a = starts[i]
                 b = starts[i + n - 1] + len(words[i + n - 1])
-                for j in range(a, b):
-                    covered[j] = 1
-        out[f"dup_{n}gram_char_frac"] = sum(covered) / total
+                if a > cur_b:
+                    covered += cur_b - cur_a
+                    cur_a, cur_b = a, b
+                elif b > cur_b:
+                    cur_b = b
+        covered += cur_b - cur_a
+        out[f"dup_{n}gram_char_frac"] = covered / total
     return out
 
 

@@ -48,6 +48,7 @@ from consume_kafka_avro_data_spark.operators.dedup import (
     MAX_BUCKET_SIZE,
     _minhash_agg_components,
     minhash_sig_table,
+    resolve_banding,
 )
 from consume_kafka_avro_data_spark.operators.store import ManifestTable
 from consume_kafka_avro_data_spark.streaming.lifecycle import BoundedReplayMixin
@@ -84,8 +85,9 @@ class StreamingDedupIngest(BoundedReplayMixin):
         id_col: str = "doc_id",
         text_col: str = "text",
         shingle_k: int = 3,
-        bands: int = 8,
-        rows: int = 4,
+        bands: int | None = None,
+        rows: int | None = None,
+        tune_for: tuple[float, int] | None = None,
         min_matches: int | None = None,
         hash_fn: str = "xxhash64",
         max_bucket_size: int = MAX_BUCKET_SIZE,
@@ -178,20 +180,35 @@ class StreamingDedupIngest(BoundedReplayMixin):
         per-doc aggregate over joined n-grams), so it runs after
         them, on their survivors only.
 
-        ``lm_broadcast`` controls whether the LM gate scores with the
-        model tables hinted into the joins' build side
-        (``NgramKN.score(broadcast_model=True)``), which makes the
-        per-batch score MAP-ONLY up to the final per-doc aggregate —
-        the deployed CCNet shape, where the filter model is fit once
-        on a bounded (usually ``min_count``-pruned) trusted corpus and
-        then sweeps every arriving batch.  Default ``None`` = AUTO:
-        on whenever the model's ``score`` supports the hint (NgramKN;
-        BigramKN's two-table score has no such knob and broadcasts by
-        size like any small join).  Pass ``False`` explicitly when the
-        model was fit UNPRUNED on a corpus large enough that its
-        gram-type tables rival executor memory — otherwise every
-        micro-batch pays up to 2n−1 sort-merge shuffles against the
-        model tables, per batch, forever.
+        ``lm_broadcast`` controls how the LM gate's model reaches the
+        per-batch score:
+
+        * ``True`` — model tables hinted into the joins' build side
+          (``NgramKN.score(broadcast_model=True)``): the per-batch
+          score is MAP-ONLY up to the final per-doc aggregate — the
+          deployed CCNet shape, where the filter model is fit once on
+          a bounded (usually ``min_count``-pruned) trusted corpus and
+          then sweeps every arriving batch.
+        * ``"dict"`` (round 9) — the model is collected ONCE at
+          construction into plain dicts and shipped as a broadcast
+          variable; each batch scores inside one ``mapInPandas``
+          (``NgramKN.score_broadcast``) with ZERO model joins per
+          micro-batch.  Value-identical to the relational scorer
+          (pinned); requires a model small enough for
+          ``local_tables``'s row ceiling — the pruned deployed shape.
+        * ``False`` — plain joins, sized by Catalyst.  Choose this
+          when the model was fit UNPRUNED on a corpus large enough
+          that its gram-type tables rival executor memory — otherwise
+          every micro-batch pays up to 2n−1 sort-merge shuffles
+          against the model tables, per batch, forever.
+        * ``None`` (default) = AUTO: ``True`` when the model's
+          ``score`` supports the hint (NgramKN) AND its
+          ``model_rows()`` fits under the dict-tier row ceiling —
+          the size check (r08 advisor) that keeps auto from forcing
+          an unpruned web-scale model's tables onto executor heaps;
+          oversize models resolve to ``False`` (degrade to sort-merge,
+          never OOM by default).  BigramKN's two-table score has no
+          hint and broadcasts by size like any small join.
 
         ``c4=True`` enables the C4 LINE-LEVEL cleaning stage (Raffel
         et al. 2020 §2.2; ``operators/text.c4_clean``) as the FIRST
@@ -256,7 +273,19 @@ class StreamingDedupIngest(BoundedReplayMixin):
         configured key column's cardinality, duplication factor, and
         heavy hitters over what ARRIVES — so the pipeline can compare
         "duplicates delivered" (sketch view) against "duplicates this
-        ingest actually removed" (dup_docs) from one stream scan."""
+        ingest actually removed" (dup_docs) from one stream scan.
+
+        ``tune_for=(jaccard_threshold, num_hashes)`` (round 9) designs
+        the banding scheme through ``operators/dedup.tune_lsh_params``
+        instead of taking explicit ``bands``/``rows`` — the resolution
+        is deterministic and the RESOLVED scheme is what lands in
+        ``_signature_params.json``, so a replay or reopen configured
+        with the same ``tune_for`` always agrees with the store (and a
+        reopen with mismatched parameters is rejected exactly as for
+        explicit ones).  Passing both is a config conflict; passing
+        neither keeps the pinned (8, 4) defaults every pre-round-9
+        store was built with — see ``resolve_banding``."""
+        bands, rows = resolve_banding(bands, rows, tune_for)
         n = bands * rows
         self.spark = spark
         self.checkpoint_dir = checkpoint_dir
@@ -300,22 +329,49 @@ class StreamingDedupIngest(BoundedReplayMixin):
         self.lm_model = lm_model
         self.lm_threshold = lm_threshold
         self.lm_rejects_dir = lm_rejects_dir
-        # resolve the broadcast hint EAGERLY (config-layer, not batch 0):
-        # auto = on iff the model's score accepts the hint
+        # resolve the broadcast mode EAGERLY (config-layer, not batch 0)
         supports_hint = lm_model is not None and (
             "broadcast_model"
             in inspect.signature(lm_model.score).parameters
         )
-        if lm_broadcast and lm_model is not None and not supports_hint:
-            raise ValueError(
-                "lm_broadcast=True but this lm_model's score() has no "
-                "broadcast_model hint (BigramKN's two-table score "
-                "broadcasts by size on its own) — drop the flag or use "
-                "an NgramKN model"
+        self._lm_local = None  # Broadcast[dict] when lm_broadcast="dict"
+        if lm_broadcast == "dict":
+            if lm_model is None or not hasattr(lm_model, "score_broadcast"):
+                raise ValueError(
+                    'lm_broadcast="dict" needs an lm_model with '
+                    "score_broadcast (NgramKN) — fit/load one, or use "
+                    "True/False/None for the relational scorer"
+                )
+            # collect ONCE here (local_tables enforces its row
+            # ceiling) and broadcast ONCE — every micro-batch reuses
+            # the same broadcast variable for the stream's whole life
+            self._lm_local = spark.sparkContext.broadcast(
+                lm_model.local_tables()
             )
-        self.lm_broadcast = (
-            supports_hint if lm_broadcast is None else bool(lm_broadcast)
-        )
+            self.lm_broadcast: bool | str = "dict"
+        elif lm_broadcast is None:
+            # AUTO = hint on iff supported AND the model is actually
+            # broadcast-sized (one-time table counts; an unpruned
+            # web-scale fit degrades to sort-merge instead of OOMing
+            # executors by default — r08 advisor)
+            from consume_kafka_avro_data_spark.operators.lm import (
+                MAX_LOCAL_MODEL_ROWS,
+            )
+
+            self.lm_broadcast = bool(
+                supports_hint
+                and hasattr(lm_model, "model_rows")
+                and lm_model.model_rows() <= MAX_LOCAL_MODEL_ROWS
+            )
+        else:
+            if lm_broadcast and lm_model is not None and not supports_hint:
+                raise ValueError(
+                    "lm_broadcast=True but this lm_model's score() has no "
+                    "broadcast_model hint (BigramKN's two-table score "
+                    "broadcasts by size on its own) — drop the flag or use "
+                    "an NgramKN model"
+                )
+            self.lm_broadcast = bool(lm_broadcast)
         self.c4 = c4
         self.c4_min_line_words = c4_min_line_words
         self.c4_min_sentences = c4_min_sentences
@@ -531,7 +587,18 @@ class StreamingDedupIngest(BoundedReplayMixin):
         can pin its PLAN: with ``lm_broadcast`` resolved on (the NgramKN
         auto default) every model-table join is a BroadcastHashJoin and
         the batch side reaches the per-doc aggregate without an
-        Exchange — the map-only CCNet sweep shape, per micro-batch."""
+        Exchange — the map-only CCNet sweep shape, per micro-batch.
+        With ``"dict"`` the plan has ZERO model joins: the payload
+        collected at construction rides a broadcast variable into one
+        ``mapInPandas`` pass (pinned value-identical to the relational
+        scorer in tests/test_ngram_lm.py)."""
+        if self.lm_broadcast == "dict":
+            return self.lm_model.score_broadcast(
+                batch.select(self.id_col, self.text_col),
+                text_col=self.text_col,
+                id_col=self.id_col,
+                _local=self._lm_local,
+            )
         kwargs = (
             {"broadcast_model": True} if self.lm_broadcast else {}
         )

@@ -576,3 +576,124 @@ def test_tuned_batch_adc_rerank_recall_floor(spark, emb, tmp_path):
         len(got.get(i, set()) & truth[i]) for i in q_ids
     ) / (10 * len(q_ids))
     assert recall >= 0.8, recall
+
+
+# -- filtered search (round 9): metadata predicate pushdown -------------------
+
+
+def test_filtered_knn_join_where_pushdown(spark, emb, tmp_path):
+    """Round-9 filtered ANN: build with meta_cols=['lang'], then
+    knn_join/knn_join_adc(where=) must (a) return k survivors per
+    query all satisfying the predicate — k GUARANTEED post-filter,
+    (b) equal post-filtering the FULL probed candidate set (at full
+    probe: brute force over the filtered corpus, bit-exact scores),
+    (c) push the predicate INSIDE the probed-cell scan (PushedFilters
+    beneath the _ivf_cell PartitionFilters), and (d) keep the float
+    column out of the ADC scan."""
+    from consume_kafka_avro_data_spark.operators.similarity import knn_join
+    from consume_kafka_avro_data_spark.plans.inspect import (
+        partition_filters,
+        pushed_filters,
+        read_schema_columns,
+    )
+
+    tagged = emb.withColumn(
+        "lang",
+        F.when(F.col("vec_id") % 3 == 0, F.lit("en")).otherwise(F.lit("de")),
+    )
+    idx = AnnIndex.build(
+        spark, tagged, str(tmp_path / "fs"), n_cells=8, meta_cols=["lang"]
+    )
+    qs = _mk_queries(spark, emb, [1, 2, 3])
+    cond = F.col("lang") == "en"
+
+    got_df = idx.knn_join(qs, k=5, nprobe=8, where=cond)
+    rows = got_df.collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == {1, 2, 3}
+    assert all(len(v) == 5 for v in by_q.values())  # k post-filter
+    assert all(r.vec_id % 3 == 0 for r in rows)  # predicate holds
+    # (b) equality vs post-filtering the full probed candidate set
+    want = sorted(
+        (r.q_id, r.rank, r.vec_id, r.score)
+        for r in knn_join(
+            qs, tagged.where(cond).select("vec_id", "embedding"), k=5
+        ).collect()
+    )
+    assert sorted((r.q_id, r.rank, r.vec_id, r.score) for r in rows) == want
+
+    # ADC path: predicate holds, k survivors, float column absent,
+    # predicate pushed to the scan
+    adc = idx.knn_join_adc(qs, k=5, nprobe=8, where=cond)
+    arows = adc.collect()
+    assert all(r.vec_id % 3 == 0 for r in arows)
+    assert len(arows) == 15
+    assert "embedding" not in read_schema_columns(adc, "fs")
+    pfs = pushed_filters(adc, "fs")
+    assert any("lang" in f for f in pfs), pfs
+    # the rerank tier inherits the filter through its shortlist
+    rer = idx.knn_join_adc(qs, k=3, nprobe=8, rerank=10, where=cond).collect()
+    assert all(r.vec_id % 3 == 0 for r in rer)
+    assert len(rer) == 9
+
+    # (c) scan-level composition: predicate + cell probe on ONE scan —
+    # PartitionFilters on _ivf_cell with the lang predicate pushed
+    qvec = emb.where(F.col("vec_id") == 1).collect()[0]["embedding"]
+    scan = idx._probe(qvec, nprobe=2).where(cond).select("vec_id", "pq_codes")
+    assert any("_ivf_cell" in f for f in partition_filters(scan))
+    assert any("lang" in f for f in pushed_filters(scan))
+    assert "embedding" not in read_schema_columns(scan, "fs")
+
+
+def test_meta_cols_persist_and_shard_contract(spark, emb, tmp_path):
+    """meta_cols survive save→load (filtered search works on a loaded
+    index), add_shard demands the columns, validation rejects missing
+    or reserved names, and compact preserves the filtered surface."""
+    tagged = emb.withColumn(
+        "lang",
+        F.when(F.col("vec_id") % 3 == 0, F.lit("en")).otherwise(F.lit("de")),
+    )
+    path = str(tmp_path / "persist")
+    idx = AnnIndex.build(
+        spark, tagged.where(F.col("vec_id") <= 40), path,
+        n_cells=4, meta_cols=["lang"],
+    )
+    loaded = AnnIndex.load(spark, path)
+    assert loaded.meta_cols == ["lang"]
+    qs = _mk_queries(spark, emb, [1])
+    cond = F.col("lang") == "en"
+    # shard WITH the column extends the filtered surface
+    loaded.add_shard(
+        tagged.where(
+            (F.col("vec_id") > 40) & (F.col("vec_id") <= 60)
+        ),
+        shard_id="s1",
+    )
+    rows = loaded.knn_join(qs, k=5, nprobe=4, where=cond).collect()
+    assert rows and all(r.vec_id % 3 == 0 for r in rows)
+    # shard WITHOUT the column is an eager error
+    with pytest.raises(ValueError, match="missing \\['lang'\\]"):
+        loaded.add_shard(
+            emb.where(F.col("vec_id") > 60).limit(5), shard_id="s2"
+        )
+    # compact folds generations but keeps the columns
+    loaded.compact()
+    reloaded = AnnIndex.load(spark, path)
+    assert reloaded.meta_cols == ["lang"]
+    rows2 = reloaded.knn_join(qs, k=5, nprobe=4, where=cond).collect()
+    assert sorted((r.vec_id, r.rank) for r in rows2) == sorted(
+        (r.vec_id, r.rank) for r in rows
+    )
+    # build-time validation
+    with pytest.raises(ValueError, match="meta_cols"):
+        AnnIndex.build(
+            spark, tagged, str(tmp_path / "bad"), n_cells=4,
+            meta_cols=["nope"],
+        )
+    with pytest.raises(ValueError, match="meta_cols"):
+        AnnIndex.build(
+            spark, tagged, str(tmp_path / "bad2"), n_cells=4,
+            meta_cols=["embedding"],
+        )

@@ -210,6 +210,24 @@ def test_invalid_inputs_raise_eagerly(spark, frames):
     model = DsirModel(log_ratio=(0.0,) * B, buckets=B, smoothing=1.0)
     with pytest.raises(ValueError, match="k must be"):
         dsir_resample(model, raw, k=0)
+    # buckets >= 2^31 would silently diverge between the exact-big-int
+    # Python tier and the long-residue/int-column JVM tier (r08
+    # advisor) — rejected at EVERY entry point, both engines
+    from consume_kafka_avro_data_spark.operators.dsir import (
+        dsir_bucket_expr,
+        hashed_ngram_counts,
+    )
+    from pyspark.sql import functions as F
+
+    for eng in ("pandas", "jvm"):
+        with pytest.raises(ValueError, match="2\\*\\*31"):
+            dsir_fit(target, raw, buckets=1 << 31, engine=eng)
+        with pytest.raises(ValueError, match="2\\*\\*31"):
+            hashed_ngram_counts(raw, buckets=(1 << 31) + 7, engine=eng)
+    with pytest.raises(ValueError, match="2\\*\\*31"):
+        dsir_bucket_expr(F.lit("x"), 1 << 31)
+    # the largest legal value is accepted (bound is strict)
+    dsir_bucket_expr(F.lit("x"), (1 << 31) - 1)
 
 
 def test_save_load_bit_identical(spark, frames, tmp_path):

@@ -185,3 +185,38 @@ def test_models_reference_on_any_text(spark, texts):
         assert got[i]["gopher_rep_keep"] == all(
             want[k] <= GOPHER_REP_THRESHOLDS[k] for k in want
         )
+
+
+def test_interval_merge_kernel_edges():
+    """Round-9 kernel swap (merged-interval coverage, O(#occurrences)
+    instead of per-character marking): pin the operator kernel against
+    the per-character reference on the span-arithmetic edge cases —
+    chained overlapping repeats, TOUCHING spans (b == next a), disjoint
+    islands, and a whole-doc repeat — directly, no Spark session."""
+    from consume_kafka_avro_data_spark.operators.text import (
+        _gopher_rep_metrics,
+    )
+
+    five = "q w e r t"
+    cases = [
+        # chained overlap: "a b c d e f" twice shares the middle
+        "a b c d e a b c d e",
+        # touching spans: two different repeated 5-grams back to back
+        f"{five} {five} x y z u v x y z u v",
+        # disjoint islands separated by unique words
+        f"{five} one two three {five} four five six {five}",
+        # whole doc is one repeated 5-gram => coverage 1.0
+        f"{five} {five}",
+        # overlap within a single long repeat run
+        "a a a a a a a a a a a a",
+        "",
+    ]
+    for t in cases:
+        got = _gopher_rep_metrics(t)
+        want = _ref_metrics(t)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-15), (k, t)
+    # 18 of 19 chars: both occurrences' spans, minus the joining space
+    assert _gopher_rep_metrics(f"{five} {five}")[
+        "dup_5gram_char_frac"
+    ] == pytest.approx(18 / 19)

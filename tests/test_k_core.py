@@ -163,3 +163,115 @@ def test_core_numbers_max_iter_caps_rounds(spark):
     )
     out.unpersist()
     assert stats["rounds"] == 1
+
+
+def test_core_numbers_rejects_zero_max_iter(spark):
+    """max_iter=0 would return raw degrees labeled 'coreness' with no
+    signal the iteration never ran — rejected eagerly (r08 advisor)."""
+    with pytest.raises(ValueError, match="max_iter must be >= 1"):
+        core_numbers(_edges_df(spark, [(0, 1)]), max_iter=0)
+
+
+def _legacy_collect_coreness(spark, edges):
+    """The pre-round-9 kernel — per-node collect_list h-index — kept
+    here as the equality pin for the width-free rewrite (the two must
+    agree on every graph; the rewrite changes the KERNEL, never the
+    iteration)."""
+    from pyspark.sql import functions as F
+
+    e = _edges_df(spark, edges).select(
+        F.col("source_id").alias("a"), F.col("target_id").alias("b")
+    )
+    e = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    e = e.where(F.col("a") != F.col("b")).distinct().localCheckpoint()
+    vals = (
+        e.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).cast("int").alias("c"))
+        .localCheckpoint()
+    )
+    while True:
+        neigh = e.join(
+            vals.select(F.col("node").alias("_n"), F.col("c")),
+            on=F.col("b") == F.col("_n"),
+        ).select(F.col("a").alias("node"), "c")
+        arr = F.sort_array(F.collect_list("c"), asc=False)
+        new_vals = neigh.groupBy("node").agg(
+            F.aggregate(
+                F.zip_with(
+                    arr,
+                    F.sequence(F.lit(1), F.size(arr)),
+                    lambda v, i: F.when(v >= i, 1).otherwise(0),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            .cast("int")
+            .alias("c")
+        ).localCheckpoint()
+        changed = (
+            new_vals.join(
+                vals.select(F.col("node").alias("_pn"), F.col("c").alias("_pc")),
+                on=F.col("node") == F.col("_pn"),
+            )
+            .where(F.col("c") != F.col("_pc"))
+            .count()
+        )
+        vals.unpersist()
+        vals = new_vals
+        if changed == 0:
+            break
+    got = {r["node"]: r["c"] for r in vals.collect()}
+    vals.unpersist()
+    e.unpersist()
+    return got
+
+
+@given(edges=EDGES)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_core_numbers_width_free_matches_legacy_kernel(spark, edges):
+    """LAW: the round-9 width-free kernel (count identity, no
+    collect_list) equals the legacy collected-array h-index on ANY
+    graph."""
+    out = core_numbers(_edges_df(spark, edges))
+    got = {r["node"]: r["coreness"] for r in out.collect()}
+    out.unpersist()
+    assert got == _legacy_collect_coreness(spark, edges)
+
+
+def test_core_numbers_power_law_hub(spark):
+    """The case the rewrite exists for: a 10,000-degree hub (a star
+    whose spokes also chain into a path) plus a clique — per-node
+    state must stay narrow (no degree-wide arrays) and the coreness
+    must still match the peeling reference AND the legacy kernel.
+
+    Graph: hub 0 — spokes 1..10000; spokes i—i+1 chained for the first
+    40 (so peeling cascades; the h-index front moves ONE chain node
+    per round from each end, so chain length bounds test wall — 40
+    keeps the cascade real at ~20 rounds); nodes 20001..20005 form a
+    5-clique with the hub attached to one corner."""
+    hub_edges = [(0, i) for i in range(1, 10_001)]
+    chain = [(i, i + 1) for i in range(1, 40)]
+    clique_nodes = list(range(20_001, 20_006))
+    clique = [
+        (a, b)
+        for i, a in enumerate(clique_nodes)
+        for b in clique_nodes[i + 1 :]
+    ]
+    edges = hub_edges + chain + clique + [(0, 20_001)]
+    stats: dict = {}
+    out = core_numbers(_edges_df(spark, edges), stats=stats)
+    got = {r["node"]: r["coreness"] for r in out.collect()}
+    out.unpersist()
+    want = _ref_core_numbers(edges)
+    assert got == want
+    assert got == _legacy_collect_coreness(spark, edges)
+    # sanity anchors so the fixture itself is meaningful, not just
+    # self-consistent: the 5-clique is the 4-core; the hub survives
+    # only into the 2-core (via its chained spokes)
+    assert max(got.values()) == 4
+    assert got[0] == 2
+    assert stats["rounds"] >= 1

@@ -118,3 +118,70 @@ def test_validation():
         tune_lsh_params(0.5, 32, fp_weight=0.0, fn_weight=0.0)
     with pytest.raises(ValueError, match="resolution"):
         tune_lsh_params(0.5, 32, resolution=1)
+
+
+# -- deployment-path wiring (round 9) -----------------------------------------
+
+
+def test_resolve_banding_laws():
+    """resolve_banding is the ONE deployment resolution: defaults
+    pinned at (8, 4) when nothing is given, explicit values pass
+    through, tune_for routes through the tuner deterministically, and
+    conflicting / one-sided configs are eager errors."""
+    from consume_kafka_avro_data_spark.operators.dedup import (
+        resolve_banding,
+    )
+
+    assert resolve_banding(None, None, None) == (8, 4)
+    assert resolve_banding(16, 2, None) == (16, 2)
+    p = tune_lsh_params(0.8, 128)
+    assert resolve_banding(None, None, (0.8, 128)) == (p.bands, p.rows)
+    # deterministic: same tune_for → same scheme, every call
+    assert resolve_banding(None, None, (0.8, 128)) == (p.bands, p.rows)
+    with pytest.raises(ValueError, match="not both"):
+        resolve_banding(8, 4, (0.5, 32))
+    with pytest.raises(ValueError, match="set together"):
+        resolve_banding(8, None, None)
+    with pytest.raises(ValueError, match="threshold must be"):
+        resolve_banding(None, None, (1.5, 32))
+
+
+def test_minhash_lsh_pairs_tune_for(spark):
+    """minhash_lsh_pairs(tune_for=) consumes the designed scheme: the
+    default call is byte-identical to explicit (8, 4) — the pinned
+    legacy behavior — and a high-threshold tune_for shifts the
+    candidate knee without ever changing verify correctness (emitted
+    pairs are exact-Jaccard-verified either way)."""
+    from consume_kafka_avro_data_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base.replace("lazy", "sleepy")
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, "completely different words here")],
+        "doc_id long, text string",
+    )
+    want = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, bands=8, rows=4).collect()
+    )
+    got_default = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs).collect()
+    )
+    assert got_default == want
+    p = tune_lsh_params(0.5, 32)
+    got_tuned = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, tune_for=(0.5, 32)).collect()
+    )
+    explicit = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(
+            docs, bands=p.bands, rows=p.rows
+        ).collect()
+    )
+    assert got_tuned == explicit
+    with pytest.raises(ValueError, match="not both"):
+        minhash_lsh_pairs(docs, bands=8, rows=4, tune_for=(0.5, 32))

@@ -586,3 +586,119 @@ def test_perplexity_buckets_end_to_end(spark, sf_dir, tri):
         for b in ("head", "middle", "tail"):
             share = counts.get((lang, b), 0) / tot
             assert 0.15 <= share <= 0.55, (lang, b, share)
+
+
+# -- broadcast-dict Arrow scorer (round 9) -----------------------------------
+
+
+def _score_map(df):
+    return {
+        r[0]: (r["n_ngrams"], r["avg_nll"]) for r in df.collect()
+    }
+
+
+def _assert_scores_equal(got, want):
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        if want[k][1] is None:
+            assert got[k][1] is None, k
+        else:
+            # the only latitude between the engines is Math.log vs
+            # libm log (≤ 1 ulp per gram)
+            assert got[k][1] == pytest.approx(want[k][1], rel=1e-12), k
+
+
+def test_score_broadcast_identical_to_relational(spark, tri):
+    """LAW: score_broadcast == score on every convention the
+    relational scorer pins — observed grams, backoff tiers, fully-OOV
+    floor, <order-token docs (n_ngrams=0, NULL avg_nll), duplicate ids
+    (grams merge per distinct id), NULL id, NULL text, and the JVM
+    whitespace-tokenization edge cases (tabs, runs of spaces,
+    leading/trailing whitespace, NBSP staying INSIDE a token)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "zzz qqq xxx"),
+            (3, "hi"),
+            (4, None),
+            (5, "THE  CAT\tSAT on the mat "),
+            (6, " the dog"),
+            (7, "the cat sat on a mat"),  # NBSP: inside ONE token
+            (8, "a dog saw the cat"),
+            (8, "the cat sat on the rug"),  # duplicate id: grams merge
+            (None, "the dog sat"),
+        ],
+        "doc_id long, text string",
+    )
+    want = _score_map(tri.score(docs))
+    fast = tri.score_broadcast(docs)
+    assert [f.name for f in fast.schema.fields] == [
+        "doc_id",
+        "n_ngrams",
+        "avg_nll",
+    ]
+    _assert_scores_equal(_score_map(fast), want)
+
+
+def test_score_broadcast_plan_has_zero_joins(spark, tri):
+    """The tier's whole point: the model rides as a broadcast
+    VARIABLE, so the scoring plan has NO joins at all — one Arrow
+    map pass plus one narrow per-id hash aggregate."""
+    docs = spark.createDataFrame(
+        [(1, "the cat sat")], "doc_id long, text string"
+    )
+    fast = tri.score_broadcast(docs)
+    plan = fast._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        fast._jdf.queryExecution(), "simple"
+    )
+    assert "Join" not in plan, plan
+    assert "MapInPandas" in plan, plan
+
+
+def test_score_broadcast_at_orders_2_and_5(spark, corpus_df):
+    """The cascade generalizes: pin dict-vs-relational equality at the
+    bigram edge and at CCNet's deployed order 5 (with pruning — the
+    configuration the tier exists for)."""
+    corpus5 = [t + " so it goes on and on again" for t in CORPUS] * 2
+    df5 = spark.createDataFrame([(t,) for t in corpus5], "text string")
+    docs = spark.createDataFrame(
+        [
+            (1, corpus5[0]),
+            (2, "zzz " + " ".join(corpus5[0].split()[1:5])),
+            (3, "so it goes"),
+        ],
+        "doc_id long, text string",
+    )
+    for order, src, kw in ((2, None, {}), (5, df5, {"min_count": 2})):
+        m = NgramKN.fit(src if src is not None else corpus_df, order=order, **kw)
+        try:
+            _assert_scores_equal(
+                _score_map(m.score_broadcast(docs)),
+                _score_map(m.score(docs)),
+            )
+        finally:
+            m.unpersist()
+
+
+def test_local_tables_guard_and_reuse(spark, tri):
+    """local_tables refuses past the row ceiling (an unpruned
+    web-scale model belongs on the relational scorer), and a collected
+    payload reuses across scoring calls (the ingest gate's
+    collect-once shape) — including through an explicit broadcast."""
+    with pytest.raises(ValueError, match="past the local-dict ceiling"):
+        tri.local_tables(max_rows=3)
+    local = tri.local_tables()
+    assert local["order"] == 3
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "hi")],
+        "doc_id long, text string",
+    )
+    want = _score_map(tri.score(docs))
+    _assert_scores_equal(
+        _score_map(tri.score_broadcast(docs, _local=local)), want
+    )
+    # a stale/mismatched payload is rejected eagerly
+    local_bad = dict(local, order=4)
+    with pytest.raises(ValueError, match="order 4"):
+        tri.score_broadcast(docs, _local=local_bad)

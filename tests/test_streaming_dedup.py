@@ -397,6 +397,59 @@ def test_store_rejects_mismatched_signature_params(spark, tmp_path):
         )
 
 
+def test_tune_for_designs_and_persists_the_scheme(spark, tmp_path):
+    """Round-9: StreamingDedupIngest(tune_for=(threshold, num_hashes))
+    resolves (bands, rows) through tune_lsh_params; the RESOLVED
+    scheme lands in _signature_params.json, so a reopen with the same
+    tune_for (or with the equivalent explicit values) agrees, while
+    mismatched explicit values are rejected; explicit + tune_for is a
+    config conflict; no tune_for keeps the pinned (8, 4) defaults."""
+    import json as _json
+
+    from consume_kafka_avro_data_spark.operators.dedup import (
+        tune_lsh_params,
+    )
+
+    p = tune_lsh_params(0.8, 128)
+    store_dir = str(tmp_path / "store")
+    ingest = StreamingDedupIngest(
+        spark,
+        store_dir=store_dir,
+        checkpoint_dir=str(tmp_path / "ck1"),
+        tune_for=(0.8, 128),
+    )
+    assert (ingest.bands, ingest.rows) == (p.bands, p.rows)
+    stored = _json.loads(
+        (tmp_path / "store" / "_signature_params.json").read_text()
+    )
+    assert stored["bands"] == p.bands and stored["rows"] == p.rows
+    # reopen: same tune_for agrees; equivalent explicit values agree
+    StreamingDedupIngest(
+        spark, store_dir=store_dir, checkpoint_dir=str(tmp_path / "ck2"),
+        tune_for=(0.8, 128),
+    )
+    StreamingDedupIngest(
+        spark, store_dir=store_dir, checkpoint_dir=str(tmp_path / "ck3"),
+        bands=p.bands, rows=p.rows,
+    )
+    with pytest.raises(ValueError, match="signature store .* was built"):
+        StreamingDedupIngest(
+            spark, store_dir=store_dir,
+            checkpoint_dir=str(tmp_path / "ck4"), bands=8, rows=4,
+        )
+    with pytest.raises(ValueError, match="not both"):
+        StreamingDedupIngest(
+            spark, store_dir=str(tmp_path / "other"),
+            checkpoint_dir=str(tmp_path / "ck5"),
+            bands=8, rows=4, tune_for=(0.8, 128),
+        )
+    plain = StreamingDedupIngest(
+        spark, store_dir=str(tmp_path / "plain"),
+        checkpoint_dir=str(tmp_path / "ck6"),
+    )
+    assert (plain.bands, plain.rows) == (8, 4)
+
+
 def test_replay_after_merge_keeps_dup_routing_stable(spark, tmp_path):
     """Post-merge crash replay: the store already holds the batch's
     novel docs, and with max_bucket_size=1 their presence would push
@@ -839,6 +892,89 @@ def test_lm_gate_broadcast_auto_and_plan(spark, tmp_path):
             )
     finally:
         bg.unpersist()
+
+
+def test_lm_gate_dict_tier_and_size_gated_auto(spark, tmp_path):
+    """Round-9: (a) lm_broadcast="dict" collects the model ONCE at
+    construction and scores each micro-batch through the broadcast-
+    dict Arrow kernel — the per-batch plan has ZERO joins, and the
+    gate's routing (rejects, metrics, audit trail) is identical to the
+    relational arms; (b) AUTO now size-gates: a model reporting
+    table rows past the local-dict ceiling resolves lm_broadcast to
+    False (sort-merge degrade) instead of forcing broadcast (r08
+    advisor); (c) "dict" with a hint-less model is an eager config
+    error."""
+    from consume_kafka_avro_data_spark.operators.lm import BigramKN, NgramKN
+
+    trusted = spark.createDataFrame(
+        [(i, BASE) for i in range(10)], "doc_id long, text string"
+    )
+    lm = NgramKN.fit(trusted, order=2)
+    try:
+        salad = " ".join(reversed(BASE.split()))
+        probe = spark.createDataFrame(
+            [(1, BASE), (2, salad)], "doc_id long, text string"
+        )
+        nll = {r.doc_id: r.avg_nll for r in lm.score(probe).collect()}
+        cut = (nll[1] + nll[2]) / 2
+        ingest = StreamingDedupIngest(
+            spark,
+            store_dir=str(tmp_path / "store"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            lm_model=lm,
+            lm_threshold=cut,
+            lm_broadcast="dict",
+            lm_rejects_dir=str(tmp_path / "lm_rejects"),
+        )
+        assert ingest.lm_broadcast == "dict"
+        assert ingest._lm_local is not None  # collected at construction
+        batch = spark.createDataFrame(
+            [(1, BASE), (2, salad)], "doc_id long, text string"
+        )
+        scored = ingest._lm_scored(batch)
+        plan = scored._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            scored._jdf.queryExecution(), "simple"
+        )
+        assert "Join" not in plan, plan
+        assert "MapInPandas" in plan, plan
+        # end-to-end: same routing as the relational gate
+        stream = _doc_stream(spark, tmp_path, [[(1, BASE), (2, salad)]])
+        m = ingest.run_to_completion(stream)
+        assert m.docs == 2 and m.rejected_docs == 1
+        rej = spark.read.parquet(str(tmp_path / "lm_rejects")).collect()
+        assert [r.doc_id for r in rej] == [2]
+
+        # (b) size-gated auto: past-ceiling model rows resolve to False
+        class _Huge(NgramKN):
+            def model_rows(self):
+                return 10_000_000
+
+        huge = _Huge(lm.order, lm.probs, lm.lams, lm.p1, lm.discount)
+        auto = StreamingDedupIngest(
+            spark,
+            store_dir=str(tmp_path / "store2"),
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+            lm_model=huge,
+            lm_threshold=cut,
+        )
+        assert auto.lm_broadcast is False
+
+        # (c) "dict" demands score_broadcast support
+        bg = BigramKN.fit(trusted)
+        try:
+            with pytest.raises(ValueError, match="score_broadcast"):
+                StreamingDedupIngest(
+                    spark,
+                    store_dir=str(tmp_path / "store3"),
+                    checkpoint_dir=str(tmp_path / "ckpt3"),
+                    lm_model=bg,
+                    lm_threshold=cut,
+                    lm_broadcast="dict",
+                )
+        finally:
+            bg.unpersist()
+    finally:
+        lm.unpersist()
 
 
 def test_c4_gate_cleans_text_before_downstream_gates(spark, tmp_path):
