@@ -681,10 +681,14 @@ class AnnIndex:
         ``ann_vectors``; cell filters still prune per generation."""
         return self._vectors()
 
-    def _probe(self, query_vec, nprobe: int) -> DataFrame:
+    def _probe(
+        self, query_vec, nprobe: int, where: Column | None = None
+    ) -> DataFrame:
         """Rows of the ``nprobe`` cells nearest the query — the cell
         filter hits the partition column, so unprobed cells' files are
-        skipped at planning time.
+        skipped at planning time; an optional ``where`` predicate over
+        the index's ``meta_cols`` rides the SAME scan (parquet
+        PushedFilters beneath the partition pruning).
 
         Cell ranking uses the SAME q20-quantized dots + stable argsort
         as ``multi_ivf_assign`` (dot ranking is query-scale-invariant,
@@ -700,12 +704,22 @@ class AnnIndex:
         scores = quantize_np(self.centroids) @ q
         order = np.argsort(-scores, kind="stable")[:nprobe]
         cells = [int(c) + 1 for c in order]  # 1-based, as ivf_assign
-        return self._vectors().where(F.col("_ivf_cell").isin(cells))
+        probed = self._vectors().where(F.col("_ivf_cell").isin(cells))
+        return probed if where is None else probed.where(where)
 
-    def query_exact(self, query_vec, k: int = 10, nprobe: int = 4) -> DataFrame:
+    def query_exact(
+        self,
+        query_vec,
+        k: int = 10,
+        nprobe: int = 4,
+        where: Column | None = None,
+    ) -> DataFrame:
         """IVF-Flat: exact cosine rescore over the probed cells' float
-        vectors (reads vectors for ~nprobe/n_cells of the corpus)."""
-        probed = self._probe(query_vec, nprobe).select(
+        vectors (reads vectors for ~nprobe/n_cells of the corpus).
+        ``where`` filters candidates inside the probed scan — k
+        survivors of the filtered corpus, the :meth:`knn_join`
+        contract per query."""
+        probed = self._probe(query_vec, nprobe, where=where).select(
             self.id_col, self.vec_col
         )
         return self._dedup_topk(probed, query_vec, k)
@@ -731,15 +745,25 @@ class AnnIndex:
             .limit(k)
         )
 
-    def query_adc(self, query_vec, k: int = 10, nprobe: int = 4) -> DataFrame:
+    def query_adc(
+        self,
+        query_vec,
+        k: int = 10,
+        nprobe: int = 4,
+        where: Column | None = None,
+    ) -> DataFrame:
         """IVF-PQ: ADC over the probed cells' codes — the scan reads
         only (id, pq_codes); the float vectors stay on disk.  Ascending
-        distance + id tie-break keeps the cut deterministic."""
+        distance + id tie-break keeps the cut deterministic.  ``where``
+        filters candidates inside the codes-only scan (float column
+        still unread)."""
         lut = self.spark.createDataFrame(
             pq_adc_lut(query_vec, self.codebooks, rotation=self.rotation),
             "pq_sub INT, pq_code INT, partial DOUBLE",
         )
-        probed = self._probe(query_vec, nprobe).select(self.id_col, "pq_codes")
+        probed = self._probe(query_vec, nprobe, where=where).select(
+            self.id_col, "pq_codes"
+        )
         exploded = probed.select(
             self.id_col, F.posexplode("pq_codes").alias("_pos", "pq_code")
         ).select(self.id_col, (F.col("_pos") + 1).alias("pq_sub"), "pq_code")
@@ -768,6 +792,7 @@ class AnnIndex:
         k: int = 10,
         nprobe: int = 4,
         shortlist: int = 100,
+        where: Column | None = None,
     ) -> DataFrame:
         """The standard IVF-PQ serving shape: ADC shortlist → exact
         re-rank of ONLY the shortlisted vectors.  Plain ADC's recall is
@@ -782,8 +807,15 @@ class AnnIndex:
         ``shortlist`` parameter — a user-set constant, never
         data-sized) and are pushed into the rescore scan as an ``IN``
         filter, so parquet row-group stats prune the float reads
-        below the already-pruned cells."""
-        short = self.query_adc(query_vec, k=shortlist, nprobe=nprobe)
+        below the already-pruned cells.
+
+        ``where`` filters the ADC shortlist inside its codes scan; the
+        rescore fetch inherits it through the shortlisted ids (every
+        id already satisfies the predicate), so k survivors of the
+        FILTERED corpus come back."""
+        short = self.query_adc(
+            query_vec, k=shortlist, nprobe=nprobe, where=where
+        )
         # bounded collect: exactly `shortlist` rows by construction
         ids = [r[self.id_col] for r in short.collect()]
         if not ids:

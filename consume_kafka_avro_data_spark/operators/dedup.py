@@ -480,11 +480,12 @@ def incremental_minhash_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
-    bands: int = 8,
-    rows: int = 4,
+    bands: int | None = None,
+    rows: int | None = None,
     jaccard_threshold: float = 0.5,
     hash_fn: str = "xxhash64",
     max_bucket_size: int = MAX_BUCKET_SIZE,
+    tune_for: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Incremental near-dup: score an arriving shard ONLY against the
     existing corpus — the operational dedup shape at 100 TB, where the
@@ -507,6 +508,7 @@ def incremental_minhash_dedup(
     side's banded signature store is what you persist, so the count is
     a metadata lookup, not a recompute.
     """
+    bands, rows = resolve_banding(bands, rows, tune_for)
     nb = _minhash_base(
         new_docs, id_col, text_col, shingle_k, bands, rows, hash_fn
     )
@@ -572,6 +574,11 @@ def resolve_banding(
             raise ValueError(
                 "pass either explicit bands/rows or tune_for=(threshold, "
                 "num_hashes), not both"
+            )
+        if len(tune_for) != 2:
+            raise ValueError(
+                f"tune_for must be (jaccard_threshold, num_hashes), got "
+                f"{tune_for!r}"
             )
         threshold, num_hashes = tune_for
         p = tune_lsh_params(float(threshold), int(num_hashes))
@@ -784,11 +791,12 @@ def minhash_estimate_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
-    bands: int = 8,
-    rows: int = 4,
+    bands: int | None = None,
+    rows: int | None = None,
     min_matches: int | None = None,
     hash_fn: str = "md5",
     max_bucket_size: int = MAX_BUCKET_SIZE,
+    tune_for: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Signature-only near-dup scoring — the true 100 TB dedup path.
 
@@ -806,6 +814,7 @@ def minhash_estimate_pairs(
     (one JVM-intrinsic hash per seed×shingle instead of an md5 — ~10×
     cheaper signatures, the hash to deploy at 100 TB; benchmarked as
     q_minhash_est_fast)."""
+    bands, rows = resolve_banding(bands, rows, tune_for)
     n = bands * rows
     if min_matches is None:
         min_matches = n // 2

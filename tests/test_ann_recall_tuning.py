@@ -697,3 +697,106 @@ def test_meta_cols_persist_and_shard_contract(spark, emb, tmp_path):
             spark, tagged, str(tmp_path / "bad2"), n_cells=4,
             meta_cols=["embedding"],
         )
+
+
+def test_filtered_per_query_paths_match_batch(spark, emb, tmp_path):
+    """The per-query filtered paths (query_exact/query_adc/
+    query_adc_rerank with where=) agree with the batch paths per
+    query, and equal brute force over the filtered corpus at full
+    probe — the same probe-selection unification contract as the
+    unfiltered paths."""
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    tagged = emb.withColumn(
+        "lang",
+        F.when(F.col("vec_id") % 3 == 0, F.lit("en")).otherwise(F.lit("de")),
+    )
+    idx = AnnIndex.build(
+        spark, tagged, str(tmp_path / "pq"), n_cells=8, meta_cols=["lang"]
+    )
+    cond = F.col("lang") == "en"
+    qvec = emb.where(F.col("vec_id") == 1).collect()[0]["embedding"]
+    # exact, full probe == brute force over the filtered corpus
+    want = [
+        (r.vec_id, r.score)
+        for r in brute_force_topk(
+            tagged.where(cond), qvec, 5
+        ).collect()
+    ]
+    got = [
+        (r.vec_id, r.score)
+        for r in idx.query_exact(qvec, 5, nprobe=8, where=cond).collect()
+    ]
+    assert got == want
+    # per-query filtered == batch filtered, partial probe
+    qs = _mk_queries(spark, emb, [1, 2])
+    batch = idx.knn_join(qs, k=5, nprobe=2, where=cond).collect()
+    for q_id in (1, 2):
+        qv = emb.where(F.col("vec_id") == q_id).collect()[0]["embedding"]
+        per_q = [
+            r.vec_id
+            for r in idx.query_exact(qv, 5, nprobe=2, where=cond).collect()
+        ]
+        got_b = [
+            r.vec_id
+            for r in sorted(
+                (r for r in batch if r.q_id == q_id),
+                key=lambda r: r.rank,
+            )
+        ]
+        assert got_b == per_q, q_id
+    # ADC per-query filtered == batch ADC filtered
+    adc_b = idx.knn_join_adc(qs, k=5, nprobe=2, where=cond).collect()
+    for q_id in (1, 2):
+        qv = emb.where(F.col("vec_id") == q_id).collect()[0]["embedding"]
+        per_q = [
+            (r.vec_id, r.adc_dist)
+            for r in idx.query_adc(qv, 5, nprobe=2, where=cond).collect()
+        ]
+        got_b = [
+            (r.vec_id, r.adc_dist)
+            for r in sorted(
+                (r for r in adc_b if r.q_id == q_id),
+                key=lambda r: r.rank,
+            )
+        ]
+        assert got_b == per_q, q_id
+    # rerank tier: every survivor satisfies the predicate
+    rr = idx.query_adc_rerank(
+        qvec, k=3, nprobe=8, shortlist=10, where=cond
+    ).collect()
+    assert len(rr) == 3 and all(r.vec_id % 3 == 0 for r in rr)
+
+
+def test_filtered_search_on_replicated_index(spark, emb, tmp_path):
+    """meta_cols × replicas: multiple assignment duplicates index rows
+    per cell, and the filtered batch path must still dedupe replica
+    copies and equal brute force over the filtered corpus at full
+    probe."""
+    from consume_kafka_avro_data_spark.operators.similarity import knn_join
+
+    tagged = emb.withColumn(
+        "lang",
+        F.when(F.col("vec_id") % 3 == 0, F.lit("en")).otherwise(F.lit("de")),
+    )
+    idx = AnnIndex.build(
+        spark, tagged, str(tmp_path / "rf"), n_cells=8, replicas=3,
+        meta_cols=["lang"],
+    )
+    cond = F.col("lang") == "en"
+    qs = _mk_queries(spark, emb, [1, 2])
+    got = sorted(
+        (r.q_id, r.rank, r.vec_id, r.score)
+        for r in idx.knn_join(qs, k=5, nprobe=8, where=cond).collect()
+    )
+    want = sorted(
+        (r.q_id, r.rank, r.vec_id, r.score)
+        for r in knn_join(
+            qs, tagged.where(cond).select("vec_id", "embedding"), k=5
+        ).collect()
+    )
+    assert got == want
+    pairs = [(q, v) for q, _, v, _ in got]
+    assert len(pairs) == len(set(pairs))  # replica copies deduped

@@ -185,3 +185,61 @@ def test_minhash_lsh_pairs_tune_for(spark):
     assert got_tuned == explicit
     with pytest.raises(ValueError, match="not both"):
         minhash_lsh_pairs(docs, bands=8, rows=4, tune_for=(0.5, 32))
+
+
+def test_tune_for_parity_across_banding_consumers(spark):
+    """Every banding consumer resolves through resolve_banding:
+    incremental_minhash_dedup and minhash_estimate_pairs accept
+    tune_for with the same defaults-pinned / conflict-rejected
+    contract as minhash_lsh_pairs."""
+    from consume_kafka_avro_data_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_estimate_pairs,
+        tune_lsh_params,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base.replace("lazy", "sleepy")
+    docs = spark.createDataFrame(
+        [(1, base), (2, near)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame([(9, base)], "doc_id long, text string")
+    p = tune_lsh_params(0.5, 32)
+    # estimate: default == explicit (8,4); tuned == explicit tuned
+    est_def = sorted(
+        (r.id_a, r.id_b) for r in minhash_estimate_pairs(docs).collect()
+    )
+    est_84 = sorted(
+        (r.id_a, r.id_b)
+        for r in minhash_estimate_pairs(docs, bands=8, rows=4).collect()
+    )
+    assert est_def == est_84
+    est_t = sorted(
+        (r.id_a, r.id_b)
+        for r in minhash_estimate_pairs(docs, tune_for=(0.5, 32)).collect()
+    )
+    est_e = sorted(
+        (r.id_a, r.id_b)
+        for r in minhash_estimate_pairs(
+            docs, bands=p.bands, rows=p.rows
+        ).collect()
+    )
+    assert est_t == est_e
+    # incremental: tuned == explicit tuned; conflict rejected
+    inc_t = sorted(
+        (r.new_id, r.corpus_id)
+        for r in incremental_minhash_dedup(
+            new, docs, tune_for=(0.5, 32)
+        ).collect()
+    )
+    inc_e = sorted(
+        (r.new_id, r.corpus_id)
+        for r in incremental_minhash_dedup(
+            new, docs, bands=p.bands, rows=p.rows
+        ).collect()
+    )
+    assert inc_t == inc_e
+    with pytest.raises(ValueError, match="not both"):
+        incremental_minhash_dedup(
+            new, docs, bands=8, rows=4, tune_for=(0.5, 32)
+        )

@@ -702,3 +702,33 @@ def test_local_tables_guard_and_reuse(spark, tri):
     local_bad = dict(local, order=4)
     with pytest.raises(ValueError, match="order 4"):
         tri.score_broadcast(docs, _local=local_bad)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_score_broadcast_property_random_corpora(spark, seed):
+    """Property pin for the dict scorer's float/int subtleties: on
+    seeded random corpora and probes (token soup with repeats so every
+    backoff tier is exercised), score_broadcast == score at order 3."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c", "dd", "eee", "zz"]
+    corpus = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 12)))
+        for _ in range(12)
+    ]
+    probes = [
+        " ".join(rng.choice(vocab + ["oov"]) for _ in range(rng.randint(0, 9)))
+        for _ in range(8)
+    ]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    docs = spark.createDataFrame(
+        list(enumerate(probes)), "doc_id long, text string"
+    )
+    m = NgramKN.fit(df, order=3)
+    try:
+        _assert_scores_equal(
+            _score_map(m.score_broadcast(docs)), _score_map(m.score(docs))
+        )
+    finally:
+        m.unpersist()
