@@ -665,17 +665,11 @@ def learned_ops_bench(spark, sf_dir: str) -> dict:
     # arm is the deployed shape (fit once on trusted text, tables small
     # enough to broadcast, then score map-only via broadcast_model),
     # the unpruned arm records what pruning saves in model rows
-    def _model_rows(m) -> int:
-        return (
-            sum(df.count() for df in m.probs.values())
-            + sum(df.count() for df in m.lams.values())
-            + m.p1.count()
-        )
-
+    # (model_rows() is the same count the local-dict ceiling enforces)
     t0 = time.perf_counter()
     lm5 = NgramKN.fit(train, order=5, min_count=2)
     t_kn5_fit = time.perf_counter() - t0
-    kn5_rows_pruned = _model_rows(lm5)
+    kn5_rows_pruned = lm5.model_rows()
     try:
         t_kn5, kn5_samples = timed_best(
             lambda: noop_write(lm5.score(held, broadcast_model=True))
@@ -685,7 +679,7 @@ def learned_ops_bench(spark, sf_dir: str) -> dict:
     t0 = time.perf_counter()
     lm5u = NgramKN.fit(train, order=5)
     t_kn5_fit_unpruned = time.perf_counter() - t0
-    kn5_rows_unpruned = _model_rows(lm5u)
+    kn5_rows_unpruned = lm5u.model_rows()
     lm5u.unpersist()
 
     # round 7 (continued): the unigram-LM tokenizer family (Kudo 2018)

@@ -44,6 +44,13 @@ import math
 import os
 import re
 
+# module-level (not the repo's usual lazy import): score_broadcast's
+# struct-returning pandas_udf declares `pd.Series -> pd.DataFrame`
+# type hints, and with `from __future__ import annotations` PySpark's
+# eval-type inference resolves those strings against MODULE globals —
+# a function-local pandas import would leave them unresolvable
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from consume_kafka_avro_data_spark.operators.dedup import tokens_col
@@ -534,12 +541,20 @@ class NgramKN:
         """(id_col, n_ngrams, avg_nll) — :meth:`score`'s contract from
         a BROADCAST-DICT Arrow kernel: the whole model rides to each
         worker once as a broadcast variable and every document is
-        scored inside one ``mapInPandas`` pass — ZERO model joins per
-        scoring run, where the relational scorer pays 2n−1 per run
-        (per micro-batch, at ingest).  This is the deployed CCNet
-        shape taken to its end point: the filter model is a pruned
-        artifact small enough to live in worker memory, so the
+        scored inside one Arrow-batched pandas-UDF pass — ZERO model
+        joins per scoring run, where the relational scorer pays 2n−1
+        per run (per micro-batch, at ingest).  This is the deployed
+        CCNet shape taken to its end point: the filter model is a
+        pruned artifact small enough to live in worker memory, so the
         petabyte sweep is map-only plus one narrow per-doc aggregate.
+
+        ONLY the text column crosses into Python — the kernel is a
+        struct-returning scalar ``pandas_udf`` over text, so the id
+        column stays JVM-side end to end and keeps its exact type and
+        null mask for ANY id type (an id through the Arrow→pandas
+        round-trip would widen nullable int64 to float64 and silently
+        round ids past 2⁵³ — the round-9 review finding; pinned with a
+        2⁵³+1 id + NULL regression test).
 
         Value-identical to the relational scorer by construction —
         same tokenization (``_py_tokens`` mirrors the JVM convention
@@ -548,7 +563,13 @@ class NgramKN:
         (P̂_k = p_k if observed else coalesce(λ_k, 1)·P̂_{k−1}), same
         floor, same <order-token NULL-score convention — pinned by
         pytest at every order against :meth:`score` (float agreement
-        to ~1 ulp: the only latitude is Math.log vs libm log).
+        to ~1 ulp: the only latitude is Math.log vs libm log).  Locale
+        caveat: Python ``str.lower()`` is locale-independent while the
+        JVM's non-ASCII lowercasing follows the JVM default locale —
+        on a non-English-locale JVM (e.g. ``-Duser.language=tr``,
+        where 'I' lowers to dotless 'ı') the two scorers can tokenize
+        capital-I words apart; run the JVM under a root/English locale
+        (Spark's deployment default) when mixing the tiers.
 
         Duplicate and NULL ids keep :meth:`score`'s semantics: grams
         aggregate per DISTINCT id (NULLs one group) via the narrow
@@ -560,7 +581,6 @@ class NgramKN:
         ``Broadcast`` of it (the streaming shape: ONE broadcast for the
         stream's whole life, instead of one fresh broadcast variable
         per micro-batch waiting on the ContextCleaner)."""
-        import pandas as pd
         from pyspark.broadcast import Broadcast
 
         spark = docs.sparkSession
@@ -579,50 +599,39 @@ class NgramKN:
                 f"_local tables carry order {n}, model is order {self.order}"
             )
         floor = float(p_floor)
-        id_type = docs.schema[id_col].dataType.simpleString()
 
-        def gen(batches):
+        @F.pandas_udf("struct<_n: long, _slp: double>")
+        def kn_partials(texts: pd.Series) -> pd.DataFrame:
             m = bc.value
             probs, lams, p1 = m["probs"], m["lams"], m["p1"]
             log = math.log
-            for pdf in batches:
-                counts, sums = [], []
-                for text in pdf[text_col]:
-                    toks = _py_tokens(text)
-                    w = len(toks) - (n - 1)
-                    s = 0.0
-                    if w <= 0:
-                        w = 0
-                    else:
-                        for i in range(w):
-                            g = toks[i : i + n]
-                            ph = p1.get(g[n - 1], 0.0)
-                            for k in range(2, n + 1):
-                                lo = n - k
-                                pk = probs[k].get(tuple(g[lo:n]))
-                                if pk is not None:
-                                    ph = pk
-                                else:
-                                    lam = lams[k].get(tuple(g[lo : n - 1]))
-                                    ph = (1.0 if lam is None else lam) * ph
-                            s += log(ph if ph > floor else floor)
-                    counts.append(w)
-                    sums.append(s)
-                # the id column passes through UNTOUCHED (same dtype,
-                # same null mask — rebuilding it from a Python list
-                # would widen nullable ints to float, the r08
-                # heavy-hitter identity bug class)
-                yield pd.DataFrame(
-                    {
-                        id_col: pdf[id_col].reset_index(drop=True),
-                        "_n": counts,
-                        "_slp": sums,
-                    }
-                )
+            counts, sums = [], []
+            for text in texts:
+                toks = _py_tokens(text)
+                w = len(toks) - (n - 1)
+                s = 0.0
+                if w <= 0:
+                    w = 0
+                else:
+                    for i in range(w):
+                        g = toks[i : i + n]
+                        ph = p1.get(g[n - 1], 0.0)
+                        for k in range(2, n + 1):
+                            lo = n - k
+                            pk = probs[k].get(tuple(g[lo:n]))
+                            if pk is not None:
+                                ph = pk
+                            else:
+                                lam = lams[k].get(tuple(g[lo : n - 1]))
+                                ph = (1.0 if lam is None else lam) * ph
+                        s += log(ph if ph > floor else floor)
+                counts.append(w)
+                sums.append(s)
+            return pd.DataFrame({"_n": counts, "_slp": sums})
 
-        partials = docs.select(id_col, text_col).mapInPandas(
-            gen, schema=f"{id_col} {id_type}, _n long, _slp double"
-        )
+        partials = docs.select(
+            id_col, kn_partials(F.col(text_col)).alias("_s")
+        ).select(id_col, F.col("_s._n").alias("_n"), F.col("_s._slp").alias("_slp"))
         # ONE narrow aggregate restores score()'s per-DISTINCT-id
         # contract (duplicate ids merge their grams; groupBy puts every
         # NULL id in one group, matching the relational eqNullSafe join)

@@ -644,7 +644,7 @@ def test_score_broadcast_identical_to_relational(spark, tri):
 def test_score_broadcast_plan_has_zero_joins(spark, tri):
     """The tier's whole point: the model rides as a broadcast
     VARIABLE, so the scoring plan has NO joins at all — one Arrow
-    map pass plus one narrow per-id hash aggregate."""
+    pandas-UDF pass plus one narrow per-id hash aggregate."""
     docs = spark.createDataFrame(
         [(1, "the cat sat")], "doc_id long, text string"
     )
@@ -653,7 +653,29 @@ def test_score_broadcast_plan_has_zero_joins(spark, tri):
         fast._jdf.queryExecution(), "simple"
     )
     assert "Join" not in plan, plan
-    assert "MapInPandas" in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+
+
+def test_score_broadcast_exact_huge_and_null_ids(spark, tri):
+    """Round-9 review regression: ids stay JVM-side (only text crosses
+    into Python), so int64 ids past 2^53 survive exactly even with a
+    NULL id in the same Arrow batch — an id through the Arrow→pandas
+    float64 widening would round 2^53+1 to 2^53."""
+    big, big2 = (1 << 53) + 1, (1 << 53) + 3
+    docs = spark.createDataFrame(
+        [(big, "the cat sat"), (big2, "the dog sat"), (None, "a cat")],
+        "doc_id long, text string",
+    )
+    got = _score_map(tri.score_broadcast(docs))
+    assert set(got) == {big, big2, None}
+    _assert_scores_equal(got, _score_map(tri.score(docs)))
+    # string ids take the same JVM-side path
+    sdocs = spark.createDataFrame(
+        [("a", "the cat sat"), (None, "a dog")], "doc_id string, text string"
+    )
+    _assert_scores_equal(
+        _score_map(tri.score_broadcast(sdocs)), _score_map(tri.score(sdocs))
+    )
 
 
 def test_score_broadcast_at_orders_2_and_5(spark, corpus_df):

@@ -936,7 +936,7 @@ def test_lm_gate_dict_tier_and_size_gated_auto(spark, tmp_path):
             scored._jdf.queryExecution(), "simple"
         )
         assert "Join" not in plan, plan
-        assert "MapInPandas" in plan, plan
+        assert "ArrowEvalPython" in plan, plan
         # end-to-end: same routing as the relational gate
         stream = _doc_stream(spark, tmp_path, [[(1, BASE), (2, salad)]])
         m = ingest.run_to_completion(stream)
