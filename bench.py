@@ -304,8 +304,16 @@ def streaming_dedup_bench(spark, sf_dir: str) -> dict:
             shutil.rmtree(tmp, ignore_errors=True)
 
     sweep = [one_run(16, fpt, None) for fpt in (4, 16)]
-    no_compact = one_run(32, 1, None)
-    with_compact = one_run(32, 1, 8)
+    # compaction A/B: interleaved best-of-2 with samples, like every
+    # other cross-round A/B rate row (round 9 — see interleaved_best)
+    compaction_ab = interleaved_best(
+        {
+            "off": lambda: one_run(32, 1, None),
+            "on": lambda: one_run(32, 1, 8),
+        },
+        rate=lambda r: r["docs_per_sec"],
+    )
+    no_compact = compaction_ab["off"]
     sweep.append(no_compact)
     # headline comes from the compaction-OFF sweep only, and carries
     # compact_every explicitly — a compaction-assisted number must
@@ -328,7 +336,7 @@ def streaming_dedup_bench(spark, sf_dir: str) -> dict:
         )},
         "n_docs": n_docs,
         "sweep": sweep,
-        "compaction_ab": {"off": no_compact, "on": with_compact},
+        "compaction_ab": compaction_ab,
     }
 
 
