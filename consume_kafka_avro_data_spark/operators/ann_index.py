@@ -142,6 +142,7 @@ class AnnIndex:
         rotation: np.ndarray | None = None,
         compacted_shards: list[str] | None = None,
         meta_cols: list[str] | None = None,
+        meta_col_types: dict[str, str] | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -166,6 +167,13 @@ class AnnIndex:
         #: reference exactly these.  Frozen at build like the
         #: quantizers; add_shard must supply them.
         self.meta_cols: list[str] = list(meta_cols or [])
+        #: Spark simpleString type per meta column, frozen at build —
+        #: add_shard rejects a type-divergent shard EAGERLY (an int
+        #: 'lang' against a string-built index would otherwise commit a
+        #: generation whose failure surfaces far away, at compact()'s
+        #: unionByName or at query time).  Empty for pre-round-10
+        #: metas: those indexes validate by name only, as before.
+        self.meta_col_types: dict[str, str] = dict(meta_col_types or {})
         # metadata IO backend resolved from the index URI (fsio): POSIX
         # for local paths, Hadoop FileSystem for file://-and-beyond
         self._io = fs_for(spark, path)
@@ -234,6 +242,11 @@ class AnnIndex:
                 f"meta_cols {bad} must be existing corpus columns distinct "
                 f"from {sorted(reserved)}"
             )
+        # freeze the meta columns' TYPES alongside their names — the
+        # add_shard eager-rejection contract (see __init__)
+        meta_col_types = {
+            c: corpus.schema[c].dataType.simpleString() for c in meta_cols
+        }
         io = fs_for(spark, path)
         centroids = kmeans_centroids(
             corpus,
@@ -286,6 +299,7 @@ class AnnIndex:
             # still-running long scan references
             "grace_seconds": grace_seconds,
             "meta_cols": meta_cols,
+            "meta_col_types": meta_col_types,
         }
         cls._commit_meta(io, path, meta)  # the ONLY commit point
         # GC everything the committed meta does not reference: grace-
@@ -298,7 +312,7 @@ class AnnIndex:
         idx = cls(
             spark, path, centroids, codebooks, id_col, vec_col,
             vectors_dirs=[gen], replicas=replicas, rotation=rotation,
-            meta_cols=meta_cols,
+            meta_cols=meta_cols, meta_col_types=meta_col_types,
         )
         idx.grace_seconds = grace_seconds
         return idx
@@ -369,6 +383,30 @@ class AnnIndex:
                 "these from every generation, so every shard must "
                 "carry them"
             )
+        # name is not enough: a shard carrying e.g. an int 'lang' where
+        # the index froze a string would COMMIT a type-divergent
+        # generation whose failure surfaces far from the cause (at
+        # compact()'s unionByName, or as silently-empty filter results
+        # at query time) — reject it here, before anything is written.
+        # Empty dict = pre-round-10 meta (types were not persisted):
+        # validate by name only, as those indexes always did.
+        divergent = {
+            c: (shard.schema[c].dataType.simpleString(), want)
+            for c in self.meta_cols
+            if (want := self.meta_col_types.get(c)) is not None
+            and shard.schema[c].dataType.simpleString() != want
+        }
+        if divergent:
+            raise TypeError(
+                "shard meta-column types diverge from the built index: "
+                + ", ".join(
+                    f"{c} is {got} but the index was built with {want}"
+                    for c, (got, want) in divergent.items()
+                )
+                + " — cast the shard columns to the built types (the "
+                "filtered-search scan unions every generation by name "
+                "and type)"
+            )
         assigned = self._assign(
             shard.select(self.id_col, self.vec_col, *self.meta_cols),
             self.centroids,
@@ -418,6 +456,7 @@ class AnnIndex:
             ),
             "grace_seconds": self.grace_seconds,  # see build()
             "meta_cols": self.meta_cols,
+            "meta_col_types": self.meta_col_types,
         }
         self._commit_meta(self._io, self.path, meta)
         # sweep grace-EXPIRED dirs + crash orphans only
@@ -537,6 +576,7 @@ class AnnIndex:
             ),
             "grace_seconds": self.grace_seconds,
             "meta_cols": self.meta_cols,
+            "meta_col_types": self.meta_col_types,
         }
         self._commit_meta(self._io, self.path, meta)
         self._gc_unreferenced(
@@ -649,8 +689,11 @@ class AnnIndex:
             replicas=int(meta.get("replicas", 1)),
             rotation=None if rot is None else np.asarray(rot, dtype=np.float64),
             compacted_shards=doc["compacted_shards"],
-            # legacy metas (pre-filtered-search) carry no meta columns
+            # legacy metas (pre-filtered-search) carry no meta columns;
+            # pre-round-10 metas carry names but no types (name-only
+            # shard validation, as before)
             meta_cols=meta.get("meta_cols") or [],
+            meta_col_types=meta.get("meta_col_types") or {},
         )
         # restore the persisted grace window (legacy metas without the
         # field keep the class default)

@@ -575,7 +575,9 @@ def resolve_banding(
                 "pass either explicit bands/rows or tune_for=(threshold, "
                 "num_hashes), not both"
             )
-        if len(tune_for) != 2:
+        # isinstance BEFORE len(): a scalar misuse like tune_for=0.5
+        # must get this message, not a bare TypeError from len().
+        if not isinstance(tune_for, (tuple, list)) or len(tune_for) != 2:
             raise ValueError(
                 f"tune_for must be (jaccard_threshold, num_hashes), got "
                 f"{tune_for!r}"

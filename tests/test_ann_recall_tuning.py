@@ -800,3 +800,43 @@ def test_filtered_search_on_replicated_index(spark, emb, tmp_path):
     assert got == want
     pairs = [(q, v) for q, _, v, _ in got]
     assert len(pairs) == len(set(pairs))  # replica copies deduped
+
+
+def test_add_shard_rejects_type_divergent_meta_cols(spark, emb, tmp_path):
+    """ADVICE r09: name-only validation would let a shard carrying an
+    int 'lang' against a string-built index COMMIT a type-divergent
+    generation whose failure surfaces far away (compact's unionByName,
+    or silently-empty filters at query time).  The built generation's
+    meta-column TYPES persist in the meta doc and add_shard rejects a
+    mismatch eagerly, before anything is written."""
+    tagged = emb.withColumn(
+        "lang",
+        F.when(F.col("vec_id") % 3 == 0, F.lit("en")).otherwise(F.lit("de")),
+    )
+    path = str(tmp_path / "typed")
+    idx = AnnIndex.build(
+        spark, tagged.where(F.col("vec_id") <= 40), path,
+        n_cells=4, meta_cols=["lang"],
+    )
+    assert idx.meta_col_types == {"lang": "string"}
+    # the frozen types survive save -> load
+    loaded = AnnIndex.load(spark, path)
+    assert loaded.meta_col_types == {"lang": "string"}
+    bad = (
+        emb.where(F.col("vec_id") > 40)
+        .limit(5)
+        .withColumn("lang", (F.col("vec_id") % 3).cast("int"))
+    )
+    gens_before = sorted(loaded.vectors_dirs)
+    with pytest.raises(TypeError, match="lang is int .* built with string"):
+        loaded.add_shard(bad, shard_id="s_bad")
+    # eager = nothing committed: the live generation list is untouched
+    assert sorted(AnnIndex.load(spark, path).vectors_dirs) == gens_before
+    # the correctly-typed shard still lands, and the types survive
+    # add_shard's meta rewrite and compact's
+    loaded.add_shard(
+        tagged.where((F.col("vec_id") > 40) & (F.col("vec_id") <= 50)),
+        shard_id="s_ok",
+    )
+    loaded.compact()
+    assert AnnIndex.load(spark, path).meta_col_types == {"lang": "string"}

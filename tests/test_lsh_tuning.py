@@ -243,3 +243,18 @@ def test_tune_for_parity_across_banding_consumers(spark):
         incremental_minhash_dedup(
             new, docs, bands=8, rows=4, tune_for=(0.5, 32)
         )
+
+
+def test_resolve_banding_rejects_scalar_tune_for():
+    """ADVICE r09: a scalar misuse like tune_for=0.5 must get the
+    descriptive ValueError, not a bare TypeError from len()."""
+    from consume_kafka_avro_data_spark.operators.dedup import resolve_banding
+
+    for bad in (0.5, 32, "0.5,32"):
+        with pytest.raises(ValueError, match="tune_for must be"):
+            resolve_banding(None, None, bad)
+    # a 2-list is as good as a 2-tuple
+    from consume_kafka_avro_data_spark.operators.dedup import tune_lsh_params
+
+    p = tune_lsh_params(0.8, 128)
+    assert resolve_banding(None, None, [0.8, 128]) == (p.bands, p.rows)
