@@ -82,6 +82,58 @@ def _py_tokens(text: str | None) -> list[str]:
     return _JVM_WS_RE.split((text or "").lower())
 
 
+def flatten_local_tables(local: dict) -> dict:
+    """Re-key a :meth:`NgramKN.local_tables` payload for the round-10
+    FLAT scoring kernel: every model token is interned to a small int
+    (``vocab``), and every probs/lams key becomes a tuple of ints.
+
+    Why: the round-9 kernel's per-gram cost is string-tuple
+    construction + string hashing per backoff tier
+    (``tuple(g[lo:n])`` over token STRINGS, whose hashes are
+    recomputed for every fresh slice).  Int tuples hash in a few ns
+    each, and — the bigger lever — interning makes grams CACHEABLE:
+    two occurrences of the same surface gram map to the same id tuple,
+    so the flat kernel memoizes the whole backoff cascade per distinct
+    gram per batch (natural text repeats grams heavily; Zipf does the
+    rest).  Collapsing every out-of-vocabulary token to the single
+    sentinel ``-1`` is score-preserving: no model key contains an OOV
+    token, so every dict probe touching an OOV position misses
+    REGARDLESS of which OOV token it is, and probes not touching those
+    positions see the same interned ids — the cascade result depends
+    only on (known-token ids, OOV position pattern), which is exactly
+    what the collapsed key encodes.
+
+    The payload is marked by its ``vocab`` key; ``score_broadcast``
+    dispatches kernels on that marker, so either layout can ride the
+    stream-lifetime broadcast variable."""
+    n = int(local["order"])
+    vocab: dict = {}
+
+    def vid(t):
+        i = vocab.get(t)
+        if i is None:
+            i = len(vocab)
+            vocab[t] = i
+        return i
+
+    p1 = {vid(t): p for t, p in local["p1"].items()}
+    probs = {
+        k: {
+            tuple(vid(t) for t in key): p
+            for key, p in local["probs"][k].items()
+        }
+        for k in range(2, n + 1)
+    }
+    lams = {
+        k: {
+            tuple(vid(t) for t in key): p
+            for key, p in local["lams"][k].items()
+        }
+        for k in range(2, n + 1)
+    }
+    return {"order": n, "vocab": vocab, "probs": probs, "lams": lams, "p1": p1}
+
+
 def doc_bigrams(
     docs: DataFrame, text_col: str = "text", keep_cols: list[str] | None = None
 ) -> DataFrame:
@@ -512,22 +564,39 @@ class NgramKN:
                 "deployed shape) or score relationally"
             )
         n = self.order
+        # Select columns BY NAME before collecting: the relational
+        # scorer resolves w1..wk/p by name, so the dict tier must too —
+        # keying by row POSITION would silently mis-key the model (and
+        # shift every score with no error) for any table whose column
+        # order ever diverges (schema evolution, an external writer).
         probs = {
             k: {
                 tuple(r[i] for i in range(k)): r[k]
-                for r in self.probs[k].collect()
+                for r in self.probs[k]
+                .select(*[f"w{i + 1}" for i in range(k)], "p")
+                .collect()
             }
             for k in range(2, n + 1)
         }
         lams = {
             k: {
                 tuple(r[i] for i in range(k - 1)): r[k - 1]
-                for r in self.lams[k].collect()
+                for r in self.lams[k]
+                .select(*[f"w{i + 1}" for i in range(k - 1)], "lam")
+                .collect()
             }
             for k in range(2, n + 1)
         }
-        p1 = {r[0]: r[1] for r in self.p1.collect()}
+        p1 = {r[0]: r[1] for r in self.p1.select("w1", "p1").collect()}
         return {"order": n, "probs": probs, "lams": lams, "p1": p1}
+
+    def local_tables_flat(
+        self, max_rows: int = MAX_LOCAL_MODEL_ROWS
+    ) -> dict:
+        """:meth:`local_tables` in the FLAT layout
+        (:func:`flatten_local_tables`) — the round-10 kernel's
+        payload.  Same row-ceiling guard, same one-collect contract."""
+        return flatten_local_tables(self.local_tables(max_rows))
 
     def score_broadcast(
         self,
@@ -536,6 +605,7 @@ class NgramKN:
         id_col: str = "doc_id",
         p_floor: float = 1e-9,
         max_model_rows: int = MAX_LOCAL_MODEL_ROWS,
+        kernel: str = "flat",
         _local: dict | None = None,
     ) -> DataFrame:
         """(id_col, n_ngrams, avg_nll) — :meth:`score`'s contract from
@@ -575,14 +645,28 @@ class NgramKN:
         aggregate per DISTINCT id (NULLs one group) via the narrow
         (id, count, Σlog) aggregate that follows the Arrow pass.
 
+        ``kernel`` picks the Python-side scoring loop (round 10):
+        ``"flat"`` (default) interns tokens to ints and memoizes the
+        backoff cascade per distinct gram per batch
+        (:func:`flatten_local_tables` — measured the faster arm in
+        bench.py's four-arm ``lm_gate_broadcast_ab``); ``"tuple"`` is
+        the round-9 string-tuple kernel, kept for the A/B and as the
+        reference the flat arm is pinned against.  Both are
+        value-identical to :meth:`score` by pytest pin.
+
         ``_local`` lets a long-lived caller (the ingest gate) collect
         the dicts once and reuse them across scoring calls — pass the
-        result of :meth:`local_tables`, or an already-broadcast
-        ``Broadcast`` of it (the streaming shape: ONE broadcast for the
-        stream's whole life, instead of one fresh broadcast variable
-        per micro-batch waiting on the ContextCleaner)."""
+        result of :meth:`local_tables` / :meth:`local_tables_flat`, or
+        an already-broadcast ``Broadcast`` of either (the streaming
+        shape: ONE broadcast for the stream's whole life, instead of
+        one fresh broadcast variable per micro-batch waiting on the
+        ContextCleaner).  A provided payload's LAYOUT wins over
+        ``kernel`` — the broadcast already exists, re-keying it per
+        call would defeat the collect-once contract."""
         from pyspark.broadcast import Broadcast
 
+        if kernel not in ("tuple", "flat"):
+            raise ValueError(f"kernel must be 'tuple' or 'flat', got {kernel!r}")
         spark = docs.sparkSession
         if isinstance(_local, Broadcast):
             bc, local = _local, _local.value  # .value is driver-cached
@@ -592,6 +676,8 @@ class NgramKN:
                 if _local is not None
                 else self.local_tables(max_model_rows)
             )
+            if _local is None and kernel == "flat":
+                local = flatten_local_tables(local)
             bc = spark.sparkContext.broadcast(local)
         n = int(local["order"])
         if n != self.order:
@@ -600,34 +686,81 @@ class NgramKN:
             )
         floor = float(p_floor)
 
-        @F.pandas_udf("struct<_n: long, _slp: double>")
-        def kn_partials(texts: pd.Series) -> pd.DataFrame:
-            m = bc.value
-            probs, lams, p1 = m["probs"], m["lams"], m["p1"]
-            log = math.log
-            counts, sums = [], []
-            for text in texts:
-                toks = _py_tokens(text)
-                w = len(toks) - (n - 1)
-                s = 0.0
-                if w <= 0:
-                    w = 0
-                else:
-                    for i in range(w):
-                        g = toks[i : i + n]
-                        ph = p1.get(g[n - 1], 0.0)
-                        for k in range(2, n + 1):
-                            lo = n - k
-                            pk = probs[k].get(tuple(g[lo:n]))
-                            if pk is not None:
-                                ph = pk
-                            else:
-                                lam = lams[k].get(tuple(g[lo : n - 1]))
-                                ph = (1.0 if lam is None else lam) * ph
-                        s += log(ph if ph > floor else floor)
-                counts.append(w)
-                sums.append(s)
-            return pd.DataFrame({"_n": counts, "_slp": sums})
+        if "vocab" in local:  # flat layout (see flatten_local_tables)
+
+            @F.pandas_udf("struct<_n: long, _slp: double>")
+            def kn_partials(texts: pd.Series) -> pd.DataFrame:
+                m = bc.value
+                vget = m["vocab"].get
+                p1 = m["p1"]
+                # hoisted per batch: (suffix offset, probs_k, lams_k)
+                # per tier, highest order last — no per-gram dict-of-
+                # dict indexing
+                tiers = [
+                    (n - k, m["probs"][k], m["lams"][k])
+                    for k in range(2, n + 1)
+                ]
+                log = math.log
+                counts, sums = [], []
+                cache: dict = {}  # gram-id tuple -> final log P̂
+                cget = cache.get
+                for text in texts:
+                    toks = _py_tokens(text)
+                    w = len(toks) - (n - 1)
+                    s = 0.0
+                    if w <= 0:
+                        w = 0
+                    else:
+                        ids = [vget(t, -1) for t in toks]
+                        for i in range(w):
+                            g = tuple(ids[i : i + n])
+                            v = cget(g)
+                            if v is None:
+                                ph = p1.get(g[n - 1], 0.0)
+                                for lo, pks, lms in tiers:
+                                    pk = pks.get(g[lo:])
+                                    if pk is not None:
+                                        ph = pk
+                                    else:
+                                        lam = lms.get(g[lo : n - 1])
+                                        ph = (1.0 if lam is None else lam) * ph
+                                v = log(ph if ph > floor else floor)
+                                cache[g] = v
+                            s += v
+                    counts.append(w)
+                    sums.append(s)
+                return pd.DataFrame({"_n": counts, "_slp": sums})
+
+        else:
+
+            @F.pandas_udf("struct<_n: long, _slp: double>")
+            def kn_partials(texts: pd.Series) -> pd.DataFrame:
+                m = bc.value
+                probs, lams, p1 = m["probs"], m["lams"], m["p1"]
+                log = math.log
+                counts, sums = [], []
+                for text in texts:
+                    toks = _py_tokens(text)
+                    w = len(toks) - (n - 1)
+                    s = 0.0
+                    if w <= 0:
+                        w = 0
+                    else:
+                        for i in range(w):
+                            g = toks[i : i + n]
+                            ph = p1.get(g[n - 1], 0.0)
+                            for k in range(2, n + 1):
+                                lo = n - k
+                                pk = probs[k].get(tuple(g[lo:n]))
+                                if pk is not None:
+                                    ph = pk
+                                else:
+                                    lam = lams[k].get(tuple(g[lo : n - 1]))
+                                    ph = (1.0 if lam is None else lam) * ph
+                            s += log(ph if ph > floor else floor)
+                    counts.append(w)
+                    sums.append(s)
+                return pd.DataFrame({"_n": counts, "_slp": sums})
 
         partials = docs.select(
             id_col, kn_partials(F.col(text_col)).alias("_s")

@@ -754,3 +754,106 @@ def test_score_broadcast_property_random_corpora(spark, seed):
         )
     finally:
         m.unpersist()
+
+
+def test_local_tables_keyed_by_name_not_position(spark, corpus_df):
+    """ADVICE r09: local_tables must key the broadcast dicts by column
+    NAME, not row position — a probs/lams/p1 table whose physical
+    column order diverged (schema evolution, an external writer
+    round-tripping the model) would otherwise silently mis-key the
+    dict tier and shift every score with no error."""
+    m = NgramKN.fit(corpus_df, order=3)
+    try:
+        want = m.local_tables()
+        # reverse every table's physical column order in place —
+        # the selects derive from the cached counts, so _resident
+        # (what unpersist releases) is untouched
+        for k in list(m.probs):
+            m.probs[k] = m.probs[k].select(*reversed(m.probs[k].columns))
+        for k in list(m.lams):
+            m.lams[k] = m.lams[k].select(*reversed(m.lams[k].columns))
+        m.p1 = m.p1.select(*reversed(m.p1.columns))
+        got = m.local_tables()
+        assert got == want
+        # and the deployed surface stays equal to the relational scorer
+        docs = spark.createDataFrame(
+            [(1, "the cat sat on the mat"), (2, "zzz qqq")],
+            "doc_id long, text string",
+        )
+        _assert_scores_equal(
+            _score_map(m.score_broadcast(docs)), _score_map(m.score(docs))
+        )
+    finally:
+        m.unpersist()
+
+
+def test_flat_kernel_identical_to_tuple_kernel(spark, tri, corpus_df):
+    """Round-10 flat kernel (int-interned vocab + per-batch gram memo,
+    flatten_local_tables): value-identical to the round-9 tuple kernel
+    and to the relational scorer — including the OOV-collapse argument
+    (distinct OOV tokens in the same positions score identically, OOV
+    in context vs final position, repeated grams that exercise the
+    memo) and duplicate/NULL ids."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "zzz cat sat"),       # OOV in context position
+            (3, "qqq cat sat"),       # DIFFERENT OOV, same positions
+            (4, "the cat zzz"),       # OOV in final position
+            (5, "the cat sat the cat sat the cat sat"),  # memo hits
+            (6, None),
+            (7, "hi"),
+            (7, "the dog sat"),       # duplicate id
+            (None, "a dog"),
+        ],
+        "doc_id long, text string",
+    )
+    want = _score_map(tri.score(docs))
+    flat = _score_map(tri.score_broadcast(docs, kernel="flat"))
+    tup = _score_map(tri.score_broadcast(docs, kernel="tuple"))
+    _assert_scores_equal(flat, want)
+    _assert_scores_equal(tup, want)
+    # the OOV-token identity must not leak into the score
+    assert flat[2] == flat[3]
+    # both kernels at order 5 with pruning (the deployed shape)
+    corpus5 = [t + " so it goes on and on again" for t in CORPUS] * 2
+    df5 = spark.createDataFrame([(t,) for t in corpus5], "text string")
+    m = NgramKN.fit(df5, order=5, min_count=2)
+    try:
+        w5 = _score_map(m.score(docs))
+        _assert_scores_equal(
+            _score_map(m.score_broadcast(docs, kernel="flat")), w5
+        )
+        _assert_scores_equal(
+            _score_map(m.score_broadcast(docs, kernel="tuple")), w5
+        )
+    finally:
+        m.unpersist()
+    with pytest.raises(ValueError, match="kernel must be"):
+        tri.score_broadcast(docs, kernel="nope")
+
+
+def test_score_broadcast_payload_layout_wins(spark, tri):
+    """A provided _local payload's LAYOUT picks the kernel regardless
+    of the kernel= argument — re-keying an existing broadcast per call
+    would defeat the collect-once contract."""
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "zzz qqq")],
+        "doc_id long, text string",
+    )
+    want = _score_map(tri.score(docs))
+    flat_payload = tri.local_tables_flat()
+    tup_payload = tri.local_tables()
+    # cross the payloads against the opposite kernel= value
+    _assert_scores_equal(
+        _score_map(tri.score_broadcast(docs, kernel="tuple", _local=flat_payload)),
+        want,
+    )
+    _assert_scores_equal(
+        _score_map(tri.score_broadcast(docs, kernel="flat", _local=tup_payload)),
+        want,
+    )
+    # and through a pre-broadcast flat payload (the streaming shape)
+    bc = spark.sparkContext.broadcast(flat_payload)
+    _assert_scores_equal(_score_map(tri.score_broadcast(docs, _local=bc)), want)
+    bc.unpersist()
