@@ -601,6 +601,7 @@ def learned_ops_bench(spark, sf_dir: str) -> dict:
     lm3 = NgramKN.fit(train, order=3)
     t_kn3_fit = time.perf_counter() - t0
     lm_gate_ab: dict = {}
+    lm_kernel_ab: dict = {}
     try:
         t_kn3, kn3_samples = timed_best(
             lambda: noop_write(lm3.score(held))
@@ -652,18 +653,71 @@ def learned_ops_bench(spark, sf_dir: str) -> dict:
 
         try:
             # best-of-2 per arm, arms interleaved, samples on record
-            # (interleaved_best); round 9 adds the THIRD arm: the
-            # broadcast-DICT Arrow scorer — the model collected once
-            # and shipped as a broadcast variable, zero model joins
-            # per micro-batch (NgramKN.score_broadcast)
+            # (interleaved_best); round 9 added the dict arm (the
+            # broadcast-DICT Arrow scorer — model collected once,
+            # zero model joins per micro-batch); round 10 splits it
+            # into the two payload layouts: "dict" = flat kernel
+            # (int-interned keys + per-batch gram memo, the deployed
+            # default) vs "dict_tuple" = the round-9 string-tuple
+            # kernel (raw-kernel micro-bench: ~57k vs ~70k docs/s at
+            # 50k-doc batches; at THIS bench's 625-doc micro-batches
+            # per-batch fixed costs dominate both)
             lm_gate_ab = interleaved_best(
                 {
                     "off": lambda: lm_gate_run(False),
                     "on": lambda: lm_gate_run(True),
                     "dict": lambda: lm_gate_run("dict"),
+                    "dict_tuple": lambda: lm_gate_run("dict-tuple"),
                 },
                 rate=lambda r: r["docs_per_sec"],
             )
+            # round 10: the RAW kernel A/B the gate A/B can't see —
+            # at the stream's 625-doc micro-batches per-batch fixed
+            # costs dominate, so the two dict payload layouts are
+            # measured here on one big cached batch where the Python
+            # loop is the cost: flat (int-interned + gram memo) vs
+            # the round-9 string-tuple kernel, same model, same docs
+            big = held.select("doc_id", "text")
+            for i in range(19):
+                big = big.union(
+                    held.select(
+                        (F.col("doc_id") + (i + 1) * 10_000_000).alias(
+                            "doc_id"
+                        ),
+                        "text",
+                    )
+                )
+            big = big.repartition(32).cache()
+            n_big = big.count()
+            tup_payload = lm3g.local_tables()
+            from consume_kafka_avro_data_spark.operators.lm import (
+                flatten_local_tables,
+            )
+
+            flat_payload = flatten_local_tables(tup_payload)
+
+            def kernel_run(payload) -> dict:
+                bc = spark.sparkContext.broadcast(payload)
+                try:
+                    t0 = time.perf_counter()
+                    noop_write(lm3g.score_broadcast(big, _local=bc))
+                    dt = time.perf_counter() - t0
+                    return {
+                        "docs": n_big,
+                        "sec": round(dt, 4),
+                        "docs_per_sec": round(n_big / dt, 1),
+                    }
+                finally:
+                    bc.unpersist()
+
+            lm_kernel_ab = interleaved_best(
+                {
+                    "flat": lambda: kernel_run(flat_payload),
+                    "tuple": lambda: kernel_run(tup_payload),
+                },
+                rate=lambda r: r["docs_per_sec"],
+            )
+            big.unpersist()
         finally:
             lm3g.unpersist()
     finally:
@@ -825,6 +879,7 @@ def learned_ops_bench(spark, sf_dir: str) -> dict:
         "kn5_docs_per_sec": round(n_held / t_kn5, 1),
         "kn5_score_samples": kn5_samples,
         "lm_gate_broadcast_ab": lm_gate_ab,
+        "lm_kernel_ab": lm_kernel_ab,
         "quality_train_sec": round(t_train, 4),
         "quality_score_sec": round(t_score, 4),
         "quality_score_docs_per_sec": round(n_docs / t_score, 1),
@@ -1683,12 +1738,20 @@ def main() -> None:
                 learned["dsir_score_docs_per_sec"],
                 learned["dsir_jvm_docs_per_sec"],
             ],
-            # ingest LM gate docs/s:
-            # [sort-merge, broadcast_model joins, broadcast-DICT Arrow]
+            # ingest LM gate docs/s: [sort-merge, broadcast_model
+            # joins, broadcast-DICT flat kernel, broadcast-DICT
+            # round-9 tuple kernel]
             "lm_gate_docs_per_sec": [
                 learned["lm_gate_broadcast_ab"]["off"]["docs_per_sec"],
                 learned["lm_gate_broadcast_ab"]["on"]["docs_per_sec"],
                 learned["lm_gate_broadcast_ab"]["dict"]["docs_per_sec"],
+                learned["lm_gate_broadcast_ab"]["dict_tuple"]["docs_per_sec"],
+            ],
+            # round-10 raw dict-kernel A/B docs/s: [flat, tuple] —
+            # one big cached batch, Python loop is the cost
+            "lm_kernel_docs_per_sec": [
+                learned["lm_kernel_ab"]["flat"]["docs_per_sec"],
+                learned["lm_kernel_ab"]["tuple"]["docs_per_sec"],
             ],
             # round-9 gate kernel rate (merged-interval coverage)
             "gopher_rep_docs_per_sec": learned["gopher_rep_docs_per_sec"],
@@ -1733,6 +1796,7 @@ def main() -> None:
         "ann_recall_at_10_adc",
         "bpe_train16_sec",
         "kn3_docs_per_sec",
+        "lm_kernel_docs_per_sec",
         "quality_docs_per_sec",
         "dsir_docs_per_sec",
         "lm_gate_docs_per_sec",

@@ -196,6 +196,10 @@ class StreamingDedupIngest(BoundedReplayMixin):
           micro-batch.  Value-identical to the relational scorer
           (pinned); requires a model small enough for
           ``local_tables``'s row ceiling — the pruned deployed shape.
+          Round 10 ships the FLAT payload (``local_tables_flat`` —
+          int-interned keys + per-batch gram memo, the
+          measured-faster kernel); ``"dict-tuple"`` keeps the round-9
+          string-tuple layout, retained for the bench A/B.
         * ``False`` — plain joins, sized by Catalyst.  Choose this
           when the model was fit UNPRUNED on a corpus large enough
           that its gram-type tables rival executor memory — otherwise
@@ -335,7 +339,7 @@ class StreamingDedupIngest(BoundedReplayMixin):
             in inspect.signature(lm_model.score).parameters
         )
         self._lm_local = None  # Broadcast[dict] when lm_broadcast="dict"
-        if lm_broadcast == "dict":
+        if lm_broadcast in ("dict", "dict-tuple"):
             if lm_model is None or not hasattr(lm_model, "score_broadcast"):
                 raise ValueError(
                     'lm_broadcast="dict" needs an lm_model with '
@@ -344,9 +348,16 @@ class StreamingDedupIngest(BoundedReplayMixin):
                 )
             # collect ONCE here (local_tables enforces its row
             # ceiling) and broadcast ONCE — every micro-batch reuses
-            # the same broadcast variable for the stream's whole life
+            # the same broadcast variable for the stream's whole life.
+            # "dict" ships the round-10 FLAT payload (int-interned +
+            # per-batch gram memo — the measured-faster kernel);
+            # "dict-tuple" keeps the round-9 string-tuple layout for
+            # the bench A/B.  score_broadcast dispatches on the
+            # payload, so the per-batch path below is layout-blind.
             self._lm_local = spark.sparkContext.broadcast(
-                lm_model.local_tables()
+                lm_model.local_tables_flat()
+                if lm_broadcast == "dict"
+                else lm_model.local_tables()
             )
             self.lm_broadcast: bool | str = "dict"
         elif lm_broadcast is None:

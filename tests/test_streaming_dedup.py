@@ -1387,3 +1387,56 @@ def test_gopher_repetition_gate_at_ingest(spark, tmp_path):
             gopher_rep=True,
             gopher_rep_thresholds={"bogus": 1.0},
         )
+
+
+def test_lm_gate_dict_payload_layouts(spark, tmp_path):
+    """Round-10: lm_broadcast="dict" ships the FLAT payload
+    (local_tables_flat — int-interned keys, per-batch gram memo) while
+    "dict-tuple" keeps the round-9 string-tuple layout for the bench
+    A/B; both collect once at construction, both plans stay join-free,
+    and both route micro-batches identically to the relational gate."""
+    from consume_kafka_avro_data_spark.operators.lm import NgramKN
+
+    trusted = spark.createDataFrame(
+        [(i, BASE) for i in range(10)], "doc_id long, text string"
+    )
+    lm = NgramKN.fit(trusted, order=2)
+    try:
+        salad = " ".join(reversed(BASE.split()))
+        probe = spark.createDataFrame(
+            [(1, BASE), (2, salad)], "doc_id long, text string"
+        )
+        nll = {r.doc_id: r.avg_nll for r in lm.score(probe).collect()}
+        cut = (nll[1] + nll[2]) / 2
+        for i, (mode, flat_expected) in enumerate(
+            [("dict", True), ("dict-tuple", False)]
+        ):
+            ingest = StreamingDedupIngest(
+                spark,
+                store_dir=str(tmp_path / f"store{i}"),
+                checkpoint_dir=str(tmp_path / f"ckpt{i}"),
+                lm_model=lm,
+                lm_threshold=cut,
+                lm_broadcast=mode,
+                lm_rejects_dir=str(tmp_path / f"rej{i}"),
+            )
+            assert ingest.lm_broadcast == "dict"
+            payload = ingest._lm_local.value
+            assert ("vocab" in payload) is flat_expected, mode
+            batch = spark.createDataFrame(
+                [(1, BASE), (2, salad)], "doc_id long, text string"
+            )
+            scored = ingest._lm_scored(batch)
+            plan = scored._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+                scored._jdf.queryExecution(), "simple"
+            )
+            assert "Join" not in plan, (mode, plan)
+            stream = _doc_stream(
+                spark, tmp_path / f"s{i}", [[(1, BASE), (2, salad)]]
+            )
+            m = ingest.run_to_completion(stream)
+            assert m.docs == 2 and m.rejected_docs == 1, mode
+            rej = spark.read.parquet(str(tmp_path / f"rej{i}")).collect()
+            assert [r.doc_id for r in rej] == [2], mode
+    finally:
+        lm.unpersist()
