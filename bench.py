@@ -450,7 +450,9 @@ def ingest_compaction_ab_bench(spark, sf_dir: str) -> dict:
             shutil.rmtree(tmp, ignore_errors=True)
 
     # -- ANN arm ---------------------------------------------------------
-    def ann_run(compact_every: int | None) -> dict:
+    def ann_run(
+        compact_every: int | None, compact_policy: str = "eager"
+    ) -> dict:
         tmp = tempfile.mkdtemp(prefix="ann_compact_ab_")
         try:
             emb = load_table(spark, sf_dir, "embeddings")
@@ -471,6 +473,7 @@ def ingest_compaction_ab_bench(spark, sf_dir: str) -> dict:
                 idx,
                 os.path.join(tmp, "ckpt"),
                 compact_every=compact_every,
+                compact_policy=compact_policy,
             )
             secs = timed_batches(ingest)
             stream = (
@@ -487,6 +490,7 @@ def ingest_compaction_ab_bench(spark, sf_dir: str) -> dict:
             q = time.perf_counter() - t0
             return {
                 "compact_every": compact_every,
+                "compact_policy": compact_policy,
                 "vectors": m.vectors,
                 "batches": m.batches,
                 "sec": round(dt, 4),
@@ -508,7 +512,15 @@ def ingest_compaction_ab_bench(spark, sf_dir: str) -> dict:
             rate=lambda r: r["rows_per_sec"],
         ),
         "ann": interleaved_best(
-            {"off": lambda: ann_run(None), "on": lambda: ann_run(8)},
+            {
+                "off": lambda: ann_run(None),
+                "on": lambda: ann_run(8),
+                # round 10: size-tiered folds — per-batch generations
+                # merge into level dirs WITHOUT re-writing the seed
+                # base every trigger (the eager arm's O(corpus) cost);
+                # base folds only when the tiers outgrow it
+                "tiered": lambda: ann_run(8, compact_policy="tiered"),
+            },
             rate=lambda r: r["vectors_per_sec"],
         ),
     }

@@ -466,14 +466,31 @@ class AnnIndex:
         self.vectors_dirs = live + [gen]
         return self
 
-    def compact(self, target_rows_per_file: int = 4_000_000) -> dict:
-        """Merge the live generation directories into ONE — the
+    def compact(
+        self,
+        target_rows_per_file: int = 4_000_000,
+        dirs: list[str] | None = None,
+    ) -> dict:
+        """Merge live generation directories into ONE — the
         small-file fix for append-per-micro-batch ingest, same rationale
         as ``ManifestTable.compact``: one directory (and up to n_cells ×
         ceil(rows/target) files) per index instead of one directory per
         committed batch, whose per-file open/footer overhead degrades
         every probe scan as the stream runs (measured in bench.py's
         ``ann_ingest.compaction_ab`` row).
+
+        ``dirs`` (round 10) restricts the merge to a SUBSET of the
+        live generations — the size-tiered primitive: a streaming
+        ingest can fold its accumulating small per-batch generations
+        into one tier directory WITHOUT re-reading and re-writing the
+        (much larger) base generation every time, which is what makes
+        the eager every-N full merge pay O(corpus) per trigger
+        (``StreamingAnnIngest compact_policy="tiered"``).  Shard ids
+        whose generation is OUTSIDE the subset keep their replay
+        REPLACE semantics (their directory is still individually
+        addressable); only the folded subset's ids move to
+        ``compacted_shards``.  ``dirs=None`` = all live (the round-9
+        behavior, unchanged).
 
         Atomic like every other commit here: the merged generation is
         written FIRST, the META replace is the only commit point, and
@@ -495,12 +512,24 @@ class AnnIndex:
         inline in its foreachBatch, never beside it)."""
         doc = self._read_meta_doc(self._io, self.path)
         live, shards = doc["live"], doc["shards"]
-        if len(live) <= 1:
+        if dirs is None:
+            merge = list(live)
+        else:
+            merge = list(dict.fromkeys(dirs))  # de-dup, keep order
+            unknown = [d for d in merge if d not in live]
+            if unknown:
+                raise ValueError(
+                    f"dirs {unknown} are not live generations of this "
+                    f"index (live: {live}) — a retired or foreign "
+                    "directory must never be re-committed"
+                )
+        if len(merge) <= 1:
             return {
                 "dirs_before": len(live),
                 "dirs_after": len(live),
                 "rows": None,
             }
+        merge_set = set(merge)
         # row count from parquet FOOTERS (driver-side metadata) — a
         # count() job would scan the very files this merge exists to
         # clean up
@@ -510,7 +539,7 @@ class AnnIndex:
                     self._io, os.path.join(self.path, d)
                 ).values()
             )
-            for d in live
+            for d in merge
         )
         if n_rows == 0:
             # all-empty generations: a merged zero-row partitionBy write
@@ -539,7 +568,7 @@ class AnnIndex:
             DataFrame.unionByName,
             [
                 self.spark.read.parquet(os.path.join(self.path, d))
-                for d in live
+                for d in merge
             ],
         ).repartition(n_files, F.col("_ivf_cell"))
         gen = self._write_generation(rows, self.path)
@@ -547,7 +576,7 @@ class AnnIndex:
         grace = self._grace_surviving(
             doc["superseded"], now, self.grace_seconds
         )
-        grace += [{"dir": d, "at": now} for d in live]
+        grace += [{"dir": d, "at": now} for d in merge]
         # commit-order sort, NOT lexicographic: shard ids are usually
         # numeric batch ids, and 'b10' < 'b2' string-sorting would let
         # the newest-kept truncation below evict numerically NEWER ids
@@ -557,16 +586,21 @@ class AnnIndex:
         # batch ids are monotone per stream, so natural order IS commit
         # order across the union
         folded = sorted(
-            set(doc["compacted_shards"]) | set(shards),
+            set(doc["compacted_shards"])
+            | {s for s, d in shards.items() if d in merge_set},
             key=_shard_commit_key,
         )
         folded = folded[-self.max_compacted_shards :]
+        # shard ids whose generation survives this merge keep their
+        # individually-addressable REPLACE semantics
+        kept_shards = {s: d for s, d in shards.items() if d not in merge_set}
+        live_after = [d for d in live if d not in merge_set] + [gen]
         meta = {
             "id_col": self.id_col,
             "vec_col": self.vec_col,
-            "vectors_dirs": [gen],
+            "vectors_dirs": live_after,
             "superseded": grace,
-            "shards": {},  # all folded into the merged generation
+            "shards": kept_shards,
             "compacted_shards": folded,
             "centroids": self.centroids.tolist(),
             "codebooks": self.codebooks.tolist(),
@@ -580,11 +614,18 @@ class AnnIndex:
         }
         self._commit_meta(self._io, self.path, meta)
         self._gc_unreferenced(
-            self._io, self.path, keep={gen, *(e["dir"] for e in grace)}
+            self._io,
+            self.path,
+            keep={*live_after, *(e["dir"] for e in grace)},
         )
-        self.vectors_dirs = [gen]
+        self.vectors_dirs = live_after
         self.compacted_shards = folded
-        return {"dirs_before": len(live), "dirs_after": 1, "rows": n_rows}
+        return {
+            "dirs_before": len(live),
+            "dirs_after": len(live_after),
+            "rows": n_rows,
+            "merged_dir": gen,
+        }
 
     # -- meta / generation plumbing -----------------------------------------
 

@@ -34,6 +34,7 @@ scheduled decision, not a mid-stream surprise).
 
 from __future__ import annotations
 
+import os
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
@@ -150,7 +151,13 @@ class StreamingAnnIngest(BoundedReplayMixin):
         checkpoint_dir: str,
         compact_horizon: int = 1024,
         compact_every: int | None = None,
+        compact_policy: str = "eager",
     ):
+        if compact_policy not in ("eager", "tiered"):
+            raise ValueError(
+                f"compact_policy must be 'eager' or 'tiered', got "
+                f"{compact_policy!r}"
+            )
         self.spark = spark
         self.index = index
         self.checkpoint_dir = checkpoint_dir
@@ -160,11 +167,40 @@ class StreamingAnnIngest(BoundedReplayMixin):
         # the mixin replay guard trims at the same horizon
         self.compact_horizon = compact_horizon
         self.replay_guard_horizon = compact_horizon
-        #: merge the index's generation directories every N batches
-        #: (None = manual only) — one dir per committed batch is the
-        #: small-file problem on every probe scan; the A/B cost is in
-        #: bench.py's ann_ingest row, same knob as StreamingDedupIngest
+        #: merge generation directories (None = manual only) — one dir
+        #: per committed batch is the small-file problem on every probe
+        #: scan; the A/B cost is in bench.py's ann_ingest row, same
+        #: knob as StreamingDedupIngest.  ``compact_policy`` picks HOW:
+        #:
+        #: * ``"eager"`` — full merge of ALL live generations every
+        #:   ``compact_every`` batches (round 6).  Every trigger
+        #:   re-reads and re-writes the whole corpus, base included —
+        #:   O(corpus) per trigger, the measured ~16% ingest-rate cost
+        #:   in ``ingest_compaction_ab.ann`` — but holds the live dir
+        #:   count at ~2 at all times.
+        #: * ``"tiered"`` (round 10) — size-tiered folds, LSM-style:
+        #:   every ``compact_every`` per-batch generations fold into
+        #:   one LEVEL-1 directory (subset compact — the base is NOT
+        #:   re-written); every ``compact_every`` level-L directories
+        #:   fold into one level-L+1; the BASE is folded in (one full
+        #:   compact) only when the accumulated tiers outgrow it, so
+        #:   the base at least doubles per full fold.  Each vector is
+        #:   re-written once per level (log_K of the arrivals) plus
+        #:   amortized O(1) base folds — amortized-LOGARITHMIC merge
+        #:   cost where eager pays O(corpus) per trigger — and the
+        #:   live dir count stays ≤ 1 + K·levels + K.  Fold history
+        #:   (each fold-dir's level) is in-memory; after an ingest
+        #:   restart existing fold dirs re-enter at level 0, costing
+        #:   one extra (correct) re-fold, never a wrong result.
         self.compact_every = compact_every
+        self.compact_policy = compact_policy
+        #: the seed/base generation the tiered policy leaves untouched
+        #: until the tiers outgrow it
+        self._base_dir: str | None = (
+            index.vectors_dirs[0] if index.vectors_dirs else None
+        )
+        self._fold_level: dict[str, int] = {}  # fold-dir -> level >= 1
+        self._dir_rows: dict[str, int] = {}  # footer-count cache
         self.metrics = self._new_metrics()
         self._seen_batches: set[int] = set()
 
@@ -200,12 +236,82 @@ class StreamingAnnIngest(BoundedReplayMixin):
         # like StreamingDedupIngest's store compaction: `batches` does
         # not advance on a replay, so a batch retried while the modulus
         # sits at 0 would otherwise rewrite the index once per retry
-        if (
-            not replayed
-            and self.compact_every
-            and self.metrics.batches % self.compact_every == 0
-        ):
-            self.index.compact()
+        if not replayed and self.compact_every:
+            if self.compact_policy == "tiered":
+                self._tiered_compact()
+            elif self.metrics.batches % self.compact_every == 0:
+                self.index.compact()
+
+    # -- tiered compaction (round 10) -----------------------------------------
+
+    def _dir_row_count(self, d: str) -> int:
+        """Rows in one generation dir from parquet footers (driver-side
+        metadata, cached — generation dirs are immutable once written)."""
+        n = self._dir_rows.get(d)
+        if n is None:
+            n = sum(
+                self.index._dir_cell_counts(
+                    self.index._io, os.path.join(self.index.path, d)
+                ).values()
+            )
+            self._dir_rows[d] = n
+        return n
+
+    def _tiered_compact(self) -> None:
+        """One round of the size-tiered schedule (see ``__init__``):
+        fold K level-0 (per-batch) generations into a level-1 dir,
+        cascade full levels upward, and fold everything into a new
+        base only when the tiers outgrow it.  Runs inline in
+        foreachBatch — same single-writer discipline as eager."""
+        k = self.compact_every
+        live = list(self.index.vectors_dirs)
+        if self._base_dir not in live:
+            # base was retired outside this ingest (manual compact /
+            # rebuild): adopt the oldest live dir as the new base
+            self._base_dir = live[0] if live else None
+        self._fold_level = {
+            d: lv for d, lv in self._fold_level.items() if d in live
+        }
+        non_base = [d for d in live if d != self._base_dir]
+        # base fold: tiers have outgrown the base, so one full merge
+        # at least doubles it — amortized O(1) full folds per vector
+        if non_base and self._base_dir is not None:
+            tier_rows = sum(self._dir_row_count(d) for d in non_base)
+            if tier_rows > self._dir_row_count(self._base_dir):
+                res = self.index.compact()
+                merged = res.get("merged_dir")
+                if merged:
+                    self._base_dir = merged
+                    self._fold_level = {}
+                    self._dir_rows = {merged: res["rows"]}
+                return
+        # level folds: K dirs at a level fold into one at level+1;
+        # cascade so a fold that fills the next level folds again
+        level = 0
+        while True:
+            at_level = [
+                d
+                for d in self.index.vectors_dirs
+                if d != self._base_dir
+                and self._fold_level.get(d, 0) == level
+            ]
+            if len(at_level) < k:
+                if level >= max(self._fold_level.values(), default=0):
+                    return
+                level += 1
+                continue
+            res = self.index.compact(dirs=at_level)
+            merged = res.get("merged_dir")
+            if not merged:  # all-empty generations: nothing to fold
+                return
+            self._fold_level = {
+                d: lv
+                for d, lv in self._fold_level.items()
+                if d not in at_level
+            }
+            self._fold_level[merged] = level + 1
+            self._dir_rows[merged] = res["rows"]
+            level += 1
 
     # -- rebuild trigger -----------------------------------------------------
 

@@ -191,7 +191,12 @@ def test_index_compact_merges_generations_and_noops_folded_replays(
         for r in idx.query_exact(qvec, 10, nprobe=8).collect()
     ]
     stats = idx.compact()
-    assert stats == {"dirs_before": 3, "dirs_after": 1, "rows": 3 * n}
+    assert (stats["dirs_before"], stats["dirs_after"], stats["rows"]) == (
+        3,
+        1,
+        3 * n,
+    )
+    assert stats["merged_dir"] in idx.vectors_dirs
     assert len(idx.vectors_dirs) == 1
     assert idx.vectors().count() == 3 * n
     got = [
@@ -318,3 +323,115 @@ def test_streaming_ann_compaction_not_rerun_on_replayed_batch(
     ingest.process_batch(batch, 0)  # replay: folded id -> no-op
     assert _json.load(open(meta_path)) == before
     assert _os.path.getmtime(meta_path) == stamp
+
+
+def test_index_compact_subset_folds_only_named_dirs(spark, sf_dir, tmp_path, emb):
+    """Round-10 size-tiered primitive: compact(dirs=subset) merges ONLY
+    the named generations — the base is untouched on disk, surviving
+    shard ids keep their replay-REPLACE semantics, folded ids no-op,
+    query answers are unchanged, and a foreign dir name is an eager
+    error."""
+    qvec = emb.where(F.col("vec_id") == 1).collect()[0]["embedding"]
+    idx = AnnIndex.build(
+        spark, emb, str(tmp_path / "idx"), n_cells=8, m=8, k_codes=16
+    )
+    base = idx.vectors_dirs[0]
+    s1 = emb.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    s2 = emb.withColumn("vec_id", F.col("vec_id") + 2_000_000)
+    s3 = emb.withColumn("vec_id", F.col("vec_id") + 3_000_000)
+    idx.add_shard(s1, shard_id="s1")
+    idx.add_shard(s2, shard_id="s2")
+    idx.add_shard(s3, shard_id="s3")
+    n = emb.count()
+    d1, d2, d3 = [d for d in idx.vectors_dirs if d != base]
+    want = [
+        (r.vec_id, r.score)
+        for r in idx.query_exact(qvec, 10, nprobe=8).collect()
+    ]
+    stats = idx.compact(dirs=[d1, d2])
+    assert (stats["dirs_before"], stats["dirs_after"]) == (4, 3)
+    assert stats["rows"] == 2 * n
+    # base and the un-named shard dir survive verbatim
+    assert idx.vectors_dirs[0] == base and d3 in idx.vectors_dirs
+    assert idx.vectors().count() == 4 * n
+    got = [
+        (r.vec_id, r.score)
+        for r in idx.query_exact(qvec, 10, nprobe=8).collect()
+    ]
+    assert got == want
+    # folded ids no-op on replay; the surviving id still REPLACES
+    idx.add_shard(s1, shard_id="s1")
+    assert idx.last_shard_rows == 0 and idx.vectors().count() == 4 * n
+    idx.add_shard(s3, shard_id="s3")  # replace: same rows, new dir
+    assert idx.vectors().count() == 4 * n
+    # persisted: a fresh handle sees the same split
+    loaded = AnnIndex.load(spark, idx.path)
+    assert sorted(loaded.compacted_shards) == ["s1", "s2"]
+    assert loaded.vectors().count() == 4 * n
+    with pytest.raises(ValueError, match="not live generations"):
+        idx.compact(dirs=[idx.vectors_dirs[-1], "gen-nonexistent"])
+
+
+def test_streaming_ann_tiered_compaction(spark, sf_dir, tmp_path, emb):
+    """compact_policy="tiered": per-batch generations fold into level-1
+    dirs every K batches WITHOUT re-writing the seed base; the base is
+    folded only when the tiers outgrow it; totals and query answers
+    equal brute force throughout; a full fresh-checkpoint replay over
+    the folded index is a no-op."""
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    qvec = emb.where(F.col("vec_id") == 1).collect()[0]["embedding"]
+    # small seed: 1/8 of the corpus, so the arriving 7/8 outgrows it
+    # mid-stream and forces one base fold
+    seed = emb.where(F.col("vec_id") % 8 == 0)
+    idx = AnnIndex.build(
+        spark, seed, str(tmp_path / "idx"), n_cells=8, m=8, k_codes=16
+    )
+    base0 = idx.vectors_dirs[0]
+    parts = [F.col("vec_id") % 8 == r for r in (1, 2, 3, 4, 5, 6, 7)]
+    reader = _vector_stream(spark, tmp_path, emb, parts)
+    ingest = StreamingAnnIngest(
+        spark,
+        idx,
+        str(tmp_path / "ckpt"),
+        compact_every=2,
+        compact_policy="tiered",
+    )
+    m = ingest.run_to_completion(reader())
+    n = emb.count()
+    assert m.batches == 7
+    assert idx.vectors().count() == n
+    # the base was folded at least once (arrivals outgrew the seed) and
+    # the dir count stays far below one-per-batch
+    assert ingest._base_dir != base0
+    assert len(idx.vectors_dirs) < 1 + m.batches
+    want = [
+        (r.vec_id, r.score) for r in brute_force_topk(emb, qvec, 10).collect()
+    ]
+    got = [
+        (r.vec_id, r.score)
+        for r in idx.query_exact(qvec, 10, nprobe=8).collect()
+    ]
+    assert got == want
+    # fresh-checkpoint full replay: folded batches no-op, live ones
+    # replace — totals and answers unchanged
+    replay = StreamingAnnIngest(
+        spark,
+        idx,
+        str(tmp_path / "ckpt2"),
+        compact_every=2,
+        compact_policy="tiered",
+    )
+    replay.run_to_completion(reader())
+    assert idx.vectors().count() == n
+    got2 = [
+        (r.vec_id, r.score)
+        for r in idx.query_exact(qvec, 10, nprobe=8).collect()
+    ]
+    assert got2 == want
+    with pytest.raises(ValueError, match="compact_policy"):
+        StreamingAnnIngest(
+            spark, idx, str(tmp_path / "ckpt3"), compact_policy="lsm"
+        )
