@@ -1272,17 +1272,28 @@ def ann_index_bench(spark, sf_dir: str) -> dict:
         # delta — is all recorded here.  (OPQ is available but off: on
         # this isotropic synthetic corpus it is a measured no-op; the
         # anisotropic win is pinned by pytest instead.)
+        # round 10: the tuned index carries a metadata column so the
+        # FILTERED serving paths get measured recall/latency (10%
+        # selectivity — en = every 10th id).  The tag rides every
+        # index row; assignment/codes are untouched, so the unfiltered
+        # tuned rows stay comparable to earlier rounds.
+        lang_tag = F.when(F.col("vec_id") % 10 == 0, F.lit("en")).otherwise(
+            F.lit("other")
+        )
+        tagged = emb.withColumn("lang", lang_tag)
+        tagged_shard = shard.withColumn("lang", lang_tag)
         t0 = time.perf_counter()
         tuned = AnnIndex.build(
             spark,
-            emb,
+            tagged,
             os.path.join(tmp, "idx_tuned"),
             n_cells=16,
             k_codes=256,
             replicas=4,
             quantizer_iters=15,
+            meta_cols=["lang"],
         )
-        tuned.add_shard(shard)
+        tuned.add_shard(tagged_shard)
         t_build_tuned = time.perf_counter() - t0
         t_exact_t = float("inf")
         for _ in range(2):
@@ -1381,6 +1392,54 @@ def ann_index_bench(spark, sf_dir: str) -> dict:
                 "sec": round(dt, 4),
                 "recall_at_10": round(hits / (10 * len(truth64)), 3),
             }
+        # round 10: FILTERED serving accountability — the r09 paths
+        # are equality-pinned, this records their recall/latency on
+        # the tuned index under a selective (10%) predicate at
+        # nprobe 4/8, truth = brute force over the FILTERED corpus.
+        # Pytest enforces the nprobe-8 floor
+        # (tests/test_ann_recall_tuning.py filtered floor test); the
+        # measured finding is that at nprobe=4 selective filters fall
+        # under 0.8 (thinner per-cell survivor sets) — scale nprobe
+        # with 1/selectivity.
+        cond = F.col("lang") == "en"
+        truth_f: dict = {}
+        for r in _bf_knn(
+            qbatch, tagged.unionByName(tagged_shard).where(cond), k=10
+        ).collect():
+            truth_f.setdefault(r["q_id"], set()).add(r["vec_id"])
+        denom_f = sum(len(t) for t in truth_f.values())
+        filtered: dict = {}
+        for nprobe in (4, 8):
+            for pname, run in (
+                (
+                    "knn_join",
+                    lambda np=nprobe: tuned.knn_join(
+                        qbatch, k=10, nprobe=np, where=cond
+                    ),
+                ),
+                (
+                    "knn_join_adc_rr200",
+                    lambda np=nprobe: tuned.knn_join_adc(
+                        qbatch, k=10, nprobe=np, rerank=200, where=cond
+                    ),
+                ),
+            ):
+                secs, rows = [], None
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    rows = run().collect()
+                    secs.append(round(time.perf_counter() - t0, 4))
+                got_f: dict = {}
+                for r in rows:
+                    got_f.setdefault(r["q_id"], set()).add(r["vec_id"])
+                hits_f = sum(
+                    len(got_f.get(q, set()) & t) for q, t in truth_f.items()
+                )
+                filtered[f"{pname}_nprobe{nprobe}"] = {
+                    "sec": min(secs),
+                    "samples": secs,
+                    "recall_at_10": round(hits_f / denom_f, 3),
+                }
         qbatch.unpersist()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1409,6 +1468,9 @@ def ann_index_bench(spark, sf_dir: str) -> dict:
             # 64-query knn_join_adc at nprobe=8 with exact re-rank —
             # the serving shape on the promoted preset
             "knn_join_adc_rerank": tuned_batch,
+            # round-10 filtered serving: recall@10 + latency under a
+            # 10%-selective where= at nprobe 4/8, both batch paths
+            "filtered": filtered,
         },
     }
 
@@ -1730,6 +1792,11 @@ def main() -> None:
                 ann["tuned"]["knn_join_adc_rerank"]["rr50"]["recall_at_10"],
                 ann["tuned"]["knn_join_adc_rerank"]["rr200"]["recall_at_10"],
             ],
+            # filtered (10%-selective where=) recall@10 at nprobe [4, 8]
+            "ann_filtered_recall": [
+                ann["tuned"]["filtered"]["knn_join_nprobe4"]["recall_at_10"],
+                ann["tuned"]["filtered"]["knn_join_nprobe8"]["recall_at_10"],
+            ],
             "bloom_crossover_mult": bloom_x["crossover_mult"],
             # build-once/probe-many split: [one-time build, steady probe]
             "bloom_build_probe_sec": [
@@ -1814,6 +1881,7 @@ def main() -> None:
         "lm_gate_docs_per_sec",
         "kn5_docs_per_sec",
         "ann_tuned_adc_rr_recall",
+        "ann_filtered_recall",
         "ann_recall_tuned",
         "ann_recall_at_10_adc_rerank",
     ]

@@ -840,3 +840,56 @@ def test_add_shard_rejects_type_divergent_meta_cols(spark, emb, tmp_path):
     )
     loaded.compact()
     assert AnnIndex.load(spark, path).meta_col_types == {"lang": "string"}
+
+
+def test_filtered_recall_floor_on_tuned_preset(spark, emb, tmp_path):
+    """Round-10 filtered-serving floor (the r09 paths were
+    equality-pinned but had no recall accountability — a filter that
+    empties probed cells is exactly where IVF recall quietly
+    collapses): on the PROMOTED preset (build_tuned, replicas=4),
+    knn_join and knn_join_adc+rerank under selective predicates (1/10
+    and 1/25 of the corpus) must clear recall@10 >= 0.9 against brute
+    force over the FILTERED corpus at nprobe=8 of 16 cells — the
+    deployed filtered configuration the bench's
+    ``ann_index.tuned.filtered`` row measures.
+
+    Recorded finding (measured, bench row keeps the numbers): at
+    nprobe=4 the 1/25-selective filter falls to ~0.78 — per-cell
+    survivor sets thin out with selectivity, so a deployment scales
+    nprobe with 1/selectivity; replicas=4 is what keeps nprobe=8
+    sufficient here."""
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        knn_join as bf_knn,
+    )
+
+    for mod in (10, 25):
+        tagged = emb.withColumn(
+            "m", (F.col("vec_id") % mod == 0).cast("string")
+        )
+        idx = AnnIndex.build_tuned(
+            spark, tagged, str(tmp_path / f"t{mod}"), n_cells=16,
+            meta_cols=["m"],
+        )
+        qs = _mk_queries(spark, emb, [1, 2, 3, 5, 8])
+        cond = F.col("m") == "true"
+        truth: dict = {}
+        for r in bf_knn(qs, tagged.where(cond), k=10).collect():
+            truth.setdefault(r["q_id"], set()).add(r["vec_id"])
+        denom = sum(len(t) for t in truth.values())
+        for name, rows in (
+            ("knn_join", idx.knn_join(qs, k=10, nprobe=8, where=cond)),
+            (
+                "knn_join_adc",
+                idx.knn_join_adc(
+                    qs, k=10, nprobe=8, rerank=200, where=cond
+                ),
+            ),
+        ):
+            got: dict = {}
+            for r in rows.collect():
+                got.setdefault(r["q_id"], set()).add(r["vec_id"])
+            recall = (
+                sum(len(got.get(q, set()) & t) for q, t in truth.items())
+                / denom
+            )
+            assert recall >= 0.9, (mod, name, recall)
