@@ -873,7 +873,63 @@ def learned_ops_bench(spark, sf_dir: str) -> dict:
         )
     )
 
+    # round 10: the SIX-GATE census row — one StreamingDedupIngest run
+    # with c4 + heuristic quality + learned classifier + gopher-rep +
+    # DSIR + LM all on (permissive thresholds where a cut would skew
+    # the flow: the census is about per-gate COST and docs_in, not
+    # routing), printing gate_census() so a deployment sizing its
+    # executors reads which stage is the wall-clock floor from the
+    # bench instead of instrumenting production
+    from consume_kafka_avro_data_spark.operators.lm import NgramKN as _KN
+    from consume_kafka_avro_data_spark.streaming.dedup import (
+        StreamingDedupIngest as _SDI,
+    )
+
+    lm_census = _KN.fit(train, order=2, min_count=2)
+    six_gate_census: dict = {}
+    try:
+        tmp = tempfile.mkdtemp(prefix="gate_census_bench_")
+        try:
+            topic = os.path.join(tmp, "docs")
+            held.repartition(4).write.parquet(topic)
+            ingest = _SDI(
+                spark,
+                store_dir=os.path.join(tmp, "store"),
+                checkpoint_dir=os.path.join(tmp, "ckpt"),
+                c4=True,
+                c4_min_line_words=1,
+                c4_min_sentences=0,
+                quality_threshold=0.0,
+                quality_model=model,
+                quality_model_threshold=0.0,
+                gopher_rep=True,
+                dsir_model=dsir_model,
+                dsir_threshold=-1e9,
+                lm_model=lm_census,
+                lm_threshold=1e9,
+            )
+            stream = (
+                spark.readStream.schema(held.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(topic)
+            )
+            t0 = time.perf_counter()
+            mm = ingest.run_to_completion(stream)
+            dt = time.perf_counter() - t0
+            six_gate_census = {
+                "docs": mm.docs,
+                "batches": mm.batches,
+                "sec": round(dt, 4),
+                "docs_per_sec": round(mm.docs / dt, 1),
+                "census": ingest.gate_census(),
+            }
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    finally:
+        lm_census.unpersist()
+
     return {
+        "six_gate_census": six_gate_census,
         "bpe_merges": len(merges),
         "bpe_train_sec": round(t_bpe, 4),
         "bpe_train_batched_sec": round(t_bpe_batched, 4),

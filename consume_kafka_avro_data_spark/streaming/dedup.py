@@ -32,6 +32,7 @@ from __future__ import annotations
 import inspect
 import json
 import os
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
@@ -67,6 +68,15 @@ class DedupMetrics:
     rejected_docs: int = 0
     contaminated_docs: int = 0
     dup_pairs_by_batch: dict[int, int] = field(default_factory=dict)
+    #: round 10 — per-micro-batch per-gate rows in pipeline order,
+    #: ``{"gate", "docs_in", "docs_rejected", "sec"}`` (the "dedup"
+    #: row's docs_rejected counts ROUTED duplicates); keyed by batch id
+    #: like dup_pairs_by_batch (replays keep the original), trimmed at
+    #: the same horizon.  ``StreamingDedupIngest.gate_census()``
+    #: aggregates it per gate — the observability a deployment tunes
+    #: its gate order and executor count against (the reference's
+    #: error counter, src/main.cpp:243-251, at pipeline scale).
+    gate_census_by_batch: dict[int, list] = field(default_factory=dict)
 
 
 class StreamingDedupIngest(BoundedReplayMixin):
@@ -502,6 +512,34 @@ class StreamingDedupIngest(BoundedReplayMixin):
         if self.sketch_monitor is not None:
             self.sketch_monitor._reset()
 
+    def gate_census(self) -> dict:
+        """Aggregated per-gate census over the retained batches, in
+        pipeline order: ``{gate: {docs_in, docs_rejected, sec,
+        batches}}`` — what a deployment tuning the gate family reads:
+        which stage rejects what share of its input, and which stage
+        is the wall-clock floor (the ``sec`` column is where the
+        executor count gets sized).  Sums the replay-consistent
+        per-batch rows (``DedupMetrics.gate_census_by_batch``), so it
+        is exact over the retained horizon; disabled gates simply
+        never appear."""
+        out: dict = {}
+        for rows in self.metrics.gate_census_by_batch.values():
+            for e in rows:
+                g = out.setdefault(
+                    e["gate"],
+                    {
+                        "docs_in": 0,
+                        "docs_rejected": 0,
+                        "sec": 0.0,
+                        "batches": 0,
+                    },
+                )
+                g["docs_in"] += e["docs_in"]
+                g["docs_rejected"] += e["docs_rejected"]
+                g["sec"] = round(g["sec"] + e["sec"], 4)
+                g["batches"] += 1
+        return out
+
     # -- building blocks -----------------------------------------------------
 
     def _anti_by_id(self, batch: DataFrame, flagged: DataFrame) -> DataFrame:
@@ -639,6 +677,12 @@ class StreamingDedupIngest(BoundedReplayMixin):
             # same raw-batch / replace-on-replay contract
             self.sketch_monitor.process_batch(batch, batch_id)
         n_rejected = 0
+        # per-gate census rows (round 10): (gate, docs_rejected, sec)
+        # in PIPELINE order; docs_in per gate is reconstructed from the
+        # survivor count by walking the chain backwards at the end of
+        # the batch — zero extra count jobs
+        _census: list[tuple[str, int, float]] = []
+        _t_gate = time.perf_counter()
         c4_cleaned = None
         if self.c4:
             from consume_kafka_avro_data_spark.operators.text import c4_clean
@@ -680,12 +724,17 @@ class StreamingDedupIngest(BoundedReplayMixin):
                     .mode("overwrite")
                     .parquet(self.c4_rejects_dir)
                 )
-            n_rejected += c4_rejects.count()
+            n_c4_rejected = c4_rejects.count()
+            n_rejected += n_c4_rejected
             # survivors carry the CLEANED text forward; the helper
             # columns stop here (downstream gates own their schemas)
             batch = c4_cleaned.where(F.col("c4_keep")).drop(
                 "n_lines", "n_lines_kept", "c4_keep"
             )
+            _census.append(
+                ("c4", n_c4_rejected, time.perf_counter() - _t_gate)
+            )
+            _t_gate = time.perf_counter()
         rejects = None
         if self.quality_threshold is not None:
             from consume_kafka_avro_data_spark.operators.text import (
@@ -713,9 +762,17 @@ class StreamingDedupIngest(BoundedReplayMixin):
                     .mode("overwrite")
                     .parquet(self.rejects_dir)
                 )
-            n_rejected = rejects.count()
-            if n_rejected:
+            # += not = : overwriting would silently drop the c4 gate's
+            # count from rejected_docs whenever both gates are on
+            # (round-10 sweep finding, pinned by the census-sums test)
+            n_q_rejected = rejects.count()
+            n_rejected += n_q_rejected
+            if n_q_rejected:
                 batch = self._anti_by_id(batch, rejects)
+            _census.append(
+                ("quality", n_q_rejected, time.perf_counter() - _t_gate)
+            )
+            _t_gate = time.perf_counter()
         model_rejects = None
         if self.quality_model is not None:
             from consume_kafka_avro_data_spark.operators.quality import (
@@ -750,6 +807,14 @@ class StreamingDedupIngest(BoundedReplayMixin):
             if n_model_rejected:
                 batch = self._anti_by_id(batch, model_rejects)
             n_rejected += n_model_rejected
+            _census.append(
+                (
+                    "quality_model",
+                    n_model_rejected,
+                    time.perf_counter() - _t_gate,
+                )
+            )
+            _t_gate = time.perf_counter()
         rep_rejects = None
         if self.gopher_rep:
             from consume_kafka_avro_data_spark.operators.text import (
@@ -784,6 +849,14 @@ class StreamingDedupIngest(BoundedReplayMixin):
             if n_rep_rejected:
                 batch = self._anti_by_id(batch, rep_rejects)
             n_rejected += n_rep_rejected
+            _census.append(
+                (
+                    "gopher_rep",
+                    n_rep_rejected,
+                    time.perf_counter() - _t_gate,
+                )
+            )
+            _t_gate = time.perf_counter()
         dsir_rejects = None
         if self.dsir_model is not None:
             from consume_kafka_avro_data_spark.operators.dsir import (
@@ -816,6 +889,10 @@ class StreamingDedupIngest(BoundedReplayMixin):
             if n_dsir_rejected:
                 batch = self._anti_by_id(batch, dsir_rejects)
             n_rejected += n_dsir_rejected
+            _census.append(
+                ("dsir", n_dsir_rejected, time.perf_counter() - _t_gate)
+            )
+            _t_gate = time.perf_counter()
         lm_rejects = None
         if self.lm_model is not None:
             # CCNet-style perplexity cut on the cheaper gates'
@@ -851,6 +928,10 @@ class StreamingDedupIngest(BoundedReplayMixin):
             if n_lm_rejected:
                 batch = self._anti_by_id(batch, lm_rejects)
             n_rejected += n_lm_rejected
+            _census.append(
+                ("lm", n_lm_rejected, time.perf_counter() - _t_gate)
+            )
+            _t_gate = time.perf_counter()
         n_contam = 0
         contam = None
         if self._eval_grams is not None:
@@ -890,6 +971,10 @@ class StreamingDedupIngest(BoundedReplayMixin):
             n_contam = contam.count()
             if n_contam:
                 batch = self._anti_by_id(batch, contam)
+            _census.append(
+                ("decontaminate", n_contam, time.perf_counter() - _t_gate)
+            )
+            _t_gate = time.perf_counter()
         sigs = minhash_sig_table(
             batch,
             self.id_col,
@@ -1027,6 +1112,9 @@ class StreamingDedupIngest(BoundedReplayMixin):
                 how="left_anti",
             )
             self.store.merge_new(novel)
+            _census.append(
+                ("dedup", n_dupes, time.perf_counter() - _t_gate)
+            )
             if not replayed:
                 self.metrics.batches += 1
                 self.metrics.docs += n_docs + n_rejected + n_contam
@@ -1035,6 +1123,30 @@ class StreamingDedupIngest(BoundedReplayMixin):
                 self.metrics.rejected_docs += n_rejected
                 self.metrics.contaminated_docs += n_contam
                 self.metrics.dup_pairs_by_batch[batch_id] = n_dupes
+                # per-gate census, docs_in reconstructed BACKWARDS from
+                # the survivor count: each gate's input is its
+                # successor's input plus what it rejected — exact
+                # because every reject/dup row is removed before the
+                # next stage, and free because every count above
+                # already existed
+                rows: list[dict] = []
+                docs_in = n_docs  # dedup stage input = gate survivors
+                for gate, n_rej, sec in reversed(_census):
+                    # a reject gate's input includes what it rejected;
+                    # dupes are ROUTED at the dedup stage, not removed
+                    # from its input
+                    if gate != "dedup":
+                        docs_in += n_rej
+                    rows.append(
+                        {
+                            "gate": gate,
+                            "docs_in": docs_in,
+                            "docs_rejected": n_rej,
+                            "sec": round(sec, 4),
+                        }
+                    )
+                rows.reverse()
+                self.metrics.gate_census_by_batch[batch_id] = rows
             # bounded replay guard (mixin-shared trim); the per-batch
             # dupe map prunes to the same horizon
             cutoff = self._mark_batch(batch_id)
@@ -1045,6 +1157,12 @@ class StreamingDedupIngest(BoundedReplayMixin):
                     if b <= cutoff
                 ]:
                     del self.metrics.dup_pairs_by_batch[bid]
+                for bid in [
+                    b
+                    for b in self.metrics.gate_census_by_batch
+                    if b <= cutoff
+                ]:
+                    del self.metrics.gate_census_by_batch[bid]
             # append-per-batch grows the store's file count linearly
             # (the small-file problem); periodic compaction is safe at
             # any point — it rewrites the same rows behind an atomic

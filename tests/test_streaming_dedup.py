@@ -1283,7 +1283,8 @@ def test_all_gates_compose_on_one_stream(spark, tmp_path):
         )
 
     stream = _doc_stream(spark, tmp_path, [b1, b2])
-    m = make("a").run_to_completion(stream)
+    ing_a = make("a")
+    m = ing_a.run_to_completion(stream)
     assert m.docs == 9
     # c4 (10) + classifier (2) + DSIR (8) + LM (3)
     assert m.rejected_docs == 4
@@ -1293,6 +1294,40 @@ def test_all_gates_compose_on_one_stream(spark, tmp_path):
         m.rejected_docs + m.contaminated_docs + m.dup_docs + m.novel_docs
         == m.docs
     )
+    # round-10 per-gate census: rows in pipeline order, the rejected
+    # column sums to each gate's audit dir, docs_in chains (each
+    # gate's input = predecessor's input minus its rejects), the
+    # first gate's summed input is the stream, and per-batch secs are
+    # recorded
+    census = ing_a.gate_census()
+    assert list(census) == [
+        "c4", "quality_model", "dsir", "lm", "decontaminate", "dedup",
+    ]
+    for gate, want_rej in [
+        ("c4", 1), ("quality_model", 1), ("dsir", 1), ("lm", 1),
+        ("decontaminate", 1), ("dedup", 1),
+    ]:
+        assert census[gate]["docs_rejected"] == want_rej, gate
+        assert census[gate]["batches"] == 2
+        assert census[gate]["sec"] > 0
+    assert census["c4"]["docs_in"] == m.docs
+    per_batch = m.gate_census_by_batch
+    assert sorted(per_batch) == [0, 1]
+    for rows in per_batch.values():
+        for prev, nxt in zip(rows, rows[1:]):
+            assert (
+                nxt["docs_in"] == prev["docs_in"] - prev["docs_rejected"]
+                if prev["gate"] != "dedup"
+                else True
+            )
+    # census rejected-sums match the audit dirs exactly
+    for gate, d in [
+        ("c4", "c4_rejects"), ("quality_model", "model_rejects"),
+        ("dsir", "dsir_rejects"), ("lm", "lm_rejects"),
+        ("decontaminate", "contam"),
+    ]:
+        n_dir = spark.read.parquet(str(tmp_path / d)).count()
+        assert census[gate]["docs_rejected"] == n_dir, gate
     # disjoint audit trails, each holding exactly its gate's doc
     assert [
         r.doc_id
@@ -1440,3 +1475,44 @@ def test_lm_gate_dict_payload_layouts(spark, tmp_path):
             assert [r.doc_id for r in rej] == [2], mode
     finally:
         lm.unpersist()
+
+
+def test_c4_and_heuristic_quality_counts_both_rejects(spark, tmp_path):
+    """Round-10 sweep fix: with the C4 gate AND the heuristic quality
+    gate both on, rejected_docs must count BOTH gates' rejects — the
+    heuristic gate previously ASSIGNED its count over the c4 gate's
+    accumulation, silently dropping c4 rejects from the metric (and
+    from docs).  The per-gate census pins the split."""
+    junk = ("aaa " * 14).strip() + "."
+    code_doc = (
+        "the snippet function f() { return one; } ships inside this "
+        "long and properly terminated line."
+    )
+    base_doc = BASE + "."
+    far_doc = FAR + "."
+    b1 = [(1, base_doc), (2, junk), (3, code_doc), (4, far_doc)]
+    ingest = StreamingDedupIngest(
+        spark,
+        store_dir=str(tmp_path / "store"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        c4=True,
+        c4_min_sentences=1,
+        c4_rejects_dir=str(tmp_path / "c4_rejects"),
+        quality_threshold=0.5,
+        rejects_dir=str(tmp_path / "rejects"),
+    )
+    m = ingest.run_to_completion(_doc_stream(spark, tmp_path, [b1]))
+    assert m.docs == 4
+    assert m.rejected_docs == 2  # c4 (3) + quality (2), BOTH counted
+    assert m.novel_docs == 2 and m.dup_docs == 0
+    assert m.rejected_docs + m.novel_docs == m.docs
+    census = ingest.gate_census()
+    assert census["c4"]["docs_rejected"] == 1
+    assert census["quality"]["docs_rejected"] == 1
+    assert census["c4"]["docs_in"] == 4
+    assert census["quality"]["docs_in"] == 3
+    assert census["dedup"]["docs_in"] == 2
+    assert [r.doc_id for r in
+            spark.read.parquet(str(tmp_path / "c4_rejects")).collect()] == [3]
+    assert [r.doc_id for r in
+            spark.read.parquet(str(tmp_path / "rejects")).collect()] == [2]
