@@ -722,6 +722,7 @@ def duplicate_token_spans(
     n: int = 10,
     keep_first: bool = False,
     hash_grams: bool = False,
+    char_grams: bool = False,
 ) -> DataFrame:
     """Maximal duplicated token spans (ExactSubstr dedup, the word-level
     form of Lee et al. 2021 "Deduplicating Training Data Makes Language
@@ -755,6 +756,32 @@ def duplicate_token_spans(
     never-duplicated text — would be scrubbed, breaking the
     exactly-one-copy-survives contract (over-marking is acceptable for
     a census; silently deleting a canonical is not).
+
+    ``char_grams=True`` (round 10) is Lee 2021's CANONICAL granularity:
+    windows are character ``n``-grams over ``lower(text)`` (use n ≈ 50
+    — the paper's 50-byte threshold) and the returned spans are
+    1-based inclusive CHARACTER offsets ``[start_tok, end_tok]`` into
+    the lowercased text (same column names, char units).  What it buys
+    over the word tier: duplicated regions are detected at character
+    resolution, so tokenization variants of the same text ("foo.bar"
+    glued vs "foo . bar" spaced, shifted punctuation, different
+    whitespace attachment) still expose their long IDENTICAL character
+    runs between the variant points — the word tier needs ``n`` whole
+    identical tokens in a row and sees none across such an edit, while
+    the char tier recovers every ≥n-char identical stretch on either
+    side of it (pinned on designed punctuation-variant duplicates).
+    Same gap-and-islands merge, keyed by char offset; ``keep_first``
+    and ``hash_grams`` compose identically (same refusal).
+
+    SCALING note (the tradeoff at 100 TB): the marking shuffle carries
+    one row per WINDOW.  Word windows ≈ tokens ≈ chars/(avg_token+1);
+    char windows ≈ chars — roughly 6× the rows of the word tier on
+    English-like text, and with exact (unhashed) grams a char@50 key
+    is ~50 B vs the word tier's ~n·6 B: comparable shuffled bytes,
+    ~6× the rows.  Deploy the char tier with ``hash_grams=True``
+    (8-byte keys), where the shuffle settles at ~6× the word tier's
+    volume — the price of tokenization robustness; size
+    ``spark.sql.shuffle.partitions`` accordingly.
     """
     if hash_grams and keep_first:
         raise ValueError(
@@ -762,8 +789,22 @@ def duplicate_token_spans(
             "collision merges two grams' canonical elections and can "
             "scrub a gram's only copy; use the exact form for keep-one"
         )
+    if char_grams:
+        # one window per char position of lower(text); docs shorter
+        # than n emit none.  The length guard matters: sequence(1,
+        # L-n+1) with L<n would STEP DOWN (Spark's sequence fills
+        # descending when stop < start) and mint phantom positions.
+        grams = F.when(
+            F.length("text") >= n,
+            F.expr(
+                f"transform(sequence(1, length(text) - {n - 1}), "
+                f"i -> substring(lower(text), i, {n}))"
+            ),
+        ).otherwise(F.expr("array()"))
+    else:
+        grams = word_grams(n)
     wins = d.select(
-        "doc_id", F.posexplode(word_grams(n)).alias("p0", "g")
+        "doc_id", F.posexplode(grams).alias("p0", "g")
     ).select("doc_id", (F.col("p0") + 1).alias("pos"), "g")
     if hash_grams:
         wins = wins.select("doc_id", "pos", F.xxhash64("g").alias("g"))

@@ -1496,3 +1496,97 @@ def test_bucket_pairs_keep_null_id_partners(spark):
     assert all(
         not (a is None and b is None) for a, b in got
     )  # no NULL self-pair
+
+
+def test_duplicate_char_spans_pinned_and_robust_to_tokenization(spark):
+    """Round-10 char-level ExactSubstr tier (Lee 2021's canonical
+    granularity): char_grams=True marks duplicated character n-gram
+    windows and merges them by CHAR offset — pinned span-for-span
+    against a pure-Python reference on designed docs, including
+    punctuation-variant duplicates where the word tier sees NOTHING
+    (no n identical consecutive tokens) while the char tier recovers
+    the identical stretches on each side of the variant point.  The
+    hash_grams form is row-identical; docs shorter than n emit no
+    windows (the sequence() descending-fill guard); keep_first +
+    hash_grams stays refused."""
+    from consume_kafka_avro_data_spark.queries.curation import (
+        duplicate_token_spans,
+    )
+
+    shared_a = "the manifest swap commits atomically under a rename"
+    shared_b = "every reader holds its own snapshot of the generation list"
+    # punctuation-variant join: doc 1 glues with '.', doc 2 spaces it
+    texts = [
+        (1, shared_a + "." + shared_b),
+        (2, shared_a + " . " + shared_b),
+        (3, "completely unrelated filler prose about unrelated things"),
+        (4, "tiny"),  # shorter than n: zero windows, zero spans
+    ]
+    n = 20
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+
+    # pure-Python reference: count char windows over lower(text),
+    # mark >1 occurrences, merge overlapping windows per doc
+    from collections import Counter, defaultdict
+
+    cnt = Counter()
+    for _, t in texts:
+        t = t.lower()
+        for i in range(len(t) - n + 1):
+            cnt[t[i : i + n]] += 1
+    want = set()
+    for did, t in texts:
+        t = t.lower()
+        ps = [
+            i + 1
+            for i in range(len(t) - n + 1)
+            if cnt[t[i : i + n]] > 1
+        ]
+        start = end = None
+        for p in ps:
+            if start is None:
+                start, end = p, p + n - 1
+            elif p <= end:
+                end = max(end, p + n - 1)
+            else:
+                want.add((did, start, end))
+                start, end = p, p + n - 1
+        if start is not None:
+            want.add((did, start, end))
+    assert want  # the designed docs DO share char stretches
+
+    got = {
+        (r.doc_id, r.start_tok, r.end_tok)
+        for r in duplicate_token_spans(docs, n=n, char_grams=True).collect()
+    }
+    assert got == want
+    assert not any(d == 4 for d, _, _ in got)
+    # the word tier is blind to the punctuation variant: with n=10
+    # tokens, no 10 consecutive tokens agree between docs 1 and 2 —
+    # the '.' gluing splits the identical text into a 7-token and a
+    # 9-token run, both under the window
+    word_spans = duplicate_token_spans(docs, n=10).collect()
+    assert word_spans == []
+    # hashed form: row-identical census (xxhash64 keys, 8 B shuffles)
+    hashed = {
+        (r.doc_id, r.start_tok, r.end_tok)
+        for r in duplicate_token_spans(
+            docs, n=n, char_grams=True, hash_grams=True
+        ).collect()
+    }
+    assert hashed == want
+    # keep_first composes: canonical occurrences unmarked, so doc 1
+    # (lexicographic min) keeps its copy and doc 2 is the marked one
+    kept = {
+        (r.doc_id, r.start_tok, r.end_tok)
+        for r in duplicate_token_spans(
+            docs, n=n, char_grams=True, keep_first=True
+        ).collect()
+    }
+    assert kept and all(d == 2 for d, _, _ in kept)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="incompatible"):
+        duplicate_token_spans(
+            docs, n=n, char_grams=True, keep_first=True, hash_grams=True
+        )
