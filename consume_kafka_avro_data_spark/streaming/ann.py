@@ -158,6 +158,16 @@ class StreamingAnnIngest(BoundedReplayMixin):
                 f"compact_policy must be 'eager' or 'tiered', got "
                 f"{compact_policy!r}"
             )
+        if compact_policy == "tiered" and compact_every is not None:
+            if compact_every < 2:
+                # a 1-way "fold" merges nothing: compact(dirs=[d]) is a
+                # no-op, and the trigger would re-fire (and re-read
+                # footers) every batch forever — config error, eagerly
+                raise ValueError(
+                    "compact_policy='tiered' needs compact_every >= 2 "
+                    "(the K-way fold width); use 'eager' for "
+                    "merge-every-batch behavior"
+                )
         self.spark = spark
         self.index = index
         self.checkpoint_dir = checkpoint_dir
@@ -271,6 +281,13 @@ class StreamingAnnIngest(BoundedReplayMixin):
             self._base_dir = live[0] if live else None
         self._fold_level = {
             d: lv for d, lv in self._fold_level.items() if d in live
+        }
+        # the footer-count cache must not outlive the dirs it counts:
+        # one stale entry per folded batch generation is an unbounded
+        # leak over a long-running stream (round-10 sweep)
+        keep = set(live)
+        self._dir_rows = {
+            d: n for d, n in self._dir_rows.items() if d in keep
         }
         non_base = [d for d in live if d != self._base_dir]
         # base fold: tiers have outgrown the base, so one full merge

@@ -435,3 +435,40 @@ def test_streaming_ann_tiered_compaction(spark, sf_dir, tmp_path, emb):
         StreamingAnnIngest(
             spark, idx, str(tmp_path / "ckpt3"), compact_policy="lsm"
         )
+
+
+def test_tiered_policy_validates_fold_width_and_bounds_cache(
+    spark, sf_dir, tmp_path, emb
+):
+    """Round-10 sweep pins: (a) tiered with compact_every=1 is a
+    config error (a 1-way fold merges nothing and would re-fire every
+    batch); (b) the footer-count cache is pruned to live dirs, so a
+    long stream never accumulates one stale entry per folded batch
+    generation."""
+    idx = AnnIndex.build(
+        spark,
+        emb.where(F.col("vec_id") % 8 == 0),
+        str(tmp_path / "idx"),
+        n_cells=8,
+        m=8,
+        k_codes=16,
+    )
+    with pytest.raises(ValueError, match="compact_every >= 2"):
+        StreamingAnnIngest(
+            spark,
+            idx,
+            str(tmp_path / "ckpt0"),
+            compact_every=1,
+            compact_policy="tiered",
+        )
+    parts = [F.col("vec_id") % 8 == r for r in (1, 2, 3, 4, 5, 6, 7)]
+    reader = _vector_stream(spark, tmp_path, emb, parts)
+    ingest = StreamingAnnIngest(
+        spark,
+        idx,
+        str(tmp_path / "ckpt"),
+        compact_every=2,
+        compact_policy="tiered",
+    )
+    ingest.run_to_completion(reader())
+    assert set(ingest._dir_rows) <= set(idx.vectors_dirs)
