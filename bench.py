@@ -498,6 +498,12 @@ def ingest_compaction_ab_bench(spark, sf_dir: str) -> dict:
                 "first8_batch_sec": first8,
                 "last8_batch_sec": last8,
                 "generation_dirs": len(idx.vectors_dirs),
+                # the schedule-comparison number: at this corpus size
+                # merge JOBS are fixed-cost-bound (wall rates tie), but
+                # the re-written row volume is what each schedule costs
+                # at scale — eager re-reads the whole corpus per
+                # trigger, tiered folds only the tiers
+                "compact_rows_written": ingest.compact_rows_written,
                 "post_query_sec": round(q, 4),
             }
         finally:
@@ -722,6 +728,12 @@ def learned_ops_bench(spark, sf_dir: str) -> dict:
                 finally:
                     bc.unpersist()
 
+            # warm the Python workers OUTSIDE the timers: the first
+            # pandas-UDF pass of the session pays worker spawn for all
+            # 32 executor threads, and without this the arm that runs
+            # FIRST eats it (the r10 seal's flat sample read 10.7k vs
+            # its warm 41k docs/s purely from run order)
+            kernel_run(tup_payload)
             lm_kernel_ab = interleaved_best(
                 {
                     "flat": lambda: kernel_run(flat_payload),
@@ -891,7 +903,16 @@ def learned_ops_bench(spark, sf_dir: str) -> dict:
         tmp = tempfile.mkdtemp(prefix="gate_census_bench_")
         try:
             topic = os.path.join(tmp, "docs")
-            held.repartition(4).write.parquet(topic)
+            # the synthetic docs carry no terminal punctuation, so the
+            # c4 LINE rule would drop every line and stream EMPTY
+            # cleaned texts into the later gates (and 2500 identical
+            # signatures into dedup — a pathological one-bucket batch,
+            # not a census).  One '.' per doc makes each a kept line;
+            # every gate then pays its real per-doc cost.
+            held_c4 = held.select(
+                "doc_id", F.concat(F.col("text"), F.lit(".")).alias("text")
+            )
+            held_c4.repartition(4).write.parquet(topic)
             ingest = _SDI(
                 spark,
                 store_dir=os.path.join(tmp, "store"),

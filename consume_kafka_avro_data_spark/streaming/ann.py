@@ -211,6 +211,12 @@ class StreamingAnnIngest(BoundedReplayMixin):
         )
         self._fold_level: dict[str, int] = {}  # fold-dir -> level >= 1
         self._dir_rows: dict[str, int] = {}  # footer-count cache
+        #: total rows re-written by this ingest's compactions — THE
+        #: schedule-comparison number: at bench scale merge jobs are
+        #: fixed-cost-bound so wall rates tie, but the re-written row
+        #: volume is what each schedule costs at 100 TB (eager re-reads
+        #: the whole corpus per trigger; tiered folds only the tiers)
+        self.compact_rows_written: int = 0
         self.metrics = self._new_metrics()
         self._seen_batches: set[int] = set()
 
@@ -250,7 +256,8 @@ class StreamingAnnIngest(BoundedReplayMixin):
             if self.compact_policy == "tiered":
                 self._tiered_compact()
             elif self.metrics.batches % self.compact_every == 0:
-                self.index.compact()
+                res = self.index.compact()
+                self.compact_rows_written += res.get("rows") or 0
 
     # -- tiered compaction (round 10) -----------------------------------------
 
@@ -296,6 +303,7 @@ class StreamingAnnIngest(BoundedReplayMixin):
             tier_rows = sum(self._dir_row_count(d) for d in non_base)
             if tier_rows > self._dir_row_count(self._base_dir):
                 res = self.index.compact()
+                self.compact_rows_written += res.get("rows") or 0
                 merged = res.get("merged_dir")
                 if merged:
                     self._base_dir = merged
@@ -318,6 +326,7 @@ class StreamingAnnIngest(BoundedReplayMixin):
                 level += 1
                 continue
             res = self.index.compact(dirs=at_level)
+            self.compact_rows_written += res.get("rows") or 0
             merged = res.get("merged_dir")
             if not merged:  # all-empty generations: nothing to fold
                 return

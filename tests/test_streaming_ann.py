@@ -472,3 +472,26 @@ def test_tiered_policy_validates_fold_width_and_bounds_cache(
     )
     ingest.run_to_completion(reader())
     assert set(ingest._dir_rows) <= set(idx.vectors_dirs)
+    # (c) the schedule's whole point, pinned as re-written ROW volume
+    # (wall rates tie at test scale where merge jobs are fixed-cost-
+    # bound): eager re-reads the full corpus every trigger, tiered
+    # folds only the tiers — strictly less rewrite volume on the same
+    # stream, and both end fully queryable
+    idx2 = AnnIndex.build(
+        spark,
+        emb.where(F.col("vec_id") % 8 == 0),
+        str(tmp_path / "idx2"),
+        n_cells=8,
+        m=8,
+        k_codes=16,
+    )
+    eager = StreamingAnnIngest(
+        spark,
+        idx2,
+        str(tmp_path / "ckpt2"),
+        compact_every=2,
+        compact_policy="eager",
+    )
+    eager.run_to_completion(reader())
+    assert 0 < ingest.compact_rows_written < eager.compact_rows_written
+    assert idx.vectors().count() == idx2.vectors().count() == emb.count()
