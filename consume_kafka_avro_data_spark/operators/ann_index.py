@@ -435,6 +435,47 @@ class AnnIndex:
         grace = self._grace_surviving(
             doc["superseded"], now, self.grace_seconds
         )
+        if self.last_shard_rows == 0:
+            # an empty shard encodes to a FILELESS generation (an empty
+            # partitionBy write leaves no parquet footers): committing
+            # it would break every later read's schema inference and
+            # make the tiered streaming schedule carry a rowless live
+            # dir until some fold retires it.  Refuse the commit:
+            # record the shard id as already-folded (zero rows are
+            # trivially represented in the index, so a replay must
+            # no-op) and let the gc remove the fileless directory.
+            folded = list(self.compacted_shards)
+            if shard_id is not None:
+                old_dir = shards.pop(shard_id, None)
+                if old_dir is not None:  # replace: retire the old commit
+                    live = [d for d in live if d != old_dir]
+                    grace.append({"dir": old_dir, "at": now})
+                folded = [s for s in folded if s != shard_id] + [shard_id]
+                folded = folded[-self.max_compacted_shards :]
+            meta = {
+                "id_col": self.id_col,
+                "vec_col": self.vec_col,
+                "vectors_dirs": live,
+                "superseded": grace,
+                "shards": shards,
+                "compacted_shards": folded,
+                "centroids": self.centroids.tolist(),
+                "codebooks": self.codebooks.tolist(),
+                "replicas": self.replicas,
+                "opq_rotation": (
+                    None if self.rotation is None else self.rotation.tolist()
+                ),
+                "grace_seconds": self.grace_seconds,
+                "meta_cols": self.meta_cols,
+                "meta_col_types": self.meta_col_types,
+            }
+            self._commit_meta(self._io, self.path, meta)
+            self._gc_unreferenced(  # sweeps the fileless gen too
+                self._io, self.path, keep={*live, *(e["dir"] for e in grace)}
+            )
+            self.compacted_shards = folded
+            self.vectors_dirs = live
+            return self
         if shard_id is not None:
             old_dir = shards.get(shard_id)
             if old_dir is not None:  # replay: replace, don't double-count
@@ -501,8 +542,11 @@ class AnnIndex:
         ``compacted_shards`` (bounded, newest-kept —
         ``max_compacted_shards``); an ``add_shard`` replay of one of
         them becomes a no-op instead of a double-count.  Returns
-        ``{"dirs_before", "dirs_after", "rows"}``; fewer than two live
-        directories is a no-op (nothing to merge).
+        ``{"dirs_before", "dirs_after", "rows"}`` plus ``merged_dir``
+        when a generation was written; fewer than two live directories
+        is a no-op (nothing to merge), and an all-empty merge set
+        retires its dirs without writing one (``rows`` 0, no
+        ``merged_dir``).
 
         Single-writer contract (class docstring) applies WITHIN one
         index across methods too: compact() and add_shard() both
@@ -530,27 +574,29 @@ class AnnIndex:
                 "rows": None,
             }
         merge_set = set(merge)
-        # row count from parquet FOOTERS (driver-side metadata) — a
+        # row counts from parquet FOOTERS (driver-side metadata) — a
         # count() job would scan the very files this merge exists to
-        # clean up
-        n_rows = sum(
-            sum(
+        # clean up.  Counted PER DIR: zero-row generations (legacy
+        # indexes written before add_shard refused empty commits) are
+        # FILELESS — partitionBy of an empty frame leaves no parquet
+        # footers — so reading one would fail schema inference.  They
+        # are excluded from the merged READ below but still RETIRE
+        # like any other folded dir (they hold no rows, so grace +
+        # compacted-shard bookkeeping is exactly the usual fold); an
+        # all-empty merge therefore writes no generation at all but
+        # still removes the dirs from the live list, which is what
+        # lets the tiered schedule stop re-counting them every batch
+        # (r10 advisor).
+        dir_rows = {
+            d: sum(
                 self._dir_cell_counts(
                     self._io, os.path.join(self.path, d)
                 ).values()
             )
             for d in merge
-        )
-        if n_rows == 0:
-            # all-empty generations: a merged zero-row partitionBy write
-            # produces a FILELESS directory that breaks every later read
-            # (parquet schema inference needs at least one footer) —
-            # leave the index as is
-            return {
-                "dirs_before": len(live),
-                "dirs_after": len(live),
-                "rows": 0,
-            }
+        }
+        n_rows = sum(dir_rows.values())
+        nonempty = [d for d in merge if dir_rows[d] > 0]
         n_files = max(1, -(-n_rows // target_rows_per_file))  # ceil
         # hash-cluster by cell into ~n_files tasks: each task writes one
         # file per cell it holds, so the merged generation lands near
@@ -564,14 +610,16 @@ class AnnIndex:
         # would merge one set while retiring another.
         from functools import reduce
 
-        rows = reduce(
-            DataFrame.unionByName,
-            [
-                self.spark.read.parquet(os.path.join(self.path, d))
-                for d in merge
-            ],
-        ).repartition(n_files, F.col("_ivf_cell"))
-        gen = self._write_generation(rows, self.path)
+        gen = None
+        if nonempty:
+            rows = reduce(
+                DataFrame.unionByName,
+                [
+                    self.spark.read.parquet(os.path.join(self.path, d))
+                    for d in nonempty
+                ],
+            ).repartition(n_files, F.col("_ivf_cell"))
+            gen = self._write_generation(rows, self.path)
         now = _time.time()
         grace = self._grace_surviving(
             doc["superseded"], now, self.grace_seconds
@@ -594,7 +642,9 @@ class AnnIndex:
         # shard ids whose generation survives this merge keep their
         # individually-addressable REPLACE semantics
         kept_shards = {s: d for s, d in shards.items() if d not in merge_set}
-        live_after = [d for d in live if d not in merge_set] + [gen]
+        live_after = [d for d in live if d not in merge_set] + (
+            [gen] if gen is not None else []
+        )
         meta = {
             "id_col": self.id_col,
             "vec_col": self.vec_col,
@@ -620,12 +670,14 @@ class AnnIndex:
         )
         self.vectors_dirs = live_after
         self.compacted_shards = folded
-        return {
+        out = {
             "dirs_before": len(live),
             "dirs_after": len(live_after),
             "rows": n_rows,
-            "merged_dir": gen,
         }
+        if gen is not None:  # all-empty merges retire dirs, write nothing
+            out["merged_dir"] = gen
+        return out
 
     # -- meta / generation plumbing -----------------------------------------
 

@@ -328,8 +328,18 @@ class StreamingAnnIngest(BoundedReplayMixin):
             res = self.index.compact(dirs=at_level)
             self.compact_rows_written += res.get("rows") or 0
             merged = res.get("merged_dir")
-            if not merged:  # all-empty generations: nothing to fold
-                return
+            if not merged:
+                # all-empty fold set (legacy indexes whose empty
+                # add_shard calls committed fileless dirs — add_shard
+                # now refuses those): compact() RETIRED the dirs
+                # without writing a merged generation, so drop their
+                # bookkeeping and CONTINUE the cascade — returning
+                # here would abort every higher-level fold for the
+                # batch (r10 advisor)
+                for d in at_level:
+                    self._fold_level.pop(d, None)
+                    self._dir_rows.pop(d, None)
+                continue
             self._fold_level = {
                 d: lv
                 for d, lv in self._fold_level.items()

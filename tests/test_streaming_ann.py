@@ -495,3 +495,115 @@ def test_tiered_policy_validates_fold_width_and_bounds_cache(
     eager.run_to_completion(reader())
     assert 0 < ingest.compact_rows_written < eager.compact_rows_written
     assert idx.vectors().count() == idx2.vectors().count() == emb.count()
+
+
+def test_add_shard_refuses_empty_generation(spark, sf_dir, tmp_path, emb):
+    """Round-11 advisor fix: an empty shard must not commit a FILELESS
+    generation dir (an empty partitionBy write leaves no parquet
+    footers, breaking every later read and leaving the tiered schedule
+    a rowless live dir per empty batch).  The commit is refused, the
+    shard id records as already-folded so replays no-op, and nothing
+    fileless survives on disk."""
+    import os
+
+    idx = AnnIndex.build(
+        spark,
+        emb.where(F.col("vec_id") % 8 == 0),
+        str(tmp_path / "idx"),
+        n_cells=8,
+        m=8,
+        k_codes=16,
+    )
+    dirs0 = list(idx.vectors_dirs)
+    n0 = idx.vectors().count()
+    empty = emb.select("vec_id", "embedding").limit(0)
+    idx.add_shard(empty, shard_id="e1")
+    assert idx.last_shard_rows == 0
+    assert idx.vectors_dirs == dirs0
+    assert "e1" in idx.compacted_shards
+    # replay no-ops via the already-folded fast path
+    idx.add_shard(empty, shard_id="e1")
+    assert idx.vectors_dirs == dirs0
+    # anonymous empty shard: same refusal, no id bookkeeping
+    idx.add_shard(empty)
+    assert idx.vectors_dirs == dirs0
+    # on-disk: only the committed generations remain (the fileless dir
+    # was swept by the refusal's gc) and a fresh handle reads clean
+    on_disk = {
+        d for d in os.listdir(str(tmp_path / "idx")) if d.startswith("vectors")
+    }
+    assert on_disk == set(dirs0)
+    loaded = AnnIndex.load(spark, str(tmp_path / "idx"))
+    assert loaded.vectors_dirs == dirs0
+    assert "e1" in loaded.compacted_shards
+    assert loaded.vectors().count() == n0
+
+
+def test_tiered_cascade_retires_legacy_empty_generations(
+    spark, sf_dir, tmp_path, emb
+):
+    """Round-11 advisor fix: an index carrying all-empty generation
+    dirs (written by pre-fix empty add_shard calls) must not wedge the
+    tiered schedule — compact() retires the fileless dirs without
+    writing a merged generation, the cascade continues instead of
+    aborting per batch, and the stream ends with them gone from the
+    live list."""
+    import json
+    import os
+
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    qvec = emb.where(F.col("vec_id") == 1).collect()[0]["embedding"]
+    root = str(tmp_path / "idx")
+    idx = AnnIndex.build(
+        spark,
+        emb.where(F.col("vec_id") % 8 == 0),
+        root,
+        n_cells=8,
+        m=8,
+        k_codes=16,
+    )
+    # hand-commit two legacy fileless generations, the shape a pre-fix
+    # empty add_shard left behind
+    legacy = ["vectors-legacyempty1", "vectors-legacyempty2"]
+    for name in legacy:
+        os.makedirs(os.path.join(root, name))
+    mf = os.path.join(root, "_ann_meta.json")
+    meta = json.loads(open(mf, "rb").read())
+    meta["vectors_dirs"] = meta["vectors_dirs"] + legacy
+    open(mf, "w").write(json.dumps(meta))
+    idx = AnnIndex.load(spark, root)
+    assert set(legacy) <= set(idx.vectors_dirs)
+    ingest = StreamingAnnIngest(
+        spark,
+        idx,
+        str(tmp_path / "ckpt"),
+        compact_every=2,
+        compact_policy="tiered",
+    )
+    # direct schedule round before any arrivals: the only level-0
+    # population is the two empty dirs — the fold retires them (no
+    # merged generation) and the pass terminates cleanly (the pre-fix
+    # code aborted and re-counted them at level 0 every batch forever)
+    ingest._tiered_compact()
+    assert not (set(legacy) & set(idx.vectors_dirs))
+    assert not (set(legacy) & set(ingest._fold_level))
+    assert ingest.compact_rows_written == 0  # nothing re-written
+    # a real stream then folds normally past where the empties were
+    parts = [F.col("vec_id") % 8 == r for r in (1, 2, 3, 4)]
+    reader = _vector_stream(spark, tmp_path, emb, parts)
+    ingest.run_to_completion(reader())
+    assert ingest.compact_rows_written > 0
+    n = emb.where(F.col("vec_id") % 8 <= 4).count()
+    assert idx.vectors().count() == n
+    sub = emb.where(F.col("vec_id") % 8 <= 4)
+    want = [
+        (r.vec_id, r.score) for r in brute_force_topk(sub, qvec, 10).collect()
+    ]
+    got = [
+        (r.vec_id, r.score)
+        for r in idx.query_exact(qvec, 10, nprobe=8).collect()
+    ]
+    assert got == want
