@@ -794,10 +794,16 @@ def duplicate_token_spans(
         # than n emit none.  The length guard matters: sequence(1,
         # L-n+1) with L<n would STEP DOWN (Spark's sequence fills
         # descending when stop < start) and mint phantom positions.
+        # Both the window bound and the slices derive from the SAME
+        # lowered string: lowercasing can change string length
+        # (U+0130 'İ' → "i̇" is 1 → 2 chars), so counting windows
+        # with length(text) would silently miss tail windows of the
+        # lowered form — and the returned offsets index the lowered
+        # text, so they must be consistent with it (r10 advisor).
         grams = F.when(
-            F.length("text") >= n,
+            F.length(F.lower("text")) >= n,
             F.expr(
-                f"transform(sequence(1, length(text) - {n - 1}), "
+                f"transform(sequence(1, length(lower(text)) - {n - 1}), "
                 f"i -> substring(lower(text), i, {n}))"
             ),
         ).otherwise(F.expr("array()"))

@@ -1590,3 +1590,59 @@ def test_duplicate_char_spans_pinned_and_robust_to_tokenization(spark):
         duplicate_token_spans(
             docs, n=n, char_grams=True, keep_first=True, hash_grams=True
         )
+
+
+def test_duplicate_char_spans_length_changing_lowercase(spark):
+    """Round-11 advisor fix: lowercasing can LENGTHEN a string
+    (U+0130 'İ' lowers to 'i' + combining dot, 1 → 2 chars), so both
+    the window bound and the slices must derive from the same
+    lower(text) — the pre-fix code counted windows with length(text)
+    and silently missed every tail window of the lowered form,
+    under-marking duplicates that sit at the end of such a doc.
+    Pinned against the pure-Python reference over t.lower() with
+    offsets into the lowered string."""
+    from collections import Counter
+
+    from consume_kafka_avro_data_spark.queries.curation import (
+        duplicate_token_spans,
+    )
+
+    n = 20
+    shared = "identical tail stretch both documents share verbatim"
+    texts = [
+        (1, "İİİİİİ " + shared),  # lowered form is 6 chars LONGER
+        (2, "plain ascii prefix " + shared),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    # sanity: Python agrees the lowering lengthens (the reference and
+    # Spark must lower identically for the pin to mean anything)
+    assert len(texts[0][1].lower()) == len(texts[0][1]) + 6
+
+    cnt = Counter()
+    lowered = {did: t.lower() for did, t in texts}
+    for t in lowered.values():
+        for i in range(len(t) - n + 1):
+            cnt[t[i : i + n]] += 1
+    want = set()
+    for did, t in lowered.items():
+        ps = [i + 1 for i in range(len(t) - n + 1) if cnt[t[i : i + n]] > 1]
+        start = end = None
+        for p in ps:
+            if start is None:
+                start, end = p, p + n - 1
+            elif p <= end:
+                end = max(end, p + n - 1)
+            else:
+                want.add((did, start, end))
+                start, end = p, p + n - 1
+        if start is not None:
+            want.add((did, start, end))
+    got = {
+        (r.doc_id, r.start_tok, r.end_tok)
+        for r in duplicate_token_spans(docs, n=n, char_grams=True).collect()
+    }
+    assert got == want
+    # the shared stretch runs to each doc's LAST lowered char — the
+    # exact windows the pre-fix bound dropped for doc 1
+    for did, t in lowered.items():
+        assert max(e for d, _, e in want if d == did) == len(t)
