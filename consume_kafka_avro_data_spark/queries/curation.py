@@ -990,13 +990,84 @@ def scrub_duplicate_spans(
     n: int = 10,
     keep_first: bool = False,
     hash_grams: bool = False,
+    char_grams: bool = False,
 ) -> DataFrame:
     """Library form of q_dup_span_scrub over any (doc_id, text) frame —
     see that query's docstring for semantics and scale shape.
     ``keep_first`` scrubs every occurrence EXCEPT the canonical
     min-(doc_id, pos) one — the policy a production pipeline runs;
     ``hash_grams`` selects the hashed-gram shuffle (see
-    ``duplicate_token_spans``)."""
+    ``duplicate_token_spans``).
+
+    ``char_grams=True`` (round 11) completes the char tier's trio
+    (census / keep-one / scrub): spans come from
+    ``duplicate_token_spans(char_grams=True)`` and the text rebuild is
+    SUBSTRING SURGERY instead of token re-join — each doc's disjoint,
+    maximal spans sort into offset order and one JVM-side
+    ``aggregate()`` walk concatenates the uncovered stretches between
+    them.  Scale shape: the rebuild shuffles ONE ROW PER SPAN (the
+    word tier's rebuild explodes one row per token), so the scrub adds
+    strictly less exchange volume than the marking pass that produced
+    the spans; the per-doc ``collect_list`` is bounded by the doc's
+    span count (≤ len/n disjoint spans).  Output contract matches the
+    word tier — (doc_id, scrubbed, n_kept) for docs holding ≥ 1 span,
+    a fully-duplicated doc surviving as an empty string — with
+    ``n_kept`` in CHARS.  The scrubbed text is the LOWERED form: char
+    span offsets index ``lower(text)`` (lowercasing can change string
+    length — 'İ' lowers to two chars), so the surgery must slice the
+    same string the offsets were minted against.
+    """
+    if char_grams:
+        spans = duplicate_token_spans(
+            d,
+            n,
+            keep_first=keep_first,
+            hash_grams=hash_grams,
+            char_grams=True,
+        )
+        per_doc = spans.groupBy("doc_id").agg(
+            F.array_sort(
+                F.collect_list(F.struct("start_tok", "end_tok"))
+            ).alias("spans")
+        )
+        joined = d.join(per_doc, "doc_id").withColumn(
+            "lt", F.lower("text")
+        )
+        rebuilt = F.aggregate(
+            "spans",
+            F.struct(F.lit(0).alias("prev"), F.lit("").alias("acc")),
+            lambda a, s: F.struct(
+                s["end_tok"].alias("prev"),
+                F.concat(
+                    a["acc"],
+                    # gap before this span; zero/negative length (span
+                    # abuts or starts at prev+1) slices to ""
+                    F.substr(
+                        F.col("lt"),
+                        a["prev"] + F.lit(1),
+                        s["start_tok"] - F.lit(1) - a["prev"],
+                    ),
+                ).alias("acc"),
+            ),
+            lambda a: F.concat(
+                a["acc"],
+                F.substr(
+                    F.col("lt"),
+                    a["prev"] + F.lit(1),
+                    F.length("lt") - a["prev"],
+                ),
+            ),
+        )
+        covered = F.aggregate(
+            "spans",
+            F.lit(0),
+            lambda a, s: a + s["end_tok"] - s["start_tok"] + F.lit(1),
+        )
+        return joined.select(
+            "doc_id",
+            rebuilt.alias("scrubbed"),
+            (F.length("lt") - covered).cast("long").alias("n_kept"),
+        )
     spans = duplicate_token_spans(
         d, n, keep_first=keep_first, hash_grams=hash_grams
     )

@@ -1646,3 +1646,114 @@ def test_duplicate_char_spans_length_changing_lowercase(spark):
     # exact windows the pre-fix bound dropped for doc 1
     for did, t in lowered.items():
         assert max(e for d, _, e in want if d == did) == len(t)
+
+
+def test_scrub_duplicate_char_spans_substring_surgery(spark):
+    """Round-11 char-tier scrub parity: scrub_duplicate_spans(
+    char_grams=True) rebuilds each spanned doc by substring surgery
+    over lower(text) — pinned char-for-char against a pure-Python
+    rebuild on the punctuation-variant fixtures, including a
+    fully-duplicated doc pair (the loser survives as an empty string
+    under keep_first; both empty under remove-all), a doc whose
+    lowered form is LONGER than the original ('İ' prefix), and
+    hash_grams row-identity."""
+    from collections import Counter
+
+    from consume_kafka_avro_data_spark.queries.curation import (
+        scrub_duplicate_spans,
+    )
+
+    n = 20
+    shared_a = "the manifest swap commits atomically under a rename"
+    shared_b = "every reader holds its own snapshot of the generation list"
+    twin = "this entire document is duplicated verbatim elsewhere ok"
+    tail = "identical tail stretch both documents share verbatim"
+    texts = [
+        (1, shared_a + "." + shared_b),
+        (2, shared_a + " . " + shared_b),
+        (3, "completely unrelated filler prose about unrelated things"),
+        (4, twin),
+        (5, twin),
+        (6, "İİİİİİ " + tail),
+        (7, "plain ascii prefix " + tail),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+
+    def py_spans(keep_first):
+        cnt = Counter()
+        occ = {}
+        lowered = {did: t.lower() for did, t in texts}
+        for did in sorted(lowered):
+            t = lowered[did]
+            for i in range(len(t) - n + 1):
+                g = t[i : i + n]
+                cnt[g] += 1
+                occ.setdefault(g, (did, i + 1))
+        spans = {}
+        for did, t in lowered.items():
+            ps = [
+                i + 1
+                for i in range(len(t) - n + 1)
+                if cnt[t[i : i + n]] > 1
+                and not (
+                    keep_first and occ[t[i : i + n]] == (did, i + 1)
+                )
+            ]
+            out, start, end = [], None, None
+            for p in ps:
+                if start is None:
+                    start, end = p, p + n - 1
+                elif p <= end:
+                    end = max(end, p + n - 1)
+                else:
+                    out.append((start, end))
+                    start, end = p, p + n - 1
+            if start is not None:
+                out.append((start, end))
+            if out:
+                spans[did] = out
+        return lowered, spans
+
+    for keep_first in (False, True):
+        lowered, spans = py_spans(keep_first)
+        want = {}
+        for did, ss in spans.items():
+            t = lowered[did]
+            kept, prev = [], 0
+            for s, e in ss:
+                kept.append(t[prev : s - 1])
+                prev = e
+            kept.append(t[prev:])
+            scrubbed = "".join(kept)
+            want[did] = (scrubbed, len(scrubbed))
+        got = {
+            r.doc_id: (r.scrubbed, r.n_kept)
+            for r in scrub_duplicate_spans(
+                docs, n=n, char_grams=True, keep_first=keep_first
+            ).collect()
+        }
+        assert got == want
+        # the twin pair is fully duplicated: remove-all empties both,
+        # keep_first spares the canonical doc 4 entirely (no row) and
+        # empties doc 5
+        if keep_first:
+            assert 4 not in got and got[5] == ("", 0)
+        else:
+            assert got[4] == ("", 0) and got[5] == ("", 0)
+        # unrelated doc never appears
+        assert 3 not in got
+    # hashed form: row-identical rebuild (remove-all policy)
+    lowered, spans = py_spans(False)
+    got_h = {
+        r.doc_id: (r.scrubbed, r.n_kept)
+        for r in scrub_duplicate_spans(
+            docs, n=n, char_grams=True, hash_grams=True
+        ).collect()
+    }
+    got = {
+        r.doc_id: (r.scrubbed, r.n_kept)
+        for r in scrub_duplicate_spans(
+            docs, n=n, char_grams=True
+        ).collect()
+    }
+    assert got_h == got
