@@ -34,6 +34,7 @@ scheduled decision, not a mid-stream surprise).
 
 from __future__ import annotations
 
+import json
 import os
 import threading
 
@@ -41,6 +42,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from consume_kafka_avro_data_spark.operators.ann_index import AnnIndex
 from consume_kafka_avro_data_spark.streaming.lifecycle import BoundedReplayMixin
+
+#: index-side sidecar holding the tiered schedule's fold-level map —
+#: written next to the index meta so a restarted ingest resumes the
+#: schedule; losing it costs one re-fold, never a wrong result
+FOLD_SIDECAR = "_ann_fold_levels.json"
 
 
 class AnnIngestMetrics:
@@ -199,17 +205,28 @@ class StreamingAnnIngest(BoundedReplayMixin):
         #:   amortized O(1) base folds — amortized-LOGARITHMIC merge
         #:   cost where eager pays O(corpus) per trigger — and the
         #:   live dir count stays ≤ 1 + K·levels + K.  Fold history
-        #:   (each fold-dir's level) is in-memory; after an ingest
-        #:   restart existing fold dirs re-enter at level 0, costing
-        #:   one extra (correct) re-fold, never a wrong result.
+        #:   (each fold-dir's level) persists in a sidecar next to the
+        #:   index meta (round 11), so a restarted ingest RESUMES the
+        #:   schedule instead of demoting every fold dir to level 0
+        #:   and paying one re-fold of already-folded rows per
+        #:   restart; a sidecar lost or torn mid-crash degrades to
+        #:   exactly that pre-persistence behavior (correct, one extra
+        #:   fold), never a wrong result.
         self.compact_every = compact_every
         self.compact_policy = compact_policy
         #: the seed/base generation the tiered policy leaves untouched
-        #: until the tiers outgrow it
+        #: until the tiers outgrow it (live[0] is always the base:
+        #: folds remove-and-append behind it, and a full fold's merged
+        #: dir becomes the sole — hence first — live entry)
         self._base_dir: str | None = (
             index.vectors_dirs[0] if index.vectors_dirs else None
         )
-        self._fold_level: dict[str, int] = {}  # fold-dir -> level >= 1
+        #: fold-dir -> level >= 1, resumed from the sidecar; dirs no
+        #: longer live (or written by a fold whose sidecar update was
+        #: lost to a crash) re-enter at level 0 via the per-round prune
+        self._fold_level: dict[str, int] = (
+            self._load_fold_levels() if compact_policy == "tiered" else {}
+        )
         self._dir_rows: dict[str, int] = {}  # footer-count cache
         #: total rows re-written by this ingest's compactions — THE
         #: schedule-comparison number: at bench scale merge jobs are
@@ -261,6 +278,41 @@ class StreamingAnnIngest(BoundedReplayMixin):
 
     # -- tiered compaction (round 10) -----------------------------------------
 
+    def _fold_sidecar_path(self) -> str:
+        return os.path.join(self.index.path, FOLD_SIDECAR)
+
+    def _load_fold_levels(self) -> dict[str, int]:
+        """Resume the fold-level map from the index-side sidecar.  A
+        missing, torn, or stale sidecar is NOT an error — unlisted
+        dirs simply re-enter at level 0 (the pre-persistence
+        behavior), and dirs no longer live are pruned on the next
+        schedule round."""
+        io = self.index._io
+        p = self._fold_sidecar_path()
+        if not io.is_file(p):
+            return {}
+        try:
+            doc = json.loads(io.read_bytes(p))
+            return {
+                str(d): int(lv)
+                for d, lv in dict(doc.get("fold_levels", {})).items()
+            }
+        except (ValueError, TypeError):
+            return {}
+
+    def _save_fold_levels(self) -> None:
+        """Atomic sidecar replace (write + rename), same discipline as
+        the index meta commit.  Written AFTER the fold's meta commit:
+        a crash between the two loses only schedule freshness (the new
+        fold dir re-enters at level 0), never index rows."""
+        io = self.index._io
+        p = self._fold_sidecar_path()
+        tmp = p + ".tmp"
+        io.write_bytes(
+            tmp, json.dumps({"fold_levels": self._fold_level}).encode()
+        )
+        io.rename_overwrite(tmp, p)
+
     def _dir_row_count(self, d: str) -> int:
         """Rows in one generation dir from parquet footers (driver-side
         metadata, cached — generation dirs are immutable once written)."""
@@ -279,7 +331,17 @@ class StreamingAnnIngest(BoundedReplayMixin):
         fold K level-0 (per-batch) generations into a level-1 dir,
         cascade full levels upward, and fold everything into a new
         base only when the tiers outgrow it.  Runs inline in
-        foreachBatch — same single-writer discipline as eager."""
+        foreachBatch — same single-writer discipline as eager.  Any
+        change to the fold-level map persists to the sidecar so a
+        restarted ingest resumes the schedule (round 11)."""
+        before = dict(self._fold_level)
+        try:
+            self._tiered_round()
+        finally:
+            if self._fold_level != before:
+                self._save_fold_levels()
+
+    def _tiered_round(self) -> None:
         k = self.compact_every
         live = list(self.index.vectors_dirs)
         if self._base_dir not in live:

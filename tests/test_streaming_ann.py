@@ -607,3 +607,92 @@ def test_tiered_cascade_retires_legacy_empty_generations(
         for r in idx.query_exact(qvec, 10, nprobe=8).collect()
     ]
     assert got == want
+
+
+def test_tiered_fold_levels_persist_across_restart(spark, sf_dir, tmp_path, emb):
+    """Round-11: the tiered schedule's fold-level map persists in an
+    index-side sidecar, so a restarted ingest RESUMES the schedule —
+    the stop/start run re-writes exactly as many rows as the
+    uninterrupted run (pre-persistence, every fold dir demoted to
+    level 0 on restart and already-folded rows paid one extra fold).
+    The seed outweighs the arrivals so no base fold masks the level
+    bookkeeping."""
+    import os
+
+    from consume_kafka_avro_data_spark.streaming.ann import FOLD_SIDECAR
+
+    def write_part(path, i):
+        emb.where(F.col("vec_id") % 8 == 1).select(
+            (F.col("vec_id") + i * 1_000_000).alias("vec_id"), "embedding"
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    def build(name):
+        return AnnIndex.build(
+            spark, emb, str(tmp_path / name), n_cells=8, m=8, k_codes=16
+        )
+
+    # A: uninterrupted 6-batch run
+    idx_a = build("idxA")
+    path_a = str(tmp_path / "vecsA")
+    for i in range(6):
+        write_part(path_a, i)
+    schema = emb.select("vec_id", "embedding").schema
+    reader = lambda p: (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(p)
+    )
+    ing_a = StreamingAnnIngest(
+        spark,
+        idx_a,
+        str(tmp_path / "ckptA"),
+        compact_every=2,
+        compact_policy="tiered",
+    )
+    ing_a.run_to_completion(reader(path_a))
+    assert ing_a.compact_rows_written > 0
+    assert ing_a._base_dir == idx_a.vectors_dirs[0]  # base untouched
+
+    # B: same stream split 3 + 3 around a restart (fresh index handle,
+    # same checkpoint — only the new files replay)
+    idx_b = build("idxB")
+    path_b = str(tmp_path / "vecsB")
+    for i in range(3):
+        write_part(path_b, i)
+    ing_b1 = StreamingAnnIngest(
+        spark,
+        idx_b,
+        str(tmp_path / "ckptB"),
+        compact_every=2,
+        compact_policy="tiered",
+    )
+    ing_b1.run_to_completion(reader(path_b))
+    assert ing_b1._fold_level  # at least one level-1 fold happened
+    assert os.path.exists(os.path.join(idx_b.path, FOLD_SIDECAR))
+    for i in range(3, 6):
+        write_part(path_b, i)
+    ing_b2 = StreamingAnnIngest(
+        spark,
+        AnnIndex.load(spark, idx_b.path),
+        str(tmp_path / "ckptB"),
+        compact_every=2,
+        compact_policy="tiered",
+    )
+    # the restarted ingest RESUMES the exact level map
+    assert ing_b2._fold_level == ing_b1._fold_level
+    ing_b2.run_to_completion(reader(path_b))
+    total_split = ing_b1.compact_rows_written + ing_b2.compact_rows_written
+    assert total_split == ing_a.compact_rows_written
+    assert ing_b2.index.vectors().count() == idx_a.vectors().count()
+    assert len(ing_b2.index.vectors_dirs) == len(idx_a.vectors_dirs)
+    # losing the sidecar degrades to the pre-persistence behavior:
+    # every fold dir re-enters at level 0 (correct, one extra re-fold)
+    os.remove(os.path.join(idx_b.path, FOLD_SIDECAR))
+    ing_b3 = StreamingAnnIngest(
+        spark,
+        AnnIndex.load(spark, idx_b.path),
+        str(tmp_path / "ckptB"),
+        compact_every=2,
+        compact_policy="tiered",
+    )
+    assert ing_b3._fold_level == {}
