@@ -1517,6 +1517,45 @@ def ann_index_bench(spark, sf_dir: str) -> dict:
                     "samples": secs,
                     "recall_at_10": round(hits_f / denom_f, 3),
                 }
+        # round 11: the auto arm — caller passes the BASE nprobe=4
+        # (the width the r10 finding showed decaying under selective
+        # filters) and auto_nprobe measures selectivity and widens the
+        # probe list itself; recorded beside the fixed arms so the
+        # escalation's recall recovery and its latency price (one
+        # meta-column count + the wider probe) are both visible
+        resolved = tuned.resolve_nprobe(4, cond)
+        for pname, run in (
+            (
+                "knn_join",
+                lambda: tuned.knn_join(
+                    qbatch, k=10, nprobe=4, where=cond, auto_nprobe=True
+                ),
+            ),
+            (
+                "knn_join_adc_rr200",
+                lambda: tuned.knn_join_adc(
+                    qbatch, k=10, nprobe=4, rerank=200, where=cond,
+                    auto_nprobe=True,
+                ),
+            ),
+        ):
+            secs, rows = [], None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rows = run().collect()
+                secs.append(round(time.perf_counter() - t0, 4))
+            got_f = {}
+            for r in rows:
+                got_f.setdefault(r["q_id"], set()).add(r["vec_id"])
+            hits_f = sum(
+                len(got_f.get(q, set()) & t) for q, t in truth_f.items()
+            )
+            filtered[f"{pname}_auto"] = {
+                "sec": min(secs),
+                "samples": secs,
+                "recall_at_10": round(hits_f / denom_f, 3),
+                "resolved_nprobe": resolved,
+            }
         qbatch.unpersist()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -893,3 +893,63 @@ def test_filtered_recall_floor_on_tuned_preset(spark, emb, tmp_path):
                 / denom
             )
             assert recall >= 0.9, (mod, name, recall)
+
+
+def test_auto_nprobe_recovers_filtered_recall(spark, emb, tmp_path):
+    """Round-11 verdict task: selectivity-aware probe escalation.  The
+    r10 recorded finding is that nprobe=4 filtered recall decays to
+    ~0.78 at 1/25 selectivity (per-cell survivor sets thin out) and
+    the CALLER had to know to raise nprobe.  With auto_nprobe=True the
+    index measures the predicate's survivor fraction (one meta-column
+    count; total from footers) and widens the probe list so the
+    expected filtered candidate pool matches the unfiltered pool at
+    the base nprobe — recall@10 >= 0.9 at BOTH 1/10 and 1/25
+    selectivity with the caller still passing nprobe=4, on both the
+    exact and the ADC+rerank batch paths.  resolve_nprobe itself is
+    pinned: ceil(nprobe/s) capped at n_cells, identity without a
+    filter, full-probe on a nothing-survives predicate."""
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        knn_join as bf_knn,
+    )
+
+    for mod in (10, 25):
+        tagged = emb.withColumn(
+            "m", (F.col("vec_id") % mod == 0).cast("string")
+        )
+        idx = AnnIndex.build_tuned(
+            spark, tagged, str(tmp_path / f"a{mod}"), n_cells=16,
+            meta_cols=["m"],
+        )
+        qs = _mk_queries(spark, emb, [1, 2, 3, 5, 8])
+        cond = F.col("m") == "true"
+        # resolve_nprobe: s ~= 1/mod, so 4/s = 4*mod caps at n_cells
+        assert idx.resolve_nprobe(4, cond) == 16
+        assert idx.resolve_nprobe(4, None) == 4
+        assert idx.resolve_nprobe(4, F.col("m") == "never") == 16
+        # half-selective predicate escalates to ~2x, NOT to full probe
+        half = idx.resolve_nprobe(4, F.col("vec_id") % 2 == 0)
+        assert 8 <= half < 16
+        truth: dict = {}
+        for r in bf_knn(qs, tagged.where(cond), k=10).collect():
+            truth.setdefault(r["q_id"], set()).add(r["vec_id"])
+        denom = sum(len(t) for t in truth.values())
+        for name, rows in (
+            (
+                "knn_join",
+                idx.knn_join(qs, k=10, nprobe=4, where=cond,
+                             auto_nprobe=True),
+            ),
+            (
+                "knn_join_adc",
+                idx.knn_join_adc(qs, k=10, nprobe=4, rerank=200,
+                                 where=cond, auto_nprobe=True),
+            ),
+        ):
+            got: dict = {}
+            for r in rows.collect():
+                got.setdefault(r["q_id"], set()).add(r["vec_id"])
+            recall = (
+                sum(len(got.get(q, set()) & t) for q, t in truth.items())
+                / denom
+            )
+            assert recall >= 0.9, (mod, name, recall)
