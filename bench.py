@@ -256,7 +256,12 @@ def streaming_dedup_bench(spark, sf_dir: str) -> dict:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n_docs = docs.count()
 
-    def one_run(n_files: int, fpt: int, compact_every: int | None) -> dict:
+    def one_run(
+        n_files: int,
+        fpt: int,
+        compact_every: int | None,
+        store_bloom: bool = False,
+    ) -> dict:
         tmp = tempfile.mkdtemp(prefix="sdedup_bench_")
         try:
             topic = os.path.join(tmp, "docs")
@@ -266,6 +271,7 @@ def streaming_dedup_bench(spark, sf_dir: str) -> dict:
                 store_dir=os.path.join(tmp, "store"),
                 checkpoint_dir=os.path.join(tmp, "ckpt"),
                 compact_every=compact_every,
+                store_bloom=store_bloom,
             )
             batch_secs: list[float] = []
             inner = ingest.process_batch
@@ -299,6 +305,10 @@ def streaming_dedup_bench(spark, sf_dir: str) -> dict:
                 "store_files": len(ingest.store.files()),
                 "first8_batch_sec": round(sum(head) / max(len(head), 1), 4),
                 "last8_batch_sec": round(sum(tail) / max(len(tail), 1), 4),
+                # round-11 census sub splits: sig / store-probe / merge
+                # slices of the dedup stage, summed over the run — the
+                # number the store_bloom A/B moves (or honestly doesn't)
+                "sub": ingest.gate_census().get("dedup", {}).get("sub"),
             }
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
@@ -315,6 +325,20 @@ def streaming_dedup_bench(spark, sf_dir: str) -> dict:
     )
     no_compact = compaction_ab["off"]
     sweep.append(no_compact)
+    # round-11 store-bloom A/B (census-guided: the probe is ~56% of
+    # the dedup stage): same many-small-batches regime, bloom-over-
+    # batch-band-keys prefilter on the store side OFF vs ON; each arm
+    # carries its sig/probe/merge sub splits so the row shows WHERE
+    # the bloom moves cost.  At bench-scale stores the extra build job
+    # can wash out the shuffle savings — the row records whichever way
+    # it lands; the knob exists for stores that dwarf the batch.
+    store_bloom_ab = interleaved_best(
+        {
+            "off": lambda: one_run(32, 1, None),
+            "on": lambda: one_run(32, 1, None, store_bloom=True),
+        },
+        rate=lambda r: r["docs_per_sec"],
+    )
     # headline comes from the compaction-OFF sweep only, and carries
     # compact_every explicitly — a compaction-assisted number must
     # never masquerade as the plain ingest configuration
@@ -337,6 +361,7 @@ def streaming_dedup_bench(spark, sf_dir: str) -> dict:
         "n_docs": n_docs,
         "sweep": sweep,
         "compaction_ab": compaction_ab,
+        "store_bloom_ab": store_bloom_ab,
     }
 
 
@@ -734,12 +759,20 @@ def learned_ops_bench(spark, sf_dir: str) -> dict:
             # FIRST eats it (the r10 seal's flat sample read 10.7k vs
             # its warm 41k docs/s purely from run order)
             kernel_run(tup_payload)
+            # round 11: N=5 interleaved repetitions (was 2) — the r10
+            # seals disagreed on the winner in both A/B rows at 2
+            # samples per arm, so the committed artifact now carries
+            # enough samples to settle flat-vs-tuple per seal instead
+            # of re-litigating it from single-run noise; each run is
+            # ~1-2 s at this batch size, so the wider protocol costs
+            # seconds
             lm_kernel_ab = interleaved_best(
                 {
                     "flat": lambda: kernel_run(flat_payload),
                     "tuple": lambda: kernel_run(tup_payload),
                 },
                 rate=lambda r: r["docs_per_sec"],
+                runs=5,
             )
             big.unpersist()
         finally:

@@ -129,6 +129,7 @@ class StreamingDedupIngest(BoundedReplayMixin):
         contam_dir: str | None = None,
         drift_monitor=None,
         sketch_monitor=None,
+        store_bloom: bool = False,
     ):
         """``id_type`` is the document-id column's Spark type (default
         LongType) — it shapes the persisted store schema, so a stream
@@ -501,6 +502,29 @@ class StreamingDedupIngest(BoundedReplayMixin):
         self._seen_batches: set[int] = set()
         self.drift_monitor = drift_monitor
         self.sketch_monitor = sketch_monitor
+        #: round-11 scale knob, from the census profile (the store
+        #: band-join probe is ~56% of the dedup stage, itself the
+        #: six-gate pipeline's wall-clock floor): build a bloom over
+        #: THIS BATCH's band keys (small side — docs × bands entries)
+        #: and prefilter the STORE's banded rows with it as a pure-JVM
+        #: bit test in the scan stage — the q_decontaminate_bloom
+        #: two-phase shape applied to the signature store.  Exact: a
+        #: bloom has no false negatives, all rows of one bucket share
+        #: one verdict (so surviving buckets' hot-counts stay exact),
+        #: and false-positive buckets can't equi-join any probe key.
+        #: What it buys at scale: the per-batch plan loses its two
+        #: FULL-STORE SHUFFLES (the hot-bucket aggregate and the band
+        #: join's store side both shrink to ~colliding buckets), so
+        #: per-batch cost tracks collisions instead of corpus size.
+        #: Default OFF, honestly: bench's ``store_bloom_ab`` row
+        #: measured the bloom arm SLOWER at bench scale (9.3 → 7.0
+        #: docs/s at 16-doc batches over a ≤ 500-row store — the
+        #: per-batch build job costs more than the tiny shuffles it
+        #: removes; the probe there is job-scheduling-bound, not
+        #: data-bound).  Enable it when the store dwarfs the batch —
+        #: the regime where the removed shuffles grow with the corpus
+        #: and the build job stays batch-sized.
+        self.store_bloom = store_bloom
 
     def _reset(self) -> None:
         # a monitor riding this ingest shares its run lifecycle: a new
@@ -521,7 +545,11 @@ class StreamingDedupIngest(BoundedReplayMixin):
         executor count gets sized).  Sums the replay-consistent
         per-batch rows (``DedupMetrics.gate_census_by_batch``), so it
         is exact over the retained horizon; disabled gates simply
-        never appear."""
+        never appear.  The ``dedup`` row additionally carries ``sub``
+        — summed sig/probe/merge splits (signature computation, store
+        band-join probe + dup-map build, novel merge write) — so the
+        stage the census names as the floor points at its own
+        dominant component (round 11)."""
         out: dict = {}
         for rows in self.metrics.gate_census_by_batch.values():
             for e in rows:
@@ -538,6 +566,10 @@ class StreamingDedupIngest(BoundedReplayMixin):
                 g["docs_rejected"] += e["docs_rejected"]
                 g["sec"] = round(g["sec"] + e["sec"], 4)
                 g["batches"] += 1
+                if "sub" in e:  # dedup sub-stage splits (round 11)
+                    sub = g.setdefault("sub", {})
+                    for k, v in e["sub"].items():
+                        sub[k] = round(sub.get(k, 0.0) + v, 4)
         return out
 
     # -- building blocks -----------------------------------------------------
@@ -975,6 +1007,11 @@ class StreamingDedupIngest(BoundedReplayMixin):
                 ("decontaminate", n_contam, time.perf_counter() - _t_gate)
             )
             _t_gate = time.perf_counter()
+        # sub-stage timers (round 11): the census showed the dedup
+        # stage is ~48% of six-gate wall time — these split it into
+        # signature computation / store band-join probe / merge_new
+        # write so the next optimization aims at the real component
+        _t_sub = time.perf_counter()
         sigs = minhash_sig_table(
             batch,
             self.id_col,
@@ -984,8 +1021,10 @@ class StreamingDedupIngest(BoundedReplayMixin):
             self.rows,
             self.hash_fn,
         ).localCheckpoint(eager=True)  # signed once; used by 3 consumers
+        _sub_sig = time.perf_counter() - _t_sub
         dup_map = None
         try:
+            _t_sub = time.perf_counter()
             banded = self._banded(sigs)
             # REPLAY DETERMINISM: probe the store MINUS this batch's own
             # ids.  After a post-merge crash the store already holds the
@@ -1004,7 +1043,29 @@ class StreamingDedupIngest(BoundedReplayMixin):
                 on=F.col("_id").eqNullSafe(F.col("_bid")),
                 how="left_anti",
             )
-            vs_store = self._matches(banded, self._banded(store_rows))
+            n_docs = sigs.count()  # checkpointed; shared with metrics
+            store_banded = self._banded(store_rows)
+            if self.store_bloom:
+                from consume_kafka_avro_data_spark.operators.bloom import (
+                    MAX_BITS,
+                    BroadcastBloom,
+                )
+
+                # sized from the batch's band-key count (docs × bands,
+                # the build side); a batch too large for plan-literal
+                # transport falls back to the unfiltered join rather
+                # than refuse the micro-batch
+                n_keys = n_docs * self.bands
+                if 0 < n_keys * 16 <= MAX_BITS:
+                    blk_bloom = BroadcastBloom.build(
+                        banded.select("_block"),
+                        "_block",
+                        n_bits=max(128, 16 * n_keys),
+                    )
+                    store_banded = store_banded.where(
+                        blk_bloom.might_contain("_block")
+                    )
+            vs_store = self._matches(banded, store_banded)
             # intra-batch canonical rule: a doc whose id is ALREADY
             # STORED is canonical regardless of id order (the exclusion
             # above removed its store copy from the probe target, so a
@@ -1089,7 +1150,6 @@ class StreamingDedupIngest(BoundedReplayMixin):
                 )
                 .localCheckpoint(eager=True)
             )
-            n_docs = sigs.count()
             if self.dupes_dir:
                 # partition by batch id + dynamic overwrite: a replayed
                 # batch REPLACES its own rows (same contract as the
@@ -1102,6 +1162,8 @@ class StreamingDedupIngest(BoundedReplayMixin):
                     .parquet(self.dupes_dir)
                 )
             n_dupes = dup_map.count()
+            _sub_probe = time.perf_counter() - _t_sub
+            _t_sub = time.perf_counter()
             # NULL-SAFE novel split: a USING-column left_anti never
             # matches NULL, so a NULL-id doc routed dup would stay in
             # `novel` and merge anyway — the one id comparison on this
@@ -1112,8 +1174,18 @@ class StreamingDedupIngest(BoundedReplayMixin):
                 how="left_anti",
             )
             self.store.merge_new(novel)
+            _sub_merge = time.perf_counter() - _t_sub
             _census.append(
-                ("dedup", n_dupes, time.perf_counter() - _t_gate)
+                (
+                    "dedup",
+                    n_dupes,
+                    time.perf_counter() - _t_gate,
+                    {
+                        "sig": round(_sub_sig, 4),
+                        "probe": round(_sub_probe, 4),
+                        "merge": round(_sub_merge, 4),
+                    },
+                )
             )
             if not replayed:
                 self.metrics.batches += 1
@@ -1131,20 +1203,21 @@ class StreamingDedupIngest(BoundedReplayMixin):
                 # already existed
                 rows: list[dict] = []
                 docs_in = n_docs  # dedup stage input = gate survivors
-                for gate, n_rej, sec in reversed(_census):
+                for gate, n_rej, sec, *extra in reversed(_census):
                     # a reject gate's input includes what it rejected;
                     # dupes are ROUTED at the dedup stage, not removed
                     # from its input
                     if gate != "dedup":
                         docs_in += n_rej
-                    rows.append(
-                        {
-                            "gate": gate,
-                            "docs_in": docs_in,
-                            "docs_rejected": n_rej,
-                            "sec": round(sec, 4),
-                        }
-                    )
+                    row = {
+                        "gate": gate,
+                        "docs_in": docs_in,
+                        "docs_rejected": n_rej,
+                        "sec": round(sec, 4),
+                    }
+                    if extra:  # dedup carries sig/probe/merge splits
+                        row["sub"] = extra[0]
+                    rows.append(row)
                 rows.reverse()
                 self.metrics.gate_census_by_batch[batch_id] = rows
             # bounded replay guard (mixin-shared trim); the per-batch

@@ -1512,7 +1512,63 @@ def test_c4_and_heuristic_quality_counts_both_rejects(spark, tmp_path):
     assert census["c4"]["docs_in"] == 4
     assert census["quality"]["docs_in"] == 3
     assert census["dedup"]["docs_in"] == 2
+    # round-11 sub-stage splits: the dedup row names its own dominant
+    # component (signature / store probe / merge write); the splits
+    # are disjoint wall-time slices of the stage, so they sum to at
+    # most the stage total (small bookkeeping gap allowed)
+    sub = census["dedup"]["sub"]
+    assert set(sub) == {"sig", "probe", "merge"}
+    assert all(v >= 0 for v in sub.values())
+    assert sum(sub.values()) <= census["dedup"]["sec"] + 0.05
+    # reject gates carry no sub splits
+    assert "sub" not in census["c4"] and "sub" not in census["quality"]
     assert [r.doc_id for r in
             spark.read.parquet(str(tmp_path / "c4_rejects")).collect()] == [3]
     assert [r.doc_id for r in
             spark.read.parquet(str(tmp_path / "rejects")).collect()] == [2]
+
+
+def test_store_bloom_prefilter_routing_identical(spark, tmp_path):
+    """Round-11 scale knob: store_bloom=True prefilters the store's
+    banded rows with a bloom over the batch's band keys (pure-JVM bit
+    test in the scan stage — the q_decontaminate_bloom shape applied
+    to the signature store, removing both full-store shuffles from the
+    per-batch probe).  Exactness pinned: same stream, same store dir
+    layout, IDENTICAL routing (dupes map, stored canonicals, metrics,
+    census counts) as the unfiltered run — a bloom has no false
+    negatives, a bucket's rows share one verdict (hot-counts stay
+    exact), and FP buckets can't equi-join any probe key."""
+    runs = {}
+    for name, flag in (("plain", False), ("bloom", True)):
+        ing = StreamingDedupIngest(
+            spark,
+            store_dir=str(tmp_path / f"store_{name}"),
+            checkpoint_dir=str(tmp_path / f"ckpt_{name}"),
+            dupes_dir=str(tmp_path / f"dupes_{name}"),
+            store_bloom=flag,
+        )
+        m = ing.run_to_completion(
+            _doc_stream(spark, tmp_path / name, [BATCH1, BATCH2])
+        )
+        stored = sorted(r["_id"] for r in ing.store.read().collect())
+        dupes = {
+            r.dup_id: r.match_id
+            for r in spark.read.parquet(
+                str(tmp_path / f"dupes_{name}")
+            ).collect()
+        }
+        census = ing.gate_census()
+        runs[name] = {
+            "docs": m.docs,
+            "dup": m.dup_docs,
+            "novel": m.novel_docs,
+            "stored": stored,
+            "dupes": dupes,
+            "census_counts": {
+                g: (v["docs_in"], v["docs_rejected"])
+                for g, v in census.items()
+            },
+        }
+    assert runs["plain"] == runs["bloom"]
+    assert runs["bloom"]["dupes"] == {2: 1, 4: 1}
+    assert runs["bloom"]["stored"] == [1, 3, 5]
