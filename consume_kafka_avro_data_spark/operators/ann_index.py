@@ -450,8 +450,12 @@ class AnnIndex:
                 if old_dir is not None:  # replace: retire the old commit
                     live = [d for d in live if d != old_dir]
                     grace.append({"dir": old_dir, "at": now})
-                folded = [s for s in folded if s != shard_id] + [shard_id]
-                folded = folded[-self.max_compacted_shards :]
+                # same commit-order sort + newest-kept bound as
+                # compact()'s fold bookkeeping ('b10' must not evict
+                # before 'b2')
+                folded = sorted(
+                    set(folded) | {shard_id}, key=_shard_commit_key
+                )[-self.max_compacted_shards :]
             meta = {
                 "id_col": self.id_col,
                 "vec_col": self.vec_col,

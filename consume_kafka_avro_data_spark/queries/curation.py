@@ -1025,16 +1025,18 @@ def scrub_duplicate_spans(
             hash_grams=hash_grams,
             char_grams=True,
         )
+        # underscore-prefixed working columns: the input frame may
+        # legitimately carry columns named "spans" or "lt"
         per_doc = spans.groupBy("doc_id").agg(
             F.array_sort(
                 F.collect_list(F.struct("start_tok", "end_tok"))
-            ).alias("spans")
+            ).alias("_scrub_spans")
         )
-        joined = d.join(per_doc, "doc_id").withColumn(
-            "lt", F.lower("text")
+        joined = d.select("doc_id", "text").join(per_doc, "doc_id").withColumn(
+            "_scrub_lt", F.lower("text")
         )
         rebuilt = F.aggregate(
-            "spans",
+            "_scrub_spans",
             F.struct(F.lit(0).alias("prev"), F.lit("").alias("acc")),
             lambda a, s: F.struct(
                 s["end_tok"].alias("prev"),
@@ -1043,7 +1045,7 @@ def scrub_duplicate_spans(
                     # gap before this span; zero/negative length (span
                     # abuts or starts at prev+1) slices to ""
                     F.substr(
-                        F.col("lt"),
+                        F.col("_scrub_lt"),
                         a["prev"] + F.lit(1),
                         s["start_tok"] - F.lit(1) - a["prev"],
                     ),
@@ -1052,21 +1054,21 @@ def scrub_duplicate_spans(
             lambda a: F.concat(
                 a["acc"],
                 F.substr(
-                    F.col("lt"),
+                    F.col("_scrub_lt"),
                     a["prev"] + F.lit(1),
-                    F.length("lt") - a["prev"],
+                    F.length("_scrub_lt") - a["prev"],
                 ),
             ),
         )
         covered = F.aggregate(
-            "spans",
+            "_scrub_spans",
             F.lit(0),
             lambda a, s: a + s["end_tok"] - s["start_tok"] + F.lit(1),
         )
         return joined.select(
             "doc_id",
             rebuilt.alias("scrubbed"),
-            (F.length("lt") - covered).cast("long").alias("n_kept"),
+            (F.length("_scrub_lt") - covered).cast("long").alias("n_kept"),
         )
     spans = duplicate_token_spans(
         d, n, keep_first=keep_first, hash_grams=hash_grams

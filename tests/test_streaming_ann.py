@@ -527,12 +527,23 @@ def test_add_shard_refuses_empty_generation(spark, sf_dir, tmp_path, emb):
     # anonymous empty shard: same refusal, no id bookkeeping
     idx.add_shard(empty)
     assert idx.vectors_dirs == dirs0
+    # empty re-commit under an id that previously committed rows:
+    # replace semantics retire the old generation and the id folds
+    idx.add_shard(
+        emb.select("vec_id", "embedding").limit(5), shard_id="s_re"
+    )
+    assert idx.vectors().count() == n0 + 5
+    idx.add_shard(empty, shard_id="s_re")
+    assert idx.vectors().count() == n0
+    assert "s_re" in idx.compacted_shards
+    assert idx.vectors_dirs == dirs0
     # on-disk: only the committed generations remain (the fileless dir
-    # was swept by the refusal's gc) and a fresh handle reads clean
+    # was swept by the refusal's gc; the replaced generation sits in
+    # grace until its window expires) and a fresh handle reads clean
     on_disk = {
         d for d in os.listdir(str(tmp_path / "idx")) if d.startswith("vectors")
     }
-    assert on_disk == set(dirs0)
+    assert set(dirs0) <= on_disk  # replaced dir may persist in grace
     loaded = AnnIndex.load(spark, str(tmp_path / "idx"))
     assert loaded.vectors_dirs == dirs0
     assert "e1" in loaded.compacted_shards
