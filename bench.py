@@ -1946,6 +1946,12 @@ def main() -> None:
                 ann["tuned"]["filtered"]["knn_join_nprobe4"]["recall_at_10"],
                 ann["tuned"]["filtered"]["knn_join_nprobe8"]["recall_at_10"],
             ],
+            # round-11 auto arm: [recall@10, resolved nprobe] with the
+            # caller passing the decayed base nprobe=4
+            "ann_filtered_auto": [
+                ann["tuned"]["filtered"]["knn_join_auto"]["recall_at_10"],
+                ann["tuned"]["filtered"]["knn_join_auto"]["resolved_nprobe"],
+            ],
             "bloom_crossover_mult": bloom_x["crossover_mult"],
             # build-once/probe-many split: [one-time build, steady probe]
             "bloom_build_probe_sec": [

@@ -896,12 +896,18 @@ class AnnIndex:
         k: int = 10,
         nprobe: int = 4,
         where: Column | None = None,
+        auto_nprobe: bool = False,
     ) -> DataFrame:
         """IVF-Flat: exact cosine rescore over the probed cells' float
         vectors (reads vectors for ~nprobe/n_cells of the corpus).
         ``where`` filters candidates inside the probed scan — k
         survivors of the filtered corpus, the :meth:`knn_join`
-        contract per query."""
+        contract per query.  ``auto_nprobe`` escalates the probe width
+        with the filter's measured selectivity (:meth:`resolve_nprobe`)
+        — per-query the count job is NOT amortized the way the batch
+        paths amortize it, so prefer :meth:`knn_join` for query sets."""
+        if auto_nprobe:
+            nprobe = self.resolve_nprobe(nprobe, where)
         probed = self._probe(query_vec, nprobe, where=where).select(
             self.id_col, self.vec_col
         )
@@ -934,12 +940,15 @@ class AnnIndex:
         k: int = 10,
         nprobe: int = 4,
         where: Column | None = None,
+        auto_nprobe: bool = False,
     ) -> DataFrame:
         """IVF-PQ: ADC over the probed cells' codes — the scan reads
         only (id, pq_codes); the float vectors stay on disk.  Ascending
         distance + id tie-break keeps the cut deterministic.  ``where``
         filters candidates inside the codes-only scan (float column
-        still unread)."""
+        still unread).  ``auto_nprobe`` as in :meth:`query_exact`."""
+        if auto_nprobe:
+            nprobe = self.resolve_nprobe(nprobe, where)
         lut = self.spark.createDataFrame(
             pq_adc_lut(query_vec, self.codebooks, rotation=self.rotation),
             "pq_sub INT, pq_code INT, partial DOUBLE",
@@ -976,6 +985,7 @@ class AnnIndex:
         nprobe: int = 4,
         shortlist: int = 100,
         where: Column | None = None,
+        auto_nprobe: bool = False,
     ) -> DataFrame:
         """The standard IVF-PQ serving shape: ADC shortlist → exact
         re-rank of ONLY the shortlisted vectors.  Plain ADC's recall is
@@ -995,7 +1005,10 @@ class AnnIndex:
         ``where`` filters the ADC shortlist inside its codes scan; the
         rescore fetch inherits it through the shortlisted ids (every
         id already satisfies the predicate), so k survivors of the
-        FILTERED corpus come back."""
+        FILTERED corpus come back.  ``auto_nprobe`` as in
+        :meth:`query_exact` (resolved once, before the shortlist)."""
+        if auto_nprobe:
+            nprobe = self.resolve_nprobe(nprobe, where)
         short = self.query_adc(
             query_vec, k=shortlist, nprobe=nprobe, where=where
         )

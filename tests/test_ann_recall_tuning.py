@@ -953,3 +953,19 @@ def test_auto_nprobe_recovers_filtered_recall(spark, emb, tmp_path):
                 / denom
             )
             assert recall >= 0.9, (mod, name, recall)
+        # single-query paths accept the same knob; the resolved width
+        # makes them row-identical to the explicitly-escalated call
+        qvec = emb.where(F.col("vec_id") == 1).collect()[0]["embedding"]
+        want_rows = [
+            (r.vec_id, r.score)
+            for r in idx.query_exact(
+                qvec, 10, nprobe=16, where=cond
+            ).collect()
+        ]
+        got_rows = [
+            (r.vec_id, r.score)
+            for r in idx.query_exact(
+                qvec, 10, nprobe=4, where=cond, auto_nprobe=True
+            ).collect()
+        ]
+        assert got_rows == want_rows
