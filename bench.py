@@ -1047,13 +1047,15 @@ def sketches_bench(spark, sf_dir: str) -> dict:
         kmv_jaccard,
         kmv_sketch,
     )
-    from consume_kafka_avro_data_spark.queries.curation import word_grams
+    from consume_kafka_avro_data_spark.functions.textops import (
+        exploded_word_grams,
+    )
     from consume_kafka_avro_data_spark.tables import load_table
 
     from pyspark.sql import functions as F
 
     d = load_table(spark, sf_dir, "documents")
-    grams = d.select("source", F.explode(word_grams(8)).alias("g"))
+    grams = exploded_word_grams(d, "source", n=8)
     eval_g = grams.where(F.col("source") == "src0").select("g")
     train_g = grams.where(F.col("source") != "src0").select("g")
 
@@ -1108,13 +1110,15 @@ def bloom_steady_state_bench(spark, sf_dir: str) -> dict:
         BITS_PER_ITEM,
         BroadcastBloom,
     )
-    from consume_kafka_avro_data_spark.queries.curation import word_grams
+    from consume_kafka_avro_data_spark.functions.textops import (
+        exploded_word_grams,
+    )
     from consume_kafka_avro_data_spark.tables import load_table
 
     from pyspark.sql import functions as F
 
     d = load_table(spark, sf_dir, "documents")
-    grams = d.select("doc_id", "source", F.explode(word_grams(8)).alias("g"))
+    grams = exploded_word_grams(d, "doc_id", "source", n=8)
     eval_g = grams.where(F.col("source") == "src0").select("g").distinct()
 
     t0 = time.perf_counter()
@@ -1645,15 +1649,16 @@ def bloom_crossover_bench(spark, sf_dir: str) -> dict:
         BITS_PER_ITEM,
         BroadcastBloom,
     )
-    from consume_kafka_avro_data_spark.queries.curation import word_grams
+    from consume_kafka_avro_data_spark.functions.textops import (
+        exploded_word_grams,
+    )
     from consume_kafka_avro_data_spark.tables import load_table
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
     eval_g = (
-        d.where(F.col("source") == "src0")
-        .select(F.explode(word_grams(8)).alias("g"))
+        exploded_word_grams(d.where(F.col("source") == "src0"), n=8)
         .distinct()
         .localCheckpoint(eager=True)  # shared eval prep, outside timers
     )
@@ -1672,14 +1677,17 @@ def bloom_crossover_bench(spark, sf_dir: str) -> dict:
                     "text",
                 )
             )
-            tg = train.select("doc_id", F.explode(word_grams(8)).alias("g"))
+            tg = exploded_word_grams(train, "doc_id", n=8)
 
+            # r11: both arms measure the SHIPPED query shapes —
+            # join-before-distinct with count(distinct g) — so the
+            # published crossover tracks q_decontaminate[_bloom]'s
+            # actual plans (see those queries' docstrings)
             t0 = time.perf_counter()
             (
-                tg.distinct()
-                .join(F.broadcast(eval_g), "g")
+                tg.join(F.broadcast(eval_g), "g")
                 .groupBy("doc_id")
-                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(F.countDistinct("g").alias("n"))
                 .write.format("noop").mode("overwrite").save()
             )
             t_exact = time.perf_counter() - t0
@@ -1690,10 +1698,9 @@ def bloom_crossover_bench(spark, sf_dir: str) -> dict:
             )
             (
                 tg.where(bloom.might_contain("g"))
-                .distinct()
                 .join(F.broadcast(eval_g), "g")
                 .groupBy("doc_id")
-                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(F.countDistinct("g").alias("n"))
                 .write.format("noop").mode("overwrite").save()
             )
             t_bloom = time.perf_counter() - t0

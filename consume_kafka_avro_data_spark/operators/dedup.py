@@ -414,6 +414,49 @@ def _explode_keepall(df: DataFrame, id_col: str, arr: Column, out: str) -> DataF
     return df.select(F.col(id_col).alias("_id"), F.explode(safe).alias(out))
 
 
+def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(_id, _sh) — one row per k-token shingle WINDOW, codegen'd.
+
+    r11 hot-path form of ``explode(array_distinct(shingles(toks, k)))``:
+    the :func:`shingles` transform-lambda is a ``CodegenFallback``
+    expression interpreted per window (the same class of cost the
+    module docstring records for the old HOF hash loop), while this
+    form tokenizes once per doc in a Project, explodes a plain int
+    sequence of window starts, and assembles each shingle with
+    codegen'd ``slice`` + ``array_join``.  Two deliberate differences,
+    both value-neutral for every consumer (:func:`_minhash_base`,
+    :func:`minhash_sig_table`):
+
+    * duplicate windows are NOT pre-deduped (no array_distinct) — the
+      min() signature components and ``collect_set`` are idempotent
+      over duplicates, and map-side partial aggregation absorbs them
+      before the shuffle;
+    * the short-doc case (fewer than k tokens, incl. the NULL/''-text
+      single-token case) emits the whole-text join as its single
+      shingle via ``slice(toks, 1, k)`` truncating at the array end —
+      exactly :func:`shingles`' ``n < k`` branch, and since
+      :func:`tokens_col` canonicalizes NULL to ``['']`` the array is
+      never NULL/empty, which is what made :func:`_explode_keepall`'s
+      guards defensive-only here (pinned by
+      test_signature_tables_equal_hof_columns incl. NULL/empty text).
+    """
+    toks = tokens_col(text_col)
+    pos = F.when(
+        F.size("__sh_toks") >= k,
+        F.sequence(F.lit(1), F.size("__sh_toks") - (k - 1)),
+    ).otherwise(F.array(F.lit(1)))
+    return (
+        df.select(F.col(id_col).alias("_id"), toks.alias("__sh_toks"))
+        .select("_id", "__sh_toks", F.explode(pos).alias("__sh_pos"))
+        .select(
+            "_id",
+            F.array_join(F.slice("__sh_toks", F.col("__sh_pos"), k), " ").alias(
+                "_sh"
+            ),
+        )
+    )
+
+
 def _minhash_base(
     df: DataFrame,
     id_col: str,
@@ -430,9 +473,7 @@ def _minhash_base(
     n = bands * rows
     comp, _ = _minhash_agg_components(hash_fn, "_sig", bands, rows)
     df = ensure_min_splits(df)
-    toks = tokens_col(text_col)
-    sh = F.array_distinct(shingles(toks, shingle_k))
-    exploded = _explode_keepall(df, id_col, sh, "_sh")
+    exploded = _exploded_shingles(df, id_col, text_col, shingle_k)
     return (
         exploded.groupBy("_id")
         .agg(
@@ -464,9 +505,7 @@ def minhash_sig_table(
     n = bands * rows
     comp, _ = _minhash_agg_components(hash_fn, "_sim", bands, rows)
     df = ensure_min_splits(df)
-    toks = tokens_col(text_col)
-    sh = F.array_distinct(shingles(toks, shingle_k))
-    exploded = _explode_keepall(df, id_col, sh, "_sh")
+    exploded = _exploded_shingles(df, id_col, text_col, shingle_k)
     return (
         exploded.groupBy("_id")
         .agg(*[comp(i) for i in range(n)])

@@ -21,6 +21,8 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 from consume_kafka_avro_data_spark.functions.textops import (
     census_token_stream,
+    exploded_char_grams,
+    exploded_word_grams,
     lower_tokens,
 )
 from consume_kafka_avro_data_spark.registry import query
@@ -35,10 +37,15 @@ def _lower_tokens() -> F.Column:
 
 def word_grams(n: int = 8) -> F.Column:
     """Word ``n``-gram array over ``text`` (lowercased, space-split) —
-    THE decontamination gram shape, shared by ``q_decontaminate``,
-    ``q_decontaminate_bloom``, and the bench's crossover measurement
-    (bench.py): a second copy would let the published crossover
-    silently measure a different gram shape than the shipped queries.
+    the declarative Column form of the decontamination gram shape.
+    Since r11 every HOT consumer (``q_decontaminate``,
+    ``q_decontaminate_bloom``, ``duplicate_token_spans``, the streaming
+    contamination gate, and the bench's crossover measurement) uses the
+    value-identical codegen'd exploded form instead
+    (functions/textops.exploded_word_grams — the transform(sequence)
+    lambda here is interpreted per window, measured ~3× the whole
+    query's cost at sf0.1); this Column form remains the compositional
+    API and the oracle-documentation twin, pinned equal by pytest.
     Docs shorter than ``n`` tokens produce no grams (both engines)."""
     t = _lower_tokens()
     return F.when(
@@ -176,20 +183,29 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-gram set is vocabulary-sized and broadcast; the train side
     streams through the semi-ish join — the standard at-scale shape
     (eval sets are tiny next to the corpus).  Docs shorter than 8
-    tokens produce no grams on either engine."""
+    tokens produce no grams on either engine.
+
+    Optimization (r11, guide §2.3/§2.4): the broadcast semi-join runs
+    BEFORE the per-doc distinct — the exact eval-gram hash relation is
+    itself a perfect prefilter, so the distinct's exchange carries only
+    matching grams (a handful of rows) instead of the whole train
+    corpus' gram stream; ``count(distinct g)`` after the inner join is
+    value-identical to the old distinct-then-count (eval_g is already
+    distinct).  Plan: the full-corpus hashpartitioning(doc_id, g)
+    Exchange ahead of the join is gone (plans/r11/q_decontaminate_
+    {before,after}.txt).  Gram construction is the codegen'd exploded
+    form (see functions/textops.exploded_word_grams)."""
     d = load_table(spark, sf_dir, "documents")
-    grams = d.select("doc_id", "source", F.explode(word_grams(8)).alias("g"))
+    grams = exploded_word_grams(d, "doc_id", "source", n=8)
     eval_g = grams.where(F.col("source") == "src0").select("g").distinct()
-    train_g = (
-        grams.where(F.col("source") != "src0").select("doc_id", "g").distinct()
-    )
+    train = grams.where(F.col("source") != "src0").select("doc_id", "g")
     return (
         # eval_g is the EVAL corpus' gram set — eval sets are fixed-size
         # by construction (they don't grow with training data), so the
         # broadcast is bounded; this is the standard decontamination shape
-        train_g.join(F.broadcast(eval_g), "g")
+        train.join(F.broadcast(eval_g), "g")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .agg(F.countDistinct("g").alias("n_shared_grams"))
     )
 
 
@@ -237,7 +253,7 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from consume_kafka_avro_data_spark.operators.bloom import BroadcastBloom
 
     d = load_table(spark, sf_dir, "documents")
-    grams = d.select("doc_id", "source", F.explode(word_grams(8)).alias("g"))
+    grams = exploded_word_grams(d, "doc_id", "source", n=8)
     eval_g = grams.where(F.col("source") == "src0").select("g").distinct()
     # The bloom BUILD traverses the eval subtree twice (count for m,
     # positions collect) — checkpoint for exactly that window, then
@@ -262,12 +278,15 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.where(F.col("source") != "src0")
         .where(bloom.might_contain("g"))  # phase 1: JVM bit-test only
         .select("doc_id", "g")
-        .distinct()
     )
+    # r11: the per-candidate distinct folds into count(distinct g)
+    # AFTER the exact verify join — one less Exchange over the
+    # candidate stream, value-identical (the join is FP-free and
+    # eval_g is distinct, so dup (doc_id, g) pairs collapse either way)
     return (
         cand.join(F.broadcast(eval_g), "g")  # phase 2: exact verify
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .agg(F.countDistinct("g").alias("n_shared_grams"))
     )
 
 
@@ -800,18 +819,14 @@ def duplicate_token_spans(
         # with length(text) would silently miss tail windows of the
         # lowered form — and the returned offsets index the lowered
         # text, so they must be consistent with it (r10 advisor).
-        grams = F.when(
-            F.length(F.lower("text")) >= n,
-            F.expr(
-                f"transform(sequence(1, length(lower(text)) - {n - 1}), "
-                f"i -> substring(lower(text), i, {n}))"
-            ),
-        ).otherwise(F.expr("array()"))
+        # r11: codegen'd exploded form — lower() once per doc, one
+        # substring per window (see textops.exploded_char_grams).
+        wins = exploded_char_grams(d, "doc_id", n=n, pos_col="pos")
     else:
-        grams = word_grams(n)
-    wins = d.select(
-        "doc_id", F.posexplode(grams).alias("p0", "g")
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "g")
+        # r11: codegen'd exploded form of posexplode(word_grams(n)) —
+        # the window-start sequence is already 1-based, so the position
+        # arrives directly instead of via p0 + 1
+        wins = exploded_word_grams(d, "doc_id", n=n, pos_col="pos")
     if hash_grams:
         wins = wins.select("doc_id", "pos", F.xxhash64("g").alias("g"))
     wg = Window.partitionBy("g")

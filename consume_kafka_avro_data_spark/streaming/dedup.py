@@ -437,11 +437,11 @@ class StreamingDedupIngest(BoundedReplayMixin):
         self._eval_grams: DataFrame | None = None
         self._bloom = None
         if eval_docs is not None:
+            from consume_kafka_avro_data_spark.functions.textops import (
+                exploded_word_grams,
+            )
             from consume_kafka_avro_data_spark.operators.bloom import (
                 BroadcastBloom,
-            )
-            from consume_kafka_avro_data_spark.queries.curation import (
-                word_grams,
             )
 
             # one-time: distinct eval grams, checkpointed (probed every
@@ -450,8 +450,10 @@ class StreamingDedupIngest(BoundedReplayMixin):
             # eval sets are fixed and small relative to the stream, and
             # BroadcastBloom.build enforces MAX_BITS.
             self._eval_grams = (
-                eval_docs.select(F.col(text_col).alias("text"))
-                .select(F.explode(word_grams(contam_gram_n)).alias("g"))
+                exploded_word_grams(
+                    eval_docs.select(F.col(text_col).alias("text")),
+                    n=contam_gram_n,
+                )
                 .distinct()
                 .localCheckpoint(eager=True)
             )
@@ -967,14 +969,14 @@ class StreamingDedupIngest(BoundedReplayMixin):
         n_contam = 0
         contam = None
         if self._eval_grams is not None:
-            from consume_kafka_avro_data_spark.queries.curation import (
-                word_grams,
+            from consume_kafka_avro_data_spark.functions.textops import (
+                exploded_word_grams,
             )
 
-            grams = batch.select(
-                self.id_col, F.col(self.text_col).alias("text")
-            ).select(
-                self.id_col, F.explode(word_grams(self.contam_gram_n)).alias("g")
+            grams = exploded_word_grams(
+                batch.select(self.id_col, F.col(self.text_col).alias("text")),
+                self.id_col,
+                n=self.contam_gram_n,
             )
             # bloom prefilter = pure-JVM bit tests in the scan stage
             # (prunes ~all clean grams); the exact broadcast verify
