@@ -1137,8 +1137,7 @@ def bloom_steady_state_bench(spark, sf_dir: str) -> dict:
     for _ in range(2):
         t0 = time.perf_counter()
         cand = (
-            grams.where(F.col("source") != "src0")
-            .where(bloom.might_contain("g"))
+            bloom.prefilter(grams.where(F.col("source") != "src0"), "g")
             .select("doc_id", "g")
             .distinct()
         )
@@ -1697,7 +1696,7 @@ def bloom_crossover_bench(spark, sf_dir: str) -> dict:
                 eval_g, "g", n_bits=BITS_PER_ITEM * max(n_eval, 8)
             )
             (
-                tg.where(bloom.might_contain("g"))
+                bloom.prefilter(tg, "g")
                 .join(F.broadcast(eval_g), "g")
                 .groupBy("doc_id")
                 .agg(F.countDistinct("g").alias("n"))

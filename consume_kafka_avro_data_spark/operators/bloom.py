@@ -83,6 +83,7 @@ class BroadcastBloom:
         self.bits = bits  # m/64 signed int64 words (Spark long literals)
         self.m = m
         self.k = k
+        self._bits_col: Column | None = None  # lazy literal cache
 
     @classmethod
     def build(
@@ -125,13 +126,46 @@ class BroadcastBloom:
         words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
         return cls(words, m, k)
 
+    def _bits_literal(self) -> Column:
+        """The bit array as ONE plan column, built JVM-side.  ``F.lit``
+        on a Python list (and, measured, even on a numpy array — the
+        classic-mode path converts element-wise) costs ~0.8-3.6 s of
+        py4j round-trips for a sf0.1-sized filter; parsing the same
+        ``array(..L, ..L)`` text with ``F.expr`` is one string transfer
+        (~5 ms, measured 100×+ faster) and the optimizer constant-folds
+        the parsed CreateArray into a single array<long> literal before
+        execution.  Cached so repeated probes (streaming gate: one per
+        micro-batch) pay the parse once per filter."""
+        bits_lit = self._bits_col
+        if bits_lit is None:
+            lmin = -(1 << 63)
+            parts = [
+                # Long.MIN_VALUE has no direct SQL literal (the lexer
+                # sees unary minus + an out-of-range positive literal)
+                "(-9223372036854775807L - 1L)" if w == lmin else f"{w}L"
+                for w in self.bits
+            ]
+            bits_lit = F.expr("array(" + ",".join(parts) + ")")
+            self._bits_col = bits_lit
+        return bits_lit
+
     def might_contain(self, col: Column | str) -> Column:
         """True for every value that was in the build set (no false
         negatives); true for ~FP% of absent values.  Pure JVM: two
         xxhash64 evaluations, then k bit-tests against the array<long>
-        literal."""
+        literal.
+
+        The probed value appears 4k times in the returned predicate
+        (k positions × word+bit, × the h1/h2 pair) and FilterExec does
+        no common-subexpression elimination — probing a column that is
+        itself a derived expression (a gram built in the same stage)
+        re-evaluates that expression 4k× per row once filter pushdown
+        substitutes it into the predicate.  Probe PHYSICAL columns with
+        this method; for derived columns use :meth:`prefilter`, which
+        fences the projection so the substitution cannot happen
+        (measured 4.8 s → 1.3 s on the sf0.1 decontamination stream)."""
         c = F.col(col) if isinstance(col, str) else col
-        bits_lit = F.lit(self.bits)
+        bits_lit = self._bits_literal()
         cond = None
         for idx in _probe_positions(c, self.m, self.k):
             word = F.element_at(
@@ -145,3 +179,25 @@ class BroadcastBloom:
             t = bit == F.lit(1)
             cond = t if cond is None else (cond & t)
         return cond
+
+    def prefilter(self, df: DataFrame, col: str) -> DataFrame:
+        """``df`` minus the rows whose ``col`` is definitely not in the
+        build set — :meth:`might_contain` plus the evaluate-once fence.
+
+        ``col`` is re-projected through a value-identical
+        nondeterministic ``when`` (``spark_partition_id() >= 0`` is
+        always true and both branches are ``col``), which blocks
+        PushPredicateThroughNonJoin from substituting the column's
+        defining expression into the probe predicate's 4k copies: the
+        plan keeps Project(col) → Filter(probe on the materialized
+        attribute), so a derived gram is built once per row and the
+        4k-reference predicate only re-hashes the short string.  The
+        fence changes no value and no row (guide §4.4's optimizer-
+        duplication fix, applied to expression inlining)."""
+        fenced = F.when(
+            F.spark_partition_id() >= F.lit(0), F.col(col)
+        ).otherwise(F.col(col))
+        out = df.select(
+            *[fenced.alias(c) if c == col else F.col(c) for c in df.columns]
+        )
+        return out.where(self.might_contain(col))

@@ -274,11 +274,13 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         eval_ck.unpersist()
-    cand = (
-        grams.where(F.col("source") != "src0")
-        .where(bloom.might_contain("g"))  # phase 1: JVM bit-test only
-        .select("doc_id", "g")
-    )
+    # phase 1: JVM bit-test only.  prefilter (not bare might_contain)
+    # because ``g`` is a derived column: the fence keeps the probe
+    # predicate's 4k gram references from each re-building the gram
+    # (r11, measured 4.8 s → 1.3 s on this stream; see operators/bloom)
+    cand = bloom.prefilter(
+        grams.where(F.col("source") != "src0"), "g"
+    ).select("doc_id", "g")
     # r11: the per-candidate distinct folds into count(distinct g)
     # AFTER the exact verify join — one less Exchange over the
     # candidate stream, value-identical (the join is FP-free and

@@ -982,7 +982,10 @@ class StreamingDedupIngest(BoundedReplayMixin):
             # (prunes ~all clean grams); the exact broadcast verify
             # join makes the decision FP-free, same two-phase shape as
             # q_decontaminate_bloom
-            pre = grams.where(self._bloom.might_contain("g"))
+            # prefilter (not bare might_contain): ``g`` is a derived
+            # column, and the fence keeps the probe predicate's 4k gram
+            # references from each re-building it (operators/bloom r11)
+            pre = self._bloom.prefilter(grams, "g")
             contam = (
                 # broadcast justified: bounded eval gram set (see
                 # __init__ — MAX_BITS-guarded, checkpointed once)
