@@ -778,6 +778,44 @@ def _bucket_candidate_pairs(
     )
 
 
+def _bucket_candidate_id_pairs(
+    blocked: DataFrame, max_bucket_size: int = MAX_BUCKET_SIZE
+) -> DataFrame:
+    """(_id, _block) rows → distinct light candidate pairs
+    (id_a, id_b) — the payload-free twin of
+    :func:`_bucket_candidate_pairs` (r11, guide §8: decide on
+    lightweight proxies, attach heavy payloads once afterwards).
+
+    Callers whose verify payload is re-attachable by id (vectors in a
+    corpus table) should use THIS and join the payload onto the
+    deduplicated pair set: the heavy form shuffles the payload once per
+    block-explosion copy (ntables/bands ×) into the bucket collect and
+    twice per candidate pair through the pair-dedup exchange, where
+    this form's exchanges carry two longs per row and the payload moves
+    exactly once, in the id-equi attach join.  Same sorted-members
+    expansion (id_a < id_b for unique ids), same hot-bucket guard, same
+    NULL-safe self-pair exclusion."""
+    buckets = blocked.groupBy("_block").agg(
+        F.sort_array(F.collect_list("_id")).alias("_members")
+    )
+    buckets = buckets.where(F.size("_members") <= max_bucket_size)
+    pair_arr = F.flatten(
+        F.transform(
+            "_members",
+            lambda x, i: F.transform(
+                F.slice("_members", i + F.lit(2), F.size("_members")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .where(~F.col("id_a").eqNullSafe(F.col("id_b")))
+        .distinct()
+    )
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -199,6 +199,7 @@ def srp_bucket_table(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = True,
 ) -> DataFrame:
     """One Arrow pass attaching ALL ``ntables`` SRP bucket ids as
     ``_b0.._b{T-1}`` int columns: bucket = sign-bit pattern of the
@@ -206,21 +207,28 @@ def srp_bucket_table(
     :data:`Q20` — so DuckDB reproduces every bucket from quantized
     plane literals).  Replaces ntables × nbits interpreted lambda folds
     per row with one numpy matmul per Arrow batch; at 100 TB this is a
-    map-only projection computed once and persisted."""
+    map-only projection computed once and persisted.
+
+    ``keep_vec=False`` drops the vector from the OUTPUT (it is still
+    read to compute the buckets): callers that re-attach vectors by id
+    later (the light candidate-pair path) skip serializing dim doubles
+    per row back across the Arrow boundary (guide §4.1 — control how
+    many columns cross)."""
     import pandas as pd
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     qplanes = [quantize_np(_hyperplanes(dim, nbits, t, seed)) for t in range(ntables)]
     weights = np.array([1 << i for i in range(nbits)], dtype=np.int64)
+    kept = [id_col, vec_col] if keep_vec else [id_col]
     out_schema = StructType(
-        corpus.select(id_col, vec_col).schema.fields
+        corpus.select(*kept).schema.fields
         + [StructField(f"_b{t}", IntegerType(), False) for t in range(ntables)]
     )
 
     def gen(batches):
         for pdf in batches:
             x = quantize_np(np.stack(pdf[vec_col].map(np.asarray)))
-            out = {id_col: pdf[id_col], vec_col: pdf[vec_col]}
+            out = {c: pdf[c] for c in kept}
             for t, qp in enumerate(qplanes):
                 proj = x @ qp.T  # exact: integer-valued float64
                 out[f"_b{t}"] = ((proj > 0) @ weights).astype(np.int32)
@@ -989,43 +997,107 @@ def embedding_neardup_pairs(
     High-cosine pairs collide with probability (1-θ/π)^nbits per table,
     so a handful of tables suffices at τ ≥ 0.95.
 
-    Plan shape: ONE Arrow pass computes all table buckets
-    (:func:`srp_bucket_table`) plus the per-vector norm, the (table,
-    bucket) keys melt via explode, and candidates expand inside each
-    bucket (dedup's bucket-and-expand — the signature subtree is never
-    self-joined, so it computes once).  The verify cosine is the
-    codegen'd unrolled dot ÷ precomputed norms."""
+    Plan shape (r11, guide §8): ONE Arrow pass computes all table
+    buckets (:func:`srp_bucket_table`, vector NOT re-emitted), the
+    (table, bucket) keys melt via explode as one LONG per row, and
+    candidate pairs expand inside each bucket over bare ids
+    (_bucket_candidate_id_pairs) — every exchange up to here carries
+    two longs per row.  Vectors are attached to the DEDUPLICATED pair
+    set by two id-equi joins (the corpus projection moves once, not
+    ntables× into the bucket collect and 2× per pre-dedup pair as the
+    heavy bucket-and-expand form did), and the verify cosine runs as
+    ONE Arrow/numpy pass over the attached pairs in the same strict
+    left-to-right float64 fold order as dot()/l2_norm(), so it stays
+    bit-identical to the DuckDB twin (see the in-function comment for
+    the measured JVM alternatives it beats)."""
     from consume_kafka_avro_data_spark.operators.dedup import (
         MAX_BUCKET_SIZE,
-        _bucket_candidate_pairs,
+        _bucket_candidate_id_pairs,
     )
 
     if max_bucket_size is None:
         max_bucket_size = MAX_BUCKET_SIZE
-    bucketed = srp_bucket_table(
-        corpus, dim, nbits, ntables, seed, id_col, vec_col
+    blocked = srp_bucket_table(
+        corpus, dim, nbits, ntables, seed, id_col, vec_col, keep_vec=False
     ).select(
         F.col(id_col).alias("_id"),
-        F.struct(
-            F.col(vec_col).alias("v"),
-            l2_norm(F.col(vec_col), dim=dim).alias("n"),
-        ).alias("_sim"),
+        # (table, bucket) as ONE long: t·2^nbits + bucket is injective
+        # and shuffles 8 fixed bytes where the old "t:bucket" string
+        # key shuffled ~8-12 and hashed slower (guide §2.3)
         F.explode(
             F.array(
                 *[
-                    F.concat(F.lit(f"{t}:"), F.col(f"_b{t}").cast("string"))
+                    (F.lit(t << nbits) + F.col(f"_b{t}")).cast("long")
                     for t in range(ntables)
                 ]
             )
         ).alias("_block"),
     )
-    cand = _bucket_candidate_pairs(bucketed, max_bucket_size)
-    cos = dot(F.col("_sa.v"), F.col("_sb.v"), dim=dim) / (
-        F.col("_sa.n") * F.col("_sb.n")
+    pairs = _bucket_candidate_id_pairs(blocked, max_bucket_size)
+    side = corpus.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    cand = pairs.join(
+        side.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va")),
+        "id_a",
+    ).join(
+        side.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")),
+        "id_b",
     )
-    return (
-        cand.select("id_a", "id_b", cos.alias("cosine"))
-        .where(F.col("cosine") >= cosine_threshold)
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_fields = cand.select("id_a", "id_b").schema.fields
+    out_schema = StructType(
+        list(id_fields) + [StructField("cosine", DoubleType(), True)]
+    )
+
+    # Verify cosine as an Arrow/numpy pass: the 64-term UNROLLED JVM
+    # expression is too large for whole-stage codegen here and falls to
+    # interpreted evaluation (measured 8.8 s vs 4.5 s for the HOF fold
+    # vs 2.9 s for this, on 196k sf0.1 candidates).  Bit-exactness with
+    # the DuckDB twin is preserved because the fold below is the SAME
+    # strict left-to-right float64 order as dot()/l2_norm(): numpy
+    # elementwise ops are single IEEE doubles ops, and only the
+    # column-at-a-time axis is vectorized, never the reduction order.
+    # Edge policy (testdata-free, documented): rows whose vector is
+    # NULL are dropped (their cosine is NULL under the JVM form and
+    # NULL >= τ never passes); NULL ELEMENTS arrive as NaN and drop
+    # likewise (cos >= τ is False for NaN).
+    thr = float(cosine_threshold)
+    d = int(dim)
+
+    def verify(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf[pdf["_va"].notna() & pdf["_vb"].notna()]
+            if not len(pdf):
+                continue
+            va = np.stack(
+                pdf["_va"].map(lambda v: np.asarray(v, dtype=np.float64))
+            )
+            vb = np.stack(
+                pdf["_vb"].map(lambda v: np.asarray(v, dtype=np.float64))
+            )
+            dp = va[:, 0] * vb[:, 0]
+            na = va[:, 0] * va[:, 0]
+            nb = vb[:, 0] * vb[:, 0]
+            for i in range(1, d):
+                dp = dp + va[:, i] * vb[:, i]
+                na = na + va[:, i] * va[:, i]
+                nb = nb + vb[:, i] * vb[:, i]
+            cos = dp / (np.sqrt(na) * np.sqrt(nb))
+            keep = cos >= thr
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"][keep],
+                    "id_b": pdf["id_b"][keep],
+                    "cosine": cos[keep],
+                }
+            )
+
+    return cand.select("id_a", "id_b", "_va", "_vb").mapInPandas(
+        verify, schema=out_schema
     )
 
 
