@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from consume_kafka_avro_data_spark.functions.parity import (
-    DEC,
+    _hundredths,
     davg,
     dsum,
     dsum_mul,
@@ -508,11 +508,14 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.pmod(F.xxhash64("event_id"), F.lit(8)).alias("_salt")
     ).agg(
         F.count("*").alias("_n"),
-        F.sum(F.col("value").cast(DEC)).alias("_s"),
+        # exact long hundredths (functions/parity.py r11): partials
+        # re-sum exactly across salt buckets, same values as the
+        # decimal form with no per-row double→decimal string cast
+        F.sum(_hundredths("value")).alias("_s"),
     )
     return salted.groupBy("event_type").agg(
         F.sum("_n").alias("n_events"),
-        F.sum("_s").cast("decimal(38,2)").cast("double").alias("sum_value"),
+        (F.sum("_s").cast("double") / F.lit(100.0)).alias("sum_value"),
     )
 
 

@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import broadcast
 
-from consume_kafka_avro_data_spark.functions.parity import o_dsum_mul
+from consume_kafka_avro_data_spark.functions.parity import (
+    dsum_mul_final,
+    dsum_mul_partial,
+    o_dsum_mul,
+)
 from consume_kafka_avro_data_spark.operators.asof import asof_join
 from consume_kafka_avro_data_spark.registry import query
 from consume_kafka_avro_data_spark.tables import load_table
@@ -76,9 +80,8 @@ def q_edge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     per_order = li.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("_n"),
-        F.sum(
-            F.col("l_extendedprice").cast("decimal(18,4)")
-            * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
+        dsum_mul_partial(
+            "l_extendedprice", F.lit(1.0) - F.col("l_discount")
         ).alias("_rev"),
     )
     return (
@@ -89,9 +92,10 @@ def q_edge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.sum("_n").alias("n_lineitems"),
-            # same final rescale as functions/parity.py: exact decimal →
-            # scale 2 → double is a single identical rounding in both engines
-            F.sum("_rev").cast("decimal(38,2)").cast("double").alias("revenue"),
+            # exact long partials re-sum exactly; the finalize applies
+            # the same scale-2 HALF_UP + single double rounding as
+            # dsum_mul (functions/parity.py)
+            dsum_mul_final("_rev").alias("revenue"),
         )
     )
 

@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import broadcast
 
-from consume_kafka_avro_data_spark.functions.parity import dsum_mul, o_dsum_mul
+from consume_kafka_avro_data_spark.functions.parity import (
+    dsum_mul,
+    dsum_mul_final,
+    dsum_mul_partial,
+    o_dsum_mul,
+)
 from consume_kafka_avro_data_spark.registry import query
 from consume_kafka_avro_data_spark.tables import load_table
 
@@ -182,12 +187,7 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_order = (
         li.where(F.col("l_returnflag") == "R")
         .groupBy("l_orderkey")
-        .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,4)")
-                * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
-            ).alias("_rev")
-        )
+        .agg(dsum_mul_partial("l_extendedprice", F.lit(1.0) - F.col("l_discount")).alias("_rev"))
     )
     o_f = o.where(
         (F.col("o_orderdate") >= F.lit(_Q10_LO).cast("timestamp_ntz"))
@@ -196,7 +196,7 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = (
         per_order.join(o_f, per_order.l_orderkey == o_f.o_orderkey, "inner")
         .groupBy("o_custkey")
-        .agg(F.sum("_rev").cast("decimal(38,2)").cast("double").alias("revenue"))
+        .agg(dsum_mul_final("_rev").alias("revenue"))
     )
     return (
         per_cust.join(c, per_cust.o_custkey == c.c_custkey, "inner")

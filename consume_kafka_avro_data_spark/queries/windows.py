@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from consume_kafka_avro_data_spark.functions.parity import DEC
+from consume_kafka_avro_data_spark.functions.parity import _hundredths
 from consume_kafka_avro_data_spark.registry import query
 from consume_kafka_avro_data_spark.tables import load_table
 
@@ -59,10 +59,11 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("W3",),
 )
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running sum (W3).  The frame accumulates in DECIMAL so the result
-    is independent of how each engine associates the additions (Spark
-    streams the frame; DuckDB uses segment trees — raw doubles would
-    differ in the low bits).
+    """Running sum (W3).  The frame accumulates EXACT integers (long
+    hundredths; the oracle's DECIMAL twin is value-identical) so the
+    result is independent of how each engine associates the additions
+    (Spark streams the frame; DuckDB uses segment trees — raw doubles
+    would differ in the low bits).
     """
     o = load_table(spark, sf_dir, "orders")
     w = (
@@ -73,7 +74,10 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_spend"),
+        # exact long hundredths (functions/parity.py r11): same running
+        # values, no per-row double→decimal string conversion
+        (F.sum(_hundredths("o_totalprice")).over(w).cast("double") / F.lit(100.0))
+        .alias("running_spend"),
     )
 
 
@@ -255,10 +259,10 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.count("*").over(w).alias("n_last_hour"),
-        F.sum(F.col("value").cast(DEC))
-        .over(w)
-        .cast("decimal(38,2)")
-        .cast("double")
+        # exact long hundredths (functions/parity.py r11); the old
+        # scale-4 → (38,2) cast was value-free on 2-dp inputs, so the
+        # single /100.0 rounding is identical
+        (F.sum(_hundredths("value")).over(w).cast("double") / F.lit(100.0))
         .alias("sum_last_hour"),
     )
 
