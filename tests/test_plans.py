@@ -575,12 +575,18 @@ def test_curation_pipeline_one_arrow_pass_no_nested_loop(q):
 
 
 def test_neardup_lsh_bucket_and_expand(q):
-    """The LSH-blocked near-dup: one Arrow bucket pass, bucket-and-
-    expand candidates (no self-join of the bucket subtree)."""
+    """The LSH-blocked near-dup (r11 light-pairs shape): one Arrow
+    bucket pass (vector NOT re-emitted), id-only bucket-and-expand (no
+    self-join of the bucket subtree), vectors attached to the deduped
+    pair set by equi-joins, and ONE Arrow verify pass for the cosine —
+    so exactly two MapInPandas nodes, and never a nested-loop/cartesian
+    pair sweep."""
     df = q("q_neardup_lsh")
     plan = I.simple_plan(df)
-    assert plan.count("MapInPandas") == 1
+    assert plan.count("MapInPandas") == 2
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_shipping_priority_preagg_and_heap(q):
