@@ -794,9 +794,13 @@ def _bucket_candidate_id_pairs(
     this form's exchanges carry two longs per row and the payload moves
     exactly once, in the id-equi attach join.  Same sorted-members
     expansion (id_a < id_b for unique ids), same hot-bucket guard, same
-    NULL-safe self-pair exclusion."""
+    NULL-safe self-pair exclusion.  Members collect as single-field
+    STRUCTS, not bare ids: collect_list silently drops NULL scalars,
+    and NULL ids are in the threat model (PERMISSIVE decode output) —
+    a struct-wrapped NULL survives the collect and sorts first, exactly
+    as it does in the heavy twin's (_id, _sim) structs (pinned equal)."""
     buckets = blocked.groupBy("_block").agg(
-        F.sort_array(F.collect_list("_id")).alias("_members")
+        F.sort_array(F.collect_list(F.struct("_id"))).alias("_members")
     )
     buckets = buckets.where(F.size("_members") <= max_bucket_size)
     pair_arr = F.flatten(
@@ -804,7 +808,9 @@ def _bucket_candidate_id_pairs(
             "_members",
             lambda x, i: F.transform(
                 F.slice("_members", i + F.lit(2), F.size("_members")),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                lambda y: F.struct(
+                    x["_id"].alias("id_a"), y["_id"].alias("id_b")
+                ),
             ),
         )
     )

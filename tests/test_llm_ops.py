@@ -615,6 +615,76 @@ def test_hot_bucket_guard_drops_oversized_buckets(spark):
     assert full.count() == 40 * 39 // 2 + 1
 
 
+def test_bucket_candidate_id_pairs_light_twin_contract(spark):
+    """The r11 payload-free twin (_bucket_candidate_id_pairs) keeps the
+    heavy form's contracts: same hot-bucket cap, NULL-safe self-pair
+    exclusion, ordered (id_a < id_b) pairs, cross-bucket dedup — and
+    its pair SET equals the heavy twin's on the same blocked frame."""
+    from consume_kafka_avro_data_spark.operators.dedup import (
+        _bucket_candidate_id_pairs,
+        _bucket_candidate_pairs,
+    )
+
+    rows = (
+        [(i, f"m{i}", "hot") for i in range(40)]
+        + [(100, "x", "cold"), (101, "y", "cold")]
+        # same pair in TWO buckets (must emit once) + a NULL-id self pair
+        + [(100, "x", "cold2"), (101, "y", "cold2")]
+        + [(None, "n", "nullb"), (None, "n", "nullb"), (7, "s", "nullb")]
+    )
+    blocked = spark.createDataFrame(rows, "_id long, _sim string, _block string")
+
+    light = _bucket_candidate_id_pairs(blocked, max_bucket_size=16)
+    got = {(r.id_a, r.id_b) for r in light.collect()}
+    heavy = _bucket_candidate_pairs(blocked, max_bucket_size=16)
+    want = {(r.id_a, r.id_b) for r in heavy.collect()}
+    assert got == want
+    # explicit spellings of the contracts the set equality relies on
+    assert (100, 101) in got and (101, 100) not in got  # ordered, deduped
+    assert (None, None) not in got  # NULL-safe self-pair exclusion
+    assert (None, 7) in got or (7, None) in got  # NULL pairs with others kept
+    assert not any(a == b for a, b in got if a is not None)
+
+
+def test_embedding_neardup_numpy_verify_matches_jvm_cosine(spark):
+    """The r11 Arrow/numpy verify pass must be BIT-identical to the JVM
+    left-fold cosine on every emitted pair (same strict fold order), and
+    the pair set itself must match the pre-r11 heavy form's."""
+    import struct
+
+    import numpy as np
+
+    from consume_kafka_avro_data_spark.operators.similarity import cosine
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    vecs = [
+        (0, base.tolist()),
+        (1, (base + rng.standard_normal(16) * 0.01).tolist()),
+        (2, (base * 0.5 + rng.standard_normal(16) * 0.02).tolist()),
+        (3, rng.standard_normal(16).tolist()),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    got = embedding_neardup_pairs(
+        df, cosine_threshold=0.5, dim=16, nbits=4, ntables=6
+    ).collect()
+    assert got, "planted near-dups must collide and pass the threshold"
+    by_id = {i: v for i, v in vecs}
+    for r in got:
+        jvm = (
+            spark.range(1)
+            .select(
+                cosine(
+                    F.lit(np.asarray(by_id[r.id_a])),
+                    F.lit(np.asarray(by_id[r.id_b])),
+                    dim=16,
+                ).alias("c")
+            )
+            .collect()[0]["c"]
+        )
+        assert struct.pack("d", r.cosine) == struct.pack("d", jvm)
+
+
 def test_signature_forms_agree_on_null_and_empty_text(spark):
     """NULL text is canonicalized to '' (→ one empty token) in
     tokens_col, so the HOF Column forms and the explode+aggregate table
@@ -1142,6 +1212,36 @@ def test_broadcast_bloom_no_false_negatives_bounded_fps(spark):
     )
     assert "Join" not in plan and "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_prefilter_rows_equal_bare_probe_and_fence_in_plan(spark):
+    """prefilter (the r11 derived-column probe) must keep exactly the
+    rows bare might_contain keeps — same values, same columns — while
+    its plan evaluates the probe on a MATERIALIZED attribute: the fence
+    projection sits between the derived-column Project and the Filter,
+    so the gram-construction expression appears ONCE, not 4k times."""
+    from consume_kafka_avro_data_spark.operators.bloom import BroadcastBloom
+
+    members = spark.createDataFrame(
+        [(f"w{i} w{i+1}",) for i in range(200)], ["g"]
+    )
+    bloom = BroadcastBloom.build(members, "g")
+    # probe a DERIVED column (concat of two source columns)
+    src = spark.createDataFrame(
+        [(i, f"w{i}", f"w{i+1}") for i in range(150)]
+        + [(900, "nope", "never"), (901, "absent", "gram")],
+        ["k", "a", "b"],
+    ).select("k", F.concat_ws(" ", "a", "b").alias("g"))
+    want = {(r.k, r.g) for r in src.where(bloom.might_contain("g")).collect()}
+    got_df = bloom.prefilter(src, "g")
+    got = {(r.k, r.g) for r in got_df.collect()}
+    assert got == want and {(r.k, r.g) for r in src.collect()} >= got
+    assert set(got_df.columns) == {"k", "g"}
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    # the fence keeps the filter ABOVE a projection of the derived
+    # column: its defining concat_ws must appear exactly once
+    assert plan.count("concat_ws") == 1
+    assert "SPARK_PARTITION_ID" in plan
 
 
 def test_decontaminate_bloom_equals_exact_join_form(spark, sf_dir):
