@@ -37,13 +37,29 @@ def tune_for_parity(spark: SparkSession) -> SparkSession:
     Applied defensively inside every loader/query because the verify
     driver constructs its own SparkSession that did not go through
     :func:`get_session`.
+
+    Memoized per session object (r12): each ``conf.set`` is a py4j
+    round trip and this runs on every ``load_table`` call — ~25 ms per
+    query of pure driver chatter re-setting values that are sticky for
+    the session's lifetime anyway.  The flag lives on the session
+    object, so a fresh driver-constructed session still gets tuned on
+    its first load.
     """
+    if getattr(spark, "_cka_parity_tuned", False):
+        return spark
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # ANSI stays ON (the Spark 4 default): the long-hundredths parity
+    # aggregates (functions/parity.py) rely on ANSI failing an int64
+    # overflow LOUDLY where the old decimal path drifted quietly — pin
+    # it so a deployment profile that flips the default cannot turn
+    # that guarantee into silent wraparound (r11 advisor).
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     try:  # plan-build speed: see the get_session comment on this conf
         spark.conf.set("spark.python.sql.dataFrameDebugging.enabled", "false")
     except Exception:
         pass
+    spark._cka_parity_tuned = True
     return spark
 
 
