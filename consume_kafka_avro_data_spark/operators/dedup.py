@@ -383,18 +383,37 @@ def _minhash_agg_components(hash_fn: str, sig_col: str, bands: int, rows: int):
     keeps covering the xxhash64 scale path.  Unknown names raise — a
     silent fallback would swap hash families (and oracle portability)
     on a typo."""
+    # r12 (guide §1/§5, driver cost): the expression trees here are built
+    # from SQL TEXT via one F.expr each instead of nested Column calls —
+    # every Column call is a py4j round trip, and 32 min-hash components
+    # plus 8 band hashes cost ~1700 round trips ≈ 0.5 s of driver time
+    # per plan build (cProfile'd on q_minhash_est_fast; streaming dedup
+    # pays it again on EVERY micro-batch).  The parsed trees are
+    # value-identical to the old Column forms: int SQL literals are
+    # IntegerType exactly like F.lit(int), pinned by
+    # test_minhash_expr_text_equals_column_forms.
     if hash_fn == "md5":
         def comp(i: int) -> Column:
-            return F.min(
-                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh"))), 1, 16)
+            return F.expr(
+                f"min(substring(md5(concat('{i}:', _sh)), 1, 16))"
             ).alias(f"_h{i}")
 
-        return comp, band_hashes_md5(F.col(sig_col), bands, rows)
+        parts = ", ".join(
+            f"md5(concat('{b}:', array_join("
+            f"slice({sig_col}, {b * rows + 1}, {rows}), ',')))"
+            for b in range(bands)
+        )
+        return comp, F.expr(f"array({parts})")
     if hash_fn == "xxhash64":
         def comp(i: int) -> Column:
-            return F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"_h{i}")
+            return F.expr(f"min(xxhash64({i}, _sh))").alias(f"_h{i}")
 
-        return comp, band_hashes(F.col(sig_col), bands, rows)
+        parts = ", ".join(
+            f"xxhash64({b}, array_join("
+            f"slice({sig_col}, {b * rows + 1}, {rows}), ','))"
+            for b in range(bands)
+        )
+        return comp, F.expr(f"array({parts})")
     raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
 
 

@@ -87,7 +87,14 @@ def brute_force_topk(
     array literal and indexing it 128× made Catalyst analysis alone cost
     seconds) ÷ (row-norm · query-norm), with the query norm folded in
     Python using the same left-to-right order as DuckDB's
-    list_dot_product, so scores still match the oracle bit-for-bit."""
+    list_dot_product, so scores still match the oracle bit-for-bit.
+
+    The whole score is ONE parsed SQL expression (r12): building the
+    same 64-term chain through Column operators costs ~400 py4j round
+    trips ≈ 0.2-0.3 s of driver time per plan build.  SQL ``+`` and
+    ``*`` parse left-associative and ``{x!r}D`` double literals
+    round-trip exactly, so the parsed tree is structurally identical to
+    the old Column chain (pinned by test_brute_force_topk_expr_text)."""
     import math
 
     qv = [float(x) for x in query_vec]
@@ -95,12 +102,15 @@ def brute_force_topk(
     for x in qv:  # left fold ≡ sqrt(list_dot_product(q, q)) in DuckDB
         acc += x * x
     qn = math.sqrt(acc)
-    d = F.element_at(F.col(vec_col), 1).cast("double") * qv[0]
-    for i in range(1, len(qv)):
-        d = d + F.element_at(F.col(vec_col), i + 1).cast("double") * qv[i]
+
+    def ev(i: int) -> str:
+        return f"CAST(element_at(`{vec_col}`, {i}) AS DOUBLE)"
+
+    d_txt = " + ".join(f"{ev(i + 1)} * {qv[i]!r}D" for i in range(len(qv)))
+    n_txt = " + ".join(f"{ev(i + 1)} * {ev(i + 1)}" for i in range(len(qv)))
     scored = corpus.select(
         F.col(id_col),
-        (d / (l2_norm(F.col(vec_col), dim=len(qv)) * F.lit(qn))).alias("score"),
+        F.expr(f"({d_txt}) / (SQRT({n_txt}) * {qn!r}D)").alias("score"),
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
