@@ -467,6 +467,42 @@ def kmeans_sample(
     return np.array([r[vec_col] for r in rows], dtype=np.float64)
 
 
+def sample_with_query_row(
+    corpus: DataFrame,
+    query_id=0,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """ONE collect serving two driver needs: the deterministic k-means /
+    codebook training sample (exactly :func:`kmeans_sample`'s ORDER BY
+    id LIMIT slice — same contract, same oracle mirror) AND the
+    ``id == query_id`` query vector, which the ANN queries previously
+    fetched with a second scan+collect job (r12, guide §2.2 — fewer
+    actions).  Returns ``(x, query_vec_or_None)``.
+
+    The query row is reused from the sample only when its presence or
+    absence there is PROVABLE: the sample is the ascending-id prefix,
+    so if the query id is missing from a full prefix whose last id
+    sorts after it, it is not in the table at all.  Only when ≥
+    ``sample`` ids sort at-or-before the query id (possible with that
+    many negative/NULL ids) does a second bounded collect run — the
+    pre-r12 behavior, never a wrong answer."""
+    rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    )
+    x = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    qv = next((r[vec_col] for r in rows if r[id_col] == query_id), None)
+    if qv is None and len(rows) == sample:
+        last = rows[-1][id_col]
+        if last is None or last <= query_id:
+            extra = (
+                corpus.where(F.col(id_col) == query_id).limit(1).collect()
+            )
+            qv = extra[0][vec_col] if extra else None
+    return x, qv
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     k: int = 16,
@@ -708,8 +744,15 @@ def semantic_dedup_params(
     n_rows = None
     if centroids is None:
         x = kmeans_sample(corpus, id_col=id_col, vec_col=vec_col)
+        if len(x) < 4096:
+            # the ORDER BY id LIMIT 4096 sample came back short, so it
+            # IS the whole corpus — the count is free (r12, guide §2.2:
+            # one fewer eager job; the separate count job remains only
+            # for corpora past the sample size, where it is real work)
+            n_rows = len(x)
         if n_centroids is None:
-            n_rows = corpus.count()
+            if n_rows is None:
+                n_rows = corpus.count()
             n_centroids = (
                 auto_n_centroids(n_rows, x.shape[1]) if len(x) else 1
             )
@@ -1175,6 +1218,16 @@ def pq_codebooks(
     on the driver, at any corpus size."""
     rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
     x = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    return pq_codebooks_from_sample(x, m=m, k=k, iters=iters, seed=seed)
+
+
+def pq_codebooks_from_sample(
+    x: np.ndarray, m: int = 8, k: int = 16, iters: int = 5, seed: int = 42
+) -> np.ndarray:
+    """:func:`pq_codebooks` given an already-collected training sample
+    (r12: lets a caller that also needs the query row reuse ONE
+    :func:`sample_with_query_row` collect for both)."""
+    x = np.asarray(x, dtype=np.float64)
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")

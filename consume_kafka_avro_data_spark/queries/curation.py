@@ -652,16 +652,24 @@ def curation_verdicts(
         .join(canon, "_fp")
         .select("doc_id", "canonical_id")
     )
-    # The auto-k semantic stage traverses the survivor join three times
-    # (k-means sample collect, corpus count, assignment pass) — uncached,
-    # each re-runs the fingerprint group-by + join.  Checkpoint for the
-    # two EAGER phases only (sample + count, both driver-side here),
-    # then unpersist: a checkpoint referenced by the returned plan would
-    # leak its blocks for the session.  semantic_dedup then receives the
-    # un-checkpointed lineage plus the precomputed centroids/k/blocks,
-    # so its one remaining (lazy) assignment pass recomputes the
-    # survivor join at consumer time — reading ``s``'s checkpoint, so
-    # the recompute is two cheap id-joins, not the quality fold.
+    # The auto-k semantic stage's eager phase runs DIRECTLY on the lazy
+    # survivor join (r12, guide §2.2).  Until r11 the join was
+    # localCheckpoint'd first so the two eager params actions (k-means
+    # sample + corpus count) would not each re-run it, then unpersisted
+    # (a checkpoint referenced by the returned plan leaks its blocks
+    # for the session — that comment's concern stands and is still
+    # honored: no checkpoint outlives this function).  But the params
+    # phase now needs ONE action in the common case (the count is fused
+    # into the sample whenever the survivor set fits the 4096-row
+    # sample — semantic_dedup_params r12), so the checkpoint bought one
+    # recompute avoidance at the cost of an eager materialization job +
+    # write: measured 0.23 s checkpoint + 0.15 s params vs ~0.15 s
+    # params-direct at sf0.1.  The recompute itself is cheap either way
+    # — surv_emb reads ``s``'s checkpoint, so re-deriving it is two
+    # id-equi joins, not the quality fold.  Past the sample size the
+    # params phase runs two actions (sample + count), each that same
+    # cheap recompute — still no worse in passes than checkpoint +
+    # sample + count was.
     from consume_kafka_avro_data_spark.operators.similarity import (
         semantic_dedup_params,
     )
@@ -672,15 +680,11 @@ def curation_verdicts(
         ),
         "vec_id",
     )
-    surv_ck = surv_emb.localCheckpoint(eager=True)
-    try:
-        # THE shared derivation (semantic_dedup_params) — a local copy
-        # of the k/blocks formulas would drift from the oracles
-        centroids, k, n_blocks = semantic_dedup_params(
-            surv_ck, n_centroids=n_centroids
-        )
-    finally:
-        surv_ck.unpersist()
+    # THE shared derivation (semantic_dedup_params) — a local copy
+    # of the k/blocks formulas would drift from the oracles
+    centroids, k, n_blocks = semantic_dedup_params(
+        surv_emb, n_centroids=n_centroids
+    )
     sem = semantic_dedup(
         surv_emb,
         threshold=threshold,

@@ -283,13 +283,28 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked even though k-means is iterative: the oracle reruns
     the identical numpy Lloyd's routine on the identical sample and
     inlines the resulting centroids as literals (see _o_ivf)."""
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        lloyd_unit_kmeans,
+        sample_with_query_row,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    # Defensive collect: _o_ivf degrades to rows-only when no vec_id=0
-    # row exists — degrade identically instead of IndexError.
-    rows = emb.where(F.col("vec_id") == 0).limit(1).collect()
-    if not rows:
+    # ONE collect for both the centroid-training sample and the query
+    # row (r12, guide §2.2) — the sample slice and the Lloyd's run are
+    # byte-identical to kmeans_centroids' own, so the oracle's
+    # re-derived centroid literals (_o_ivf) are unchanged.  Degrades to
+    # the empty frame with the oracle when no vec_id=0 row exists.
+    x, qv = sample_with_query_row(emb)
+    if qv is None:
         return spark.createDataFrame([], "vec_id long, score double")
-    return ivf_topk(emb, rows[0]["embedding"], k=10, n_centroids=16, nprobe=4)
+    return ivf_topk(
+        emb,
+        qv,
+        k=10,
+        n_centroids=16,
+        nprobe=4,
+        centroids=lloyd_unit_kmeans(x, k=16, seed=42),
+    )
 
 
 def _o_ann_recall(k=10, n_centroids=16, seed=42) -> str | None:
@@ -363,21 +378,22 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines tie-break every cut on vec_id over q20-exact scores."""
     from functools import reduce
 
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        lloyd_unit_kmeans,
+        sample_with_query_row,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    rows = emb.where(F.col("vec_id") == 0).limit(1).collect()
-    if not rows:
+    # one fused sample+query collect (r12) — see q_similarity_ivf
+    x, qv = sample_with_query_row(emb)
+    if qv is None:
         return spark.createDataFrame([], "nprobe int, recall_at_k double")
-    qv = rows[0]["embedding"]
     truth = brute_force_topk(emb, qv, k=10).select("vec_id")
     # train the quantizer ONCE: the four nprobe variants share the same
     # deterministic (n_centroids=16, seed=42) centroids, so per-call
     # training would re-collect the sample and re-run Lloyd's 4× for
     # bit-identical matrices
-    from consume_kafka_avro_data_spark.operators.similarity import (
-        kmeans_centroids,
-    )
-
-    cent = kmeans_centroids(emb, k=16, seed=42)
+    cent = lloyd_unit_kmeans(x, k=16, seed=42)
     parts = [
         ivf_topk(emb, qv, k=10, n_centroids=16, nprobe=p, centroids=cent)
         .select(F.lit(p).cast("int").alias("nprobe"), "vec_id")
@@ -1755,18 +1771,21 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums are all engine-portable."""
     from consume_kafka_avro_data_spark.operators.similarity import (
         pq_adc_topk,
-        pq_codebooks,
+        pq_codebooks_from_sample,
+        sample_with_query_row,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cb = pq_codebooks(emb, m=_PQ_M, k=_PQ_K)
-    # Defensive collect: the oracle (_o_pq_adc) degrades to rows-only
-    # when no vec_id=0 row exists, so the Spark side must degrade too
-    # (empty top-k frame) rather than IndexError the whole parity run.
-    rows = emb.where(F.col("vec_id") == 0).limit(1).collect()
-    if not rows:
+    # ONE collect for both the codebook training sample and the query
+    # row (r12, guide §2.2): the sample slice equals pq_codebooks' own,
+    # so the oracle's re-derived codebook literals are unchanged.
+    # Degrades to the empty frame with the oracle (_o_pq_adc) when no
+    # vec_id=0 row exists, rather than IndexError the parity run.
+    x, qv = sample_with_query_row(emb)
+    if qv is None:
         return spark.createDataFrame([], "vec_id long, adc_dist double")
-    return pq_adc_topk(emb, rows[0]["embedding"], cb, k=10)
+    cb = pq_codebooks_from_sample(x, m=_PQ_M, k=_PQ_K)
+    return pq_adc_topk(emb, qv, cb, k=10)
 
 
 def _o_adc_rerank(shortlist=50, k=10) -> str | None:
@@ -1822,15 +1841,16 @@ def q_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums, both deterministic cuts)."""
     from consume_kafka_avro_data_spark.operators.similarity import (
         pq_adc_topk,
-        pq_codebooks,
+        pq_codebooks_from_sample,
+        sample_with_query_row,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cb = pq_codebooks(emb, m=_PQ_M, k=_PQ_K)
-    rows = emb.where(F.col("vec_id") == 0).limit(1).collect()
-    if not rows:  # degrade with the oracle (rows-only), as q_pq_adc does
+    # one fused sample+query collect (r12) — see q_pq_adc
+    x, qv = sample_with_query_row(emb)
+    if qv is None:  # degrade with the oracle (rows-only), as q_pq_adc does
         return spark.createDataFrame([], "vec_id long, score double")
-    qv = rows[0]["embedding"]
+    cb = pq_codebooks_from_sample(x, m=_PQ_M, k=_PQ_K)
     short = pq_adc_topk(emb, qv, cb, k=50)
     # bounded collect: exactly `shortlist` ids by construction; pushed
     # into the rescore scan as an IN filter (row-group pruning)
