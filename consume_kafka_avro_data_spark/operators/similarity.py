@@ -1087,13 +1087,23 @@ def embedding_neardup_pairs(
         ).alias("_block"),
     )
     pairs = _bucket_candidate_id_pairs(blocked, max_bucket_size)
+    # NULL-SAFE attach (r12, r11 advisor): _bucket_candidate_id_pairs
+    # deliberately preserves NULL-id pairs (PERMISSIVE decode output is
+    # in the dedup family's threat model), but a plain equi-join never
+    # matches NULL — the collect-stage fix was dead end-to-end and a
+    # (NULL, x) near-dup silently vanished here.  eqNullSafe keys still
+    # plan as BroadcastHashJoin (pinned by the q_neardup_lsh plan test).
+    # Duplicate-id corpora attach one row per duplicate (a NULL-id pair
+    # then verifies once per NULL-id doc) — same multiplication the
+    # plain join already had for duplicated non-NULL ids.
     side = corpus.select(F.col(id_col), F.col(vec_col).alias("_v"))
-    cand = pairs.join(
-        side.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va")),
-        "id_a",
-    ).join(
-        side.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")),
-        "id_b",
+    sa = side.select(F.col(id_col).alias("_ja"), F.col("_v").alias("_va"))
+    sb = side.select(F.col(id_col).alias("_jb"), F.col("_v").alias("_vb"))
+    cand = (
+        pairs.join(sa, F.col("id_a").eqNullSafe(F.col("_ja")))
+        .drop("_ja")
+        .join(sb, F.col("id_b").eqNullSafe(F.col("_jb")))
+        .drop("_jb")
     )
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -1113,7 +1123,22 @@ def embedding_neardup_pairs(
     # Edge policy (testdata-free, documented): rows whose vector is
     # NULL are dropped (their cosine is NULL under the JVM form and
     # NULL >= τ never passes); NULL ELEMENTS arrive as NaN and drop
-    # likewise (cos >= τ is False for NaN).
+    # likewise (cos >= τ is False for NaN).  Vectors SHORTER than dim
+    # are dropped too — exactly the JVM unrolled form's behavior, where
+    # element_at past the end yields NULL and the whole cosine goes
+    # NULL (r12, r11 advisor: np.stack previously raised on the ragged
+    # batch instead).  Vectors LONGER than dim score on their first dim
+    # components, again mirroring the unrolled element_at chain.
+    return cand.select("id_a", "id_b", "_va", "_vb").mapInPandas(
+        _cosine_verify_gen(dim, cosine_threshold), schema=out_schema
+    )
+
+
+def _cosine_verify_gen(dim: int, cosine_threshold: float):
+    """The Arrow verify-pass generator for
+    :func:`embedding_neardup_pairs`, module-level so the edge policy is
+    unit-testable (the operator's bucket pass only admits exactly-dim
+    vectors, so the length guard below is defense-in-depth there)."""
     thr = float(cosine_threshold)
     d = int(dim)
 
@@ -1124,13 +1149,17 @@ def embedding_neardup_pairs(
             if not len(pdf):
                 continue
             pdf = pdf[pdf["_va"].notna() & pdf["_vb"].notna()]
+            if len(pdf):
+                pdf = pdf[
+                    (pdf["_va"].map(len) >= d) & (pdf["_vb"].map(len) >= d)
+                ]
             if not len(pdf):
                 continue
             va = np.stack(
-                pdf["_va"].map(lambda v: np.asarray(v, dtype=np.float64))
+                pdf["_va"].map(lambda v: np.asarray(v[:d], dtype=np.float64))
             )
             vb = np.stack(
-                pdf["_vb"].map(lambda v: np.asarray(v, dtype=np.float64))
+                pdf["_vb"].map(lambda v: np.asarray(v[:d], dtype=np.float64))
             )
             dp = va[:, 0] * vb[:, 0]
             na = va[:, 0] * va[:, 0]
@@ -1149,9 +1178,7 @@ def embedding_neardup_pairs(
                 }
             )
 
-    return cand.select("id_a", "id_b", "_va", "_vb").mapInPandas(
-        verify, schema=out_schema
-    )
+    return verify
 
 
 # ---------------------------------------------------------------------------

@@ -685,6 +685,77 @@ def test_embedding_neardup_numpy_verify_matches_jvm_cosine(spark):
         assert struct.pack("d", r.cosine) == struct.pack("d", jvm)
 
 
+def test_embedding_neardup_null_id_pair_survives_attach(spark):
+    """r12 (r11 advisor, medium): NULL-id pairs survive the whole
+    pipeline end-to-end.  _bucket_candidate_id_pairs preserves them by
+    contract, but the r11 vector-attach used plain equi-joins, which
+    never match NULL — the advisor's repro corpus [(0, v), (NULL, v')]
+    at tau=0.9 returned [] where the pre-r11 heavy form emitted the
+    pair.  The attach is now null-safe."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(8)
+    schema = StructType(
+        [
+            StructField("vec_id", LongType(), True),
+            StructField("embedding", ArrayType(DoubleType()), True),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(0, v.tolist()), (None, (v * 1.000001).tolist())], schema
+    )
+    got = embedding_neardup_pairs(
+        df, cosine_threshold=0.9, dim=8, nbits=2, ntables=4
+    ).collect()
+    assert len(got) == 1
+    ids = (got[0].id_a, got[0].id_b)
+    assert None in ids and 0 in ids
+    assert got[0].cosine >= 0.9
+
+
+def test_embedding_neardup_verify_drops_ragged_like_jvm():
+    """r12 (r11 advisor, low): the Arrow verify pass must drop a vector
+    SHORTER than dim exactly as the JVM unrolled cosine did (element_at
+    past the end -> NULL cosine -> fails >= tau) instead of np.stack
+    raising on the ragged batch, and must score a LONGER vector on its
+    first dim components, also mirroring the element_at chain.  Unit
+    test on the generator: the operator's own bucket pass only admits
+    exactly-dim vectors, so this guard is its defense-in-depth."""
+    import numpy as np
+    import pandas as pd
+
+    from consume_kafka_avro_data_spark.operators.similarity import (
+        _cosine_verify_gen,
+    )
+
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal(8)
+    pdf = pd.DataFrame(
+        {
+            "id_a": [0, 0, 1],
+            "id_b": [1, 2, 3],
+            "_va": [v, v, v * 1.000001],
+            "_vb": [
+                v * 1.000001,
+                v[:5],                                   # short: drop
+                np.array(list(v) + [99.0, -99.0]),       # long: first-8
+            ],
+        }
+    )
+    out = pd.concat(list(_cosine_verify_gen(8, 0.9)([pdf])), ignore_index=True)
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 2) not in pairs, "short vector must drop, not crash"
+    assert (0, 1) in pairs and (1, 3) in pairs
+
+
 def test_signature_forms_agree_on_null_and_empty_text(spark):
     """NULL text is canonicalized to '' (→ one empty token) in
     tokens_col, so the HOF Column forms and the explode+aggregate table
