@@ -425,22 +425,33 @@ def q_ts_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.lead("value", i).over(w).alias(f"v{i}") for i in range(_PN)],
     ).where(F.col(f"v{_PN - 1}").isNotNull())
 
-    def dec(c):
-        return c.cast("decimal(18,4)")
-
-    sv = dec(F.col("v0"))
-    svv = dec(F.col("v0")) * dec(F.col("v0"))
-    svp = dec(F.col("v0")) * dec(F.lit(_PATTERN[0]))
-    for i in range(1, _PN):
-        sv = sv + dec(F.col(f"v{i}"))
-        svv = svv + dec(F.col(f"v{i}")) * dec(F.col(f"v{i}"))
-        svp = svp + dec(F.col(f"v{i}")) * dec(F.lit(_PATTERN[i]))
+    # Exact long hundredths (r12 — the functions/parity.py r11 scheme
+    # extended to this per-row chain): the decimal form paid 24
+    # double→decimal casts (BigDecimal.valueOf → Double.toString) plus
+    # 16 decimal multiplies PER ROW.  rint(v·100) recovers the exact
+    # integer hundredths of every 2-dp value; products are exact
+    # scale-4 longs; per-row sums of 8 terms stay far under 2^53, so
+    # the long→double cast is exact and the single /100 (resp. /10000)
+    # division is the one correctly-rounded step — the same value the
+    # exact decimal sum's double cast produced (bit-compared old-vs-new
+    # over all sf0.1 rows).  Pattern hundredths are Python ints, exact
+    # by construction.  The DuckDB oracle keeps its decimal form.
+    h = [f"CAST(RINT(v{i} * 100.0D) AS BIGINT)" for i in range(_PN)]
+    ph = [round(p * 100) for p in _PATTERN]
     sums = leads.select(
         "user_id",
         "event_id",
-        sv.cast("double").alias("sv"),
-        svv.cast("double").alias("svv"),
-        svp.cast("double").alias("svp"),
+        F.expr("CAST(" + " + ".join(h) + " AS DOUBLE) / 100.0D").alias("sv"),
+        F.expr(
+            "CAST("
+            + " + ".join(f"{h[i]} * {h[i]}" for i in range(_PN))
+            + " AS DOUBLE) / 10000.0D"
+        ).alias("svv"),
+        F.expr(
+            "CAST("
+            + " + ".join(f"{h[i]} * {ph[i]}" for i in range(_PN))
+            + " AS DOUBLE) / 10000.0D"
+        ).alias("svp"),
     )
     n = float(_PN)
     score = (n * F.col("svp") - F.col("sv") * _P_SUM) / F.sqrt(
