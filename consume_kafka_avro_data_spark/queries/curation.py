@@ -262,6 +262,10 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # class bench.py works around with System.gc()).  The verify join
     # below therefore re-derives eval_g from lineage at consumer time —
     # one extra src0 tokenize pass, bounded by the fixed-size eval set.
+    # (r12 measured the persist()-pin alternative NEGATIVE here:
+    # interleaved best-of-3 2.87 s ckpt vs 3.78 s persist — the saved
+    # scheduler job costs less than cache materialization + losing AQE
+    # inside the cached plan; same verdict in curation and streaming.)
     eval_ck = eval_g.localCheckpoint(eager=True)
     try:
         from consume_kafka_avro_data_spark.operators.bloom import (
@@ -635,7 +639,11 @@ def curation_verdicts(
     # a FIXED-WIDTH frame (id, score, 32-hex) — no text — because three
     # consumers re-traverse it (the k-means sample collect, the sweep
     # side, the verdict assembly) and Spark shares no subtrees across
-    # actions.  Same localCheckpoint-not-persist reasoning as q_pagerank.
+    # actions.  Same localCheckpoint-not-persist reasoning as q_pagerank
+    # — and r12 MEASURED the persist() alternative: interleaved
+    # best-of-3 2.73 s ckpt vs 3.01 s persist on this query (3.78 vs
+    # 2.87 on q_decontaminate_bloom, ~3x worse per batch in streaming
+    # dedup), so the eager checkpoint stays.
     s = (
         quality_score(docs)
         .select(
