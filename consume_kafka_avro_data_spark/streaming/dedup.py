@@ -629,13 +629,24 @@ class StreamingDedupIngest(BoundedReplayMixin):
             F.col("_sim").alias("_sb"),
             "_block",
         )
-        hot = (
-            t.groupBy("_block")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") > self.max_bucket_size)
-            .select("_block")
+        # hot-bucket guard as a WINDOW count over the same _block
+        # partitioning the candidate join needs anyway (r12, guide
+        # §2.4): the previous census subtree (groupBy _block + anti
+        # join) planned its own aggregate exchange + join per probe;
+        # the window count rides one _block exchange that the join
+        # reuses.  Value-identical (same buckets dropped; _block is a
+        # hash, never NULL) — routing bit-identical on the bench stream
+        # and probe sub-stage ~12-19% faster in both interleaved A/B
+        # rounds (27.9->22.6 s, 20.1->17.5 s on 16x1-file batches).
+        from pyspark.sql import Window as _W
+
+        t = (
+            t.withColumn(
+                "_bn", F.count(F.lit(1)).over(_W.partitionBy("_block"))
+            )
+            .where(F.col("_bn") <= self.max_bucket_size)
+            .drop("_bn")
         )
-        t = t.join(hot, "_block", "left_anti")
         cand = (
             p.join(t, "_block")
             # NULL-SAFE self-exclusion: a plain != is NULL for any pair
